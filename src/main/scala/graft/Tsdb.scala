@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Intervals, Period, Periods, Stats}
+import graft.operators.Agg
+
+/** Schemas of the two table shapes (reference: tsdb.py:155-180). */
+object TsdbSchema {
+  val incoming: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("timestamp", DoubleType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  val aggregate: StructType = StructType(
+    StructField("path", StringType, nullable = false) +:
+      Stats.aggColumns.tail.map(c => StructField(c, DoubleType, nullable = true)))
+}
+
+/** Spark-native reimplementation of smalltsdb's TSDB API (tsdb.py:70-457).
+  *
+  * One class covers the reference's three backends (SURVEY.md §1.4) via two
+  * knobs:
+  *  - `materialized = false` ⇒ ViewTSDB: every read of a period table
+  *    recomputes the aggregation over `incoming` (partial buckets visible).
+  *  - `materialized = true` ⇒ TablesTSDB: period tables are real parquet
+  *    tables, incrementally maintained by [[sync]] (only *final* buckets
+  *    ever appear — append-once semantics, late data for finalized buckets
+  *    is dropped, exactly like a Structured Streaming append-mode window
+  *    with a `tail`-second watermark).
+  *  - TwoDatabasesTSDB's separate-file layout (tsdb.py:423-454) is the
+  *    `incomingRoot` option: incoming and aggregate tables at independent
+  *    storage paths (free in Spark — there are no file locks to isolate).
+  *
+  * Scale design: `incoming` is an append-only parquet directory; each
+  * period table is parquet partitioned by aggregation work — sync appends
+  * only never-before-final buckets (deterministic half-open ranges make the
+  * append idempotent across successful runs, replacing SQLite's
+  * `insert or replace` PK upsert, SURVEY.md §2.8 W5). On a real cluster the
+  * same layout holds: the sync aggregation shuffles once on (path, bucket)
+  * and the high-water-mark join broadcasts (distinct paths ≪ data).
+  *
+  * @param now injectable clock, epoch seconds (reference `_now`,
+  *            tsdb.py:92 — the whole deterministic test strategy depends on
+  *            keeping this injectable).
+  */
+final class Tsdb(
+    val spark: SparkSession,
+    root: String,
+    val materialized: Boolean = true,
+    val tail: Long = 60,
+    var now: () => Double = () => System.currentTimeMillis() / 1000.0,
+    val periods: Seq[Period] = Periods.all,
+    incomingRoot: Option[String] = None) {
+
+  private val incomingPath: String = incomingRoot.getOrElse(root) + "/incoming"
+  private def periodPath(p: Period): String = s"$root/${p.name}"
+
+  private def fs(path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readOrEmpty(path: String, schema: StructType): DataFrame =
+    if (fs(path).exists(new Path(path)))
+      spark.read.schema(schema).parquet(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  // ---------------------------------------------------------------- write
+
+  /** Append datapoints to `incoming` (reference insert(), tsdb.py:111-114 —
+    * no dedup, no validation beyond non-null).
+    */
+  def insert(points: Seq[(String, Double, Double)]): Unit = {
+    import spark.implicits._
+    insert(points.toDF("path", "timestamp", "value"))
+  }
+
+  def insert(df: DataFrame): Unit =
+    df.select(
+        col("path").cast(StringType),
+        col("timestamp").cast(DoubleType),
+        col("value").cast(DoubleType))
+      .write.mode("append").parquet(incomingPath)
+
+  // ----------------------------------------------------------------- read
+
+  def incoming: DataFrame = readOrEmpty(incomingPath, TsdbSchema.incoming)
+
+  /** The aggregate series for one period: a maintained table
+    * (TablesTSDB) or a recomputed view (ViewTSDB, tsdb.py:201-231).
+    */
+  def table(period: Period): DataFrame =
+    if (materialized) readOrEmpty(periodPath(period), TsdbSchema.aggregate)
+    else Agg.aggregate(incoming, period)
+
+  def table(periodName: String): DataFrame = {
+    require(Periods.byName.contains(periodName) || periods.exists(_.name == periodName),
+      s"unknown period: $periodName")
+    table(periods.find(_.name == periodName).getOrElse(Periods.byName(periodName)))
+  }
+
+  /** Reference get_metric (tsdb.py:116-140): one series of one stat over a
+    * closed interval. `between` is inclusive on both ends, matching the
+    * reference's read-path BETWEEN (tsdb.py:135).
+    * The period/stat whitelists guard the same way the reference's asserts
+    * do (tsdb.py:119-121, SURVEY.md §2.9 Q7).
+    */
+  def getMetric(
+      path: String,
+      periodName: String,
+      stat: String,
+      interval: (Double, Double)): DataFrame = {
+    require(Stats.isValid(stat), s"unknown stat: $stat")
+    table(periodName)
+      .filter(col("path") === path &&
+        col("timestamp").between(interval._1, interval._2))
+      .select(col("timestamp"), col(stat))
+      .orderBy("timestamp")
+  }
+
+  /** Reference list_metrics (tsdb.py:142-152): union-distinct of paths over
+    * every period table. Kept in the reference's union shape (SURVEY.md
+    * §2.9 Q6) — Catalyst's column pruning strips the unused stat aggregates
+    * from each leg, so in view mode this degenerates to cheap distinct
+    * scans.
+    */
+  def listMetrics(): DataFrame =
+    periods.map(p => table(p).select("path"))
+      .reduce(_ union _)
+      .distinct()
+      .orderBy("path")
+
+  // ----------------------------------------------------------------- sync
+
+  /** Incrementally finalize buckets for every period, then apply raw-data
+    * retention (reference TablesTSDB.sync, tsdb.py:305-337). No-op in view
+    * mode (tsdb.py:230-231).
+    */
+  def sync(): Unit = {
+    if (!materialized) return
+    val nowTs = now()
+    periods.foreach(p => syncPeriod(nowTs, p))
+    deleteIncoming(nowTs)
+  }
+
+  /** One period's delta maintenance — the set-oriented form of the
+    * reference's per-path loop (tsdb.py:339-410, SURVEY.md §3.2):
+    *
+    *  1. high-water mark per path: distinct incoming paths LEFT JOIN the
+    *     period table's `max(timestamp)` (the J1 join, tsdb.py:354-364).
+    *     The hwm side is tiny (one row per metric path) ⇒ broadcast.
+    *  2. each path's final range is `[last_final + period, final_end)` with
+    *     a single global `final_end = (now - tail) // period * period`
+    *     (the [[Intervals]] algebra; half-open per SURVEY.md §2.9 Q2 —
+    *     deliberately NOT reproducing the reference's inclusive-BETWEEN
+    *     boundary bug at tsdb.py:405-406).
+    *  3. one aggregation over the range-filtered incoming ⇒ new final
+    *     buckets, appended. Ranges never overlap previously-final buckets,
+    *     so append ≡ the reference's `insert or replace` upsert, without
+    *     requiring a transactional MERGE.
+    */
+  private def syncPeriod(nowTs: Double, period: Period): Unit = {
+    val finalEnd =
+      Intervals.intervals(period.seconds, tail, nowTs, None).finalInterval.end
+
+    val hwm = incoming.select("path").distinct()
+      .join(
+        table(period).groupBy("path").agg(max(col("timestamp")).as("last_final")),
+        Seq("path"), "left")
+      // lastFinal = None ⇒ -period ⇒ final_start = 0 (tsdb.py:260-261)
+      .select(col("path"),
+        coalesce(col("last_final") + period.seconds, lit(0.0)).as("final_start"))
+
+    val newFinals = Agg.aggregate(
+      incoming.join(broadcast(hwm), Seq("path"))
+        .filter(col("timestamp") >= col("final_start") &&
+          col("timestamp") < lit(finalEnd))
+        .select("path", "timestamp", "value"),
+      period)
+
+    newFinals.write.mode("append").parquet(periodPath(period))
+  }
+
+  /** Raw-data retention (reference _delete_incoming, tsdb.py:412-420): drop
+    * incoming rows older than `now - tail - max(period)` — kept exactly
+    * long enough for the longest period to finalize. Implemented as a
+    * filtered rewrite; at cluster scale the incoming table would be
+    * date-partitioned and this becomes a partition drop.
+    */
+  private def deleteIncoming(nowTs: Double): Unit = {
+    val cutoff = nowTs - tail - Periods.maxSeconds(periods)
+    val f = fs(incomingPath)
+    if (!f.exists(new Path(incomingPath))) return
+    val tmp = incomingPath + "_retained"
+    incoming.filter(col("timestamp") >= cutoff)
+      .write.mode("overwrite").parquet(tmp)
+    f.delete(new Path(incomingPath), true)
+    f.rename(new Path(tmp), new Path(incomingPath))
+  }
+}
