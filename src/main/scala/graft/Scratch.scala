@@ -8,11 +8,12 @@ import graft.queries.CoreQueries
 /** Ad-hoc plan inspection main (dev only). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val aqe = args.headOption.getOrElse("true")
+    val localDir = args.headOption.getOrElse("/tmp")
+    val parts = args.lift(1).getOrElse("4")
     val spark = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.local.dir", localDir).config("spark.buffer.pageSize", sys.env.getOrElse("PAGE_SIZE", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -22,11 +23,11 @@ object Scratch {
     val inc = CoreQueries.incomingFromEvents(spark, dir)
     inc.count() // warmup
 
-    for (n <- Seq(1, 2, 3, 6)) {
+    for (i <- 1 to 3) {
       val t = System.nanoTime()
-      val union = Periods.all.take(n).map(p => Agg.aggregate(inc, p).select("path"))
+      val union = Periods.all.map(p => Agg.aggregate(inc, p).select("path"))
         .reduce(_ union _).distinct()
-      println(s"legs=$n count=${union.count()} in ${(System.nanoTime()-t)/1e9}s (aqe=$aqe)")
+      println(s"run$i localDir=$localDir parts=$parts count=${union.count()} in ${(System.nanoTime()-t)/1e9}s")
     }
     spark.stop()
   }
