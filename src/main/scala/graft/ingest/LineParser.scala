@@ -17,13 +17,16 @@ object LineParser {
   /** Lenient columnar parse: malformed lines yield null fields.
     * Whitespace-splitting matches Python's argless `str.split()`
     * (daemon.py:24: split on any whitespace run, ignore leading/trailing).
+    * `try_cast` (not `cast`) so a bad numeric nulls the field instead of
+    * throwing under Spark 4's default ANSI mode.
     */
   def parse(lines: DataFrame, lineCol: String = "line"): DataFrame = {
     val f = split(trim(col(lineCol)), "\\s+")
-    lines.select(
-      when(size(f) === 3, f.getItem(0)).as("path"),
-      when(size(f) === 3, f.getItem(2).cast(DoubleType)).as("timestamp"),
-      when(size(f) === 3, f.getItem(1).cast(DoubleType)).as("value"))
+    lines.select(f.as("_f"))
+      .select(
+        when(size(col("_f")) === 3, col("_f").getItem(0)).as("path"),
+        when(size(col("_f")) === 3, expr("try_cast(_f[2] AS DOUBLE)")).as("timestamp"),
+        when(size(col("_f")) === 3, expr("try_cast(_f[1] AS DOUBLE)")).as("value"))
   }
 
   /** Batch-atomic parse (SURVEY.md §2.9 Q3): the reference drops the WHOLE

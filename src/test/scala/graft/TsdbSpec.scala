@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Periods
+import graft.operators.Agg
+
+/** Golden end-to-end + incremental-sync scenarios, ported from the
+  * reference's tests/test_smalltsdb.py.
+  */
+class TsdbSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The golden integration dataset: wire messages
+    * `"one 1 1"`, `"one 5 2\ntwo 2 5"`, `"one 1 12\n"` as already-parsed
+    * (path, ts, value) points (tests/test_smalltsdb.py:57).
+    */
+  private val goldenPoints = Seq(
+    ("one", 1.0, 1.0), ("one", 2.0, 5.0), ("two", 5.0, 2.0), ("one", 12.0, 1.0))
+
+  /** tests/test_smalltsdb.py:78-82 — the engine's primary golden output. */
+  private val goldenTensecond = Seq(
+    Row("one", 0.0, 2.0, 1.0, 5.0, 3.0, 6.0, 3.0, 4.6, 4.96),
+    Row("one", 10.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+    Row("two", 0.0, 1.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0))
+
+  test("golden: view-mode tensecond aggregation (exact interpolated percentiles)") {
+    val incoming = goldenPoints.toDF("path", "timestamp", "value")
+    val got = Agg.aggregate(incoming, Periods.TenSecond)
+      .orderBy("path", "timestamp").collect().toSeq
+    assert(got == goldenTensecond)
+  }
+
+  test("golden: materialized backend end-to-end (insert -> sync -> read)") {
+    val root = Files.createTempDirectory("graft-golden").toString
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => 1000.0)
+    tsdb.insert(goldenPoints)
+    tsdb.sync()
+    val got = tsdb.table("tensecond")
+      .orderBy("path", "timestamp").collect().toSeq
+    assert(got == goldenTensecond)
+  }
+
+  test("sync scenario: virtual clock, finalization flips at bucket_end + tail") {
+    // tests/test_smalltsdb.py:121-155, tail = 60
+    val root = Files.createTempDirectory("graft-sync").toString
+    var nowV = 0.0
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => nowV)
+
+    def tensecond: Seq[(String, Double, Double)] =
+      tsdb.table("tensecond").select("path", "timestamp", "n")
+        .orderBy("path", "timestamp")
+        .collect().toSeq.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+
+    tsdb.insert(Seq(("one", 1.0, 1.0), ("two", 5.0, 2.0)))
+
+    nowV = 69; tsdb.sync()
+    assert(tensecond == Seq())
+
+    nowV = 70; tsdb.sync()
+    assert(tensecond == Seq(("one", 0.0, 1.0), ("two", 0.0, 1.0)))
+
+    tsdb.insert(Seq(("one", 2.0, 5.0), ("one", 12.0, 1.0)))
+
+    nowV = 79; tsdb.sync()
+    assert(tensecond == Seq(("one", 0.0, 1.0), ("two", 0.0, 1.0)))
+
+    nowV = 80; tsdb.sync()
+    assert(tensecond == Seq(("one", 0.0, 1.0), ("one", 10.0, 1.0), ("two", 0.0, 1.0)))
+
+    nowV = 90; tsdb.sync()
+    assert(tensecond == Seq(("one", 0.0, 1.0), ("one", 10.0, 1.0), ("two", 0.0, 1.0)))
+  }
+
+  test("sync is idempotent: re-running at the same now appends nothing") {
+    val root = Files.createTempDirectory("graft-idem").toString
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => 1000.0)
+    tsdb.insert(goldenPoints)
+    tsdb.sync()
+    tsdb.sync()
+    tsdb.sync()
+    assert(tsdb.table("tensecond").count() == 3)
+  }
+
+  test("retention: raw rows older than now - tail - maxPeriod are dropped") {
+    val root = Files.createTempDirectory("graft-ret").toString
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => 100_000.0, periods = Seq(Periods.TenSecond))
+    // cutoff = 100000 - 60 - 10 = 99930
+    tsdb.insert(Seq(("old", 1.0, 1.0), ("old", 99929.0, 1.0),
+      ("new", 99930.0, 1.0), ("new", 99990.0, 1.0)))
+    tsdb.sync()
+    val left = tsdb.incoming.select("path", "timestamp")
+      .orderBy("timestamp").collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
+    assert(left == Seq(("new", 99930.0), ("new", 99990.0)))
+  }
+
+  test("getMetric: whitelist + inclusive interval + single stat") {
+    val incoming = goldenPoints.toDF("path", "timestamp", "value")
+    val root = Files.createTempDirectory("graft-gm").toString
+    val tsdb = new Tsdb(spark, root, materialized = false)
+    tsdb.insert(incoming)
+    val rows = tsdb.getMetric("one", "tensecond", "p90", (0.0, 10.0))
+      .collect().toSeq.map(r => (r.getDouble(0), r.getDouble(1)))
+    // inclusive upper bound: bucket 10 IS included (tsdb.py:135)
+    assert(rows == Seq((0.0, 4.6), (10.0, 1.0)))
+    intercept[IllegalArgumentException] {
+      tsdb.getMetric("one", "tensecond", "p95; drop table", (0.0, 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      tsdb.getMetric("one", "nosuchperiod", "p50", (0.0, 1.0))
+    }
+  }
+
+  test("listMetrics: union-distinct over every period") {
+    val root = Files.createTempDirectory("graft-lm").toString
+    val tsdb = new Tsdb(spark, root, materialized = false)
+    tsdb.insert(goldenPoints)
+    assert(tsdb.listMetrics().collect().map(_.getString(0)).toSeq == Seq("one", "two"))
+  }
+}

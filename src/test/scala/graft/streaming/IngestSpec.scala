@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{TestSpark, Tsdb}
+
+/** The reference's end-to-end daemon test (tests/test_smalltsdb.py:36-82)
+  * with MemoryStream standing in for the UDP/TCP sockets — same messages,
+  * same golden output.
+  */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("golden integration: wire messages -> stream -> sync -> golden rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-ingest").toString
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => 1000.0)
+
+    val stream = MemoryStream[String]
+    val query = Ingest.start(tsdb, stream.toDF(), intervalSeconds = 0)
+    // the reference's three messages (tests/test_smalltsdb.py:57)
+    stream.addData("one 1 1")
+    stream.addData("one 5 2\ntwo 2 5")
+    stream.addData("one 1 12\n")
+    query.processAllAvailable()
+    query.stop()
+
+    tsdb.sync()
+    val got = tsdb.table("tensecond").orderBy("path", "timestamp")
+      .collect().toSeq.map(r =>
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+          r.getDouble(8), r.getDouble(9)))
+    assert(got == Seq(
+      ("one", 0.0, 2.0, 1.0, 5.0, 3.0, 6.0, 3.0, 4.6, 4.96),
+      ("one", 10.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+      ("two", 0.0, 1.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0)))
+  }
+
+  test("malformed batch is dropped whole; stream keeps running (Q3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-ingest-bad").toString
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => 1000.0)
+    var errors = 0
+
+    val stream = MemoryStream[String]
+    val query = Ingest.start(tsdb, stream.toDF(), intervalSeconds = 0,
+      onBatchError = _ => errors += 1)
+    stream.addData("ok 1 1\nbroken x y")   // one bad line -> batch dropped
+    query.processAllAvailable()
+    stream.addData("ok 2 5")               // next batch unaffected
+    query.processAllAvailable()
+    query.stop()
+
+    assert(errors == 1)
+    val got = tsdb.incoming.select("path", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("ok", 2.0)))
+  }
+}
