@@ -2,12 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, QueryDef}
+import graft.queries.{CoreQueries, PipelineQueries, QueryDef}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def registry: Seq[QueryDef] = CoreQueries.all
+  private def registry: Seq[QueryDef] = CoreQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -15,6 +15,8 @@ object Verify {
       // 64m default pages stall on fresh-page faults in this sandbox;
       // small partitions never need them anyway.
       .config("spark.buffer.pageSize", "4m")
+      // sandbox FS shuffle I/O is slow and erratic; tmpfs is stable
+      .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design (100 TB framing):
+  *  - brute-force top-k broadcasts the (small) query set and computes
+  *    dot products inside codegen'd higher-order functions — a single
+  *    narrow map over the corpus, then a per-query top-k (tiny shuffle of
+  *    k rows per query per partition under AQE).
+  *  - the sublinear paths bucket the corpus once (SRP-LSH signs or IVF
+  *    coarse centroids) and probe only matching buckets — the bucketing
+  *    column doubles as the table's partition/cluster key at scale.
+  *
+  * Arithmetic notes: float embeddings are cast to double BEFORE any math,
+  * and dot products fold strictly left-to-right (`aggregate`), making
+  * results bit-reproducible and DuckDB-oracle-comparable.
+  */
+object Similarity {
+
+  /** Embeddings with the float vector cast to double once, repartitioned
+    * (single-file inputs otherwise put all vector math in one task) and
+    * with the L2 norm precomputed per vector — pairing operators then pay
+    * ONE dot product per pair instead of three.
+    */
+  def asDouble(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb.repartition(col("vec_id"))
+      .withColumn("vec", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", norm("vec"))
+
+  /** Strict left-to-right dot product of two double-array columns —
+    * the codegen'd [[graft.functions.DotProduct]] Catalyst expression
+    * (bit-identical to the interpreted `aggregate(zip_with(...))` fold,
+    * ~100× faster on all-pairs workloads).
+    */
+  def dot(a: String, b: String): Column =
+    graft.functions.DotProduct(col(a), col(b))
+
+  def norm(a: String): Column = sqrt(dot(a, a))
+
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query (by id) against the whole
+    * corpus, excluding self. Deterministic tie-break on neighbor id.
+    */
+  def bruteForceKnn(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val v = asDouble(emb)
+    val corpus = v.select(col(idCol).as("neighbor_id"),
+      col("vec").as("vec_n"), col("nrm").as("nrm_n"))
+    val queries = v.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col("vec").as("vec_q"),
+        col("nrm").as("nrm_q"))
+    val scored = corpus.join(broadcast(queries),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * centroid (deterministic centroid set = every `centroidStride`-th id).
+    * Returns (vec_id, centroid_id, vec).
+    */
+  def ivfAssign(
+      emb: DataFrame,
+      centroidStride: Long,
+      idCol: String = "vec_id"): DataFrame = {
+    val all = asDouble(emb)
+    val centroids = all.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("centroid_id"), col("vec").as("cvec"),
+        col("nrm").as("cnrm"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("csim").desc, col("centroid_id"))
+    all.select(col(idCol), col("vec"), col("nrm"))
+      .join(broadcast(centroids))
+      .withColumn("csim", dot("vec", "cvec") / (col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col(idCol), col("centroid_id"), col("vec"), col("nrm"))
+  }
+
+  /** IVF probe-1 ANN top-k: queries search only their own centroid's
+    * bucket (plus exact rerank inside it). The recall/latency tradeoff of
+    * a real IVF index, deterministic end-to-end.
+    */
+  def ivfKnn(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      centroidStride: Long = 53,
+      idCol: String = "vec_id"): DataFrame = {
+    val assigned = ivfAssign(emb, centroidStride, idCol)
+    val queries = assigned.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col("centroid_id"),
+        col("vec").as("vec_q"), col("nrm").as("nrm_q"))
+    val scored = assigned
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col("vec").as("vec_n"), col("nrm").as("nrm_n"))
+      .join(broadcast(queries), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold.
+    * Exact (all-pairs) form; the SRP-LSH bucketing in [[srpBuckets]] is
+    * the sublinear candidate generator for corpus-scale runs.
+    */
+  def cosineDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id"): DataFrame = {
+    val v = asDouble(emb).select(col(idCol), col("vec"), col("nrm")).cache()
+    v.as("a").join(v.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
+        round(dot("a.vec", "b.vec") / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Signed-random-projection LSH bucket key (`nBits` sign bits) with a
+    * deterministic ±1 hyperplane pattern, portable across engines.
+    */
+  def srpBuckets(emb: DataFrame, nBits: Int = 16, idCol: String = "vec_id"): DataFrame = {
+    val bitTerms = (0 until nBits).map { j =>
+      // sign(i, j) = +1/-1 from a fixed integer mix of (dim index, bit)
+      val signed =
+        s"aggregate(zip_with(vec, sequence(0, size(vec) - 1), " +
+          s"(x, i) -> x * (CASE WHEN ((i * 2654435761L + $j * 40503) % 97) % 2 = 0 " +
+          s"THEN 1.0D ELSE -1.0D END)), 0D, (s, v) -> s + v)"
+      s"(CASE WHEN $signed > 0 THEN ${1L << j}L ELSE 0L END)"
+    }
+    asDouble(emb).select(col(idCol),
+      expr(bitTerms.mkString("(", " + ", ")")).as("srp_bucket"))
+  }
+}

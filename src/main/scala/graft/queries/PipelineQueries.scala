@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The training-data-pipeline operator suite (dedup / similarity / text /
+  * multimodal) over the `documents` and `embeddings` fixtures, each with a
+  * DuckDB oracle mirroring the exact algorithm (same portable hashes, same
+  * rounding, same tie-breaks).
+  */
+object PipelineQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---------------------------------------------------------------- dedup
+
+  private val qDedupExact = QueryDef(
+    "q20_dedup_exact",
+    (s, dir) => Dedup.exact(docs(s, dir)).orderBy("text_md5"),
+    Some(
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+        |       count(*) AS copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val qNgramJaccard = QueryDef(
+    "q21_dedup_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)
+      .orderBy("doc_a", "doc_b"),
+    Some(
+      s"""WITH ${DuckSql.docsCte},
+         |${DuckSql.shCte},
+         |ex AS (SELECT doc_id, unnest(shh) AS h FROM sh),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(shh) AS n_sh FROM sh)
+         |SELECT doc_a, doc_b,
+         |       round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin))
+
+  private val qMinhash = {
+    val k = 8
+    val mhCols = (0 until k).map(i =>
+      s"list_min(list_transform(shh, x -> ${DuckSql.universalHash("x", i)})) AS mh$i")
+      .mkString(",\n         ")
+    val bandLegs = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, (mh${2 * b} * ${TextHash.P} + mh${2 * b + 1}) AS key FROM sig")
+      .mkString("\n  UNION ALL ")
+    QueryDef(
+      "q22_dedup_minhash",
+      (s, dir) => Dedup.minhashLshPairs(docs(s, dir), threshold = 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${DuckSql.shCte},
+           |sig AS (
+           |  SELECT doc_id, shh,
+           |         $mhCols
+           |  FROM sh WHERE len(shh) > 0),
+           |buckets AS (
+           |  $bandLegs),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM buckets a
+           |  JOIN buckets b ON a.band = b.band AND a.key = b.key
+           |    AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |       round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
+           |             len(list_distinct(sa.shh || sb.shh)), 6) AS jaccard
+           |FROM cand
+           |JOIN sig sa ON doc_a = sa.doc_id
+           |JOIN sig sb ON doc_b = sb.doc_id
+           |WHERE round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
+           |            len(list_distinct(sa.shh || sb.shh)), 6) >= 0.8
+           |ORDER BY doc_a, doc_b""".stripMargin))
+  }
+
+  private val qSimhash = {
+    val bits = 32
+    val terms = (0 until bits).map { j =>
+      val bit = s"((${DuckSql.universalHash("x", j)}) % 2)"
+      s"(CASE WHEN list_sum(list_transform(shh, x -> 2 * $bit - 1)) > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString(" +\n           ")
+    QueryDef(
+      "q23_dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${DuckSql.shCte},
+           |sig AS (
+           |  SELECT doc_id,
+           |         ($terms) AS simhash
+           |  FROM sh),
+           |buckets AS (
+           |  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS key
+           |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |  FROM buckets a
+           |  JOIN buckets b ON a.band = b.band AND a.key = b.key
+           |    AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, hamming FROM cand
+           |WHERE hamming <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin))
+  }
+
+  private val qEmbDup = QueryDef(
+    "q24_dedup_embedding",
+    (s, dir) => Similarity.cosineDupPairs(emb(s, dir), threshold = 0.45)
+      .orderBy("vec_a", "vec_b"),
+    Some(
+      s"""WITH ${DuckSql.embCte}
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(${DuckSql.cosine("a.vec", "b.vec")}, 6) AS cos_sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(${DuckSql.cosine("a.vec", "b.vec")}, 6) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin))
+
+  // ----------------------------------------------------------- similarity
+
+  private val knnQueryIds: Seq[Long] = (0L until 8L)
+
+  private val qKnnBrute = QueryDef(
+    "q25_knn_brute",
+    (s, dir) => Similarity.bruteForceKnn(emb(s, dir), knnQueryIds, k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank"),
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         round(${DuckSql.cosine("q.vec", "n.vec")}, 6) AS sim
+         |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin))
+
+  private val qKnnIvf = QueryDef(
+    "q26_knn_ivf",
+    (s, dir) => Similarity.ivfKnn(emb(s, dir), knnQueryIds, k = 5,
+        centroidStride = 53)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank"),
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |cent AS (SELECT vec_id AS centroid_id, vec AS cvec FROM e
+         |         WHERE vec_id % 53 = 0),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, vec FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.vec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c)
+         |  WHERE crank = 1),
+         |q AS (SELECT vec_id AS query_id, centroid_id, vec AS vec_q
+         |      FROM assigned WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |         round(${DuckSql.cosine("q.vec_q", "n.vec")}, 6) AS sim
+         |  FROM assigned n JOIN q ON n.centroid_id = q.centroid_id
+         |  WHERE n.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin))
+
+  // ----------------------------------------------------------------- text
+
+  private val qQuality = {
+    val en = TextAnalysis.langMarkers.head._2
+    QueryDef(
+      "q27_text_quality",
+      (s, dir) => TextAnalysis.quality(docs(s, dir))
+        .withColumn("n_chars_calc", col("n_chars_calc").cast("long"))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH ${DuckSql.docsCte}
+           |SELECT doc_id,
+           |       CAST(length(text) AS BIGINT) AS n_chars_calc,
+           |       CAST(len(toks) AS BIGINT) AS n_tokens,
+           |       round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+           |             / len(toks), 6) AS avg_token_len,
+           |       round(len(list_distinct(toks))::DOUBLE / len(toks), 6)
+           |         AS uniq_token_ratio,
+           |       round(${DuckSql.markerFilter("toks", en)}::DOUBLE / len(toks), 6)
+           |         AS stopword_ratio,
+           |       round((length(text) -
+           |              length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+           |             / length(text), 6) AS digit_ratio,
+           |       round((length(text) -
+           |              length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+           |             / length(text), 6) AS punct_ratio
+           |FROM docs ORDER BY doc_id""".stripMargin))
+  }
+
+  private val qLangId = {
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val scoreSelects = DuckSql.langScores
+      .map { case (l, e) => s"$e AS score_$l" }.mkString(",\n       ")
+    // mirror TextAnalysis.languageId's tie-break: first lang in order
+    // whose score >= all later langs
+    val pick = {
+      def chain(rem: List[String]): String = rem match {
+        case last :: Nil => s"'$last'"
+        case l :: rest =>
+          val cond = rest.map(o => s"score_$l >= score_$o").mkString(" AND ")
+          s"CASE WHEN $cond THEN '$l' ELSE ${chain(rest)} END"
+        case Nil => sys.error("no langs")
+      }
+      chain(langs.toList)
+    }
+    QueryDef(
+      "q28_text_langid",
+      (s, dir) => {
+        val out = TextAnalysis.languageId(docs(s, dir))
+        langs.foldLeft(out)((df, l) =>
+            df.withColumn(s"score_$l", col(s"score_$l").cast("long")))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |scored AS (
+           |  SELECT doc_id,
+           |       $scoreSelects
+           |  FROM docs)
+           |SELECT doc_id, ${langs.map(l => s"CAST(score_$l AS BIGINT) AS score_$l").mkString(", ")},
+           |       $pick AS lang_pred
+           |FROM scored ORDER BY doc_id""".stripMargin))
+  }
+
+  private val qTokenCount = QueryDef(
+    "q29_text_token_count",
+    (s, dir) => TextAnalysis.tokenCounts(docs(s, dir))
+      .withColumn("ws_tokens", col("ws_tokens").cast("long"))
+      .withColumn("bpeish_tokens", col("bpeish_tokens").cast("long"))
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH ${DuckSql.docsCte}
+         |SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(text,
+         |              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+         |         AS bpeish_tokens,
+         |       round(length(text)::DOUBLE / len(toks), 6) AS chars_per_token
+         |FROM docs ORDER BY doc_id""".stripMargin))
+
+  private val qFingerprint = QueryDef(
+    "q30_text_fingerprint",
+    (s, dir) => TextAnalysis.fingerprint(docs(s, dir))
+      .withColumn("n_shingles", col("n_shingles").cast("long"))
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH ${DuckSql.docsCte},
+         |${DuckSql.shCte}
+         |SELECT d.doc_id,
+         |       ${DuckSql.polyHash("d.text")} AS text_hash,
+         |       list_min(sh.shh) AS min_shingle_hash,
+         |       CAST(len(sh.shh) AS BIGINT) AS n_shingles
+         |FROM docs d JOIN sh ON d.doc_id = sh.doc_id
+         |ORDER BY d.doc_id""".stripMargin))
+
+  // ----------------------------------------------------------- multimodal
+
+  private val qMultimodalMeta = QueryDef(
+    "q31_multimodal_meta",
+    (s, dir) => Multimodal.decodeMetaColumnar(
+        Multimodal.mediaFromDocuments(docs(s, dir)))
+      .orderBy("doc_id"),
+    Some(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |         CAST(ascii(text) AS BIGINT) AS first
+        |  FROM documents)
+        |SELECT doc_id, n AS n_bytes,
+        |       CASE WHEN n % 3 = 0 THEN 'image'
+        |            WHEN n % 3 = 1 THEN 'audio' ELSE 'video' END AS media_kind,
+        |       16 * (n % 40 + 1) AS width,
+        |       16 * ((n // 7) % 30 + 1) AS height,
+        |       (n + first) % 24 + 1 AS n_frames
+        |FROM m ORDER BY doc_id""".stripMargin))
+
+  private val qFrameSample = QueryDef(
+    "q32_multimodal_frames",
+    (s, dir) => Multimodal.frameSample(
+        Multimodal.decodeMetaColumnar(Multimodal.mediaFromDocuments(docs(s, dir))),
+        step = 4)
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+      .orderBy("doc_id", "frame_idx"),
+    Some(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |         CAST(ascii(text) AS BIGINT) AS first
+        |  FROM documents),
+        |meta AS (
+        |  SELECT doc_id, (n + first) % 24 + 1 AS n_frames FROM m)
+        |SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx,
+        |       (doc_id * 31 + unnest(range(0, n_frames, 4))) % 1000000007
+        |         AS frame_hash
+        |FROM meta ORDER BY doc_id, frame_idx""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    qDedupExact, qNgramJaccard, qMinhash, qSimhash, qEmbDup,
+    qKnnBrute, qKnnIvf,
+    qQuality, qLangId, qTokenCount, qFingerprint,
+    qMultimodalMeta, qFrameSample)
+}

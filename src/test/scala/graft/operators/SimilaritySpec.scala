@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.DotProduct
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("codegen DotProduct is bit-identical to the interpreted fold") {
+    val emb = Similarity.asDouble(spark.read.parquet(s"$dir/embeddings.parquet"))
+      .limit(100).select("vec_id", "vec")
+    val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val mismatches = pairs.withColumn("fast", DotProduct(col("a.vec"), col("b.vec")))
+      .withColumn("slow",
+        expr("aggregate(zip_with(a.vec, b.vec, (x, y) -> x * y), 0D, (s, v) -> s + v)"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("cosine of a vector with itself is ~1") {
+    val emb = Similarity.asDouble(spark.read.parquet(s"$dir/embeddings.parquet")).limit(10)
+    val sims = emb.select(Similarity.cosine("vec", "vec").as("c"))
+      .collect().map(_.getDouble(0))
+    assert(sims.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("bruteForceKnn: k rows per query, descending sim, no self-match") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.bruteForceKnn(emb, Seq(0L, 1L), k = 5).collect()
+    assert(got.length == 10)
+    for (q <- Seq(0L, 1L)) {
+      val rows = got.filter(_.getLong(0) == q).sortBy(_.getInt(2))
+      assert(rows.length == 5)
+      assert(rows.forall(_.getLong(1) != q))
+      val sims = rows.map(_.getDouble(3))
+      assert(sims.sameElements(sims.sortBy(-(_: Double))))
+    }
+  }
+
+  test("ivfKnn returns k ranked neighbors from the probed bucket") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.ivfKnn(emb, Seq(0L), k = 5)
+    assert(got.count() == 5)
+  }
+
+  test("srpBuckets: near-identical vectors share a bucket") {
+    val base = Array.tabulate(8)(i => 0.1 * (i + 1))
+    val near = base.clone(); near(0) += 1e-6
+    val far = base.map(-_)
+    val df = Seq((0L, base.toSeq), (1L, near.toSeq), (2L, far.toSeq))
+      .toDF("vec_id", "embedding")
+    val buckets = Similarity.srpBuckets(df, nBits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) == buckets(1L))
+    assert(buckets(0L) != buckets(2L))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quality metrics on a known document") {
+    val df = Seq((1L, "the cat the cat 99!")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(df).collect()(0)
+    assert(r.getAs[Int]("n_chars_calc") == 19)
+    assert(r.getAs[Int]("n_tokens") == 5)
+    // tokens: the(3) cat(3) the(3) cat(3) 99!(3) -> avg 3.0
+    assert(r.getAs[Double]("avg_token_len") == 3.0)
+    assert(r.getAs[Double]("uniq_token_ratio") == 0.6)
+    assert(r.getAs[Double]("stopword_ratio") == 0.4)     // 'the' twice
+    assert(r.getAs[Double]("digit_ratio") == math.rint(2.0 / 19 * 1e6) / 1e6)
+    assert(r.getAs[Double]("punct_ratio") == math.rint(1.0 / 19 * 1e6) / 1e6)
+  }
+
+  test("language id picks the dominant marker lexicon, en wins ties") {
+    val df = Seq(
+      (1L, "el perro de la casa que ladra y corre"),
+      (2L, "the dog of the house that barks and runs"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(df).orderBy("doc_id")
+      .select("lang_pred").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("es", "en", "en"))
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val df = Seq((1L, "hello world42 x!y")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df).collect()(0)
+    assert(r.getAs[Int]("ws_tokens") == 3)
+    // hello | world | 42 | x | ! | y
+    assert(r.getAs[Int]("bpeish_tokens") == 6)
+  }
+
+  test("fingerprint: identical texts collide, different texts do not") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d f"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(fp(1L)._1 != fp(1L)._2)
+  }
+}
