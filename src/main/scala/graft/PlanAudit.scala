@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the physical plans of the judge-relevant queries so pushdown /
+  * pruning / broadcast / codegen decisions can be audited (dev tool; the
+  * distilled findings live in PLANS.md).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.buffer.pageSize", "4m")
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+
+    val interesting = Seq(
+      "q05_get_metric", "q07_hwm_join", "q08_sync_final_range",
+      "q25_knn_brute", "q22_dedup_minhash", "q02_agg_tensecond")
+    for (name <- interesting) {
+      println(s"\n======== $name ========")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
+
+    // direct getMetric on a materialized table: scan-level pushdown
+    println("\n======== getMetric on materialized period table ========")
+    val root = java.nio.file.Files.createTempDirectory("plan-audit").toString
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60, now = () => 1e9)
+    tsdb.insert(Seq(("one", 1.0, 1.0), ("one", 12.0, 2.0), ("two", 3.0, 4.0)))
+    tsdb.sync()
+    tsdb.getMetric("one", "tensecond", "p50", (0.0, 100.0)).explain("formatted")
+    spark.stop()
+  }
+}

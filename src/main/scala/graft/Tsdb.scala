@@ -114,11 +114,41 @@ final class Tsdb(
       stat: String,
       interval: (Double, Double)): DataFrame = {
     require(Stats.isValid(stat), s"unknown stat: $stat")
-    table(periodName)
+    require(periods.exists(_.name == periodName) ||
+      Periods.byName.contains(periodName), s"unknown period: $periodName")
+    val period = periods.find(_.name == periodName)
+      .getOrElse(Periods.byName(periodName))
+    val src =
+      if (materialized) table(period)
+      else {
+        // view mode: push the equivalent RAW-time range below the
+        // aggregation so parquet row-group pruning applies. Bucket b is
+        // selected iff b ∈ [start, end] iff its raw points fall in
+        // [ceilAlign(start), floorAlign(end) + period) — exact, since
+        // buckets are aligned.
+        val p = period.seconds
+        val rawLo = math.ceil(interval._1 / p) * p
+        val rawHi = math.floor(interval._2 / p) * p + p
+        Agg.aggregate(
+          incoming.filter(col("path") === path &&
+            col("timestamp") >= rawLo && col("timestamp") < rawHi),
+          period)
+      }
+    src
       .filter(col("path") === path &&
         col("timestamp").between(interval._1, interval._2))
       .select(col("timestamp"), col(stat))
       .orderBy("timestamp")
+  }
+
+  /** Register one temp view per period (+ `incoming`) so plain
+    * `spark.sql("select * from tensecond")` works — the reference's
+    * view-shaped API surface (A6: tsdb.py:216-226, ViewTSDB's views /
+    * TablesTSDB's tables behind the same names).
+    */
+  def createViews(): Unit = {
+    incoming.createOrReplaceTempView("incoming")
+    periods.foreach(p => table(p).createOrReplaceTempView(p.name))
   }
 
   /** Reference list_metrics (tsdb.py:142-152): union-distinct of paths over

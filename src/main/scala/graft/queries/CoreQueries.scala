@@ -112,11 +112,17 @@ object CoreQueries {
     */
   private val qGetMetric = QueryDef(
     "q05_get_metric",
-    (s, dir) => aggRounded(incomingFromEvents(s, dir), 10)
-      .filter(col("path") === "error" &&
-        col("timestamp").between(jan8.toDouble, jan15.toDouble))
-      .select(col("timestamp"), col("p50"))
-      .orderBy("timestamp"),
+    (s, dir) => {
+      // raw-domain pre-filter (bucket-aligned bounds ⇒ provably identical
+      // result) so the path + time predicates reach the parquet scan
+      val pre = incomingFromEvents(s, dir).filter(
+        col("path") === "error" &&
+          col("timestamp") >= jan8 && col("timestamp") < jan15 + 10)
+      aggRounded(pre, 10)
+        .filter(col("timestamp").between(jan8.toDouble, jan15.toDouble))
+        .select(col("timestamp"), col("p50"))
+        .orderBy("timestamp")
+    },
     Some(
       s"""WITH $incomingCte,
          |agg AS (${aggSql(10)})

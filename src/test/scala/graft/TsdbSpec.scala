@@ -119,6 +119,17 @@ class TsdbSpec extends AnyFunSuite {
     }
   }
 
+  test("createViews: SQL over period views matches the golden rows (A6)") {
+    val root = Files.createTempDirectory("graft-views").toString
+    val tsdb = new Tsdb(spark, root, materialized = false)
+    tsdb.insert(goldenPoints)
+    tsdb.createViews()
+    val got = spark.sql(
+      "select * from tensecond order by path, timestamp").collect().toSeq
+    assert(got == goldenTensecond)
+    assert(spark.sql("select count(*) from incoming").collect()(0).getLong(0) == 4)
+  }
+
   test("listMetrics: union-distinct over every period") {
     val root = Files.createTempDirectory("graft-lm").toString
     val tsdb = new Tsdb(spark, root, materialized = false)
