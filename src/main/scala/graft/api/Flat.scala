@@ -1,0 +1,75 @@
+package graft.api
+
+/** Dot-path flatten/unflatten of nested maps/lists — the HTTP
+  * query-string codec of the reference web UI (app/flat.py:5-96), ported
+  * as a pure Scala utility (F7). Depth-capped exactly like the original.
+  *
+  * Values are `Map[String, Any]` / `Seq[Any]` / leaf scalars; flattened
+  * form is `Map[String, Any]` with dot-joined keys and integer indices
+  * for list positions, e.g.
+  * `{a: [{x: 1}], b: {c: 4}}` ⇄ `{"a.0.x" -> 1, "b.c" -> 4}`.
+  */
+object Flat {
+
+  val MaxDepth = 10
+
+  class DepthError(msg: String) extends IllegalArgumentException(msg)
+
+  def flatten(value: Any): Map[String, Any] = {
+    def go(v: Any, prefix: String, depth: Int): Seq[(String, Any)] = {
+      if (depth > MaxDepth) throw new DepthError(s"flatten: depth > $MaxDepth")
+      v match {
+        case m: Map[_, _] =>
+          m.toSeq.flatMap { case (k, x) =>
+            go(x, if (prefix.isEmpty) k.toString else s"$prefix.$k", depth + 1)
+          }
+        case s: Seq[_] =>
+          s.zipWithIndex.flatMap { case (x, i) =>
+            go(x, if (prefix.isEmpty) i.toString else s"$prefix.$i", depth + 1)
+          }
+        case leaf => Seq(prefix -> leaf)
+      }
+    }
+    go(value, "", 0).toMap
+  }
+
+  /** Rebuild the nested structure. Sibling keys decide the node kind: if
+    * every child key at a level is an integer, the node is a list ordered
+    * by index; otherwise a map (reference unflatten semantics).
+    */
+  def unflatten(flat: Map[String, Any]): Any = {
+    if (flat.isEmpty) return Map.empty[String, Any]
+    if (flat.keySet == Set("")) return flat("")
+
+    def build(entries: Seq[(List[String], Any)], depth: Int): Any = {
+      if (depth > MaxDepth) throw new DepthError(s"unflatten: depth > $MaxDepth")
+      val groups = entries.groupBy(_._1.head)
+      val children: Map[String, Any] = groups.map { case (head, es) =>
+        val sub = es.map { case (path, v) => (path.tail, v) }
+        head -> (if (sub.exists(_._1.isEmpty)) sub.collectFirst {
+          case (Nil, v) => v
+        }.get
+        else build(sub, depth + 1))
+      }
+      if (children.keys.forall(k => k.forall(_.isDigit) && k.nonEmpty))
+        children.toSeq.sortBy(_._1.toInt).map(_._2)
+      else children
+    }
+    build(flat.toSeq.map { case (k, v) => (k.split('.').toList, v) }, 0)
+  }
+
+  /** Legend-label shortener (F8, make_short_names at
+    * app/__init__.py:70-81): keep only the positions whose value varies
+    * across the labels; when every position is constant, keep position 0
+    * (reference behavior).
+    */
+  def shortenLabels(labels: Seq[String]): Seq[String] = {
+    if (labels.size <= 1) return labels
+    val parts = labels.map(_.split('.').toSeq)
+    val width = parts.map(_.size).max
+    val padded = parts.map(p => p.padTo(width, ""))
+    val varying = (0 until width).filter(i => padded.map(_(i)).distinct.size > 1)
+    val keep = if (varying.isEmpty) Seq(0) else varying
+    padded.map(p => keep.map(p(_)).filter(_.nonEmpty).mkString("."))
+  }
+}
