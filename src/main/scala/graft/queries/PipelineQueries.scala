@@ -322,9 +322,56 @@ object PipelineQueries {
         |         AS frame_hash
         |FROM meta ORDER BY doc_id, frame_idx""".stripMargin))
 
+  /** SRP-LSH bucket keys — the deterministic sublinear candidate
+    * generator for embedding near-dup at corpus scale, oracle-checked
+    * bit-for-bit (hyperplane signs are a fixed integer mix, dot products
+    * fold left-to-right in both engines).
+    */
+  private val qSrp = {
+    val nBits = 16
+    val terms = (0 until nBits).map { j =>
+      val signs = s"list_transform(range(0, len(vec)), " +
+        s"i -> CASE WHEN ((i * 2654435761 + $j * 40503) % 97) % 2 = 0 " +
+        s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+      s"(CASE WHEN list_dot_product(vec, $signs) > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString(" +\n         ")
+    QueryDef(
+      "q33_srp_buckets",
+      (s, dir) => Similarity.srpBuckets(emb(s, dir), nBits = nBits)
+        .orderBy("vec_id"),
+      Some(
+        s"""WITH ${DuckSql.embCte}
+           |SELECT vec_id,
+           |       ($terms) AS srp_bucket
+           |FROM e ORDER BY vec_id""".stripMargin))
+  }
+
+  /** IVF coarse assignment — every vector's nearest deterministic
+    * centroid (the clustering/partition key of the scale path).
+    */
+  private val qIvfAssign = QueryDef(
+    "q34_ivf_assign",
+    (s, dir) => Similarity.ivfAssign(emb(s, dir), centroidStride = 53)
+      .select("vec_id", "centroid_id")
+      .orderBy("vec_id"),
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |cent AS (SELECT vec_id AS centroid_id, vec AS cvec FROM e
+         |         WHERE vec_id % 53 = 0)
+         |SELECT vec_id, centroid_id FROM (
+         |  SELECT v.vec_id, c.centroid_id,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                    c.centroid_id) AS crank
+         |  FROM e v, cent c)
+         |WHERE crank = 1
+         |ORDER BY vec_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qMinhash, qSimhash, qEmbDup,
     qKnnBrute, qKnnIvf,
     qQuality, qLangId, qTokenCount, qFingerprint,
-    qMultimodalMeta, qFrameSample)
+    qMultimodalMeta, qFrameSample,
+    qSrp, qIvfAssign)
 }
