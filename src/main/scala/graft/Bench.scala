@@ -18,6 +18,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // warm-up execution first (codegen compile + file listing + page
+      // cache), then the timed run — the sandbox has multi-second I/O
+      // stalls that would otherwise be attributed to random queries
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
