@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, PolyHash}
+
+/** Session extension registering the engine's custom codegen expressions
+  * as SQL functions, so `spark.sql` users get them too:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT poly_hash(text), dot_product(a, b) FROM t")
+  * }}}
+  *
+  * Registered via the public `injectFunction` extension point — the same
+  * mechanism a packaged Spark library would use on a real cluster
+  * (`spark.sql.extensions=graft.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(
+      name: String,
+      usage: String,
+      arity: Int,
+      build: Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo("graft", name, usage),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == arity, s"$name expects $arity argument(s)")
+      build(exprs)
+    })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("poly_hash",
+      "poly_hash(str) - portable polynomial rolling hash (mod 1e9+7)",
+      1, es => PolyHash(es.head)))
+    ext.injectFunction(fn("dot_product",
+      "dot_product(a, b) - strict left-to-right dot product of two array<double>",
+      2, es => DotProduct(es(0), es(1))))
+  }
+}
+
+object GraftExtensions {
+
+  /** Imperative registration for an already-running session
+    * (`withExtensions` only applies at session creation).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.graftglue.Glue.registerFunction(
+      spark, "poly_hash", es => PolyHash(es.head))
+    org.apache.spark.sql.graftglue.Glue.registerFunction(
+      spark, "dot_product", es => DotProduct(es(0), es(1)))
+  }
+}
