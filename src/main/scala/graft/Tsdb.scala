@@ -54,7 +54,8 @@ final class Tsdb(
     val tail: Long = 60,
     var now: () => Double = () => System.currentTimeMillis() / 1000.0,
     val periods: Seq[Period] = Periods.all,
-    incomingRoot: Option[String] = None) {
+    incomingRoot: Option[String] = None,
+    val datePartitioned: Boolean = true) {
 
   private val incomingPath: String = incomingRoot.getOrElse(root) + "/incoming"
   private def periodPath(p: Period): String = s"$root/${p.name}"
@@ -78,16 +79,34 @@ final class Tsdb(
     insert(points.toDF("path", "timestamp", "value"))
   }
 
-  def insert(df: DataFrame): Unit =
-    df.select(
-        col("path").cast(StringType),
-        col("timestamp").cast(DoubleType),
-        col("value").cast(DoubleType))
-      .write.mode("append").parquet(incomingPath)
+  def insert(df: DataFrame): Unit = {
+    val rows = df.select(
+      col("path").cast(StringType),
+      col("timestamp").cast(DoubleType),
+      col("value").cast(DoubleType))
+    if (datePartitioned)
+      // day partitions make retention a partition drop and let time
+      // predicates prune whole directories at scale
+      rows.withColumn("day", Tsdb.dayOf(col("timestamp")))
+        .write.partitionBy("day").mode("append").parquet(incomingPath)
+    else
+      rows.write.mode("append").parquet(incomingPath)
+  }
 
   // ----------------------------------------------------------------- read
 
-  def incoming: DataFrame = readOrEmpty(incomingPath, TsdbSchema.incoming)
+  def incoming: DataFrame = {
+    val f = fs(incomingPath)
+    if (!f.exists(new Path(incomingPath)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], TsdbSchema.incoming)
+    else if (datePartitioned)
+      // partition discovery adds the day column; project it away so the
+      // logical schema stays (path, timestamp, value) — day remains
+      // available to the optimizer for partition pruning underneath
+      spark.read.parquet(incomingPath).select("path", "timestamp", "value")
+    else
+      spark.read.schema(TsdbSchema.incoming).parquet(incomingPath)
+  }
 
   /** The aggregate series for one period: a maintained table
     * (TablesTSDB) or a recomputed view (ViewTSDB, tsdb.py:201-231).
@@ -224,10 +243,36 @@ final class Tsdb(
     val cutoff = nowTs - tail - Periods.maxSeconds(periods)
     val f = fs(incomingPath)
     if (!f.exists(new Path(incomingPath))) return
-    val tmp = incomingPath + "_retained"
-    incoming.filter(col("timestamp") >= cutoff)
-      .write.mode("overwrite").parquet(tmp)
-    f.delete(new Path(incomingPath), true)
-    f.rename(new Path(tmp), new Path(incomingPath))
+    if (datePartitioned) {
+      // whole days strictly before the cutoff day: drop the directories;
+      // only the single boundary-day partition needs a filtering rewrite
+      val cutoffDay = math.floor(cutoff / 86400.0).toLong
+      val status = f.listStatus(new Path(incomingPath))
+      status.filter(_.getPath.getName.startsWith("day=")).foreach { st =>
+        val day = st.getPath.getName.stripPrefix("day=").toLong
+        if (day < cutoffDay) f.delete(st.getPath, true)
+        else if (day == cutoffDay) {
+          val part = st.getPath.toString
+          val kept = spark.read.schema(TsdbSchema.incoming).parquet(part)
+            .filter(col("timestamp") >= cutoff)
+          val tmp = s"$incomingPath/_retained_day=$day"
+          kept.write.mode("overwrite").parquet(tmp)
+          f.delete(st.getPath, true)
+          f.rename(new Path(tmp), st.getPath)
+        }
+      }
+    } else {
+      val tmp = incomingPath + "_retained"
+      incoming.filter(col("timestamp") >= cutoff)
+        .write.mode("overwrite").parquet(tmp)
+      f.delete(new Path(incomingPath), true)
+      f.rename(new Path(tmp), new Path(incomingPath))
+    }
   }
+}
+
+object Tsdb {
+  /** Partition day (UTC day number) of an epoch-seconds timestamp. */
+  def dayOf(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(ts / 86400).cast(LongType)
 }

@@ -102,6 +102,31 @@ class TsdbSpec extends AnyFunSuite {
     assert(left == Seq(("new", 99930.0), ("new", 99990.0)))
   }
 
+  test("retention with date partitions: whole-day drop + boundary rewrite") {
+    val root = Files.createTempDirectory("graft-retp").toString
+    // now = 3 days + 100s; tail=60, single tensecond period =>
+    // cutoff = 259300 - 70 = 259230 (inside day 2: [172800, 259200)?? no:
+    // 259230 is in day 3? 259200 = day 3 start) => cutoff day = 3
+    val nowV = 3 * 86400.0 + 100
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => nowV, periods = Seq(Periods.TenSecond))
+    val cutoff = nowV - 60 - 10
+    tsdb.insert(Seq(
+      ("a", 100.0, 1.0),                 // day 0  -> dropped whole
+      ("a", 2 * 86400.0 + 5, 1.0),       // day 2  -> dropped whole
+      ("a", cutoff - 1, 1.0),            // boundary day, below cutoff -> dropped
+      ("a", cutoff, 1.0),                // boundary day, kept
+      ("a", nowV, 1.0)))                 // kept
+    tsdb.sync()
+    val left = tsdb.incoming.select("timestamp").collect()
+      .map(_.getDouble(0)).sorted.toSeq
+    assert(left == Seq(cutoff, nowV))
+    // day directories physically dropped
+    val days = new java.io.File(s"$root/incoming").listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).sorted.toSeq
+    assert(days == Seq("day=3"))
+  }
+
   test("getMetric: whitelist + inclusive interval + single stat") {
     val incoming = goldenPoints.toDF("path", "timestamp", "value")
     val root = Files.createTempDirectory("graft-gm").toString
