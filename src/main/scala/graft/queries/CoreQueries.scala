@@ -382,6 +382,55 @@ object CoreQueries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
+  /** Multi-join star query (TPC-H Q5 shape): revenue per nation for one
+    * region and a date window. The dimension chain
+    * region→nation→customer broadcasts against the fact-side
+    * orders⋈lineitem join; sums run in exact DECIMAL (order-proof).
+    */
+  private val qJoinRevenue = QueryDef(
+    "q12_join_revenue",
+    (s, dir) => {
+      def t(n: String) = {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$dir/$n.parquet")
+      }
+      val dims = t("customer")
+        .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"), col("n_name"))
+      val ordersInWindow = t("orders")
+        .filter(expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01' AND " +
+          "o_orderdate < TIMESTAMP_NTZ '1998-01-01'"))
+        .select("o_orderkey", "o_custkey")
+      t("lineitem")
+        .join(ordersInWindow, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,4)")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(
+      """SELECT n_name,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |             AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qIncoming,
     qAgg("q02_agg_tensecond", 10),
@@ -394,5 +443,6 @@ object CoreQueries {
     qRetention,
     qParseLines,
     qIntervals,
+    qJoinRevenue,
     qFlagship)
 }
