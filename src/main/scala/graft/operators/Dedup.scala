@@ -52,18 +52,32 @@ object Dedup {
       .select(col("doc_id"), col("shh"))
       .cache()
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold in (0,1]).
+  /** Default document-frequency cap for candidate-generating shingles.
+    * A shingle shared by d documents creates a d²/2-pair join bucket while
+    * carrying essentially no dedup signal once d is large — near-duplicate
+    * pairs share many shingles, so they are still found through any one of
+    * their rarer shared shingles. Capping DF bounds the worst join bucket
+    * at cap²/2 pairs regardless of corpus size, which is what makes this
+    * operator survive a 100× scale-up.
+    */
+  val DefaultMaxShingleDf: Int = 128
+
+  /** N-gram Jaccard near-dup pairs (threshold in (0,1]).
     *
-    * @param maxShingleDf drop shingles appearing in more than this many
-    *        documents before pairing (skew guard; None = keep all). The
-    *        Jaccard itself is still computed over the FULL shingle sets.
+    * Candidate generation explodes (doc, shingle-hash) and self-joins on
+    * the hash, restricted to shingles whose document frequency is at most
+    * `maxShingleDf` (skew guard, on by default). Candidate pairs are then
+    * verified with the EXACT Jaccard of the full shingle sets — the cap
+    * never changes a reported similarity, it can only drop a pair whose
+    * shared shingles are ALL above the cap (a documented approximation;
+    * pass None to disable and get fully exact semantics).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       threshold: Double,
       textCol: String = "text",
       n: Int = 3,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
     val sh = shingled(docs, textCol, n)
     val exploded = sh.select(col("doc_id"), explode(col("shh")).as("h"))
     val filtered = maxShingleDf match {
@@ -73,19 +87,16 @@ object Dedup {
         exploded.join(df.select("h"), Seq("h"))
       case None => exploded
     }
-    val shared = filtered.as("a").join(filtered.as("b"), Seq("h"))
+    val candidates = filtered.as("a").join(filtered.as("b"), Seq("h"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    val sizes = sh.select(col("doc_id"), size(col("shh")).as("n_sh"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", round(
-        col("shared").cast(DoubleType) /
-          (col("n_a") + col("n_b") - col("shared")), 6))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

@@ -26,8 +26,11 @@ object Similarity {
     * with the L2 norm precomputed per vector — pairing operators then pay
     * ONE dot product per pair instead of three.
     */
-  def asDouble(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
-    emb.repartition(col("vec_id"))
+  def asDouble(
+      emb: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    emb.repartition(col(idCol))
       .withColumn("vec", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", norm("vec"))
 
@@ -52,7 +55,7 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       idCol: String = "vec_id"): DataFrame = {
-    val v = asDouble(emb)
+    val v = asDouble(emb, idCol = idCol)
     val corpus = v.select(col(idCol).as("neighbor_id"),
       col("vec").as("vec_n"), col("nrm").as("nrm_n"))
     val queries = v.filter(col(idCol).isInCollection(queryIds))
@@ -69,18 +72,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Default IVF centroid count — FIXED, independent of corpus size: the
+    * broadcast of the centroid set is O(k·dim) and the assignment join is
+    * O(n·k), so the plan survives a 100× corpus without replanning. (A
+    * corpus-proportional centroid set — e.g. every m-th vector — blows the
+    * broadcast limit and degrades assignment to O(n²/m).)
+    */
+  val DefaultCentroidK: Int = 16
+
+  /** The deterministic fixed-k centroid sample: the `k` vectors whose ids
+    * have the smallest multiplicative hash (tie-break on id). A top-k over
+    * ids — `TakeOrderedAndProject`, per-partition heaps + one k-row merge
+    * at the driver, never a global sort — so centroid selection itself is
+    * scale-safe. The hash (not `id < k`) decorrelates the sample from any
+    * id-assignment order; determinism keeps it DuckDB-oracle-checkable.
+    */
+  def ivfCentroids(v: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame =
+    v.select(col(idCol), col("vec"), col("nrm"))
+      .withColumn("chash",
+        (col(idCol) % graft.functions.TextHash.P) * lit(2654435761L)
+          % graft.functions.TextHash.P)
+      .orderBy(col("chash"), col(idCol))
+      .limit(k)
+      .select(col(idCol).as("centroid_id"), col("vec").as("cvec"),
+        col("nrm").as("cnrm"))
+
   /** IVF-style coarse quantization: assign every vector to its nearest
-    * centroid (deterministic centroid set = every `centroidStride`-th id).
-    * Returns (vec_id, centroid_id, vec).
+    * centroid (deterministic fixed-k centroid sample, [[ivfCentroids]]).
+    * Returns (vec_id, centroid_id, vec, nrm).
     */
   def ivfAssign(
       emb: DataFrame,
-      centroidStride: Long,
+      centroidK: Int = DefaultCentroidK,
       idCol: String = "vec_id"): DataFrame = {
-    val all = asDouble(emb)
-    val centroids = all.filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol).as("centroid_id"), col("vec").as("cvec"),
-        col("nrm").as("cnrm"))
+    val all = asDouble(emb, idCol = idCol)
+    val centroids = ivfCentroids(all, centroidK, idCol)
     val w = Window.partitionBy(idCol)
       .orderBy(col("csim").desc, col("centroid_id"))
     all.select(col(idCol), col("vec"), col("nrm"))
@@ -99,9 +125,9 @@ object Similarity {
       emb: DataFrame,
       queryIds: Seq[Long],
       k: Int,
-      centroidStride: Long = 53,
+      centroidK: Int = DefaultCentroidK,
       idCol: String = "vec_id"): DataFrame = {
-    val assigned = ivfAssign(emb, centroidStride, idCol)
+    val assigned = ivfAssign(emb, centroidK, idCol)
     val queries = assigned.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col("centroid_id"),
         col("vec").as("vec_q"), col("nrm").as("nrm_q"))
@@ -127,7 +153,8 @@ object Similarity {
       emb: DataFrame,
       threshold: Double,
       idCol: String = "vec_id"): DataFrame = {
-    val v = asDouble(emb).select(col(idCol), col("vec"), col("nrm")).cache()
+    val v = asDouble(emb, idCol = idCol)
+      .select(col(idCol), col("vec"), col("nrm")).cache()
     v.as("a").join(v.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
         round(dot("a.vec", "b.vec") / (col("a.nrm") * col("b.nrm")), 6)
@@ -147,7 +174,7 @@ object Similarity {
           s"THEN 1.0D ELSE -1.0D END)), 0D, (s, v) -> s + v)"
       s"(CASE WHEN $signed > 0 THEN ${1L << j}L ELSE 0L END)"
     }
-    asDouble(emb).select(col(idCol),
+    asDouble(emb, idCol = idCol).select(col(idCol),
       expr(bitTerms.mkString("(", " + ", ")")).as("srp_bucket"))
   }
 }

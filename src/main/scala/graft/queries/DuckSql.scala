@@ -51,6 +51,15 @@ object DuckSql {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       |  FROM embeddings)""".stripMargin
 
+  /** Fixed-k deterministic IVF centroid CTE (mirrors
+    * Similarity.ivfCentroids: k smallest multiplicative id-hashes).
+    */
+  def ivfCentCte(k: Int): String =
+    s"""cent AS (
+       |  SELECT vec_id AS centroid_id, vec AS cvec FROM e
+       |  ORDER BY ((vec_id % $P) * 2654435761) % $P, vec_id
+       |  LIMIT $k)""".stripMargin
+
   def cosine(a: String, b: String): String =
     s"(list_dot_product($a, $b) / " +
       s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"

@@ -29,23 +29,29 @@ object PipelineQueries {
 
   private val qNgramJaccard = QueryDef(
     "q21_dedup_ngram_jaccard",
+    // the default DF cap is the benched path — the skew guard IS the
+    // operator's 100 TB story, so it must be what correctness checks
     (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)
       .orderBy("doc_a", "doc_b"),
     Some(
       s"""WITH ${DuckSql.docsCte},
          |${DuckSql.shCte},
          |ex AS (SELECT doc_id, unnest(shh) AS h FROM sh),
-         |shared AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, len(shh) AS n_sh FROM sh)
+         |hdf AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+         |kept AS (
+         |  SELECT ex.doc_id, ex.h FROM ex JOIN hdf ON ex.h = hdf.h
+         |  WHERE hdf.df <= ${Dedup.DefaultMaxShingleDf}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
-         |       round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
-         |FROM shared
-         |JOIN sizes sa ON doc_a = sa.doc_id
-         |JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
+         |       round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
+         |             len(list_distinct(sa.shh || sb.shh)), 6) AS jaccard
+         |FROM cand
+         |JOIN sh sa ON doc_a = sa.doc_id
+         |JOIN sh sb ON doc_b = sb.doc_id
+         |WHERE round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
+         |            len(list_distinct(sa.shh || sb.shh)), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin))
 
   private val qMinhash = {
@@ -155,14 +161,12 @@ object PipelineQueries {
 
   private val qKnnIvf = QueryDef(
     "q26_knn_ivf",
-    (s, dir) => Similarity.ivfKnn(emb(s, dir), knnQueryIds, k = 5,
-        centroidStride = 53)
+    (s, dir) => Similarity.ivfKnn(emb(s, dir), knnQueryIds, k = 5)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank"),
     Some(
       s"""WITH ${DuckSql.embCte},
-         |cent AS (SELECT vec_id AS centroid_id, vec AS cvec FROM e
-         |         WHERE vec_id % 53 = 0),
+         |${DuckSql.ivfCentCte(Similarity.DefaultCentroidK)},
          |assigned AS (
          |  SELECT vec_id, centroid_id, vec FROM (
          |    SELECT v.vec_id, c.centroid_id, v.vec,
@@ -352,13 +356,12 @@ object PipelineQueries {
     */
   private val qIvfAssign = QueryDef(
     "q34_ivf_assign",
-    (s, dir) => Similarity.ivfAssign(emb(s, dir), centroidStride = 53)
+    (s, dir) => Similarity.ivfAssign(emb(s, dir))
       .select("vec_id", "centroid_id")
       .orderBy("vec_id"),
     Some(
       s"""WITH ${DuckSql.embCte},
-         |cent AS (SELECT vec_id AS centroid_id, vec AS cvec FROM e
-         |         WHERE vec_id % 53 = 0)
+         |${DuckSql.ivfCentCte(Similarity.DefaultCentroidK)}
          |SELECT vec_id, centroid_id FROM (
          |  SELECT v.vec_id, c.centroid_id,
          |         row_number() OVER (PARTITION BY v.vec_id

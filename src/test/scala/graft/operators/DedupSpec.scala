@@ -49,9 +49,30 @@ class DedupSpec extends AnyFunSuite {
   test("shingle skew cap drops ultra-common shingles from pairing only") {
     // 'x y z' appears in every doc; with cap 1 it can't generate pairs
     val df = Seq((0L, "x y z a b c"), (1L, "x y z d e f")).toDF("doc_id", "text")
-    val uncapped = Dedup.ngramJaccardPairs(df, threshold = 0.01)
+    val uncapped = Dedup.ngramJaccardPairs(df, threshold = 0.01, maxShingleDf = None)
     val capped = Dedup.ngramJaccardPairs(df, threshold = 0.01, maxShingleDf = Some(1))
     assert(uncapped.count() == 1)
     assert(capped.count() == 0)
+  }
+
+  test("capped candidates are verified with EXACT jaccard over full shingle sets") {
+    // 'x y z' is in all 3 docs (df=3 > cap=2 -> not a candidate key), but
+    // docs 0 and 1 also share 'y z a'/'z a b' (df=2 -> candidate). The
+    // reported jaccard must still count the capped 'x y z' shingle:
+    // |{xyz,yza,zab}| / |{xyz,yza,zab,abc,abd}| = 3/5.
+    val df = Seq(
+      (0L, "x y z a b c"), (1L, "x y z a b d"), (2L, "x y z q r s")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, threshold = 0.01, maxShingleDf = Some(2))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map((0L, 1L) -> 0.6))
+  }
+
+  test("default DF cap is on: a stop-shingle beyond the cap generates no candidates") {
+    // 200 docs all sharing the shingle 'a a a' and nothing else: with the
+    // default cap (128 < 200) the candidate join must produce zero pairs
+    // instead of 200*199/2.
+    val df = (0L until 200L).map(i => (i, s"a a a w$i x$i y$i")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(df, threshold = 0.01).count() == 0)
   }
 }
