@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, PolyHash}
+import graft.functions.{DotProduct, PolyHash, SimHash}
 
 /** Session extension registering the engine's custom codegen expressions
   * as SQL functions, so `spark.sql` users get them too:
@@ -39,10 +39,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("dot_product",
       "dot_product(a, b) - strict left-to-right dot product of two array<double>",
       2, es => DotProduct(es(0), es(1))))
+    ext.injectFunction(fn("simhash",
+      "simhash(arr, bits) - SimHash signature of an array<bigint> feature-hash set",
+      2, es => SimHash(es(0), GraftExtensions.litInt(es(1), "simhash bits"))))
   }
 }
 
 object GraftExtensions {
+
+  /** The integer value of a literal argument (SQL-surface params like
+    * simhash's bit width must be compile-time constants).
+    */
+  private[graft] def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Imperative registration for an already-running session
     * (`withExtensions` only applies at session creation).
@@ -52,5 +64,7 @@ object GraftExtensions {
       spark, "poly_hash", es => PolyHash(es.head))
     org.apache.spark.sql.graftglue.Glue.registerFunction(
       spark, "dot_product", es => DotProduct(es(0), es(1)))
+    org.apache.spark.sql.graftglue.Glue.registerFunction(
+      spark, "simhash", es => SimHash(es(0), litInt(es(1), "simhash bits")))
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -56,21 +57,28 @@ object Dedup {
     * A shingle shared by d documents creates a d²/2-pair join bucket while
     * carrying essentially no dedup signal once d is large — near-duplicate
     * pairs share many shingles, so they are still found through any one of
-    * their rarer shared shingles. Capping DF bounds the worst join bucket
-    * at cap²/2 pairs regardless of corpus size, which is what makes this
-    * operator survive a 100× scale-up.
+    * their rarer shared shingles. Above the cap a shingle switches from
+    * all-pairs to STAR pairing (its minimum doc_id anchors every other
+    * carrier), so even a >cap exact-duplicate cluster — where every
+    * shingle is heavy — still chains to its anchor at linear cost.
     */
   val DefaultMaxShingleDf: Int = 128
 
   /** N-gram Jaccard near-dup pairs (threshold in (0,1]).
     *
     * Candidate generation explodes (doc, shingle-hash) and self-joins on
-    * the hash, restricted to shingles whose document frequency is at most
-    * `maxShingleDf` (skew guard, on by default). Candidate pairs are then
-    * verified with the EXACT Jaccard of the full shingle sets — the cap
-    * never changes a reported similarity, it can only drop a pair whose
-    * shared shingles are ALL above the cap (a documented approximation;
-    * pass None to disable and get fully exact semantics).
+    * the hash. Shingles whose document frequency exceeds `maxShingleDf`
+    * (skew guard, on by default) pair each carrier with the shingle's
+    * anchor (min doc_id) only — linear instead of quadratic in df, and a
+    * >cap duplicate cluster still surfaces via its anchor. Candidates are
+    * then verified EXACTLY, but count-based: the shared-shingle count per
+    * pair is an aggregation over the (doc, hash) rows themselves — light
+    * shared via groupBy-count of the self-join, heavy shared via a
+    * candidate-restricted row join — so only longs cross shuffles, never
+    * shingle arrays, and |A∪B| = n_a + n_b − |A∩B| from per-doc set
+    * sizes. The cap never changes a reported similarity; it only limits
+    * which pairs among heavy-only carriers are examined (non-anchor pairs
+    * of a heavy-only cluster). Pass None for fully exact all-pairs.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -79,26 +87,93 @@ object Dedup {
       n: Int = 3,
       maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
     val sh = shingled(docs, textCol, n)
+    val sizes = sh.select(col("doc_id"), size(col("shh")).as("n_sh"))
     val exploded = sh.select(col("doc_id"), explode(col("shh")).as("h"))
-    val filtered = maxShingleDf match {
+
+    // split by document frequency; heavy rows keep their anchor doc.
+    // One window over h computes df + anchor in a single exchange; the
+    // light self-join below reuses that hash-partitioning (and the
+    // window's sort), so the exploded set crosses the network once.
+    val (light, heavyRows) = maxShingleDf match {
       case Some(cap) =>
-        val df = exploded.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap)
-        exploded.join(df.select("h"), Seq("h"))
-      case None => exploded
+        val w = Window.partitionBy("h")
+        val tagged = exploded
+          .withColumn("df", count(lit(1)).over(w))
+          .withColumn("anchor", min("doc_id").over(w))
+        (tagged.filter(col("df") <= cap).select("doc_id", "h"),
+          Some(tagged.filter(col("df") > cap).select("doc_id", "h", "anchor")))
+      case None => (exploded, None)
     }
-    val candidates = filtered.as("a").join(filtered.as("b"), Seq("h"))
+
+    // shared LIGHT shingles per co-occurring pair: groupBy-count over the
+    // hash self-join — 3-long rows through one shuffle, map-side combined
+    val lightShared = light.as("a").join(light.as("b"), Seq("h"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_light"))
+
+    def jac(shared: Column, nA: Column, nB: Column): Column =
+      round(shared.cast(DoubleType) / (nA + nB - shared), 6)
+
+    heavyRows match {
+      case None =>
+        lightShared
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+            Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+            Seq("doc_b"))
+          .withColumn("jaccard",
+            jac(col("shared_light"), col("n_a"), col("n_b")))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b", "jaccard")
+      case Some(heavy) =>
+        // exact-safe prune BEFORE any pair bookkeeping: a pair's total
+        // shared is at most shared_light + min(per-doc heavy-shingle
+        // counts), and jaccard is monotone in shared, so any pair whose
+        // upper-bound jaccard misses the threshold can be dropped without
+        // looking at a single heavy row. Pruning each candidate source
+        // independently is safe (the star copy's bound is never larger
+        // than the light copy's), and on a corpus with no heavy shingles
+        // it collapses the candidate set to the final answer immediately.
+        val heavyCnt = heavy.groupBy("doc_id").agg(count(lit(1)).as("nh"))
+        val docStats = sizes.join(heavyCnt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sh"),
+            coalesce(col("nh"), lit(0L)).as("nh"))
+        def pruneByBound(pairs: DataFrame): DataFrame = {
+          val bound = col("shared_light") + least(col("nh_a"), col("nh_b"))
+          pairs
+            .join(docStats.select(col("doc_id").as("doc_a"),
+              col("n_sh").as("n_a"), col("nh").as("nh_a")), Seq("doc_a"))
+            .join(docStats.select(col("doc_id").as("doc_b"),
+              col("n_sh").as("n_b"), col("nh").as("nh_b")), Seq("doc_b"))
+            .filter(jac(bound, col("n_a"), col("n_b")) >= threshold)
+            .select("doc_a", "doc_b", "shared_light", "n_a", "n_b")
+        }
+        val starPairs = heavy.filter(col("doc_id") =!= col("anchor"))
+          .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+          .distinct()
+          .withColumn("shared_light", lit(0L))
+        // star pairs may duplicate light pairs; keep the real light count
+        val pruned = pruneByBound(lightShared)
+          .unionByName(pruneByBound(starPairs))
+          .groupBy("doc_a", "doc_b", "n_a", "n_b")
+          .agg(max("shared_light").as("shared_light"))
+        // exact heavy-shared count for the survivors: join each side's
+        // heavy rows back in — row counts, never arrays
+        val ha = heavy.select(col("doc_id").as("doc_a"), col("h"))
+        val hb = heavy.select(col("doc_id").as("doc_b"), col("h"))
+        val heavyShared = pruned.select("doc_a", "doc_b")
+          .join(ha, Seq("doc_a"))
+          .join(hb, Seq("doc_b", "h"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_heavy"))
+        pruned
+          .join(heavyShared, Seq("doc_a", "doc_b"), "left")
+          .withColumn("shared",
+            col("shared_light") + coalesce(col("shared_heavy"), lit(0L)))
+          .withColumn("jaccard", jac(col("shared"), col("n_a"), col("n_b")))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b", "jaccard")
+    }
   }
 
   /** MinHash signature columns mh0..mh(k-1) over the shingle hash set. */
@@ -160,17 +235,12 @@ object Dedup {
     */
   def simhashed(docs: DataFrame, textCol: String = "text", bits: Int = 32): DataFrame = {
     val d = shingled(docs, textCol)
-    // (cached by shingled(); the 32 bit-majority folds below are the only
-    // per-doc work left)
-    // bit j set iff the majority of shingle hashes have bit-hash_j odd:
-    // sum over shingles of (2*((a_j*x+b_j mod P) mod 2) - 1) > 0
-    val bitTerms = (0 until bits).map { j =>
-      val bitOf = s"((${TextHash.universalHashSql("x", j)}) % 2)"
-      s"(CASE WHEN aggregate(shh, 0L, (s, x) -> s + (2 * $bitOf - 1)) > 0 " +
-        s"THEN ${1L << j}L ELSE 0L END)"
-    }
+    // bit j set iff the majority of shingle hashes have bit-hash_j odd —
+    // one compiled pass per document via the codegen'd SimHash expression
+    // (bit-identical to the interpreted aggregate-lambda folds and the
+    // DuckDB oracle, but independent of cache residency)
     d.select(col("doc_id"),
-      expr(bitTerms.mkString("(", " + ", ")")).as("simhash"))
+      graft.functions.SimHash(col("shh"), bits).as("simhash"))
   }
 
   /** SimHash near-dup pairs: 8-bit band blocking, then Hamming <= max. */

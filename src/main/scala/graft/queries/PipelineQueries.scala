@@ -37,21 +37,46 @@ object PipelineQueries {
       s"""WITH ${DuckSql.docsCte},
          |${DuckSql.shCte},
          |ex AS (SELECT doc_id, unnest(shh) AS h FROM sh),
-         |hdf AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
-         |kept AS (
+         |hdf AS (SELECT h, count(*) AS df, min(doc_id) AS anchor
+         |        FROM ex GROUP BY h),
+         |light AS (
          |  SELECT ex.doc_id, ex.h FROM ex JOIN hdf ON ex.h = hdf.h
          |  WHERE hdf.df <= ${Dedup.DefaultMaxShingleDf}),
+         |heavy AS (
+         |  SELECT ex.doc_id, ex.h, hdf.anchor FROM ex JOIN hdf ON ex.h = hdf.h
+         |  WHERE hdf.df > ${Dedup.DefaultMaxShingleDf}),
+         |lightshared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_light
+         |  FROM light a JOIN light b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |starpairs AS (
+         |  SELECT DISTINCT anchor AS doc_a, doc_id AS doc_b
+         |  FROM heavy WHERE doc_id <> anchor),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id)
+         |  SELECT doc_a, doc_b FROM lightshared
+         |  UNION
+         |  SELECT doc_a, doc_b FROM starpairs),
+         |heavyshared AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS shared_heavy
+         |  FROM cand c
+         |  JOIN heavy ha ON ha.doc_id = c.doc_a
+         |  JOIN heavy hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(shh) AS n_sh FROM sh),
+         |scored AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         COALESCE(ls.shared_light, 0) + COALESCE(hs.shared_heavy, 0)
+         |           AS shared,
+         |         sa.n_sh AS n_a, sb.n_sh AS n_b
+         |  FROM cand c
+         |  LEFT JOIN lightshared ls ON ls.doc_a = c.doc_a AND ls.doc_b = c.doc_b
+         |  LEFT JOIN heavyshared hs ON hs.doc_a = c.doc_a AND hs.doc_b = c.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b)
          |SELECT doc_a, doc_b,
-         |       round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
-         |             len(list_distinct(sa.shh || sb.shh)), 6) AS jaccard
-         |FROM cand
-         |JOIN sh sa ON doc_a = sa.doc_id
-         |JOIN sh sb ON doc_b = sb.doc_id
-         |WHERE round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
-         |            len(list_distinct(sa.shh || sb.shh)), 6) >= 0.5
+         |       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
+         |FROM scored
+         |WHERE round(shared::DOUBLE / (n_a + n_b - shared), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin))
 
   private val qMinhash = {

@@ -15,4 +15,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == graft.functions.PolyHash.hash("abc"))
     assert(r.getDouble(1) == 11.0)
   }
+
+  test("simhash expression is bit-identical to the interpreted lambda fold") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    import graft.functions.TextHash
+    val bits = 32
+    // the portable interpreted form the oracle mirrors
+    val folds = (0 until bits).map { j =>
+      val bitOf = s"((${TextHash.universalHashSql("x", j)}) % 2)"
+      s"(CASE WHEN aggregate(arr, 0L, (s, x) -> s + (2 * $bitOf - 1)) > 0 " +
+        s"THEN ${1L << j}L ELSE 0L END)"
+    }.mkString("(", " + ", ")")
+    val rows = spark.sql(
+      s"""SELECT simhash(arr, $bits) AS fast, $folds AS slow FROM (
+         |  SELECT array(1L, 99999L, 123456789L, 1000000006L) AS arr
+         |  UNION ALL SELECT array(42L)
+         |  UNION ALL SELECT CAST(array() AS array<bigint>)
+         |)""".stripMargin).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }

@@ -46,33 +46,43 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains((0L, 3L)))
   }
 
-  test("shingle skew cap drops ultra-common shingles from pairing only") {
-    // 'x y z' appears in every doc; with cap 1 it can't generate pairs
+  test("heavy shingles pair via their anchor, and similarity stays exact") {
+    // 'x y z' has df=2 > cap=1 -> heavy, star-paired through anchor doc 0;
+    // the reported jaccard still counts it exactly: 1 shared / 7 union.
     val df = Seq((0L, "x y z a b c"), (1L, "x y z d e f")).toDF("doc_id", "text")
     val uncapped = Dedup.ngramJaccardPairs(df, threshold = 0.01, maxShingleDf = None)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val capped = Dedup.ngramJaccardPairs(df, threshold = 0.01, maxShingleDf = Some(1))
-    assert(uncapped.count() == 1)
-    assert(capped.count() == 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(uncapped == capped)
+    assert(capped == Map((0L, 1L) -> 0.142857))
   }
 
-  test("capped candidates are verified with EXACT jaccard over full shingle sets") {
-    // 'x y z' is in all 3 docs (df=3 > cap=2 -> not a candidate key), but
-    // docs 0 and 1 also share 'y z a'/'z a b' (df=2 -> candidate). The
-    // reported jaccard must still count the capped 'x y z' shingle:
-    // |{xyz,yza,zab}| / |{xyz,yza,zab,abc,abd}| = 3/5.
+  test("capped candidates are verified with EXACT count-based jaccard") {
+    // 'x y z' is in all 3 docs (df=3 > cap=2 -> heavy, star-paired via
+    // anchor 0); docs 0 and 1 also share 'y z a'/'z a b' (df=2 -> light
+    // candidates). Reported jaccards must combine light + heavy shared
+    // counts exactly: (0,1) = |{xyz,yza,zab}| / |{xyz,yza,zab,abc,abd}|
+    // = 3/5; the star pair (0,2) shares only the heavy shingle -> 1/7.
     val df = Seq(
       (0L, "x y z a b c"), (1L, "x y z a b d"), (2L, "x y z q r s")
     ).toDF("doc_id", "text")
     val got = Dedup.ngramJaccardPairs(df, threshold = 0.01, maxShingleDf = Some(2))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    assert(got == Map((0L, 1L) -> 0.6))
+    assert(got == Map((0L, 1L) -> 0.6, (0L, 2L) -> 0.142857))
   }
 
-  test("default DF cap is on: a stop-shingle beyond the cap generates no candidates") {
+  test("default DF cap: a stop-shingle beyond the cap star-pairs, not all-pairs") {
     // 200 docs all sharing the shingle 'a a a' and nothing else: with the
-    // default cap (128 < 200) the candidate join must produce zero pairs
-    // instead of 200*199/2.
+    // default cap (128 < 200) the heavy shingle produces the 199 anchor
+    // pairs (0, i) instead of 200*199/2 = 19900 — linear, and a >cap
+    // duplicate cluster still surfaces through its anchor.
     val df = (0L until 200L).map(i => (i, s"a a a w$i x$i y$i")).toDF("doc_id", "text")
-    assert(Dedup.ngramJaccardPairs(df, threshold = 0.01).count() == 0)
+    val got = Dedup.ngramJaccardPairs(df, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 199)
+    assert(got.forall(_._1 == 0L))
+    // exact: 1 shared of 4+4 shingles -> 1/7
+    assert(got.forall(_._3 == 0.142857))
   }
 }
