@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, PolyHash, SimHash}
+import graft.functions.{DotProduct, PolyHash, SimHash, SrpKey}
 
 /** Session extension registering the engine's custom codegen expressions
   * as SQL functions, so `spark.sql` users get them too:
@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("simhash",
       "simhash(arr, bits) - SimHash signature of an array<bigint> feature-hash set",
       2, es => SimHash(es(0), GraftExtensions.litInt(es(1), "simhash bits"))))
+    ext.injectFunction(fn("srp_key",
+      "srp_key(vec, startBit, rows) - packed SRP-LSH sign bits of an array<double>",
+      3, es => SrpKey(es(0), GraftExtensions.litInt(es(1), "srp_key startBit"),
+        GraftExtensions.litInt(es(2), "srp_key rows"))))
   }
 }
 
@@ -66,5 +70,8 @@ object GraftExtensions {
       spark, "dot_product", es => DotProduct(es(0), es(1)))
     org.apache.spark.sql.graftglue.Glue.registerFunction(
       spark, "simhash", es => SimHash(es(0), litInt(es(1), "simhash bits")))
+    org.apache.spark.sql.graftglue.Glue.registerFunction(
+      spark, "srp_key", es => SrpKey(es(0), litInt(es(1), "srp_key startBit"),
+        litInt(es(2), "srp_key rows")))
   }
 }

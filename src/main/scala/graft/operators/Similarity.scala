@@ -163,18 +163,53 @@ object Similarity {
   }
 
   /** Signed-random-projection LSH bucket key (`nBits` sign bits) with a
-    * deterministic ±1 hyperplane pattern, portable across engines.
+    * deterministic ±1 hyperplane pattern, portable across engines —
+    * computed by the codegen'd [[graft.functions.SrpKey]] expression
+    * (bit-identical to the interpreted `aggregate(zip_with(...))` folds
+    * and the DuckDB oracle fragment).
     */
-  def srpBuckets(emb: DataFrame, nBits: Int = 16, idCol: String = "vec_id"): DataFrame = {
-    val bitTerms = (0 until nBits).map { j =>
-      // sign(i, j) = +1/-1 from a fixed integer mix of (dim index, bit)
-      val signed =
-        s"aggregate(zip_with(vec, sequence(0, size(vec) - 1), " +
-          s"(x, i) -> x * (CASE WHEN ((i * 2654435761L + $j * 40503) % 97) % 2 = 0 " +
-          s"THEN 1.0D ELSE -1.0D END)), 0D, (s, v) -> s + v)"
-      s"(CASE WHEN $signed > 0 THEN ${1L << j}L ELSE 0L END)"
-    }
+  def srpBuckets(emb: DataFrame, nBits: Int = 16, idCol: String = "vec_id"): DataFrame =
     asDouble(emb, idCol = idCol).select(col(idCol),
-      expr(bitTerms.mkString("(", " + ", ")")).as("srp_bucket"))
+      graft.functions.SrpKey(col("vec"), 0, nBits).as("srp_bucket"))
+
+  /** Embedding near-dup pairs via SRP-LSH banding + exact cosine verify —
+    * the sublinear composition of [[srpBuckets]] and [[cosineDupPairs]]'s
+    * verify step, and the 100 TB path that replaces the all-pairs join.
+    *
+    * `bands` independent 8-ish-bit band keys (standard b×r banding): two
+    * vectors are candidates iff they agree on ALL `rowsPerBand` sign bits
+    * of at least one band; candidates — and only candidates — get the
+    * exact cosine. A pair at angle θ collides per band with
+    * `(1 − θ/π)^rowsPerBand`, so recall follows the usual LSH S-curve:
+    * steep for true near-dups, tunable via (bands, rowsPerBand) for a
+    * given threshold. The candidate join ships only (band, key, id)
+    * longs; vectors are fetched once per surviving candidate.
+    */
+  def srpDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      bands: Int = 12,
+      rowsPerBand: Int = 8,
+      idCol: String = "vec_id"): DataFrame = {
+    val v = asDouble(emb, idCol = idCol)
+      .select(col(idCol), col("vec"), col("nrm")).cache()
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        graft.functions.SrpKey(col("vec"), b * rowsPerBand, rowsPerBand).as("key"))
+    }
+    val buckets = v.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
+      .distinct()
+    candidates
+      .join(v.select(col(idCol).as("vec_a"), col("vec").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(v.select(col(idCol).as("vec_b"), col("vec").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot("va", "vb") / (col("na") * col("nb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 }

@@ -60,6 +60,19 @@ object DuckSql {
        |  ORDER BY ((vec_id % $P) * 2654435761) % $P, vec_id
        |  LIMIT $k)""".stripMargin
 
+  /** One SRP band key (`rows` sign bits from global bit `startBit`) over
+    * the `vec` column — mirrors Similarity.srpKeySql bit-for-bit.
+    */
+  def srpBandKey(startBit: Int, rows: Int): String =
+    (0 until rows).map { j =>
+      val bit = startBit + j
+      val signs = s"list_transform(range(0, len(vec)), " +
+        s"i -> CASE WHEN ((i * 2654435761 + $bit * 40503) % 97) % 2 = 0 " +
+        s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+      s"(CASE WHEN list_dot_product(vec, $signs) > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   def cosine(a: String, b: String): String =
     s"(list_dot_product($a, $b) / " +
       s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"

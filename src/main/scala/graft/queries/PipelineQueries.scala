@@ -356,24 +356,47 @@ object PipelineQueries {
     * bit-for-bit (hyperplane signs are a fixed integer mix, dot products
     * fold left-to-right in both engines).
     */
-  private val qSrp = {
-    val nBits = 16
-    val terms = (0 until nBits).map { j =>
-      val signs = s"list_transform(range(0, len(vec)), " +
-        s"i -> CASE WHEN ((i * 2654435761 + $j * 40503) % 97) % 2 = 0 " +
-        s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
-      s"(CASE WHEN list_dot_product(vec, $signs) > 0 " +
-        s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
-    }.mkString(" +\n         ")
+  private val qSrp = QueryDef(
+    "q33_srp_buckets",
+    (s, dir) => Similarity.srpBuckets(emb(s, dir), nBits = 16)
+      .orderBy("vec_id"),
+    Some(
+      s"""WITH ${DuckSql.embCte}
+         |SELECT vec_id,
+         |       ${DuckSql.srpBandKey(0, 16)} AS srp_bucket
+         |FROM e ORDER BY vec_id""".stripMargin))
+
+  /** SRP-LSH banding + exact cosine verify — the sublinear composition
+    * that replaces q24's all-pairs join at corpus scale. Recall follows
+    * the (bands × rowsPerBand) S-curve and is intentionally below 1 at
+    * this fixture's low threshold; q24 stays the exact reference.
+    */
+  private val qSrpDup = {
+    val bands = 12
+    val rows = 8
+    val legs = (0 until bands).map(b =>
+      s"SELECT vec_id, $b AS band, ${DuckSql.srpBandKey(b * rows, rows)} AS key FROM e")
+      .mkString("\n  UNION ALL ")
     QueryDef(
-      "q33_srp_buckets",
-      (s, dir) => Similarity.srpBuckets(emb(s, dir), nBits = nBits)
-        .orderBy("vec_id"),
+      "q35_dedup_embedding_lsh",
+      (s, dir) => Similarity.srpDupPairs(emb(s, dir), threshold = 0.45,
+          bands = bands, rowsPerBand = rows)
+        .orderBy("vec_a", "vec_b"),
       Some(
-        s"""WITH ${DuckSql.embCte}
-           |SELECT vec_id,
-           |       ($terms) AS srp_bucket
-           |FROM e ORDER BY vec_id""".stripMargin))
+        s"""WITH ${DuckSql.embCte},
+           |buckets AS (
+           |  $legs),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM buckets a JOIN buckets b
+           |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b,
+           |       round(${DuckSql.cosine("ea.vec", "eb.vec")}, 6) AS cos_sim
+           |FROM cand
+           |JOIN e ea ON vec_a = ea.vec_id
+           |JOIN e eb ON vec_b = eb.vec_id
+           |WHERE round(${DuckSql.cosine("ea.vec", "eb.vec")}, 6) >= 0.45
+           |ORDER BY vec_a, vec_b""".stripMargin))
   }
 
   /** IVF coarse assignment — every vector's nearest deterministic
@@ -401,5 +424,5 @@ object PipelineQueries {
     qKnnBrute, qKnnIvf,
     qQuality, qLangId, qTokenCount, qFingerprint,
     qMultimodalMeta, qFrameSample,
-    qSrp, qIvfAssign)
+    qSrp, qSrpDup, qIvfAssign)
 }

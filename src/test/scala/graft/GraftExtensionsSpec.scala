@@ -35,4 +35,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
          |)""".stripMargin).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("srp_key expression is bit-identical to the interpreted lambda fold") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    val (startBit, nRows) = (24, 8)
+    val folds = (0 until nRows).map { j =>
+      val bit = startBit + j
+      val signed =
+        s"aggregate(zip_with(vec, sequence(0, size(vec) - 1), " +
+          s"(x, i) -> x * (CASE WHEN ((i * 2654435761L + $bit * 40503) % 97) % 2 = 0 " +
+          s"THEN 1.0D ELSE -1.0D END)), 0D, (s, v) -> s + v)"
+      s"(CASE WHEN $signed > 0 THEN ${1L << j}L ELSE 0L END)"
+    }.mkString("(", " + ", ")")
+    val rows = spark.sql(
+      s"""SELECT srp_key(vec, $startBit, $nRows) AS fast, $folds AS slow FROM (
+         |  SELECT array(0.5D, -1.5D, 2.25D, 0.125D, -3.0D) AS vec
+         |  UNION ALL SELECT array(1e-9D, -1e9D, 3.14D)
+         |  UNION ALL SELECT array(0.0D)
+         |)""".stripMargin).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }

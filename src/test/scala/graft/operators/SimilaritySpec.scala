@@ -61,4 +61,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(buckets(0L) == buckets(1L))
     assert(buckets(0L) != buckets(2L))
   }
+
+  test("srpDupPairs finds near-identical pairs, reports exact cosine, " +
+    "and returns a subset of the all-pairs result") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.cosineDupPairs(emb, threshold = 0.45)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.srpDupPairs(emb, threshold = 0.45)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every LSH pair is a true pair with the identical exact cosine
+    lsh.foreach { case (pair, sim) => assert(exact(pair) == sim) }
+    // a truly identical pair collides in every band -> always found
+    val base = Array.tabulate(8)(i => 0.1 * (i + 1))
+    val df = Seq((0L, base.toSeq), (1L, base.toSeq), (2L, base.map(-_).toSeq))
+      .toDF("vec_id", "embedding")
+    val dup = Similarity.srpDupPairs(df, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dup.toSeq == Seq((0L, 1L)))
+  }
 }
