@@ -18,6 +18,15 @@ object TsdbSchema {
   val aggregate: StructType = StructType(
     StructField("path", StringType, nullable = false) +:
       Stats.aggColumns.tail.map(c => StructField(c, DoubleType, nullable = true)))
+
+  /** `schema` + the `day` partition column. Partitioned directories are
+    * always read with this EXPLICIT schema: inference throws
+    * AnalysisException on a directory whose partitions have all been
+    * dropped by retention (an idle source would crash-loop the sync
+    * daemon), while an explicit schema yields the empty frame.
+    */
+  def withDay(schema: StructType): StructType =
+    schema.add(StructField("day", LongType, nullable = true))
 }
 
 /** Spark-native reimplementation of smalltsdb's TSDB API (tsdb.py:70-457).
@@ -100,26 +109,42 @@ final class Tsdb(
     if (!f.exists(new Path(incomingPath)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], TsdbSchema.incoming)
     else if (datePartitioned)
-      // partition discovery adds the day column; project it away so the
-      // logical schema stays (path, timestamp, value) — day remains
-      // available to the optimizer for partition pruning underneath
-      spark.read.parquet(incomingPath).select("path", "timestamp", "value")
+      // explicit schema (never inference — see TsdbSchema.withDay); the
+      // day column is projected away so the logical schema stays
+      // (path, timestamp, value), while remaining available to the
+      // optimizer for partition pruning underneath
+      spark.read.schema(TsdbSchema.withDay(TsdbSchema.incoming))
+        .parquet(incomingPath)
+        .select("path", "timestamp", "value")
     else
       spark.read.schema(TsdbSchema.incoming).parquet(incomingPath)
   }
+
+  /** A materialized period table WITH its day partition column (empty
+    * frame when never synced). Always an explicit-schema read.
+    */
+  private def materializedTable(period: Period): DataFrame =
+    if (datePartitioned)
+      readOrEmpty(periodPath(period), TsdbSchema.withDay(TsdbSchema.aggregate))
+    else readOrEmpty(periodPath(period), TsdbSchema.aggregate)
 
   /** The aggregate series for one period: a maintained table
     * (TablesTSDB) or a recomputed view (ViewTSDB, tsdb.py:201-231).
     */
   def table(period: Period): DataFrame =
-    if (materialized) readOrEmpty(periodPath(period), TsdbSchema.aggregate)
+    if (materialized)
+      materializedTable(period).select(Stats.aggColumns.map(col): _*)
     else Agg.aggregate(incoming, period)
 
-  def table(periodName: String): DataFrame = {
-    require(Periods.byName.contains(periodName) || periods.exists(_.name == periodName),
-      s"unknown period: $periodName")
-    table(periods.find(_.name == periodName).getOrElse(Periods.byName(periodName)))
-  }
+  /** Resolve a period name against THIS instance's period set — a name
+    * outside it is an error even if it is a default period name (the
+    * reference asserts membership the same way, tsdb.py:120).
+    */
+  private def resolvePeriod(periodName: String): Period =
+    periods.find(_.name == periodName).getOrElse(
+      throw new IllegalArgumentException(s"unknown period: $periodName"))
+
+  def table(periodName: String): DataFrame = table(resolvePeriod(periodName))
 
   /** Reference get_metric (tsdb.py:116-140): one series of one stat over a
     * closed interval. `between` is inclusive on both ends, matching the
@@ -133,12 +158,17 @@ final class Tsdb(
       stat: String,
       interval: (Double, Double)): DataFrame = {
     require(Stats.isValid(stat), s"unknown stat: $stat")
-    require(periods.exists(_.name == periodName) ||
-      Periods.byName.contains(periodName), s"unknown period: $periodName")
-    val period = periods.find(_.name == periodName)
-      .getOrElse(Periods.byName(periodName))
+    val period = resolvePeriod(periodName)
     val src =
-      if (materialized) table(period)
+      if (materialized && datePartitioned)
+        // derive the day range from the time interval so the predicate
+        // prunes whole partition directories before any file is listed
+        materializedTable(period)
+          .filter(col("day").between(
+            math.floor(interval._1 / 86400.0).toLong,
+            math.floor(interval._2 / 86400.0).toLong))
+          .select(Stats.aggColumns.map(col): _*)
+      else if (materialized) table(period)
       else {
         // view mode: push the equivalent RAW-time range below the
         // aggregation so parquet row-group pruning applies. Bucket b is
@@ -191,7 +221,13 @@ final class Tsdb(
   def sync(): Unit = {
     if (!materialized) return
     val nowTs = now()
-    periods.foreach(p => syncPeriod(nowTs, p))
+    // one incoming scan and ONE distinct-path set shared by all periods —
+    // retention keeps incoming bounded to tail + max(period) of raw data,
+    // so the cache is the recent window, not unbounded history
+    val inc = incoming.cache()
+    val paths = inc.select("path").distinct().cache()
+    try periods.foreach(p => syncPeriod(nowTs, p, inc, paths))
+    finally { inc.unpersist(); paths.unpersist() }
     deleteIncoming(nowTs)
   }
 
@@ -211,11 +247,15 @@ final class Tsdb(
     *     so append ≡ the reference's `insert or replace` upsert, without
     *     requiring a transactional MERGE.
     */
-  private def syncPeriod(nowTs: Double, period: Period): Unit = {
+  private def syncPeriod(
+      nowTs: Double,
+      period: Period,
+      inc: DataFrame,
+      paths: DataFrame): Unit = {
     val finalEnd =
       Intervals.intervals(period.seconds, tail, nowTs, None).finalInterval.end
 
-    val hwm = incoming.select("path").distinct()
+    val hwm = paths
       .join(
         table(period).groupBy("path").agg(max(col("timestamp")).as("last_final")),
         Seq("path"), "left")
@@ -224,13 +264,22 @@ final class Tsdb(
         coalesce(col("last_final") + period.seconds, lit(0.0)).as("final_start"))
 
     val newFinals = Agg.aggregate(
-      incoming.join(broadcast(hwm), Seq("path"))
+      inc.join(broadcast(hwm), Seq("path"))
         .filter(col("timestamp") >= col("final_start") &&
           col("timestamp") < lit(finalEnd))
         .select("path", "timestamp", "value"),
       period)
 
-    newFinals.write.mode("append").parquet(periodPath(period))
+    if (datePartitioned)
+      // bucket-day partitions: getMetric's time interval prunes whole
+      // directories, and ageing out finalized history becomes a partition
+      // drop (same layout as incoming). Each sync appends one file per
+      // touched day; a periodic compaction job rewriting recent day
+      // partitions bounds the file count at cluster scale.
+      newFinals.withColumn("day", Tsdb.dayOf(col("timestamp")))
+        .write.partitionBy("day").mode("append").parquet(periodPath(period))
+    else
+      newFinals.write.mode("append").parquet(periodPath(period))
   }
 
   /** Raw-data retention (reference _delete_incoming, tsdb.py:412-420): drop

@@ -142,6 +142,55 @@ class TsdbSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       tsdb.getMetric("one", "nosuchperiod", "p50", (0.0, 1.0))
     }
+    // a restricted-periods instance rejects names OUTSIDE its own set even
+    // when they are default period names (reference asserts membership in
+    // the instance's PERIODS, tsdb.py:120)
+    val restricted = new Tsdb(spark,
+      Files.createTempDirectory("graft-gm2").toString,
+      materialized = false, periods = Seq(Periods.TenSecond))
+    intercept[IllegalArgumentException] { restricted.table("oneday") }
+    intercept[IllegalArgumentException] {
+      restricted.getMetric("one", "oneday", "p50", (0.0, 1.0))
+    }
+  }
+
+  test("idle sync after retention dropped every partition does not crash") {
+    val root = Files.createTempDirectory("graft-idle").toString
+    var nowV = 1000.0
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => nowV, periods = Seq(Periods.TenSecond))
+    tsdb.insert(Seq(("a", 900.0, 1.0), ("a", 905.0, 2.0)))
+    tsdb.sync()
+    assert(tsdb.table("tensecond").count() == 1)
+    // idle source: clock advances far past retention; the first sync drops
+    // every day= partition, the following ones read the emptied directory
+    // (explicit schema — inference would throw AnalysisException here)
+    nowV = 10 * 86400.0
+    tsdb.sync()
+    tsdb.sync()
+    assert(tsdb.incoming.count() == 0)
+    assert(tsdb.table("tensecond").count() == 1) // finals survive retention
+  }
+
+  test("materialized period tables are day-partitioned; getMetric prunes by day") {
+    val root = Files.createTempDirectory("graft-daypart").toString
+    val nowV = 2 * 86400.0 + 1000
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => nowV, periods = Seq(Periods.TenSecond))
+    tsdb.insert(Seq(
+      ("a", 100.0, 1.0),          // day 0
+      ("a", 86400.0 + 50, 2.0)))  // day 1
+    tsdb.sync()
+    val days = new java.io.File(s"$root/tensecond").listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).sorted.toSeq
+    assert(days == Seq("day=0", "day=1"))
+    val q = tsdb.getMetric("a", "tensecond", "max", (0.0, 86399.0))
+    // the day range derived from the interval reaches the scan as a
+    // partition filter (directory-level pruning, no data files listed
+    // outside it)
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(q.collect().toSeq.map(r => (r.getDouble(0), r.getDouble(1))) ==
+      Seq((100.0, 1.0)))
   }
 
   test("createViews: SQL over period views matches the golden rows (A6)") {
