@@ -42,6 +42,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       try {
+        // operators scope their own caches (Caching.withCached), but clear
+        // the cache manager between queries anyway so one query's leftover
+        // storage can never color the next query's number
+        spark.catalog.clearCache()
         fn(spark, sfDir).count() // warm-up
         val times = (1 to n).map { _ =>
           val t0 = System.nanoTime()

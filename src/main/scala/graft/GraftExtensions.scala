@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, PolyHash, SimHash, SrpKey}
+import graft.functions.{DotProduct, MinHashes, PolyHash, ShingleHashes, SimHash, SrpKey}
 
 /** Session extension registering the engine's custom codegen expressions
   * as SQL functions, so `spark.sql` users get them too:
@@ -46,18 +46,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "srp_key(vec, startBit, rows) - packed SRP-LSH sign bits of an array<double>",
       3, es => SrpKey(es(0), GraftExtensions.litInt(es(1), "srp_key startBit"),
         GraftExtensions.litInt(es(2), "srp_key rows"))))
+    ext.injectFunction(fn("shingle_hashes",
+      "shingle_hashes(text, n) - distinct poly-hashes of word n-gram shingles",
+      2, es => ShingleHashes(es(0), GraftExtensions.litInt(es(1), "shingle_hashes n"))))
+    ext.injectFunction(fn("min_hashes",
+      "min_hashes(arr, k) - the k universal-hash minima of an array<bigint>",
+      2, es => MinHashes(es(0), GraftExtensions.litInt(es(1), "min_hashes k"))))
   }
 }
 
 object GraftExtensions {
 
-  /** The integer value of a literal argument (SQL-surface params like
-    * simhash's bit width must be compile-time constants).
+  /** The integer value of a constant argument (SQL-surface params like
+    * simhash's bit width must be compile-time constants). Any FOLDABLE
+    * integral expression is accepted — `32`, `32L`, `CAST(32 AS INT)`,
+    * `8 * 4` — and resolution failures surface as AnalysisException like
+    * every other function-resolution error.
     */
-  private[graft] def litInt(e: Expression, what: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+  private[graft] def litInt(e: Expression, what: String): Int = {
+    def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION",
+      Map("errorMessage" -> s"$what must be an integer constant, got ${e.sql}"))
+    if (!e.foldable) fail()
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case _ => fail()
+    }
   }
 
   /** Imperative registration for an already-running session
@@ -73,5 +90,10 @@ object GraftExtensions {
     org.apache.spark.sql.graftglue.Glue.registerFunction(
       spark, "srp_key", es => SrpKey(es(0), litInt(es(1), "srp_key startBit"),
         litInt(es(2), "srp_key rows")))
+    org.apache.spark.sql.graftglue.Glue.registerFunction(
+      spark, "shingle_hashes",
+      es => ShingleHashes(es(0), litInt(es(1), "shingle_hashes n")))
+    org.apache.spark.sql.graftglue.Glue.registerFunction(
+      spark, "min_hashes", es => MinHashes(es(0), litInt(es(1), "min_hashes k")))
   }
 }

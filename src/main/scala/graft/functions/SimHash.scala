@@ -51,17 +51,24 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
 object SimHash {
   val P = 1000000007L
 
+  /** Null elements are SKIPPED (they are no feature, so they contribute
+    * to no bit) — the SQL surface accepts array<bigint> with nullable
+    * elements, where reading a null slot as 0 would silently bias the
+    * majority vote.
+    */
   def compute(arr: ArrayData, bits: Int): Long = {
     val counts = new Array[Long](bits)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val x = arr.getLong(i)
-      var j = 0
-      while (j < bits) {
-        val h = ((2L * j + 1L) * x + (12345L + 7L * j)) % P
-        counts(j) += (h % 2L) * 2L - 1L
-        j += 1
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        var j = 0
+        while (j < bits) {
+          val h = ((2L * j + 1L) * x + (12345L + 7L * j)) % P
+          counts(j) += (h % 2L) * 2L - 1L
+          j += 1
+        }
       }
       i += 1
     }

@@ -54,6 +54,10 @@ case class SrpKey(child: Expression, startBit: Int, rows: Int)
 
 object SrpKey {
 
+  /** Null elements are SKIPPED (a missing dimension contributes 0 to the
+    * projection) — the SQL surface accepts array<double> with nullable
+    * elements, where reading a null slot as garbage would corrupt signs.
+    */
   def compute(vec: ArrayData, startBit: Int, rows: Int): Long = {
     val n = vec.numElements()
     var key = 0L
@@ -63,9 +67,11 @@ object SrpKey {
       var s = 0.0
       var i = 0
       while (i < n) {
-        val sign =
-          if ((i * 2654435761L + bit * 40503L) % 97 % 2 == 0) 1.0 else -1.0
-        s += vec.getDouble(i) * sign
+        if (!vec.isNullAt(i)) {
+          val sign =
+            if ((i * 2654435761L + bit * 40503L) % 97 % 2 == 0) 1.0 else -1.0
+          s += vec.getDouble(i) * sign
+        }
         i += 1
       }
       if (s > 0) key |= 1L << j

@@ -1,11 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.TextHash
+import graft.functions.{MinHashes, TextHash}
 
 /** Deduplication operators over a `documents(doc_id, text, …)` table.
   *
@@ -20,12 +19,15 @@ import graft.functions.TextHash
   *    shingle shared by thousands of docs carries no dedup signal but
   *    creates a quadratic bucket).
   *  - MinHash LSH is the sublinear path: k permutations → b bands → join
-  *    on band key; candidates are then verified exactly.
+  *    on band key; candidates are then verified exactly, count-based —
+  *    only longs ever cross a shuffle, never shingle arrays.
   *  - SimHash packs a document into one 32-bit signature; banding on 8-bit
   *    chunks gives the candidate join, Hamming distance the verdict.
   *
   * Everything is deterministic (portable polynomial hashes, no RNG) so
-  * every operator is DuckDB-oracle-checkable.
+  * every operator is DuckDB-oracle-checkable. Intermediates referenced
+  * from several plan branches are cached for the duration of the operator
+  * call only ([[Caching.withCached]]).
   */
 object Dedup {
 
@@ -36,22 +38,18 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("copies"))
 
-  /** doc_id + distinct 3-gram shingle hashes.
-    *
-    * Repartitioned first: higher-order functions evaluate interpreted (no
-    * codegen), so shingling cost is real CPU — a single-file input would
-    * otherwise run the whole pipeline in one task. Cached because every
-    * pairing operator references the shingle sets from both sides of a
-    * self-join, and projection collapse would re-inline (and re-run) the
-    * full pipeline once per reference.
+  /** doc_id + distinct 3-gram shingle hashes — one fused compiled pass
+    * per document ([[graft.functions.ShingleHashes]]; bit-identical to
+    * the tokenize → window → concat_ws → poly-hash → distinct pipeline
+    * it replaces). Repartitioned first so a single-file input doesn't
+    * put all shingling CPU in one task. NOT cached here: callers that
+    * reference the shingle sets from several plan branches scope the
+    * cache to their own call via [[Caching.withCached]].
     */
   def shingled(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
     docs.repartition(col("doc_id"))
-      .withColumn("toks", TextHash.tokens(col(textCol)))
-      .withColumn("sh", TextHash.shingles("toks", n))
-      .withColumn("shh", TextHash.shingleHashes("sh"))
-      .select(col("doc_id"), col("shh"))
-      .cache()
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes(col(textCol), n).as("shh"))
 
   /** Default document-frequency cap for candidate-generating shingles.
     * A shingle shared by d documents creates a d²/2-pair join bucket while
@@ -87,109 +85,116 @@ object Dedup {
       n: Int = 3,
       maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
     val sh = shingled(docs, textCol, n)
-    val sizes = sh.select(col("doc_id"), size(col("shh")).as("n_sh"))
-    val exploded = sh.select(col("doc_id"), explode(col("shh")).as("h"))
+    Caching.withCached(sh) {
+      val sizes = sh.select(col("doc_id"), size(col("shh")).as("n_sh"))
+      val exploded = sh.select(col("doc_id"), explode(col("shh")).as("h"))
 
-    // split by document frequency; heavy rows keep their anchor doc.
-    // One window over h computes df + anchor in a single exchange; the
-    // light self-join below reuses that hash-partitioning (and the
-    // window's sort), so the exploded set crosses the network once.
-    val (light, heavyRows) = maxShingleDf match {
-      case Some(cap) =>
-        val w = Window.partitionBy("h")
-        val tagged = exploded
-          .withColumn("df", count(lit(1)).over(w))
-          .withColumn("anchor", min("doc_id").over(w))
-        (tagged.filter(col("df") <= cap).select("doc_id", "h"),
-          Some(tagged.filter(col("df") > cap).select("doc_id", "h", "anchor")))
-      case None => (exploded, None)
-    }
+      // split by document frequency; heavy rows keep their anchor doc.
+      // df + anchor come from a map-side-combinable groupBy joined back
+      // on h (NOT a window: a window buffers each hash partition in one
+      // task — the extreme-skew shingle is exactly the case the cap
+      // guards, so the df computation itself must not re-create the
+      // skewed single-task buffer). The join and the light self-join
+      // below are both hash-partitioned on h.
+      val (light, heavyRows) = maxShingleDf match {
+        case Some(cap) =>
+          val hdf = exploded.groupBy("h")
+            .agg(count(lit(1)).as("df"), min("doc_id").as("anchor"))
+          val tagged = exploded.join(hdf, Seq("h"))
+          (tagged.filter(col("df") <= cap).select("doc_id", "h"),
+            Some(tagged.filter(col("df") > cap).select("doc_id", "h", "anchor")))
+        case None => (exploded, None)
+      }
 
-    // shared LIGHT shingles per co-occurring pair: groupBy-count over the
-    // hash self-join — 3-long rows through one shuffle, map-side combined
-    val lightShared = light.as("a").join(light.as("b"), Seq("h"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_light"))
+      // shared LIGHT shingles per co-occurring pair: groupBy-count over the
+      // hash self-join — 3-long rows through one shuffle, map-side combined
+      val lightShared = light.as("a").join(light.as("b"), Seq("h"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_light"))
 
-    def jac(shared: Column, nA: Column, nB: Column): Column =
-      round(shared.cast(DoubleType) / (nA + nB - shared), 6)
+      def jac(shared: Column, nA: Column, nB: Column): Column =
+        round(shared.cast(DoubleType) / (nA + nB - shared), 6)
 
-    heavyRows match {
-      case None =>
-        lightShared
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-            Seq("doc_a"))
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-            Seq("doc_b"))
-          .withColumn("jaccard",
-            jac(col("shared_light"), col("n_a"), col("n_b")))
-          .filter(col("jaccard") >= threshold)
-          .select("doc_a", "doc_b", "jaccard")
-      case Some(heavy) =>
-        // exact-safe prune BEFORE any pair bookkeeping: a pair's total
-        // shared is at most shared_light + min(per-doc heavy-shingle
-        // counts), and jaccard is monotone in shared, so any pair whose
-        // upper-bound jaccard misses the threshold can be dropped without
-        // looking at a single heavy row. Pruning each candidate source
-        // independently is safe (the star copy's bound is never larger
-        // than the light copy's), and on a corpus with no heavy shingles
-        // it collapses the candidate set to the final answer immediately.
-        val heavyCnt = heavy.groupBy("doc_id").agg(count(lit(1)).as("nh"))
-        val docStats = sizes.join(heavyCnt, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_sh"),
-            coalesce(col("nh"), lit(0L)).as("nh"))
-        def pruneByBound(pairs: DataFrame): DataFrame = {
-          val bound = col("shared_light") + least(col("nh_a"), col("nh_b"))
-          pairs
-            .join(docStats.select(col("doc_id").as("doc_a"),
-              col("n_sh").as("n_a"), col("nh").as("nh_a")), Seq("doc_a"))
-            .join(docStats.select(col("doc_id").as("doc_b"),
-              col("n_sh").as("n_b"), col("nh").as("nh_b")), Seq("doc_b"))
-            .filter(jac(bound, col("n_a"), col("n_b")) >= threshold)
-            .select("doc_a", "doc_b", "shared_light", "n_a", "n_b")
-        }
-        val starPairs = heavy.filter(col("doc_id") =!= col("anchor"))
-          .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
-          .distinct()
-          .withColumn("shared_light", lit(0L))
-        // star pairs may duplicate light pairs; keep the real light count
-        val pruned = pruneByBound(lightShared)
-          .unionByName(pruneByBound(starPairs))
-          .groupBy("doc_a", "doc_b", "n_a", "n_b")
-          .agg(max("shared_light").as("shared_light"))
-        // exact heavy-shared count for the survivors: join each side's
-        // heavy rows back in — row counts, never arrays
-        val ha = heavy.select(col("doc_id").as("doc_a"), col("h"))
-        val hb = heavy.select(col("doc_id").as("doc_b"), col("h"))
-        val heavyShared = pruned.select("doc_a", "doc_b")
-          .join(ha, Seq("doc_a"))
-          .join(hb, Seq("doc_b", "h"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_heavy"))
-        pruned
-          .join(heavyShared, Seq("doc_a", "doc_b"), "left")
-          .withColumn("shared",
-            col("shared_light") + coalesce(col("shared_heavy"), lit(0L)))
-          .withColumn("jaccard", jac(col("shared"), col("n_a"), col("n_b")))
-          .filter(col("jaccard") >= threshold)
-          .select("doc_a", "doc_b", "jaccard")
+      heavyRows match {
+        case None =>
+          lightShared
+            .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+              Seq("doc_a"))
+            .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+              Seq("doc_b"))
+            .withColumn("jaccard",
+              jac(col("shared_light"), col("n_a"), col("n_b")))
+            .filter(col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        case Some(heavy) =>
+          // exact-safe prune BEFORE any pair bookkeeping: a pair's total
+          // shared is at most shared_light + min(per-doc heavy-shingle
+          // counts), and jaccard is monotone in shared, so any pair whose
+          // upper-bound jaccard misses the threshold can be dropped without
+          // looking at a single heavy row. Pruning each candidate source
+          // independently is safe (the star copy's bound is never larger
+          // than the light copy's), and on a corpus with no heavy shingles
+          // it collapses the candidate set to the final answer immediately.
+          val heavyCnt = heavy.groupBy("doc_id").agg(count(lit(1)).as("nh"))
+          val docStats = sizes.join(heavyCnt, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_sh"),
+              coalesce(col("nh"), lit(0L)).as("nh"))
+          def pruneByBound(pairs: DataFrame): DataFrame = {
+            val bound = col("shared_light") + least(col("nh_a"), col("nh_b"))
+            pairs
+              .join(docStats.select(col("doc_id").as("doc_a"),
+                col("n_sh").as("n_a"), col("nh").as("nh_a")), Seq("doc_a"))
+              .join(docStats.select(col("doc_id").as("doc_b"),
+                col("n_sh").as("n_b"), col("nh").as("nh_b")), Seq("doc_b"))
+              .filter(jac(bound, col("n_a"), col("n_b")) >= threshold)
+              .select("doc_a", "doc_b", "shared_light", "n_a", "n_b")
+          }
+          val starPairs = heavy.filter(col("doc_id") =!= col("anchor"))
+            .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+            .distinct()
+            .withColumn("shared_light", lit(0L))
+          // star pairs may duplicate light pairs; keep the real light count
+          val pruned = pruneByBound(lightShared)
+            .unionByName(pruneByBound(starPairs))
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(max("shared_light").as("shared_light"))
+          // exact heavy-shared count for the survivors: join each side's
+          // heavy rows back in — row counts, never arrays
+          val ha = heavy.select(col("doc_id").as("doc_a"), col("h"))
+          val hb = heavy.select(col("doc_id").as("doc_b"), col("h"))
+          val heavyShared = pruned.select("doc_a", "doc_b")
+            .join(ha, Seq("doc_a"))
+            .join(hb, Seq("doc_b", "h"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_heavy"))
+          pruned
+            .join(heavyShared, Seq("doc_a", "doc_b"), "left")
+            .withColumn("shared",
+              col("shared_light") + coalesce(col("shared_heavy"), lit(0L)))
+            .withColumn("jaccard", jac(col("shared"), col("n_a"), col("n_b")))
+            .filter(col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+      }
     }
   }
 
-  /** MinHash signature columns mh0..mh(k-1) over the shingle hash set. */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val cols = (0 until k).map { i =>
-      expr(s"array_min(transform(shh, x -> ${TextHash.universalHashSql("x", i)}))")
-        .as(s"mh$i")
-    }
-    sh.select(col("doc_id") +: col("shh") +: cols: _*)
-  }
+  /** MinHash signature: doc_id, shh, and `mh` = the k universal-hash
+    * minima as one array column — a single compiled pass per document via
+    * the codegen'd [[graft.functions.MinHashes]] expression (bit-identical
+    * to the k interpreted `array_min(transform(...))` lambdas and the
+    * DuckDB oracle's `list_min(list_transform(...))` columns).
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.select(col("doc_id"), col("shh"), MinHashes(col("shh"), k).as("mh"))
 
   /** MinHash + LSH banding near-dup pairs, exact-Jaccard-verified.
     *
     * k hashes split into `bands` bands of k/bands rows each; docs sharing
-    * any band key become candidates; candidates are verified with the
-    * exact Jaccard of their full shingle sets.
+    * any band key become candidates. Verification is exact but COUNT-BASED
+    * (the q21 pattern): candidates restrict the exploded (doc, hash) rows,
+    * the shared-shingle count is a groupBy over the restricted join, and
+    * |A∪B| = n_a + n_b − |A∩B| from per-doc set sizes — only longs cross
+    * shuffles; full shingle arrays never ship through a join.
     */
   def minhashLshPairs(
       docs: DataFrame,
@@ -200,32 +205,44 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     val sh = shingled(docs, textCol).filter(size(col("shh")) > 0)
-    val sig = minhashSignatures(sh, k).cache()
-    // band key: fold the band's minhashes into one 64-bit value (each
-    // minhash < P = 1e9+7, so key = mh*P + mh' stays within Long range
-    // for rows <= 2)
-    require(rows <= 2, "band key packing supports bands of <= 2 rows")
-    val bandKeys = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => s"mh${b * rows + r}")
-      val key = parts.reduce((a, c) => s"($a * ${TextHash.P} + $c)")
-      struct(lit(b).as("band"), expr(key).as("key"))
+    Caching.withCached(sh) {
+      val sig = minhashSignatures(sh, k).select("doc_id", "mh")
+      // band key: fold the band's minhashes into one 64-bit value (each
+      // minhash < P = 1e9+7, so key = mh*P + mh' stays within Long range
+      // for rows <= 2)
+      require(rows <= 2, "band key packing supports bands of <= 2 rows")
+      val bandKeys = (0 until bands).map { b =>
+        val key = (0 until rows)
+          .map(r => element_at(col("mh"), b * rows + r + 1))
+          .reduce((a, c) => a * TextHash.P + c)
+        struct(lit(b).as("band"), key.as("key"))
+      }
+      val buckets = sig.select(col("doc_id"),
+          explode(array(bandKeys: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val candidates = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // count-based exact verify over candidate-restricted rows: a pair
+      // sharing zero shingles simply drops out of the inner join (its
+      // jaccard would be 0 < threshold)
+      val ex = sh.select(col("doc_id"), explode(col("shh")).as("h"))
+      val sizes = sh.select(col("doc_id"), size(col("shh")).as("n_sh"))
+      val shared = candidates
+        .join(ex.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+        .join(ex.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+          Seq("doc_b"))
+        .withColumn("jaccard", round(col("shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("shared")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     }
-    val buckets = sig.select(col("doc_id"),
-        explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val withSets = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shh").as("sh_b")), Seq("doc_b"))
-    withSets
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** 32-bit SimHash of the distinct 3-gram shingle-hash set. Shingles,
@@ -248,19 +265,21 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int,
       textCol: String = "text"): DataFrame = {
-    val sig = simhashed(docs, textCol).cache()
-    val bandKeys = (0 until 4).map(b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key")))
-    val buckets = sig.select(col("doc_id"), col("simhash"),
-        explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val sig = simhashed(docs, textCol)
+    Caching.withCached(sig) {
+      val bandKeys = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key")))
+      val buckets = sig.select(col("doc_id"), col("simhash"),
+          explode(array(bandKeys: _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+    }
   }
 }

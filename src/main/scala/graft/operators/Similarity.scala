@@ -154,12 +154,14 @@ object Similarity {
       threshold: Double,
       idCol: String = "vec_id"): DataFrame = {
     val v = asDouble(emb, idCol = idCol)
-      .select(col(idCol), col("vec"), col("nrm")).cache()
-    v.as("a").join(v.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
-        round(dot("a.vec", "b.vec") / (col("a.nrm") * col("b.nrm")), 6)
-          .as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      .select(col(idCol), col("vec"), col("nrm"))
+    Caching.withCached(v) {
+      v.as("a").join(v.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
+          round(dot("a.vec", "b.vec") / (col("a.nrm") * col("b.nrm")), 6)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+    }
   }
 
   /** Signed-random-projection LSH bucket key (`nBits` sign bits) with a
@@ -192,24 +194,26 @@ object Similarity {
       rowsPerBand: Int = 8,
       idCol: String = "vec_id"): DataFrame = {
     val v = asDouble(emb, idCol = idCol)
-      .select(col(idCol), col("vec"), col("nrm")).cache()
-    val bandKeys = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        graft.functions.SrpKey(col("vec"), b * rowsPerBand, rowsPerBand).as("key"))
+      .select(col(idCol), col("vec"), col("nrm"))
+    Caching.withCached(v) {
+      val bandKeys = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          graft.functions.SrpKey(col("vec"), b * rowsPerBand, rowsPerBand).as("key"))
+      }
+      val buckets = v.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+        .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      val candidates = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
+        .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
+        .distinct()
+      candidates
+        .join(v.select(col(idCol).as("vec_a"), col("vec").as("va"),
+          col("nrm").as("na")), Seq("vec_a"))
+        .join(v.select(col(idCol).as("vec_b"), col("vec").as("vb"),
+          col("nrm").as("nb")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(dot("va", "vb") / (col("na") * col("nb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
     }
-    val buckets = v.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
-      .distinct()
-    candidates
-      .join(v.select(col(idCol).as("vec_a"), col("vec").as("va"),
-        col("nrm").as("na")), Seq("vec_a"))
-      .join(v.select(col(idCol).as("vec_b"), col("vec").as("vb"),
-        col("nrm").as("nb")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(dot("va", "vb") / (col("na") * col("nb")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
   }
 }

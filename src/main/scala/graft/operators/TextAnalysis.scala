@@ -98,9 +98,8 @@ object TextAnalysis {
     * the natural clustering / shard-routing key for near-dup detection).
     */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
-    withTokens(docs, textCol)
-      .withColumn("sh", TextHash.shingles("toks"))
-      .withColumn("shh", TextHash.shingleHashes("sh"))
+    docs
+      .withColumn("shh", graft.functions.ShingleHashes(col(textCol), 3))
       .select(
         col("doc_id"),
         graft.functions.PolyHash(col(textCol)).as("text_hash"),

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Bit-equality of the fused codegen expressions against the composable
+  * interpreted pipelines they replace — on whitespace/empty/null edge
+  * cases and on the real documents fixture.
+  */
+class FusedExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val edgeTexts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c", "a b", "a", "", "   ",
+    "  leading and trailing  ",
+    "tabs\tbetween\twords\tand more",
+    "runs   of    spaces here",
+    "newline\nin the\nmiddle of text",
+    "dup dup dup dup dup dup",
+    null)
+
+  private def edgeDf = edgeTexts.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  private def composableShh(n: Int) = {
+    val toks = TextHash.tokens(col("text"))
+    val withToks = edgeDf.withColumn("toks", toks)
+    withToks.withColumn("sh", TextHash.shingles("toks", n))
+      .withColumn("shh_ref", TextHash.shingleHashes("sh"))
+      .select(col("doc_id"), col("shh_ref"),
+        ShingleHashes(col("text"), n).as("shh_fused"))
+  }
+
+  test("ShingleHashes == tokenize/window/concat_ws/polyhash/distinct on edge cases") {
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = composableShh(n).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n doc=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("ShingleHashes == composable pipeline on the documents fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = docs
+      .withColumn("toks", TextHash.tokens(col("text")))
+      .withColumn("sh", TextHash.shingles("toks", 3))
+      .withColumn("shh_ref", TextHash.shingleHashes("sh"))
+      .select(col("doc_id"), col("shh_ref"),
+        ShingleHashes(col("text"), 3).as("shh_fused"))
+    val bad = cmp.filter(col("shh_ref") =!= col("shh_fused")).count()
+    assert(bad == 0)
+  }
+
+  test("MinHashes == k interpreted array_min(transform(...)) lambdas") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 8
+    val sh = docs.select(col("doc_id"), ShingleHashes(col("text"), 3).as("shh"))
+      .filter(size(col("shh")) > 0)
+    val refCols = (0 until k).map { i =>
+      expr(s"array_min(transform(shh, x -> ${TextHash.universalHashSql("x", i)}))")
+    }
+    val cmp = sh.select(col("doc_id"),
+      array(refCols: _*).as("mh_ref"), MinHashes(col("shh"), k).as("mh_fused"))
+    assert(cmp.filter(col("mh_ref") =!= col("mh_fused")).count() == 0)
+  }
+
+  test("MinHashes null semantics: empty/all-null arrays yield null, null skipped") {
+    val df = Seq(
+      (0L, Seq[java.lang.Long](1L, 2L, 3L)),
+      (1L, Seq[java.lang.Long](null, 5L)),
+      (2L, Seq[java.lang.Long](null)),
+      (3L, Seq.empty[java.lang.Long])
+    ).toDF("id", "arr")
+    val got = df.select(col("id"), MinHashes(col("arr"), 2).as("mh"))
+      .orderBy("id").collect()
+    assert(!got(0).isNullAt(1))
+    // null element skipped: same as minhash of [5]
+    val only5 = df.filter(col("id") === 1)
+      .select(MinHashes(expr("array(5L)"), 2)).head().getSeq[Long](0)
+    assert(got(1).getSeq[Long](1) == only5)
+    assert(got(2).isNullAt(1) && got(3).isNullAt(1))
+  }
+
+  test("SimHash/SrpKey skip null elements instead of reading them as zero") {
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](7L, null, 9L))).toDF("arr")
+    val without = Seq(Tuple1(Seq[java.lang.Long](7L, 9L))).toDF("arr")
+    assert(
+      withNull.select(SimHash(col("arr"), 16)).head().getLong(0) ==
+        without.select(SimHash(col("arr"), 16)).head().getLong(0))
+    val vNull = Seq(Tuple1(Seq[java.lang.Double](1.5, null, -2.5))).toDF("v")
+    val vZero = Seq(Tuple1(Seq[java.lang.Double](1.5, 0.0, -2.5))).toDF("v")
+    assert(
+      vNull.select(SrpKey(col("v"), 0, 8)).head().getLong(0) ==
+        vZero.select(SrpKey(col("v"), 0, 8)).head().getLong(0))
+  }
+}
