@@ -35,7 +35,10 @@ object Flat {
 
   /** Rebuild the nested structure. Sibling keys decide the node kind: if
     * every child key at a level is an integer, the node is a list ordered
-    * by index; otherwise a map (reference unflatten semantics).
+    * by index — and the indices must be exactly 0..n−1, like the
+    * reference's int_keys_to_list (app/flat.py:64-67: "must start from
+    * 0" when min ≠ 0, "must have no gaps" when max > n−1); otherwise a
+    * map.
     */
   def unflatten(flat: Map[String, Any]): Any = {
     if (flat.isEmpty) return Map.empty[String, Any]
@@ -51,9 +54,14 @@ object Flat {
         }.get
         else build(sub, depth + 1))
       }
-      if (children.keys.forall(k => k.forall(_.isDigit) && k.nonEmpty))
-        children.toSeq.sortBy(_._1.toInt).map(_._2)
-      else children
+      if (children.keys.forall(k => k.forall(_.isDigit) && k.nonEmpty)) {
+        val byIdx = children.map { case (k, v) => k.toInt -> v }
+        if (byIdx.keys.min != 0)
+          throw new IllegalArgumentException("must start from 0")
+        if (byIdx.keys.max > byIdx.size - 1)
+          throw new IllegalArgumentException("must have no gaps")
+        byIdx.toSeq.sortBy(_._1).map(_._2)
+      } else children
     }
     build(flat.toSeq.map { case (k, v) => (k.split('.').toList, v) }, 0)
   }

@@ -1,0 +1,73 @@
+package graft.api
+
+import graft.Tsdb
+
+/** The web UI's graph-data preparation — reference `make_graph`'s data
+  * path (app/__init__.py:85-155) minus the Bokeh rendering, exposed as
+  * an engine API so any front end (or a JSON endpoint) can serve the
+  * reference's `/graph` route.
+  *
+  * Per metric tuple (name, period, stat):
+  *  - one [[Tsdb.getMetric]] series over the closed interval
+  *    (app/__init__.py:116);
+  *  - an empty series becomes the `[[0],[0]]` placeholder so the graph
+  *    "looks right" with at least one point (app/__init__.py:118-121);
+  *  - timestamps are scaled ×1000 — the consumer (Bokeh, and most JS
+  *    plotting libs) treats datetime axes as milliseconds
+  *    (app/__init__.py:122-123);
+  *  - the legend label is the metric's short name: `make_short_names`
+  *    keeps exactly the tuple positions whose value varies across the
+  *    requested metrics, space-joined, position 0 when nothing varies
+  *    (app/__init__.py:72-82).
+  *
+  * The collect is intentional: this is the interactive read endpoint —
+  * a bounded time window of pre-aggregated buckets for one page, not a
+  * data-scale pipeline stage.
+  */
+object Graph {
+
+  /** One metric reference as the /graph route names it. */
+  final case class MetricSpec(name: String, period: String, stat: String)
+
+  /** One prepared series: legend label, millisecond timestamps, values.
+    * A value is None when the stored stat is NULL for that bucket.
+    */
+  final case class Series(
+      label: String,
+      timestampsMs: Seq[Double],
+      values: Seq[Option[Double]])
+
+  /** Reference make_short_names (app/__init__.py:72-82), on any tuples:
+    * keep the positions that vary across tuples (position 0 if none),
+    * space-join the kept parts.
+    */
+  def shortNames(tuples: Seq[Seq[String]]): Seq[String] = {
+    require(tuples.nonEmpty, "shortNames of no tuples")
+    val tlen = tuples.head.size
+    val varying = (0 until tlen).filter(i => tuples.map(_(i)).distinct.size != 1)
+    val keep = if (varying.isEmpty) Seq(0) else varying
+    tuples.map(t => keep.map(t(_)).mkString(" "))
+  }
+
+  /** The /graph route's metric filter: drop entries whose name is blank
+    * (app/__init__.py:174).
+    */
+  def nonBlank(metrics: Seq[MetricSpec]): Seq[MetricSpec] =
+    metrics.filter(_.name.trim.nonEmpty)
+
+  /** Prepare every requested series for plotting. */
+  def graphData(
+      tsdb: Tsdb,
+      metrics: Seq[MetricSpec],
+      interval: (Double, Double)): Seq[Series] = {
+    val labels = shortNames(metrics.map(m => Seq(m.name, m.period, m.stat)))
+    metrics.zip(labels).map { case (m, label) =>
+      val rows = tsdb.getMetric(m.name, m.period, m.stat, interval).collect()
+      if (rows.isEmpty) Series(label, Seq(0.0), Seq(Some(0.0)))
+      else Series(
+        label,
+        rows.map(_.getDouble(0) * 1000).toSeq,
+        rows.map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq)
+    }
+  }
+}

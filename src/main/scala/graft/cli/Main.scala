@@ -13,8 +13,9 @@ import graft.streaming.Ingest
   * {{{
   * graft.cli.Main sync   <root> [--lock-file F] [--emit-metrics]
   * graft.cli.Main daemon <root> <host:port> [--interval S]
+ *                [--self-metrics PREFIX | --no-self-metrics]
   * graft.cli.Main show   <root> <period>          # daemon.py:219-229
-  * graft.cli.Main metric <root> <path> <period> <stat> <start> <end>
+  * graft.cli.Main metric <root> <path> <period> <stat> [start] [end]
   * }}}
   *
   * `--lock-file` takes an exclusive OS file lock for process-level mutual
@@ -32,7 +33,7 @@ object Main {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def withLock[T](path: Option[String])(f: => T): T = path match {
+  private[cli] def withLock[T](path: Option[String])(f: => T): T = path match {
     case None => f
     case Some(p) =>
       val raf = new RandomAccessFile(p, "rw")
@@ -58,15 +59,24 @@ object Main {
       val interval = rest.sliding(2).collectFirst {
         case List("--interval", s) => s.toLong
       }.getOrElse(10L)
+      // the reference daemon hardcodes prefix 'smalltsdb.daemon'
+      // (daemon.py:249); ours defaults on with the analogous name
+      val prefix = rest.sliding(2).collectFirst {
+        case List("--self-metrics", p) => p
+      }.orElse(if (rest.contains("--no-self-metrics")) None
+        else Some("graft.daemon"))
       val spark = session()
       val tsdb = new Tsdb(spark, root)
-      // dev-parity line-protocol listener (reference daemon.py; Spark's
-      // socket source carries the same "dev only" caveat as the
-      // reference's single-threaded socketserver)
-      val lines = spark.readStream.format("socket")
+      // the reference listens on BOTH sockets (daemon.py:158-163): TCP
+      // via the dev socket source, UDP via the datagram-to-file bridge
+      val tcp = spark.readStream.format("socket")
         .option("host", host).option("port", port.toInt).load()
-      val q = Ingest.start(tsdb, lines, interval)
-      q.awaitTermination()
+      val bridge = new graft.streaming.UdpBridge(
+        host, port.toInt, s"$root/udp-spool").start()
+      val udp = graft.streaming.UdpBridge.lines(spark, s"$root/udp-spool")
+      val q = Ingest.start(tsdb, tcp.union(udp), interval,
+        selfMetricPrefix = prefix)
+      try q.awaitTermination() finally bridge.close()
 
     case "show" :: root :: period :: Nil =>
       val spark = session()
@@ -75,10 +85,20 @@ object Main {
         .show(1000, truncate = false)
       spark.stop()
 
-    case "metric" :: root :: path :: period :: stat :: start :: end :: Nil =>
+    // start/end accept the reference's forms (epoch ints, ISO8601 —
+    // app/__init__.py:158-166) plus raw epoch doubles; omitted bounds
+    // default to the reference's last-hour window (app/__init__.py:177-183)
+    case "metric" :: root :: path :: period :: stat :: rest if rest.size <= 2 =>
       val spark = session()
-      new Tsdb(spark, root)
-        .getMetric(path, period, stat, (start.toDouble, end.toDouble))
+      val tsdb = new Tsdb(spark, root)
+      val (defStart, defEnd) = graft.api.Datetimes.defaultInterval(tsdb.now())
+      val interval = rest.map(graft.api.Datetimes.parse) match {
+        case Nil => (defStart, defEnd)
+        case s :: Nil => (s, defEnd)
+        case s :: e :: Nil => (s, e)
+        case _ => sys.error("unreachable")
+      }
+      tsdb.getMetric(path, period, stat, interval)
         .show(1000, truncate = false)
       spark.stop()
 

@@ -18,24 +18,58 @@ import graft.ingest.LineParser
   * A real UDP source has no Spark built-in (SURVEY.md §2.1 S2); the
   * supported sources are anything that yields a streaming DataFrame with a
   * single string `line` column — `socket` (dev parity with the reference's
-  * TCP listener), file/directory drop, or `MemoryStream` in tests.
+  * TCP listener), [[UdpBridge]] (datagrams spooled to a file source),
+  * file/directory drop, or `MemoryStream` in tests.
   */
 object Ingest {
 
   /** Start ingesting a streaming DataFrame of wire lines into `tsdb`'s
     * incoming table. Batch-atomic parse failure (SURVEY.md §2.9 Q3): one
     * malformed line drops that micro-batch, the query keeps running.
+    *
+    * With `selfMetricPrefix` set, the daemon measures itself exactly like
+    * the reference (daemon.py:176-198): each non-empty flush inserts a
+    * `{prefix}.insert` datapoint carrying the count of non-self rows
+    * inserted — atomically with the batch, so the count never lies — and
+    * a failed batch records a `{prefix}.error` datapoint (value 1)
+    * instead. Self rows are excluded from the count, so the metric loop
+    * never feeds back into itself.
     */
   def start(
       tsdb: Tsdb,
       lines: DataFrame,
       intervalSeconds: Long = 10,
-      onBatchError: Throwable => Unit = _ => ()): StreamingQuery = {
+      onBatchError: Throwable => Unit = _ => (),
+      selfMetricPrefix: Option[String] = None): StreamingQuery = {
     lines.writeStream
       .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        try tsdb.insert(LineParser.parseStrict(batch, batch.columns.head))
-        catch { case e: LineParser.ParseException => onBatchError(e) }
+        try {
+          val pb = LineParser.parseCounted(batch, batch.columns.head,
+            selfMetricPrefix)
+          if (pb.bad > 0)
+            throw new LineParser.ParseException(
+              "malformed line(s) in batch; batch dropped")
+          if (pb.total > 0) {
+            val rows = selfMetricPrefix match {
+              case None => pb.rows
+              case Some(prefix) =>
+                val spark = batch.sparkSession
+                import spark.implicits._
+                pb.rows.unionByName(
+                  Seq((s"$prefix.insert", tsdb.now(), pb.nonSelf.toDouble))
+                    .toDF("path", "timestamp", "value"))
+            }
+            tsdb.insert(rows)
+          }
+        } catch {
+          case e: LineParser.ParseException =>
+            onBatchError(e)
+            selfMetricPrefix.foreach { prefix =>
+              try tsdb.insert(Seq((s"$prefix.error", tsdb.now(), 1.0)))
+              catch { case _: Throwable => () }
+            }
+        }
         ()
       }
       .start()

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** UDP line-protocol source — the reference daemon's datagram listener
+  * (daemon.py:50-56; rundev.py sends UDP by default), bridged into
+  * Structured Streaming.
+  *
+  * Spark has no UDP source, and can't meaningfully have one: a UDP
+  * listener is a single bound socket on a single host — exactly like the
+  * reference's single-threaded socketserver — while a streaming source's
+  * offsets must be replayable across executors and restarts. So the
+  * bridge does the one host-bound thing (receive datagrams) and hands
+  * durability to the file system: each datagram's payload is written
+  * atomically (temp file + rename; the dot-prefixed temp is invisible to
+  * Spark's file source) into a spool directory that `readStream.text`
+  * tails with ordinary file-source offset tracking. On a cluster the
+  * spool directory lives on the shared file system and the bridge runs
+  * wherever the ingest VIP points; everything downstream is already
+  * distributed and replayable.
+  *
+  * One datagram = one file = one parse unit, preserving the reference's
+  * per-datagram atomicity (daemon.py:39-47) at the granularity the
+  * micro-batch engine sees.
+  */
+final class UdpBridge(
+    host: String,
+    port: Int,
+    spoolDir: String,
+    bufBytes: Int = 65536) extends AutoCloseable {
+
+  private val socket = new DatagramSocket(new InetSocketAddress(host, port))
+  private val seq = new AtomicLong(0L)
+  @volatile private var running = true
+
+  Files.createDirectories(Paths.get(spoolDir))
+
+  /** The bound port (useful when constructed with port 0). */
+  def localPort: Int = socket.getLocalPort
+
+  private val thread = new Thread(
+    () => receiveLoop(), s"graft-udp-bridge-$host:$localPort")
+  thread.setDaemon(true)
+
+  def start(): this.type = { thread.start(); this }
+
+  private def receiveLoop(): Unit = {
+    val buf = new Array[Byte](bufBytes)
+    while (running) {
+      val pkt = new DatagramPacket(buf, buf.length)
+      try {
+        socket.receive(pkt)
+        spool(new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8))
+      } catch {
+        case _: SocketException if !running => () // closed during shutdown
+      }
+    }
+  }
+
+  private def spool(payload: String): Unit = {
+    val n = seq.getAndIncrement()
+    val tmp = Paths.get(spoolDir, s".tmp-$n")
+    Files.writeString(tmp, payload)
+    Files.move(tmp, Paths.get(spoolDir, f"datagram-$n%012d.txt"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def close(): Unit = {
+    running = false
+    socket.close()
+    thread.join(2000)
+  }
+}
+
+object UdpBridge {
+
+  /** The spool directory as a streaming line DataFrame (column `value`),
+    * ready for [[Ingest.start]].
+    */
+  def lines(spark: SparkSession, spoolDir: String): DataFrame =
+    spark.readStream.text(spoolDir)
+}

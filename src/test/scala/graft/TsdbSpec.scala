@@ -210,4 +210,23 @@ class TsdbSpec extends AnyFunSuite {
     tsdb.insert(goldenPoints)
     assert(tsdb.listMetrics().collect().map(_.getString(0)).toSeq == Seq("one", "two"))
   }
+
+  test("incomingRoot splits storage: raw under one root, aggregates under the other (S8)") {
+    // TwoDatabasesTSDB (tsdb.py:423-454): incoming and aggregate tables
+    // live at independent paths, same API surface
+    val root = Files.createTempDirectory("graft-split-agg").toString
+    val incRoot = Files.createTempDirectory("graft-split-inc").toString
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => 1000.0, incomingRoot = Some(incRoot))
+    tsdb.insert(goldenPoints)
+    assert(new java.io.File(s"$incRoot/incoming").exists)
+    assert(!new java.io.File(s"$root/incoming").exists)
+    tsdb.sync()
+    assert(new java.io.File(s"$root/tensecond").exists)
+    assert(!new java.io.File(s"$incRoot/tensecond").exists)
+    val got = tsdb.table("tensecond").orderBy("path", "timestamp").collect().toSeq
+    assert(got == goldenTensecond)
+    // reads still find the split incoming table after sync's retention
+    assert(tsdb.incoming.count() == 4) // cutoff < 0 at now=1000: all kept
+  }
 }

@@ -31,8 +31,20 @@ class FlatSpec extends AnyFunSuite {
   }
 
   test("integer-keyed siblings become ordered lists") {
-    assert(Flat.unflatten(Map("x.1" -> "b", "x.0" -> "a", "x.10" -> "c")) ==
+    assert(Flat.unflatten(Map("x.1" -> "b", "x.0" -> "a", "x.2" -> "c")) ==
       Map("x" -> Seq("a", "b", "c")))
+  }
+
+  test("strict int keys: offset or gapped indices raise (int_keys_to_list)") {
+    // tests/test_app_flat.py:58-62
+    val e1 = intercept[IllegalArgumentException] {
+      Flat.unflatten(Map("x.1" -> "a"))
+    }
+    assert(e1.getMessage == "must start from 0")
+    val e2 = intercept[IllegalArgumentException] {
+      Flat.unflatten(Map("x.0" -> "a", "x.2" -> "b"))
+    }
+    assert(e2.getMessage == "must have no gaps")
   }
 
   test("depth limit raises (reference max depth)") {

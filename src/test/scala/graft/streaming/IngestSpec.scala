@@ -63,4 +63,53 @@ class IngestSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(got == Seq(("ok", 2.0)))
   }
+
+  test("self-metrics: each flush inserts {prefix}.insert with the non-self count") {
+    // daemon.py:176-193 — count excludes self rows; inserted with the batch
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-ingest-self").toString
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => 500.0)
+
+    val stream = MemoryStream[String]
+    val query = Ingest.start(tsdb, stream.toDF(), intervalSeconds = 0,
+      selfMetricPrefix = Some("graft.daemon"))
+    stream.addData("one 1 1\ntwo 2 5")
+    query.processAllAvailable()
+    // a batch that already contains a self row: not counted again
+    stream.addData("three 3 7\ngraft.daemon.insert 9 400")
+    query.processAllAvailable()
+    query.stop()
+
+    val inserts = tsdb.incoming
+      .filter("path = 'graft.daemon.insert'")
+      .select("timestamp", "value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq.sorted
+    // flush 1: 2 non-self rows; flush 2: 1 non-self row (the replayed
+    // self row at ts=400 is inserted as data but not counted)
+    assert(inserts == Seq((400.0, 9.0), (500.0, 1.0), (500.0, 2.0)))
+    assert(tsdb.incoming.count() == 6) // 4 parsed rows (incl. replayed self) + 2 insert metrics
+  }
+
+  test("self-metrics: a poisoned batch inserts {prefix}.error instead") {
+    // daemon.py:194-198 — failed flush records an error datapoint
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-ingest-selferr").toString
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => 500.0)
+    var errors = 0
+
+    val stream = MemoryStream[String]
+    val query = Ingest.start(tsdb, stream.toDF(), intervalSeconds = 0,
+      onBatchError = _ => errors += 1,
+      selfMetricPrefix = Some("graft.daemon"))
+    stream.addData("ok 1 1\nbroken x y")
+    query.processAllAvailable()
+    query.stop()
+
+    assert(errors == 1)
+    val got = tsdb.incoming.select("path", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("graft.daemon.error", 1.0)))
+  }
 }
