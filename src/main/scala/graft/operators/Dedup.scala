@@ -41,15 +41,22 @@ object Dedup {
   /** doc_id + distinct 3-gram shingle hashes — one fused compiled pass
     * per document ([[graft.functions.ShingleHashes]]; bit-identical to
     * the tokenize → window → concat_ws → poly-hash → distinct pipeline
-    * it replaces). Repartitioned first so a single-file input doesn't
-    * put all shingling CPU in one task. NOT cached here: callers that
-    * reference the shingle sets from several plan branches scope the
-    * cache to their own call via [[Caching.withCached]].
+    * it replaces). A narrow map over the scan — except when the input
+    * has fewer partitions than cores (tiny local fixtures): then one
+    * round-robin repartition spreads the cached shingle table so every
+    * consumer's map side runs parallel. At scale the scan already has
+    * ≥cores partitions and no shuffle happens. NOT cached here: callers
+    * that reference the shingle sets from several plan branches scope
+    * the cache to their own call via [[Caching.withCached]].
     */
-  def shingled(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
-    docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        graft.functions.ShingleHashes(col(textCol), n).as("shh"))
+  def shingled(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame = {
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions >= cores) docs
+      else docs.repartition(cores)
+    spread.select(col("doc_id"),
+      graft.functions.ShingleHashes(col(textCol), n).as("shh"))
+  }
 
   /** Default document-frequency cap for candidate-generating shingles.
     * A shingle shared by d documents creates a d²/2-pair join bucket while
@@ -100,9 +107,19 @@ object Dedup {
         case Some(cap) =>
           val hdf = exploded.groupBy("h")
             .agg(count(lit(1)).as("df"), min("doc_id").as("anchor"))
-          val tagged = exploded.join(hdf, Seq("h"))
-          (tagged.filter(col("df") <= cap).select("doc_id", "h"),
-            Some(tagged.filter(col("df") > cap).select("doc_id", "h", "anchor")))
+          // adaptive plan choice (runtime stats, in the AQE spirit): one
+          // map-side-combined probe over the cached shingle rows decides
+          // whether any shingle exceeds the cap. The common no-skew case
+          // then runs the plain all-pairs plan — none of the heavy-side
+          // tagging/pruning/star stages are even scheduled — while a
+          // genuinely skewed corpus engages the full machinery.
+          val anyHeavy = hdf.filter(col("df") > cap).limit(1).count() > 0
+          if (!anyHeavy) (exploded, None)
+          else {
+            val tagged = exploded.join(hdf, Seq("h"))
+            (tagged.filter(col("df") <= cap).select("doc_id", "h"),
+              Some(tagged.filter(col("df") > cap).select("doc_id", "h", "anchor")))
+          }
         case None => (exploded, None)
       }
 

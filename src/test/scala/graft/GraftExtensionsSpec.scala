@@ -36,6 +36,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("shingle_hashes and min_hashes are callable from spark.sql") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT shingle_hashes('a b c d', 3) AS sh,
+        |       min_hashes(array(5L, 17L, 99L), 4) AS mh
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0) ==
+      Seq(graft.functions.PolyHash.hash("a b c"),
+        graft.functions.PolyHash.hash("b c d")))
+    assert(r.getSeq[Long](1).length == 4)
+  }
+
+  test("constant int args accept foldable expressions, reject non-constants") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    // bigint literal, cast, and arithmetic all fold to Int
+    val r = spark.sql(
+      "SELECT simhash(array(42L), CAST(32 AS BIGINT)) AS a, " +
+        "simhash(array(42L), 8 * 4) AS b, simhash(array(42L), 32) AS c")
+      .collect()(0)
+    assert(r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(2))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash(array(x), CAST(x AS INT)) FROM (SELECT 1L AS x)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer constant"))
+  }
+
   test("srp_key expression is bit-identical to the interpreted lambda fold") {
     val spark = TestSpark.spark
     GraftExtensions.register(spark)
