@@ -18,11 +18,14 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // show operator interiors instead of the checkpointed RDD scan
+    graft.operators.Caching.passthrough = true
     val dir = "/root/testdata/sf0.001"
 
     val interesting = Seq(
       "q05_get_metric", "q07_hwm_join", "q08_sync_final_range",
-      "q25_knn_brute", "q22_dedup_minhash", "q02_agg_tensecond")
+      "q25_knn_brute", "q22_dedup_minhash", "q02_agg_tensecond",
+      "q21_dedup_ngram_jaccard")
     for (name <- interesting) {
       println(s"\n======== $name ========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -282,6 +282,52 @@ final class Tsdb(
       newFinals.write.mode("append").parquet(periodPath(period))
   }
 
+  /** Compact day partitions whose file count exceeded `maxFilesPerDay`:
+    * each sync appends one file per touched day, so an always-on daemon
+    * grows a day's partition to ~8640 files at a 10 s cadence — this is
+    * the periodic maintenance job that bounds it (the companion to
+    * [[sync]]'s append-only write path). Each oversized day is rewritten
+    * to ~`targetBytes` files and swapped in with the same
+    * delete-and-rename used by retention's boundary-day rewrite; run it
+    * under the same single-writer lock as sync. Day partitions are
+    * independent, so the work is O(oversized days) driver-side listings
+    * plus one bounded Spark job per oversized day.
+    */
+  def compact(
+      maxFilesPerDay: Int = 16,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    if (!datePartitioned) return
+    compactTable(incomingPath, TsdbSchema.incoming, maxFilesPerDay, targetBytes)
+    if (materialized)
+      periods.foreach(p =>
+        compactTable(periodPath(p), TsdbSchema.aggregate, maxFilesPerDay, targetBytes))
+  }
+
+  private def compactTable(
+      tableRoot: String,
+      schema: StructType,
+      maxFilesPerDay: Int,
+      targetBytes: Long): Unit = {
+    val f = fs(tableRoot)
+    if (!f.exists(new Path(tableRoot))) return
+    f.listStatus(new Path(tableRoot))
+      .filter(_.getPath.getName.startsWith("day=")).foreach { st =>
+        val parts = f.listStatus(st.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        if (parts.length > maxFilesPerDay) {
+          val day = st.getPath.getName.stripPrefix("day=")
+          val nOut = math.max(1L,
+            (parts.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+          val tmp = s"$tableRoot/_compact_day=$day"
+          spark.read.schema(schema).parquet(st.getPath.toString)
+            .coalesce(nOut)
+            .write.mode("overwrite").parquet(tmp)
+          f.delete(st.getPath, true)
+          f.rename(new Path(tmp), st.getPath)
+        }
+      }
+  }
+
   /** Raw-data retention (reference _delete_incoming, tsdb.py:412-420): drop
     * incoming rows older than `now - tail - max(period)` — kept exactly
     * long enough for the longest period to finalize. Implemented as a

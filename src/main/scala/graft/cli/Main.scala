@@ -14,7 +14,8 @@ import graft.streaming.Ingest
   * graft.cli.Main sync   <root> [--lock-file F] [--emit-metrics]
   * graft.cli.Main daemon <root> <host:port> [--interval S]
  *                [--self-metrics PREFIX | --no-self-metrics]
-  * graft.cli.Main show   <root> <period>          # daemon.py:219-229
+  * graft.cli.Main compact <root> [--lock-file F]  # engine addition: see Tsdb.compact
+ * graft.cli.Main show   <root> <period>          # daemon.py:219-229
   * graft.cli.Main metric <root> <path> <period> <stat> [start] [end]
   * }}}
   *
@@ -78,6 +79,14 @@ object Main {
         selfMetricPrefix = prefix)
       try q.awaitTermination() finally bridge.close()
 
+    case "compact" :: root :: rest =>
+      val lockFile = rest.sliding(2).collectFirst {
+        case List("--lock-file", f) => f
+      }
+      val spark = session()
+      withLock(lockFile) { new Tsdb(spark, root).compact() }
+      spark.stop()
+
     case "show" :: root :: period :: Nil =>
       val spark = session()
       new Tsdb(spark, root).table(period)
@@ -104,7 +113,7 @@ object Main {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: sync|daemon|show|metric ...")
+      System.err.println("usage: sync|daemon|compact|show|metric ...")
       sys.exit(2)
   }
 }

@@ -20,7 +20,15 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Caching {
 
+  /** Plan-audit escape hatch: when true, `withCached` returns the raw
+    * composed plan (no cache, no checkpoint) so `.explain` can show the
+    * operator's interior — the checkpointed form explains as a single
+    * `Scan ExistingRDD`. Never set in production paths.
+    */
+  @volatile var passthrough: Boolean = false
+
   def withCached(intermediates: DataFrame*)(body: => DataFrame): DataFrame = {
+    if (passthrough) return body
     intermediates.foreach(_.cache())
     try body.localCheckpoint(eager = true)
     finally intermediates.foreach(_.unpersist(blocking = false))

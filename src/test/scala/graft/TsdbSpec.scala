@@ -211,6 +211,34 @@ class TsdbSpec extends AnyFunSuite {
     assert(tsdb.listMetrics().collect().map(_.getString(0)).toSeq == Seq("one", "two"))
   }
 
+  test("compact bounds per-day file counts without changing any row") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    var nowV = 100.0
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => nowV)
+    // four insert+sync rounds, all landing in day 0: each sync appends
+    // its own file(s) to the same day partition
+    for (i <- 0 until 4) {
+      tsdb.insert(Seq(("one", i * 10.0 + 1, i.toDouble)))
+      nowV = 100.0 + i * 10
+      tsdb.sync()
+    }
+    def dayFiles(table: String): Int = new java.io.File(s"$root/$table/day=0")
+      .listFiles((_, n) => n.endsWith(".parquet")).length
+    val before = tsdb.table("tensecond").orderBy("path", "timestamp")
+      .collect().toSeq
+    assert(before.size == 4 && dayFiles("tensecond") >= 4)
+
+    tsdb.compact(maxFilesPerDay = 2)
+    assert(dayFiles("tensecond") == 1)
+    assert(dayFiles("incoming") == 1)
+    assert(tsdb.table("tensecond").orderBy("path", "timestamp")
+      .collect().toSeq == before)
+    // idempotent: an already-compact day is left alone
+    tsdb.compact(maxFilesPerDay = 2)
+    assert(dayFiles("tensecond") == 1)
+  }
+
   test("incomingRoot splits storage: raw under one root, aggregates under the other (S8)") {
     // TwoDatabasesTSDB (tsdb.py:423-454): incoming and aggregate tables
     // live at independent paths, same API surface
