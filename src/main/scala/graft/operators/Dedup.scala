@@ -262,6 +262,66 @@ object Dedup {
     }
   }
 
+  /** Connected components over an undirected near-dup pair list — the
+    * cluster-resolution step that turns pairwise dedup output into
+    * groups (doc → component id = min doc_id reachable), so a keep-list
+    * can retain exactly one representative per cluster.
+    *
+    * Pregel-style min-label propagation: every node starts labeled with
+    * itself; each round takes the min of its own and its neighbors'
+    * labels; converged when no label changed. Each round is one shuffle
+    * keyed on node id (the neighbor-min aggregation is map-side
+    * combinable) over frames bounded by |V| + |E| — never the doc
+    * corpus — and rounds are bounded by the cluster diameter, which for
+    * near-dup graphs (dense clusters, star-pair anchors) is tiny. Each
+    * round's labels are checkpointed so lineage stays flat. The driver
+    * sees only per-round change COUNTS, never data.
+    */
+  def components(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      round += 1
+      require(round <= maxRounds, s"components did not converge in $maxRounds rounds")
+      val nbrMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src").as("node2")).agg(min("component").as("nbr_min"))
+      val next = labels.join(nbrMin, col("node") === col("node2"), "left")
+        .select(col("node"), col("component"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("next_component"))
+        .localCheckpoint(true)
+      changed = next.filter(col("next_component") < col("component")).count()
+      labels = next.select(col("node"), col("next_component").as("component"))
+    }
+    labels.select(col("node").as("doc_id"), col("component"))
+  }
+
+  /** One-representative-per-cluster keep-list: every doc not in any
+    * near-dup pair survives; of each pair-connected component, only the
+    * min doc_id does. The join against the (tiny) non-keeper set is a
+    * broadcast anti-join — the corpus streams once.
+    */
+  def keepers(
+      docs: DataFrame,
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val drop = components(pairs, aCol, bCol)
+      .filter(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+  }
+
   /** 32-bit SimHash of the distinct 3-gram shingle-hash set. Shingles,
     * not unigram tokens: with a small vocabulary nearly all documents
     * share most tokens, collapsing unigram SimHashes together; 3-gram

@@ -27,14 +27,11 @@ object PipelineQueries {
         |       count(*) AS copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  private val qNgramJaccard = QueryDef(
-    "q21_dedup_ngram_jaccard",
-    // the default DF cap is the benched path — the skew guard IS the
-    // operator's 100 TB story, so it must be what correctness checks
-    (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)
-      .orderBy("doc_a", "doc_b"),
-    Some(
-      s"""WITH ${DuckSql.docsCte},
+  /** The q21 oracle's CTE chain + final pair select, shared with q36's
+    * recursive component closure.
+    */
+  private val ngramPairCtes =
+    s"""${DuckSql.docsCte},
          |${DuckSql.shCte},
          |ex AS (SELECT doc_id, unnest(shh) AS h FROM sh),
          |hdf AS (SELECT h, count(*) AS df, min(doc_id) AS anchor
@@ -72,12 +69,43 @@ object PipelineQueries {
          |  LEFT JOIN lightshared ls ON ls.doc_a = c.doc_a AND ls.doc_b = c.doc_b
          |  LEFT JOIN heavyshared hs ON hs.doc_a = c.doc_a AND hs.doc_b = c.doc_b
          |  JOIN sizes sa ON sa.doc_id = c.doc_a
-         |  JOIN sizes sb ON sb.doc_id = c.doc_b)
-         |SELECT doc_a, doc_b,
-         |       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
-         |FROM scored
-         |WHERE round(shared::DOUBLE / (n_a + n_b - shared), 6) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin))
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  private val ngramPairSelect =
+    """SELECT doc_a, doc_b,
+      |       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
+      |FROM scored
+      |WHERE round(shared::DOUBLE / (n_a + n_b - shared), 6) >= 0.5""".stripMargin
+
+  private val qNgramJaccard = QueryDef(
+    "q21_dedup_ngram_jaccard",
+    // the default DF cap is the benched path — the skew guard IS the
+    // operator's 100 TB story, so it must be what correctness checks
+    (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)
+      .orderBy("doc_a", "doc_b"),
+    Some(s"WITH $ngramPairCtes\n$ngramPairSelect\nORDER BY doc_a, doc_b"))
+
+  /** Cluster resolution over the q21 pairs: min-label connected
+    * components (Spark: Pregel-style propagation; oracle: recursive
+    * transitive-closure CTE reduced by min — same fixpoint).
+    */
+  private val qComponents = QueryDef(
+    "q36_dedup_components",
+    (s, dir) => Dedup.components(
+        Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5))
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |pairs AS ($ngramPairSelect),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node)
+         |SELECT node AS doc_id, min(r) AS component
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
 
   private val qMinhash = {
     val k = 8
@@ -424,5 +452,5 @@ object PipelineQueries {
     qKnnBrute, qKnnIvf,
     qQuality, qLangId, qTokenCount, qFingerprint,
     qMultimodalMeta, qFrameSample,
-    qSrp, qSrpDup, qIvfAssign)
+    qSrp, qSrpDup, qIvfAssign, qComponents)
 }

@@ -46,6 +46,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains((0L, 3L)))
   }
 
+  test("components: min-label propagation finds clusters; keepers drop all but min") {
+    // chain 1-2, 2-3 plus isolated pair 5-6: two components, and the
+    // chain needs >1 propagation round to converge
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.components(pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(comp == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.keepers(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(1L, 4L, 5L)) // 4 untouched by any pair; 1 and 5 are cluster minima
+  }
+
   test("heavy shingles pair via their anchor, and similarity stays exact") {
     // 'x y z' has df=2 > cap=1 -> heavy, star-paired through anchor doc 0;
     // the reported jaccard still counts it exactly: 1 shared / 7 union.
