@@ -42,6 +42,66 @@ class IngestSpec extends AnyFunSuite {
       ("two", 0.0, 1.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0)))
   }
 
+  // the reference's full integration matrix (tests/test_smalltsdb.py:36-82):
+  // 3 backends (view / tables / two-databases) x 2 transports, each
+  // ending in the same golden tensecond rows incl. exact percentiles
+  for (backend <- Seq("view", "tables", "twodb"); transport <- Seq("memory", "udp"))
+    test(s"integration matrix: $backend backend over $transport transport") {
+      implicit val sqlCtx = spark.sqlContext
+      val root = Files.createTempDirectory(s"graft-m-$backend-$transport").toString
+      val tsdb = backend match {
+        case "view" => new Tsdb(spark, root, materialized = false, tail = 60,
+          now = () => 1000.0)
+        case "tables" => new Tsdb(spark, root, materialized = true, tail = 60,
+          now = () => 1000.0)
+        case "twodb" => new Tsdb(spark, root, materialized = true, tail = 60,
+          now = () => 1000.0, incomingRoot = Some(
+            Files.createTempDirectory(s"graft-m-$backend-inc").toString))
+      }
+      val messages = Seq("one 1 1", "one 5 2\ntwo 2 5", "one 1 12\n")
+      transport match {
+        case "memory" =>
+          val stream = MemoryStream[String]
+          val query = Ingest.start(tsdb, stream.toDF(), intervalSeconds = 0)
+          messages.foreach(stream.addData(_))
+          query.processAllAvailable()
+          query.stop()
+        case "udp" =>
+          val spool = s"$root/udp-spool"
+          val bridge = new UdpBridge("127.0.0.1", 0, spool).start()
+          try {
+            val sender = new java.net.DatagramSocket()
+            val addr = java.net.InetAddress.getByName("127.0.0.1")
+            messages.foreach { m =>
+              val b = m.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              sender.send(new java.net.DatagramPacket(b, b.length, addr, bridge.localPort))
+            }
+            sender.close()
+            org.scalatest.concurrent.Eventually.eventually(
+              org.scalatest.concurrent.Eventually.timeout(
+                org.scalatest.time.Span(10, org.scalatest.time.Seconds))) {
+              val n = Option(new java.io.File(spool)
+                .listFiles((_, f) => f.startsWith("datagram-"))).map(_.length)
+              assert(n.contains(3))
+            }
+            val query = Ingest.start(tsdb, UdpBridge.lines(spark, spool),
+              intervalSeconds = 0)
+            query.processAllAvailable()
+            query.stop()
+          } finally bridge.close()
+      }
+      tsdb.sync() // no-op in view mode, finalization in tables/twodb mode
+      val got = tsdb.table("tensecond").orderBy("path", "timestamp")
+        .collect().toSeq.map(r =>
+          (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+            r.getDouble(8), r.getDouble(9)))
+      assert(got == Seq(
+        ("one", 0.0, 2.0, 1.0, 5.0, 3.0, 6.0, 3.0, 4.6, 4.96),
+        ("one", 10.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+        ("two", 0.0, 1.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0)))
+    }
+
   test("malformed batch is dropped whole; stream keeps running (Q3)") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft-ingest-bad").toString
