@@ -145,6 +145,58 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Write the corpus IVF-partitioned: one directory per coarse
+    * centroid (`centroid_id` as the parquet partition column, with the
+    * vector, its norm, and the id inside). This is the layout the 100 TB
+    * probe path reads — a query touches only its centroid's directory,
+    * pruned BEFORE any file is listed. Centroid ids are ints (≤
+    * `centroidK`), matching parquet partition-column type inference so
+    * probe predicates prune without casts.
+    */
+  def writeIvfPartitioned(
+      emb: DataFrame,
+      path: String,
+      centroidK: Int = DefaultCentroidK,
+      idCol: String = "vec_id"): Unit =
+    ivfAssign(emb, centroidK, idCol)
+      .select(col(idCol), col("vec"), col("nrm"),
+        col("centroid_id").cast("int").as("centroid_id"))
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+  /** Probe-1 ANN top-k over an [[writeIvfPartitioned]] layout: resolve
+    * the queries' centroids (a tiny driver-side list — the price of
+    * turning the probe into LITERAL partition predicates), then scan
+    * ONLY those partitions for scoring. Bit-identical results to
+    * [[ivfKnn]] on the same corpus; the difference is the scan reads
+    * |probed partitions| / |centroids| of the data.
+    */
+  def ivfKnnPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queryIds: Seq[Long],
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val corpus = spark.read.parquet(path)
+    val queries = corpus.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col("centroid_id"),
+        col("vec").as("vec_q"), col("nrm").as("nrm_q"))
+    val probed: Seq[Int] = queries.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scored = corpus
+      .filter(col("centroid_id").isInCollection(probed)) // partition prune
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col("vec").as("vec_n"), col("nrm").as("nrm_n"))
+      .join(broadcast(queries), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold.
     * Exact (all-pairs) form; the SRP-LSH bucketing in [[srpBuckets]] is
     * the sublinear candidate generator for corpus-scale runs.

@@ -62,6 +62,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(buckets(0L) != buckets(2L))
   }
 
+  test("IVF-partitioned layout: probe prunes to the queries' partitions, " +
+    "results identical to ivfKnn") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfPartitioned(emb, root)
+    // one directory per assigned centroid
+    val dirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName)
+    assert(dirs.nonEmpty)
+
+    val queryIds = Seq(0L, 1L, 2L, 3L)
+    val got = Similarity.ivfKnnPartitioned(spark, root, queryIds, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val expected = Similarity.ivfKnn(emb, queryIds, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+
+    // the probe predicate reaches the scan as a partition filter
+    val plan = Similarity.ivfKnnPartitioned(spark, root, queryIds, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"))
+  }
+
   test("srpDupPairs finds near-identical pairs, reports exact cosine, " +
     "and returns a subset of the all-pairs result") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
