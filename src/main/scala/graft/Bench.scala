@@ -44,8 +44,12 @@ object Bench {
       try {
         // operators scope their own caches (Caching.withCached), but clear
         // the cache manager between queries anyway so one query's leftover
-        // storage can never color the next query's number
+        // storage can never color the next query's number; the GC nudge
+        // lets the ContextCleaner release checkpointed result blocks
+        // (which live until their RDD is collected, not in the cache
+        // manager)
         spark.catalog.clearCache()
+        System.gc()
         fn(spark, sfDir).count() // warm-up
         val times = (1 to n).map { _ =>
           val t0 = System.nanoTime()
