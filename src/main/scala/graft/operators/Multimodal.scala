@@ -80,6 +80,70 @@ object Multimodal {
       ((n + first) % 24 + 1).as("n_frames"))
   }
 
+  /** Aspect-preserving resize PLAN (never upscales): the metadata half
+    * of a resize — target dims from a bounding box, computed as pure
+    * codegen'd arithmetic so it is DuckDB-oracle-comparable. The byte
+    * transform itself is the stubbed decode boundary
+    * ([[resizeBatched]]).
+    */
+  def resizePlan(meta: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"),
+      lit(1.0))
+    meta.select(col("doc_id"), col("width"), col("height"),
+      greatest(floor(col("width") * scale), lit(1)).cast("long").as("out_w"),
+      greatest(floor(col("height") * scale), lit(1)).cast("long").as("out_h"))
+  }
+
+  final case class ResizedMedia(
+      doc_id: Long, out_w: Long, out_h: Long, blob: Array[Byte])
+
+  /** Batched resize at the executor — iterator→iterator like
+    * [[decodeMetaBatched]], so a real image library would amortize its
+    * context per partition. STUB byte transform: payload truncated
+    * proportional to the area ratio (deterministic, shape-checkable);
+    * a production build swaps only the body.
+    */
+  def resizeBatched(
+      media: Dataset[MediaRow], maxW: Int = 224, maxH: Int = 224)(
+      implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder/scaler context would be initialized here
+      rows.map { r =>
+        val m = fakeDecode(r.doc_id, r.blob)
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+        val ow = math.max(1L, math.floor(m.width * scale).toLong)
+        val oh = math.max(1L, math.floor(m.height * scale).toLong)
+        val keep = math.max(1,
+          (r.blob.length * (ow * oh).toDouble / (m.width * m.height)).toInt)
+        ResizedMedia(r.doc_id, ow, oh, r.blob.take(keep))
+      }
+    }
+  }
+
+  /** Per-media feature extraction (stub embedding): `dim` deterministic
+    * doubles in [0, 1) derived from the full payload's content hash
+    * (codegen'd [[graft.functions.PolyHash]] over the bytes, then one
+    * universal hash per dimension). Content-sensitive — equal blobs get
+    * equal features, any byte change perturbs every dimension — and
+    * exactly reproducible in the DuckDB oracle. A real extractor
+    * (CLIP/wav2vec/...) replaces this projection at the same schema:
+    * `(doc_id, features: array<double>)`.
+    */
+  def features(media: DataFrame, dim: Int = 8): DataFrame = {
+    import graft.functions.TextHash
+    val withHash = media.withColumn("chash",
+      graft.functions.PolyHash(col("blob").cast("string")))
+    val feats = (0 until dim).map { j =>
+      round(expr(TextHash.universalHashSql("chash", j)).cast("double")
+        / TextHash.P, 6)
+    }
+    withHash.select(col("doc_id"), array(feats: _*).as("features"))
+  }
+
   /** Sample every `step`-th frame of each media row: bounded explode. */
   def frameSample(meta: DataFrame, step: Int = 4): DataFrame =
     meta.select(col("doc_id"), col("n_frames"),

@@ -379,6 +379,52 @@ object PipelineQueries {
         |         AS frame_hash
         |FROM meta ORDER BY doc_id, frame_idx""".stripMargin))
 
+  /** Aspect-preserving resize plan over the decoded metadata — the
+    * columnar (oracle-comparable) half of the resize op; the byte
+    * transform is the stubbed mapPartitions boundary
+    * (MultimodalSpec.resizeBatched cases).
+    */
+  private val qResize = QueryDef(
+    "q37_multimodal_resize",
+    (s, dir) => Multimodal.resizePlan(
+        Multimodal.decodeMetaColumnar(Multimodal.mediaFromDocuments(docs(s, dir))))
+      .orderBy("doc_id"),
+    Some(
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |meta AS (
+        |  SELECT doc_id, 16 * (n % 40 + 1) AS width,
+        |         16 * ((n // 7) % 30 + 1) AS height
+        |  FROM m)
+        |SELECT doc_id, width, height,
+        |       CAST(greatest(floor(width *
+        |         least(224.0 / width, 224.0 / height, 1.0)), 1) AS BIGINT) AS out_w,
+        |       CAST(greatest(floor(height *
+        |         least(224.0 / width, 224.0 / height, 1.0)), 1) AS BIGINT) AS out_h
+        |FROM meta ORDER BY doc_id""".stripMargin))
+
+  /** Stub feature extraction: content-hash-derived embedding per media
+    * row (the mapInPandas-shaped plumbing with a deterministic
+    * projection standing in for the model).
+    */
+  private val qFeatures = {
+    val dim = 8
+    val feats = (0 until dim).map(j =>
+      s"round(CAST(${DuckSql.universalHash("chash", j)} AS DOUBLE) / ${TextHash.P}, 6)")
+      .mkString("[", ", ", "]")
+    QueryDef(
+      "q38_multimodal_features",
+      (s, dir) => Multimodal.features(
+          Multimodal.mediaFromDocuments(docs(s, dir)))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH h AS (
+           |  SELECT doc_id, ${DuckSql.polyHash("text")} AS chash FROM documents)
+           |SELECT doc_id, $feats AS features
+           |FROM h ORDER BY doc_id""".stripMargin))
+  }
+
   /** SRP-LSH bucket keys — the deterministic sublinear candidate
     * generator for embedding near-dup at corpus scale, oracle-checked
     * bit-for-bit (hyperplane signs are a fixed integer mix, dot products
@@ -451,6 +497,6 @@ object PipelineQueries {
     qDedupExact, qNgramJaccard, qMinhash, qSimhash, qEmbDup,
     qKnnBrute, qKnnIvf,
     qQuality, qLangId, qTokenCount, qFingerprint,
-    qMultimodalMeta, qFrameSample,
+    qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qIvfAssign, qComponents)
 }

@@ -35,4 +35,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.filter(col("frame_idx") >= col("n_frames")).count() == 0)
     assert(frames.filter(col("frame_idx") % 4 =!= 0).count() == 0)
   }
+
+  test("resize plan: aspect-preserving fit inside the box, never upscales") {
+    import org.apache.spark.sql.functions._
+    val plan = Multimodal.resizePlan(Multimodal.decodeMetaColumnar(media))
+    assert(plan.filter(col("out_w") > 224 || col("out_h") > 224).count() == 0)
+    assert(plan.filter(
+      col("out_w") > col("width") || col("out_h") > col("height")).count() == 0)
+    // aspect ratio preserved to rounding: out_w/out_h within 1 px of
+    // width/height scaled by the same factor
+    val bad = plan.filter(
+      abs(col("out_w") * col("height") - col("out_h") * col("width"))
+        > (col("width") + col("height"))).count()
+    assert(bad == 0)
+  }
+
+  test("batched resize agrees with the plan and truncates payload by area") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val resized = Multimodal.resizeBatched(media.as[Multimodal.MediaRow])
+      .collect().map(r => r.doc_id -> r).toMap
+    val plan = Multimodal.resizePlan(Multimodal.decodeMetaColumnar(media))
+      .collect()
+    plan.foreach { r =>
+      val got = resized(r.getLong(0))
+      assert(got.out_w == r.getLong(3) && got.out_h == r.getLong(4))
+      assert(got.blob.length >= 1)
+    }
+  }
+
+  test("features: dim-length vectors in [0,1), equal blobs collide, changed bytes diverge") {
+    import spark.implicits._
+    val df = Seq((0L, "same text"), (1L, "same text"), (2L, "same texU"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.features(Multimodal.mediaFromDocuments(df), dim = 8)
+      .orderBy("doc_id").collect().map(_.getSeq[Double](1))
+    assert(feats.forall(f => f.length == 8 && f.forall(x => x >= 0.0 && x < 1.0)))
+    assert(feats(0) == feats(1))
+    assert(feats(0) != feats(2))
+  }
 }
