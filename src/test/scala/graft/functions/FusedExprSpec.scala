@@ -45,6 +45,34 @@ class FusedExprSpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleHashes == composable pipeline on randomized whitespace-heavy strings") {
+    // property sweep: random texts over a hostile alphabet (letters,
+    // digits, every \s class char, empties, repeats) must agree with the
+    // interpreted pipeline bit-for-bit for several n
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alphabet = Gen.frequency(
+      (6, Gen.alphaNumChar),
+      (3, Gen.const(' ')),
+      (1, Gen.oneOf('\t', '\n', '', '\f', '\r')))
+    val textGen = Gen.chooseNum(0, 80)
+      .flatMap(len => Gen.stringOfN(len, alphabet))
+    val texts = (0 until 300).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val cmp = df
+        .withColumn("toks", TextHash.tokens(col("text")))
+        .withColumn("sh", TextHash.shingles("toks", n))
+        .withColumn("shh_ref", TextHash.shingleHashes("sh"))
+        .select(col("doc_id"), col("shh_ref"),
+          ShingleHashes(col("text"), n).as("shh_fused"))
+      assert(cmp.filter(col("shh_ref") =!= col("shh_fused")).count() == 0,
+        s"fused/composable divergence at n=$n")
+    }
+  }
+
   test("ShingleHashes == composable pipeline on the documents fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val cmp = docs
