@@ -54,7 +54,7 @@ class FusedExprSpec extends AnyFunSuite {
     val alphabet = Gen.frequency(
       (6, Gen.alphaNumChar),
       (3, Gen.const(' ')),
-      (1, Gen.oneOf('\t', '\n', '', '\f', '\r')))
+      (1, Gen.oneOf('\t', '\n', '\u000B', '\f', '\r')))
     val textGen = Gen.chooseNum(0, 80)
       .flatMap(len => Gen.stringOfN(len, alphabet))
     val texts = (0 until 300).flatMap(i =>
