@@ -53,15 +53,41 @@ object CoreQueries {
 
   // ------------------------------------------------------------- rounding
 
-  private val roundedCols = Seq("avg", "sum", "p50", "p90", "p99")
-
-  /** The engine aggregation with float-accumulating columns rounded for
-    * cross-engine hash stability.
+  /** The engine aggregation with float-accumulating columns made
+    * hash-comparable across engines: percentiles rounded to 6 decimals
+    * (their input order is SORTED, so they are already order-stable),
+    * while `avg`/`sum` are re-derived from an exact DECIMAL
+    * accumulation. Decimal addition is associative, so the result is
+    * independent of partition/summation order in BOTH engines — a plain
+    * double sum differs in the last ulp depending on order, which flips
+    * `round(x, 6)` whenever a bucket's value lands on a rounding
+    * boundary (observed at sf0.1: one onehour bucket's avg). The
+    * production path ([[Agg.aggregateSeconds]]) keeps reference-parity
+    * float semantics; only the cross-engine comparison quantizes.
     */
-  def aggRounded(incoming: DataFrame, seconds: Long): DataFrame =
-    roundedCols.foldLeft(Agg.aggregateSeconds(incoming, seconds)) {
-      (df, c) => df.withColumn(c, round(col(c), 6))
-    }
+  def aggRounded(incoming: DataFrame, seconds: Long): DataFrame = {
+    val base = Seq("p50", "p90", "p99")
+      .foldLeft(Agg.aggregateSeconds(incoming, seconds)) {
+        (df, c) => df.withColumn(c, round(col(c), 6))
+      }
+      .drop("avg", "sum")
+    val dec = incoming
+      .groupBy(col("path"), Agg.bucket(col("timestamp"), seconds).as("timestamp"))
+      .agg(
+        sum(col("value").cast("decimal(28,10)")).as("sum_dec"),
+        count(col("value")).as("nr"))
+      .select(col("path"), col("timestamp"),
+        round(col("sum_dec").cast(DoubleType) / col("nr"), 6).as("avg"),
+        round(col("sum_dec").cast(DoubleType), 6).as("sum"))
+    base.join(dec, Seq("path", "timestamp"))
+      .select(col("path"), col("timestamp"), col("n"), col("min"), col("max"),
+        col("avg"), col("sum"), col("p50"), col("p90"), col("p99"))
+  }
+
+  /** The order-proof avg/sum fragments of [[aggRounded]]'s DuckDB mirror. */
+  val avgSumSql: String =
+    """round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value), 6) AS "avg",
+      |       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS "sum",""".stripMargin
 
   /** DuckDB mirror of [[aggRounded]] as a CTE body over `incoming`. */
   def aggSql(seconds: Long): String =
@@ -70,8 +96,7 @@ object CoreQueries {
        |       CAST(count(value) AS DOUBLE) AS "n",
        |       min(value) AS "min",
        |       max(value) AS "max",
-       |       round(avg(value), 6) AS "avg",
-       |       round(sum(value), 6) AS "sum",
+       |       $avgSumSql
        |       round(quantile_cont(value, 0.5), 6) AS "p50",
        |       round(quantile_cont(value, 0.9), 6) AS "p90",
        |       round(quantile_cont(value, 0.99), 6) AS "p99"
@@ -214,9 +239,7 @@ object CoreQueries {
           .filter(col("timestamp") >= col("final_start") &&
             col("timestamp") < lit(finalEnd.toDouble))
           .select("path", "timestamp", "value")
-        roundedCols.foldLeft(Agg.aggregateSeconds(newFinals, 10)) {
-          (df, c) => df.withColumn(c, round(col(c), 6))
-        }.orderBy("path", "timestamp")
+        aggRounded(newFinals, 10).orderBy("path", "timestamp")
       },
       Some(
         s"""WITH $incomingCte,
@@ -236,8 +259,9 @@ object CoreQueries {
            |       CAST(count(a.value) AS DOUBLE) AS "n",
            |       min(a.value) AS "min",
            |       max(a.value) AS "max",
-           |       round(avg(a.value), 6) AS "avg",
-           |       round(sum(a.value), 6) AS "sum",
+           |       round(CAST(sum(CAST(a.value AS DECIMAL(28,10))) AS DOUBLE)
+           |             / count(a.value), 6) AS "avg",
+           |       round(CAST(sum(CAST(a.value AS DECIMAL(28,10))) AS DOUBLE), 6) AS "sum",
            |       round(quantile_cont(a.value, 0.5), 6) AS "p50",
            |       round(quantile_cont(a.value, 0.9), 6) AS "p90",
            |       round(quantile_cont(a.value, 0.99), 6) AS "p99"
