@@ -77,6 +77,13 @@ object Main {
       val udp = graft.streaming.UdpBridge.lines(spark, s"$root/udp-spool")
       val q = Ingest.start(tsdb, tcp.union(udp), interval,
         selfMetricPrefix = prefix)
+      // reference parity: SIGTERM drains and stops the daemon
+      // (daemon.py:236-241, signal_done -> DONE -> final process());
+      // stopping the query lets the in-flight micro-batch finish
+      sys.addShutdownHook {
+        try q.stop() catch { case _: Throwable => () }
+        bridge.close()
+      }
       try q.awaitTermination() finally bridge.close()
 
     case "compact" :: root :: rest =>
