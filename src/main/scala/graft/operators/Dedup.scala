@@ -308,8 +308,11 @@ object Dedup {
 
   /** One-representative-per-cluster keep-list: every doc not in any
     * near-dup pair survives; of each pair-connected component, only the
-    * min doc_id does. The join against the (tiny) non-keeper set is a
-    * broadcast anti-join — the corpus streams once.
+    * min doc_id does. Left-anti join against the non-keeper id set — no
+    * broadcast HINT on purpose: with a low dup rate AQE broadcasts it
+    * anyway, while a heavily-duplicated corpus (where non-keepers are a
+    * large fraction) falls back to a shuffled anti-join instead of
+    * OOMing the driver.
     */
   def keepers(
       docs: DataFrame,
@@ -319,7 +322,7 @@ object Dedup {
     val drop = components(pairs, aCol, bCol)
       .filter(col("doc_id") =!= col("component"))
       .select("doc_id")
-    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
   /** 32-bit SimHash of the distinct 3-gram shingle-hash set. Shingles,
