@@ -21,18 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Embeddings with the float vector cast to double once, repartitioned
-    * (single-file inputs otherwise put all vector math in one task) and
-    * with the L2 norm precomputed per vector — pairing operators then pay
-    * ONE dot product per pair instead of three.
+  /** Embeddings with the float vector cast to double once and the L2
+    * norm precomputed per vector — pairing operators then pay ONE dot
+    * product per pair instead of three. Repartitions ONLY when the
+    * input has fewer partitions than cores (tiny local fixtures would
+    * otherwise put all vector math in one task); at scale the scan's
+    * own partitioning is used as-is.
     */
   def asDouble(
       emb: DataFrame,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame =
-    emb.repartition(col(idCol))
+      idCol: String = "vec_id"): DataFrame = {
+    val cores = emb.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (emb.rdd.getNumPartitions >= cores) emb else emb.repartition(cores)
+    spread
       .withColumn("vec", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", norm("vec"))
+  }
 
   /** Strict left-to-right dot product of two double-array columns —
     * the codegen'd [[graft.functions.DotProduct]] Catalyst expression
