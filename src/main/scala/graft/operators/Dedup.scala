@@ -325,6 +325,53 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Benchmark decontamination: for every document, the benchmark item
+    * it shares the most n-gram shingles with (ties → min bench_id),
+    * reported when the overlap reaches `minShared` shingles — the
+    * standard n-gram-overlap contamination check a training corpus runs
+    * against its eval sets before training.
+    *
+    * Same scale mechanics as the dedup family: both sides shingle via
+    * the fused codegen expression, candidates come from an exploded
+    * join on the shingle hash (only longs cross the shuffle — and only
+    * for shingles that actually occur in a benchmark, so the corpus
+    * side collapses to its contaminated sliver immediately), overlap
+    * counts are map-side-combinable groupBy counts, and the per-doc
+    * argmax is one window over doc_id (unskewed key). The benchmark
+    * side is eval sets — thousands of rows, not corpus-scale.
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      bench: DataFrame,
+      minShared: Int = 3,
+      textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val dSh = shingled(docs, textCol, n)
+    val bSh = shingled(bench.withColumnRenamed("doc_id", "bench_id")
+        .select(col("bench_id").as("doc_id"), col(textCol)), textCol, n)
+      .select(col("doc_id").as("bench_id"), col("shh"))
+    Caching.withCached(dSh, bSh) {
+      val dEx = dSh.select(col("doc_id"), explode(col("shh")).as("h"))
+      val bEx = bSh.select(col("bench_id"), explode(col("shh")).as("h"))
+      val shared = dEx.join(bEx, Seq("h"))
+        .filter(col("doc_id") =!= col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+      val sizes = dSh.select(col("doc_id"), size(col("shh")).as("n_sh"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("shared").desc, col("bench_id"))
+      shared
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .join(sizes, Seq("doc_id"))
+        .select(col("doc_id"), col("bench_id"), col("shared"),
+          round(col("shared").cast(DoubleType) / col("n_sh"), 6)
+            .as("overlap_ratio"))
+    }
+  }
+
   /** 32-bit SimHash of the distinct 3-gram shingle-hash set. Shingles,
     * not unigram tokens: with a small vocabulary nearly all documents
     * share most tokens, collapsing unigram SimHashes together; 3-gram

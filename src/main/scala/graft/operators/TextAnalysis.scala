@@ -93,6 +93,30 @@ object TextAnalysis {
         .as("chars_per_token"))
   }
 
+  /** Deterministic stratified sampling — the data-mixing step of a
+    * training recipe: keep a row iff its id-hash's unit-interval value
+    * falls under its stratum's rate. Hash-based, no RNG: the sample is
+    * reproducible across runs, engines, executors, and cluster sizes
+    * (a `rand()`-based sample is none of those), and a stratum's
+    * sample is a SUBSET of any higher-rate sample of the same stratum,
+    * so mixing weights can be tuned without resampling churn. Pure
+    * narrow filter — no shuffle at any scale.
+    */
+  def stratifiedSample(
+      rows: DataFrame,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      idCol: String = "doc_id"): DataFrame = {
+    val P = TextHash.P
+    val u = (((col(idCol) % P) * lit(2654435761L)) % P).cast(DoubleType) / P
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
+      case ((stratum, r), els) =>
+        when(col(strataCol) === stratum, lit(r)).otherwise(els)
+    }
+    rows.filter(u < rate)
+  }
+
   /** Document fingerprinting: full-text polynomial rolling hash plus the
     * minimum 3-gram shingle hash (a 1-element winnowing sketch — at scale
     * the natural clustering / shard-routing key for near-dup detection).

@@ -272,22 +272,37 @@ object PipelineQueries {
            |FROM docs ORDER BY doc_id""".stripMargin))
   }
 
+  /** scored-languages CTE body + the tie-break pick expression, shared
+    * by q28 and the stratified-sampling oracle (q40). Mirrors
+    * TextAnalysis.languageId: first lang in order whose score >= all
+    * later langs.
+    */
+  private val langScoredCte: String = {
+    val scoreSelects = DuckSql.langScores
+      .map { case (l, e) => s"$e AS score_$l" }.mkString(",\n       ")
+    s"""scored AS (
+       |  SELECT doc_id,
+       |       $scoreSelects
+       |  FROM docs)""".stripMargin
+  }
+
+  private val langPickSql: String = {
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    def chain(rem: List[String]): String = rem match {
+      case last :: Nil => s"'$last'"
+      case l :: rest =>
+        val cond = rest.map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"CASE WHEN $cond THEN '$l' ELSE ${chain(rest)} END"
+      case Nil => sys.error("no langs")
+    }
+    chain(langs.toList)
+  }
+
   private val qLangId = {
     val langs = TextAnalysis.langMarkers.map(_._1)
     val scoreSelects = DuckSql.langScores
       .map { case (l, e) => s"$e AS score_$l" }.mkString(",\n       ")
-    // mirror TextAnalysis.languageId's tie-break: first lang in order
-    // whose score >= all later langs
-    val pick = {
-      def chain(rem: List[String]): String = rem match {
-        case last :: Nil => s"'$last'"
-        case l :: rest =>
-          val cond = rest.map(o => s"score_$l >= score_$o").mkString(" AND ")
-          s"CASE WHEN $cond THEN '$l' ELSE ${chain(rest)} END"
-        case Nil => sys.error("no langs")
-      }
-      chain(langs.toList)
-    }
+    val pick = langPickSql
     QueryDef(
       "q28_text_langid",
       (s, dir) => {
@@ -425,6 +440,64 @@ object PipelineQueries {
            |FROM h ORDER BY doc_id""".stripMargin))
   }
 
+  /** Benchmark decontamination: every 97th document stands in for an
+    * eval-set item; report each document's max-overlap benchmark at
+    * >= 3 shared 3-gram shingles.
+    */
+  private val qContamination = QueryDef(
+    "q39_decontaminate",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationReport(d, d.filter(col("doc_id") % 97 === 0),
+          minShared = 3)
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH ${DuckSql.docsCte},
+         |${DuckSql.shCte},
+         |dex AS (SELECT doc_id, unnest(shh) AS h FROM sh),
+         |bex AS (SELECT doc_id AS bench_id, unnest(shh) AS h FROM sh
+         |        WHERE doc_id % 97 = 0),
+         |shared AS (
+         |  SELECT d.doc_id, b.bench_id, count(*) AS shared
+         |  FROM dex d JOIN bex b ON d.h = b.h AND d.doc_id <> b.bench_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 3),
+         |sizes AS (SELECT doc_id, len(shh) AS n_sh FROM sh),
+         |best AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY shared DESC, bench_id) AS rk
+         |  FROM shared)
+         |SELECT b.doc_id, b.bench_id, b.shared,
+         |       round(b.shared::DOUBLE / s.n_sh, 6) AS overlap_ratio
+         |FROM best b JOIN sizes s ON b.doc_id = s.doc_id
+         |WHERE rk = 1
+         |ORDER BY b.doc_id""".stripMargin))
+
+  /** Deterministic stratified sampling keyed on the language stratum —
+    * the data-mixing step (downsample en to 0.3, fr to 0.7, keep the
+    * rest), hash-based so the sample is engine- and order-independent.
+    */
+  private val qSample = QueryDef(
+    "q40_stratified_sample",
+    (s, dir) => {
+      val lang = TextAnalysis.languageId(docs(s, dir))
+        .select(col("doc_id"), col("lang_pred"))
+      TextAnalysis.stratifiedSample(lang, "lang_pred",
+          Map("en" -> 0.3, "fr" -> 0.7))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH ${DuckSql.docsCte},
+         |$langScoredCte,
+         |pick AS (SELECT doc_id, $langPickSql AS lang_pred FROM scored)
+         |SELECT doc_id, lang_pred FROM pick
+         |WHERE CAST(((doc_id % ${TextHash.P}) * 2654435761) % ${TextHash.P}
+         |        AS DOUBLE) / ${TextHash.P}
+         |      < (CASE WHEN lang_pred = 'en' THEN 0.3
+         |              WHEN lang_pred = 'fr' THEN 0.7 ELSE 1.0 END)
+         |ORDER BY doc_id""".stripMargin))
+
   /** SRP-LSH bucket keys — the deterministic sublinear candidate
     * generator for embedding near-dup at corpus scale, oracle-checked
     * bit-for-bit (hyperplane signs are a fixed integer mix, dot products
@@ -498,5 +571,5 @@ object PipelineQueries {
     qKnnBrute, qKnnIvf,
     qQuality, qLangId, qTokenCount, qFingerprint,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
-    qSrp, qSrpDup, qIvfAssign, qComponents)
+    qSrp, qSrpDup, qIvfAssign, qComponents, qContamination, qSample)
 }

@@ -60,6 +60,23 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L, 5L)) // 4 untouched by any pair; 1 and 5 are cluster minima
   }
 
+  test("contamination report: max-overlap benchmark per doc, self excluded") {
+    val corpus = Seq(
+      (1L, a),       // shares everything with bench doc 10 (identical)
+      (2L, aNear),   // shares most shingles with 10
+      (3L, b)        // unrelated
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, a), (11L, b)).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(corpus, bench, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // doc 1 fully contaminated by 10; doc 2 near-dup of 10; doc 3 hits
+    // bench 11 (identical text)
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 10L), (2L, 10L), (3L, 11L)))
+    val full = Dedup.contaminationReport(corpus, bench, minShared = 3)
+      .filter($"doc_id" === 1L).head()
+    assert(full.getDouble(3) == 1.0) // identical text -> overlap_ratio 1
+  }
+
   test("heavy shingles pair via their anchor, and similarity stays exact") {
     // 'x y z' has df=2 > cap=1 -> heavy, star-paired through anchor doc 0;
     // the reported jaccard still counts it exactly: 1 shared / 7 union.

@@ -48,4 +48,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
     assert(fp(1L)._1 != fp(1L)._2)
   }
+
+  test("stratified sample: deterministic, rate-monotone, rate-respecting") {
+    val rows = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "stratum")
+    def ids(rates: Map[String, Double]): Set[Long] =
+      TextAnalysis.stratifiedSample(rows, "stratum", rates)
+        .collect().map(_.getLong(0)).toSet
+    val half = ids(Map("en" -> 0.5, "fr" -> 1.0))
+    // deterministic: same call, same sample
+    assert(half == ids(Map("en" -> 0.5, "fr" -> 1.0)))
+    // all fr rows kept; en rows downsampled to ~half
+    assert(half.count(_ % 2 == 1) == 1000)
+    val enKept = half.count(_ % 2 == 0)
+    assert(enKept > 400 && enKept < 600, s"en kept $enKept of 1000 at 0.5")
+    // monotone: the 0.25 sample is a subset of the 0.5 sample
+    val quarter = ids(Map("en" -> 0.25, "fr" -> 1.0))
+    assert(quarter.filter(_ % 2 == 0).subsetOf(half.filter(_ % 2 == 0)))
+    // unknown strata fall back to defaultRate
+    val none = TextAnalysis.stratifiedSample(rows, "stratum",
+      Map.empty, defaultRate = 0.0).count()
+    assert(none == 0)
+  }
 }
