@@ -55,6 +55,47 @@ object Graph {
   def nonBlank(metrics: Seq[MetricSpec]): Seq[MetricSpec] =
     metrics.filter(_.name.trim.nonEmpty)
 
+  /** The parsed /graph request: everything the route extracts from its
+    * query string before rendering (app/__init__.py:170-197).
+    */
+  final case class GraphRequest(
+      metrics: Seq[MetricSpec],
+      interval: (Double, Double),
+      title: Option[String],
+      label: Option[String],
+      points: Boolean)
+
+  /** Parse a flat query-string map the way the /graph route does:
+    * [[Flat.unflatten]] rebuilds `metrics.N.name/period/stat` into the
+    * metric list (blank names dropped), start/end parse via
+    * [[Datetimes.parse]] with the default last-hour window ending at
+    * `now` truncated to the minute, and `points` is truthy-string
+    * (app/__init__.py:172-196). A thin HTTP layer need only call this
+    * and [[graphData]].
+    */
+  def parseRequest(query: Map[String, String], now: Double): GraphRequest = {
+    val nested = Flat.unflatten(query) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty[String, Any]
+    }
+    val metrics = nested.getOrElse("metrics", Seq.empty) match {
+      case s: Seq[_] => s.collect { case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, String]]
+        MetricSpec(mm.getOrElse("name", ""), mm.getOrElse("period", ""),
+          mm.getOrElse("stat", ""))
+      }
+      case _ => Seq.empty[MetricSpec]
+    }
+    val (defStart, defEnd) = Datetimes.defaultInterval(now)
+    GraphRequest(
+      nonBlank(metrics),
+      (query.get("start").map(Datetimes.parse).getOrElse(defStart),
+        query.get("end").map(Datetimes.parse).getOrElse(defEnd)),
+      query.get("title"),
+      query.get("label"),
+      points = query.get("points").exists(_.nonEmpty))
+  }
+
   /** Prepare every requested series for plotting. */
   def graphData(
       tsdb: Tsdb,

@@ -48,6 +48,23 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1) == Series("nosuch", Seq(0.0), Seq(Some(0.0))))
   }
 
+  test("parseRequest: query string -> metrics, window, flags (the /graph route)") {
+    val q = Map(
+      "metrics.0.name" -> "one", "metrics.0.period" -> "tensecond",
+      "metrics.0.stat" -> "avg",
+      "metrics.1.name" -> "  ", "metrics.1.period" -> "tensecond",
+      "metrics.1.stat" -> "max",
+      "start" -> "100", "title" -> "t", "points" -> "1")
+    val r = Graph.parseRequest(q, now = 7325.0)
+    assert(r.metrics == Seq(MetricSpec("one", "tensecond", "avg"))) // blank dropped
+    assert(r.interval == (100.0, 7320.0)) // explicit start, default end = minute-truncated now
+    assert(r.title.contains("t") && r.label.isEmpty && r.points)
+
+    val defaults = Graph.parseRequest(Map.empty, now = 7325.0)
+    assert(defaults.interval == (3720.0, 7320.0)) // last hour
+    assert(defaults.metrics.isEmpty && !defaults.points)
+  }
+
   test("shortNames keeps varying positions, position 0 when all equal") {
     // app/__init__.py:72-82
     assert(Graph.shortNames(Seq(
