@@ -222,6 +222,35 @@ object Similarity {
     }
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the serving-side
+    * compression step of an ANN index (4× smaller than float32, 8×
+    * smaller than the double pipeline): `scale = max|x| / 127`,
+    * `q_i = round(x_i / scale)` ∈ [−127, 127], plus the max absolute
+    * reconstruction error per vector so a recall budget can be checked
+    * offline. Pure per-row arithmetic (no shuffle); every step is a
+    * fixed expression tree over the same doubles in any engine, so the
+    * output is bit-reproducible and oracle-checkable. All-zero vectors
+    * quantize to zeros with scale 0.
+    */
+  def quantizeInt8(
+      emb: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    asDouble(emb, vecCol, idCol)
+      .withColumn("scale",
+        expr("aggregate(vec, 0D, (m, x) -> greatest(m, abs(x)))") / 127.0)
+      .select(
+        col(idCol),
+        round(col("scale"), 6).as("scale"),
+        expr("CASE WHEN scale = 0D THEN transform(vec, x -> 0) " +
+          "ELSE transform(vec, x -> CAST(round(x / scale, 0) AS INT)) END")
+          .as("qvec"),
+        round(expr(
+          "CASE WHEN scale = 0D THEN 0D ELSE " +
+            "aggregate(zip_with(vec, transform(vec, x -> round(x / scale, 0)), " +
+            "(x, q) -> abs(q * scale - x)), 0D, (m, e) -> greatest(m, e)) END"), 6)
+          .as("max_abs_err"))
+
   /** Signed-random-projection LSH bucket key (`nBits` sign bits) with a
     * deterministic ±1 hyperplane pattern, portable across engines —
     * computed by the codegen'd [[graft.functions.SrpKey]] expression

@@ -546,6 +546,29 @@ object PipelineQueries {
            |ORDER BY vec_a, vec_b""".stripMargin))
   }
 
+  /** int8 scalar quantization of the embedding corpus — the ANN
+    * serving-side compression with its per-vector reconstruction-error
+    * bound.
+    */
+  private val qQuantize = QueryDef(
+    "q41_embedding_quantize",
+    (s, dir) => Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id"),
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |s AS (
+         |  SELECT vec_id, vec,
+         |         list_max(list_transform(vec, x -> abs(x))) / 127 AS scale_raw
+         |  FROM e)
+         |SELECT vec_id, round(scale_raw, 6) AS scale,
+         |       CASE WHEN scale_raw = 0 THEN list_transform(vec, x -> 0)
+         |            ELSE list_transform(vec, x -> CAST(round(x / scale_raw) AS INT))
+         |       END AS qvec,
+         |       round(CASE WHEN scale_raw = 0 THEN 0 ELSE
+         |         list_max(list_transform(vec,
+         |           x -> abs(round(x / scale_raw) * scale_raw - x))) END, 6)
+         |         AS max_abs_err
+         |FROM s ORDER BY vec_id""".stripMargin))
+
   /** IVF coarse assignment — every vector's nearest deterministic
     * centroid (the clustering/partition key of the scale path).
     */
@@ -571,5 +594,6 @@ object PipelineQueries {
     qKnnBrute, qKnnIvf,
     qQuality, qLangId, qTokenCount, qFingerprint,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
-    qSrp, qSrpDup, qIvfAssign, qComponents, qContamination, qSample)
+    qSrp, qSrpDup, qIvfAssign, qComponents, qContamination, qSample,
+    qQuantize)
 }

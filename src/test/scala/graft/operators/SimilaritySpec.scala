@@ -62,6 +62,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(buckets(0L) != buckets(2L))
   }
 
+  test("int8 quantization: values in [-127,127], reconstruction within scale/2") {
+    val df = Seq(
+      (0L, Seq(1.0f, -0.5f, 0.25f, -1.27f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df).orderBy("vec_id").collect()
+    val q0 = got(0).getSeq[Int](2)
+    assert(q0.forall(q => q >= -127 && q <= 127))
+    assert(q0.exists(_ == 127) || q0.exists(_ == -127)) // max dim saturates
+    assert(got(0).getDouble(3) <= got(0).getDouble(1) / 2 + 1e-9) // err <= scale/2
+    assert(got(1).getDouble(1) == 0.0 && got(1).getSeq[Int](2).forall(_ == 0))
+  }
+
   test("IVF-partitioned layout: probe prunes to the queries' partitions, " +
     "results identical to ivfKnn") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
