@@ -117,6 +117,57 @@ object TextAnalysis {
     rows.filter(u < rate)
   }
 
+  /** Sequence-packing plan — pretraining's concat-and-chunk step: lay
+    * the corpus out as one token stream in doc_id order and cut it into
+    * fixed `ctxTokens` context windows; each document learns its global
+    * token offset and the first/last chunk it lands in.
+    *
+    * The global running sum is computed SCALABLY, not with a
+    * single-partition window: range-partition + sort by doc_id, one
+    * pass collecting per-partition token totals (one long per partition
+    * to the driver), prefix those into partition offsets, then a second
+    * per-partition pass assigns exact global offsets. This is the
+    * standard two-pass distributed prefix sum — the one place the
+    * engine drops to RDD `mapPartitionsWithIndex`, because a running
+    * total over a global order is genuinely per-partition imperative
+    * logic (`Window.orderBy` without partitioning moves the corpus to
+    * ONE task). Output is independent of the partition count: only the
+    * doc_id order defines the stream.
+    */
+  def packPlan(
+      docs: DataFrame,
+      ctxTokens: Int = 2048,
+      textCol: String = "text"): DataFrame = {
+    require(ctxTokens > 0, "ctxTokens must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = withTokens(docs, textCol)
+      .select(col("doc_id").cast("long"), size(col("toks")).cast("long"))
+      .as[(Long, Long)]
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val ranged = toks.repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val perPartition = ranged.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(s += _._2)
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = perPartition.scanLeft(0L)(_ + _)
+    val ctx = ctxTokens.toLong
+    val out = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { case (id, n) =>
+        val start = run
+        run += n
+        (id, n, start, start / ctx, (start + math.max(n, 1L) - 1L) / ctx)
+      }
+    }
+    spark.createDataset(out)
+      .toDF("doc_id", "n_tok", "start_offset", "start_chunk", "end_chunk")
+  }
+
   /** Document fingerprinting: full-text polynomial rolling hash plus the
     * minimum 3-gram shingle hash (a 1-element winnowing sketch — at scale
     * the natural clustering / shard-routing key for near-dup detection).

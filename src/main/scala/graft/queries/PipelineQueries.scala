@@ -546,6 +546,28 @@ object PipelineQueries {
            |ORDER BY vec_a, vec_b""".stripMargin))
   }
 
+  /** Sequence packing: the corpus as one token stream cut into 2048-token
+    * context windows (distributed two-pass prefix sum on the Spark side;
+    * a plain cumulative window in the oracle — same arithmetic).
+    */
+  private val qPack = QueryDef(
+    "q42_sequence_pack",
+    (s, dir) => TextAnalysis.packPlan(docs(s, dir), ctxTokens = 2048)
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH ${DuckSql.docsCte},
+         |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM docs),
+         |c AS (
+         |  SELECT doc_id, n_tok,
+         |         COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS start_offset
+         |  FROM t)
+         |SELECT doc_id, n_tok, start_offset,
+         |       start_offset // 2048 AS start_chunk,
+         |       (start_offset + greatest(n_tok, 1) - 1) // 2048 AS end_chunk
+         |FROM c ORDER BY doc_id""".stripMargin))
+
   /** int8 scalar quantization of the embedding corpus — the ANN
     * serving-side compression with its per-vector reconstruction-error
     * bound.
@@ -595,5 +617,5 @@ object PipelineQueries {
     qQuality, qLangId, qTokenCount, qFingerprint,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qIvfAssign, qComponents, qContamination, qSample,
-    qQuantize)
+    qQuantize, qPack)
 }

@@ -49,6 +49,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(1L)._1 != fp(1L)._2)
   }
 
+  test("pack plan: contiguous offsets in doc_id order, chunk math, partition-count invariant") {
+    val df = (0L until 100L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packPlan(df, ctxTokens = 16).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // offsets are the exclusive prefix sum of token counts in id order
+    var run = 0L
+    got.foreach { case (id, n, start, sc, ec) =>
+      assert(start == run, s"doc $id offset")
+      assert(n == id % 7 + 1)
+      assert(sc == start / 16 && ec == (start + n - 1) / 16)
+      run += n
+    }
+    // invariant under partition count: single-partition input gives the
+    // same plan (only doc_id order defines the stream)
+    val one = TextAnalysis.packPlan(df.coalesce(1), ctxTokens = 16)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(one.toSeq == got.map(t => (t._1, t._3)).toSeq)
+  }
+
   test("stratified sample: deterministic, rate-monotone, rate-respecting") {
     val rows = (0L until 2000L).map(i =>
       (i, if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "stratum")
