@@ -79,7 +79,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
     val totalMedian = results.collect { case (_, (_, md)) if md >= 0 => md }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"total_median":$totalMedian,"medians":$meds,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_n","n":$n,"queries":$qs,"total_median":$totalMedian,"medians":$meds,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

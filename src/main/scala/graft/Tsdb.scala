@@ -287,11 +287,11 @@ final class Tsdb(
     * grows a day's partition to ~8640 files at a 10 s cadence — this is
     * the periodic maintenance job that bounds it (the companion to
     * [[sync]]'s append-only write path). Each oversized day is rewritten
-    * to ~`targetBytes` files and swapped in with the same
-    * delete-and-rename used by retention's boundary-day rewrite; run it
-    * under the same single-writer lock as sync. Day partitions are
-    * independent, so the work is O(oversized days) driver-side listings
-    * plus one bounded Spark job per oversized day.
+    * to ~`targetBytes` files which replace exactly the input files read
+    * (see [[compactTable]] — concurrent appends to the same day are
+    * never touched); run it under the same single-writer lock as sync.
+    * Day partitions are independent, so the work is O(oversized days)
+    * driver-side listings plus one bounded Spark job per oversized day.
     */
   def compact(
       maxFilesPerDay: Int = 16,
@@ -303,6 +303,18 @@ final class Tsdb(
         compactTable(periodPath(p), TsdbSchema.aggregate, maxFilesPerDay, targetBytes))
   }
 
+  /** Compact one table's oversized day partitions. Concurrent-append
+    * safe: the rewrite reads an EXPLICIT file list and deletes exactly
+    * those files afterwards — a daemon appending a new file to the same
+    * day between the listing and the delete is never touched (the day
+    * DIRECTORY is never deleted or renamed). Every delete/rename result
+    * is checked: Hadoop FileSystems report most failures through the
+    * return value, and ignoring one here could lose a day of data. A
+    * crash between moving the rewritten files in and deleting the
+    * inputs leaves duplicates VISIBLE (never a gap); re-running compact
+    * under the same single-writer lock after restoring from the
+    * leftover `_compact_day=` dir is the documented recovery.
+    */
   private def compactTable(
       tableRoot: String,
       schema: StructType,
@@ -318,12 +330,25 @@ final class Tsdb(
           val day = st.getPath.getName.stripPrefix("day=")
           val nOut = math.max(1L,
             (parts.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
-          val tmp = s"$tableRoot/_compact_day=$day"
-          spark.read.schema(schema).parquet(st.getPath.toString)
+          val tmp = new Path(s"$tableRoot/_compact_day=$day")
+          spark.read.schema(schema)
+            .parquet(parts.map(_.getPath.toString): _*)
             .coalesce(nOut)
-            .write.mode("overwrite").parquet(tmp)
-          f.delete(st.getPath, true)
-          f.rename(new Path(tmp), st.getPath)
+            .write.mode("overwrite").parquet(tmp.toString)
+          // move the rewritten files into the live dir (Spark part-file
+          // names embed a job UUID, so they never collide), THEN delete
+          // exactly the inputs that were read
+          f.listStatus(tmp)
+            .filter(_.getPath.getName.endsWith(".parquet")).foreach { nf =>
+              val dst = new Path(st.getPath, nf.getPath.getName)
+              require(f.rename(nf.getPath, dst),
+                s"compact: rename ${nf.getPath} -> $dst failed")
+            }
+          parts.foreach { p =>
+            require(f.delete(p.getPath, false),
+              s"compact: delete of input ${p.getPath} failed")
+          }
+          f.delete(tmp, true)
         }
       }
   }

@@ -96,11 +96,16 @@ object Graph {
       points = query.get("points").exists(_.nonEmpty))
   }
 
-  /** Prepare every requested series for plotting. */
+  /** Prepare every requested series for plotting. An empty metric list
+    * yields an empty graph (no series) — [[parseRequest]] legitimately
+    * produces it for a bare /graph request, and a 500 (what the
+    * reference does via make_short_names' tuples[0]) helps nobody.
+    */
   def graphData(
       tsdb: Tsdb,
       metrics: Seq[MetricSpec],
       interval: (Double, Double)): Seq[Series] = {
+    if (metrics.isEmpty) return Seq.empty
     val labels = shortNames(metrics.map(m => Seq(m.name, m.period, m.stat)))
     metrics.zip(labels).map { case (m, label) =>
       val rows = tsdb.getMetric(m.name, m.period, m.stat, interval).collect()

@@ -275,13 +275,17 @@ object Dedup {
     * corpus — and rounds are bounded by the cluster diameter, which for
     * near-dup graphs (dense clusters, star-pair anchors) is tiny. Each
     * round's labels are checkpointed so lineage stays flat. The driver
-    * sees only per-round change COUNTS, never data.
+    * sees only per-round change COUNTS, never data. `maxRounds` is a
+    * runaway backstop, deliberately FAILING LOUDLY: labels truncated
+    * mid-propagation would silently split one component into several,
+    * and a >200-hop chain means the input graph is degenerate, not that
+    * a partial answer should ship.
     */
   def components(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 200): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true)
@@ -339,13 +343,20 @@ object Dedup {
     * counts are map-side-combinable groupBy counts, and the per-doc
     * argmax is one window over doc_id (unskewed key). The benchmark
     * side is eval sets — thousands of rows, not corpus-scale.
+    *
+    * @param excludeSameId drop pairs whose ids coincide — ONLY for the
+    *   case where `bench` is a subset of `docs` itself (a document is
+    *   trivially "contaminated" by its own row). Leave false for a real
+    *   eval-set table: its id space is independent of the corpus, and a
+    *   numeric coincidence must not suppress a genuine match.
     */
   def contaminationReport(
       docs: DataFrame,
       bench: DataFrame,
       minShared: Int = 3,
       textCol: String = "text",
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      excludeSameId: Boolean = false): DataFrame = {
     val dSh = shingled(docs, textCol, n)
     val bSh = shingled(bench.withColumnRenamed("doc_id", "bench_id")
         .select(col("bench_id").as("doc_id"), col(textCol)), textCol, n)
@@ -353,8 +364,10 @@ object Dedup {
     Caching.withCached(dSh, bSh) {
       val dEx = dSh.select(col("doc_id"), explode(col("shh")).as("h"))
       val bEx = bSh.select(col("bench_id"), explode(col("shh")).as("h"))
-      val shared = dEx.join(bEx, Seq("h"))
-        .filter(col("doc_id") =!= col("bench_id"))
+      val joined = dEx.join(bEx, Seq("h"))
+      val shared = (if (excludeSameId)
+          joined.filter(col("doc_id") =!= col("bench_id"))
+        else joined)
         .groupBy("doc_id", "bench_id")
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= minShared)

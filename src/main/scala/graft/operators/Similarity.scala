@@ -155,9 +155,12 @@ object Similarity {
     * centroid (`centroid_id` as the parquet partition column, with the
     * vector, its norm, and the id inside). This is the layout the 100 TB
     * probe path reads — a query touches only its centroid's directory,
-    * pruned BEFORE any file is listed. Centroid ids are ints (≤
-    * `centroidK`), matching parquet partition-column type inference so
-    * probe predicates prune without casts.
+    * pruned BEFORE any file is listed. The partition value is the
+    * centroid's id as a PREFIXED STRING (`c<id>`): centroid ids are
+    * arbitrary vec_ids, so a numeric partition column would be exposed
+    * to partition-type inference (int for small fixtures, long for
+    * 64-bit ids — schema instability) and, under a narrowing cast, to
+    * overflow; string equality predicates prune identically.
     */
   def writeIvfPartitioned(
       emb: DataFrame,
@@ -166,7 +169,7 @@ object Similarity {
       idCol: String = "vec_id"): Unit =
     ivfAssign(emb, centroidK, idCol)
       .select(col(idCol), col("vec"), col("nrm"),
-        col("centroid_id").cast("int").as("centroid_id"))
+        concat(lit("c"), col("centroid_id")).as("centroid_id"))
       .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
 
   /** Probe-1 ANN top-k over an [[writeIvfPartitioned]] layout: resolve
@@ -186,8 +189,8 @@ object Similarity {
     val queries = corpus.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col("centroid_id"),
         col("vec").as("vec_q"), col("nrm").as("nrm_q"))
-    val probed: Seq[Int] = queries.select("centroid_id").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val probed: Seq[String] = queries.select("centroid_id").distinct()
+      .collect().map(_.getString(0)).toSeq
     val scored = corpus
       .filter(col("centroid_id").isInCollection(probed)) // partition prune
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
@@ -230,7 +233,10 @@ object Similarity {
     * offline. Pure per-row arithmetic (no shuffle); every step is a
     * fixed expression tree over the same doubles in any engine, so the
     * output is bit-reproducible and oracle-checkable. All-zero vectors
-    * quantize to zeros with scale 0.
+    * quantize to zeros with scale 0. The emitted scale is the FULL
+    * double — the one the q values and the error bound were computed
+    * with; a rounded scale would let reconstruction error exceed
+    * `max_abs_err` by up to 127·|Δscale|.
     */
   def quantizeInt8(
       emb: DataFrame,
@@ -241,7 +247,7 @@ object Similarity {
         expr("aggregate(vec, 0D, (m, x) -> greatest(m, abs(x)))") / 127.0)
       .select(
         col(idCol),
-        round(col("scale"), 6).as("scale"),
+        col("scale"),
         expr("CASE WHEN scale = 0D THEN transform(vec, x -> 0) " +
           "ELSE transform(vec, x -> CAST(round(x / scale, 0) AS INT)) END")
           .as("qvec"),

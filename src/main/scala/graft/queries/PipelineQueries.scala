@@ -449,7 +449,7 @@ object PipelineQueries {
     (s, dir) => {
       val d = docs(s, dir)
       Dedup.contaminationReport(d, d.filter(col("doc_id") % 97 === 0),
-          minShared = 3)
+          minShared = 3, excludeSameId = true) // bench IS a docs subset here
         .orderBy("doc_id")
     },
     Some(
@@ -581,7 +581,7 @@ object PipelineQueries {
          |  SELECT vec_id, vec,
          |         list_max(list_transform(vec, x -> abs(x))) / 127 AS scale_raw
          |  FROM e)
-         |SELECT vec_id, round(scale_raw, 6) AS scale,
+         |SELECT vec_id, scale_raw AS scale,
          |       CASE WHEN scale_raw = 0 THEN list_transform(vec, x -> 0)
          |            ELSE list_transform(vec, x -> CAST(round(x / scale_raw) AS INT))
          |       END AS qvec,

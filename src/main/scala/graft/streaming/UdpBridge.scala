@@ -36,6 +36,10 @@ final class UdpBridge(
 
   private val socket = new DatagramSocket(new InetSocketAddress(host, port))
   private val seq = new AtomicLong(0L)
+  // per-instance prefix: a restarted bridge must never reuse a previous
+  // instance's filenames (the rename would silently replace a spooled,
+  // possibly not-yet-ingested datagram)
+  private val instanceId = java.lang.Long.toHexString(System.nanoTime())
   @volatile private var running = true
 
   Files.createDirectories(Paths.get(spoolDir))
@@ -58,15 +62,24 @@ final class UdpBridge(
         spool(new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8))
       } catch {
         case _: SocketException if !running => () // closed during shutdown
+        case e: Throwable =>
+          // a transient failure (disk full, fs hiccup) must not kill the
+          // receiver thread — the socket would stay bound and every
+          // subsequent datagram would vanish silently. Log, back off,
+          // keep receiving; the datagram that hit the failure is lost
+          // (UDP semantics the sender already accepts).
+          System.err.println(s"[udp-bridge] dropping datagram: $e")
+          Thread.sleep(100)
       }
     }
   }
 
   private def spool(payload: String): Unit = {
     val n = seq.getAndIncrement()
-    val tmp = Paths.get(spoolDir, s".tmp-$n")
+    val tmp = Paths.get(spoolDir, s".tmp-$instanceId-$n")
     Files.writeString(tmp, payload)
-    Files.move(tmp, Paths.get(spoolDir, f"datagram-$n%012d.txt"),
+    Files.move(tmp,
+      Paths.get(spoolDir, f"datagram-$instanceId%s-$n%012d.txt"),
       StandardCopyOption.ATOMIC_MOVE)
   }
 
@@ -80,8 +93,12 @@ final class UdpBridge(
 object UdpBridge {
 
   /** The spool directory as a streaming line DataFrame (column `value`),
-    * ready for [[Ingest.start]].
+    * ready for [[Ingest.start]]. Processed spool files are deleted by
+    * the file source (`cleanSource`), bounding both the directory and
+    * the source's seen-file log under an always-on daemon.
     */
   def lines(spark: SparkSession, spoolDir: String): DataFrame =
-    spark.readStream.text(spoolDir)
+    spark.readStream
+      .option("cleanSource", "delete")
+      .text(spoolDir)
 }

@@ -75,6 +75,16 @@ class DedupSpec extends AnyFunSuite {
     val full = Dedup.contaminationReport(corpus, bench, minShared = 3)
       .filter($"doc_id" === 1L).head()
     assert(full.getDouble(3) == 1.0) // identical text -> overlap_ratio 1
+
+    // independent id spaces: a numeric coincidence must NOT suppress a
+    // genuine match (default excludeSameId = false)...
+    val coincide = Seq((10L, a)).toDF("doc_id", "text")
+    val hit = Dedup.contaminationReport(coincide, bench, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hit == Seq((10L, 10L)))
+    // ...while the bench-is-a-subset-of-docs case opts into exclusion
+    assert(Dedup.contaminationReport(coincide, coincide, minShared = 3,
+      excludeSameId = true).count() == 0)
   }
 
   test("heavy shingles pair via their anchor, and similarity stays exact") {
