@@ -304,16 +304,27 @@ final class Tsdb(
   }
 
   /** Compact one table's oversized day partitions. Concurrent-append
-    * safe: the rewrite reads an EXPLICIT file list and deletes exactly
-    * those files afterwards — a daemon appending a new file to the same
-    * day between the listing and the delete is never touched (the day
-    * DIRECTORY is never deleted or renamed). Every delete/rename result
-    * is checked: Hadoop FileSystems report most failures through the
-    * return value, and ignoring one here could lose a day of data. A
-    * crash between moving the rewritten files in and deleting the
-    * inputs leaves duplicates VISIBLE (never a gap); re-running compact
-    * under the same single-writer lock after restoring from the
-    * leftover `_compact_day=` dir is the documented recovery.
+    * safe: the rewrite reads an EXPLICIT file list and replaces exactly
+    * those files — a daemon appending a new file to the same day during
+    * the compaction is never touched (the day DIRECTORY is never
+    * deleted or renamed). Every delete/rename result is checked (Hadoop
+    * FileSystems report most failures through the return value).
+    *
+    * Crash safety via a manifest protocol — per oversized day:
+    *   1. write the compacted files + a `_MANIFEST` of the input paths
+    *      into `_compact_day=N` (invisible to readers);
+    *   2. delete the manifest's input files;
+    *   3. move the compacted files into the live day dir;
+    *   4. delete the tmp dir.
+    * [[recoverCompact]] runs first on every compact() and classifies a
+    * leftover tmp by its manifest: all inputs still present ⇒ crashed
+    * before (2), discard the tmp; otherwise ⇒ crashed during/after
+    * (2), finish the deletes and complete the move. Data therefore
+    * comes from EITHER the inputs or the rewrite, never both (no
+    * crash state yields duplicates), and no state loses rows. Readers
+    * between (2) and (3) see the day partially missing — compact runs
+    * under the single-writer lock and the window is one directory
+    * rename wide.
     */
   private def compactTable(
       tableRoot: String,
@@ -322,6 +333,9 @@ final class Tsdb(
       targetBytes: Long): Unit = {
     val f = fs(tableRoot)
     if (!f.exists(new Path(tableRoot))) return
+    f.listStatus(new Path(tableRoot))
+      .filter(_.getPath.getName.startsWith("_compact_day="))
+      .foreach(t => recoverCompact(f, tableRoot, t.getPath))
     f.listStatus(new Path(tableRoot))
       .filter(_.getPath.getName.startsWith("day=")).foreach { st =>
         val parts = f.listStatus(st.getPath)
@@ -335,22 +349,65 @@ final class Tsdb(
             .parquet(parts.map(_.getPath.toString): _*)
             .coalesce(nOut)
             .write.mode("overwrite").parquet(tmp.toString)
-          // move the rewritten files into the live dir (Spark part-file
-          // names embed a job UUID, so they never collide), THEN delete
-          // exactly the inputs that were read
-          f.listStatus(tmp)
-            .filter(_.getPath.getName.endsWith(".parquet")).foreach { nf =>
-              val dst = new Path(st.getPath, nf.getPath.getName)
-              require(f.rename(nf.getPath, dst),
-                s"compact: rename ${nf.getPath} -> $dst failed")
-            }
+          val manifest = new Path(tmp, "_MANIFEST")
+          val out = f.create(manifest, true)
+          try out.write(parts.map(_.getPath.toString).mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
           parts.foreach { p =>
             require(f.delete(p.getPath, false),
               s"compact: delete of input ${p.getPath} failed")
           }
-          f.delete(tmp, true)
+          moveCompactedIn(f, tmp, st.getPath)
         }
       }
+  }
+
+  /** Move a tmp dir's compacted parquet files into the live day dir
+    * (Spark part-file names embed a job UUID — no collisions), then
+    * drop the tmp dir.
+    */
+  private def moveCompactedIn(
+      f: org.apache.hadoop.fs.FileSystem, tmp: Path, dayDir: Path): Unit = {
+    f.mkdirs(dayDir) // idempotent; the move target must exist
+    f.listStatus(tmp)
+      .filter(_.getPath.getName.endsWith(".parquet")).foreach { nf =>
+        val dst = new Path(dayDir, nf.getPath.getName)
+        require(f.rename(nf.getPath, dst),
+          s"compact: rename ${nf.getPath} -> $dst failed")
+      }
+    require(f.delete(tmp, true), s"compact: cleanup of $tmp failed")
+  }
+
+  /** Finish or discard a crashed compaction (see [[compactTable]]). */
+  private def recoverCompact(
+      f: org.apache.hadoop.fs.FileSystem, tableRoot: String, tmp: Path): Unit = {
+    val manifest = new Path(tmp, "_MANIFEST")
+    if (!f.exists(manifest)) {
+      // crashed before the manifest was durable: inputs are intact,
+      // the rewrite may be partial — discard it
+      require(f.delete(tmp, true), s"compact: cleanup of $tmp failed")
+      return
+    }
+    val len = f.getFileStatus(manifest).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = f.open(manifest)
+    try in.readFully(0, buf) finally in.close()
+    val inputs = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map(new Path(_))
+    val present = inputs.filter(f.exists(_))
+    if (present.size == inputs.size) {
+      // crashed after writing the rewrite but before any delete: the
+      // inputs are complete, so the rewrite is redundant — discard it
+      require(f.delete(tmp, true), s"compact: cleanup of $tmp failed")
+    } else {
+      // deletes started: the rewrite is the source of truth — finish
+      // the deletes and complete the move
+      present.foreach(p =>
+        require(f.delete(p, false), s"compact: delete of input $p failed"))
+      val day = tmp.getName.stripPrefix("_compact_day=")
+      moveCompactedIn(f, tmp, new Path(s"$tableRoot/day=$day"))
+    }
   }
 
   /** Raw-data retention (reference _delete_incoming, tsdb.py:412-420): drop

@@ -239,6 +239,70 @@ class TsdbSpec extends AnyFunSuite {
     assert(dayFiles("tensecond") == 1)
   }
 
+  test("compact crash recovery: every staged crash state converges without loss or duplicates") {
+    import org.apache.spark.sql.functions.col
+    def freshTsdb(): (String, Tsdb) = {
+      val root = Files.createTempDirectory("graft-compact-crash").toString
+      var nowV = 100.0
+      val t = new Tsdb(spark, root, materialized = true, tail = 60,
+        now = () => nowV)
+      for (i <- 0 until 3) {
+        t.insert(Seq(("one", i * 10.0 + 1, i.toDouble)))
+        nowV = 100.0 + i * 10
+        t.sync()
+      }
+      (root, t)
+    }
+    def rows(t: Tsdb) = t.table("tensecond")
+      .orderBy("path", "timestamp").collect().toSeq
+    def stageTmp(root: String, withManifest: Boolean): Unit = {
+      // a completed rewrite of day=0 staged in _compact_day=0, as a
+      // crashed compaction would leave it
+      val day = s"$root/tensecond/day=0"
+      val tmp = s"$root/tensecond/_compact_day=0"
+      spark.read.schema(TsdbSchema.aggregate).parquet(day)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      if (withManifest) {
+        val inputs = new java.io.File(day)
+          .listFiles((_, n) => n.endsWith(".parquet"))
+          .map(f => s"file:$day/${f.getName}")
+        Files.writeString(java.nio.file.Paths.get(tmp, "_MANIFEST"),
+          inputs.mkString("\n"))
+      }
+    }
+
+    // state A: crash before the manifest — rewrite discarded, data intact
+    val (rootA, tA) = freshTsdb()
+    val expectA = rows(tA)
+    stageTmp(rootA, withManifest = false)
+    tA.compact(maxFilesPerDay = 1000) // no day oversized: only recovery runs
+    assert(rows(tA) == expectA)
+    assert(!new java.io.File(s"$rootA/tensecond/_compact_day=0").exists)
+
+    // state B: crash after the manifest, before any delete — inputs are
+    // complete, the redundant rewrite is discarded
+    val (rootB, tB) = freshTsdb()
+    val expectB = rows(tB)
+    stageTmp(rootB, withManifest = true)
+    tB.compact(maxFilesPerDay = 1000)
+    assert(rows(tB) == expectB)
+    assert(!new java.io.File(s"$rootB/tensecond/_compact_day=0").exists)
+
+    // state C: crash mid-delete — recovery finishes the deletes and
+    // promotes the rewrite; same rows, no duplicates, day compacted
+    val (rootC, tC) = freshTsdb()
+    val expectC = rows(tC)
+    stageTmp(rootC, withManifest = true)
+    val firstInput = new java.io.File(s"$rootC/tensecond/day=0")
+      .listFiles((_, n) => n.endsWith(".parquet")).head
+    assert(firstInput.delete())
+    tC.compact(maxFilesPerDay = 1000)
+    assert(rows(tC) == expectC)
+    assert(!new java.io.File(s"$rootC/tensecond/_compact_day=0").exists)
+    assert(new java.io.File(s"$rootC/tensecond/day=0")
+      .listFiles((_, n) => n.endsWith(".parquet")).length == 1)
+  }
+
   test("incomingRoot splits storage: raw under one root, aggregates under the other (S8)") {
     // TwoDatabasesTSDB (tsdb.py:423-454): incoming and aggregate tables
     // live at independent paths, same API surface
