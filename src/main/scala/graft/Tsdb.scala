@@ -220,6 +220,15 @@ final class Tsdb(
     */
   def sync(): Unit = {
     if (!materialized) return
+    // a crashed compaction must be resolved BEFORE any table is read or
+    // retention deletes anything: sync over a half-compacted period
+    // table would re-finalize "missing" buckets that recovery later
+    // restores (duplicates), and retention deleting a crashed
+    // compaction's manifest inputs would make recovery misclassify its
+    // state. sync and compact are the only mutators and share the
+    // single-writer lock, so recovery-at-entry restores consistency
+    // before either proceeds.
+    recoverCompactions()
     val nowTs = now()
     // one incoming scan and ONE distinct-path set shared by all periods —
     // retention keeps incoming bounded to tail + max(period) of raw data,
@@ -229,6 +238,24 @@ final class Tsdb(
     try periods.foreach(p => syncPeriod(nowTs, p, inc, paths))
     finally { inc.unpersist(); paths.unpersist() }
     deleteIncoming(nowTs)
+  }
+
+  /** Resolve any crashed compaction on every table this instance owns
+    * (see [[compactTable]]'s protocol). Runs at the entry of the two
+    * mutators, [[sync]] and [[compact]].
+    */
+  private def recoverCompactions(): Unit = {
+    def scan(tableRoot: String): Unit = {
+      val f = fs(tableRoot)
+      if (!f.exists(new Path(tableRoot))) return
+      f.listStatus(new Path(tableRoot))
+        .filter(_.getPath.getName.startsWith("_compact_day="))
+        .foreach(t => recoverCompact(f, tableRoot, t.getPath))
+    }
+    if (datePartitioned) {
+      scan(incomingPath)
+      if (materialized) periods.foreach(p => scan(periodPath(p)))
+    }
   }
 
   /** One period's delta maintenance — the set-oriented form of the
@@ -297,6 +324,7 @@ final class Tsdb(
       maxFilesPerDay: Int = 16,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
     if (!datePartitioned) return
+    recoverCompactions()
     compactTable(incomingPath, TsdbSchema.incoming, maxFilesPerDay, targetBytes)
     if (materialized)
       periods.foreach(p =>
@@ -316,15 +344,19 @@ final class Tsdb(
     *   2. delete the manifest's input files;
     *   3. move the compacted files into the live day dir;
     *   4. delete the tmp dir.
-    * [[recoverCompact]] runs first on every compact() and classifies a
-    * leftover tmp by its manifest: all inputs still present ⇒ crashed
-    * before (2), discard the tmp; otherwise ⇒ crashed during/after
-    * (2), finish the deletes and complete the move. Data therefore
-    * comes from EITHER the inputs or the rewrite, never both (no
-    * crash state yields duplicates), and no state loses rows. Readers
-    * between (2) and (3) see the day partially missing — compact runs
-    * under the single-writer lock and the window is one directory
-    * rename wide.
+    * The manifest lands atomically (write + rename), so it either
+    * exists complete or not at all. [[recoverCompactions]] runs at the
+    * ENTRY of both mutators — sync() and compact(), which share the
+    * single-writer lock — and classifies a leftover tmp by its
+    * manifest: all inputs still present ⇒ crashed before (2), discard
+    * the tmp; otherwise ⇒ crashed during/after (2), finish the deletes
+    * and complete the move. Data therefore comes from EITHER the
+    * inputs or the rewrite, never both (no crash state yields
+    * duplicates), and no state loses rows. Recovery-at-sync-entry also
+    * means retention and re-finalization never observe a
+    * half-compacted table. Readers between (2) and (3) see the day
+    * partially missing — the window is a handful of renames wide and
+    * sits inside the locked maintenance operation.
     */
   private def compactTable(
       tableRoot: String,
@@ -333,9 +365,6 @@ final class Tsdb(
       targetBytes: Long): Unit = {
     val f = fs(tableRoot)
     if (!f.exists(new Path(tableRoot))) return
-    f.listStatus(new Path(tableRoot))
-      .filter(_.getPath.getName.startsWith("_compact_day="))
-      .foreach(t => recoverCompact(f, tableRoot, t.getPath))
     f.listStatus(new Path(tableRoot))
       .filter(_.getPath.getName.startsWith("day=")).foreach { st =>
         val parts = f.listStatus(st.getPath)
@@ -349,11 +378,16 @@ final class Tsdb(
             .parquet(parts.map(_.getPath.toString): _*)
             .coalesce(nOut)
             .write.mode("overwrite").parquet(tmp.toString)
-          val manifest = new Path(tmp, "_MANIFEST")
-          val out = f.create(manifest, true)
+          // the manifest is the protocol's commit point, so it must
+          // appear ATOMICALLY (write + rename): a truncated manifest
+          // would misclassify the crash state and duplicate rows
+          val manifestTmp = new Path(tmp, "._MANIFEST.tmp")
+          val out = f.create(manifestTmp, true)
           try out.write(parts.map(_.getPath.toString).mkString("\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
+          require(f.rename(manifestTmp, new Path(tmp, "_MANIFEST")),
+            s"compact: manifest rename failed for $tmp")
           parts.foreach { p =>
             require(f.delete(p.getPath, false),
               s"compact: delete of input ${p.getPath} failed")

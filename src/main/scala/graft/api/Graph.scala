@@ -78,11 +78,18 @@ object Graph {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
       case _ => Map.empty[String, Any]
     }
+    // only STRING leaves count: a key nesting below name/period/stat
+    // (e.g. metrics.0.name.x=1) yields a non-string there, which must
+    // read as "missing" — an erased cast would surface later as an
+    // undiagnosable ClassCastException instead of a blank-name drop
+    def str(m: Map[_, _], k: String): String =
+      m.asInstanceOf[Map[String, Any]].get(k) match {
+        case Some(s: String) => s
+        case _ => ""
+      }
     val metrics = nested.getOrElse("metrics", Seq.empty) match {
       case s: Seq[_] => s.collect { case m: Map[_, _] =>
-        val mm = m.asInstanceOf[Map[String, String]]
-        MetricSpec(mm.getOrElse("name", ""), mm.getOrElse("period", ""),
-          mm.getOrElse("stat", ""))
+        MetricSpec(str(m, "name"), str(m, "period"), str(m, "stat"))
       }
       case _ => Seq.empty[MetricSpec]
     }

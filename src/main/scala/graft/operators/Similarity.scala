@@ -186,6 +186,11 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id"): DataFrame = {
     val corpus = spark.read.parquet(path)
+    require(
+      corpus.schema("centroid_id").dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"$path is not a current IVF layout (centroid_id must be the " +
+        "prefixed-string partition column) — rewrite it with writeIvfPartitioned")
     val queries = corpus.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col("centroid_id"),
         col("vec").as("vec_q"), col("nrm").as("nrm_q"))
@@ -245,16 +250,19 @@ object Similarity {
     asDouble(emb, vecCol, idCol)
       .withColumn("scale",
         expr("aggregate(vec, 0D, (m, x) -> greatest(m, abs(x)))") / 127.0)
+      .withColumn("qvec",
+        expr("CASE WHEN scale = 0D THEN transform(vec, x -> 0) " +
+          "ELSE transform(vec, x -> CAST(round(x / scale, 0) AS INT)) END"))
       .select(
         col(idCol),
         col("scale"),
-        expr("CASE WHEN scale = 0D THEN transform(vec, x -> 0) " +
-          "ELSE transform(vec, x -> CAST(round(x / scale, 0) AS INT)) END")
-          .as("qvec"),
+        col("qvec"),
+        // error from the ALREADY-computed qvec (one round() per element,
+        // not two); int→double of |q| ≤ 127 is exact
         round(expr(
-          "CASE WHEN scale = 0D THEN 0D ELSE " +
-            "aggregate(zip_with(vec, transform(vec, x -> round(x / scale, 0)), " +
-            "(x, q) -> abs(q * scale - x)), 0D, (m, e) -> greatest(m, e)) END"), 6)
+          "aggregate(zip_with(vec, qvec, " +
+            "(x, q) -> abs(CAST(q AS DOUBLE) * scale - x)), " +
+            "0D, (m, e) -> greatest(m, e))"), 6)
           .as("max_abs_err"))
 
   /** Signed-random-projection LSH bucket key (`nBits` sign bits) with a

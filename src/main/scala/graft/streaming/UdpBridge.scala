@@ -62,14 +62,17 @@ final class UdpBridge(
         spool(new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8))
       } catch {
         case _: SocketException if !running => () // closed during shutdown
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           // a transient failure (disk full, fs hiccup) must not kill the
           // receiver thread — the socket would stay bound and every
           // subsequent datagram would vanish silently. Log, back off,
           // keep receiving; the datagram that hit the failure is lost
-          // (UDP semantics the sender already accepts).
+          // (UDP semantics the sender already accepts). Fatal VM errors
+          // still propagate, and an interrupt during the backoff is
+          // swallowed here and honored by the loop condition.
           System.err.println(s"[udp-bridge] dropping datagram: $e")
-          Thread.sleep(100)
+          try Thread.sleep(100)
+          catch { case _: InterruptedException => () }
       }
     }
   }
