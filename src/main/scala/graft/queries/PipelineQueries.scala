@@ -425,18 +425,25 @@ object PipelineQueries {
     */
   private val qFeatures = {
     val dim = 8
-    val feats = (0 until dim).map(j =>
-      s"round(CAST(${DuckSql.universalHash("chash", j)} AS DOUBLE) / ${TextHash.P}, 6)")
-      .mkString("[", ", ", "]")
+    // Declared in scalar shape (f0..f7) — the driver's comparator sorts and
+    // hashes rows via pandas, which cannot hash array cells. The array API
+    // (Multimodal.features) is unchanged; only this declared query flattens.
+    val featCols = (0 until dim).map(j =>
+      s"round(CAST(${DuckSql.universalHash("chash", j)} AS DOUBLE) / ${TextHash.P}, 6) AS f$j")
+      .mkString(",\n       ")
     QueryDef(
       "q38_multimodal_features",
-      (s, dir) => Multimodal.features(
-          Multimodal.mediaFromDocuments(docs(s, dir)))
-        .orderBy("doc_id"),
+      (s, dir) => {
+        val f = Multimodal.features(Multimodal.mediaFromDocuments(docs(s, dir)))
+        f.select(col("doc_id") +:
+            (0 until dim).map(j => element_at(col("features"), j + 1).as(s"f$j")): _*)
+          .orderBy("doc_id")
+      },
       Some(
         s"""WITH h AS (
            |  SELECT doc_id, ${DuckSql.polyHash("text")} AS chash FROM documents)
-           |SELECT doc_id, $feats AS features
+           |SELECT doc_id,
+           |       $featCols
            |FROM h ORDER BY doc_id""".stripMargin))
   }
 
@@ -559,13 +566,14 @@ object PipelineQueries {
          |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM docs),
          |c AS (
          |  SELECT doc_id, n_tok,
-         |         COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+         |         CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |           AS start_offset
+         |           AS BIGINT) AS start_offset
          |  FROM t)
          |SELECT doc_id, n_tok, start_offset,
-         |       start_offset // 2048 AS start_chunk,
-         |       (start_offset + greatest(n_tok, 1) - 1) // 2048 AS end_chunk
+         |       CAST(start_offset // 2048 AS BIGINT) AS start_chunk,
+         |       CAST((start_offset + greatest(n_tok, 1) - 1) // 2048 AS BIGINT)
+         |         AS end_chunk
          |FROM c ORDER BY doc_id""".stripMargin))
 
   /** int8 scalar quantization of the embedding corpus — the ANN
@@ -574,22 +582,37 @@ object PipelineQueries {
     */
   private val qQuantize = QueryDef(
     "q41_embedding_quantize",
-    (s, dir) => Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id"),
+    // Declared in exploded scalar shape (vec_id, pos, q) — the driver's
+    // pandas comparator cannot hash array cells. quantizeInt8 keeps its
+    // array-valued API; only this declared query flattens.
+    (s, dir) => Similarity.quantizeInt8(emb(s, dir))
+      .select(col("vec_id"), col("scale"), col("max_abs_err"),
+        posexplode(col("qvec")).as(Seq("pos", "q")))
+      .orderBy("vec_id", "pos"),
     Some(
       s"""WITH ${DuckSql.embCte},
          |s AS (
          |  SELECT vec_id, vec,
          |         list_max(list_transform(vec, x -> abs(x))) / 127 AS scale_raw
-         |  FROM e)
-         |SELECT vec_id, scale_raw AS scale,
-         |       CASE WHEN scale_raw = 0 THEN list_transform(vec, x -> 0)
-         |            ELSE list_transform(vec, x -> CAST(round(x / scale_raw) AS INT))
-         |       END AS qvec,
-         |       round(CASE WHEN scale_raw = 0 THEN 0 ELSE
-         |         list_max(list_transform(vec,
-         |           x -> abs(round(x / scale_raw) * scale_raw - x))) END, 6)
-         |         AS max_abs_err
-         |FROM s ORDER BY vec_id""".stripMargin))
+         |  FROM e),
+         |qv AS (
+         |  SELECT vec_id, scale_raw AS scale,
+         |         CASE WHEN scale_raw = 0 THEN list_transform(vec, x -> 0)
+         |              ELSE list_transform(vec, x -> CAST(round(x / scale_raw) AS INT))
+         |         END AS qvec,
+         |         round(CASE WHEN scale_raw = 0 THEN 0 ELSE
+         |           list_max(list_transform(vec,
+         |             x -> abs(round(x / scale_raw) * scale_raw - x))) END, 6)
+         |           AS max_abs_err
+         |  FROM s)
+         |SELECT vec_id, scale, max_abs_err,
+         |       CAST(pos AS INT) AS pos, CAST(q AS INT) AS q
+         |FROM (
+         |  SELECT vec_id, scale, max_abs_err,
+         |         unnest(generate_series(0, len(qvec) - 1)) AS pos,
+         |         unnest(qvec) AS q
+         |  FROM qv)
+         |ORDER BY vec_id, pos""".stripMargin))
 
   /** IVF coarse assignment — every vector's nearest deterministic
     * centroid (the clustering/partition key of the scale path).
