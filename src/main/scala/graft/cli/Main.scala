@@ -17,6 +17,7 @@ import graft.streaming.Ingest
   * graft.cli.Main compact <root> [--lock-file F]  # engine addition: see Tsdb.compact
  * graft.cli.Main show   <root> <period>          # daemon.py:219-229
   * graft.cli.Main metric <root> <path> <period> <stat> [start] [end]
+  * graft.cli.Main serve  <root> <host:port>       # JSON /graph + / (wsgi.py)
   * }}}
   *
   * `--lock-file` takes an exclusive OS file lock for process-level mutual
@@ -118,9 +119,20 @@ object Main {
         .show(1000, truncate = false)
       spark.stop()
 
+    // the reference's web entry point (wsgi.py:1-18 / `flask run`): a
+    // read-only server over the same root the sync job maintains
+    case "serve" :: root :: hostPort :: Nil =>
+      val Array(host, port) = hostPort.split(":")
+      val spark = session()
+      val api = new graft.api.HttpApi(
+        new Tsdb(spark, root), host, port.toInt).start()
+      println(s"serving http://$host:${api.boundPort} (routes: /, /graph)")
+      sys.addShutdownHook(api.close())
+      Thread.currentThread.join()
+
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: sync|daemon|compact|show|metric ...")
+      System.err.println("usage: sync|daemon|compact|show|metric|serve ...")
       sys.exit(2)
   }
 }
