@@ -92,21 +92,26 @@ object Dedup {
       n: Int = 3,
       maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
     val sh = shingled(docs, textCol, n)
-    Caching.withCached(sh) {
+    val exploded = sh.select(col("doc_id"), explode(col("shh")).as("h"))
+    // df + anchor per shingle hash (the skew-guard input) come from a
+    // map-side-combinable groupBy joined back on h (NOT a window: a window
+    // buffers each hash partition in one task — the extreme-skew shingle
+    // is exactly the case the cap guards, so the df computation itself
+    // must not re-create the skewed single-task buffer). Cached in the
+    // operator scope because BOTH the anyHeavy probe and the skew-path
+    // tagged join read it — uncached, the skew branch would aggregate
+    // `exploded` a second time.
+    val hdf = exploded.groupBy("h")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("anchor"))
+    val pinned = if (maxShingleDf.isDefined) Seq(sh, hdf) else Seq(sh)
+    Caching.withCached(pinned: _*) {
       val sizes = sh.select(col("doc_id"), size(col("shh")).as("n_sh"))
-      val exploded = sh.select(col("doc_id"), explode(col("shh")).as("h"))
 
       // split by document frequency; heavy rows keep their anchor doc.
-      // df + anchor come from a map-side-combinable groupBy joined back
-      // on h (NOT a window: a window buffers each hash partition in one
-      // task — the extreme-skew shingle is exactly the case the cap
-      // guards, so the df computation itself must not re-create the
-      // skewed single-task buffer). The join and the light self-join
-      // below are both hash-partitioned on h.
+      // The hdf join and the light self-join below are both
+      // hash-partitioned on h.
       val (light, heavyRows) = maxShingleDf match {
         case Some(cap) =>
-          val hdf = exploded.groupBy("h")
-            .agg(count(lit(1)).as("df"), min("doc_id").as("anchor"))
           // adaptive plan choice (runtime stats, in the AQE spirit): one
           // map-side-combined probe over the cached shingle rows decides
           // whether any shingle exceeds the cap. The common no-skew case
@@ -280,18 +285,34 @@ object Dedup {
     * mid-propagation would silently split one component into several,
     * and a >200-hop chain means the input graph is degenerate, not that
     * a partial answer should ship.
+    *
+    * @param checkpointDir when set, per-round checkpoints go to this
+    *   reliable directory (HDFS/object store on a cluster) instead of
+    *   `localCheckpoint`. Local checkpoint blocks live on executors: fast,
+    *   but one lost executor kills a multi-round job with no recovery —
+    *   fine on local[*], wrong for a long convergence loop on a real
+    *   cluster. Reliable checkpointing re-reads each round from stable
+    *   storage, trading per-round write cost for executor-loss tolerance.
+    *   (Sets the context's checkpoint dir as Spark requires.)
     */
   def components(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxRounds: Int = 200): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint(true)
+      maxRounds: Int = 200,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
+    val edges = ckpt(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = ckpt(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("component", col("node")))
     var round = 0
     var changed = 1L
     while (changed > 0) {
@@ -299,11 +320,11 @@ object Dedup {
       require(round <= maxRounds, s"components did not converge in $maxRounds rounds")
       val nbrMin = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src").as("node2")).agg(min("component").as("nbr_min"))
-      val next = labels.join(nbrMin, col("node") === col("node2"), "left")
-        .select(col("node"), col("component"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("next_component"))
-        .localCheckpoint(true)
+      val next = ckpt(
+        labels.join(nbrMin, col("node") === col("node2"), "left")
+          .select(col("node"), col("component"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("next_component")))
       changed = next.filter(col("next_component") < col("component")).count()
       labels = next.select(col("node"), col("next_component").as("component"))
     }

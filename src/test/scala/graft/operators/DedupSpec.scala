@@ -60,6 +60,19 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L, 5L)) // 4 untouched by any pair; 1 and 5 are cluster minima
   }
 
+  test("components: reliable checkpointDir path converges to the same labels") {
+    // the cluster-deployment variant: per-round checkpoints on stable
+    // storage instead of executor-local blocks — identical results
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.components(pairs, checkpointDir = Some(dir)).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(comp == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+    // the rounds actually wrote reliable checkpoints there
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty)
+  }
+
   test("contamination report: max-overlap benchmark per doc, self excluded") {
     val corpus = Seq(
       (1L, a),       // shares everything with bench doc 10 (identical)
