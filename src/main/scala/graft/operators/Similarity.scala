@@ -103,6 +103,26 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), col("vec").as("cvec"),
         col("nrm").as("cnrm"))
 
+  /** Top-`nprobe` centroids per vector by cosine (tie-break on centroid
+    * id): the shared coarse-ranking step of assignment (nprobe = 1) and
+    * multi-probe query routing (nprobe > 1). O(n · centroidK) against a
+    * broadcast centroid set; one (vec_id, centroid_id) row per probe.
+    */
+  private def rankCentroids(
+      v: DataFrame,
+      centroids: DataFrame,
+      nprobe: Int,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("csim").desc, col("centroid_id"))
+    v.select(col(idCol), col("vec"), col("nrm"))
+      .join(broadcast(centroids))
+      .withColumn("csim", dot("vec", "cvec") / (col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select(col(idCol), col("centroid_id"), col("vec"), col("nrm"))
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (deterministic fixed-k centroid sample, [[ivfCentroids]]).
     * Returns (vec_id, centroid_id, vec, nrm).
@@ -112,35 +132,35 @@ object Similarity {
       centroidK: Int = DefaultCentroidK,
       idCol: String = "vec_id"): DataFrame = {
     val all = asDouble(emb, idCol = idCol)
-    val centroids = ivfCentroids(all, centroidK, idCol)
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("csim").desc, col("centroid_id"))
-    all.select(col(idCol), col("vec"), col("nrm"))
-      .join(broadcast(centroids))
-      .withColumn("csim", dot("vec", "cvec") / (col("nrm") * col("cnrm")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col(idCol), col("centroid_id"), col("vec"), col("nrm"))
+    rankCentroids(all, ivfCentroids(all, centroidK, idCol), 1, idCol)
   }
 
-  /** IVF probe-1 ANN top-k: queries search only their own centroid's
-    * bucket (plus exact rerank inside it). The recall/latency tradeoff of
-    * a real IVF index, deterministic end-to-end.
+  /** IVF ANN top-k: each query searches the buckets of its `nprobe`
+    * nearest centroids (exact rerank inside them). nprobe is the standard
+    * recall knob a real IVF deployment tunes — probe-1 is the cheapest /
+    * lowest-recall point, nprobe = centroidK degenerates to exact search.
+    * A neighbor belongs to exactly one bucket, so multi-probe never
+    * duplicates a (query, neighbor) pair and needs no distinct.
     */
   def ivfKnn(
       emb: DataFrame,
       queryIds: Seq[Long],
       k: Int,
       centroidK: Int = DefaultCentroidK,
+      nprobe: Int = 1,
       idCol: String = "vec_id"): DataFrame = {
-    val assigned = ivfAssign(emb, centroidK, idCol)
-    val queries = assigned.filter(col(idCol).isInCollection(queryIds))
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val all = asDouble(emb, idCol = idCol)
+    val centroids = ivfCentroids(all, centroidK, idCol)
+    val assigned = rankCentroids(all, centroids, 1, idCol)
+    val probes = rankCentroids(
+        all.filter(col(idCol).isInCollection(queryIds)), centroids, nprobe, idCol)
       .select(col(idCol).as("query_id"), col("centroid_id"),
         col("vec").as("vec_q"), col("nrm").as("nrm_q"))
     val scored = assigned
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
         col("vec").as("vec_n"), col("nrm").as("nrm_n"))
-      .join(broadcast(queries), Seq("centroid_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
@@ -166,25 +186,42 @@ object Similarity {
       emb: DataFrame,
       path: String,
       centroidK: Int = DefaultCentroidK,
-      idCol: String = "vec_id"): Unit =
-    ivfAssign(emb, centroidK, idCol)
+      idCol: String = "vec_id"): Unit = {
+    val all = asDouble(emb, idCol = idCol)
+    val centroids = ivfCentroids(all, centroidK, idCol)
+    rankCentroids(all, centroids, 1, idCol)
       .select(col(idCol), col("vec"), col("nrm"),
         concat(lit("c"), col("centroid_id")).as("centroid_id"))
       .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+    // centroid sidecar: what makes the layout a self-contained IVF index —
+    // multi-probe query routing ranks against it without re-deriving
+    // centroids from the corpus. The underscore prefix keeps Spark's file
+    // index from reading it as corpus data. Written AFTER the main
+    // overwrite (which clears the directory).
+    centroids
+      .select(concat(lit("c"), col("centroid_id")).as("centroid_id"),
+        col("cvec"), col("cnrm"))
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+  }
 
-  /** Probe-1 ANN top-k over an [[writeIvfPartitioned]] layout: resolve
-    * the queries' centroids (a tiny driver-side list — the price of
-    * turning the probe into LITERAL partition predicates), then scan
-    * ONLY those partitions for scoring. Bit-identical results to
-    * [[ivfKnn]] on the same corpus; the difference is the scan reads
-    * |probed partitions| / |centroids| of the data.
+  /** ANN top-k over an [[writeIvfPartitioned]] layout: resolve each
+    * query's `nprobe` centroid directories (a tiny driver-side list — the
+    * price of turning the probe into LITERAL partition predicates), then
+    * scan ONLY those partitions for scoring. Bit-identical results to
+    * [[ivfKnn]] on the same corpus at the same nprobe; the difference is
+    * the scan reads |probed partitions| / |centroids| of the data.
+    * Probe-1 routes by the query row's own stored assignment; nprobe > 1
+    * ranks against the layout's centroid sidecar (tie-break on the
+    * NUMERIC centroid id, so ordering matches [[ivfKnn]] exactly).
     */
   def ivfKnnPartitioned(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       queryIds: Seq[Long],
       k: Int,
+      nprobe: Int = 1,
       idCol: String = "vec_id"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val corpus = spark.read.parquet(path)
     require(
       corpus.schema("centroid_id").dataType ==
@@ -194,13 +231,27 @@ object Similarity {
     val queries = corpus.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col("centroid_id"),
         col("vec").as("vec_q"), col("nrm").as("nrm_q"))
-    val probed: Seq[String] = queries.select("centroid_id").distinct()
+    val probes =
+      if (nprobe == 1) queries
+      else {
+        val cent = spark.read.parquet(s"$path/_centroids")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("csim").desc,
+            expr("CAST(substring(centroid_id, 2) AS BIGINT)"))
+        queries.drop("centroid_id")
+          .join(broadcast(cent))
+          .withColumn("csim", dot("vec_q", "cvec") / (col("nrm_q") * col("cnrm")))
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= nprobe)
+          .select("query_id", "centroid_id", "vec_q", "nrm_q")
+      }
+    val probed: Seq[String] = probes.select("centroid_id").distinct()
       .collect().map(_.getString(0)).toSeq
     val scored = corpus
       .filter(col("centroid_id").isInCollection(probed)) // partition prune
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
         col("vec").as("vec_n"), col("nrm").as("nrm_n"))
-      .join(broadcast(queries), Seq("centroid_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))

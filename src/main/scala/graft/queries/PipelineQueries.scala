@@ -242,6 +242,47 @@ object PipelineQueries {
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin))
 
+  /** Multi-probe IVF: each query searches its 2 nearest centroids'
+    * buckets — the recall knob of a deployed IVF index, oracle-checked
+    * with the probe ranking (crank <= nprobe) mirrored in SQL.
+    */
+  private val qKnnIvfMulti = QueryDef(
+    "q43_knn_ivf_multiprobe",
+    (s, dir) => Similarity.ivfKnn(emb(s, dir), knnQueryIds, k = 5, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank"),
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |${DuckSql.ivfCentCte(Similarity.DefaultCentroidK)},
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, vec FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.vec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c)
+         |  WHERE crank = 1),
+         |qp AS (
+         |  SELECT vec_id AS query_id, centroid_id, vec AS vec_q FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.vec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c
+         |    WHERE v.vec_id < 8)
+         |  WHERE crank <= 2),
+         |scored AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |         round(${DuckSql.cosine("q.vec_q", "n.vec")}, 6) AS sim
+         |  FROM assigned n JOIN qp q ON n.centroid_id = q.centroid_id
+         |  WHERE n.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin))
+
   // ----------------------------------------------------------------- text
 
   private val qQuality = {
@@ -636,7 +677,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qMinhash, qSimhash, qEmbDup,
-    qKnnBrute, qKnnIvf,
+    qKnnBrute, qKnnIvf, qKnnIvfMulti,
     qQuality, qLangId, qTokenCount, qFingerprint,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qIvfAssign, qComponents, qContamination, qSample,

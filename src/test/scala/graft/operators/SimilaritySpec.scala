@@ -50,6 +50,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.count() == 5)
   }
 
+  test("multi-probe IVF: recall grows with nprobe, full probe = exact search") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queryIds = (0L until 8L).toSeq
+    val k = 5
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Similarity.bruteForceKnn(emb, queryIds, k))
+    val p1 = resultSet(Similarity.ivfKnn(emb, queryIds, k, nprobe = 1))
+    val p2 = resultSet(Similarity.ivfKnn(emb, queryIds, k, nprobe = 2))
+    def recall(got: Set[(Long, Long)]) =
+      (got intersect exact).size.toDouble / exact.size
+    // the knob is monotone (more buckets can only add candidates)
+    assert(recall(p2) >= recall(p1))
+    // probing every centroid degenerates to exact search: identical rows
+    val full = Similarity.ivfKnn(emb, queryIds, k,
+        nprobe = Similarity.DefaultCentroidK)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val brute = Similarity.bruteForceKnn(emb, queryIds, k)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(full == brute)
+  }
+
   test("srpBuckets: near-identical vectors share a bucket") {
     val base = Array.tabulate(8)(i => 0.1 * (i + 1))
     val near = base.clone(); near(0) += 1e-6
@@ -98,6 +122,16 @@ class SimilaritySpec extends AnyFunSuite {
     val plan = Similarity.ivfKnnPartitioned(spark, root, queryIds, k = 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"))
+
+    // multi-probe over the layout routes via the centroid sidecar and
+    // matches ivfKnn at the same nprobe
+    val got2 = Similarity.ivfKnnPartitioned(spark, root, queryIds, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val expected2 = Similarity.ivfKnn(emb, queryIds, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got2 == expected2)
   }
 
   test("srpDupPairs finds near-identical pairs, reports exact cosine, " +
