@@ -13,7 +13,7 @@ import graft.streaming.Ingest
   * {{{
   * graft.cli.Main sync   <root> [--lock-file F] [--emit-metrics]
   * graft.cli.Main daemon <root> <host:port> [--interval S]
- *                [--self-metrics PREFIX | --no-self-metrics]
+ *                [--self-metrics PREFIX | --no-self-metrics] [--dedupe]
   * graft.cli.Main compact <root> [--lock-file F]  # engine addition: see Tsdb.compact
  * graft.cli.Main show   <root> <period>          # daemon.py:219-229
   * graft.cli.Main metric <root> <path> <period> <stat> [start] [end]
@@ -67,6 +67,9 @@ object Main {
         case List("--self-metrics", p) => p
       }.orElse(if (rest.contains("--no-self-metrics")) None
         else Some("graft.daemon"))
+      // engine addition: first-seen dedup of repeated wire lines
+      // (Ingest.start dedupe — retried datagrams collapse to one row)
+      val dedupe = rest.contains("--dedupe")
       val spark = session()
       val tsdb = new Tsdb(spark, root)
       // the reference listens on BOTH sockets (daemon.py:158-163): TCP
@@ -77,7 +80,7 @@ object Main {
         host, port.toInt, s"$root/udp-spool").start()
       val udp = graft.streaming.UdpBridge.lines(spark, s"$root/udp-spool")
       val q = Ingest.start(tsdb, tcp.union(udp), interval,
-        selfMetricPrefix = prefix)
+        selfMetricPrefix = prefix, dedupe = dedupe)
       // reference parity: SIGTERM drains and stops the daemon
       // (daemon.py:236-241, signal_done -> DONE -> final process());
       // stopping the query lets the in-flight micro-batch finish

@@ -34,14 +34,38 @@ object Ingest {
     * a failed batch records a `{prefix}.error` datapoint (value 1)
     * instead. Self rows are excluded from the count, so the metric loop
     * never feeds back into itself.
+    *
+    * With `dedupe` set, repeated wire lines within `dedupeLateness` of
+    * their first arrival are dropped before parsing — the
+    * [[StreamingDedup]] first-seen pattern applied to the ingest path
+    * (duplicate datagrams are a real failure mode: UDP senders retry,
+    * load balancers replay). Keyed on the line's content digest with an
+    * ARRIVAL-time watermark (the wire timestamp is still inside the
+    * un-parsed line at this stage, and a malformed line must reach the
+    * parse step to trigger Q3 batch rejection, not silently vanish in a
+    * watermark), so state stays bounded and the query runs forever.
+    * Self-metric counts see post-dedup rows only, so the insert metric
+    * reports what was actually stored.
     */
   def start(
       tsdb: Tsdb,
       lines: DataFrame,
       intervalSeconds: Long = 10,
       onBatchError: Throwable => Unit = _ => (),
-      selfMetricPrefix: Option[String] = None): StreamingQuery = {
-    lines.writeStream
+      selfMetricPrefix: Option[String] = None,
+      dedupe: Boolean = false,
+      dedupeLateness: String = "10 minutes"): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, current_timestamp, md5}
+    val lineCol = lines.columns.head
+    val src =
+      if (!dedupe) lines
+      else lines
+        .withColumn("graft_arrival", current_timestamp())
+        .withColumn("graft_line_md5", md5(col(lineCol).cast("binary")))
+        .withWatermark("graft_arrival", dedupeLateness)
+        .dropDuplicatesWithinWatermark("graft_line_md5")
+        .select(lineCol)
+    src.writeStream
       .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         try {

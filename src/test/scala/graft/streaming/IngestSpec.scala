@@ -151,6 +151,29 @@ class IngestSpec extends AnyFunSuite {
     assert(tsdb.incoming.count() == 6) // 4 parsed rows (incl. replayed self) + 2 insert metrics
   }
 
+  test("dedupe: repeated wire lines within the watermark produce one row") {
+    // the StreamingDedup first-seen pattern composed into the ingest
+    // path: a retried datagram (same bytes) collapses to one stored row
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-ingest-dedup").toString
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => 1000.0)
+
+    val stream = MemoryStream[String]
+    val query = Ingest.start(tsdb, stream.toDF(), intervalSeconds = 0,
+      dedupe = true)
+    stream.addData("one 1 1")
+    stream.addData("one 1 1")            // exact retry, later batch
+    stream.addData("two 2 5", "two 2 5") // same-batch duplicate datagrams
+    stream.addData("one 1 1")            // retried once more
+    query.processAllAvailable()
+    query.stop()
+
+    val got = tsdb.incoming.orderBy("path").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("one", 1.0, 1.0), ("two", 5.0, 2.0)))
+  }
+
   test("self-metrics: a poisoned batch inserts {prefix}.error instead") {
     // daemon.py:194-198 — failed flush records an error datapoint
     implicit val sqlCtx = spark.sqlContext
