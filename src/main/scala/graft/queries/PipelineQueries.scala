@@ -107,6 +107,37 @@ object PipelineQueries {
          |SELECT node AS doc_id, min(r) AS component
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
 
+  /** The keep-list over the q21/q36 clusters: every unpaired doc
+    * survives, each pair-connected component keeps only its min doc_id —
+    * the step that turns pairwise dedup output into an actual deduped
+    * corpus (Spark: AQE-decided anti-join; oracle: the q36 closure
+    * re-joined to documents).
+    */
+  private val qKeepers = QueryDef(
+    "q44_dedup_keepers",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup.keepers(d, Dedup.ngramJaccardPairs(d, threshold = 0.5))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |pairs AS ($ngramPairSelect),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
+         |comp AS (
+         |  SELECT node, min(r) AS component FROM reach GROUP BY node)
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN comp c ON d.doc_id = c.node
+         |WHERE c.node IS NULL OR c.component = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin))
+
   private val qMinhash = {
     val k = 8
     val mhCols = (0 until k).map(i =>
@@ -680,6 +711,6 @@ object PipelineQueries {
     qKnnBrute, qKnnIvf, qKnnIvfMulti,
     qQuality, qLangId, qTokenCount, qFingerprint,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
-    qSrp, qSrpDup, qIvfAssign, qComponents, qContamination, qSample,
-    qQuantize, qPack)
+    qSrp, qSrpDup, qIvfAssign, qComponents, qKeepers, qContamination,
+    qSample, qQuantize, qPack)
 }
