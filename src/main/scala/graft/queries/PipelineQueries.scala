@@ -706,11 +706,76 @@ object PipelineQueries {
          |WHERE crank = 1
          |ORDER BY vec_id""".stripMargin))
 
+  /** The composed preprocessing pipeline — what a user actually runs:
+    * exact dedup keep-list → quality gate (length + uniqueness) →
+    * language-ID + stratified downsampling → sequence packing of the
+    * survivors. One oracle query proving the operators COMPOSE (ids,
+    * column names, and determinism flow through all four stages in both
+    * engines).
+    */
+  private val qPipelineE2e = QueryDef(
+    "q45_pipeline_end2end",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val keep = Dedup.exact(d).select(col("keeper_id").as("doc_id"))
+      val deduped = d.join(keep, Seq("doc_id"), "left_semi")
+      val pass = TextAnalysis.quality(deduped)
+        .filter(col("n_tokens") >= 30 && col("uniq_token_ratio") >= 0.4)
+        .select("doc_id")
+      val survivors = deduped.join(pass, Seq("doc_id"), "left_semi")
+      val lang = TextAnalysis.languageId(survivors)
+        .select(col("doc_id"), col("lang_pred"))
+      val sampled = TextAnalysis.stratifiedSample(lang, "lang_pred",
+        Map("en" -> 0.5))
+      val packed = TextAnalysis.packPlan(
+        survivors.join(sampled.select("doc_id"), Seq("doc_id"), "left_semi"))
+      packed.join(sampled, Seq("doc_id"))
+        .select("doc_id", "lang_pred", "n_tok", "start_offset",
+          "start_chunk", "end_chunk")
+        .orderBy("doc_id")
+    },
+    Some {
+      val scoreSelects = DuckSql.langScores
+        .map { case (l, e) => s"$e AS score_$l" }.mkString(",\n       ")
+      s"""WITH ${DuckSql.docsCte},
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |surv AS (
+         |  SELECT d.doc_id, d.text, d.toks FROM docs d
+         |  JOIN keepers k ON d.doc_id = k.doc_id
+         |  WHERE len(toks) >= 30
+         |    AND round(len(list_distinct(toks))::DOUBLE / len(toks), 6) >= 0.4),
+         |scored AS (
+         |  SELECT doc_id,
+         |       $scoreSelects
+         |  FROM surv),
+         |pick AS (SELECT doc_id, $langPickSql AS lang_pred FROM scored),
+         |sampled AS (
+         |  SELECT doc_id, lang_pred FROM pick
+         |  WHERE CAST(((doc_id % ${TextHash.P}) * 2654435761) % ${TextHash.P}
+         |          AS DOUBLE) / ${TextHash.P}
+         |        < (CASE WHEN lang_pred = 'en' THEN 0.5 ELSE 1.0 END)),
+         |t AS (
+         |  SELECT s.doc_id, s.lang_pred, CAST(len(d.toks) AS BIGINT) AS n_tok
+         |  FROM sampled s JOIN docs d ON s.doc_id = d.doc_id),
+         |c AS (
+         |  SELECT doc_id, lang_pred, n_tok,
+         |         CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS start_offset
+         |  FROM t)
+         |SELECT doc_id, lang_pred, n_tok, start_offset,
+         |       CAST(start_offset // 2048 AS BIGINT) AS start_chunk,
+         |       CAST((start_offset + greatest(n_tok, 1) - 1) // 2048 AS BIGINT)
+         |         AS end_chunk
+         |FROM c ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qMinhash, qSimhash, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti,
     qQuality, qLangId, qTokenCount, qFingerprint,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qIvfAssign, qComponents, qKeepers, qContamination,
-    qSample, qQuantize, qPack)
+    qSample, qQuantize, qPack, qPipelineE2e)
 }
