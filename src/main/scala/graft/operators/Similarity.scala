@@ -281,6 +281,159 @@ object Similarity {
     }
   }
 
+  /** Distributed spherical k-means (Lloyd's) over the embedding column —
+    * the TRAINED replacement for the deterministic id-hash centroid
+    * sample, pluggable wherever a `(centroid_id, cvec, cnrm)` set is
+    * consumed ([[semanticDupPairs]], [[rankCentroids]]-based assignment).
+    * Spherical — assignment by cosine, centroid = mean of unit vectors —
+    * because every consumer in this stack ranks by cosine; plain-L2
+    * Lloyd's would train centroids the probe path doesn't use.
+    *
+    * Scale shape per iteration: the k×dim centroid set rides into the
+    * executors as LITERALS inside one codegen'd projection (k dot
+    * products per row, no join, no window, no shuffle for assignment);
+    * the update is one map-side-combinable `groupBy(cid, pos)` over
+    * posexploded unit vectors — k·dim rows back to the driver, O(k·dim)
+    * driver state, never corpus-proportional. The corpus is persisted
+    * across iterations and unpersisted on exit.
+    *
+    * Determinism caveat (why oracle queries keep the id-hash sample):
+    * the update's floating sums reduce in partition order, so trained
+    * centroids are deterministic only up to float summation order —
+    * properties (separation, convergence) are stable, bits are not.
+    * Zero vectors carry no direction and are excluded from training;
+    * a cluster that loses all members keeps its previous centroid.
+    */
+  def kmeansFit(
+      emb: DataFrame,
+      k: Int = DefaultCentroidK,
+      maxIters: Int = 10,
+      tol: Double = 1e-6,
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 0, s"maxIters must be >= 0, got $maxIters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = asDouble(emb, idCol = idCol)
+    val all = v.filter(col("nrm") > 0)
+      .select(col(idCol), col("vec"), col("nrm"),
+        expr("transform(vec, x -> x / nrm)").as("unit"))
+    all.persist()
+    try {
+      // Deterministic farthest-point init (angular k-center): seed with
+      // the smallest-id-hash vector, then greedily add the vector whose
+      // max cosine to the chosen set is SMALLEST (tie: smallest id). A
+      // plain hash sample can seed one tight direction cluster twice and
+      // leave another unseeded — a local minimum Lloyd's cannot escape;
+      // farthest-point spreads seeds across separated clusters by
+      // construction. Cost: k TakeOrdered(1) passes over the cached
+      // corpus, O(k·dim) driver state.
+      val seed = ivfCentroids(all, 1, idCol).collect()
+      require(seed.nonEmpty, "kmeansFit needs at least one non-zero vector")
+      val chosenIds = scala.collection.mutable.ArrayBuffer(seed(0).getLong(0))
+      val init = scala.collection.mutable.ArrayBuffer(
+        seed(0).getSeq[Double](1).toArray)
+      var exhausted = false
+      while (init.length < k && !exhausted) {
+        val cos = init.map { c =>
+          val cn = math.sqrt(c.map(x => x * x).sum)
+          graft.functions.DotProduct(col("vec"), typedLit(c.toSeq)) /
+            (col("nrm") * lit(cn))
+        }.toSeq
+        val mc = if (cos.length == 1) cos.head else greatest(cos: _*)
+        val far = all.filter(!col(idCol).isInCollection(chosenIds))
+          .withColumn("mc", mc)
+          .orderBy(col("mc"), col(idCol))
+          .limit(1).select(col(idCol), col("vec")).collect()
+        if (far.isEmpty) exhausted = true // corpus smaller than k
+        else {
+          chosenIds += far(0).getLong(0)
+          init += far(0).getSeq[Double](1).toArray
+        }
+      }
+      var cents: Array[Array[Double]] = init.toArray
+      val kk = cents.length // < k when the corpus is smaller than k
+      var iter = 0
+      var converged = false
+      while (iter < maxIters && !converged) {
+        val cos = cents.map { c =>
+          val cn = math.sqrt(c.map(x => x * x).sum)
+          graft.functions.DotProduct(col("vec"), typedLit(c.toSeq)) /
+            (col("nrm") * lit(cn))
+        }
+        val withC = all.withColumn("carr", array(cos: _*))
+        val m = array_max(col("carr"))
+        val cid = (1 until kk).foldLeft(
+            when(element_at(col("carr"), 1) === m, 0L)) {
+          (acc, j) => acc.when(element_at(col("carr"), j + 1) === m, j.toLong)
+        }.otherwise(lit(0L))
+        val sums = withC
+          .select(cid.as("cid"), posexplode(col("unit")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .collect()
+        val dim = cents(0).length
+        val sx = Array.fill(kk, dim)(0.0)
+        val n = Array.fill(kk)(0L)
+        sums.foreach { r =>
+          val c = r.getLong(0).toInt
+          sx(c)(r.getInt(1)) = r.getDouble(2)
+          n(c) = r.getLong(3)
+        }
+        val next = cents.zipWithIndex.map { case (old, j) =>
+          if (n(j) > 0L) sx(j).map(_ / n(j)) else old
+        }
+        val shift = cents.zip(next).map { case (a, b) =>
+          math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+        }.max
+        cents = next
+        converged = shift <= tol
+        iter += 1
+      }
+      cents.zipWithIndex.toSeq
+        .map { case (c, j) =>
+          (j.toLong, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+        }
+        .toDF("centroid_id", "cvec", "cnrm")
+    } finally all.unpersist()
+  }
+
+  /** SemDeDup-style semantic dedup: coarse-cluster the corpus (IVF
+    * assignment against a fixed-k centroid set), then compute exact
+    * cosine near-dup pairs WITHIN clusters only — the third candidate
+    * generator next to [[cosineDupPairs]] (exact, quadratic) and
+    * [[srpDupPairs]] (LSH banding). Clustering makes the quadratic term
+    * Σ|cluster|² instead of n²: with balanced clusters that's n²/k, and
+    * the cluster key doubles as the corpus partition key at rest (an
+    * [[writeIvfPartitioned]] layout runs this with NO shuffle at all —
+    * every cluster's pair join is partition-local).
+    *
+    * Trade-off vs LSH: near-dups straddling a cluster boundary are
+    * missed (the SemDeDup paper accepts this — near-identical vectors
+    * overwhelmingly co-assign); recall rises with fewer/larger clusters,
+    * cost falls with more/smaller ones. Pass [[kmeansFit]] output as
+    * `centroids` when trained clusters should replace the deterministic
+    * id-hash sample.
+    */
+  def semanticDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      centroidK: Int = DefaultCentroidK,
+      centroids: Option[DataFrame] = None,
+      idCol: String = "vec_id"): DataFrame = {
+    val all = asDouble(emb, idCol = idCol)
+    val cent = centroids.getOrElse(ivfCentroids(all, centroidK, idCol))
+    val assigned = rankCentroids(all, cent, 1, idCol)
+    Caching.withCached(assigned) {
+      assigned.as("a").join(assigned.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
+          round(dot("a.vec", "b.vec") / (col("a.nrm") * col("b.nrm")), 6)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+    }
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the serving-side
     * compression step of an ANN index (4× smaller than float32, 8×
     * smaller than the double pipeline): `scale = max|x| / 127`,

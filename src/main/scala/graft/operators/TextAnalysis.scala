@@ -93,6 +93,37 @@ object TextAnalysis {
         .as("chars_per_token"))
   }
 
+  /** PII patterns, portable between Java regex (Spark) and RE2 (DuckDB):
+    * no backreferences, no lookaround — just classes, bounded repeats,
+    * non-capturing groups, and `\b`. Redaction applies them IN THIS
+    * ORDER (emails first, so a numeric mail domain can't be half-eaten
+    * by the IPv4 rule).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** PII detection + redaction — the scrubbing pass of a training-data
+    * pipeline: per-category match counts (on the ORIGINAL text, so
+    * categories count independently) and the text with all categories
+    * redacted sequentially. Pure per-row regex projections — no shuffle,
+    * no UDFs, linear at any scale. Pattern-based detection is a
+    * PRECISION tool (it finds formatted identifiers, not free-text
+    * names); recall-critical deployments layer an NER model on top via
+    * the multimodal-style batched boundary.
+    */
+  def piiScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+  }
+
   /** Deterministic stratified sampling — the data-mixing step of a
     * training recipe: keep a row iff its id-hash's unit-interval value
     * falls under its stratum's rate. Hash-based, no RNG: the sample is
@@ -115,6 +146,46 @@ object TextAnalysis {
         when(col(strataCol) === stratum, lit(r)).otherwise(els)
     }
     rows.filter(u < rate)
+  }
+
+  /** Data mixing to a TARGET distribution — the step above
+    * [[stratifiedSample]] in a training recipe: given mixture weights
+    * per stratum (e.g. 50% en / 25% es / 25% zh), find the largest
+    * total corpus achievable WITHOUT upsampling any stratum, derive the
+    * per-stratum keep rates that hit the weights exactly, and apply the
+    * deterministic hash sample. Rows in strata without a weight are
+    * dropped (they're not in the recipe).
+    *
+    * The only driver-side data is one count per stratum (O(|strata|),
+    * from a map-side-combined count — bounded at any corpus size). Rate
+    * arithmetic is plain IEEE double in a FIXED operation order
+    * (documented in the oracle SQL mirror), so the kept set is
+    * reproducible across engines and cluster sizes like every other
+    * hash sample here.
+    */
+  def mixToTarget(
+      rows: DataFrame,
+      strataCol: String,
+      weights: Map[String, Double],
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wsum = weights.values.sum
+    val named = rows.filter(col(strataCol).isInCollection(weights.keys.toSeq))
+    val counts = named.groupBy(strataCol).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total = min over strata of c_s / w_s  (the stratum that runs out
+    // first caps the recipe); rate_s = w_s * total / c_s  — identical
+    // op order to the SQL mirror so the doubles match bit-for-bit
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) named.limit(0)
+    else {
+      val total = present.map { case (s, w) => counts(s).toDouble / (w / wsum) }.min
+      val rates = present.map { case (s, w) =>
+        s -> math.min(1.0, w / wsum * total / counts(s).toDouble)
+      }
+      stratifiedSample(named, strataCol, rates, defaultRate = 0.0, idCol)
+    }
   }
 
   /** Sequence-packing plan — pretraining's concat-and-chunk step: lay
@@ -166,6 +237,53 @@ object TextAnalysis {
     }
     spark.createDataset(out)
       .toDF("doc_id", "n_tok", "start_offset", "start_chunk", "end_chunk")
+  }
+
+  /** Repetition-based quality stats (the Gopher / MassiveText filter
+    * family): per document and per n-gram size, the fraction of n-gram
+    * occurrences taken by the single most frequent n-gram
+    * (`top{n}gram_frac`) and the fraction of occurrences whose n-gram
+    * appears more than once (`dup{n}gram_frac`). Repetitious documents
+    * (boilerplate, keyword stuffing, degenerate generations) score high
+    * and get filtered; `quality`'s `uniq_token_ratio` is the n=1
+    * analogue.
+    *
+    * Scale shape: n-grams are hashed to longs (`PolyHash` inside a
+    * `transform` — no interpreted lambdas, no gram strings leave the
+    * scan), exploded, and counted with two map-side-combinable
+    * aggregations; only (doc_id, hash, count) longs ever cross a
+    * shuffle, exactly the q21 discipline. Docs shorter than n tokens
+    * have no n-grams: total 0, fractions 0.0.
+    */
+  def repetition(
+      docs: DataFrame,
+      ns: Seq[Int] = Seq(2, 3),
+      textCol: String = "text"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    val toks = withTokens(docs, textCol)
+    val perN = ns.map { n =>
+      val grams = toks.select(
+        col("doc_id"),
+        transform(TextHash.shingles("toks", n), s => graft.functions.PolyHash(s))
+          .as("gh"))
+      val counts = grams
+        .select(col("doc_id"), explode(col("gh")).as("h"))
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id").agg(
+        sum("c").as(s"ngrams$n"),
+        round(max("c").cast(DoubleType) / sum("c"), 6).as(s"top${n}gram_frac"),
+        round(
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).cast(DoubleType) /
+            sum("c"), 6).as(s"dup${n}gram_frac"))
+    }
+    val base = docs.select(col("doc_id"))
+    perN.foldLeft(base)((acc, s) => acc.join(s, Seq("doc_id"), "left"))
+      .select(
+        col("doc_id") +:
+          ns.flatMap(n => Seq(
+            coalesce(col(s"ngrams$n"), lit(0L)).as(s"ngrams$n"),
+            coalesce(col(s"top${n}gram_frac"), lit(0.0)).as(s"top${n}gram_frac"),
+            coalesce(col(s"dup${n}gram_frac"), lit(0.0)).as(s"dup${n}gram_frac"))): _*)
   }
 
   /** Document fingerprinting: full-text polynomial rolling hash plus the

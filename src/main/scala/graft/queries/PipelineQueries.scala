@@ -425,6 +425,125 @@ object PipelineQueries {
          |FROM docs d JOIN sh ON d.doc_id = sh.doc_id
          |ORDER BY d.doc_id""".stripMargin))
 
+  /** Gopher-style repetition filters: per-doc top-n-gram and
+    * duplicate-n-gram occurrence fractions for n ∈ {2, 3} (Spark: hashed
+    * explode + two map-side-combinable aggs; oracle: unnest + the same
+    * two-level GROUP BY on identical gram hashes).
+    */
+  private val qRepetition = {
+    val ns = Seq(2, 3)
+    def gramCtes(n: Int): String = {
+      val joined = (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+      s"""g$n AS (
+         |  SELECT doc_id,
+         |         list_transform(
+         |           list_transform(range(1, len(toks) - ${n - 2}),
+         |             i -> $joined),
+         |           s -> ${DuckSql.polyHash("s")}) AS gh
+         |  FROM docs WHERE len(toks) >= $n),
+         |e$n AS (SELECT doc_id, unnest(gh) AS h FROM g$n),
+         |c$n AS (SELECT doc_id, h, count(*) AS c FROM e$n GROUP BY 1, 2),
+         |s$n AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS ngrams$n,
+         |         round(max(c)::DOUBLE / sum(c), 6) AS top${n}gram_frac,
+         |         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+         |               / sum(c), 6) AS dup${n}gram_frac
+         |  FROM c$n GROUP BY 1)""".stripMargin
+    }
+    val outCols = ns.flatMap(n => Seq(
+      s"COALESCE(s$n.ngrams$n, 0) AS ngrams$n",
+      s"COALESCE(s$n.top${n}gram_frac, 0.0) AS top${n}gram_frac",
+      s"COALESCE(s$n.dup${n}gram_frac, 0.0) AS dup${n}gram_frac"))
+      .mkString(",\n       ")
+    QueryDef(
+      "q46_text_repetition",
+      (s, dir) => TextAnalysis.repetition(docs(s, dir), ns).orderBy("doc_id"),
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${ns.map(gramCtes).mkString(",\n")}
+           |SELECT d.doc_id,
+           |       $outCols
+           |FROM documents d
+           |${ns.map(n => s"LEFT JOIN s$n ON d.doc_id = s$n.doc_id").mkString("\n")}
+           |ORDER BY d.doc_id""".stripMargin))
+  }
+
+  /** PII scrub over text with deterministically synthesized identifiers
+    * (the fixture corpus is clean words, so both engines graft the same
+    * email/IP/phone onto each doc, then must agree on every count and on
+    * the fully redacted text). Patterns and application order come from
+    * [[TextAnalysis.piiPatterns]] — one source of truth for both engines.
+    */
+  private val qPii = {
+    val pats = TextAnalysis.piiPatterns
+    QueryDef(
+      "q47_text_pii",
+      (s, dir) => {
+        val salted = docs(s, dir).withColumn("text",
+          concat(col("text"), lit(" reach user"), col("doc_id"),
+            lit("@mail.example.com from 10.0."), col("doc_id") % 200,
+            lit(".7 call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        TextAnalysis.piiScan(salted)
+          .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+            md5(col("redacted")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val counts = pats.map { case (name, pat, _) =>
+          s"CAST(len(regexp_extract_all(txt, '$pat')) AS BIGINT) AS n_$name"
+        }.mkString(",\n       ")
+        val redacted = pats.foldLeft("txt") { case (c, (_, pat, repl)) =>
+          s"regexp_replace($c, '$pat', '$repl', 'g')"
+        }
+        s"""WITH salted AS (
+           |  SELECT doc_id,
+           |         text || ' reach user' || doc_id ||
+           |         '@mail.example.com from 10.0.' || (doc_id % 200) ||
+           |         '.7 call 555-867-' ||
+           |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+           |  FROM documents)
+           |SELECT doc_id,
+           |       $counts,
+           |       md5($redacted) AS redacted_md5
+           |FROM salted ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** Data mixing to a target distribution (50% en / 25% es / 25% zh on
+    * the REAL lang column; other strata dropped): both engines compute
+    * the same keep rates from the same counts with the same IEEE double
+    * operation order, then the same hash sample. Weights sum to 1 so the
+    * Scala normalization (w / wsum) is exact.
+    */
+  private val qMix = {
+    val weights = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.25)
+    val P = TextHash.P
+    QueryDef(
+      "q48_mix_to_target",
+      (s, dir) => TextAnalysis.mixToTarget(
+          docs(s, dir).select("doc_id", "lang"), "lang", weights)
+        .orderBy("doc_id"),
+      Some {
+        val values = weights.toSeq.sortBy(_._1)
+          .map { case (l, w) => s"('$l', CAST($w AS DOUBLE))" }.mkString(", ")
+        s"""WITH w(lang, wn) AS (VALUES $values),
+           |c AS (
+           |  SELECT lang, count(*) AS c FROM documents
+           |  JOIN w USING (lang) GROUP BY lang),
+           |t AS (SELECT min(c::DOUBLE / wn) AS total FROM c JOIN w USING (lang)),
+           |r AS (
+           |  SELECT lang, least(CAST(1.0 AS DOUBLE), wn * t.total / c::DOUBLE)
+           |           AS rate
+           |  FROM c JOIN w USING (lang) CROSS JOIN t)
+           |SELECT d.doc_id, d.lang FROM documents d
+           |JOIN r ON d.lang = r.lang
+           |WHERE CAST(((d.doc_id % $P) * 2654435761) % $P AS DOUBLE) / $P
+           |      < r.rate
+           |ORDER BY d.doc_id""".stripMargin
+      })
+  }
+
   // ----------------------------------------------------------- multimodal
 
   private val qMultimodalMeta = QueryDef(
@@ -625,6 +744,34 @@ object PipelineQueries {
            |ORDER BY vec_a, vec_b""".stripMargin))
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup — IVF-assign every
+    * vector, then exact cosine pairs within clusters only (the third
+    * candidate generator: q24 exact all-pairs, q35 LSH banding, q49
+    * clustering). Oracle: the q34 assignment subquery self-joined on the
+    * assigned centroid.
+    */
+  private val qSemDedup = QueryDef(
+    "q49_dedup_semantic",
+    (s, dir) => Similarity.semanticDupPairs(emb(s, dir), threshold = 0.45)
+      .orderBy("vec_a", "vec_b"),
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |${DuckSql.ivfCentCte(Similarity.DefaultCentroidK)},
+         |a AS (
+         |  SELECT vec_id, centroid_id, vec FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.vec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c)
+         |  WHERE crank = 1)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |       round(${DuckSql.cosine("x.vec", "y.vec")}, 6) AS cos_sim
+         |FROM a x JOIN a y
+         |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |WHERE round(${DuckSql.cosine("x.vec", "y.vec")}, 6) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin))
+
   /** Sequence packing: the corpus as one token stream cut into 2048-token
     * context windows (distributed two-pass prefix sum on the Spark side;
     * a plain cumulative window in the oracle — same arithmetic).
@@ -774,8 +921,8 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qMinhash, qSimhash, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti,
-    qQuality, qLangId, qTokenCount, qFingerprint,
+    qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
-    qSrp, qSrpDup, qIvfAssign, qComponents, qKeepers, qContamination,
+    qSrp, qSrpDup, qSemDedup, qIvfAssign, qComponents, qKeepers, qContamination,
     qSample, qQuantize, qPack, qPipelineE2e)
 }

@@ -134,6 +134,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got2 == expected2)
   }
 
+  test("semanticDupPairs: cluster-scoped subset of all-pairs with exact cosines") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.cosineDupPairs(emb, threshold = 0.45)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sem = Similarity.semanticDupPairs(emb, threshold = 0.45)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    sem.foreach { case (pair, sim) => assert(exact(pair) == sim) }
+    // co-assigned identical vectors are always found (k=1: one cluster
+    // holds everything, so cluster-scoped == all-pairs)
+    val base = Array.tabulate(8)(i => 0.1 * (i + 1))
+    val df = Seq((0L, base.toSeq), (1L, base.toSeq), (2L, base.map(-_).toSeq))
+      .toDF("vec_id", "embedding")
+    val dup = Similarity.semanticDupPairs(df, threshold = 0.99, centroidK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dup.toSeq == Seq((0L, 1L)))
+  }
+
+  test("kmeansFit: separates direction clusters, feeds the cosine stack") {
+    // three tight direction bundles in 4-d, 30 points each
+    val bundles = Seq(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 1.0))
+    val pts = for {
+      (b, ci) <- bundles.zipWithIndex
+      i <- 0 until 30
+    } yield {
+      val eps = 0.02 * ((i % 5) - 2)
+      val v = b.zipWithIndex.map { case (x, d) =>
+        (x + (if (d == (ci + 1) % 4) eps else 0.0)) * (1.0 + 0.1 * (i % 3))
+      }
+      ((ci * 30 + i).toLong, v.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansFit(df, k = 3, maxIters = 10)
+      .orderBy("centroid_id").collect()
+    assert(trained.length == 3)
+    // every trained centroid aligns near-perfectly with exactly one bundle
+    val cvecs = trained.map(_.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val matches = bundles.map(b => cvecs.count(c => cos(b, c) > 0.99))
+    assert(matches == Seq(1, 1, 1), s"bundle alignment counts: $matches")
+    // trained centroids plug into the cosine stack: cluster-scoped dedup
+    // with them still reports exact cosines
+    val sem = Similarity.semanticDupPairs(df, threshold = 0.999,
+      centroids = Some(Similarity.kmeansFit(df, k = 3, maxIters = 5)))
+    assert(sem.count() > 0)
+    // maxIters = 0 returns the deterministic init unchanged
+    val init = Similarity.kmeansFit(df, k = 3, maxIters = 0)
+      .select("centroid_id").count()
+    assert(init == 3)
+  }
+
   test("srpDupPairs finds near-identical pairs, reports exact cosine, " +
     "and returns a subset of the all-pairs result") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

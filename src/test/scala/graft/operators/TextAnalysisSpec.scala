@@ -70,6 +70,66 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one.toSeq == got.map(t => (t._1, t._3)).toSeq)
   }
 
+  test("repetition: top/dup n-gram fractions, short-doc zeros") {
+    val df = Seq(
+      // 2-grams: "a b","b a","a b","b a","a b" -> top "a b"=3/5, dup 5/5
+      // 3-grams: "a b a","b a b","a b a","b a b" -> top 2/4, dup 4/4
+      (1L, "a b a b a b"),
+      // all grams distinct
+      (2L, "v w x y z"),
+      // shorter than 3 tokens: ngrams3 = 0
+      (3L, "p q"),
+      // shorter than 2 tokens: all zero
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got(0) == ((1L, 5L, 0.6, 1.0, 4L, 0.5, 1.0)))
+    assert(got(1) == ((2L, 4L, 0.25, 0.0, 3L, math.rint(1.0 / 3 * 1e6) / 1e6, 0.0)))
+    assert(got(2) == ((3L, 1L, 1.0, 0.0, 0L, 0.0, 0.0)))
+    assert(got(3) == ((4L, 0L, 0.0, 0.0, 0L, 0.0, 0.0)))
+  }
+
+  test("pii scan: counts per category, ordered redaction") {
+    val df = Seq(
+      (1L, "mail a.user+tag@sub.example.org now"),
+      (2L, "servers 10.0.0.1 and 192.168.255.12 up"),
+      (3L, "call 555-123-4567 or 555.987.6543"),
+      (4L, "clean text only"),
+      // "x@1.2.3.4com": no email (no letters-after-dot), no IP (no word
+      // boundary before "com") — only the standalone ip matches
+      (5L, "x@1.2.3.4com and real ip 1.2.3.4")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScan(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got(0) == ((1L, 1L, 0L, 0L, "mail <EMAIL> now")))
+    assert(got(1) == ((2L, 0L, 2L, 0L, "servers <IP> and <IP> up")))
+    assert(got(2) == ((3L, 0L, 0L, 2L, "call <PHONE> or <PHONE>")))
+    assert(got(3) == ((4L, 0L, 0L, 0L, "clean text only")))
+    assert(got(4) == ((5L, 0L, 1L, 0L, "x@1.2.3.4com and real ip <IP>")))
+  }
+
+  test("mix to target: hits the weights without upsampling, drops unnamed strata") {
+    val rows = ((0L until 800L).map(i => (i, "en")) ++
+      (800L until 1000L).map(i => (i, "fr")) ++
+      (1000L until 1100L).map(i => (i, "junk"))).toDF("doc_id", "lang")
+    // target 50/50 but only 200 fr exist -> fr caps the recipe: keep all
+    // 200 fr, ~200 of 800 en, all junk dropped
+    val kept = TextAnalysis.mixToTarget(rows, "lang", Map("en" -> 0.5, "fr" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = kept.groupBy(_._2).map { case (l, xs) => l -> xs.length }
+    assert(byLang("fr") == 200)
+    assert(byLang.getOrElse("junk", 0) == 0)
+    assert(byLang("en") > 150 && byLang("en") < 250,
+      s"en kept ${byLang("en")} of 800 targeting 200")
+    // deterministic
+    val again = TextAnalysis.mixToTarget(rows, "lang", Map("en" -> 0.5, "fr" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+    // an all-absent recipe yields an empty frame, not a crash
+    assert(TextAnalysis.mixToTarget(rows, "lang", Map("xx" -> 1.0)).count() == 0)
+  }
+
   test("stratified sample: deterministic, rate-monotone, rate-respecting") {
     val rows = (0L until 2000L).map(i =>
       (i, if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "stratum")
