@@ -62,6 +62,8 @@ object Bench {
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
+        System.err.println(
+          f"[bench] $name min=${times.min}%.2f med=${median(times)}%.2f")
         name -> (times.min, median(times))
       } catch {
         case e: Throwable =>

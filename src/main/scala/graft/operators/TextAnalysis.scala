@@ -286,6 +286,28 @@ object TextAnalysis {
             coalesce(col(s"dup${n}gram_frac"), lit(0.0)).as(s"dup${n}gram_frac"))): _*)
   }
 
+  /** Corpus vocabulary statistics: per token, document frequency (docs
+    * containing it) and collection frequency (total occurrences) — the
+    * df table behind stop-shingle caps, idf weighting, tokenizer vocab
+    * sizing, and Heaps'-law corpus diagnostics.
+    *
+    * One explode + two map-side-combinable aggregations (the classic
+    * wordcount shuffle shape, keyed on the token). The result is
+    * vocabulary-sized — Heaps' law keeps it far below corpus size — and
+    * `minDf` prunes the hapax tail early when only the head matters.
+    */
+  def vocabStats(
+      docs: DataFrame,
+      minDf: Long = 1L,
+      textCol: String = "text"): DataFrame =
+    withTokens(docs, textCol)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("n"))
+      .groupBy("token").agg(
+        count(lit(1)).as("df"),
+        sum("n").as("cf"))
+      .filter(col("df") >= minDf)
+
   /** Document fingerprinting: full-text polynomial rolling hash plus the
     * minimum 3-gram shingle hash (a 1-element winnowing sketch — at scale
     * the natural clustering / shard-routing key for near-dup detection).

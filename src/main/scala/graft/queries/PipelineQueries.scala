@@ -544,6 +544,23 @@ object PipelineQueries {
       })
   }
 
+  /** Corpus vocabulary df/cf table (the wordcount shape): both engines
+    * explode whitespace tokens and aggregate twice.
+    */
+  private val qVocab = QueryDef(
+    "q50_text_vocab",
+    (s, dir) => TextAnalysis.vocabStats(docs(s, dir), minDf = 2L)
+      .orderBy("token"),
+    Some(
+      s"""WITH ${DuckSql.docsCte},
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+         |perdoc AS (
+         |  SELECT token, doc_id, count(*) AS n FROM ex GROUP BY 1, 2)
+         |SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(sum(n) AS BIGINT) AS cf
+         |FROM perdoc GROUP BY token HAVING count(*) >= 2
+         |ORDER BY token""".stripMargin))
+
   // ----------------------------------------------------------- multimodal
 
   private val qMultimodalMeta = QueryDef(
@@ -922,6 +939,7 @@ object PipelineQueries {
     qDedupExact, qNgramJaccard, qMinhash, qSimhash, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
+    qVocab,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qSemDedup, qIvfAssign, qComponents, qKeepers, qContamination,
     qSample, qQuantize, qPack, qPipelineE2e)

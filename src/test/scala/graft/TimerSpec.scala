@@ -17,14 +17,20 @@ class TimerSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("path")
         .startsWith("graft.sync"))
       .collect()
-    assert(selfMetrics.length == 1)
-    assert(selfMetrics(0).getString(0) == "graft.sync.total.time")
-    assert(selfMetrics(0).getDouble(1) == 1000.0)
-    assert(selfMetrics(0).getDouble(2) > 0)
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val byPath = selfMetrics.map(p => p._1 -> p._3).toMap
+    assert(byPath.keySet.contains("graft.sync.total.time"))
+    assert(byPath("graft.sync.total.time") > 0)
+    assert(selfMetrics.forall(_._2 == 1000.0))
+    // psutil-parity clocks ride along on Linux (one delta per clock)
+    if (Timer.procTimings().nonEmpty) {
+      assert(byPath.keySet.contains("graft.sync.total.user"))
+      assert(byPath.keySet.contains("graft.sync.total.read_count"))
+    }
   }
 
   test("timer records block timings under prefix.name.time") {
-    val t = new Timer("p", () => 42.0)
+    val t = new Timer("p", () => 42.0, callbacks = Seq.empty)
     val r = t.timed("work") { 7 }
     t.emit("count", 3)
     assert(r == 7)
@@ -32,5 +38,30 @@ class TimerSpec extends AnyFunSuite {
     assert(pts.map(_._1) == Seq("p.work.time", "p.count"))
     assert(pts.forall(_._2 == 42.0))
     assert(t.drain().isEmpty)
+  }
+
+  test("psutil-parity process clocks: per-block deltas, non-negative") {
+    assume(Timer.procTimings().nonEmpty) // procfs platforms only
+    val names = Timer.procTimings().map(_._1)
+    assert(names.contains("user") && names.contains("system") &&
+      names.contains("read_count") && names.contains("write_count") &&
+      names.contains("read_bytes") && names.contains("write_bytes"))
+    val t = new Timer("p", () => 1.0)
+    t.timed("busy") {
+      // burn some user CPU and do real I/O so the deltas can move
+      var s = 0L
+      (0 until 2000000).foreach(i => s += i * i)
+      val f = Files.createTempFile("timer-io", ".bin")
+      Files.write(f, Array.fill[Byte](1 << 16)(1))
+      Files.readAllBytes(f)
+      Files.delete(f)
+      s
+    }
+    val pts = t.drain().map(p => p._1 -> p._3).toMap
+    assert(pts.keySet == Set("p.busy.time", "p.busy.user", "p.busy.system",
+      "p.busy.read_count", "p.busy.write_count", "p.busy.read_bytes",
+      "p.busy.write_bytes"))
+    assert(pts.forall(_._2 >= 0.0))
+    assert(pts("p.busy.write_count") > 0)
   }
 }

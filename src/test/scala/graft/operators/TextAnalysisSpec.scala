@@ -90,6 +90,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 0L, 0.0, 0.0, 0L, 0.0, 0.0)))
   }
 
+  test("vocab stats: df counts docs, cf counts occurrences, minDf prunes") {
+    val df = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabStats(df).orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 2L, 3L), ("b", 1L, 1L), ("c", 2L, 2L)))
+    val head = TextAnalysis.vocabStats(df, minDf = 2).orderBy("token").collect()
+      .map(_.getString(0))
+    assert(head.toSeq == Seq("a", "c"))
+  }
+
   test("pii scan: counts per category, ordered redaction") {
     val df = Seq(
       (1L, "mail a.user+tag@sub.example.org now"),
