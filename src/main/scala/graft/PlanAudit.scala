@@ -25,7 +25,8 @@ object PlanAudit {
     val interesting = Seq(
       "q05_get_metric", "q07_hwm_join", "q08_sync_final_range",
       "q25_knn_brute", "q22_dedup_minhash", "q02_agg_tensecond",
-      "q21_dedup_ngram_jaccard", "q43_knn_ivf_multiprobe")
+      "q21_dedup_ngram_jaccard", "q43_knn_ivf_multiprobe",
+      "q46_text_repetition", "q48_mix_to_target", "q49_dedup_semantic")
     for (name <- interesting) {
       println(s"\n======== $name ========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

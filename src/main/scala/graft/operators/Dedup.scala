@@ -38,6 +38,48 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("copies"))
 
+  /** Content-digest Bloom filter of a (historical) corpus — the
+    * INCREMENTAL exact-dedup guard: an ingest batch checks membership
+    * against a broadcast O(bits) sketch instead of joining 100 TB of
+    * history. Build once per epoch over the history (one pass,
+    * tree-aggregated), ship to every executor, and [[filterNovel]] each
+    * arriving batch. False positives (rate `fpp`) drop a few NOVEL docs
+    * — the usual dedup trade, tunable; false negatives are impossible,
+    * so no true duplicate ever slips through. Definite duplicates for
+    * audit come from re-joining the (tiny) surviving batch if needed.
+    */
+  def digestBloom(
+      docs: DataFrame,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+      textCol: String = "text"): org.apache.spark.util.sketch.BloomFilter =
+    docs.select(md5(col(textCol).cast("binary")).as("text_md5"))
+      .stat.bloomFilter("text_md5", expectedItems, fpp)
+
+  /** The rows of `batch` whose content digest is NOT in the historical
+    * Bloom filter ([[digestBloom]]) — plus exact dedup WITHIN the batch
+    * (first id per digest wins), so the result is appendable as-is. The
+    * membership probe is a broadcast-variable UDF: justified because no
+    * builtin expression exposes BloomFilter.mightContain, the sketch
+    * must ride the closure, and the per-row work (one md5 + a few bit
+    * probes) dwarfs the UDF boundary cost. Narrow filter; the only
+    * shuffle is the within-batch groupBy on the digest.
+    */
+  def filterNovel(
+      batch: DataFrame,
+      history: org.apache.spark.util.sketch.BloomFilter,
+      textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val bc = spark.sparkContext.broadcast(history)
+    val seen = udf((d: String) => bc.value.mightContainString(d))
+    val withDigest = batch
+      .withColumn("text_md5", md5(col(textCol).cast("binary")))
+    val novel = withDigest.filter(!seen(col("text_md5")))
+    val keep = novel.groupBy("text_md5").agg(min("doc_id").as("doc_id"))
+    novel.join(keep, Seq("text_md5", "doc_id"), "left_semi")
+      .drop("text_md5")
+  }
+
   /** doc_id + distinct 3-gram shingle hashes — one fused compiled pass
     * per document ([[graft.functions.ShingleHashes]]; bit-identical to
     * the tokenize → window → concat_ws → poly-hash → distinct pipeline

@@ -105,22 +105,54 @@ object Similarity {
 
   /** Top-`nprobe` centroids per vector by cosine (tie-break on centroid
     * id): the shared coarse-ranking step of assignment (nprobe = 1) and
-    * multi-probe query routing (nprobe > 1). O(n · centroidK) against a
-    * broadcast centroid set; one (vec_id, centroid_id) row per probe.
+    * multi-probe query routing (nprobe > 1).
+    *
+    * nprobe = 1 — the hot path (every corpus-side assignment in q34 /
+    * semantic dedup / the IVF layout write) — is a PURE PROJECTION: the
+    * k×dim centroid set is collected once (bounded driver state, the
+    * same O(k·dim) budget the multi-probe sidecar and [[kmeansFit]]
+    * already spend) and rides into the executors as literals in one
+    * codegen'd argmax expression. The corpus is never row-multiplied
+    * and never shuffled; the previous window formulation exploded n·k
+    * rows and exchanged them TWICE (partition + WindowGroupLimit) just
+    * to keep rank 1. nprobe > 1 keeps the window form on the (small)
+    * query side where top-n genuinely needs ranking. Tie-break matches
+    * the window exactly: the centroid literals are laid out in
+    * ascending centroid_id order and the first index attaining the max
+    * wins.
     */
   private def rankCentroids(
       v: DataFrame,
       centroids: DataFrame,
       nprobe: Int,
       idCol: String): DataFrame = {
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("csim").desc, col("centroid_id"))
-    v.select(col(idCol), col("vec"), col("nrm"))
-      .join(broadcast(centroids))
-      .withColumn("csim", dot("vec", "cvec") / (col("nrm") * col("cnrm")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= nprobe)
-      .select(col(idCol), col("centroid_id"), col("vec"), col("nrm"))
+    if (nprobe == 1) {
+      val cents = centroids.select("centroid_id", "cvec", "cnrm")
+        .collect().sortBy(_.getLong(0))
+      require(cents.nonEmpty, "empty centroid set")
+      val cos = cents.map { r =>
+        graft.functions.DotProduct(col("vec"), typedLit(r.getSeq[Double](1))) /
+          (col("nrm") * lit(r.getDouble(2)))
+      }.toSeq
+      val m = array_max(col("carr"))
+      val cid = cents.indices.tail.foldLeft(
+          when(element_at(col("carr"), 1) === m, lit(cents(0).getLong(0)))) {
+        (acc, j) =>
+          acc.when(element_at(col("carr"), j + 1) === m, lit(cents(j).getLong(0)))
+      }.otherwise(lit(cents(0).getLong(0)))
+      v.select(col(idCol), col("vec"), col("nrm"))
+        .withColumn("carr", array(cos: _*))
+        .select(col(idCol), cid.as("centroid_id"), col("vec"), col("nrm"))
+    } else {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("csim").desc, col("centroid_id"))
+      v.select(col(idCol), col("vec"), col("nrm"))
+        .join(broadcast(centroids))
+        .withColumn("csim", dot("vec", "cvec") / (col("nrm") * col("cnrm")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= nprobe)
+        .select(col(idCol), col("centroid_id"), col("vec"), col("nrm"))
+    }
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest
@@ -141,6 +173,8 @@ object Similarity {
     * lowest-recall point, nprobe = centroidK degenerates to exact search.
     * A neighbor belongs to exactly one bucket, so multi-probe never
     * duplicates a (query, neighbor) pair and needs no distinct.
+    * `trainedCentroids` swaps the deterministic id-hash sample for a
+    * trained `(centroid_id, cvec, cnrm)` set ([[kmeansFit]]).
     */
   def ivfKnn(
       emb: DataFrame,
@@ -148,10 +182,11 @@ object Similarity {
       k: Int,
       centroidK: Int = DefaultCentroidK,
       nprobe: Int = 1,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      trainedCentroids: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val all = asDouble(emb, idCol = idCol)
-    val centroids = ivfCentroids(all, centroidK, idCol)
+    val centroids = trainedCentroids.getOrElse(ivfCentroids(all, centroidK, idCol))
     val assigned = rankCentroids(all, centroids, 1, idCol)
     val probes = rankCentroids(
         all.filter(col(idCol).isInCollection(queryIds)), centroids, nprobe, idCol)
@@ -181,14 +216,18 @@ object Similarity {
     * to partition-type inference (int for small fixtures, long for
     * 64-bit ids — schema instability) and, under a narrowing cast, to
     * overflow; string equality predicates prune identically.
+    * `trainedCentroids` writes the layout around a trained
+    * ([[kmeansFit]]) centroid set instead of the id-hash sample — its
+    * ids become the partition values and the sidecar contents.
     */
   def writeIvfPartitioned(
       emb: DataFrame,
       path: String,
       centroidK: Int = DefaultCentroidK,
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id",
+      trainedCentroids: Option[DataFrame] = None): Unit = {
     val all = asDouble(emb, idCol = idCol)
-    val centroids = ivfCentroids(all, centroidK, idCol)
+    val centroids = trainedCentroids.getOrElse(ivfCentroids(all, centroidK, idCol))
     rankCentroids(all, centroids, 1, idCol)
       .select(col(idCol), col("vec"), col("nrm"),
         concat(lit("c"), col("centroid_id")).as("centroid_id"))
@@ -284,7 +323,7 @@ object Similarity {
   /** Distributed spherical k-means (Lloyd's) over the embedding column —
     * the TRAINED replacement for the deterministic id-hash centroid
     * sample, pluggable wherever a `(centroid_id, cvec, cnrm)` set is
-    * consumed ([[semanticDupPairs]], [[rankCentroids]]-based assignment).
+    * consumed ([[semanticDupPairs]], [[ivfKnn]], [[writeIvfPartitioned]]).
     * Spherical — assignment by cosine, centroid = mean of unit vectors —
     * because every consumer in this stack ranks by cosine; plain-L2
     * Lloyd's would train centroids the probe path doesn't use.

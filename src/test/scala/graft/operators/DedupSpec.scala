@@ -139,4 +139,26 @@ class DedupSpec extends AnyFunSuite {
     // exact: 1 shared of 4+4 shingles -> 1/7
     assert(got.forall(_._3 == 0.142857))
   }
+
+  test("bloom-guarded incremental dedup: duplicates never survive, novel docs pass") {
+    val history = (0L until 500L).map(i => (i, s"hist doc number $i"))
+      .toDF("doc_id", "text")
+    val bloom = Dedup.digestBloom(history, expectedItems = 1000, fpp = 0.001)
+    // no false negatives, by construction: every history digest is set
+    assert((0 until 500).forall(i =>
+      bloom.mightContainString(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hist doc number $i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)))
+    val batch = Seq(
+      (1000L, "hist doc number 7"),   // true duplicate of history
+      (1001L, "hist doc number 400"), // true duplicate of history
+      (1002L, "fresh doc alpha"),
+      (1003L, "fresh doc alpha"),     // in-batch duplicate, keeper 1002
+      (1004L, "fresh doc beta")).toDF("doc_id", "text")
+    val got = Dedup.filterNovel(batch, bloom)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // deterministic (fixed bloom hash seeds): these exact strings pass
+    assert(got == Set(1002L, 1004L))
+  }
 }

@@ -181,9 +181,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(matches == Seq(1, 1, 1), s"bundle alignment counts: $matches")
     // trained centroids plug into the cosine stack: cluster-scoped dedup
     // with them still reports exact cosines
+    val cents = Similarity.kmeansFit(df, k = 3, maxIters = 5)
     val sem = Similarity.semanticDupPairs(df, threshold = 0.999,
-      centroids = Some(Similarity.kmeansFit(df, k = 3, maxIters = 5)))
+      centroids = Some(cents))
     assert(sem.count() > 0)
+    val knn = Similarity.ivfKnn(df, Seq(0L), k = 3,
+      trainedCentroids = Some(cents))
+    assert(knn.count() == 3)
     // maxIters = 0 returns the deterministic init unchanged
     val init = Similarity.kmeansFit(df, k = 3, maxIters = 0)
       .select("centroid_id").count()
