@@ -286,6 +286,49 @@ object TextAnalysis {
             coalesce(col(s"dup${n}gram_frac"), lit(0.0)).as(s"dup${n}gram_frac"))): _*)
   }
 
+  /** Overlapping fixed-width token chunking — the RAG/retrieval-side
+    * sibling of [[packPlan]] (which concatenates ACROSS documents for
+    * pretraining; this windows WITHIN each document for indexing):
+    * chunk i of a document covers tokens `[i·stride, i·stride + width)`,
+    * the last chunk may run short, and a doc never emits more chunks
+    * than needed to cover its tail. Emits the chunk's token span and a
+    * portable content hash (what an embedding/index stage keys on).
+    *
+    * Pure per-row explode — chunk counts are derived arithmetically, so
+    * the plan is one `Generate` over the scan with no shuffle; output
+    * size is corpus tokens × (width/stride) overlap factor.
+    */
+  def chunkPlan(
+      docs: DataFrame,
+      width: Int = 128,
+      stride: Int = 96,
+      textCol: String = "text"): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(stride >= 1 && stride <= width,
+      s"stride must be in [1, width], got $stride (width $width)")
+    val d = withTokens(docs, textCol)
+      .withColumn("n_tok_doc", size(col("toks")))
+      // ((n - width + stride - 1) / stride) + 1 extra chunks past the
+      // first, all integer arithmetic (identical in any engine)
+      .withColumn("n_chunks",
+        when(col("n_tok_doc") <= width, lit(1))
+          .otherwise(((col("n_tok_doc") - width + stride - 1) / stride)
+            .cast("int") + 1))
+    d.select(
+        col("doc_id"), col("toks"), col("n_tok_doc"),
+        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("chunk_idx", "i")))
+      .withColumn("start_tok", col("i") * stride)
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(width), col("n_tok_doc") - col("start_tok")).cast("long")
+          .as("n_tok"),
+        graft.functions.PolyHash(
+          concat_ws(" ", expr(s"slice(toks, start_tok + 1, $width)")))
+          .as("chunk_hash"))
+  }
+
   /** Corpus vocabulary statistics: per token, document frequency (docs
     * containing it) and collection frequency (total occurrences) — the
     * df table behind stop-shingle caps, idf weighting, tokenizer vocab

@@ -561,6 +561,43 @@ object PipelineQueries {
          |FROM perdoc GROUP BY token HAVING count(*) >= 2
          |ORDER BY token""".stripMargin))
 
+  /** Overlapping token chunking (RAG indexing side): fixed 32-token
+    * windows at stride 24, with the chunk-content hash both engines must
+    * agree on (slice + join + poly-hash, all portable).
+    */
+  private val qChunk = {
+    val w = 32
+    val s = 24
+    QueryDef(
+      "q51_text_chunks",
+      (sp, dir) => TextAnalysis.chunkPlan(docs(sp, dir), width = w, stride = s)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |d AS (
+           |  SELECT doc_id, toks, len(toks) AS n_tok_doc,
+           |         CASE WHEN len(toks) <= $w THEN 1
+           |              ELSE ((len(toks) - $w + $s - 1) // $s) + 1
+           |         END AS n_chunks
+           |  FROM docs),
+           |ex AS (
+           |  SELECT doc_id, toks, n_tok_doc, unnest(range(0, n_chunks)) AS ci
+           |  FROM d),
+           |-- chunk text resolved BEFORE hashing: the polyHash fragment's
+           |-- lambda variable is `i` and would capture any `i` inside $$v
+           |cx AS (
+           |  SELECT doc_id, ci, n_tok_doc,
+           |         array_to_string(
+           |           list_slice(toks, ci * $s + 1, ci * $s + $w), ' ') AS ctext
+           |  FROM ex)
+           |SELECT doc_id,
+           |       CAST(ci AS BIGINT) AS chunk_idx,
+           |       CAST(ci * $s AS BIGINT) AS start_tok,
+           |       CAST(least($w, n_tok_doc - ci * $s) AS BIGINT) AS n_tok,
+           |       ${DuckSql.polyHash("ctext")} AS chunk_hash
+           |FROM cx ORDER BY doc_id, chunk_idx""".stripMargin))
+  }
+
   // ----------------------------------------------------------- multimodal
 
   private val qMultimodalMeta = QueryDef(
@@ -939,7 +976,7 @@ object PipelineQueries {
     qDedupExact, qNgramJaccard, qMinhash, qSimhash, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
-    qVocab,
+    qVocab, qChunk,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qSemDedup, qIvfAssign, qComponents, qKeepers, qContamination,
     qSample, qQuantize, qPack, qPipelineE2e)

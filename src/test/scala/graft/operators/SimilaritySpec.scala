@@ -192,6 +192,10 @@ class SimilaritySpec extends AnyFunSuite {
     val init = Similarity.kmeansFit(df, k = 3, maxIters = 0)
       .select("centroid_id").count()
     assert(init == 3)
+    // k larger than the corpus: farthest-point init exhausts gracefully
+    val tiny = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.kmeansFit(tiny, k = 5, maxIters = 3).count() == 2)
   }
 
   test("srpDupPairs finds near-identical pairs, reports exact cosine, " +

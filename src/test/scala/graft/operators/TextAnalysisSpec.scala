@@ -90,6 +90,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 0L, 0.0, 0.0, 0L, 0.0, 0.0)))
   }
 
+  test("chunk plan: coverage, overlap, short tail, one chunk for short docs") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks
+      (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkPlan(df, width = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: starts 0,3,6 cover w1..w10 (ceil((10-4)/3)+1 = 3 chunks)
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L)))
+    // doc 2 shorter than width: one chunk of its full length
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 3L)))
+    // identical windows hash identically; different windows don't
+    val hs = TextAnalysis.chunkPlan(df, width = 4, stride = 3)
+      .select("chunk_hash").collect().map(_.getLong(0))
+    assert(hs.distinct.length == hs.length)
+  }
+
   test("vocab stats: df counts docs, cf counts occurrences, minDf prunes") {
     val df = Seq(
       (1L, "a a b"),
