@@ -260,30 +260,96 @@ object Dedup {
     * |A∪B| = n_a + n_b − |A∩B| from per-doc set sizes — only longs cross
     * shuffles; full shingle arrays never ship through a join.
     */
+  /** (doc_id, band, key) LSH bucket rows of a shingled frame: the k
+    * minhashes split into `bands` bands, each band's hashes folded into
+    * one 64-bit key (each minhash < P = 1e9+7, so `key = mh·P + mh'`
+    * stays within Long range for bands of ≤ 2 rows).
+    */
+  private def minhashBuckets(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    require(rows <= 2, "band key packing supports bands of <= 2 rows")
+    val sig = minhashSignatures(sh, k).select("doc_id", "mh")
+    val bandKeys = (0 until bands).map { b =>
+      val key = (0 until rows)
+        .map(r => element_at(col("mh"), b * rows + r + 1))
+        .reduce((a, c) => a * TextHash.P + c)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** The persisted LSH side of INCREMENTAL near-dup: the historical
+    * corpus's (doc_id, band, key) bucket rows, as a frame to write once
+    * per epoch (3 longs per doc per band — O(corpus docs), not corpus
+    * bytes). An arriving batch probes it with [[minhashProbe]] instead
+    * of re-banding 100 TB of history; the Bloom guard
+    * ([[digestBloom]]/[[filterNovel]]) is the exact-duplicate analogue.
+    */
+  def minhashIndex(
+      docs: DataFrame,
+      textCol: String = "text",
+      k: Int = 8,
+      bands: Int = 4): DataFrame =
+    minhashBuckets(shingled(docs, textCol).filter(size(col("shh")) > 0),
+      k, bands)
+
+  /** Near-dup pairs of a NEW batch against an indexed historical corpus
+    * ([[minhashIndex]]): batch docs band locally, candidates come from
+    * the (band, key) join against the index — only colliding history is
+    * ever touched — and the exact count-based verify re-shingles just
+    * the candidate SLIVER of history (left-semi by id; at scale, keep
+    * the corpus id-partitioned or behind a point-lookup store so the
+    * sliver fetch prunes instead of scanning). Same (k, bands) as the
+    * index, or keys won't collide.
+    */
+  def minhashProbe(
+      batch: DataFrame,
+      index: DataFrame,
+      history: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val shB = shingled(batch, textCol).filter(size(col("shh")) > 0)
+    Caching.withCached(shB) {
+      val candidates = minhashBuckets(shB, k, bands).as("a")
+        .join(index.as("b"), Seq("band", "key"))
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("hist_id"))
+        .distinct()
+      val histSliver = history.join(
+        candidates.select(col("hist_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val shH = shingled(histSliver, textCol)
+      val exB = shB.select(col("doc_id").as("batch_id"), explode(col("shh")).as("h"))
+      val exH = shH.select(col("doc_id").as("hist_id"), explode(col("shh")).as("h"))
+      val shared = candidates
+        .join(exB, Seq("batch_id"))
+        .join(exH, Seq("hist_id", "h"))
+        .groupBy("batch_id", "hist_id").agg(count(lit(1)).as("shared"))
+      shared
+        .join(shB.select(col("doc_id").as("batch_id"), size(col("shh")).as("n_a")),
+          Seq("batch_id"))
+        .join(shH.select(col("doc_id").as("hist_id"), size(col("shh")).as("n_b")),
+          Seq("hist_id"))
+        .withColumn("jaccard", round(col("shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("shared")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("batch_id", "hist_id", "jaccard")
+    }
+  }
+
   def minhashLshPairs(
       docs: DataFrame,
       threshold: Double,
       textCol: String = "text",
       k: Int = 8,
       bands: Int = 4): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val rows = k / bands
     val sh = shingled(docs, textCol).filter(size(col("shh")) > 0)
     Caching.withCached(sh) {
-      val sig = minhashSignatures(sh, k).select("doc_id", "mh")
-      // band key: fold the band's minhashes into one 64-bit value (each
-      // minhash < P = 1e9+7, so key = mh*P + mh' stays within Long range
-      // for rows <= 2)
-      require(rows <= 2, "band key packing supports bands of <= 2 rows")
-      val bandKeys = (0 until bands).map { b =>
-        val key = (0 until rows)
-          .map(r => element_at(col("mh"), b * rows + r + 1))
-          .reduce((a, c) => a * TextHash.P + c)
-        struct(lit(b).as("band"), key.as("key"))
-      }
-      val buckets = sig.select(col("doc_id"),
-          explode(array(bandKeys: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val buckets = minhashBuckets(sh, k, bands)
       val candidates = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

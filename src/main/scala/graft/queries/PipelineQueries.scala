@@ -175,6 +175,55 @@ object PipelineQueries {
            |ORDER BY doc_a, doc_b""".stripMargin))
   }
 
+  /** Incremental near-dup: the 20% "arriving batch" (doc_id % 5 = 0)
+    * probes the MinHash band index of the other 80% "history" — the
+    * ingest-time LSH path (bloom guards exact dups, this guards
+    * near-dups). Same bands/keys/verify as q22, split across the two
+    * sides.
+    */
+  private val qMinhashProbe = {
+    val k = 8
+    val mhCols = (0 until k).map(i =>
+      s"list_min(list_transform(shh, x -> ${DuckSql.universalHash("x", i)})) AS mh$i")
+      .mkString(",\n         ")
+    val bandLegs = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, (mh${2 * b} * ${TextHash.P} + mh${2 * b + 1}) AS key FROM sig")
+      .mkString("\n  UNION ALL ")
+    QueryDef(
+      "q52_dedup_incremental_probe",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val history = d.filter(col("doc_id") % 5 =!= 0)
+        val batch = d.filter(col("doc_id") % 5 === 0)
+        Dedup.minhashProbe(batch, Dedup.minhashIndex(history), history,
+            threshold = 0.8)
+          .orderBy("batch_id", "hist_id")
+      },
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${DuckSql.shCte},
+           |sig AS (
+           |  SELECT doc_id, shh,
+           |         $mhCols
+           |  FROM sh WHERE len(shh) > 0),
+           |buckets AS (
+           |  $bandLegs),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS hist_id
+           |  FROM buckets a
+           |  JOIN buckets b ON a.band = b.band AND a.key = b.key
+           |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+           |SELECT batch_id, hist_id,
+           |       round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
+           |             len(list_distinct(sa.shh || sb.shh)), 6) AS jaccard
+           |FROM cand
+           |JOIN sig sa ON batch_id = sa.doc_id
+           |JOIN sig sb ON hist_id = sb.doc_id
+           |WHERE round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
+           |            len(list_distinct(sa.shh || sb.shh)), 6) >= 0.8
+           |ORDER BY batch_id, hist_id""".stripMargin))
+  }
+
   private val qSimhash = {
     val bits = 32
     val terms = (0 until bits).map { j =>
@@ -973,7 +1022,7 @@ object PipelineQueries {
     })
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qNgramJaccard, qMinhash, qSimhash, qEmbDup,
+    qDedupExact, qNgramJaccard, qMinhash, qMinhashProbe, qSimhash, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk,

@@ -140,6 +140,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(_._3 == 0.142857))
   }
 
+  test("minhash index probe: a batch near-dup of history surfaces with exact jaccard") {
+    val history = (0L until 50L)
+      .map(i => (i, (1 to 12).map(j => s"h${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(history)
+    // batch doc 1000 = history doc 7 verbatim; 1001 is unrelated
+    val hist7 = (1 to 12).map(j => s"h7w$j").mkString(" ")
+    val batch = Seq(
+      (1000L, hist7),
+      (1001L, (1 to 12).map(j => s"zzz$j").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.minhashProbe(batch, index, history, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1000L, 7L, 1.0)))
+    // parity with the batch-mode operator on the union: the probe finds
+    // exactly the cross-split subset q22-style banding would find
+    val all = history.unionByName(batch)
+    val full = Dedup.minhashLshPairs(all, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = full.filter { case (a, b) => a < 50 && b >= 1000 }
+      .map { case (a, b) => (b, a) }
+    assert(cross == got.map(t => (t._1, t._2)).toSet)
+  }
+
   test("bloom-guarded incremental dedup: duplicates never survive, novel docs pass") {
     val history = (0L until 500L).map(i => (i, s"hist doc number $i"))
       .toDF("doc_id", "text")
