@@ -71,7 +71,9 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val spark = batch.sparkSession
     val bc = spark.sparkContext.broadcast(history)
-    val seen = udf((d: String) => bc.value.mightContainString(d))
+    // null digest (null text) = not in the filter: null-text rows pass
+    // to the in-batch dedup below, which groups them like Dedup.exact
+    val seen = udf((d: String) => d != null && bc.value.mightContainString(d))
     val withDigest = batch
       .withColumn("text_md5", md5(col(textCol).cast("binary")))
     val novel = withDigest.filter(!seen(col("text_md5")))
@@ -251,15 +253,6 @@ object Dedup {
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
     sh.select(col("doc_id"), col("shh"), MinHashes(col("shh"), k).as("mh"))
 
-  /** MinHash + LSH banding near-dup pairs, exact-Jaccard-verified.
-    *
-    * k hashes split into `bands` bands of k/bands rows each; docs sharing
-    * any band key become candidates. Verification is exact but COUNT-BASED
-    * (the q21 pattern): candidates restrict the exploded (doc, hash) rows,
-    * the shared-shingle count is a groupBy over the restricted join, and
-    * |A∪B| = n_a + n_b − |A∩B| from per-doc set sizes — only longs cross
-    * shuffles; full shingle arrays never ship through a join.
-    */
   /** (doc_id, band, key) LSH bucket rows of a shingled frame: the k
     * minhashes split into `bands` bands, each band's hashes folded into
     * one 64-bit key (each minhash < P = 1e9+7, so `key = mh·P + mh'`
@@ -341,6 +334,15 @@ object Dedup {
     }
   }
 
+  /** MinHash + LSH banding near-dup pairs, exact-Jaccard-verified.
+    *
+    * k hashes split into `bands` bands of k/bands rows each; docs sharing
+    * any band key become candidates. Verification is exact but COUNT-BASED
+    * (the q21 pattern): candidates restrict the exploded (doc, hash) rows,
+    * the shared-shingle count is a groupBy over the restricted join, and
+    * |A∪B| = n_a + n_b − |A∩B| from per-doc set sizes — only longs cross
+    * shuffles; full shingle arrays never ship through a join.
+    */
   def minhashLshPairs(
       docs: DataFrame,
       threshold: Double,
@@ -401,7 +403,11 @@ object Dedup {
     *   fine on local[*], wrong for a long convergence loop on a real
     *   cluster. Reliable checkpointing re-reads each round from stable
     *   storage, trading per-round write cost for executor-loss tolerance.
-    *   (Sets the context's checkpoint dir as Spark requires.)
+    *   The context's checkpoint dir is set for the duration of the call
+    *   and restored after; each round's label checkpoint is DELETED once
+    *   the next round's is materialized (Spark never cleans reliable
+    *   checkpoints on its own — a 200-round graph would otherwise leave
+    *   200 copies of the label frame on stable storage).
     */
   def components(
       pairs: DataFrame,
@@ -409,34 +415,60 @@ object Dedup {
       bCol: String = "doc_b",
       maxRounds: Int = 200,
       checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
+    val sc = pairs.sparkSession.sparkContext
+    val priorDir = sc.getCheckpointDir
+    // each checkpoint goes to its own subdirectory so superseded rounds
+    // can be deleted wholesale (the RDD-level checkpoint file is not
+    // reachable from the derived DataFrame, but the directory is ours)
+    val base = checkpointDir.map(d =>
+      s"$d/graft-components-${java.util.UUID.randomUUID()}")
+    def ckptIn(sub: String): DataFrame => DataFrame = base match {
+      case Some(b) => df =>
+        sc.setCheckpointDir(s"$b/$sub")
+        df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(eager = true)
     }
-    val edges = ckpt(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
-    var labels = ckpt(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("component", col("node")))
-    var round = 0
-    var changed = 1L
-    while (changed > 0) {
-      round += 1
-      require(round <= maxRounds, s"components did not converge in $maxRounds rounds")
-      val nbrMin = edges.join(labels, col("dst") === col("node"))
-        .groupBy(col("src").as("node2")).agg(min("component").as("nbr_min"))
-      val next = ckpt(
-        labels.join(nbrMin, col("node") === col("node2"), "left")
-          .select(col("node"), col("component"),
-            least(col("component"), coalesce(col("nbr_min"), col("component")))
-              .as("next_component")))
-      changed = next.filter(col("next_component") < col("component")).count()
-      labels = next.select(col("node"), col("next_component").as("component"))
+    def deleteSub(sub: String): Unit = base.foreach { b =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$b/$sub")
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      } catch { case _: Throwable => () } // cleanup is best-effort
     }
-    labels.select(col("node").as("doc_id"), col("component"))
+    try {
+      val edges = ckptIn("edges")(
+        pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+          .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+      var labels = ckptIn("r0")(
+        edges.select(col("src").as("node")).distinct()
+          .withColumn("component", col("node")))
+      var prevSub = "r0"
+      var round = 0
+      var changed = 1L
+      while (changed > 0) {
+        round += 1
+        require(round <= maxRounds, s"components did not converge in $maxRounds rounds")
+        val nbrMin = edges.join(labels, col("dst") === col("node"))
+          .groupBy(col("src").as("node2")).agg(min("component").as("nbr_min"))
+        val next = ckptIn(s"r$round")(
+          labels.join(nbrMin, col("node") === col("node2"), "left")
+            .select(col("node"), col("component"),
+              least(col("component"), coalesce(col("nbr_min"), col("component")))
+                .as("next_component")))
+        changed = next.filter(col("next_component") < col("component")).count()
+        // next is safely on stable storage; its predecessor is garbage
+        deleteSub(prevSub)
+        prevSub = s"r$round"
+        labels = next.select(col("node"), col("next_component").as("component"))
+      }
+      // the edges checkpoint is no longer referenced by the (eagerly
+      // materialized) final labels; only the last round's subdir must
+      // outlive the call, for as long as the caller holds the result
+      deleteSub("edges")
+      labels.select(col("node").as("doc_id"), col("component"))
+    } finally priorDir match {
+      case Some(d) if checkpointDir.isDefined => sc.setCheckpointDir(d)
+      case _ => ()
+    }
   }
 
   /** One-representative-per-cluster keep-list: every doc not in any

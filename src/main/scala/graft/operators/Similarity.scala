@@ -129,7 +129,11 @@ object Similarity {
     if (nprobe == 1) {
       val cents = centroids.select("centroid_id", "cvec", "cnrm")
         .collect().sortBy(_.getLong(0))
-      require(cents.nonEmpty, "empty centroid set")
+      // empty corpus -> empty centroid set -> empty assignment (the
+      // graceful degenerate the window form produced), not a crash
+      if (cents.isEmpty)
+        return v.select(col(idCol), lit(null).cast("bigint").as("centroid_id"),
+          col("vec"), col("nrm")).limit(0)
       val cos = cents.map { r =>
         graft.functions.DotProduct(col("vec"), typedLit(r.getSeq[Double](1))) /
           (col("nrm") * lit(r.getDouble(2)))
@@ -419,7 +423,13 @@ object Similarity {
           n(c) = r.getLong(3)
         }
         val next = cents.zipWithIndex.map { case (old, j) =>
-          if (n(j) > 0L) sx(j).map(_ / n(j)) else old
+          // empty cluster OR exactly-cancelling members (zero mean, e.g.
+          // v and -v): keep the previous centroid — a zero-norm centroid
+          // would turn every consumer's cosine into NaN, and Spark's
+          // NaN-is-greatest ordering would then vacuum the whole corpus
+          // into this one degenerate cluster
+          val mean = if (n(j) > 0L) sx(j).map(_ / n(j)) else old
+          if (n(j) > 0L && mean.exists(_ != 0.0)) mean else old
         }
         val shift = cents.zip(next).map { case (a, b) =>
           math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)

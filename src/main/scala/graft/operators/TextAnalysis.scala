@@ -162,18 +162,34 @@ object TextAnalysis {
     * (documented in the oracle SQL mirror), so the kept set is
     * reproducible across engines and cluster sizes like every other
     * hash sample here.
+    *
+    * A weighted stratum with ZERO rows fails loudly by default: the
+    * largest corpus honoring such a recipe is empty, and silently
+    * renormalizing over the strata that exist would train on a mixture
+    * arbitrarily far from the declared one. Pass
+    * `renormalizeMissing = true` to opt into exactly that renormalized
+    * behavior when a best-effort mix over available strata is what's
+    * wanted.
     */
   def mixToTarget(
       rows: DataFrame,
       strataCol: String,
       weights: Map[String, Double],
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      renormalizeMissing: Boolean = false): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
     val wsum = weights.values.sum
     val named = rows.filter(col(strataCol).isInCollection(weights.keys.toSeq))
     val counts = named.groupBy(strataCol).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keys.filter(s => counts.getOrElse(s, 0L) == 0L)
+    if (missing.nonEmpty && !renormalizeMissing)
+      throw new IllegalArgumentException(
+        s"mixToTarget: weighted strata with no rows: ${missing.toSeq.sorted
+          .mkString(", ")} — the recipe is unsatisfiable without " +
+          "upsampling (pass renormalizeMissing = true to mix over the " +
+          "strata that exist instead)")
     // total = min over strata of c_s / w_s  (the stratum that runs out
     // first caps the recipe); rate_s = w_s * total / c_s  — identical
     // op order to the SQL mirror so the doubles match bit-for-bit

@@ -35,17 +35,22 @@ object Ingest {
     * instead. Self rows are excluded from the count, so the metric loop
     * never feeds back into itself.
     *
-    * With `dedupe` set, repeated wire lines within `dedupeLateness` of
-    * their first arrival are dropped before parsing — the
-    * [[StreamingDedup]] first-seen pattern applied to the ingest path
-    * (duplicate datagrams are a real failure mode: UDP senders retry,
-    * load balancers replay). Keyed on the line's content digest with an
-    * ARRIVAL-time watermark (the wire timestamp is still inside the
-    * un-parsed line at this stage, and a malformed line must reach the
-    * parse step to trigger Q3 batch rejection, not silently vanish in a
-    * watermark), so state stays bounded and the query runs forever.
-    * Self-metric counts see post-dedup rows only, so the insert metric
-    * reports what was actually stored.
+    * With `dedupe` set, repeated wire lines are dropped at the batch
+    * commit — duplicate datagrams are a real failure mode: UDP senders
+    * retry, load balancers replay. The STORE is the dedup state: after
+    * the Q3 parse gate, the batch is deduplicated internally on the
+    * parsed (path, timestamp, value) triple and anti-joined against the
+    * already-stored incoming rows at those event times (a
+    * partition-pruned read — a duplicate carries its original's wire
+    * timestamp, so the probe window is exactly the batch's own event
+    * range). Because no dedup state lives outside the store, a REJECTED
+    * batch leaves no residue — a retry of a poisoned batch's lines
+    * still lands (streaming-state dedup would remember digests of rows
+    * that were never stored, turning transient rejection into permanent
+    * loss) — and a crash-replayed batch re-inserts nothing. Self-metric
+    * counts see post-dedup rows only, so the insert metric reports what
+    * was actually stored; a flush whose every row is a duplicate stores
+    * nothing and emits nothing.
     */
   def start(
       tsdb: Tsdb,
@@ -53,19 +58,9 @@ object Ingest {
       intervalSeconds: Long = 10,
       onBatchError: Throwable => Unit = _ => (),
       selfMetricPrefix: Option[String] = None,
-      dedupe: Boolean = false,
-      dedupeLateness: String = "10 minutes"): StreamingQuery = {
-    import org.apache.spark.sql.functions.{col, current_timestamp, md5}
-    val lineCol = lines.columns.head
-    val src =
-      if (!dedupe) lines
-      else lines
-        .withColumn("graft_arrival", current_timestamp())
-        .withColumn("graft_line_md5", md5(col(lineCol).cast("binary")))
-        .withWatermark("graft_arrival", dedupeLateness)
-        .dropDuplicatesWithinWatermark("graft_line_md5")
-        .select(lineCol)
-    src.writeStream
+      dedupe: Boolean = false): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, min}
+    lines.writeStream
       .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         try {
@@ -74,14 +69,32 @@ object Ingest {
           if (pb.bad > 0)
             throw new LineParser.ParseException(
               "malformed line(s) in batch; batch dropped")
-          if (pb.total > 0) {
+          val (toStore, nonSelf) =
+            if (!dedupe || pb.total == 0) (pb.rows, pb.nonSelf)
+            else {
+              val uniq = pb.rows
+                .dropDuplicates("path", "timestamp", "value")
+              val mn = uniq.agg(min("timestamp")).head().getDouble(0)
+              val novel = uniq.join(
+                  tsdb.incoming.filter(col("timestamp") >= mn),
+                  Seq("path", "timestamp", "value"), "left_anti")
+                .localCheckpoint(true)
+              val ns = selfMetricPrefix match {
+                case None => novel.count()
+                case Some(p) =>
+                  novel.filter(!col("path").startsWith(p + ".")).count()
+              }
+              (novel, ns)
+            }
+          val total = if (dedupe) toStore.count() else pb.total
+          if (total > 0) {
             val rows = selfMetricPrefix match {
-              case None => pb.rows
+              case None => toStore
               case Some(prefix) =>
                 val spark = batch.sparkSession
                 import spark.implicits._
-                pb.rows.unionByName(
-                  Seq((s"$prefix.insert", tsdb.now(), pb.nonSelf.toDouble))
+                toStore.unionByName(
+                  Seq((s"$prefix.insert", tsdb.now(), nonSelf.toDouble))
                     .toDF("path", "timestamp", "value"))
             }
             tsdb.insert(rows)

@@ -22,10 +22,11 @@ class TimerSpec extends AnyFunSuite {
     assert(byPath.keySet.contains("graft.sync.total.time"))
     assert(byPath("graft.sync.total.time") > 0)
     assert(selfMetrics.forall(_._2 == 1000.0))
-    // psutil-parity clocks ride along on Linux (one delta per clock)
-    if (Timer.procTimings().nonEmpty) {
-      assert(byPath.keySet.contains("graft.sync.total.user"))
-      assert(byPath.keySet.contains("graft.sync.total.read_count"))
+    // psutil-parity clocks ride along for whatever procfs exposes here
+    // (one delta per clock; kernels without task IO accounting report
+    // only the CPU clocks, matching the production degradation)
+    Timer.procTimings().map(_._1).foreach { clock =>
+      assert(byPath.keySet.contains(s"graft.sync.total.$clock"), clock)
     }
   }
 
@@ -41,11 +42,8 @@ class TimerSpec extends AnyFunSuite {
   }
 
   test("psutil-parity process clocks: per-block deltas, non-negative") {
-    assume(Timer.procTimings().nonEmpty) // procfs platforms only
-    val names = Timer.procTimings().map(_._1)
-    assert(names.contains("user") && names.contains("system") &&
-      names.contains("read_count") && names.contains("write_count") &&
-      names.contains("read_bytes") && names.contains("write_bytes"))
+    val clocks = Timer.procTimings().map(_._1)
+    assume(clocks.nonEmpty) // procfs platforms only
     val t = new Timer("p", () => 1.0)
     t.timed("busy") {
       // burn some user CPU and do real I/O so the deltas can move
@@ -58,10 +56,10 @@ class TimerSpec extends AnyFunSuite {
       s
     }
     val pts = t.drain().map(p => p._1 -> p._3).toMap
-    assert(pts.keySet == Set("p.busy.time", "p.busy.user", "p.busy.system",
-      "p.busy.read_count", "p.busy.write_count", "p.busy.read_bytes",
-      "p.busy.write_bytes"))
+    // exactly one delta per clock procfs exposes here, plus wall time
+    assert(pts.keySet == (clocks.map(c => s"p.busy.$c").toSet + "p.busy.time"))
     assert(pts.forall(_._2 >= 0.0))
-    assert(pts("p.busy.write_count") > 0)
+    // syscall counting, where available, must see our write
+    if (clocks.contains("write_count")) assert(pts("p.busy.write_count") > 0)
   }
 }

@@ -157,8 +157,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     val again = TextAnalysis.mixToTarget(rows, "lang", Map("en" -> 0.5, "fr" -> 0.5))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(kept.toSet == again.toSet)
-    // an all-absent recipe yields an empty frame, not a crash
-    assert(TextAnalysis.mixToTarget(rows, "lang", Map("xx" -> 1.0)).count() == 0)
+    // a weighted stratum with no rows is unsatisfiable: fail loudly...
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.mixToTarget(rows, "lang", Map("en" -> 0.5, "xx" -> 0.5))
+    }
+    assert(e.getMessage.contains("xx"))
+    // ...unless the caller opts into renormalizing over present strata
+    val renorm = TextAnalysis.mixToTarget(rows, "lang",
+      Map("en" -> 0.5, "xx" -> 0.5), renormalizeMissing = true)
+    assert(renorm.count() == 800) // all en kept: nothing else to balance
   }
 
   test("stratified sample: deterministic, rate-monotone, rate-respecting") {

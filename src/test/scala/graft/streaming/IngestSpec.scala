@@ -174,6 +174,30 @@ class IngestSpec extends AnyFunSuite {
     assert(got == Seq(("one", 1.0, 1.0), ("two", 5.0, 2.0)))
   }
 
+  test("dedupe: a rejected batch leaves no dedup residue — the retry lands") {
+    // the store-is-the-state property: lines of a poisoned (Q3-rejected)
+    // batch were never stored, so their retry must NOT be treated as a
+    // duplicate (streaming-state dedup would remember digests of rows
+    // that never landed, turning transient rejection into permanent loss)
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-ingest-dedup-rej").toString
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => 1000.0)
+    var errors = 0
+    val stream = MemoryStream[String]
+    val query = Ingest.start(tsdb, stream.toDF(), intervalSeconds = 0,
+      onBatchError = _ => errors += 1, dedupe = true)
+    stream.addData("one 1 1\nbroken x y") // poisoned: whole batch rejected
+    query.processAllAvailable()
+    stream.addData("one 1 1")             // retry of the good line
+    query.processAllAvailable()
+    query.stop()
+    assert(errors == 1)
+    val got = tsdb.incoming.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("one", 1.0, 1.0)))
+  }
+
   test("self-metrics: a poisoned batch inserts {prefix}.error instead") {
     // daemon.py:194-198 — failed flush records an error datapoint
     implicit val sqlCtx = spark.sqlContext
