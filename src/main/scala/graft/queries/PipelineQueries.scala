@@ -963,6 +963,92 @@ object PipelineQueries {
     * column names, and determinism flow through all four stages in both
     * engines).
     */
+  /** The RAG-side composed pipeline (the indexing sibling of q45's
+    * pretraining path): exact-dedup keep-list → repetition quality gate
+    * (dup-2-gram fraction) → PII salting + redaction → overlapping
+    * chunking of the REDACTED text. Proves the round-5 operators compose
+    * across engines: the chunk hashes only match if dedup, the gate, the
+    * regex rewrite, and the slicing all agreed on every byte.
+    */
+  private val qPipelineRag = {
+    val w = 32
+    val s = 24
+    QueryDef(
+      "q53_pipeline_rag",
+      (sp, dir) => {
+        val d = docs(sp, dir)
+        val keep = Dedup.exact(d).select(col("keeper_id").as("doc_id"))
+        val deduped = d.join(keep, Seq("doc_id"), "left_semi")
+        // ngrams2 > 0 matches the oracle's gate domain (docs with at
+        // least one 2-gram); sub-2-token docs are ungradable and drop
+        val pass = TextAnalysis.repetition(deduped, Seq(2))
+          .filter(col("ngrams2") > 0 && col("dup2gram_frac") < 0.08)
+          .select("doc_id")
+        val survivors = deduped.join(pass, Seq("doc_id"), "left_semi")
+          .withColumn("text",
+            concat(col("text"), lit(" ping user"), col("doc_id"),
+              lit("@mail.example.com at 10.1."), col("doc_id") % 200,
+              lit(".9")))
+        val redacted = TextAnalysis.piiScan(survivors)
+          .select(col("doc_id"), col("redacted").as("text"))
+        TextAnalysis.chunkPlan(redacted, width = w, stride = s)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some {
+        val redactedExpr = TextAnalysis.piiPatterns
+          .foldLeft("salted") { case (c, (_, pat, repl)) =>
+            s"regexp_replace($c, '$pat', '$repl', 'g')"
+          }
+        s"""WITH ${DuckSql.docsCte},
+           |keepers AS (
+           |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |g2 AS (
+           |  SELECT d.doc_id,
+           |         list_transform(
+           |           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+           |           gs -> ${DuckSql.polyHash("gs")}) AS gh
+           |  FROM docs d JOIN keepers k ON d.doc_id = k.doc_id
+           |  WHERE len(toks) >= 2),
+           |c2 AS (
+           |  SELECT doc_id, h, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(gh) AS h FROM g2) GROUP BY 1, 2),
+           |gate AS (
+           |  SELECT doc_id FROM c2 GROUP BY doc_id
+           |  HAVING round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+           |               / sum(c), 6) < 0.08),
+           |surv AS (
+           |  SELECT d.doc_id,
+           |         d.text || ' ping user' || d.doc_id ||
+           |         '@mail.example.com at 10.1.' || (d.doc_id % 200) || '.9'
+           |           AS salted
+           |  FROM docs d JOIN gate g ON d.doc_id = g.doc_id),
+           |red AS (
+           |  SELECT doc_id,
+           |         regexp_split_to_array(trim($redactedExpr), '\\s+') AS toks
+           |  FROM surv),
+           |dd AS (
+           |  SELECT doc_id, toks, len(toks) AS n_tok_doc,
+           |         CASE WHEN len(toks) <= $w THEN 1
+           |              ELSE ((len(toks) - $w + $s - 1) // $s) + 1
+           |         END AS n_chunks
+           |  FROM red),
+           |ex AS (
+           |  SELECT doc_id, toks, n_tok_doc, unnest(range(0, n_chunks)) AS ci
+           |  FROM dd),
+           |cx AS (
+           |  SELECT doc_id, ci, n_tok_doc,
+           |         array_to_string(
+           |           list_slice(toks, ci * $s + 1, ci * $s + $w), ' ') AS ctext
+           |  FROM ex)
+           |SELECT doc_id,
+           |       CAST(ci AS BIGINT) AS chunk_idx,
+           |       CAST(ci * $s AS BIGINT) AS start_tok,
+           |       CAST(least($w, n_tok_doc - ci * $s) AS BIGINT) AS n_tok,
+           |       ${DuckSql.polyHash("ctext")} AS chunk_hash
+           |FROM cx ORDER BY doc_id, chunk_idx""".stripMargin
+      })
+  }
+
   private val qPipelineE2e = QueryDef(
     "q45_pipeline_end2end",
     (s, dir) => {
@@ -1028,5 +1114,5 @@ object PipelineQueries {
     qVocab, qChunk,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qSemDedup, qIvfAssign, qComponents, qKeepers, qContamination,
-    qSample, qQuantize, qPack, qPipelineE2e)
+    qSample, qQuantize, qPack, qPipelineE2e, qPipelineRag)
 }
