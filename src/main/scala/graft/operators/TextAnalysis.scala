@@ -367,6 +367,40 @@ object TextAnalysis {
         sum("n").as("cf"))
       .filter(col("df") >= minDf)
 
+  /** Unigram language-model perplexity per document — the shape of the
+    * classic model-based quality filter (a KenLM-style n-gram LM scored
+    * over each doc; unigram here keeps it exactly reproducible in any
+    * engine, and the plumbing — corpus-level model stats joined back to
+    * exploded tokens — is identical for higher orders). Add-one
+    * smoothing over the corpus vocabulary; gibberish and word-salad
+    * documents score high against the corpus distribution, boilerplate
+    * scores low, both tails get filtered in a real recipe.
+    *
+    * Plan: the [[vocabStats]] wordcount shuffle builds the model; two
+    * driver scalars (corpus token count, vocab size — O(1) state); one
+    * join of exploded tokens to the frequency table (token-keyed — the
+    * same wordcount shuffle shape, broadcastable whenever the vocab
+    * fits) and one map-side-combinable per-doc aggregation.
+    */
+  def perplexity(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = withTokens(docs, textCol)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    Caching.withCached(freq) {
+      val stats = freq.agg(
+        sum("c").as("total"), count(lit(1)).as("vocab")).head()
+      val total = stats.getLong(0)
+      val vocab = stats.getLong(1)
+      // p(tok) = (c + 1) / (total + vocab); ppl = exp(-mean ln p) —
+      // the oracle mirrors this exact operation order
+      val lp = log((col("c") + lit(1.0)) / lit((total + vocab).toDouble))
+      toks.join(freq, Seq("token"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tok"),
+          round(exp(-sum(lp) / count(lit(1))), 6).as("ppl"))
+    }
+  }
+
   /** Document fingerprinting: full-text polynomial rolling hash plus the
     * minimum 3-gram shingle hash (a 1-element winnowing sketch — at scale
     * the natural clustering / shard-routing key for near-dup detection).

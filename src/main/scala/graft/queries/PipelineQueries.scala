@@ -647,6 +647,25 @@ object PipelineQueries {
            |FROM cx ORDER BY doc_id, chunk_idx""".stripMargin))
   }
 
+  /** Unigram-LM perplexity (model-based quality scoring): corpus stats →
+    * per-doc mean negative log-prob, identical smoothing and operation
+    * order in both engines.
+    */
+  private val qPerplexity = QueryDef(
+    "q54_text_perplexity",
+    (s, dir) => TextAnalysis.perplexity(docs(s, dir)).orderBy("doc_id"),
+    Some(
+      s"""WITH ${DuckSql.docsCte},
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+         |freq AS (SELECT token, count(*) AS c FROM ex GROUP BY 1),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+         |              count(*) AS vocab FROM freq)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |       round(exp(-(sum(ln((c + 1.0) / (st.total + st.vocab)))
+         |                   / count(*))), 6) AS ppl
+         |FROM ex JOIN freq USING (token) CROSS JOIN st
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // ----------------------------------------------------------- multimodal
 
   private val qMultimodalMeta = QueryDef(
@@ -1111,7 +1130,7 @@ object PipelineQueries {
     qDedupExact, qNgramJaccard, qMinhash, qMinhashProbe, qSimhash, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
-    qVocab, qChunk,
+    qVocab, qChunk, qPerplexity,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qSemDedup, qIvfAssign, qComponents, qKeepers, qContamination,
     qSample, qQuantize, qPack, qPipelineE2e, qPipelineRag)

@@ -108,6 +108,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(hs.distinct.length == hs.length)
   }
 
+  test("perplexity: rare-token docs score higher, hand-checked value") {
+    // corpus: "a" x 8, "b" x 1, "z" x 1 -> total 10, vocab 3
+    val df = Seq(
+      (1L, "a a a a"),
+      (2L, "a a a a"),
+      (3L, "b z")).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexity(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // p(a) = 9/13; common-token docs: ppl = 13/9
+    assert(got(0) == ((1L, 4L, math.rint(13.0 / 9 * 1e6) / 1e6)))
+    assert(got(0)._3 == got(1)._3)
+    // p(b) = p(z) = 2/13; rare-token doc: ppl = 13/2, higher
+    assert(got(2) == ((3L, 2L, 6.5)))
+    assert(got(2)._3 > got(0)._3)
+  }
+
   test("vocab stats: df counts docs, cf counts occurrences, minDf prunes") {
     val df = Seq(
       (1L, "a a b"),
