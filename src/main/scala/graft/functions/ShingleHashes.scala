@@ -35,8 +35,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null text yields the empty array (as the composable form's
   * `CASE WHEN size(toks) >= n ... ELSE array() END` does), so the output
   * is never null.
+  *
+  * `distinct = false` keeps every shingle occurrence in document order
+  * (no `array_distinct` step) — the input the repetition-quality
+  * filters count over; the same fused loop, minus the dedup set.
   */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
@@ -51,7 +56,8 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any =
-    ShingleHashes.compute(child.eval(input).asInstanceOf[UTF8String], n)
+    ShingleHashes.compute(
+      child.eval(input).asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
@@ -60,7 +66,7 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
         ${c.code}
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           graft.functions.ShingleHashes.compute(
-            ${c.isNull} ? null : ${c.value}, $n);
+            ${c.isNull} ? null : ${c.value}, $n, $distinct);
       """,
       isNull = FalseLiteral)
   }
@@ -75,16 +81,18 @@ object ShingleHashes {
   private val Ws = Pattern.compile("\\s+")
   private val Empty = new GenericArrayData(Array.emptyLongArray)
 
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     if (text == null) return Empty
     // UTF8String.trim() strips 0x20 only — identical to Spark's trim();
     // Pattern.split(s, -1) is exactly what Spark's split(str, re) runs
     val s = text.trim().toString
     val toks = Ws.split(s, -1)
     if (toks.length < n) return Empty
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val total = toks.length - n + 1
+    val all = if (distinct) null else new Array[Long](total)
+    val seen = if (distinct) new java.util.LinkedHashSet[java.lang.Long]() else null
     var i = 0
-    while (i <= toks.length - n) {
+    while (i < total) {
       var acc = 0L
       var j = 0
       while (j < n) {
@@ -97,9 +105,10 @@ object ShingleHashes {
         }
         j += 1
       }
-      seen.add(acc)
+      if (distinct) seen.add(acc) else all(i) = acc
       i += 1
     }
+    if (!distinct) return new GenericArrayData(all)
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var m = 0
@@ -109,4 +118,7 @@ object ShingleHashes {
 
   def apply(c: Column, n: Int): Column =
     Glue.column(ShingleHashes(Glue.expression(c), n))
+
+  def apply(c: Column, n: Int, distinct: Boolean): Column =
+    Glue.column(ShingleHashes(Glue.expression(c), n, distinct))
 }

@@ -264,23 +264,24 @@ object TextAnalysis {
     * and get filtered; `quality`'s `uniq_token_ratio` is the n=1
     * analogue.
     *
-    * Scale shape: n-grams are hashed to longs (`PolyHash` inside a
-    * `transform` — no interpreted lambdas, no gram strings leave the
-    * scan), exploded, and counted with two map-side-combinable
-    * aggregations; only (doc_id, hash, count) longs ever cross a
-    * shuffle, exactly the q21 discipline. Docs shorter than n tokens
-    * have no n-grams: total 0, fractions 0.0.
+    * Scale shape: n-grams are hashed to longs INSIDE the scan by the
+    * fused codegen `ShingleHashes(…, distinct = false)` pass (one
+    * compiled loop; the interpreted `transform`+`PolyHash`-per-gram
+    * formulation measured ~20× slower and was the whole query's cost),
+    * exploded, and counted with two map-side-combinable aggregations;
+    * only (doc_id, hash, count) longs ever cross a shuffle, exactly the
+    * q21 discipline. Docs shorter than n tokens have no n-grams:
+    * total 0, fractions 0.0.
     */
   def repetition(
       docs: DataFrame,
       ns: Seq[Int] = Seq(2, 3),
       textCol: String = "text"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
-    val toks = withTokens(docs, textCol)
     val perN = ns.map { n =>
-      val grams = toks.select(
+      val grams = docs.select(
         col("doc_id"),
-        transform(TextHash.shingles("toks", n), s => graft.functions.PolyHash(s))
+        graft.functions.ShingleHashes(col(textCol), n, distinct = false)
           .as("gh"))
       val counts = grams
         .select(col("doc_id"), explode(col("gh")).as("h"))

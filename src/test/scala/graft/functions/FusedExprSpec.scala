@@ -45,6 +45,22 @@ class FusedExprSpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleHashes(distinct = false) == windowed transform+PolyHash, dups kept in order") {
+    for (n <- Seq(1, 2, 3)) {
+      val rows = edgeDf
+        .withColumn("toks", TextHash.tokens(col("text")))
+        .withColumn("gh_ref",
+          transform(TextHash.shingles("toks", n), s => PolyHash(s)))
+        .select(col("doc_id"), col("gh_ref"),
+          ShingleHashes(col("text"), n, distinct = false).as("gh_fused"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n doc=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("ShingleHashes == composable pipeline on randomized whitespace-heavy strings") {
     // property sweep: random texts over a hostile alphabet (letters,
     // digits, every \s class char, empties, repeats) must agree with the
