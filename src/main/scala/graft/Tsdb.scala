@@ -104,6 +104,29 @@ final class Tsdb(
 
   // ----------------------------------------------------------------- read
 
+  /** Incoming rows with `timestamp ∈ [lo, hi]`, pruned at the
+    * day-partition level BEFORE the row filter — the bounded read for
+    * incremental probes (e.g. the ingest dedup anti-join): a predicate
+    * on the data column `timestamp` alone cannot prune `day`
+    * directories, so an unbounded `incoming.filter(ts >= x)` would list
+    * and scan the whole history every time.
+    */
+  def incomingRange(lo: Double, hi: Double): DataFrame = {
+    val f = fs(incomingPath)
+    if (!f.exists(new Path(incomingPath)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], TsdbSchema.incoming)
+    else if (datePartitioned)
+      spark.read.schema(TsdbSchema.withDay(TsdbSchema.incoming))
+        .parquet(incomingPath)
+        .filter(col("day").between(
+          math.floor(lo / 86400.0).toLong, math.floor(hi / 86400.0).toLong))
+        .filter(col("timestamp").between(lo, hi))
+        .select("path", "timestamp", "value")
+    else
+      spark.read.schema(TsdbSchema.incoming).parquet(incomingPath)
+        .filter(col("timestamp").between(lo, hi))
+  }
+
   def incoming: DataFrame = {
     val f = fs(incomingPath)
     if (!f.exists(new Path(incomingPath)))

@@ -296,6 +296,13 @@ object Dedup {
     * the corpus id-partitioned or behind a point-lookup store so the
     * sliver fetch prunes instead of scanning). Same (k, bands) as the
     * index, or keys won't collide.
+    *
+    * Batch and history ids are INDEPENDENT spaces: a batch doc that
+    * happens to reuse a history id is still a distinct document, so
+    * equal-id pairs are KEPT by default. Set `excludeSameId` only when
+    * probing a corpus against an index of ITSELF (where an equal id IS
+    * the same document and every doc would self-match) — the same
+    * opt-in shape as decontamination's flag.
     */
   def minhashProbe(
       batch: DataFrame,
@@ -304,12 +311,15 @@ object Dedup {
       threshold: Double,
       textCol: String = "text",
       k: Int = 8,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      excludeSameId: Boolean = false): DataFrame = {
     val shB = shingled(batch, textCol).filter(size(col("shh")) > 0)
     Caching.withCached(shB) {
-      val candidates = minhashBuckets(shB, k, bands).as("a")
+      val joined = minhashBuckets(shB, k, bands).as("a")
         .join(index.as("b"), Seq("band", "key"))
-        .filter(col("a.doc_id") =!= col("b.doc_id"))
+      val candidates =
+        (if (excludeSameId) joined.filter(col("a.doc_id") =!= col("b.doc_id"))
+         else joined)
         .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("hist_id"))
         .distinct()
       val histSliver = history.join(
@@ -404,10 +414,18 @@ object Dedup {
     *   cluster. Reliable checkpointing re-reads each round from stable
     *   storage, trading per-round write cost for executor-loss tolerance.
     *   The context's checkpoint dir is set for the duration of the call
-    *   and restored after; each round's label checkpoint is DELETED once
-    *   the next round's is materialized (Spark never cleans reliable
+    *   and restored after (to the prior dir, or to `checkpointDir`
+    *   itself when none was set); each round's label checkpoint is
+    *   DELETED once the next round's is materialized, and the whole
+    *   scratch tree is deleted on failure (Spark never cleans reliable
     *   checkpoints on its own — a 200-round graph would otherwise leave
-    *   200 copies of the label frame on stable storage).
+    *   200 copies of the label frame on stable storage). Only the final
+    *   round's files outlive the call, for as long as the caller holds
+    *   the result. NOTE `setCheckpointDir` is SparkContext-GLOBAL:
+    *   don't run concurrent reliable-checkpoint jobs (this call
+    *   included) on one context without coordinating — a concurrent
+    *   `df.checkpoint()` could land in a round subdir this loop is
+    *   about to delete.
     */
   def components(
       pairs: DataFrame,
@@ -465,9 +483,24 @@ object Dedup {
       // outlive the call, for as long as the caller holds the result
       deleteSub("edges")
       labels.select(col("node").as("doc_id"), col("component"))
-    } finally priorDir match {
-      case Some(d) if checkpointDir.isDefined => sc.setCheckpointDir(d)
-      case _ => ()
+    } catch {
+      case t: Throwable =>
+        // a failed run's result is never read: drop the WHOLE scratch
+        // tree (edges + surviving rounds), not just superseded rounds
+        base.foreach { b =>
+          try {
+            val bp = new org.apache.hadoop.fs.Path(b)
+            bp.getFileSystem(sc.hadoopConfiguration).delete(bp, true)
+          } catch { case _: Throwable => () }
+        }
+        throw t
+    } finally {
+      // leave the context pointing at the caller's prior dir, or at the
+      // caller-supplied stable root — never at this call's scratch
+      // subtree (a later unrelated df.checkpoint() would otherwise land
+      // inside a directory this API documents as deletable)
+      if (checkpointDir.isDefined)
+        sc.setCheckpointDir(priorDir.getOrElse(checkpointDir.get))
     }
   }
 

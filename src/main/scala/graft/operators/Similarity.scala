@@ -130,10 +130,17 @@ object Similarity {
       val cents = centroids.select("centroid_id", "cvec", "cnrm")
         .collect().sortBy(_.getLong(0))
       // empty corpus -> empty centroid set -> empty assignment (the
-      // graceful degenerate the window form produced), not a crash
-      if (cents.isEmpty)
+      // graceful degenerate the window form produced). But an empty
+      // centroid set against a NON-empty corpus is a caller bug (an
+      // accidentally-empty trainedCentroids frame) — assigning nothing
+      // would silently drop the whole corpus; fail loudly instead.
+      if (cents.isEmpty) {
+        require(v.isEmpty,
+          "empty centroid set over a non-empty corpus — was an empty " +
+            "trainedCentroids frame passed?")
         return v.select(col(idCol), lit(null).cast("bigint").as("centroid_id"),
           col("vec"), col("nrm")).limit(0)
+      }
       val cos = cents.map { r =>
         graft.functions.DotProduct(col("vec"), typedLit(r.getSeq[Double](1))) /
           (col("nrm") * lit(r.getDouble(2)))

@@ -333,8 +333,8 @@ object TextAnalysis {
             .cast("int") + 1))
     d.select(
         col("doc_id"), col("toks"), col("n_tok_doc"),
-        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("chunk_idx", "i")))
-      .withColumn("start_tok", col("i") * stride)
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
       .select(
         col("doc_id"),
         col("chunk_idx").cast("long").as("chunk_idx"),
@@ -390,8 +390,11 @@ object TextAnalysis {
     Caching.withCached(freq) {
       val stats = freq.agg(
         sum("c").as("total"), count(lit(1)).as("vocab")).head()
-      val total = stats.getLong(0)
-      val vocab = stats.getLong(1)
+      // empty corpus: sum over zero rows is null — no model, no docs.
+      // (total + vocab) = 1 keeps the (never-evaluated) log finite.
+      val (total, vocab) =
+        if (stats.isNullAt(0)) (1L, 0L)
+        else (stats.getLong(0), stats.getLong(1))
       // p(tok) = (c + 1) / (total + vocab); ppl = exp(-mean ln p) —
       // the oracle mirrors this exact operation order
       val lp = log((col("c") + lit(1.0)) / lit((total + vocab).toDouble))

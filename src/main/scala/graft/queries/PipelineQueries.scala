@@ -610,6 +610,35 @@ object PipelineQueries {
          |FROM perdoc GROUP BY token HAVING count(*) >= 2
          |ORDER BY token""".stripMargin))
 
+  /** Chunking SQL shared by q51 and the q53 composition — one copy of
+    * the n_chunks arithmetic / slice bounds / chunk hash, parameterized
+    * on an input CTE exposing (doc_id, toks), so the two oracles can
+    * never drift apart.
+    */
+  private def chunkCtes(inputCte: String, w: Int, s: Int): String =
+    s"""chdoc AS (
+       |  SELECT doc_id, toks, len(toks) AS n_tok_doc,
+       |         CASE WHEN len(toks) <= $w THEN 1
+       |              ELSE ((len(toks) - $w + $s - 1) // $s) + 1
+       |         END AS n_chunks
+       |  FROM $inputCte),
+       |chex AS (
+       |  SELECT doc_id, toks, n_tok_doc, unnest(range(0, n_chunks)) AS ci
+       |  FROM chdoc),
+       |chcx AS (
+       |  SELECT doc_id, ci, n_tok_doc,
+       |         array_to_string(
+       |           list_slice(toks, ci * $s + 1, ci * $s + $w), ' ') AS ctext
+       |  FROM chex)""".stripMargin
+
+  private def chunkSelect(w: Int, s: Int): String =
+    s"""SELECT doc_id,
+       |       CAST(ci AS BIGINT) AS chunk_idx,
+       |       CAST(ci * $s AS BIGINT) AS start_tok,
+       |       CAST(least($w, n_tok_doc - ci * $s) AS BIGINT) AS n_tok,
+       |       ${DuckSql.polyHash("ctext")} AS chunk_hash
+       |FROM chcx ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Overlapping token chunking (RAG indexing side): fixed 32-token
     * windows at stride 24, with the chunk-content hash both engines must
     * agree on (slice + join + poly-hash, all portable).
@@ -623,28 +652,8 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx"),
       Some(
         s"""WITH ${DuckSql.docsCte},
-           |d AS (
-           |  SELECT doc_id, toks, len(toks) AS n_tok_doc,
-           |         CASE WHEN len(toks) <= $w THEN 1
-           |              ELSE ((len(toks) - $w + $s - 1) // $s) + 1
-           |         END AS n_chunks
-           |  FROM docs),
-           |ex AS (
-           |  SELECT doc_id, toks, n_tok_doc, unnest(range(0, n_chunks)) AS ci
-           |  FROM d),
-           |-- chunk text resolved BEFORE hashing: the polyHash fragment's
-           |-- lambda variable is `i` and would capture any `i` inside $$v
-           |cx AS (
-           |  SELECT doc_id, ci, n_tok_doc,
-           |         array_to_string(
-           |           list_slice(toks, ci * $s + 1, ci * $s + $w), ' ') AS ctext
-           |  FROM ex)
-           |SELECT doc_id,
-           |       CAST(ci AS BIGINT) AS chunk_idx,
-           |       CAST(ci * $s AS BIGINT) AS start_tok,
-           |       CAST(least($w, n_tok_doc - ci * $s) AS BIGINT) AS n_tok,
-           |       ${DuckSql.polyHash("ctext")} AS chunk_hash
-           |FROM cx ORDER BY doc_id, chunk_idx""".stripMargin))
+           |${chunkCtes("docs", w, s)}
+           |${chunkSelect(w, s)}""".stripMargin))
   }
 
   /** Unigram-LM perplexity (model-based quality scoring): corpus stats →
@@ -1045,26 +1054,8 @@ object PipelineQueries {
            |  SELECT doc_id,
            |         regexp_split_to_array(trim($redactedExpr), '\\s+') AS toks
            |  FROM surv),
-           |dd AS (
-           |  SELECT doc_id, toks, len(toks) AS n_tok_doc,
-           |         CASE WHEN len(toks) <= $w THEN 1
-           |              ELSE ((len(toks) - $w + $s - 1) // $s) + 1
-           |         END AS n_chunks
-           |  FROM red),
-           |ex AS (
-           |  SELECT doc_id, toks, n_tok_doc, unnest(range(0, n_chunks)) AS ci
-           |  FROM dd),
-           |cx AS (
-           |  SELECT doc_id, ci, n_tok_doc,
-           |         array_to_string(
-           |           list_slice(toks, ci * $s + 1, ci * $s + $w), ' ') AS ctext
-           |  FROM ex)
-           |SELECT doc_id,
-           |       CAST(ci AS BIGINT) AS chunk_idx,
-           |       CAST(ci * $s AS BIGINT) AS start_tok,
-           |       CAST(least($w, n_tok_doc - ci * $s) AS BIGINT) AS n_tok,
-           |       ${DuckSql.polyHash("ctext")} AS chunk_hash
-           |FROM cx ORDER BY doc_id, chunk_idx""".stripMargin
+           |${chunkCtes("red", w, s)}
+           |${chunkSelect(w, s)}""".stripMargin
       })
   }
 

@@ -59,7 +59,7 @@ object Ingest {
       onBatchError: Throwable => Unit = _ => (),
       selfMetricPrefix: Option[String] = None,
       dedupe: Boolean = false): StreamingQuery = {
-    import org.apache.spark.sql.functions.{col, min}
+    import org.apache.spark.sql.functions.{col, max, min}
     lines.writeStream
       .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -74,9 +74,12 @@ object Ingest {
             else {
               val uniq = pb.rows
                 .dropDuplicates("path", "timestamp", "value")
-              val mn = uniq.agg(min("timestamp")).head().getDouble(0)
+              val b = uniq.agg(min("timestamp"), max("timestamp")).head()
+              // both bounds matter: they become day-partition predicates
+              // in incomingRange, so the probe reads only the batch's
+              // own event-time window of history, never the whole store
               val novel = uniq.join(
-                  tsdb.incoming.filter(col("timestamp") >= mn),
+                  tsdb.incomingRange(b.getDouble(0), b.getDouble(1)),
                   Seq("path", "timestamp", "value"), "left_anti")
                 .localCheckpoint(true)
               val ns = selfMetricPrefix match {
