@@ -376,9 +376,18 @@ object Similarity {
       // plain hash sample can seed one tight direction cluster twice and
       // leave another unseeded — a local minimum Lloyd's cannot escape;
       // farthest-point spreads seeds across separated clusters by
-      // construction. Cost: k TakeOrdered(1) passes over the cached
-      // corpus, O(k·dim) driver state.
-      val seed = ivfCentroids(all, 1, idCol).collect()
+      // construction. The k greedy passes run over a DETERMINISTIC
+      // hash-sample of the corpus (the id-hash top-`initSample`, one
+      // TakeOrdered pass), not the corpus itself — init cost is then
+      // corpus-size-independent, and a few-thousand-row sample still
+      // hits every direction cluster of any plausible k. O(k·dim)
+      // driver state throughout.
+      val initSample = math.max(k * 64, 2048)
+      val sample = ivfCentroids(all, initSample, idCol)
+        .select(col("centroid_id").as(idCol), col("cvec").as("vec"),
+          col("cnrm").as("nrm"))
+        .localCheckpoint(true)
+      val seed = ivfCentroids(sample, 1, idCol).collect()
       require(seed.nonEmpty, "kmeansFit needs at least one non-zero vector")
       val chosenIds = scala.collection.mutable.ArrayBuffer(seed(0).getLong(0))
       val init = scala.collection.mutable.ArrayBuffer(
@@ -391,7 +400,7 @@ object Similarity {
             (col("nrm") * lit(cn))
         }.toSeq
         val mc = if (cos.length == 1) cos.head else greatest(cos: _*)
-        val far = all.filter(!col(idCol).isInCollection(chosenIds))
+        val far = sample.filter(!col(idCol).isInCollection(chosenIds))
           .withColumn("mc", mc)
           .orderBy(col("mc"), col(idCol))
           .limit(1).select(col(idCol), col("vec")).collect()

@@ -193,6 +193,27 @@ class TsdbSpec extends AnyFunSuite {
       Seq((100.0, 1.0)))
   }
 
+  test("incomingRange: bounded rows, day-partition pruned") {
+    val root = Files.createTempDirectory("graft-range").toString
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => 10 * 86400.0)
+    tsdb.insert(Seq(
+      ("a", 100.0, 1.0),                // day 0
+      ("a", 86400.0 + 50, 2.0),         // day 1
+      ("a", 86400.0 + 60, 3.0),         // day 1
+      ("a", 2 * 86400.0 + 5, 4.0)))     // day 2
+    val q = tsdb.incomingRange(86400.0 + 50, 86400.0 + 55)
+    // the timestamp bounds become day predicates: only day=1 is read
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(q.collect().toSeq.map(r => (r.getString(0), r.getDouble(1))) ==
+      Seq(("a", 86400.0 + 50)))
+    // inclusive bounds on both ends; empty store yields an empty frame
+    assert(tsdb.incomingRange(100.0, 2 * 86400.0 + 5).count() == 4)
+    val empty = new Tsdb(spark,
+      Files.createTempDirectory("graft-range-empty").toString)
+    assert(empty.incomingRange(0.0, 1.0).count() == 0)
+  }
+
   test("createViews: SQL over period views matches the golden rows (A6)") {
     val root = Files.createTempDirectory("graft-views").toString
     val tsdb = new Tsdb(spark, root, materialized = false)
