@@ -398,7 +398,7 @@ final class Tsdb(
             (parts.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
           val tmp = new Path(s"$tableRoot/_compact_day=$day")
           spark.read.schema(schema)
-            .parquet(parts.map(_.getPath.toString): _*)
+            .parquet(parts.map(_.getPath.toString).toIndexedSeq: _*)
             .coalesce(nOut)
             .write.mode("overwrite").parquet(tmp.toString)
           // the manifest is the protocol's commit point, so it must

@@ -420,7 +420,7 @@ object Similarity {
           graft.functions.DotProduct(col("vec"), typedLit(c.toSeq)) /
             (col("nrm") * lit(cn))
         }
-        val withC = all.withColumn("carr", array(cos: _*))
+        val withC = all.withColumn("carr", array(cos.toIndexedSeq: _*))
         val m = array_max(col("carr"))
         val cid = (1 until kk).foldLeft(
             when(element_at(col("carr"), 1) === m, 0L)) {
