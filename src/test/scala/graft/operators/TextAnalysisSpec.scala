@@ -124,6 +124,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2)._3 > got(0)._3)
   }
 
+  test("chunk plan invariants under randomized widths/strides/lengths") {
+    // coverage, stride spacing, tail shortening — for a sweep of shapes
+    val shapes = for {
+      (nTok, i) <- Seq(1, 2, 5, 31, 32, 33, 64, 97, 200).zipWithIndex
+    } yield (i.toLong, (1 to nTok).map(j => s"t$j").mkString(" "), nTok)
+    val df = shapes.map { case (id, text, _) => (id, text) }.toDF("doc_id", "text")
+    for ((w, s) <- Seq((32, 24), (16, 16), (8, 3), (1, 1), (200, 150))) {
+      val got = TextAnalysis.chunkPlan(df, w, s).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      shapes.foreach { case (id, _, nTok) =>
+        val chunks = got(id).sortBy(_._2)
+        // chunk i starts at i*stride; the first covers the head
+        chunks.foreach { case (_, ci, start, n) =>
+          assert(start == ci * s)
+          assert(n >= 1 && n <= w)
+          assert(start + n <= nTok || n == math.min(w, nTok))
+        }
+        // the last chunk reaches the last token; no extra chunk after
+        val last = chunks.last
+        assert(last._3 + last._4 >= nTok, s"doc $id w=$w s=$s tail")
+        assert(chunks.size == (if (nTok <= w) 1 else (nTok - w + s - 1) / s + 1))
+      }
+    }
+  }
+
   test("vocab stats: df counts docs, cf counts occurrences, minDf prunes") {
     val df = Seq(
       (1L, "a a b"),
