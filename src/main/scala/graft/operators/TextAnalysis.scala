@@ -25,20 +25,26 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "dans"))
 
-  private def markerScore(toks: String, words: Seq[String]): Column =
-    expr(s"size(filter($toks, t -> t in (${words.map("'" + _ + "'").mkString(",")})))")
-
-  /** doc_id + tokenized text, the shared first stage. */
+  /** doc_id + tokenized text, the shared first stage for operators that
+    * need the token STRINGS (vocab, perplexity, packing reference
+    * formulations); the quality/langid family reads the fused
+    * [[graft.functions.TokenStats]] / [[graft.functions.MarkerCount]]
+    * expressions instead and never materializes a token array.
+    */
   def withTokens(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("toks", TextHash.tokens(col(textCol)))
 
   /** Quality scoring: length / token shape / stopword / charset ratios.
     * Ratios are rounded to 6 decimals (cross-engine float stability).
+    * Token statistics come from ONE compiled pass (`TokenStats` — the
+    * split/aggregate/array_distinct lambda pipeline it fuses measured
+    * interpreted, like every HOF); the two charset ratios stay builtin
+    * regexp (codegen'd).
     */
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val d = withTokens(docs, textCol)
-    val nToks = size(col("toks"))
-    val sumLen = expr("aggregate(toks, 0L, (s, t) -> s + length(t))")
+    val d = docs.withColumn("ts", graft.functions.TokenStats(col(textCol)))
+    val nToks = col("ts.n_tokens")
+    val sumLen = col("ts.sum_len")
     val nDigits = length(col(textCol)) -
       length(regexp_replace(col(textCol), "[0-9]", ""))
     val nPunct = length(col(textCol)) -
@@ -48,10 +54,10 @@ object TextAnalysis {
       length(col(textCol)).as("n_chars_calc"),
       nToks.as("n_tokens"),
       round(sumLen.cast(DoubleType) / nToks, 6).as("avg_token_len"),
-      round(size(array_distinct(col("toks"))).cast(DoubleType) / nToks, 6)
+      round(col("ts.n_distinct").cast(DoubleType) / nToks, 6)
         .as("uniq_token_ratio"),
-      round(markerScore("toks", langMarkers.head._2).cast(DoubleType) / nToks, 6)
-        .as("stopword_ratio"),
+      round(graft.functions.MarkerCount(col(textCol), langMarkers.head._2)
+        .cast(DoubleType) / nToks, 6).as("stopword_ratio"),
       round(nDigits.cast(DoubleType) / length(col(textCol)), 6).as("digit_ratio"),
       round(nPunct.cast(DoubleType) / length(col(textCol)), 6).as("punct_ratio"))
   }
@@ -60,9 +66,9 @@ object TextAnalysis {
     * (first language in [[langMarkers]] order wins ties).
     */
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val d = withTokens(docs, textCol)
-    val scored = langMarkers.foldLeft(d) { case (df, (lang, words)) =>
-      df.withColumn(s"score_$lang", markerScore("toks", words))
+    val scored = langMarkers.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        graft.functions.MarkerCount(col(textCol), words))
     }
     val langs = langMarkers.map(_._1)
     // lang_i wins if its score >= every later language's score
@@ -82,14 +88,14 @@ object TextAnalysis {
     * (letter runs / digit runs / single other-glyphs).
     */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val d = withTokens(docs, textCol)
+    val nToks = graft.functions.TokenStats(col(textCol)).getField("n_tokens")
     val bpeish = expr(
       s"size(regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))")
-    d.select(
+    docs.select(
       col("doc_id"),
-      size(col("toks")).as("ws_tokens"),
+      nToks.as("ws_tokens"),
       bpeish.as("bpeish_tokens"),
-      round(length(col(textCol)).cast(DoubleType) / size(col("toks")), 6)
+      round(length(col(textCol)).cast(DoubleType) / nToks, 6)
         .as("chars_per_token"))
   }
 
@@ -228,8 +234,9 @@ object TextAnalysis {
     require(ctxTokens > 0, "ctxTokens must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = withTokens(docs, textCol)
-      .select(col("doc_id").cast("long"), size(col("toks")).cast("long"))
+    val toks = docs
+      .select(col("doc_id").cast("long"),
+        graft.functions.TokenStats(col(textCol)).getField("n_tokens"))
       .as[(Long, Long)]
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val ranged = toks.repartitionByRange(parts, col("doc_id"))

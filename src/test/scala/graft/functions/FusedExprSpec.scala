@@ -45,6 +45,46 @@ class FusedExprSpec extends AnyFunSuite {
     }
   }
 
+  test("TokenStats == size/aggregate/array_distinct lambda pipeline") {
+    val got = edgeDf
+      .withColumn("toks", TextHash.tokens(col("text")))
+      .withColumn("ts", TokenStats(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_ref"),
+        expr("aggregate(toks, 0L, (s, t) -> s + length(t))").as("sum_ref"),
+        size(array_distinct(col("toks"))).cast("long").as("d_ref"),
+        col("ts.n_tokens"), col("ts.sum_len"), col("ts.n_distinct"))
+      .collect()
+    got.foreach { r =>
+      if (!r.isNullAt(1)) { // null text: the HOF forms go null, fused goes 0
+        assert(r.getLong(1) == r.getLong(4), s"n doc=${r.getLong(0)}")
+        assert(r.getLong(2) == r.getLong(5), s"sum doc=${r.getLong(0)}")
+        assert(r.getLong(3) == r.getLong(6), s"distinct doc=${r.getLong(0)}")
+      } else assert(r.getLong(4) == 0L && r.getLong(5) == 0L && r.getLong(6) == 0L)
+    }
+  }
+
+  test("MarkerCount == size(filter(toks, t -> t IN lexicon)) per lexicon") {
+    import graft.operators.TextAnalysis
+    for ((_, words) <- TextAnalysis.langMarkers) {
+      val inList = words.map("'" + _ + "'").mkString(",")
+      val got = edgeDf
+        .withColumn("toks", TextHash.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          expr(s"size(filter(toks, t -> t in ($inList)))").cast("long")
+            .as("ref"),
+          MarkerCount(col("text"), words).as("fused"))
+        .collect()
+      got.foreach { r =>
+        if (!r.isNullAt(1)) assert(r.getLong(1) == r.getLong(2),
+          s"doc=${r.getLong(0)} words=$words")
+        else assert(r.getLong(2) == 0L)
+      }
+    }
+  }
+
   test("ShingleHashes(distinct = false) == windowed transform+PolyHash, dups kept in order") {
     for (n <- Seq(1, 2, 3)) {
       val rows = edgeDf

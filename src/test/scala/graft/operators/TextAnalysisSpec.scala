@@ -12,7 +12,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     val df = Seq((1L, "the cat the cat 99!")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(df).collect()(0)
     assert(r.getAs[Int]("n_chars_calc") == 19)
-    assert(r.getAs[Int]("n_tokens") == 5)
+    assert(r.getAs[Long]("n_tokens") == 5L)
     // tokens: the(3) cat(3) the(3) cat(3) 99!(3) -> avg 3.0
     assert(r.getAs[Double]("avg_token_len") == 3.0)
     assert(r.getAs[Double]("uniq_token_ratio") == 0.6)
@@ -34,7 +34,7 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("token counts: whitespace vs BPE-ish regex") {
     val df = Seq((1L, "hello world42 x!y")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenCounts(df).collect()(0)
-    assert(r.getAs[Int]("ws_tokens") == 3)
+    assert(r.getAs[Long]("ws_tokens") == 3L)
     // hello | world | 42 | x | ! | y
     assert(r.getAs[Int]("bpeish_tokens") == 6)
   }
