@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashes, PolyHash, ShingleHashes, SimHash, SrpKey}
+import graft.functions.{DotProduct, MarkerCount, MinHashes, PolyHash, ShingleHashes, SimHash, SrpKey, TokenStats}
 
 /** Session extension registering the engine's custom codegen expressions
   * as SQL functions, so `spark.sql` users get them too:
@@ -52,6 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("min_hashes",
       "min_hashes(arr, k) - the k universal-hash minima of an array<bigint>",
       2, es => MinHashes(es(0), GraftExtensions.litInt(es(1), "min_hashes k"))))
+    ext.injectFunction(fn("token_stats",
+      "token_stats(text) - struct(n_tokens, sum_len, n_distinct) of whitespace tokens",
+      1, es => TokenStats(es.head)))
+    ext.injectFunction(fn("marker_count",
+      "marker_count(text, array('w', ...)) - whitespace tokens that are members of the constant word set",
+      2, es => MarkerCount(es(0),
+        GraftExtensions.litStrings(es(1), "marker_count words"))))
   }
 }
 
@@ -77,6 +84,29 @@ object GraftExtensions {
     }
   }
 
+  /** The string elements of a constant array argument (lexicons on the
+    * SQL surface must be compile-time constants, like litInt's params).
+    */
+  private[graft] def litStrings(e: Expression, what: String): Seq[String] = {
+    def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION",
+      Map("errorMessage" -> s"$what must be a constant array of strings, got ${e.sql}"))
+    if (!e.foldable) fail()
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        e.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType, _) =>
+            (0 until a.numElements()).map { i =>
+              if (a.isNullAt(i)) fail()
+              else a.getUTF8String(i).toString
+            }
+          case _ => fail()
+        }
+      case _ => fail()
+    }
+  }
+
   /** Imperative registration for an already-running session
     * (`withExtensions` only applies at session creation).
     */
@@ -95,5 +125,10 @@ object GraftExtensions {
       es => ShingleHashes(es(0), litInt(es(1), "shingle_hashes n")))
     org.apache.spark.sql.graftglue.Glue.registerFunction(
       spark, "min_hashes", es => MinHashes(es(0), litInt(es(1), "min_hashes k")))
+    org.apache.spark.sql.graftglue.Glue.registerFunction(
+      spark, "token_stats", es => TokenStats(es.head))
+    org.apache.spark.sql.graftglue.Glue.registerFunction(
+      spark, "marker_count",
+      es => MarkerCount(es(0), litStrings(es(1), "marker_count words")))
   }
 }

@@ -49,6 +49,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1).length == 4)
   }
 
+  test("token_stats and marker_count are callable from spark.sql") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT token_stats('the cat the') AS ts,
+        |       marker_count('the cat the', array('the', 'and')) AS mc
+        |""".stripMargin).collect()(0)
+    val ts = r.getStruct(0)
+    assert(ts.getLong(0) == 3L && ts.getLong(1) == 9L && ts.getLong(2) == 2L)
+    assert(r.getLong(1) == 2L)
+    // the lexicon must be a constant array of strings
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT marker_count('x', array(1, 2))").collect()
+    }
+    assert(e.getMessage.contains("marker_count words"))
+  }
+
   test("constant int args accept foldable expressions, reject non-constants") {
     val spark = TestSpark.spark
     GraftExtensions.register(spark)
