@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.regex.Pattern
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -78,15 +76,11 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
 object ShingleHashes {
   val P = 1000000007L
 
-  private val Ws = Pattern.compile("\\s+")
   private val Empty = new GenericArrayData(Array.emptyLongArray)
 
   def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     if (text == null) return Empty
-    // UTF8String.trim() strips 0x20 only — identical to Spark's trim();
-    // Pattern.split(s, -1) is exactly what Spark's split(str, re) runs
-    val s = text.trim().toString
-    val toks = Ws.split(s, -1)
+    val toks = Tokenize.split(text) // THE shared tokenization contract
     if (toks.length < n) return Empty
     val total = toks.length - n + 1
     val all = if (distinct) null else new Array[Long](total)

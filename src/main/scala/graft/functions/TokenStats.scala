@@ -1,14 +1,11 @@
 package graft.functions
 
-import java.util.regex.Pattern
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftglue.Glue
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,14 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * fusion of `split(trim(text), "\\s+")` → `size(toks)` /
   * `aggregate(toks, 0L, (s, t) -> s + length(t))` /
   * `size(array_distinct(toks))`, bit-identical to those interpreted
-  * pipelines step for step (same space-only trim, same Java-regex split
-  * with its leading empty token, distinct on exact token STRINGS — no
-  * hashing, so no collision can ever disagree with `array_distinct`).
+  * pipelines step for step: same tokenization ([[Tokenize]]), token
+  * lengths in CODE POINTS (what Spark's `length()` and DuckDB's
+  * `length()` both count — `String.length` would diverge on
+  * supplementary-plane text), distinct on exact token STRINGS (no
+  * hashing, so no collision can ever disagree with `array_distinct`),
+  * and NULL for null text exactly like the lambda forms propagate it.
   *
   * Why: the quality-scoring family ran 2–3 interpreted lambdas per
   * document per metric; like [[ShingleHashes]], fusing them keeps the
-  * whole quality projection inside whole-stage codegen. Null text
-  * yields (0, 0, 0) — no tokens, nothing to measure.
+  * whole quality projection inside whole-stage codegen.
   */
 case class TokenStats(child: Expression) extends UnaryExpression {
 
@@ -36,21 +35,11 @@ case class TokenStats(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = TokenStats.schema
 
-  override def nullable: Boolean = false
+  override def nullSafeEval(input: Any): Any =
+    TokenStats.compute(input.asInstanceOf[UTF8String])
 
-  override def eval(input: InternalRow): Any =
-    TokenStats.compute(child.eval(input).asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    ev.copy(
-      code = code"""
-        ${c.code}
-        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
-          graft.functions.TokenStats.compute(${c.isNull} ? null : ${c.value});
-      """,
-      isNull = FalseLiteral)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenStats.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -62,18 +51,15 @@ object TokenStats {
     StructField("sum_len", LongType, nullable = false),
     StructField("n_distinct", LongType, nullable = false)))
 
-  private val Ws = Pattern.compile("\\s+")
-  private val Zero = new GenericInternalRow(Array[Any](0L, 0L, 0L))
-
   def compute(text: UTF8String): InternalRow = {
-    if (text == null) return Zero
-    val toks = Ws.split(text.trim().toString, -1)
+    val toks = Tokenize.split(text)
     var sum = 0L
     val seen = new java.util.HashSet[String]()
     var i = 0
     while (i < toks.length) {
-      sum += toks(i).length
-      seen.add(toks(i))
+      val t = toks(i)
+      sum += t.codePointCount(0, t.length)
+      seen.add(t)
       i += 1
     }
     new GenericInternalRow(Array[Any](toks.length.toLong, sum, seen.size.toLong))

@@ -386,7 +386,7 @@ object Similarity {
       val sample = ivfCentroids(all, initSample, idCol)
         .select(col("centroid_id").as(idCol), col("cvec").as("vec"),
           col("cnrm").as("nrm"))
-        .localCheckpoint(true)
+        .persist()
       val seed = ivfCentroids(sample, 1, idCol).collect()
       require(seed.nonEmpty, "kmeansFit needs at least one non-zero vector")
       val chosenIds = scala.collection.mutable.ArrayBuffer(seed(0).getLong(0))
@@ -410,6 +410,7 @@ object Similarity {
           init += far(0).getSeq[Double](1).toArray
         }
       }
+      sample.unpersist(blocking = false) // init done; release the blocks
       var cents: Array[Array[Double]] = init.toArray
       val kk = cents.length // < k when the corpus is smaller than k
       var iter = 0

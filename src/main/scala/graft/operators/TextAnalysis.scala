@@ -66,10 +66,14 @@ object TextAnalysis {
     * (first language in [[langMarkers]] order wins ties).
     */
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val scored = langMarkers.foldLeft(docs) { case (df, (lang, words)) =>
-      df.withColumn(s"score_$lang",
-        graft.functions.MarkerCount(col(textCol), words))
-    }
+    // ONE tokenization pass probes all four lexicons (MarkerCounts);
+    // per-lexicon MarkerCount columns would re-split the text per lang
+    val withCounts = docs.withColumn("mcs",
+      graft.functions.MarkerCounts(col(textCol), langMarkers.map(_._2)))
+    val scored = langMarkers.map(_._1).zipWithIndex
+      .foldLeft(withCounts) { case (df, (lang, i)) =>
+        df.withColumn(s"score_$lang", element_at(col("mcs"), i + 1))
+      }
     val langs = langMarkers.map(_._1)
     // lang_i wins if its score >= every later language's score
     val pick = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {

@@ -21,6 +21,7 @@ class FusedExprSpec extends AnyFunSuite {
     "runs   of    spaces here",
     "newline\nin the\nmiddle of text",
     "dup dup dup dup dup dup",
+    "emoji \uD83D\uDE00 and \uD83D\uDE00\uD83D\uDE01 pairs", // non-BMP: length() counts code points
     null)
 
   private def edgeDf = edgeTexts.zipWithIndex
@@ -57,11 +58,12 @@ class FusedExprSpec extends AnyFunSuite {
         col("ts.n_tokens"), col("ts.sum_len"), col("ts.n_distinct"))
       .collect()
     got.foreach { r =>
-      if (!r.isNullAt(1)) { // null text: the HOF forms go null, fused goes 0
+      if (!r.isNullAt(1)) {
         assert(r.getLong(1) == r.getLong(4), s"n doc=${r.getLong(0)}")
         assert(r.getLong(2) == r.getLong(5), s"sum doc=${r.getLong(0)}")
         assert(r.getLong(3) == r.getLong(6), s"distinct doc=${r.getLong(0)}")
-      } else assert(r.getLong(4) == 0L && r.getLong(5) == 0L && r.getLong(6) == 0L)
+      } else // null text propagates NULL, exactly like the HOF forms
+        assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
     }
   }
 
@@ -80,7 +82,7 @@ class FusedExprSpec extends AnyFunSuite {
       got.foreach { r =>
         if (!r.isNullAt(1)) assert(r.getLong(1) == r.getLong(2),
           s"doc=${r.getLong(0)} words=$words")
-        else assert(r.getLong(2) == 0L)
+        else assert(r.isNullAt(2)) // null propagates like the filter form
       }
     }
   }
