@@ -81,7 +81,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
     val totalMedian = results.collect { case (_, (_, md)) if md >= 0 => md }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_n","n":$n,"queries":$qs,"total_median":$totalMedian,"medians":$meds,"errors":$errJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_n","n":$n,"queries":$qs,"total_median":$totalMedian,"medians":$meds,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // structured artifact: the same JSON as its own file, so harnesses can
+    // read the result directly instead of regex-scraping sbt stdout (where
+    // log interleaving can corrupt the line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

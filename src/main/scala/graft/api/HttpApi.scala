@@ -21,13 +21,29 @@ import graft.Tsdb
   *
   * JDK-builtin `com.sun.net.httpserver` only — no web framework exists in
   * the dependency set, and the reference's own server is equally thin
-  * (Flask dev server / wsgi.py). One Spark-driving request at a time is
-  * the intended interactive load, same as the reference.
+  * (Flask dev server / wsgi.py). The default `threads = 1` serves one
+  * Spark-driving request at a time — the intended interactive load, same
+  * as the reference's dev server. `threads > 1` adds a small fixed pool
+  * so a cheap request (the `/` index) isn't stuck behind a slow `/graph`
+  * query; Spark's scheduler handles the concurrent jobs (FIFO), so the
+  * knob trades head-of-line latency, not correctness.
   */
-final class HttpApi(tsdb: Tsdb, host: String = "127.0.0.1", port: Int = 0)
+final class HttpApi(
+    tsdb: Tsdb,
+    host: String = "127.0.0.1",
+    port: Int = 0,
+    threads: Int = 1)
     extends AutoCloseable {
+  require(threads >= 1, s"threads must be >= 1, got $threads")
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  // null executor = the server's dispatcher thread serves requests one at
+  // a time (reference-parity); a pool makes requests independent
+  private val pool: Option[java.util.concurrent.ExecutorService] =
+    if (threads > 1)
+      Some(java.util.concurrent.Executors.newFixedThreadPool(threads))
+    else None
+  pool.foreach(server.setExecutor)
   server.createContext("/graph", handler(graphRoute))
   server.createContext("/", handler(indexRoute))
 
@@ -36,7 +52,10 @@ final class HttpApi(tsdb: Tsdb, host: String = "127.0.0.1", port: Int = 0)
 
   def start(): HttpApi = { server.start(); this }
 
-  override def close(): Unit = server.stop(0)
+  override def close(): Unit = {
+    server.stop(0)
+    pool.foreach(_.shutdownNow())
+  }
 
   // ---------------------------------------------------------------- routes
 

@@ -64,21 +64,53 @@ object Dedup {
     * must ride the closure, and the per-row work (one md5 + a few bit
     * probes) dwarfs the UDF boundary cost. Narrow filter; the only
     * shuffle is the within-batch groupBy on the digest.
+    *
+    * Convenience form: broadcasts the sketch PER CALL. A loop calling
+    * this every micro-batch with a large per-epoch sketch accumulates
+    * one broadcast per batch on the driver and executors until GC —
+    * such callers should broadcast once per epoch and use the
+    * `Broadcast`-handle overload, unpersisting the old handle when the
+    * epoch's sketch is replaced (the broadcast must outlive every
+    * returned frame still unevaluated, which the epoch boundary
+    * guarantees and a per-call destroy could not).
     */
   def filterNovel(
       batch: DataFrame,
       history: org.apache.spark.util.sketch.BloomFilter,
+      textCol: String): DataFrame =
+    filterNovel(batch, batch.sparkSession.sparkContext.broadcast(history),
+      textCol)
+
+  def filterNovel(
+      batch: DataFrame,
+      history: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    filterNovel(batch, history, "text")
+
+  /** [[filterNovel]] over an already-broadcast sketch — the per-epoch
+    * form an ingest loop should use (one broadcast per epoch, reused
+    * across every micro-batch of that epoch).
+    */
+  def filterNovel(
+      batch: DataFrame,
+      history: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
       textCol: String = "text"): DataFrame = {
-    val spark = batch.sparkSession
-    val bc = spark.sparkContext.broadcast(history)
     // null digest (null text) = not in the filter: null-text rows pass
     // to the in-batch dedup below, which groups them like Dedup.exact
-    val seen = udf((d: String) => d != null && bc.value.mightContainString(d))
+    val seen = udf((d: String) => d != null && history.value.mightContainString(d))
     val withDigest = batch
       .withColumn("text_md5", md5(col(textCol).cast("binary")))
     val novel = withDigest.filter(!seen(col("text_md5")))
-    val keep = novel.groupBy("text_md5").agg(min("doc_id").as("doc_id"))
-    novel.join(keep, Seq("text_md5", "doc_id"), "left_semi")
+    val keep = novel.groupBy("text_md5")
+      .agg(min("doc_id").as("keeper_doc_id"))
+      .withColumnRenamed("text_md5", "keeper_md5")
+    // null-SAFE digest equality (<=>): groupBy puts all null-text rows in
+    // one group, and its keeper row must match the null digest back — a
+    // null-unsafe join key would silently drop every null-text row
+    novel.join(keep,
+        col("text_md5") <=> col("keeper_md5") &&
+          col("doc_id") === col("keeper_doc_id"),
+        "left_semi")
       .drop("text_md5")
   }
 

@@ -102,6 +102,51 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("threads > 1: the index answers while a slow /graph holds a worker") {
+    // a clock that, once armed, parks the /graph request inside
+    // Graph.parseRequest -> tsdb.now() until released — a deterministic
+    // stand-in for a slow Spark query holding one pool worker
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var arm = false
+    val root = Files.createTempDirectory("graft-http-pool").toString
+    val slow = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => {
+        if (arm) {
+          entered.countDown()
+          release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        1000.0
+      })
+    slow.insert(notebookPoints)
+    slow.sync()
+    val api = new HttpApi(slow, "127.0.0.1", 0, threads = 2).start()
+    try {
+      val port = api.boundPort
+      arm = true
+      @volatile var graphResult: (Int, String) = null
+      val t = new Thread(() => graphResult = get(port,
+        "/graph?metrics.0.name=one&metrics.0.period=tensecond" +
+          "&metrics.0.stat=avg&start=0&end=60"))
+      t.start()
+      assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "/graph never reached the armed clock")
+      // while /graph is parked on the first worker, the index must answer
+      // on the second (the default serial executor would queue it)
+      val (code, body) = get(port, "/")
+      assert(code == 200)
+      assert(body.contains(""""metrics":["one","two"]"""))
+      arm = false
+      release.countDown()
+      t.join(30000)
+      assert(graphResult != null && graphResult._1 == 200)
+    } finally {
+      arm = false
+      release.countDown()
+      api.close()
+    }
+  }
+
   test("URL-decoding and first-occurrence-wins query semantics") {
     withServer { port =>
       val (code, body) = get(port,

@@ -184,4 +184,26 @@ class DedupSpec extends AnyFunSuite {
     // deterministic (fixed bloom hash seeds): these exact strings pass
     assert(got == Set(1002L, 1004L))
   }
+
+  test("filterNovel: null-text rows survive as one in-batch group; " +
+    "broadcast-handle overload matches") {
+    val history = Seq((0L, "hist only")).toDF("doc_id", "text")
+    val bloom = Dedup.digestBloom(history, expectedItems = 10)
+    val batch = Seq(
+      (100L, null.asInstanceOf[String]), // null text: not in any filter
+      (101L, null.asInstanceOf[String]), // in-batch dup of the null group
+      (102L, "hist only"),               // true duplicate of history
+      (103L, "fresh")).toDF("doc_id", "text")
+    val got = Dedup.filterNovel(batch, bloom)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // null-text rows pass the bloom (null digest = not present) and then
+    // dedup within the batch exactly like Dedup.exact: keeper = min id
+    assert(got == Set(100L, 103L))
+    // the per-epoch Broadcast form is the same operator
+    val bc = spark.sparkContext.broadcast(bloom)
+    val got2 = Dedup.filterNovel(batch, bc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == got)
+    bc.unpersist(blocking = false)
+  }
 }
