@@ -376,41 +376,56 @@ object Similarity {
       // plain hash sample can seed one tight direction cluster twice and
       // leave another unseeded — a local minimum Lloyd's cannot escape;
       // farthest-point spreads seeds across separated clusters by
-      // construction. The k greedy passes run over a DETERMINISTIC
-      // hash-sample of the corpus (the id-hash top-`initSample`, one
-      // TakeOrdered pass), not the corpus itself — init cost is then
-      // corpus-size-independent, and a few-thousand-row sample still
-      // hits every direction cluster of any plausible k. O(k·dim)
-      // driver state throughout.
+      // construction. The greedy runs over a DETERMINISTIC hash-sample
+      // of the corpus (the id-hash top-`initSample`, one TakeOrdered
+      // pass), not the corpus itself — init cost is corpus-size-
+      // independent, and a few-thousand-row sample still hits every
+      // direction cluster of any plausible k. The sample is collected
+      // ONCE and the k greedy passes run driver-side: one Spark job
+      // instead of k sequential jobs (the loop arithmetic — strict
+      // left-to-right dot products, ascending (max-cos, id) selection —
+      // is the same IEEE sequence the distributed form ran, so the
+      // chosen seeds are bit-identical). O(initSample·dim) driver state
+      // during init, O(k·dim) after.
       val initSample = math.max(k * 64, 2048)
-      val sample = ivfCentroids(all, initSample, idCol)
-        .select(col("centroid_id").as(idCol), col("cvec").as("vec"),
-          col("cnrm").as("nrm"))
-        .persist()
-      val seed = ivfCentroids(sample, 1, idCol).collect()
-      require(seed.nonEmpty, "kmeansFit needs at least one non-zero vector")
-      val chosenIds = scala.collection.mutable.ArrayBuffer(seed(0).getLong(0))
-      val init = scala.collection.mutable.ArrayBuffer(
-        seed(0).getSeq[Double](1).toArray)
-      var exhausted = false
-      while (init.length < k && !exhausted) {
-        val cos = init.map { c =>
-          val cn = math.sqrt(c.map(x => x * x).sum)
-          graft.functions.DotProduct(col("vec"), typedLit(c.toSeq)) /
-            (col("nrm") * lit(cn))
-        }.toSeq
-        val mc = if (cos.length == 1) cos.head else greatest(cos: _*)
-        val far = sample.filter(!col(idCol).isInCollection(chosenIds))
-          .withColumn("mc", mc)
-          .orderBy(col("mc"), col(idCol))
-          .limit(1).select(col(idCol), col("vec")).collect()
-        if (far.isEmpty) exhausted = true // corpus smaller than k
-        else {
-          chosenIds += far(0).getLong(0)
-          init += far(0).getSeq[Double](1).toArray
-        }
+      val sample = ivfCentroids(all, initSample, idCol).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      require(sample.nonEmpty, "kmeansFit needs at least one non-zero vector")
+      def dotv(a: Array[Double], b: Array[Double]): Double = {
+        val n = math.min(a.length, b.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += a(i) * b(i); i += 1 }
+        s
       }
-      sample.unpersist(blocking = false) // init done; release the blocks
+      val P = graft.functions.TextHash.P
+      // ivfCentroids returns in (id-hash, id) order, but don't rely on
+      // collect preserving it — the seed rule is "smallest id-hash wins"
+      val seed = sample.minBy { case (id, _, _) => ((id % P) * 2654435761L % P, id) }
+      val chosenIds = scala.collection.mutable.HashSet(seed._1)
+      val init = scala.collection.mutable.ArrayBuffer(seed._2)
+      while (init.length < k && chosenIds.size < sample.length) {
+        val cns = init.map(c => math.sqrt(c.map(x => x * x).sum))
+        var bestId = Long.MaxValue
+        var bestVec: Array[Double] = null
+        var bestMc = Double.MaxValue
+        sample.foreach { case (id, vec, nrm) =>
+          if (!chosenIds.contains(id)) {
+            var mc = Double.MinValue
+            var j = 0
+            while (j < init.length) {
+              val c = dotv(vec, init(j)) / (nrm * cns(j))
+              if (c > mc) mc = c
+              j += 1
+            }
+            if (mc < bestMc || (mc == bestMc && id < bestId)) {
+              bestMc = mc; bestId = id; bestVec = vec
+            }
+          }
+        }
+        chosenIds += bestId
+        init += bestVec
+      }
       var cents: Array[Array[Double]] = init.toArray
       val kk = cents.length // < k when the corpus is smaller than k
       var iter = 0

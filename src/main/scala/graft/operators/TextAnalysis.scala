@@ -379,22 +379,71 @@ object TextAnalysis {
         sum("n").as("cf"))
       .filter(col("df") >= minDf)
 
+  /** Model frames up to this many rows join back to the corpus as an
+    * EXPLICIT broadcast (a token/bigram + two longs per row — ~tens of
+    * MB at the limit), never a shuffle on the raw token key, where Zipf
+    * heads ("the" alone is percent-scale of any corpus) would put whole
+    * percent of the data in one task.
+    */
+  val DefaultBroadcastVocabLimit: Long = 1L << 20
+
+  /** Head/tail split for models too big to broadcast: keys with count >
+    * total/divisor are the head — there are PROVABLY fewer than
+    * `divisor` of them, so the head sub-model always broadcasts — and
+    * the remaining tail's per-key share of the corpus is bounded by
+    * 1/divisor, so its shuffle cannot skew.
+    */
+  val DefaultHeadDfDivisor: Long = 1L << 16
+
+  /** Join `rows` to a count-keyed `model` with an explicit skew policy:
+    * broadcast the whole model when it fits; otherwise broadcast the
+    * (bounded) Zipf head and shuffle only the skew-bounded tail — head
+    * rows are removed from the shuffle input by a broadcast anti-join,
+    * so the giant keys never cross the wire at all. Exact in both
+    * branches: every row matches in exactly one of head/tail.
+    */
+  private def skewGuardedModelJoin(
+      rows: DataFrame,
+      model: DataFrame,
+      keys: Seq[String],
+      countCol: String,
+      modelRows: Long,
+      totalCount: Long,
+      broadcastLimit: Long,
+      headDivisor: Long): DataFrame =
+    if (modelRows <= broadcastLimit) rows.join(broadcast(model), keys)
+    else {
+      val cap = math.max(1L, totalCount / headDivisor)
+      val head = model.filter(col(countCol) > cap)
+      val headKeys = head.select(keys.map(col): _*)
+      rows.join(broadcast(head), keys)
+        .unionByName(
+          rows.join(broadcast(headKeys), keys, "left_anti")
+            .join(model.filter(col(countCol) <= cap), keys))
+    }
+
   /** Unigram language-model perplexity per document — the shape of the
     * classic model-based quality filter (a KenLM-style n-gram LM scored
     * over each doc; unigram here keeps it exactly reproducible in any
     * engine, and the plumbing — corpus-level model stats joined back to
-    * exploded tokens — is identical for higher orders). Add-one
-    * smoothing over the corpus vocabulary; gibberish and word-salad
-    * documents score high against the corpus distribution, boilerplate
-    * scores low, both tails get filtered in a real recipe.
+    * exploded tokens — is identical for higher orders; [[perplexityBigram]]
+    * is the order-2 instantiation). Add-one smoothing over the corpus
+    * vocabulary; gibberish and word-salad documents score high against
+    * the corpus distribution, boilerplate scores low, both tails get
+    * filtered in a real recipe.
     *
     * Plan: the [[vocabStats]] wordcount shuffle builds the model; two
     * driver scalars (corpus token count, vocab size — O(1) state); one
-    * join of exploded tokens to the frequency table (token-keyed — the
-    * same wordcount shuffle shape, broadcastable whenever the vocab
-    * fits) and one map-side-combinable per-doc aggregation.
+    * skew-guarded join of exploded tokens to the frequency table
+    * ([[skewGuardedModelJoin]] — explicit broadcast while the vocab
+    * fits, Zipf-head/tail split beyond) and one map-side-combinable
+    * per-doc aggregation.
     */
-  def perplexity(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def perplexity(
+      docs: DataFrame,
+      textCol: String = "text",
+      broadcastVocabLimit: Long = DefaultBroadcastVocabLimit,
+      headDfDivisor: Long = DefaultHeadDfDivisor): DataFrame = {
     val toks = withTokens(docs, textCol)
       .select(col("doc_id"), explode(col("toks")).as("token"))
     val freq = toks.groupBy("token").agg(count(lit(1)).as("c"))
@@ -409,9 +458,62 @@ object TextAnalysis {
       // p(tok) = (c + 1) / (total + vocab); ppl = exp(-mean ln p) —
       // the oracle mirrors this exact operation order
       val lp = log((col("c") + lit(1.0)) / lit((total + vocab).toDouble))
-      toks.join(freq, Seq("token"))
+      skewGuardedModelJoin(toks, freq, Seq("token"), "c",
+          vocab, total, broadcastVocabLimit, headDfDivisor)
         .groupBy("doc_id").agg(
           count(lit(1)).as("n_tok"),
+          round(exp(-sum(lp) / count(lit(1))), 6).as("ppl"))
+    }
+  }
+
+  /** Bigram-LM perplexity per document — the order-2 model the unigram
+    * docstring promises the plumbing generalizes to (the CCNet/KenLM-
+    * style quality filter runs exactly this shape at order 5): add-one
+    * smoothed conditionals `p(w | prev) = (c2(prev,w) + 1) / (c1(prev)
+    * + V)` with `c2` the corpus bigram count, `c1` the count of bigrams
+    * starting with `prev`, and `V` the corpus UNIGRAM vocabulary (the
+    * smoothing denominator ranges over possible next tokens);
+    * `ppl = exp(-mean ln p)` over a document's n−1 bigram positions.
+    * Documents with fewer than 2 tokens have no bigram positions and
+    * drop out — ungradable, like the repetition gate's sub-n docs.
+    *
+    * Plan shape is the unigram one, one order up: bigram extraction is
+    * a per-row transform+explode inside the scan; the model is one
+    * wordcount shuffle on (prev, cur) with the prefix counts derived
+    * from it (a bigram-vocab-sized re-aggregation, not a second corpus
+    * pass); three driver scalars; and the same [[skewGuardedModelJoin]]
+    * back to the exploded bigrams — "of the" is percent-scale of any
+    * English corpus, so the giant-model path needs the head/tail split
+    * just like the unigram join.
+    */
+  def perplexityBigram(
+      docs: DataFrame,
+      textCol: String = "text",
+      broadcastVocabLimit: Long = DefaultBroadcastVocabLimit,
+      headDfDivisor: Long = DefaultHeadDfDivisor): DataFrame = {
+    val toked = withTokens(docs, textCol)
+    val bg = toked.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('prev', element_at(toks, i), " +
+          "'cur', element_at(toks, i + 1)))")).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    // V is a corpus property (all tokens, doc-final ones included), not
+    // a bigram-prefix property
+    val vocab = toked.select(explode(col("toks")).as("token"))
+      .agg(countDistinct(col("token"))).head().getLong(0)
+    val b2 = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val b1 = b2.groupBy("prev").agg(sum("c2").as("c1"))
+    val model = b2.join(b1, Seq("prev"))
+    Caching.withCached(b2, model) {
+      val st = model.agg(sum("c2").as("total"), count(lit(1)).as("nrows")).head()
+      val (total, nrows) =
+        if (st.isNullAt(0)) (1L, 0L) else (st.getLong(0), st.getLong(1))
+      val lp = log((col("c2") + lit(1.0)) / (col("c1") + lit(vocab.toDouble)))
+      skewGuardedModelJoin(bg, model, Seq("prev", "cur"), "c2",
+          nrows, total, broadcastVocabLimit, headDfDivisor)
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
           round(exp(-sum(lp) / count(lit(1))), 6).as("ppl"))
     }
   }

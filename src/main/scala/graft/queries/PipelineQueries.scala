@@ -675,6 +675,32 @@ object PipelineQueries {
          |FROM ex JOIN freq USING (token) CROSS JOIN st
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Bigram-LM perplexity (order-2 of q54): conditional add-one-smoothed
+    * p(cur|prev) from two wordcount tables, identical smoothing and
+    * operation order in both engines. DuckDB zips the two aligned
+    * `list_slice` unnests into (prev, cur) pairs positionally — the same
+    * pairs Spark's indexed `transform` emits.
+    */
+  private val qPerplexityBigram = QueryDef(
+    "q55_text_perplexity_bigram",
+    (s, dir) => TextAnalysis.perplexityBigram(docs(s, dir)).orderBy("doc_id"),
+    Some(
+      s"""WITH ${DuckSql.docsCte},
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+         |v AS (SELECT count(DISTINCT token) AS vocab FROM ex),
+         |bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_slice(toks, 1, len(toks) - 1)) AS prev,
+         |         unnest(list_slice(toks, 2, len(toks))) AS cur
+         |  FROM docs WHERE len(toks) >= 2),
+         |b2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |b1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM b2 GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(exp(-(sum(ln((c2 + 1.0) / (c1 + v.vocab)))
+         |                   / count(*))), 6) AS ppl
+         |FROM bg JOIN b2 USING (prev, cur) JOIN b1 USING (prev) CROSS JOIN v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // ----------------------------------------------------------- multimodal
 
   private val qMultimodalMeta = QueryDef(
@@ -1121,7 +1147,7 @@ object PipelineQueries {
     qDedupExact, qNgramJaccard, qMinhash, qMinhashProbe, qSimhash, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
-    qVocab, qChunk, qPerplexity,
+    qVocab, qChunk, qPerplexity, qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qSemDedup, qIvfAssign, qComponents, qKeepers, qContamination,
     qSample, qQuantize, qPack, qPipelineE2e, qPipelineRag)

@@ -188,10 +188,14 @@ class SimilaritySpec extends AnyFunSuite {
     val knn = Similarity.ivfKnn(df, Seq(0L), k = 3,
       trainedCentroids = Some(cents))
     assert(knn.count() == 3)
-    // maxIters = 0 returns the deterministic init unchanged
-    val init = Similarity.kmeansFit(df, k = 3, maxIters = 0)
-      .select("centroid_id").count()
-    assert(init == 3)
+    // maxIters = 0 returns the deterministic init unchanged, and the
+    // (driver-side) farthest-point greedy picks one seed per direction
+    // bundle — the spread property the k-sequential-jobs form had
+    val initC = Similarity.kmeansFit(df, k = 3, maxIters = 0)
+      .collect().map(_.getSeq[Double](1).toArray)
+    assert(initC.length == 3)
+    val initMatches = bundles.map(b => initC.count(c => cos(b, c) > 0.9))
+    assert(initMatches == Seq(1, 1, 1), s"init alignment counts: $initMatches")
     // k larger than the corpus: farthest-point init exhausts gracefully
     val tiny = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
       .toDF("vec_id", "embedding")

@@ -124,6 +124,51 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2)._3 > got(0)._3)
   }
 
+  test("perplexity: giant-vocab head/tail fallback matches the broadcast path") {
+    val df = Seq(
+      (1L, "a a a a"),
+      (2L, "a a a a"),
+      (3L, "b z")).toDF("doc_id", "text")
+    def run(limit: Long, divisor: Long) =
+      TextAnalysis.perplexity(df, broadcastVocabLimit = limit,
+          headDfDivisor = divisor)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val broadcastPath = run(Long.MaxValue, TextAnalysis.DefaultHeadDfDivisor)
+    // limit 0 forces the split; divisor 4 -> cap 2: 'a' (c=8) is head,
+    // 'b'/'z' are tail — both branches exercised
+    assert(run(0, 4) == broadcastPath)
+    // divisor 1 -> cap = total: head empty, everything through the
+    // shuffled-tail branch
+    assert(run(0, 1) == broadcastPath)
+  }
+
+  test("bigram perplexity: hand-checked conditionals, sub-2-token docs drop, " +
+    "fallback parity") {
+    // corpus bigrams: (a,b) x3, (b,a) x1 -> c1(a)=3, c1(b)=1; vocab {a,b,z}
+    val df = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "z")).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityBigram(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 2) // doc 3 has no bigram positions
+    // p(b|a) = (3+1)/(3+3) = 2/3; p(a|b) = (1+1)/(1+3) = 1/2
+    val pplDoc1 = math.rint(math.exp(
+      -(2 * math.log(2.0 / 3) + math.log(0.5)) / 3) * 1e6) / 1e6
+    assert(got(0) == ((1L, 3L, pplDoc1)))
+    assert(got(1) == ((2L, 1L, math.rint(1.5 * 1e6) / 1e6)))
+    // repetitious common bigrams score lower than the doc's rarer mix
+    assert(got(1)._3 < got(0)._3)
+    // head/tail fallback (limit 0, divisor 2 -> cap 2: (a,b) head,
+    // (b,a) tail) matches the broadcast path
+    val split = TextAnalysis.perplexityBigram(df,
+        broadcastVocabLimit = 0, headDfDivisor = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(split.toSeq == got.toSeq)
+  }
+
   test("chunk plan invariants under randomized widths/strides/lengths") {
     // coverage, stride spacing, tail shortening — for a sweep of shapes
     val shapes = for {
