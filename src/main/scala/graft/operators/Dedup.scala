@@ -347,32 +347,132 @@ object Dedup {
       excludeSameId: Boolean = false): DataFrame = {
     val shB = shingled(batch, textCol).filter(size(col("shh")) > 0)
     Caching.withCached(shB) {
-      val joined = minhashBuckets(shB, k, bands).as("a")
-        .join(index.as("b"), Seq("band", "key"))
-      val candidates =
-        (if (excludeSameId) joined.filter(col("a.doc_id") =!= col("b.doc_id"))
-         else joined)
-        .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("hist_id"))
-        .distinct()
+      val candidates = probeCandidates(shB, index, k, bands, excludeSameId)
       val histSliver = history.join(
         candidates.select(col("hist_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
-      val shH = shingled(histSliver, textCol)
-      val exB = shB.select(col("doc_id").as("batch_id"), explode(col("shh")).as("h"))
-      val exH = shH.select(col("doc_id").as("hist_id"), explode(col("shh")).as("h"))
-      val shared = candidates
-        .join(exB, Seq("batch_id"))
-        .join(exH, Seq("hist_id", "h"))
-        .groupBy("batch_id", "hist_id").agg(count(lit(1)).as("shared"))
-      shared
-        .join(shB.select(col("doc_id").as("batch_id"), size(col("shh")).as("n_a")),
-          Seq("batch_id"))
-        .join(shH.select(col("doc_id").as("hist_id"), size(col("shh")).as("n_b")),
-          Seq("hist_id"))
-        .withColumn("jaccard", round(col("shared").cast(DoubleType) /
-          (col("n_a") + col("n_b") - col("shared")), 6))
-        .filter(col("jaccard") >= threshold)
-        .select("batch_id", "hist_id", "jaccard")
+      probeVerify(shB, candidates, histSliver, threshold, textCol)
+    }
+  }
+
+  /** (batch_id, hist_id) candidate pairs of a banded batch against a
+    * [[minhashIndex]]: the (band, key) equi-join — only longs shuffle.
+    */
+  private def probeCandidates(
+      shB: DataFrame,
+      index: DataFrame,
+      k: Int,
+      bands: Int,
+      excludeSameId: Boolean): DataFrame = {
+    val joined = minhashBuckets(shB, k, bands).as("a")
+      .join(index.as("b"), Seq("band", "key"))
+    (if (excludeSameId) joined.filter(col("a.doc_id") =!= col("b.doc_id"))
+     else joined)
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("hist_id"))
+      .distinct()
+  }
+
+  /** Exact count-based verify of probe candidates against the fetched
+    * history sliver (the q21/q22 discipline: shingle counts, not arrays,
+    * through every shuffle).
+    */
+  private def probeVerify(
+      shB: DataFrame,
+      candidates: DataFrame,
+      histSliver: DataFrame,
+      threshold: Double,
+      textCol: String): DataFrame = {
+    val shH = shingled(histSliver, textCol)
+    val exB = shB.select(col("doc_id").as("batch_id"), explode(col("shh")).as("h"))
+    val exH = shH.select(col("doc_id").as("hist_id"), explode(col("shh")).as("h"))
+    val shared = candidates
+      .join(exB, Seq("batch_id"))
+      .join(exH, Seq("hist_id", "h"))
+      .groupBy("batch_id", "hist_id").agg(count(lit(1)).as("shared"))
+    shared
+      .join(shB.select(col("doc_id").as("batch_id"), size(col("shh")).as("n_a")),
+        Seq("batch_id"))
+      .join(shH.select(col("doc_id").as("hist_id"), size(col("shh")).as("n_b")),
+        Seq("hist_id"))
+      .withColumn("jaccard", round(col("shared").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "hist_id", "jaccard")
+  }
+
+  /** Default id-bucket count for [[writeHistoryBucketed]]. A probe reads
+    * |candidate buckets| / nBuckets of the history at rest, so more
+    * buckets prune harder; a real deployment sizes this so one bucket is
+    * a few files (thousands of buckets at 100 TB).
+    */
+  val DefaultHistoryBuckets: Int = 256
+
+  /** Write the historical corpus id-bucketed: `id_bucket = doc_id mod
+    * nBuckets` as the parquet partition column — the layout that makes
+    * [[minhashProbeBucketed]]'s candidate-sliver fetch PRUNE files
+    * instead of scanning all of history (the same move
+    * `Similarity.writeIvfPartitioned` makes for ANN probes). The
+    * partition value is a PREFIXED STRING (`b<k>`) for the same reasons
+    * as the IVF layout: immune to partition-type inference drift, and
+    * string equality predicates prune identically. The bucket count
+    * rides along in an underscore-prefixed `_meta` sidecar so the probe
+    * can't be run with a mismatched modulus.
+    */
+  def writeHistoryBucketed(
+      docs: DataFrame,
+      path: String,
+      nBuckets: Int = DefaultHistoryBuckets): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    docs
+      .withColumn("id_bucket",
+        concat(lit("b"), pmod(col("doc_id"), lit(nBuckets.toLong))))
+      .write.partitionBy("id_bucket").mode("overwrite").parquet(path)
+    // written AFTER the main overwrite (which clears the directory)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** [[minhashProbe]] against a [[writeHistoryBucketed]] layout: the
+    * candidate hist_ids resolve to their id buckets (a tiny driver-side
+    * list, bounded by nBuckets — the price of turning the sliver fetch
+    * into LITERAL partition predicates), and the verify stage reads ONLY
+    * those partitions, pruned before any file is listed. Same results
+    * as [[minhashProbe]] over the same corpus.
+    */
+  def minhashProbeBucketed(
+      batch: DataFrame,
+      index: DataFrame,
+      historyPath: String,
+      threshold: Double,
+      textCol: String = "text",
+      k: Int = 8,
+      bands: Int = 4,
+      excludeSameId: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val nBuckets = spark.read.parquet(s"$historyPath/_meta").head().getInt(0)
+    val history = spark.read.parquet(historyPath)
+    require(
+      history.schema.fieldNames.contains("id_bucket") &&
+        history.schema("id_bucket").dataType ==
+          org.apache.spark.sql.types.StringType,
+      s"$historyPath is not a bucketed history layout — write it with " +
+        "writeHistoryBucketed")
+    val shB = shingled(batch, textCol).filter(size(col("shh")) > 0)
+    Caching.withCached(shB) {
+      val candidates = probeCandidates(shB, index, k, bands, excludeSameId)
+      Caching.withCached(candidates) {
+        val buckets = candidates
+          .select(concat(lit("b"), pmod(col("hist_id"), lit(nBuckets.toLong)))
+            .as("bk"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val histSliver = history
+          .filter(col("id_bucket").isInCollection(buckets)) // partition prune
+          .join(candidates.select(col("hist_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+        probeVerify(shB, candidates, histSliver, threshold, textCol)
+      }
     }
   }
 

@@ -478,15 +478,61 @@ object Similarity {
     } finally all.unpersist()
   }
 
+  /** Default target cluster population for [[semanticDupPairs]]' derived
+    * centroid count: k ≈ n / target keeps the per-cluster pair join at
+    * ~target²/2 candidates NO MATTER the corpus size — a fixed k would
+    * let clusters grow linearly with the corpus and the pair cost
+    * quadratically (a 100× scale-up costing ~10,000×).
+    */
+  val DefaultTargetClusterSize: Long = 1024L
+
+  /** Ceiling on any single cluster's population in [[semanticDupPairs]]:
+    * clusters beyond it switch from all-pairs to anchor (star) pairing —
+    * the [[graft.operators.Dedup.DefaultMaxShingleDf]] move. Deriving k
+    * balances the AVERAGE cluster, but a degenerate direction mass (a
+    * boilerplate embedding repeated millions of times) lands in ONE
+    * cluster regardless of k; the cap bounds that worst case at linear
+    * cost while the anchor still chains every duplicate to one keeper.
+    */
+  val DefaultMaxClusterSize: Int = 4096
+
+  /** Centroid count for a corpus of `n` vectors at a target cluster
+    * population — never below [[DefaultCentroidK]] (tiny corpora keep
+    * the fixed-k behavior the oracle pins).
+    */
+  def deriveCentroidK(
+      n: Long,
+      targetClusterSize: Long = DefaultTargetClusterSize): Int = {
+    require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
+    math.min(
+      math.max(DefaultCentroidK.toLong,
+        (n + targetClusterSize - 1) / targetClusterSize),
+      Int.MaxValue.toLong).toInt
+  }
+
   /** SemDeDup-style semantic dedup: coarse-cluster the corpus (IVF
-    * assignment against a fixed-k centroid set), then compute exact
-    * cosine near-dup pairs WITHIN clusters only — the third candidate
+    * assignment against a centroid set), then compute exact cosine
+    * near-dup pairs WITHIN clusters only — the third candidate
     * generator next to [[cosineDupPairs]] (exact, quadratic) and
     * [[srpDupPairs]] (LSH banding). Clustering makes the quadratic term
-    * Σ|cluster|² instead of n²: with balanced clusters that's n²/k, and
-    * the cluster key doubles as the corpus partition key at rest (an
-    * [[writeIvfPartitioned]] layout runs this with NO shuffle at all —
-    * every cluster's pair join is partition-local).
+    * Σ|cluster|² instead of n², and the cluster key doubles as the
+    * corpus partition key at rest (an [[writeIvfPartitioned]] layout
+    * runs this with NO shuffle at all — every cluster's pair join is
+    * partition-local).
+    *
+    * The DEFAULT call is scale-safe twice over: `centroidK = 0` derives
+    * k from the corpus size (one cheap metadata-weight count;
+    * [[deriveCentroidK]]) so the average cluster stays ~[[DefaultTargetClusterSize]]
+    * at any corpus size, and `maxClusterSize` caps the worst single
+    * cluster — members of a cluster beyond the cap pair with the
+    * cluster's ANCHOR (min id) only, linear instead of quadratic, with
+    * exact cosines and the same keeper-chaining guarantee as the heavy-
+    * shingle star pairs in `Dedup.ngramJaccardPairs`. The cap probe is
+    * one map-side-combined aggregation over the (cached) assignment; a
+    * corpus with no oversized cluster runs the plain all-pairs plan
+    * untouched. Non-anchor pairs WITHIN an oversized cluster are the
+    * only pairs not examined (pass `maxClusterSize = None` for fully
+    * exact within-cluster output).
     *
     * Trade-off vs LSH: near-dups straddling a cluster boundary are
     * missed (the SemDeDup paper accepts this — near-identical vectors
@@ -494,24 +540,63 @@ object Similarity {
     * cost falls with more/smaller ones. Pass [[kmeansFit]] output as
     * `centroids` when trained clusters should replace the deterministic
     * id-hash sample.
+    *
+    * @param centroidK explicit centroid count; 0 (the default) derives
+    *   it from the corpus size via [[deriveCentroidK]]
     */
   def semanticDupPairs(
       emb: DataFrame,
       threshold: Double,
-      centroidK: Int = DefaultCentroidK,
+      centroidK: Int = 0,
       centroids: Option[DataFrame] = None,
+      maxClusterSize: Option[Int] = Some(DefaultMaxClusterSize),
       idCol: String = "vec_id"): DataFrame = {
     val all = asDouble(emb, idCol = idCol)
-    val cent = centroids.getOrElse(ivfCentroids(all, centroidK, idCol))
+    val cent = centroids.getOrElse {
+      val k = if (centroidK > 0) centroidK else deriveCentroidK(emb.count())
+      ivfCentroids(all, k, idCol)
+    }
     val assigned = rankCentroids(all, cent, 1, idCol)
-    Caching.withCached(assigned) {
-      assigned.as("a").join(assigned.as("b"),
+
+    def allPairs(a: DataFrame): DataFrame =
+      a.as("a").join(a.as("b"),
           col("a.centroid_id") === col("b.centroid_id") &&
             col(s"a.$idCol") < col(s"b.$idCol"))
         .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
           round(dot("a.vec", "b.vec") / (col("a.nrm") * col("b.nrm")), 6)
             .as("cos_sim"))
         .filter(col("cos_sim") >= threshold)
+
+    Caching.withCached(assigned) {
+      maxClusterSize match {
+        case None => allPairs(assigned)
+        case Some(cap) =>
+          require(cap >= 2, s"maxClusterSize must be >= 2, got $cap")
+          // per-cluster population + anchor: one map-side-combinable agg
+          // over the cached assignment — O(k) rows, broadcastable
+          val csizes = assigned.groupBy("centroid_id")
+            .agg(count(lit(1)).as("csize"), min(col(idCol)).as("anchor"))
+          val anyHeavy = csizes.filter(col("csize") > cap).limit(1).count() > 0
+          if (!anyHeavy) allPairs(assigned)
+          else {
+            val tagged = assigned.join(broadcast(csizes), Seq("centroid_id"))
+            val light = allPairs(tagged.filter(col("csize") <= cap)
+              .select(col(idCol), col("centroid_id"), col("vec"), col("nrm")))
+            val heavy = tagged.filter(col("csize") > cap)
+            // one anchor row per oversized cluster — tiny, broadcast; the
+            // anchor is always the pair's min id, so vec_a < vec_b holds
+            val anchors = heavy.filter(col(idCol) === col("anchor"))
+              .select(col("centroid_id"), col("vec").as("avec"),
+                col("nrm").as("anrm"))
+            val star = heavy.filter(col(idCol) =!= col("anchor"))
+              .join(broadcast(anchors), Seq("centroid_id"))
+              .select(col("anchor").as("vec_a"), col(idCol).as("vec_b"),
+                round(dot("avec", "vec") / (col("anrm") * col("nrm")), 6)
+                  .as("cos_sim"))
+              .filter(col("cos_sim") >= threshold)
+            light.unionByName(star)
+          }
+      }
     }
   }
 

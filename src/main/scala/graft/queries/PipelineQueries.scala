@@ -905,7 +905,12 @@ object PipelineQueries {
     * vector, then exact cosine pairs within clusters only (the third
     * candidate generator: q24 exact all-pairs, q35 LSH banding, q49
     * clustering). Oracle: the q34 assignment subquery self-joined on the
-    * assigned centroid.
+    * assigned centroid. The default call derives k from the corpus size
+    * (Similarity.deriveCentroidK); at every test SF the fixture is under
+    * DefaultCentroidK·DefaultTargetClusterSize vectors, so the derived k
+    * equals the oracle's static DefaultCentroidK, and no cluster nears
+    * DefaultMaxClusterSize — the scale knobs are exercised by
+    * SimilaritySpec, the fixed-k semantics by this oracle.
     */
   private val qSemDedup = QueryDef(
     "q49_dedup_semantic",

@@ -163,6 +163,36 @@ class DedupSpec extends AnyFunSuite {
     assert(cross == got.map(t => (t._1, t._2)).toSet)
   }
 
+  test("bucketed history layout: probe results match minhashProbe and the " +
+    "sliver fetch prunes to the candidates' id buckets") {
+    val history = (0L until 50L)
+      .map(i => (i, (1 to 12).map(j => s"h${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    Dedup.writeHistoryBucketed(history, root, nBuckets = 8)
+    val index = Dedup.minhashIndex(history)
+    val hist7 = (1 to 12).map(j => s"h7w$j").mkString(" ")
+    val batch = Seq(
+      (1000L, hist7),
+      (1001L, (1 to 12).map(j => s"zzz$j").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.minhashProbeBucketed(batch, index, root, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1000L, 7L, 1.0)))
+    val plain = Dedup.minhashProbe(batch, index, history, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == plain.toSet)
+    // the bucket predicate reaches the history scan as a partition
+    // filter (passthrough exposes the operator's interior plan — the
+    // checkpointed production form explains as one ExistingRDD scan)
+    Caching.passthrough = true
+    try {
+      val plan = Dedup.minhashProbeBucketed(batch, index, root, threshold = 0.8)
+        .queryExecution.executedPlan.toString
+      assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*id_bucket.*"),
+        s"no id_bucket partition filter in:\n$plan")
+    } finally Caching.passthrough = false
+  }
+
   test("bloom-guarded incremental dedup: duplicates never survive, novel docs pass") {
     val history = (0L until 500L).map(i => (i, s"hist doc number $i"))
       .toDF("doc_id", "text")

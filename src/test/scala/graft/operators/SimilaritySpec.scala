@@ -151,6 +151,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dup.toSeq == Seq((0L, 1L)))
   }
 
+  test("semanticDupPairs: an oversized cluster star-pairs at linear cost, " +
+    "cap is a no-op when no cluster exceeds it") {
+    // a degenerate direction mass: 3000 identical vectors land in ONE
+    // cluster no matter how k is derived — with the cap they produce the
+    // 2999 anchor pairs, never the 4.5M all-pairs join
+    val base = Array.tabulate(8)(i => 0.1 * (i + 1)).toSeq
+    val giant = (0L until 3000L).map(i => (i, base)).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDupPairs(giant, threshold = 0.99,
+        maxClusterSize = Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 2999)
+    assert(got.forall(_._1 == 0L)) // every duplicate chains to the anchor
+    assert(got.forall(_._3 == 1.0)) // and the reported cosine stays exact
+    // on a corpus with no oversized cluster the default cap changes
+    // nothing: capped == uncapped, row for row
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def pairs(cap: Option[Int]) =
+      Similarity.semanticDupPairs(emb, threshold = 0.45, maxClusterSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(Some(Similarity.DefaultMaxClusterSize)) == pairs(None))
+    // derived k: fixed floor below target-size corpora, linear above
+    assert(Similarity.deriveCentroidK(500) == Similarity.DefaultCentroidK)
+    assert(Similarity.deriveCentroidK(1024L * 1000) == 1000)
+    assert(Similarity.deriveCentroidK(1024L * 1000 + 1) == 1001)
+  }
+
   test("kmeansFit: separates direction clusters, feeds the cosine stack") {
     // three tight direction bundles in 4-d, 30 points each
     val bundles = Seq(
