@@ -2,6 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
 
 /** Streaming exact dedup — the ingestion-time half of the dedup story:
   * a training-data firehose drops repeats as they arrive, so the batch
@@ -34,4 +37,48 @@ object StreamingDedup {
       .withColumn("text_md5", md5(col(textCol).cast("binary")))
       .withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark("text_md5")
+
+  /** Incremental-dedup ingest — the streaming composition of the batch
+    * incremental pieces: every micro-batch is (1) exact-filtered against
+    * history through the per-EPOCH broadcast Bloom guard
+    * ([[graft.operators.Dedup.filterNovel]], `Broadcast`-handle form —
+    * one broadcast per epoch, never one per batch) and exact-deduped
+    * within itself, then (2) probed for NEAR-duplicates against the
+    * persisted MinHash band index
+    * ([[graft.operators.Dedup.minhashProbe]]). `onBatch` receives the
+    * surviving novel rows and their near-dup flags, atomically with the
+    * batch: append the novels, quarantine or drop the flagged ones, and
+    * rebuild bloom + index at the next epoch boundary (unpersisting the
+    * superseded broadcast).
+    *
+    * State at scale: the sketch is O(bits) per epoch, the index is 3
+    * longs per history doc per band, and each probe touches only the
+    * colliding sliver of history — nothing here grows with the stream.
+    * Same (k, bands) as the index build, or keys won't collide.
+    */
+  def startIncremental(
+      docs: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      index: DataFrame,
+      history: DataFrame,
+      threshold: Double,
+      onBatch: (DataFrame, DataFrame) => Unit,
+      intervalSeconds: Long = 10,
+      textCol: String = "text",
+      k: Int = 8,
+      bands: Int = 4): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // materialize the novels once — both the probe and the caller
+        // read them, and the bloom-probe UDF must not run twice
+        val novel = Dedup.filterNovel(batch, bloom, textCol)
+          .localCheckpoint(eager = true)
+        val flagged = Dedup.minhashProbe(novel, index, history, threshold,
+          textCol, k, bands)
+        onBatch(novel, flagged)
+        ()
+      }
+      .start()
 }

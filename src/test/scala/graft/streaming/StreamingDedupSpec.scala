@@ -32,4 +32,52 @@ class StreamingDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(1L, 2L, 4L))
   }
+
+  test("incremental ingest: bloom drops exact history dups, near-dup " +
+    "datagrams are flagged against the index across micro-batches") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val history = (0L until 50L)
+      .map(i => (i, (1 to 12).map(j => s"h${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bloom = spark.sparkContext.broadcast(
+      Dedup.digestBloom(history, expectedItems = 1000, fpp = 0.001))
+    val index = Dedup.minhashIndex(history).localCheckpoint(eager = true)
+
+    def histText(i: Long) = (1 to 12).map(j => s"h${i}w$j").mkString(" ")
+    // near-dup = last token changed: 9 of 10 shingles shared -> 9/11
+    def nearDup(i: Long) =
+      (1 to 11).map(j => s"h${i}w$j").mkString(" ") + " tail"
+
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val novels = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val query = StreamingDedup.startIncremental(docs, bloom, index, history,
+      threshold = 0.8,
+      onBatch = (novel, flagged) => synchronized {
+        novels ++= novel.select("doc_id").collect().map(_.getLong(0))
+        flags ++= flagged.collect().map(r => (r.getLong(0), r.getLong(1)))
+      },
+      intervalSeconds = 0)
+    // batch 1: an exact history dup (bloom drops it), a near-dup of hist
+    // 3 (novel by digest, flagged by the index), and a fresh doc
+    stream.addData((1000L, histText(7)), (1001L, nearDup(3)), (1002L, "fresh alpha"))
+    query.processAllAvailable()
+    // batch 2, later micro-batch: another near-dup, of hist 9
+    stream.addData((1003L, nearDup(9)))
+    query.processAllAvailable()
+    query.stop()
+
+    assert(novels.sorted == Seq(1001L, 1002L, 1003L)) // 1000 = exact dup, dropped
+    // cross-batch flags match what the batch operator reports for the
+    // same novels against the same index (deterministic hashes)
+    val batchNovels = Seq((1001L, nearDup(3)), (1002L, "fresh alpha"),
+      (1003L, nearDup(9))).toDF("doc_id", "text")
+    val expected = Dedup.minhashProbe(batchNovels, index, history, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags.toSet == expected)
+    assert(flags.toSet == Set((1001L, 3L), (1003L, 9L)))
+    bloom.unpersist(blocking = false)
+  }
 }
