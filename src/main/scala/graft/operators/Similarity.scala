@@ -516,9 +516,9 @@ object Similarity {
     * generator next to [[cosineDupPairs]] (exact, quadratic) and
     * [[srpDupPairs]] (LSH banding). Clustering makes the quadratic term
     * Σ|cluster|² instead of n², and the cluster key doubles as the
-    * corpus partition key at rest (an [[writeIvfPartitioned]] layout
-    * runs this with NO shuffle at all — every cluster's pair join is
-    * partition-local).
+    * corpus partition key at rest ([[semanticDupPairsPartitioned]] runs
+    * over a [[writeIvfPartitioned]] layout reusing its stored
+    * assignment — the whole coarse-quantization stage disappears).
     *
     * The DEFAULT call is scale-safe twice over: `centroidK = 0` derives
     * k from the corpus size (one cheap metadata-weight count;
@@ -556,7 +556,20 @@ object Similarity {
       val k = if (centroidK > 0) centroidK else deriveCentroidK(emb.count())
       ivfCentroids(all, k, idCol)
     }
-    val assigned = rankCentroids(all, cent, 1, idCol)
+    clusterPairs(rankCentroids(all, cent, 1, idCol), threshold,
+      maxClusterSize, idCol)
+  }
+
+  /** Within-cluster exact-cosine pairing over an assignment frame
+    * `(idCol, centroid_id, vec, nrm)` — the shared back half of
+    * [[semanticDupPairs]] and [[semanticDupPairsPartitioned]], with the
+    * cluster-size cap / anchor-pairing machinery.
+    */
+  private def clusterPairs(
+      assigned: DataFrame,
+      threshold: Double,
+      maxClusterSize: Option[Int],
+      idCol: String): DataFrame = {
 
     def allPairs(a: DataFrame): DataFrame =
       a.as("a").join(a.as("b"),
@@ -598,6 +611,34 @@ object Similarity {
           }
       }
     }
+  }
+
+  /** [[semanticDupPairs]] over a [[writeIvfPartitioned]] layout: the
+    * layout's STORED assignment is the clustering — no centroid collect,
+    * no argmax projection, no corpus count. What remains is the
+    * within-cluster pair join itself, exchanged once on the cluster key
+    * (the layout's directory structure keeps each cluster's files
+    * contiguous, so that exchange moves already-co-located data and AQE
+    * coalesces it; Spark's parquet reader does not expose directory
+    * partitioning as a `Partitioning` guarantee, so the exchange cannot
+    * be elided outright without bucketed-table metadata). Identical
+    * results to [[semanticDupPairs]] with the layout's centroid set.
+    */
+  def semanticDupPairsPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      threshold: Double,
+      maxClusterSize: Option[Int] = Some(DefaultMaxClusterSize),
+      idCol: String = "vec_id"): DataFrame = {
+    val corpus = spark.read.parquet(path)
+    require(
+      corpus.schema("centroid_id").dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"$path is not a current IVF layout (centroid_id must be the " +
+        "prefixed-string partition column) — rewrite it with writeIvfPartitioned")
+    clusterPairs(
+      corpus.select(col(idCol), col("centroid_id"), col("vec"), col("nrm")),
+      threshold, maxClusterSize, idCol)
   }
 
   /** Symmetric per-vector int8 scalar quantization — the serving-side

@@ -177,6 +177,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.deriveCentroidK(1024L * 1000 + 1) == 1001)
   }
 
+  test("semanticDupPairsPartitioned: the stored IVF assignment replaces " +
+    "coarse quantization, identical pairs") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-sem").toString
+    Similarity.writeIvfPartitioned(emb, root)
+    val fromLayout = Similarity.semanticDupPairsPartitioned(spark, root,
+        threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the layout was written around the default id-hash centroid sample,
+    // so the in-memory operator with the same derived centroids agrees
+    val inMemory = Similarity.semanticDupPairs(emb, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromLayout == inMemory)
+  }
+
   test("kmeansFit: separates direction clusters, feeds the cosine stack") {
     // three tight direction bundles in 4-d, 30 points each
     val bundles = Seq(
