@@ -68,6 +68,43 @@ object StreamingDedup {
       textCol: String = "text",
       k: Int = 8,
       bands: Int = 4): StreamingQuery =
+    startWith(docs, bloom, intervalSeconds, textCol,
+      novel => Dedup.minhashProbe(novel, index, history, threshold,
+        textCol, k, bands),
+      onBatch)
+
+  /** [[startIncremental]] with the history at rest in a
+    * [[graft.operators.Dedup.writeHistoryBucketed]] layout: each batch's
+    * candidate-sliver fetch PRUNES history partitions
+    * ([[graft.operators.Dedup.minhashProbeBucketed]]) instead of
+    * scanning the store — the always-on form, where the probe cost per
+    * micro-batch must not grow with the corpus.
+    */
+  def startIncrementalBucketed(
+      docs: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      index: DataFrame,
+      historyPath: String,
+      threshold: Double,
+      onBatch: (DataFrame, DataFrame) => Unit,
+      intervalSeconds: Long = 10,
+      textCol: String = "text",
+      k: Int = 8,
+      bands: Int = 4): StreamingQuery =
+    startWith(docs, bloom, intervalSeconds, textCol,
+      novel => Dedup.minhashProbeBucketed(novel, index, historyPath,
+        threshold, textCol, k, bands),
+      onBatch)
+
+  private def startWith(
+      docs: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      intervalSeconds: Long,
+      textCol: String,
+      probe: DataFrame => DataFrame,
+      onBatch: (DataFrame, DataFrame) => Unit): StreamingQuery =
     docs.writeStream
       .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -75,9 +112,7 @@ object StreamingDedup {
         // read them, and the bloom-probe UDF must not run twice
         val novel = Dedup.filterNovel(batch, bloom, textCol)
           .localCheckpoint(eager = true)
-        val flagged = Dedup.minhashProbe(novel, index, history, threshold,
-          textCol, k, bands)
-        onBatch(novel, flagged)
+        onBatch(novel, probe(novel))
         ()
       }
       .start()

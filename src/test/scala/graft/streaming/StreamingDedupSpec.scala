@@ -78,6 +78,26 @@ class StreamingDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(flags.toSet == expected)
     assert(flags.toSet == Set((1001L, 3L), (1003L, 9L)))
+
+    // the bucketed-at-rest form flags identically, with each batch's
+    // sliver fetch pruning history partitions (layout spec: DedupSpec)
+    val root = java.nio.file.Files.createTempDirectory("graft-si-hist").toString
+    Dedup.writeHistoryBucketed(history, root, nBuckets = 8)
+    val flags2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val stream2 = MemoryStream[(Long, String)]
+    val query2 = StreamingDedup.startIncrementalBucketed(
+      stream2.toDF().toDF("doc_id", "text"), bloom, index, root,
+      threshold = 0.8,
+      onBatch = (_, flagged) => synchronized {
+        flags2 ++= flagged.collect().map(r => (r.getLong(0), r.getLong(1)))
+      },
+      intervalSeconds = 0)
+    stream2.addData((1000L, histText(7)), (1001L, nearDup(3)), (1002L, "fresh alpha"))
+    query2.processAllAvailable()
+    stream2.addData((1003L, nearDup(9)))
+    query2.processAllAvailable()
+    query2.stop()
+    assert(flags2.toSet == flags.toSet)
     bloom.unpersist(blocking = false)
   }
 }
