@@ -450,7 +450,21 @@ object Dedup {
       k: Int = 8,
       bands: Int = 4,
       excludeSameId: Boolean = false): DataFrame = {
-    val spark = batch.sparkSession
+    val (history, nBuckets) = openHistoryBucketed(batch.sparkSession, historyPath)
+    minhashProbeBucketedOn(batch, index, history, nBuckets, threshold,
+      textCol, k, bands, excludeSameId)
+  }
+
+  /** Resolve a [[writeHistoryBucketed]] layout once: the frame (whose
+    * file index is listed at THIS point and reused on every probe
+    * against it) plus the layout's bucket modulus. Loops — a streaming
+    * ingest probing per micro-batch — must call this once per epoch and
+    * reuse the pair; re-opening per batch re-lists the entire layout's
+    * files each trigger.
+    */
+  def openHistoryBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String): (DataFrame, Int) = {
     val nBuckets = spark.read.parquet(s"$historyPath/_meta").head().getInt(0)
     val history = spark.read.parquet(historyPath)
     require(
@@ -459,6 +473,22 @@ object Dedup {
           org.apache.spark.sql.types.StringType,
       s"$historyPath is not a bucketed history layout — write it with " +
         "writeHistoryBucketed")
+    (history, nBuckets)
+  }
+
+  /** [[minhashProbeBucketed]] over an [[openHistoryBucketed]]-resolved
+    * layout — the per-epoch form for probe loops.
+    */
+  def minhashProbeBucketedOn(
+      batch: DataFrame,
+      index: DataFrame,
+      history: DataFrame,
+      nBuckets: Int,
+      threshold: Double,
+      textCol: String = "text",
+      k: Int = 8,
+      bands: Int = 4,
+      excludeSameId: Boolean = false): DataFrame = {
     val shB = shingled(batch, textCol).filter(size(col("shh")) > 0)
     Caching.withCached(shB) {
       val candidates = probeCandidates(shB, index, k, bands, excludeSameId)

@@ -121,26 +121,38 @@ object Similarity {
     * ascending centroid_id order and the first index attaining the max
     * wins.
     */
+  /** Largest centroid count assigned via the literal-argmax projection.
+    * Beyond it the k-literal expression tree (k typedLit arrays + a
+    * k-branch CaseWhen) stops being a reasonable plan, and assignment
+    * switches to a broadcast join + max-struct aggregation — still no
+    * window: the n·k scored rows partial-aggregate to n per task before
+    * the one exchange. Both paths implement the identical
+    * (max cosine, tie → min centroid_id) rule, spec-asserted.
+    */
+  private[operators] val LiteralAssignMaxK: Int = 256
+
   private def rankCentroids(
       v: DataFrame,
       centroids: DataFrame,
       nprobe: Int,
       idCol: String): DataFrame = {
     if (nprobe == 1) {
-      val cents = centroids.select("centroid_id", "cvec", "cnrm")
-        .collect().sortBy(_.getLong(0))
+      val k = centroids.count()
       // empty corpus -> empty centroid set -> empty assignment (the
       // graceful degenerate the window form produced). But an empty
       // centroid set against a NON-empty corpus is a caller bug (an
       // accidentally-empty trainedCentroids frame) — assigning nothing
       // would silently drop the whole corpus; fail loudly instead.
-      if (cents.isEmpty) {
+      if (k == 0) {
         require(v.isEmpty,
           "empty centroid set over a non-empty corpus — was an empty " +
             "trainedCentroids frame passed?")
         return v.select(col(idCol), lit(null).cast("bigint").as("centroid_id"),
           col("vec"), col("nrm")).limit(0)
       }
+      if (k > LiteralAssignMaxK) return assignByJoin(v, centroids, idCol)
+      val cents = centroids.select("centroid_id", "cvec", "cnrm")
+        .collect().sortBy(_.getLong(0))
       val cos = cents.map { r =>
         graft.functions.DotProduct(col("vec"), typedLit(r.getSeq[Double](1))) /
           (col("nrm") * lit(r.getDouble(2)))
@@ -165,6 +177,31 @@ object Similarity {
         .select(col(idCol), col("centroid_id"), col("vec"), col("nrm"))
     }
   }
+
+  /** Large-k assignment: broadcast the centroid frame, score the n·k
+    * cross join, and keep each vector's (max csim, tie → min
+    * centroid_id) via ONE map-side-combinable max-struct aggregation —
+    * the n·k scored rows collapse back to n within each task, so the
+    * single exchange carries n rows (the window formulation exchanged
+    * all n·k). `-centroid_id` inside the struct turns the tie rule into
+    * a plain max (ids are non-negative vec_ids, so negation is safe);
+    * `first(vec)` is deterministic because every row of an id group
+    * carries the identical vector.
+    */
+  private def assignByJoin(
+      v: DataFrame,
+      centroids: DataFrame,
+      idCol: String): DataFrame =
+    v.select(col(idCol), col("vec"), col("nrm"))
+      .join(broadcast(centroids.select("centroid_id", "cvec", "cnrm")))
+      .withColumn("csim", dot("vec", "cvec") / (col("nrm") * col("cnrm")))
+      .groupBy(col(idCol))
+      .agg(
+        max(struct(col("csim"), (-col("centroid_id")).as("ncid"))).as("m"),
+        first(col("vec")).as("vec"),
+        first(col("nrm")).as("nrm"))
+      .select(col(idCol), (-col("m.ncid")).as("centroid_id"),
+        col("vec"), col("nrm"))
 
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (deterministic fixed-k centroid sample, [[ivfCentroids]]).
@@ -388,8 +425,11 @@ object Similarity {
       // chosen seeds are bit-identical). O(initSample·dim) driver state
       // during init, O(k·dim) after.
       val initSample = math.max(k * 64, 2048)
+      // distinctBy id: duplicate ids (a corpus unioned with itself) must
+      // not make the exhaustion check overcount remaining candidates
       val sample = ivfCentroids(all, initSample, idCol).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .distinctBy(_._1)
       require(sample.nonEmpty, "kmeansFit needs at least one non-zero vector")
       def dotv(a: Array[Double], b: Array[Double]): Double = {
         val n = math.min(a.length, b.length)
@@ -402,29 +442,35 @@ object Similarity {
       // ivfCentroids returns in (id-hash, id) order, but don't rely on
       // collect preserving it — the seed rule is "smallest id-hash wins"
       val seed = sample.minBy { case (id, _, _) => ((id % P) * 2654435761L % P, id) }
-      val chosenIds = scala.collection.mutable.HashSet(seed._1)
+      val chosen = scala.collection.mutable.HashSet(seed._1)
       val init = scala.collection.mutable.ArrayBuffer(seed._2)
-      while (init.length < k && chosenIds.size < sample.length) {
-        val cns = init.map(c => math.sqrt(c.map(x => x * x).sum))
-        var bestId = Long.MaxValue
-        var bestVec: Array[Double] = null
-        var bestMc = Double.MaxValue
-        sample.foreach { case (id, vec, nrm) =>
-          if (!chosenIds.contains(id)) {
-            var mc = Double.MinValue
-            var j = 0
-            while (j < init.length) {
-              val c = dotv(vec, init(j)) / (nrm * cns(j))
-              if (c > mc) mc = c
-              j += 1
-            }
-            if (mc < bestMc || (mc == bestMc && id < bestId)) {
-              bestMc = mc; bestId = id; bestVec = vec
-            }
-          }
+      // runningMc(i) = max cosine of sample(i) to the chosen set SO FAR —
+      // each pass folds in only the newest centroid, so the greedy is
+      // O(k·sample·dim) total instead of O(k²·sample·dim); the fold
+      // order over centroids is unchanged (append-only), so every max
+      // compares the identical IEEE sequence and picks identical seeds
+      val runningMc = Array.fill(sample.length)(Double.MinValue)
+      var exhausted = false
+      while (init.length < k && !exhausted) {
+        val newest = init.last
+        val cn = math.sqrt(newest.map(x => x * x).sum)
+        var bestIdx = -1
+        var i = 0
+        while (i < sample.length) {
+          val (id, vec, nrm) = sample(i)
+          val c = dotv(vec, newest) / (nrm * cn)
+          if (c > runningMc(i)) runningMc(i) = c
+          if (!chosen.contains(id) &&
+              (bestIdx < 0 || runningMc(i) < runningMc(bestIdx) ||
+                (runningMc(i) == runningMc(bestIdx) && id < sample(bestIdx)._1)))
+            bestIdx = i
+          i += 1
         }
-        chosenIds += bestId
-        init += bestVec
+        if (bestIdx < 0) exhausted = true // fewer distinct vectors than k
+        else {
+          chosen += sample(bestIdx)._1
+          init += sample(bestIdx)._2
+        }
       }
       var cents: Array[Array[Double]] = init.toArray
       val kk = cents.length // < k when the corpus is smaller than k
@@ -496,9 +542,23 @@ object Similarity {
     */
   val DefaultMaxClusterSize: Int = 4096
 
+  /** Ceiling on the DERIVED centroid count: the centroid frame must stay
+    * broadcastable (k·dim doubles — 65536 × 768-dim ≈ 400 MB, inside the
+    * broadcast limit) and the centroid SAMPLE (a TakeOrdered of k rows)
+    * must stay driver-bounded. Beyond n ≈ cap·target (~67M vectors at
+    * the defaults) the average cluster grows past the target again and
+    * [[DefaultMaxClusterSize]]'s anchor pairing bounds the worst case;
+    * corpora that far up should pass trained centroids at an explicit k
+    * (assignment handles large k via [[assignByJoin]]).
+    */
+  val DefaultMaxDerivedK: Int = 65536
+
   /** Centroid count for a corpus of `n` vectors at a target cluster
     * population — never below [[DefaultCentroidK]] (tiny corpora keep
-    * the fixed-k behavior the oracle pins).
+    * the fixed-k behavior the oracle pins), never above
+    * [[DefaultMaxDerivedK]] (the centroid set itself must not become
+    * corpus-proportional — the failure [[DefaultCentroidK]]'s docstring
+    * warns about).
     */
   def deriveCentroidK(
       n: Long,
@@ -507,7 +567,7 @@ object Similarity {
     math.min(
       math.max(DefaultCentroidK.toLong,
         (n + targetClusterSize - 1) / targetClusterSize),
-      Int.MaxValue.toLong).toInt
+      DefaultMaxDerivedK.toLong).toInt
   }
 
   /** SemDeDup-style semantic dedup: coarse-cluster the corpus (IVF
@@ -632,8 +692,9 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame = {
     val corpus = spark.read.parquet(path)
     require(
-      corpus.schema("centroid_id").dataType ==
-        org.apache.spark.sql.types.StringType,
+      corpus.schema.fieldNames.contains("centroid_id") &&
+        corpus.schema("centroid_id").dataType ==
+          org.apache.spark.sql.types.StringType,
       s"$path is not a current IVF layout (centroid_id must be the " +
         "prefixed-string partition column) — rewrite it with writeIvfPartitioned")
     clusterPairs(

@@ -401,6 +401,12 @@ object TextAnalysis {
     * rows are removed from the shuffle input by a broadcast anti-join,
     * so the giant keys never cross the wire at all. Exact in both
     * branches: every row matches in exactly one of head/tail.
+    *
+    * The split branch deliberately consumes `rows` twice (head join +
+    * tail join): `rows` is the corpus-scale exploded frame, and caching
+    * it to save the second pass would spill corpus-sized state to disk —
+    * a rescan of a narrow scan-side projection is the cheaper side of
+    * that trade at every scale this branch runs at.
     */
   private def skewGuardedModelJoin(
       rows: DataFrame,
@@ -413,6 +419,14 @@ object TextAnalysis {
       headDivisor: Long): DataFrame =
     if (modelRows <= broadcastLimit) rows.join(broadcast(model), keys)
     else {
+      // the "provably < headDivisor head keys" bound needs cap >= 1 to
+      // come from the division itself: a divisor beyond the corpus total
+      // would floor to cap 1 and sweep every repeated key into the
+      // "head" — unbounded, force-broadcast. Reject the misuse loudly.
+      require(headDivisor >= 1 && headDivisor <= math.max(totalCount, 1L),
+        s"headDfDivisor must be in [1, total count $totalCount], got " +
+          s"$headDivisor — a larger divisor would make the broadcast head " +
+          "unbounded")
       val cap = math.max(1L, totalCount / headDivisor)
       val head = model.filter(col(countCol) > cap)
       val headKeys = head.select(keys.map(col): _*)

@@ -905,16 +905,17 @@ object PipelineQueries {
     * vector, then exact cosine pairs within clusters only (the third
     * candidate generator: q24 exact all-pairs, q35 LSH banding, q49
     * clustering). Oracle: the q34 assignment subquery self-joined on the
-    * assigned centroid. The default call derives k from the corpus size
-    * (Similarity.deriveCentroidK); at every test SF the fixture is under
-    * DefaultCentroidK·DefaultTargetClusterSize vectors, so the derived k
-    * equals the oracle's static DefaultCentroidK, and no cluster nears
-    * DefaultMaxClusterSize — the scale knobs are exercised by
-    * SimilaritySpec, the fixed-k semantics by this oracle.
+    * assigned centroid. centroidK is PINNED to the oracle's static
+    * DefaultCentroidK here (not left to the size-derived default) so the
+    * contract holds at ANY fixture SF — a larger fixture must not
+    * silently diverge the two engines' clustering. The scale knobs
+    * (derived k, cluster-size cap) are exercised by SimilaritySpec; at
+    * the shipped SFs the derived k equals this pinned value anyway.
     */
   private val qSemDedup = QueryDef(
     "q49_dedup_semantic",
-    (s, dir) => Similarity.semanticDupPairs(emb(s, dir), threshold = 0.45)
+    (s, dir) => Similarity.semanticDupPairs(emb(s, dir), threshold = 0.45,
+        centroidK = Similarity.DefaultCentroidK)
       .orderBy("vec_a", "vec_b"),
     Some(
       s"""WITH ${DuckSql.embCte},

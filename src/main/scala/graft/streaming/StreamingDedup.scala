@@ -91,11 +91,17 @@ object StreamingDedup {
       intervalSeconds: Long = 10,
       textCol: String = "text",
       k: Int = 8,
-      bands: Int = 4): StreamingQuery =
+      bands: Int = 4): StreamingQuery = {
+    // the layout is epoch-static: resolve the _meta modulus and list the
+    // file index ONCE here, not once per micro-batch — per-trigger
+    // re-listing of a 100 TB layout would grow with history file count
+    val (history, nBuckets) =
+      Dedup.openHistoryBucketed(docs.sparkSession, historyPath)
     startWith(docs, bloom, intervalSeconds, textCol,
-      novel => Dedup.minhashProbeBucketed(novel, index, historyPath,
+      novel => Dedup.minhashProbeBucketedOn(novel, index, history, nBuckets,
         threshold, textCol, k, bands),
       onBatch)
+  }
 
   private def startWith(
       docs: DataFrame,

@@ -243,6 +243,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.kmeansFit(tiny, k = 5, maxIters = 3).count() == 2)
   }
 
+  test("kmeansFit: duplicate ids in the corpus exhaust gracefully, " +
+    "never NPE, centroids bounded by distinct vectors") {
+    val pts = (0L until 30L).map(i =>
+      (i, Seq(1.0 + 0.01 * i, 0.5 * (i % 3), 0.1 * i, 1.0)))
+    val df = pts.toDF("vec_id", "embedding")
+    val doubled = df.unionByName(df) // every id appears twice
+    val trained = Similarity.kmeansFit(doubled, k = 40, maxIters = 1)
+    assert(trained.count() == 30) // k > distinct vectors: one per distinct
+  }
+
+  test("large-k assignment (broadcast join + max-struct agg) matches the " +
+    "window formulation exactly") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = Similarity.LiteralAssignMaxK + 44 // forces the join path
+    val got = Similarity.ivfAssign(emb, centroidK = k)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the reference rule, stated as the window the oracle uses:
+    // max cosine, tie -> min centroid_id
+    val all = Similarity.asDouble(emb)
+    val cents = Similarity.ivfCentroids(all, k)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val expected = all.join(broadcast(cents))
+      .withColumn("csim",
+        Similarity.dot("vec", "cvec") / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("srpDupPairs finds near-identical pairs, reports exact cosine, " +
     "and returns a subset of the all-pairs result") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
