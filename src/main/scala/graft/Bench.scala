@@ -84,6 +84,9 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_n","n":$n,"queries":$qs,"total_median":$totalMedian,"medians":$meds,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
+    // marker-prefixed copy: a harness can grep the one line starting with
+    // BENCH_JSON: instead of pattern-matching bare JSON out of sbt noise
+    println("BENCH_JSON: " + json)
     // structured artifact: the same JSON as its own file, so harnesses can
     // read the result directly instead of regex-scraping sbt stdout (where
     // log interleaving can corrupt the line)

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared candidate generation for the LSH banding family
+  * ([[Dedup.minhashLshPairs]], [[Dedup.simhashPairs]],
+  * [[Similarity.srpDupPairs]], and the incremental probe's index join):
+  * the (band, key) self-join that turns bucket rows into candidate
+  * pairs, with the SAME population guard the shingle-df path
+  * ([[Dedup.DefaultMaxShingleDf]]) and the cluster path
+  * ([[Similarity.DefaultMaxClusterSize]]) already have.
+  *
+  * Why the guard exists: a d-member near-dup cluster (boilerplate /
+  * template pages — the single most common pathology in web corpora)
+  * collides in EVERY band, so the plain self-join emits d²/2 candidate
+  * pairs per band before any dedup. The cap bounds that worst case at
+  * linear cost: members of an over-cap bucket pair with the bucket's
+  * ANCHOR (min id) only — every member still chains to one keeper, so
+  * downstream connected-components resolve the cluster identically,
+  * while non-anchor pairs WITHIN the over-cap bucket are the only
+  * candidates not examined (the exact trade `DefaultMaxShingleDf`
+  * documents). Verification stays exact in the callers, so the cap can
+  * never create a false positive.
+  *
+  * The cap is ADAPTIVE, like the shingle-df guard: one
+  * map-side-combinable aggregation over the bucket rows counts each
+  * (band, key) population, and a single `limit(1)` probe decides
+  * whether any bucket exceeds the cap — the common no-skew corpus runs
+  * the plain self-join untouched, with none of the tagging machinery
+  * scheduled.
+  */
+object Banding {
+
+  /** Default per-(band, key) population cap. Above it a bucket switches
+    * from all-pairs (pop²/2 candidates) to star pairing (pop − 1). A
+    * genuine boilerplate cluster this size is already fully chained
+    * through its anchor; a RANDOM band collision this populated carries
+    * no signal at all (the per-band collision probability of true
+    * near-dups is what banding tunes, and 256 unrelated docs agreeing
+    * on one band key is a degenerate key, not a near-dup signal).
+    */
+  val DefaultMaxBandPop: Int = 256
+
+  /** Distinct candidate pairs (`id_a` < `id_b`) from `(idCol, band,
+    * key)` bucket rows — the banding self-join, population-capped when
+    * `maxBandPop` is set. Pass `None` for the exact uncapped join
+    * (what the oracle queries pin, so engine parity holds at any
+    * fixture SF).
+    */
+  def selfPairs(
+      buckets: DataFrame,
+      idCol: String,
+      maxBandPop: Option[Int]): DataFrame = {
+    def pairsOf(b: DataFrame): DataFrame =
+      b.as("a").join(b.as("b"), Seq("band", "key"))
+        .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    maxBandPop match {
+      case None => pairsOf(buckets).distinct()
+      case Some(cap) =>
+        require(cap >= 2, s"maxBandPop must be >= 2, got $cap")
+        // population + anchor per bucket: map-side-combinable, never a
+        // window (the over-populated bucket is exactly the case where a
+        // window would buffer one giant partition). Cached because both
+        // the adaptive probe and the heavy-path tagged join read it.
+        val stats = buckets.groupBy("band", "key")
+          .agg(count(lit(1)).as("pop"), min(col(idCol)).as("anchor"))
+        Caching.withCached(stats) {
+          val anyHeavy = stats.filter(col("pop") > cap).limit(1).count() > 0
+          if (!anyHeavy) pairsOf(buckets).distinct()
+          else {
+            val tagged = buckets.join(stats, Seq("band", "key"))
+            val light = pairsOf(tagged.filter(col("pop") <= cap)
+              .select(col(idCol), col("band"), col("key")))
+            // anchor = bucket min id, so id_a < id_b holds by construction
+            val star = tagged
+              .filter(col("pop") > cap && col(idCol) =!= col("anchor"))
+              .select(col("anchor").as("id_a"), col(idCol).as("id_b"))
+            light.unionByName(star).distinct()
+          }
+        }
+    }
+  }
+}

@@ -344,10 +344,12 @@ object Dedup {
       textCol: String = "text",
       k: Int = 8,
       bands: Int = 4,
-      excludeSameId: Boolean = false): DataFrame = {
+      excludeSameId: Boolean = false,
+      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop)): DataFrame = {
     val shB = shingled(batch, textCol).filter(size(col("shh")) > 0)
     Caching.withCached(shB) {
-      val candidates = probeCandidates(shB, index, k, bands, excludeSameId)
+      val candidates = probeCandidates(shB, index, k, bands, excludeSameId,
+        maxBandPop)
       val histSliver = history.join(
         candidates.select(col("hist_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
@@ -357,19 +359,60 @@ object Dedup {
 
   /** (batch_id, hist_id) candidate pairs of a banded batch against a
     * [[minhashIndex]]: the (band, key) equi-join — only longs shuffle.
+    *
+    * With `maxBandPop` set (the default), the INDEX side of each
+    * batch-touched bucket is population-capped: a bucket holding more
+    * than the cap of history docs (a boilerplate cluster banded into
+    * history) pairs each colliding batch doc with the bucket's ANCHOR
+    * history doc (min hist_id) only — |batch∩bucket| pairs instead of
+    * |batch∩bucket|·|hist∩bucket|. Population is counted over the
+    * TOUCHED buckets only (index ⋈ distinct batch keys — the same
+    * colliding sliver the candidate join reads, never a full-index
+    * aggregation per probe), so the per-batch cost stays sliver-bounded
+    * at any corpus size.
     */
   private def probeCandidates(
       shB: DataFrame,
       index: DataFrame,
       k: Int,
       bands: Int,
-      excludeSameId: Boolean): DataFrame = {
-    val joined = minhashBuckets(shB, k, bands).as("a")
-      .join(index.as("b"), Seq("band", "key"))
-    (if (excludeSameId) joined.filter(col("a.doc_id") =!= col("b.doc_id"))
-     else joined)
-      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("hist_id"))
-      .distinct()
+      excludeSameId: Boolean,
+      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop)): DataFrame = {
+    val bb = minhashBuckets(shB, k, bands)
+    def finish(pairs: DataFrame): DataFrame =
+      (if (excludeSameId) pairs.filter(col("batch_id") =!= col("hist_id"))
+       else pairs)
+        .distinct()
+    maxBandPop match {
+      case None =>
+        finish(bb.as("a").join(index.as("b"), Seq("band", "key"))
+          .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("hist_id")))
+      case Some(cap) =>
+        require(cap >= 1, s"maxBandPop must be >= 1, got $cap")
+        val touched = index.join(bb.select("band", "key").distinct(),
+          Seq("band", "key"))
+        val stats = touched.groupBy("band", "key")
+          .agg(count(lit(1)).as("pop"), min(col("doc_id")).as("anchor"))
+        Caching.withCached(touched, stats) {
+          val anyHeavy = stats.filter(col("pop") > cap).limit(1).count() > 0
+          if (!anyHeavy)
+            finish(bb.as("a").join(touched.as("b"), Seq("band", "key"))
+              .select(col("a.doc_id").as("batch_id"),
+                col("b.doc_id").as("hist_id")))
+          else {
+            val tagged = touched.join(stats, Seq("band", "key"))
+            val light = bb.as("a")
+              .join(tagged.filter(col("pop") <= cap).as("b"), Seq("band", "key"))
+              .select(col("a.doc_id").as("batch_id"),
+                col("b.doc_id").as("hist_id"))
+            val star = bb.as("a")
+              .join(stats.filter(col("pop") > cap), Seq("band", "key"))
+              .select(col("a.doc_id").as("batch_id"),
+                col("anchor").as("hist_id"))
+            finish(light.unionByName(star))
+          }
+        }
+    }
   }
 
   /** Exact count-based verify of probe candidates against the fetched
@@ -426,7 +469,15 @@ object Dedup {
     docs
       .withColumn("id_bucket",
         concat(lit("b"), pmod(col("doc_id"), lit(nBuckets.toLong))))
-      .write.partitionBy("id_bucket").mode("overwrite").parquet(path)
+      .write.partitionBy("id_bucket").mode("overwrite")
+      // STATIC overwrite semantics regardless of the session default:
+      // under dynamic mode a rewrite with a different nBuckets would
+      // only replace the partitions the new frame produces, leaving
+      // stale id_bucket directories beside the new _meta modulus — a
+      // doc would then appear in two buckets and probeVerify would
+      // double-count its shingles
+      .option("partitionOverwriteMode", "static")
+      .parquet(path)
     // written AFTER the main overwrite (which clears the directory)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -449,10 +500,11 @@ object Dedup {
       textCol: String = "text",
       k: Int = 8,
       bands: Int = 4,
-      excludeSameId: Boolean = false): DataFrame = {
+      excludeSameId: Boolean = false,
+      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop)): DataFrame = {
     val (history, nBuckets) = openHistoryBucketed(batch.sparkSession, historyPath)
     minhashProbeBucketedOn(batch, index, history, nBuckets, threshold,
-      textCol, k, bands, excludeSameId)
+      textCol, k, bands, excludeSameId, maxBandPop)
   }
 
   /** Resolve a [[writeHistoryBucketed]] layout once: the frame (whose
@@ -488,10 +540,12 @@ object Dedup {
       textCol: String = "text",
       k: Int = 8,
       bands: Int = 4,
-      excludeSameId: Boolean = false): DataFrame = {
+      excludeSameId: Boolean = false,
+      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop)): DataFrame = {
     val shB = shingled(batch, textCol).filter(size(col("shh")) > 0)
     Caching.withCached(shB) {
-      val candidates = probeCandidates(shB, index, k, bands, excludeSameId)
+      val candidates = probeCandidates(shB, index, k, bands, excludeSameId,
+        maxBandPop)
       Caching.withCached(candidates) {
         val buckets = candidates
           .select(concat(lit("b"), pmod(col("hist_id"), lit(nBuckets.toLong)))
@@ -509,7 +563,11 @@ object Dedup {
   /** MinHash + LSH banding near-dup pairs, exact-Jaccard-verified.
     *
     * k hashes split into `bands` bands of k/bands rows each; docs sharing
-    * any band key become candidates. Verification is exact but COUNT-BASED
+    * any band key become candidates ([[Banding.selfPairs]] — per-bucket
+    * population capped at `maxBandPop` by default, so a mega boilerplate
+    * cluster colliding in every band stays linear via anchor/star pairing
+    * instead of d²/2 candidate pairs; pass None for the exact uncapped
+    * join the oracle pins). Verification is exact but COUNT-BASED
     * (the q21 pattern): candidates restrict the exploded (doc, hash) rows,
     * the shared-shingle count is a groupBy over the restricted join, and
     * |A∪B| = n_a + n_b − |A∩B| from per-doc set sizes — only longs cross
@@ -520,14 +578,13 @@ object Dedup {
       threshold: Double,
       textCol: String = "text",
       k: Int = 8,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop)): DataFrame = {
     val sh = shingled(docs, textCol).filter(size(col("shh")) > 0)
     Caching.withCached(sh) {
       val buckets = minhashBuckets(sh, k, bands)
-      val candidates = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val candidates = Banding.selfPairs(buckets, "doc_id", maxBandPop)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       // count-based exact verify over candidate-restricted rows: a pair
       // sharing zero shingles simply drops out of the inner join (its
       // jaccard would be 0 < threshold)
@@ -629,12 +686,24 @@ object Dedup {
         require(round <= maxRounds, s"components did not converge in $maxRounds rounds")
         val nbrMin = edges.join(labels, col("dst") === col("node"))
           .groupBy(col("src").as("node2")).agg(min("component").as("nbr_min"))
+        // the change count rides the checkpoint materialization job as
+        // an Observation metric — ONE action per round instead of a
+        // checkpoint plus a separate count() over the changed filter
+        // (each round of the two most expensive queries, q36/q44, was
+        // paying that second job)
+        val obs = org.apache.spark.sql.Observation(s"components-r$round")
         val next = ckptIn(s"r$round")(
           labels.join(nbrMin, col("node") === col("node2"), "left")
             .select(col("node"), col("component"),
               least(col("component"), coalesce(col("nbr_min"), col("component")))
-                .as("next_component")))
-        changed = next.filter(col("next_component") < col("component")).count()
+                .as("next_component"))
+            .observe(obs, sum(when(col("next_component") < col("component"),
+              lit(1L)).otherwise(lit(0L))).as("changed")))
+        // the eager checkpoint has completed the action, so get() does
+        // not block; sum over zero rows (empty graph) is null
+        changed = Option(obs.get("changed")).collect {
+          case l: java.lang.Long => l.longValue()
+        }.getOrElse(0L)
         // next is safely on stable storage; its predecessor is garbage
         deleteSub(prevSub)
         prevSub = s"r$round"
@@ -756,25 +825,51 @@ object Dedup {
       graft.functions.SimHash(col("shh"), bits).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 8-bit band blocking, then Hamming <= max. */
+  /** SimHash near-dup pairs: band blocking, then Hamming <= max.
+    *
+    * Geometry is configurable for the corpus scale: the 32-bit / 4×8-bit
+    * default gives only 4·256 = 1,024 distinct bucket keys — fine for
+    * fixture-scale corpora (and pinned by the oracle), but at 10⁹ docs
+    * random band collisions alone (~4·2⁻⁸ per pair) would generate
+    * ~n²/256 Hamming evaluations. A corpus-scale run passes `bits = 64`
+    * with 4×16-bit bands (268M keys; random collision ~6·10⁻⁵) — the
+    * signature stays one long, the plan is unchanged, and recall for
+    * true near-dups still follows the banding S-curve. `bands` must
+    * divide `bits`; candidates additionally run through the
+    * [[Banding.selfPairs]] population cap (anchor/star pairing for
+    * over-cap buckets) so even a degenerate key stays linear.
+    */
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int,
-      textCol: String = "text"): DataFrame = {
-    val sig = simhashed(docs, textCol)
+      textCol: String = "text",
+      bits: Int = 32,
+      bands: Int = 4,
+      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop)): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    require(bands >= 1 && bits % bands == 0,
+      s"bands ($bands) must divide bits ($bits)")
+    val bitsPerBand = bits / bands
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1L
+    val sig = simhashed(docs, textCol, bits)
     Caching.withCached(sig) {
-      val bandKeys = (0 until 4).map(b =>
+      // mask AFTER the shift: shiftright is arithmetic, and a 64-bit
+      // signature with bit 63 set is a negative long whose sign
+      // extension the mask strips
+      val bandKeys = (0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key")))
-      val buckets = sig.select(col("doc_id"), col("simhash"),
-          explode(array(bandKeys: _*)).as("bk"))
-        .select(col("doc_id"), col("simhash"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-      buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-        .distinct()
+          shiftright(col("simhash"), b * bitsPerBand).bitwiseAND(lit(mask))
+            .as("key")))
+      val buckets = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      Banding.selfPairs(buckets, "doc_id", maxBandPop)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")),
+          Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
         .filter(col("hamming") <= maxHamming)
     }
   }

@@ -137,22 +137,28 @@ object Similarity {
       nprobe: Int,
       idCol: String): DataFrame = {
     if (nprobe == 1) {
-      val k = centroids.count()
+      // ONE action decides the tier AND fetches the literals: collect
+      // limit(max + 1) — an overflow row proves k > max without counting
+      // the full set, and the common small-k case never executes the
+      // centroid plan twice (count() + collect() re-ran the default
+      // ivfCentroids TakeOrdered over the uncached corpus per call)
+      val cents0 = centroids.select("centroid_id", "cvec", "cnrm")
+        .limit(LiteralAssignMaxK + 1).collect()
       // empty corpus -> empty centroid set -> empty assignment (the
       // graceful degenerate the window form produced). But an empty
       // centroid set against a NON-empty corpus is a caller bug (an
       // accidentally-empty trainedCentroids frame) — assigning nothing
       // would silently drop the whole corpus; fail loudly instead.
-      if (k == 0) {
+      if (cents0.isEmpty) {
         require(v.isEmpty,
           "empty centroid set over a non-empty corpus — was an empty " +
             "trainedCentroids frame passed?")
         return v.select(col(idCol), lit(null).cast("bigint").as("centroid_id"),
           col("vec"), col("nrm")).limit(0)
       }
-      if (k > LiteralAssignMaxK) return assignByJoin(v, centroids, idCol)
-      val cents = centroids.select("centroid_id", "cvec", "cnrm")
-        .collect().sortBy(_.getLong(0))
+      if (cents0.length > LiteralAssignMaxK)
+        return assignByJoin(v, centroids, idCol)
+      val cents = cents0.sortBy(_.getLong(0))
       val cos = cents.map { r =>
         graft.functions.DotProduct(col("vec"), typedLit(r.getSeq[Double](1))) /
           (col("nrm") * lit(r.getDouble(2)))
@@ -184,20 +190,30 @@ object Similarity {
     * the n·k scored rows collapse back to n within each task, so the
     * single exchange carries n rows (the window formulation exchanged
     * all n·k). `-centroid_id` inside the struct turns the tie rule into
-    * a plain max (ids are non-negative vec_ids, so negation is safe);
-    * `first(vec)` is deterministic because every row of an id group
-    * carries the identical vector.
+    * a plain max (ids are non-negative vec_ids, so negation is safe).
+    *
+    * Grouped on a per-input-row SURROGATE (not `idCol`): the k scored
+    * copies of one input row are born in one task (the broadcast join
+    * multiplies locally), so the partial aggregation still collapses
+    * n·k → n map-side, and both assignment tiers agree on PER-ROW
+    * semantics — a corpus with duplicate ids gets one output row per
+    * input row on either side of [[LiteralAssignMaxK]], and every
+    * `first(...)` reads a group built from a single input row, so
+    * nothing is nondeterministic even when duplicate ids carry
+    * different vectors.
     */
   private def assignByJoin(
       v: DataFrame,
       centroids: DataFrame,
       idCol: String): DataFrame =
     v.select(col(idCol), col("vec"), col("nrm"))
+      .withColumn("__row", monotonically_increasing_id())
       .join(broadcast(centroids.select("centroid_id", "cvec", "cnrm")))
       .withColumn("csim", dot("vec", "cvec") / (col("nrm") * col("cnrm")))
-      .groupBy(col(idCol))
+      .groupBy(col("__row"))
       .agg(
         max(struct(col("csim"), (-col("centroid_id")).as("ncid"))).as("m"),
+        first(col(idCol)).as(idCol),
         first(col("vec")).as("vec"),
         first(col("nrm")).as("nrm"))
       .select(col(idCol), (-col("m.ncid")).as("centroid_id"),
@@ -279,7 +295,13 @@ object Similarity {
     rankCentroids(all, centroids, 1, idCol)
       .select(col(idCol), col("vec"), col("nrm"),
         concat(lit("c"), col("centroid_id")).as("centroid_id"))
-      .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+      .write.partitionBy("centroid_id").mode("overwrite")
+      // STATIC overwrite regardless of the session default: a rewrite
+      // with a different centroid set must replace the WHOLE layout
+      // atomically with its _centroids sidecar — dynamic mode would
+      // leave stale centroid directories from the previous layout
+      .option("partitionOverwriteMode", "static")
+      .parquet(path)
     // centroid sidecar: what makes the layout a self-contained IVF index —
     // multi-probe query routing ranks against it without re-deriving
     // centroids from the corpus. The underscore prefix keeps Spark's file
@@ -646,24 +668,37 @@ object Similarity {
         case Some(cap) =>
           require(cap >= 2, s"maxClusterSize must be >= 2, got $cap")
           // per-cluster population + anchor: one map-side-combinable agg
-          // over the cached assignment — O(k) rows, broadcastable
-          val csizes = assigned.groupBy("centroid_id")
+          // over the cached assignment, COLLECTED once — O(k) rows,
+          // bounded by DefaultMaxDerivedK, the same driver budget the
+          // centroid set itself spends. The heavy/light split is then a
+          // driver-side decision: the no-skew corpus pays exactly one
+          // extra action (this collect — no separate limit(1) probe),
+          // and the skewed corpus gets its heavy-cluster ids and anchor
+          // ids as LITERAL predicates instead of a broadcast re-join of
+          // the csizes frame.
+          val cs = assigned.groupBy("centroid_id")
             .agg(count(lit(1)).as("csize"), min(col(idCol)).as("anchor"))
-          val anyHeavy = csizes.filter(col("csize") > cap).limit(1).count() > 0
-          if (!anyHeavy) allPairs(assigned)
+            .collect()
+          val heavyRows = cs.filter(_.getLong(1) > cap)
+          // centroid_id is long from rankCentroids but STRING ("c<id>")
+          // from the partitioned layout — keep it untyped
+          val heavyIds: Seq[Any] = heavyRows.map(_.get(0)).toSeq
+          if (heavyIds.isEmpty) allPairs(assigned)
           else {
-            val tagged = assigned.join(broadcast(csizes), Seq("centroid_id"))
-            val light = allPairs(tagged.filter(col("csize") <= cap)
-              .select(col(idCol), col("centroid_id"), col("vec"), col("nrm")))
-            val heavy = tagged.filter(col("csize") > cap)
+            val anchorIds = heavyRows.map(_.getLong(2)).toSeq
+            val light = allPairs(
+              assigned.filter(!col("centroid_id").isInCollection(heavyIds)))
+            val heavy = assigned.filter(col("centroid_id").isInCollection(heavyIds))
             // one anchor row per oversized cluster — tiny, broadcast; the
             // anchor is always the pair's min id, so vec_a < vec_b holds
-            val anchors = heavy.filter(col(idCol) === col("anchor"))
-              .select(col("centroid_id"), col("vec").as("avec"),
-                col("nrm").as("anrm"))
-            val star = heavy.filter(col(idCol) =!= col("anchor"))
+            // (an id in anchorIds is the anchor of exactly its own
+            // cluster: ids are unique and each lands in one cluster)
+            val anchors = heavy.filter(col(idCol).isInCollection(anchorIds))
+              .select(col("centroid_id"), col(idCol).as("anchor_id"),
+                col("vec").as("avec"), col("nrm").as("anrm"))
+            val star = heavy.filter(!col(idCol).isInCollection(anchorIds))
               .join(broadcast(anchors), Seq("centroid_id"))
-              .select(col("anchor").as("vec_a"), col(idCol).as("vec_b"),
+              .select(col("anchor_id").as("vec_a"), col(idCol).as("vec_b"),
                 round(dot("avec", "vec") / (col("anrm") * col("nrm")), 6)
                   .as("cos_sim"))
               .filter(col("cos_sim") >= threshold)
@@ -758,14 +793,19 @@ object Similarity {
     * `(1 − θ/π)^rowsPerBand`, so recall follows the usual LSH S-curve:
     * steep for true near-dups, tunable via (bands, rowsPerBand) for a
     * given threshold. The candidate join ships only (band, key, id)
-    * longs; vectors are fetched once per surviving candidate.
+    * longs; vectors are fetched once per surviving candidate. The
+    * per-bucket population cap ([[graft.operators.Banding.selfPairs]],
+    * on by default) keeps a repeated boilerplate embedding — which
+    * collides in ALL bands — at linear anchor/star cost instead of
+    * d²/2 candidates; the oracle query pins `maxBandPop = None`.
     */
   def srpDupPairs(
       emb: DataFrame,
       threshold: Double,
       bands: Int = 12,
       rowsPerBand: Int = 8,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop)): DataFrame = {
     val v = asDouble(emb, idCol = idCol)
       .select(col(idCol), col("vec"), col("nrm"))
     Caching.withCached(v) {
@@ -775,10 +815,8 @@ object Similarity {
       }
       val buckets = v.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
         .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-      val candidates = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
-        .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
-        .distinct()
+      val candidates = Banding.selfPairs(buckets, idCol, maxBandPop)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
       candidates
         .join(v.select(col(idCol).as("vec_a"), col("vec").as("va"),
           col("nrm").as("na")), Seq("vec_a"))

@@ -491,39 +491,51 @@ object TextAnalysis {
     * Documents with fewer than 2 tokens have no bigram positions and
     * drop out — ungradable, like the repetition gate's sub-n docs.
     *
-    * Plan shape is the unigram one, one order up: bigram extraction is
-    * a per-row transform+explode inside the scan; the model is one
-    * wordcount shuffle on (prev, cur) with the prefix counts derived
-    * from it (a bigram-vocab-sized re-aggregation, not a second corpus
-    * pass); three driver scalars; and the same [[skewGuardedModelJoin]]
-    * back to the exploded bigrams — "of the" is percent-scale of any
-    * English corpus, so the giant-model path needs the head/tail split
-    * just like the unigram join.
+    * Plan shape is the unigram one, one order up: successor pairing is
+    * a per-row `zip_with` + explode inside the scan — each token pairs
+    * with its successor, the doc-final token with NULL — so ONE corpus
+    * scan and ONE wordcount shuffle on (prev, cur) feed BOTH the bigram
+    * model (cur non-null rows) and the unigram vocabulary V (distinct
+    * `prev` over the cached model rows: every token occurrence appears
+    * as `prev` exactly once, doc-final ones in their null-cur row, so V
+    * is exact — no separate countDistinct corpus pass). Prefix counts
+    * re-aggregate from the model (vocab²-bounded); three driver
+    * scalars; and the same [[skewGuardedModelJoin]] back to the
+    * exploded bigrams — "of the" is percent-scale of any English
+    * corpus, so the giant-model path needs the head/tail split just
+    * like the unigram join.
     */
   def perplexityBigram(
       docs: DataFrame,
       textCol: String = "text",
       broadcastVocabLimit: Long = DefaultBroadcastVocabLimit,
       headDfDivisor: Long = DefaultHeadDfDivisor): DataFrame = {
-    val toked = withTokens(docs, textCol)
-    val bg = toked.filter(size(col("toks")) >= 2)
+    // (prev, cur-or-null) successor pairs: zip_with toks against its
+    // own tail padded with one null — no element_at index arithmetic
+    // (ANSI mode errors on out-of-bound indexes), and the one exploded
+    // frame carries both the bigram positions and the unigram
+    // occurrences. Empty-token docs are dropped up front (zip_with
+    // would pad them to a spurious (null, null) row).
+    val pairs = withTokens(docs, textCol)
+      .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> named_struct('prev', element_at(toks, i), " +
-          "'cur', element_at(toks, i + 1)))")).as("b"))
+        "zip_with(toks, " +
+          "concat(slice(toks, 2, greatest(size(toks) - 1, 0)), " +
+          "array(CAST(NULL AS STRING))), " +
+          "(p, c) -> named_struct('prev', p, 'cur', c))")).as("b"))
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
-    // V is a corpus property (all tokens, doc-final ones included), not
-    // a bigram-prefix property
-    val vocab = toked.select(explode(col("toks")).as("token"))
-      .agg(countDistinct(col("token"))).head().getLong(0)
-    val b2 = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val counts = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val b2 = counts.filter(col("cur").isNotNull)
     val b1 = b2.groupBy("prev").agg(sum("c2").as("c1"))
     val model = b2.join(b1, Seq("prev"))
-    Caching.withCached(b2, model) {
+    Caching.withCached(counts, model) {
+      // V from the cached counts — distinct prev IS the unigram vocab
+      val vocab = counts.select("prev").distinct().count()
       val st = model.agg(sum("c2").as("total"), count(lit(1)).as("nrows")).head()
       val (total, nrows) =
         if (st.isNullAt(0)) (1L, 0L) else (st.getLong(0), st.getLong(1))
       val lp = log((col("c2") + lit(1.0)) / (col("c1") + lit(vocab.toDouble)))
+      val bg = pairs.filter(col("cur").isNotNull)
       skewGuardedModelJoin(bg, model, Seq("prev", "cur"), "c2",
           nrows, total, broadcastVocabLimit, headDfDivisor)
         .groupBy("doc_id").agg(

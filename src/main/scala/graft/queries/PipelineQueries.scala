@@ -148,7 +148,11 @@ object PipelineQueries {
       .mkString("\n  UNION ALL ")
     QueryDef(
       "q22_dedup_minhash",
-      (s, dir) => Dedup.minhashLshPairs(docs(s, dir), threshold = 0.8)
+      // maxBandPop pinned to None (like q49's pinned centroidK): the
+      // oracle computes the exact uncapped band join, so the scale knob
+      // must not silently engage at a larger fixture SF
+      (s, dir) => Dedup.minhashLshPairs(docs(s, dir), threshold = 0.8,
+          maxBandPop = None)
         .orderBy("doc_a", "doc_b"),
       Some(
         s"""WITH ${DuckSql.docsCte},
@@ -195,8 +199,10 @@ object PipelineQueries {
         val d = docs(s, dir)
         val history = d.filter(col("doc_id") % 5 =!= 0)
         val batch = d.filter(col("doc_id") % 5 === 0)
+        // maxBandPop pinned to None — the oracle's candidate join is
+        // uncapped, so the cap must not engage at any fixture SF
         Dedup.minhashProbe(batch, Dedup.minhashIndex(history), history,
-            threshold = 0.8)
+            threshold = 0.8, maxBandPop = None)
           .orderBy("batch_id", "hist_id")
       },
       Some(
@@ -233,7 +239,10 @@ object PipelineQueries {
     }.mkString(" +\n           ")
     QueryDef(
       "q23_dedup_simhash",
-      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
+      // maxBandPop pinned to None (uncapped oracle join); bits/bands
+      // keep the 32 / 4×8 oracle geometry explicitly
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3,
+          bits = 32, bands = 4, maxBandPop = None)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("doc_a", "doc_b"),
       Some(
@@ -881,8 +890,10 @@ object PipelineQueries {
       .mkString("\n  UNION ALL ")
     QueryDef(
       "q35_dedup_embedding_lsh",
+      // maxBandPop pinned to None — the oracle's candidate join is
+      // uncapped, so the cap must not engage at any fixture SF
       (s, dir) => Similarity.srpDupPairs(emb(s, dir), threshold = 0.45,
-          bands = bands, rowsPerBand = rows)
+          bands = bands, rowsPerBand = rows, maxBandPop = None)
         .orderBy("vec_a", "vec_b"),
       Some(
         s"""WITH ${DuckSql.embCte},
@@ -908,14 +919,18 @@ object PipelineQueries {
     * assigned centroid. centroidK is PINNED to the oracle's static
     * DefaultCentroidK here (not left to the size-derived default) so the
     * contract holds at ANY fixture SF — a larger fixture must not
-    * silently diverge the two engines' clustering. The scale knobs
-    * (derived k, cluster-size cap) are exercised by SimilaritySpec; at
-    * the shipped SFs the derived k equals this pinned value anyway.
+    * silently diverge the two engines' clustering. maxClusterSize is
+    * pinned to None for the same reason: the oracle computes ALL
+    * within-cluster pairs, so with k fixed a big-enough fixture would
+    * otherwise cross the default cap and silently switch Spark to
+    * anchor/star pairing. The scale knobs (derived k, cluster-size cap)
+    * are exercised by SimilaritySpec; at the shipped SFs the derived k
+    * equals this pinned value anyway.
     */
   private val qSemDedup = QueryDef(
     "q49_dedup_semantic",
     (s, dir) => Similarity.semanticDupPairs(emb(s, dir), threshold = 0.45,
-        centroidK = Similarity.DefaultCentroidK)
+        centroidK = Similarity.DefaultCentroidK, maxClusterSize = None)
       .orderBy("vec_a", "vec_b"),
     Some(
       s"""WITH ${DuckSql.embCte},

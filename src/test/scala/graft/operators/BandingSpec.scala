@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The band-bucket population guard ([[Banding.selfPairs]] and the
+  * probe-side cap in `Dedup.probeCandidates`): a mega near-dup cluster
+  * (boilerplate pages banded into every bucket) must cost LINEAR
+  * anchor/star candidates, not d²/2 — while light buckets, keeper
+  * chaining, and everything the oracle queries pin stay bit-identical.
+  */
+class BandingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val boiler =
+    "subscribe to our newsletter for updates terms of service privacy policy all rights reserved"
+  private val other =
+    "completely different words about spark catalyst tungsten shuffles and joins"
+
+  /** 300 identical boilerplate docs (ids 0..299) + one identical light
+    * pair (1000, 1001) + one unrelated doc (2000).
+    */
+  private def skewedDocs = {
+    val cluster = (0L until 300L).map(i => (i, boiler))
+    val light = Seq((1000L, other), (1001L, other))
+    val lone = Seq((2000L, "nothing here resembles anything else in this corpus at all"))
+    (cluster ++ light ++ lone).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH: over-cap bucket stars to the anchor, linear not quadratic") {
+    val capped = Dedup.minhashLshPairs(skewedDocs, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the 300-member cluster: exactly 299 anchor pairs (0, i), all 1.0
+    val clusterPairs = capped.keys.filter(_._2 < 1000L)
+    assert(clusterPairs.size == 299)
+    assert(clusterPairs.forall { case (a, b) => a == 0L && b >= 1L && b <= 299L })
+    assert(clusterPairs.forall(p => capped(p) == 1.0))
+    // the light 2-member bucket is untouched by the cap
+    assert(capped((1000L, 1001L)) == 1.0)
+    // uncapped = full quadratic cluster, and capped is a subset of it
+    val uncapped = Dedup.minhashLshPairs(skewedDocs, threshold = 0.8,
+        maxBandPop = None)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count(p => p._2 < 1000L) == 300 * 299 / 2)
+    assert(capped.keySet.subsetOf(uncapped))
+  }
+
+  test("capped pairs still resolve the full cluster via components (keeper chaining)") {
+    val capped = Dedup.minhashLshPairs(skewedDocs, threshold = 0.8)
+    val comp = Dedup.components(capped).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every cluster member reaches the anchor's component
+    assert((0L until 300L).forall(i => comp(i) == 0L))
+    assert(comp(1000L) == 1000L && comp(1001L) == 1000L)
+  }
+
+  test("srp LSH: over-cap embedding bucket stars to the anchor") {
+    // 300 identical embeddings + 2 identical light ones + 1 apart
+    val vecs =
+      (0L until 300L).map(i => (i, Array(1.0f, 0.2f, 0.1f, 0.5f))) ++
+        Seq((1000L, Array(-1.0f, 0.4f, -0.3f, 0.2f)),
+          (1001L, Array(-1.0f, 0.4f, -0.3f, 0.2f)),
+          (2000L, Array(0.0f, -1.0f, 1.0f, -0.8f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val capped = Similarity.srpDupPairs(emb, threshold = 0.99)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val clusterPairs = capped.keys.filter(_._2 < 1000L)
+    assert(clusterPairs.size == 299)
+    assert(clusterPairs.forall { case (a, b) => a == 0L && b <= 299L })
+    assert(clusterPairs.forall(p => capped(p) == 1.0))
+    assert(capped((1000L, 1001L)) == 1.0)
+    val uncapped = Similarity.srpDupPairs(emb, threshold = 0.99,
+        maxBandPop = None)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count(p => p._2 < 1000L) == 300 * 299 / 2)
+    assert(capped.keySet.subsetOf(uncapped))
+  }
+
+  test("simhash: over-cap bucket stars to the anchor") {
+    val capped = Dedup.simhashPairs(skewedDocs, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val clusterPairs = capped.keys.filter(_._2 < 1000L)
+    assert(clusterPairs.size == 299)
+    assert(clusterPairs.forall { case (a, b) => a == 0L && b <= 299L })
+    assert(clusterPairs.forall(p => capped(p) == 0))
+    assert(capped((1000L, 1001L)) == 0)
+    val uncapped = Dedup.simhashPairs(skewedDocs, maxHamming = 3,
+        maxBandPop = None)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count(p => p._2 < 1000L) == 300 * 299 / 2)
+    assert(capped.keySet.subsetOf(uncapped))
+  }
+
+  test("incremental probe: over-cap index bucket pairs batch docs with the history anchor only") {
+    val history = ((0L until 300L).map(i => (i, boiler)) :+ (500L, other))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, boiler), (2L, other)).toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(history)
+    val capped = Dedup.minhashProbe(batch, index, history, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // batch doc 1 (boilerplate): ONLY the anchor history doc, not 300 rows
+    assert(capped.keys.filter(_._1 == 1L).toSet == Set((1L, 0L)))
+    assert(capped((1L, 0L)) == 1.0)
+    // batch doc 2's 2-member bucket (hist doc 500) is light — untouched
+    assert(capped((2L, 500L)) == 1.0)
+    val uncapped = Dedup.minhashProbe(batch, index, history, threshold = 0.8,
+        maxBandPop = None)
+      .select("batch_id", "hist_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count(_._1 == 1L) == 300)
+    assert(capped.keySet.subsetOf(uncapped))
+  }
+
+  test("no-skew corpus: capped and uncapped plans produce identical pairs") {
+    val docs = Seq(
+      (0L, boiler), (1L, boiler), (2L, other), (3L, other),
+      (4L, "one more unrelated sentence that shares nothing with the rest of them here")
+    ).toDF("doc_id", "text")
+    def pairs(cap: Option[Int]) =
+      Dedup.minhashLshPairs(docs, threshold = 0.8, maxBandPop = cap)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    assert(pairs(Some(Banding.DefaultMaxBandPop)) == pairs(None))
+  }
+
+  test("simhash 64-bit geometry: same true pairs, no more random candidates than 32-bit") {
+    val words = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    // 60 deterministic pseudo-random distinct docs + one identical pair
+    val docs = ((0L until 60L).map { i =>
+      val text = (0 until 12)
+        .map(j => words(((i * 31 + j * 17 + j * j) % words.length).toInt))
+        .mkString(" ")
+      (i, text)
+    } ++ Seq((100L, boiler), (101L, boiler))).toDF("doc_id", "text")
+    // maxHamming = bits admits EVERY candidate — the output IS the
+    // candidate set, so geometry's collision rate becomes observable
+    def cands(bits: Int, bands: Int) =
+      Dedup.simhashPairs(docs, maxHamming = bits, bits = bits, bands = bands)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c32 = cands(32, 4) // 8-bit bands: 1,024 keys total
+    val c64 = cands(64, 4) // 16-bit bands: 268M keys total
+    assert(c32.contains((100L, 101L)) && c64.contains((100L, 101L)))
+    assert(c64.size <= c32.size)
+    // identical docs stay hamming 0 at 64 bits
+    val h = Dedup.simhashPairs(docs, maxHamming = 0, bits = 64, bands = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(h((100L, 101L)) == 0)
+  }
+}
