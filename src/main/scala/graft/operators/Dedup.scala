@@ -320,6 +320,130 @@ object Dedup {
     minhashBuckets(shingled(docs, textCol).filter(size(col("shh")) > 0),
       k, bands)
 
+  /** Persist a [[minhashIndex]] at `path` with its (k, bands) geometry
+    * in an underscore-prefixed `_meta` sidecar — the at-rest form of the
+    * incremental near-dup index, and the layout epoch rotation appends
+    * to. Probing with a mismatched geometry silently finds no
+    * collisions, so the sidecar makes the geometry travel with the
+    * data the same way the bucketed history's modulus does.
+    */
+  def writeMinhashIndex(
+      docs: DataFrame,
+      path: String,
+      textCol: String = "text",
+      k: Int = 8,
+      bands: Int = 4): Unit = {
+    minhashIndex(docs, textCol, k, bands).write.mode("overwrite").parquet(path)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // written AFTER the main overwrite (which clears the directory)
+    Seq((k, bands)).toDF("k", "bands")
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Resolve a [[writeMinhashIndex]] layout: (frame, k, bands). Like
+    * [[openHistoryBucketed]], call once per epoch and reuse — the frame
+    * lists the layout's files at this point.
+    */
+  def openMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Int, Int) = {
+    val m = spark.read.parquet(s"$path/_meta").head()
+    (spark.read.parquet(path), m.getAs[Int]("k"), m.getAs[Int]("bands"))
+  }
+
+  /** Append a novel batch's band rows to a persisted [[writeMinhashIndex]]
+    * layout — the O(novel) half of epoch rotation. Band rows are per-doc
+    * independent (each row derives from one document's shingle set
+    * alone), so appending novel docs produces EXACTLY the index a full
+    * rebuild over history ∪ novel would: re-banding 100 TB of history
+    * per epoch buys nothing. Geometry comes from the layout's `_meta`,
+    * so an append can never mix band keys from two geometries.
+    */
+  def appendMinhashIndex(
+      novel: DataFrame,
+      path: String,
+      textCol: String = "text"): Unit = {
+    val m = novel.sparkSession.read.parquet(s"$path/_meta").head()
+    minhashIndex(novel, textCol, m.getAs[Int]("k"), m.getAs[Int]("bands"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Append a novel batch to a [[writeHistoryBucketed]] layout under the
+    * layout's OWN modulus (read from `_meta`), so the probe's partition
+    * pruning stays correct across epochs.
+    */
+  def appendHistoryBucketed(novel: DataFrame, path: String): Unit = {
+    val nBuckets = novel.sparkSession.read.parquet(s"$path/_meta")
+      .head().getInt(0)
+    novel
+      .withColumn("id_bucket",
+        concat(lit("b"), pmod(col("doc_id"), lit(nBuckets.toLong))))
+      .write.partitionBy("id_bucket").mode("append").parquet(path)
+  }
+
+  /** The historical Bloom guard advanced by one epoch's novel docs —
+    * WITHOUT the O(corpus) rebuild: the old sketch is cloned (serialize
+    * round-trip — the original may be the live value of a broadcast,
+    * and mutating it in place would desync driver and executors) and
+    * the novel batch's digest sketch is merged in. `expectedItems` MUST
+    * be the capacity the epoch-0 [[digestBloom]] was sized with: the
+    * sketch's hash-function count derives from (expectedItems, bits),
+    * so a different value builds an incompatible sketch and
+    * `mergeInPlace` rejects it loudly. The merged filter is
+    * bit-identical to one built by inserting history ∪ novel into a
+    * same-sized sketch (Bloom insertion is an OR of bit sets), so the
+    * false-positive rate is exactly the full-rebuild rate at the same
+    * fill — size `expectedItems` for the corpus the epoch loop will
+    * GROW to.
+    */
+  def bloomWithNovel(
+      history: org.apache.spark.util.sketch.BloomFilter,
+      novel: DataFrame,
+      expectedItems: Long,
+      textCol: String = "text"): org.apache.spark.util.sketch.BloomFilter = {
+    val bos = new java.io.ByteArrayOutputStream()
+    history.writeTo(bos)
+    val clone = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val novelSketch = novel
+      .select(md5(col(textCol).cast("binary")).as("text_md5"))
+      .stat.bloomFilter("text_md5", expectedItems, history.bitSize())
+    clone.mergeInPlace(novelSketch)
+    clone
+  }
+
+  /** Rotate an incremental-dedup epoch over the persisted layouts: the
+    * epoch's accumulated NOVEL docs are appended to the bucketed
+    * history ([[appendHistoryBucketed]]) and the banded index
+    * ([[appendMinhashIndex]]) — both O(novel), never O(corpus) — and a
+    * new broadcast Bloom guard is built by [[bloomWithNovel]]. The
+    * superseded broadcast is unpersisted (executors drop their copy;
+    * any still-unevaluated frame holding it re-fetches from the
+    * driver). Returns the new epoch's broadcast.
+    *
+    * `novel` must be materialized data (the caller's accumulated
+    * micro-batch output), NOT a frame derived from reading
+    * `historyPath`/`indexPath` — appending a lazy self-read is the
+    * usual write-into-your-own-input hazard.
+    */
+  def rotateEpochBucketed(
+      novel: DataFrame,
+      historyPath: String,
+      indexPath: String,
+      oldBloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      expectedItems: Long,
+      textCol: String = "text"): org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter] = {
+    appendHistoryBucketed(novel, historyPath)
+    appendMinhashIndex(novel, indexPath, textCol)
+    val merged = bloomWithNovel(oldBloom.value, novel, expectedItems, textCol)
+    val next = novel.sparkSession.sparkContext.broadcast(merged)
+    oldBloom.unpersist(blocking = false)
+    next
+  }
+
   /** Near-dup pairs of a NEW batch against an indexed historical corpus
     * ([[minhashIndex]]): batch docs band locally, candidates come from
     * the (band, key) join against the index — only colliding history is

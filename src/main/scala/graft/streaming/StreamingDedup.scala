@@ -48,8 +48,13 @@ object StreamingDedup {
     * ([[graft.operators.Dedup.minhashProbe]]). `onBatch` receives the
     * surviving novel rows and their near-dup flags, atomically with the
     * batch: append the novels, quarantine or drop the flagged ones, and
-    * rebuild bloom + index at the next epoch boundary (unpersisting the
-    * superseded broadcast).
+    * at the epoch boundary hand the accumulated novels to
+    * [[graft.operators.Dedup.rotateEpochBucketed]] — an O(novel)
+    * append to the persisted history + index layouts plus a Bloom
+    * merge, never an O(corpus) rebuild — then restart the stream with
+    * the returned broadcast and the re-opened layouts
+    * (StreamingDedupSpec's multi-epoch scenario is the worked
+    * example).
     *
     * State at scale: the sketch is O(bits) per epoch, the index is 3
     * longs per history doc per band, and each probe touches only the

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Epoch rotation for the incremental near-dup layouts: appending one
+  * epoch's novel docs to the bucketed history + banded index and
+  * merging the Bloom guard must be INDISTINGUISHABLE from a full
+  * rebuild over history ∪ novel — at O(novel) cost, never O(corpus).
+  */
+class EpochRotationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def histText(i: Long) = (1 to 12).map(j => s"h${i}w$j").mkString(" ")
+  private def novelText(i: Long) = (1 to 12).map(j => s"n${i}w$j").mkString(" ")
+  private def nearDup(t: String) = t.split(" ").dropRight(1).mkString(" ") + " tail"
+
+  test("rotated epoch == full rebuild: bloom bytes, novelty filter, probe rows") {
+    val h0 = (0L until 40L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val n1 = (100L until 110L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+    val union = h0.unionByName(n1)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-rot").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    val bloom0 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
+
+    val bloom1 = Dedup.rotateEpochBucketed(n1, histPath, idxPath, bloom0,
+      expectedItems = 1000)
+
+    // the merged sketch is BIT-IDENTICAL to a full-rebuild sketch of the
+    // union (Bloom insertion is an OR of bit sets at fixed geometry)
+    val rebuilt = Dedup.digestBloom(union, expectedItems = 1000, fpp = 0.001)
+    def bytes(b: org.apache.spark.util.sketch.BloomFilter) = {
+      val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos); bos.toByteArray
+    }
+    assert(java.util.Arrays.equals(bytes(bloom1.value), bytes(rebuilt)))
+
+    // a probe batch touching both epochs: exact dup of each epoch,
+    // near-dup of each epoch, one fresh doc
+    val batch = Seq(
+      (1L, histText(7)), // exact dup, epoch 0
+      (2L, novelText(105)), // exact dup, epoch 1
+      (3L, nearDup(histText(3))), // near-dup, epoch 0
+      (4L, nearDup(novelText(108))), // near-dup, epoch 1
+      (5L, "entirely fresh content unlike anything indexed before now")
+    ).toDF("doc_id", "text")
+
+    val novelGot = Dedup.filterNovel(batch, bloom1, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novelGot == Set(3L, 4L, 5L)) // both exact dups dropped
+
+    // probe through the ROTATED layouts vs a FULL REBUILD elsewhere
+    val (idx, k, bands) = Dedup.openMinhashIndex(spark, idxPath)
+    val (hist, nb) = Dedup.openHistoryBucketed(spark, histPath)
+    val got = Dedup.minhashProbeBucketedOn(batch, idx, hist, nb,
+        threshold = 0.8, k = k, bands = bands)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft-rot-full").toString
+    Dedup.writeHistoryBucketed(union, s"$fullRoot/hist", nBuckets = 8)
+    Dedup.writeMinhashIndex(union, s"$fullRoot/idx")
+    val (fIdx, fk, fb) = Dedup.openMinhashIndex(spark, s"$fullRoot/idx")
+    val (fHist, fnb) = Dedup.openHistoryBucketed(spark, s"$fullRoot/hist")
+    val want = Dedup.minhashProbeBucketedOn(batch, fIdx, fHist, fnb,
+        threshold = 0.8, k = fk, bands = fb)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    assert(got == want)
+    // and the rotated probe really sees both epochs
+    assert(got.keySet.map(_._1).intersect(Set(3L, 4L)) == Set(3L, 4L))
+    assert(got.contains((3L, 3L)) && got.contains((4L, 108L)))
+    bloom1.unpersist(blocking = false)
+  }
+
+  test("bloomWithNovel rejects a mismatched epoch-0 capacity loudly") {
+    val h0 = (0L until 10L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val bloom = Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001)
+    val novel = Seq((50L, novelText(50))).toDF("doc_id", "text")
+    // wrong expectedItems -> different hash-function count -> loud reject
+    assertThrows[org.apache.spark.util.sketch.IncompatibleMergeException] {
+      Dedup.bloomWithNovel(bloom, novel, expectedItems = 37)
+    }
+  }
+}

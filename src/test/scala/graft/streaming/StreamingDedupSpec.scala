@@ -100,4 +100,70 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(flags2.toSet == flags.toSet)
     bloom.unpersist(blocking = false)
   }
+
+  test("multi-epoch ingest: rotation appends novels to the layouts and the " +
+    "next epoch's stream dedups against them") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    def text(p: String, i: Long) = (1 to 12).map(j => s"$p${i}w$j").mkString(" ")
+    def nearDup(t: String) = t.split(" ").dropRight(1).mkString(" ") + " tail"
+
+    val history = (0L until 30L).map(i => (i, text("h", i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(history, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(history, idxPath)
+    var bloom = spark.sparkContext.broadcast(
+      Dedup.digestBloom(history, expectedItems = 1000, fpp = 0.001))
+
+    // ---- epoch 1: two fresh docs arrive and survive as novels
+    val epoch1Novels = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val (idx1, k1, b1) = Dedup.openMinhashIndex(spark, idxPath)
+    val stream1 = MemoryStream[(Long, String)]
+    val q1 = StreamingDedup.startIncrementalBucketed(
+      stream1.toDF().toDF("doc_id", "text"), bloom, idx1, histPath,
+      threshold = 0.8,
+      onBatch = (novel, _) => synchronized {
+        epoch1Novels ++= novel.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+      },
+      intervalSeconds = 0, k = k1, bands = b1)
+    stream1.addData((1000L, text("e1", 0)), (1001L, text("e1", 1)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(epoch1Novels.map(_._1).sorted == Seq(1000L, 1001L))
+
+    // ---- rotate: epoch 1's novels enter history, index, and bloom
+    bloom = Dedup.rotateEpochBucketed(
+      epoch1Novels.toSeq.toDF("doc_id", "text"), histPath, idxPath, bloom,
+      expectedItems = 1000)
+
+    // ---- epoch 2: an exact dup OF AN EPOCH-1 NOVEL is bloom-dropped,
+    // a near-dup of one is flagged against the rotated index, and a
+    // fresh doc passes clean
+    val epoch2Novels = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val epoch2Flags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val (idx2, k2, b2) = Dedup.openMinhashIndex(spark, idxPath)
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = StreamingDedup.startIncrementalBucketed(
+      stream2.toDF().toDF("doc_id", "text"), bloom, idx2, histPath,
+      threshold = 0.8,
+      onBatch = (novel, flagged) => synchronized {
+        epoch2Novels ++= novel.select("doc_id").collect().map(_.getLong(0))
+        epoch2Flags ++= flagged.collect().map(r => (r.getLong(0), r.getLong(1)))
+      },
+      intervalSeconds = 0, k = k2, bands = b2)
+    stream2.addData(
+      (2000L, text("e1", 0)), // exact dup of epoch-1 novel 1000
+      (2001L, nearDup(text("e1", 1))), // near-dup of epoch-1 novel 1001
+      (2002L, text("h", 5)), // exact dup of epoch-0 history
+      (2003L, text("f", 9))) // fresh
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(epoch2Novels.sorted == Seq(2001L, 2003L))
+    assert(epoch2Flags.toSet == Set((2001L, 1001L)))
+    bloom.unpersist(blocking = false)
+  }
 }
