@@ -529,11 +529,19 @@ object TextAnalysis {
     val b1 = b2.groupBy("prev").agg(sum("c2").as("c1"))
     val model = b2.join(b1, Seq("prev"))
     Caching.withCached(counts, model) {
-      // V from the cached counts — distinct prev IS the unigram vocab
-      val vocab = counts.select("prev").distinct().count()
-      val st = model.agg(sum("c2").as("total"), count(lit(1)).as("nrows")).head()
+      // ONE aggregation over the cached counts yields all three driver
+      // scalars: V = distinct prev (every token occurrence appears as
+      // prev exactly once, doc-final ones in their null-cur row), and
+      // the model's total/row-count restricted to the bigram rows (the
+      // b1 join is one-to-one on prev, so summing b2 rows here equals
+      // summing the joined model)
+      val st = counts.agg(
+        countDistinct(col("prev")).as("vocab"),
+        sum(when(col("cur").isNotNull, col("c2"))).as("total"),
+        count(when(col("cur").isNotNull, lit(1))).as("nrows")).head()
+      val vocab = st.getLong(0)
       val (total, nrows) =
-        if (st.isNullAt(0)) (1L, 0L) else (st.getLong(0), st.getLong(1))
+        if (st.isNullAt(1)) (1L, 0L) else (st.getLong(1), st.getLong(2))
       val lp = log((col("c2") + lit(1.0)) / (col("c1") + lit(vocab.toDouble)))
       val bg = pairs.filter(col("cur").isNotNull)
       skewGuardedModelJoin(bg, model, Seq("prev", "cur"), "c2",

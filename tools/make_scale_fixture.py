@@ -17,12 +17,25 @@ linearly WITHOUT creating artificial cross-copy duplicate cliques:
    customer, the realistic growth mode).
  - dimension tables are copied as-is (dims don't grow 8x when facts do).
 
-Usage: make_scale_fixture.py <src_sf_dir> <out_dir> <factor>
+With --skew FRAC (e.g. --skew 0.07), a deterministic FRAC of the FINAL
+documents and embeddings tables is overwritten with one boilerplate
+cluster — near-identical template text (a rotating one-word variant, so
+members are near-dups, not all byte-dups) and one shared embedding
+direction with tiny per-id noise. Applied AFTER replication, so the
+cluster grows WITH the corpus (a 5–10% boilerplate mass is the standard
+web-corpus pathology the band-population caps exist for); the
+content-perturbed replication deliberately avoids cross-copy dups, which
+is exactly why the unskewed rehearsal could never surface it.
+
+Usage: make_scale_fixture.py <src_sf_dir> <out_dir> <factor> [--skew FRAC]
 """
 import sys
 import duckdb
 
 src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+skew_frac = None
+if "--skew" in sys.argv:
+    skew_frac = float(sys.argv[sys.argv.index("--skew") + 1])
 con = duckdb.connect()
 con.execute(f"SET threads TO 16")
 
@@ -95,4 +108,40 @@ write("embeddings", f"""
   FROM '{src}/embeddings.parquet', (SELECT unnest([{copies}]) AS i)
   WHERE i > 0
 """)
+if skew_frac:
+    K = round(1 / skew_frac)
+    boiler = ("subscribe to our newsletter for updates terms of service "
+              "privacy policy all rights reserved contact us about careers "
+              "press sitemap help variant")
+    # documents: every K-th doc becomes the template + a rotating variant
+    # word (near-dups: shingle sets differ only at the tail)
+    con.execute(f"""COPY (
+      SELECT doc_id,
+             CASE WHEN doc_id % {K} = 0
+                  THEN '{boiler} v' || CAST(doc_id % 5 AS VARCHAR)
+                  ELSE text END AS text,
+             lang, source, n_chars
+      FROM '{out}/documents.parquet')
+      TO '{out}/documents_skew.parquet' (FORMAT PARQUET)""")
+    os.replace(f"{out}/documents_skew.parquet", f"{out}/documents.parquet")
+    # embeddings: every K-th vector snaps to one shared direction plus
+    # tiny per-id noise (cosine ~0.9999 within the cluster; SRP signs and
+    # IVF assignment collapse the cluster into shared buckets)
+    con.execute(f"""COPY (
+      SELECT vec_id,
+             CASE WHEN vec_id % {K} = 0
+                  THEN list_transform(embedding, (x, j) -> CAST(
+                    (CAST(hash(j * 7919) % 100 AS DOUBLE) / 100.0 - 0.5)
+                    + 0.0005 * (CAST(hash(vec_id * 31 + j) % 100 AS DOUBLE)
+                                / 100.0 - 0.5) AS FLOAT))
+                  ELSE embedding END AS embedding,
+             label
+      FROM '{out}/embeddings.parquet')
+      TO '{out}/embeddings_skew.parquet' (FORMAT PARQUET)""")
+    os.replace(f"{out}/embeddings_skew.parquet", f"{out}/embeddings.parquet")
+    n = con.execute(
+        f"SELECT count(*) FROM '{out}/documents.parquet' WHERE doc_id % {K} = 0"
+    ).fetchone()[0]
+    print(f"skew: boilerplate cluster of {n} docs/vecs (1/{K} of corpus)")
+
 print("done:", out)
