@@ -60,15 +60,25 @@ object Banding {
       case None => pairsOf(buckets).distinct()
       case Some(cap) =>
         require(cap >= 2, s"maxBandPop must be >= 2, got $cap")
+        // plan-audit passthrough: show the common no-skew plan without
+        // running the probe action mid-explain
+        if (Caching.passthrough) return pairsOf(buckets).distinct()
         // population + anchor per bucket: map-side-combinable, never a
         // window (the over-populated bucket is exactly the case where a
         // window would buffer one giant partition). Cached because both
-        // the adaptive probe and the heavy-path tagged join read it.
+        // the adaptive probe and the heavy-path tagged join read it —
+        // but NOT Caching.withCached: the common no-skew branch must
+        // return its pair plan LAZILY (streamed straight into the
+        // caller's verify join, as the pre-guard code did), not an
+        // eagerly checkpointed candidate materialization; only the
+        // heavy branch — whose capped output is linear by construction —
+        // materializes, so stats can be unpersisted on exit either way.
         val stats = buckets.groupBy("band", "key")
           .agg(count(lit(1)).as("pop"), min(col(idCol)).as("anchor"))
-        Caching.withCached(stats) {
+        stats.cache()
+        try {
           val anyHeavy = stats.filter(col("pop") > cap).limit(1).count() > 0
-          if (!anyHeavy) pairsOf(buckets).distinct()
+          if (!anyHeavy) pairsOf(buckets).distinct() // lazy; no stats ref
           else {
             val tagged = buckets.join(stats, Seq("band", "key"))
             val light = pairsOf(tagged.filter(col("pop") <= cap)
@@ -78,8 +88,9 @@ object Banding {
               .filter(col("pop") > cap && col(idCol) =!= col("anchor"))
               .select(col("anchor").as("id_a"), col(idCol).as("id_b"))
             light.unionByName(star).distinct()
+              .localCheckpoint(eager = true)
           }
-        }
+        } finally stats.unpersist(blocking = false)
     }
   }
 }

@@ -386,29 +386,32 @@ object Dedup {
     * WITHOUT the O(corpus) rebuild: the old sketch is cloned (serialize
     * round-trip — the original may be the live value of a broadcast,
     * and mutating it in place would desync driver and executors) and
-    * the novel batch's digest sketch is merged in. `expectedItems` MUST
-    * be the capacity the epoch-0 [[digestBloom]] was sized with: the
-    * sketch's hash-function count derives from (expectedItems, bits),
-    * so a different value builds an incompatible sketch and
-    * `mergeInPlace` rejects it loudly. The merged filter is
-    * bit-identical to one built by inserting history ∪ novel into a
-    * same-sized sketch (Bloom insertion is an OR of bit sets), so the
-    * false-positive rate is exactly the full-rebuild rate at the same
-    * fill — size `expectedItems` for the corpus the epoch loop will
-    * GROW to.
+    * the novel batch's digest sketch is merged in. `expectedItems` and
+    * `fpp` MUST be the values the epoch-0 [[digestBloom]] was sized
+    * with: the novel sketch is created through the identical
+    * (expectedItems, fpp) derivation, so its bit count and
+    * hash-function count match the original exactly (sizing from the
+    * old filter's `bitSize()` would NOT work — that accessor reports
+    * the word-rounded bit count, and the rounded value can derive a
+    * different hash-function count). A mismatched pair builds an
+    * incompatible sketch and `mergeInPlace` rejects it loudly. The
+    * merged filter is bit-identical to one built by inserting history ∪
+    * novel into a same-sized sketch (Bloom insertion is an OR of bit
+    * sets), so the false-positive rate is exactly the full-rebuild rate
+    * at the same fill — size `expectedItems` for the corpus the epoch
+    * loop will GROW to.
     */
   def bloomWithNovel(
       history: org.apache.spark.util.sketch.BloomFilter,
       novel: DataFrame,
       expectedItems: Long,
+      fpp: Double = 0.01,
       textCol: String = "text"): org.apache.spark.util.sketch.BloomFilter = {
     val bos = new java.io.ByteArrayOutputStream()
     history.writeTo(bos)
     val clone = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bos.toByteArray))
-    val novelSketch = novel
-      .select(md5(col(textCol).cast("binary")).as("text_md5"))
-      .stat.bloomFilter("text_md5", expectedItems, history.bitSize())
+    val novelSketch = digestBloom(novel, expectedItems, fpp, textCol)
     clone.mergeInPlace(novelSketch)
     clone
   }
@@ -434,11 +437,13 @@ object Dedup {
       oldBloom: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter],
       expectedItems: Long,
+      fpp: Double = 0.01,
       textCol: String = "text"): org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter] = {
     appendHistoryBucketed(novel, historyPath)
     appendMinhashIndex(novel, indexPath, textCol)
-    val merged = bloomWithNovel(oldBloom.value, novel, expectedItems, textCol)
+    val merged = bloomWithNovel(oldBloom.value, novel, expectedItems, fpp,
+      textCol)
     val next = novel.sparkSession.sparkContext.broadcast(merged)
     oldBloom.unpersist(blocking = false)
     next
@@ -529,10 +534,27 @@ object Dedup {
               .join(tagged.filter(col("pop") <= cap).as("b"), Seq("band", "key"))
               .select(col("a.doc_id").as("batch_id"),
                 col("b.doc_id").as("hist_id"))
-            val star = bb.as("a")
+            val starBase = bb.as("a")
               .join(stats.filter(col("pop") > cap), Seq("band", "key"))
-              .select(col("a.doc_id").as("batch_id"),
-                col("anchor").as("hist_id"))
+            val star =
+              if (!excludeSameId)
+                starBase.select(col("a.doc_id").as("batch_id"),
+                  col("anchor").as("hist_id"))
+              else {
+                // self-probe: a batch doc that IS the bucket's anchor
+                // would star only to itself and then be filtered by
+                // excludeSameId — losing its whole cluster. Route it to
+                // the bucket's SECOND-min member instead (a heavy bucket
+                // has pop > cap >= 2 members, so it always exists).
+                val anchor2 = tagged
+                  .filter(col("pop") > cap && col("doc_id") =!= col("anchor"))
+                  .groupBy("band", "key")
+                  .agg(min(col("doc_id")).as("anchor2"))
+                starBase.join(anchor2, Seq("band", "key"))
+                  .select(col("a.doc_id").as("batch_id"),
+                    when(col("a.doc_id") === col("anchor"), col("anchor2"))
+                      .otherwise(col("anchor")).as("hist_id"))
+              }
             finish(light.unionByName(star))
           }
         }

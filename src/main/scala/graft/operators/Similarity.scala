@@ -201,6 +201,13 @@ object Similarity {
     * `first(...)` reads a group built from a single input row, so
     * nothing is nondeterministic even when duplicate ids carry
     * different vectors.
+    *
+    * Precondition: `v` must have deterministic per-partition row order
+    * (a scan or a projection over one — every call site here), because
+    * the surrogate is positional. If a future caller feeds a
+    * shuffle-derived frame, a partial stage retry could re-number rows
+    * that other reducers already aggregated; such inputs should be
+    * checkpointed (or sorted) first.
     */
   private def assignByJoin(
       v: DataFrame,
@@ -676,29 +683,38 @@ object Similarity {
           // and the skewed corpus gets its heavy-cluster ids and anchor
           // ids as LITERAL predicates instead of a broadcast re-join of
           // the csizes frame.
-          val cs = assigned.groupBy("centroid_id")
+          val csFrame = assigned.groupBy("centroid_id")
             .agg(count(lit(1)).as("csize"), min(col(idCol)).as("anchor"))
-            .collect()
+          val cs = csFrame.collect()
           val heavyRows = cs.filter(_.getLong(1) > cap)
           // centroid_id is long from rankCentroids but STRING ("c<id>")
           // from the partitioned layout — keep it untyped
           val heavyIds: Seq[Any] = heavyRows.map(_.get(0)).toSeq
           if (heavyIds.isEmpty) allPairs(assigned)
           else {
-            val anchorIds = heavyRows.map(_.getLong(2)).toSeq
+            val spark = assigned.sparkSession
+            // the collected heavy rows as a LOCAL relation (no recompute,
+            // broadcast-joined): each heavy-cluster row is matched to its
+            // OWN cluster's anchor. A global anchor-id literal set would
+            // misfire on duplicate-id corpora — an unrelated row whose id
+            // coincides with ANOTHER cluster's anchor must not become an
+            // impostor anchor here
+            val heavyAnchors = broadcast(spark.createDataFrame(
+              java.util.Arrays.asList(heavyRows: _*), csFrame.schema)
+              .select(col("centroid_id"), col("anchor")))
             val light = allPairs(
               assigned.filter(!col("centroid_id").isInCollection(heavyIds)))
-            val heavy = assigned.filter(col("centroid_id").isInCollection(heavyIds))
-            // one anchor row per oversized cluster — tiny, broadcast; the
-            // anchor is always the pair's min id, so vec_a < vec_b holds
-            // (an id in anchorIds is the anchor of exactly its own
-            // cluster: ids are unique and each lands in one cluster)
-            val anchors = heavy.filter(col(idCol).isInCollection(anchorIds))
-              .select(col("centroid_id"), col(idCol).as("anchor_id"),
-                col("vec").as("avec"), col("nrm").as("anrm"))
-            val star = heavy.filter(!col(idCol).isInCollection(anchorIds))
+            // every heavy row carries its cluster's anchor id after the
+            // broadcast join; anchor = cluster min id, so vec_a < vec_b
+            val tagged = assigned
+              .filter(col("centroid_id").isInCollection(heavyIds))
+              .join(heavyAnchors, Seq("centroid_id"))
+            val anchors = tagged.filter(col(idCol) === col("anchor"))
+              .select(col("centroid_id"), col("vec").as("avec"),
+                col("nrm").as("anrm"))
+            val star = tagged.filter(col(idCol) =!= col("anchor"))
               .join(broadcast(anchors), Seq("centroid_id"))
-              .select(col("anchor_id").as("vec_a"), col(idCol).as("vec_b"),
+              .select(col("anchor").as("vec_a"), col(idCol).as("vec_b"),
                 round(dot("avec", "vec") / (col("anrm") * col("nrm")), 6)
                   .as("cos_sim"))
               .filter(col("cos_sim") >= threshold)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -114,6 +115,50 @@ class BandingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.count(_._1 == 1L) == 300)
     assert(capped.keySet.subsetOf(uncapped))
+  }
+
+  test("self-probe with excludeSameId: the anchor doc itself still chains " +
+    "to its cluster via the bucket's second member") {
+    val corpus = ((0L until 300L).map(i => (i, boiler)) :+ (500L, other))
+      .toDF("doc_id", "text")
+    // probing a SUBSET of the corpus against an index of itself — the
+    // batch includes doc 0, the heavy bucket's own anchor
+    val batch = corpus.filter(col("doc_id").isin(0L, 7L, 500L))
+    val got = Dedup.minhashProbe(batch, Dedup.minhashIndex(corpus), corpus,
+        threshold = 0.8, excludeSameId = true)
+      .select("batch_id", "hist_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 0 would star only to itself and then be excluded — the fix
+    // routes it to the bucket's second-min member instead
+    assert(got.contains((0L, 1L)))
+    assert(got.contains((7L, 0L)))
+    assert(!got.exists(p => p._1 == p._2))
+  }
+
+  test("duplicate-id corpus: a row sharing another heavy cluster's anchor id " +
+    "is not treated as that cluster's anchor") {
+    // two orthogonal direction clusters, both over the cap; vec_id 100
+    // appears TWICE — as cluster B's true anchor (direction d2) and as
+    // an unrelated member of cluster A (direction d1)
+    val d1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val d2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val vecs = (0L until 10L).map(i => (i, d1)) ++ Seq((100L, d1)) ++
+      (100L until 110L).map(i => (i, d2))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val spark2 = spark
+    import spark2.implicits._
+    val cents = Seq((0L, d1.map(_.toDouble).toSeq, 1.0),
+      (1L, d2.map(_.toDouble).toSeq, 1.0)).toDF("centroid_id", "cvec", "cnrm")
+    val got = Similarity.semanticDupPairs(emb, threshold = 0.9,
+        centroids = Some(cents), maxClusterSize = Some(4))
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want =
+      (1L until 10L).map(b => (0L, b)).toSet + ((0L, 100L)) ++
+        (101L until 110L).map(b => (100L, b)).toSet
+    assert(got == want)
+    // canonical order must hold for every pair
+    assert(got.forall { case (a, b) => a < b })
   }
 
   test("no-skew corpus: capped and uncapped plans produce identical pairs") {

@@ -31,7 +31,7 @@ class EpochRotationSpec extends AnyFunSuite {
       Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
 
     val bloom1 = Dedup.rotateEpochBucketed(n1, histPath, idxPath, bloom0,
-      expectedItems = 1000)
+      expectedItems = 1000, fpp = 0.001)
 
     // the merged sketch is BIT-IDENTICAL to a full-rebuild sketch of the
     // union (Bloom insertion is an OR of bit sets at fixed geometry)
@@ -82,9 +82,9 @@ class EpochRotationSpec extends AnyFunSuite {
     val h0 = (0L until 10L).map(i => (i, histText(i))).toDF("doc_id", "text")
     val bloom = Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001)
     val novel = Seq((50L, novelText(50))).toDF("doc_id", "text")
-    // wrong expectedItems -> different hash-function count -> loud reject
+    // wrong expectedItems (fpp correct) -> different geometry -> loud reject
     assertThrows[org.apache.spark.util.sketch.IncompatibleMergeException] {
-      Dedup.bloomWithNovel(bloom, novel, expectedItems = 37)
+      Dedup.bloomWithNovel(bloom, novel, expectedItems = 37, fpp = 0.001)
     }
   }
 }

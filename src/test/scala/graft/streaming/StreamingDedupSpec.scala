@@ -137,7 +137,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     // ---- rotate: epoch 1's novels enter history, index, and bloom
     bloom = Dedup.rotateEpochBucketed(
       epoch1Novels.toSeq.toDF("doc_id", "text"), histPath, idxPath, bloom,
-      expectedItems = 1000)
+      expectedItems = 1000, fpp = 0.001)
 
     // ---- epoch 2: an exact dup OF AN EPOCH-1 NOVEL is bloom-dropped,
     // a near-dup of one is flagged against the rotated index, and a
