@@ -108,6 +108,31 @@ object StreamingDedup {
       onBatch)
   }
 
+  /** [[startIncrementalBucketed]] with BOTH layouts resolved from their
+    * persisted paths: the index frame and its (k, bands) geometry come
+    * from the [[graft.operators.Dedup.writeMinhashIndex]] `_meta`
+    * sidecar, so the probe can never band with a geometry different
+    * from the index it joins against (the silent-no-collisions footgun
+    * of passing k/bands by hand). Call at each epoch start — after
+    * [[graft.operators.Dedup.rotateEpochBucketed]] — so both file
+    * listings refresh once per epoch.
+    */
+  def startIncrementalFromPaths(
+      docs: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      indexPath: String,
+      historyPath: String,
+      threshold: Double,
+      onBatch: (DataFrame, DataFrame) => Unit,
+      intervalSeconds: Long = 10,
+      textCol: String = "text"): StreamingQuery = {
+    val (index, k, bands) =
+      Dedup.openMinhashIndex(docs.sparkSession, indexPath)
+    startIncrementalBucketed(docs, bloom, index, historyPath, threshold,
+      onBatch, intervalSeconds, textCol, k, bands)
+  }
+
   private def startWith(
       docs: DataFrame,
       bloom: org.apache.spark.broadcast.Broadcast[

@@ -144,16 +144,16 @@ class StreamingDedupSpec extends AnyFunSuite {
     // fresh doc passes clean
     val epoch2Novels = scala.collection.mutable.ArrayBuffer.empty[Long]
     val epoch2Flags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    val (idx2, k2, b2) = Dedup.openMinhashIndex(spark, idxPath)
     val stream2 = MemoryStream[(Long, String)]
-    val q2 = StreamingDedup.startIncrementalBucketed(
-      stream2.toDF().toDF("doc_id", "text"), bloom, idx2, histPath,
+    // the paths form: index frame AND its geometry resolve from _meta
+    val q2 = StreamingDedup.startIncrementalFromPaths(
+      stream2.toDF().toDF("doc_id", "text"), bloom, idxPath, histPath,
       threshold = 0.8,
       onBatch = (novel, flagged) => synchronized {
         epoch2Novels ++= novel.select("doc_id").collect().map(_.getLong(0))
         epoch2Flags ++= flagged.collect().map(r => (r.getLong(0), r.getLong(1)))
       },
-      intervalSeconds = 0, k = k2, bands = b2)
+      intervalSeconds = 0)
     stream2.addData(
       (2000L, text("e1", 0)), // exact dup of epoch-1 novel 1000
       (2001L, nearDup(text("e1", 1))), // near-dup of epoch-1 novel 1001
