@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MarkerCount, MinHashes, PolyHash, ShingleHashes, SimHash, SrpKey, TokenStats}
+import graft.functions.{DotProduct, MarkerCount, MinHashes, PolyHash, ShingleHashes, SimHash, SrpKey, TokenStats, TokenSuccessors}
 
 /** Session extension registering the engine's custom codegen expressions
   * as SQL functions, so `spark.sql` users get them too:
@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("token_stats",
       "token_stats(text) - struct(n_tokens, sum_len, n_distinct) of whitespace tokens",
       1, es => TokenStats(es.head)))
+    ext.injectFunction(fn("token_successors",
+      "token_successors(arr) - array of (prev, cur) successor-pair structs; the last element's cur is NULL",
+      1, es => TokenSuccessors(es.head)))
     ext.injectFunction(fn("marker_count",
       "marker_count(text, array('w', ...)) - whitespace tokens that are members of the constant word set",
       2, es => MarkerCount(es(0),
@@ -127,6 +130,8 @@ object GraftExtensions {
       spark, "min_hashes", es => MinHashes(es(0), litInt(es(1), "min_hashes k")))
     org.apache.spark.sql.graftglue.Glue.registerFunction(
       spark, "token_stats", es => TokenStats(es.head))
+    org.apache.spark.sql.graftglue.Glue.registerFunction(
+      spark, "token_successors", es => TokenSuccessors(es.head))
     org.apache.spark.sql.graftglue.Glue.registerFunction(
       spark, "marker_count",
       es => MarkerCount(es(0), litStrings(es(1), "marker_count words")))

@@ -185,4 +185,25 @@ class FusedExprSpec extends AnyFunSuite {
       vNull.select(SrpKey(col("v"), 0, 8)).head().getLong(0) ==
         vZero.select(SrpKey(col("v"), 0, 8)).head().getLong(0))
   }
+
+  test("TokenSuccessors == zip_with/slice/concat successor pairing on edge cases + fixture") {
+    def both(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("toks", TextHash.tokens(col("text")))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        expr("zip_with(toks, concat(slice(toks, 2, greatest(size(toks) - 1, 0)), " +
+          "array(CAST(NULL AS STRING))), (p, c) -> named_struct('prev', p, 'cur', c))")
+          .as("ref"),
+        TokenSuccessors(col("toks")).as("fused"))
+    both(edgeDf).collect().foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](1) == r.getSeq[org.apache.spark.sql.Row](2),
+        s"doc=${r.getLong(0)}")
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    both(docs).collect().foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](1) == r.getSeq[org.apache.spark.sql.Row](2),
+        s"doc=${r.getLong(0)}")
+    }
+  }
 }
