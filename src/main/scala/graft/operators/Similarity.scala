@@ -36,7 +36,9 @@ object Similarity {
     val spread =
       if (emb.rdd.getNumPartitions >= cores) emb else emb.repartition(cores)
     spread
-      .withColumn("vec", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      // native array Cast: codegen'd, bit-identical to the per-element
+      // transform lambda (same widening Cast expression element-wise)
+      .withColumn("vec", col(vecCol).cast("array<double>"))
       .withColumn("nrm", norm("vec"))
   }
 
