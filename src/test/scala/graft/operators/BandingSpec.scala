@@ -115,6 +115,13 @@ class BandingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.count(_._1 == 1L) == 300)
     assert(capped.keySet.subsetOf(uncapped))
+    // the bucketed-at-rest layout probes identically with the cap engaged
+    val root = java.nio.file.Files.createTempDirectory("graft-bp").toString
+    Dedup.writeHistoryBucketed(history, root, nBuckets = 8)
+    val bucketed = Dedup.minhashProbeBucketed(batch, index, root,
+        threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(bucketed == capped)
   }
 
   test("self-probe with excludeSameId: the anchor doc itself still chains " +
