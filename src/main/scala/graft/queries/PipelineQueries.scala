@@ -266,6 +266,56 @@ object PipelineQueries {
            |ORDER BY doc_a, doc_b""".stripMargin))
   }
 
+  /** The 64-bit / 4×16-bit SimHash geometry as its own hash-checked
+    * oracle row — the corpus-scale configuration the operator docstring
+    * prescribes (the 32-bit default's 1,024-key bucket space saturates
+    * beyond fixture scale), verified bit-for-bit like q23. Bit 63 packs
+    * into the BIGINT sign bit on both engines: the oracle's signature
+    * term emits the min-long literal as `(-(2⁶³−1) − 1)` (a bare
+    * `-9223372036854775808` would parse as HUGEINT in DuckDB), partial
+    * sums stay in range because distinct powers accumulate to at most
+    * 2⁶³−1 before the negative bit-63 term, and both engines' band
+    * extraction masks after an arithmetic shift.
+    */
+  private val qSimhash64 = {
+    val bits = 64
+    val bitsPerBand = 16
+    val terms = (0 until bits).map { j =>
+      val bit = s"((${DuckSql.universalHash("x", j)}) % 2)"
+      val weight =
+        if (j == 63) "(-9223372036854775807 - 1)"
+        else s"CAST(${1L << j} AS BIGINT)"
+      s"(CASE WHEN list_sum(list_transform(shh, x -> 2 * $bit - 1)) > 0 " +
+        s"THEN $weight ELSE 0 END)"
+    }.mkString(" +\n           ")
+    QueryDef(
+      "q56_dedup_simhash64",
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3,
+          bits = 64, bands = 4, maxBandPop = None)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${DuckSql.shCte},
+           |sig AS (
+           |  SELECT doc_id,
+           |         ($terms) AS simhash
+           |  FROM sh),
+           |buckets AS (
+           |  SELECT doc_id, simhash, b.band,
+           |         (simhash >> ($bitsPerBand * b.band)) & 65535 AS key
+           |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |  FROM buckets a
+           |  JOIN buckets b ON a.band = b.band AND a.key = b.key
+           |    AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, hamming FROM cand
+           |WHERE hamming <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin))
+  }
+
   private val qEmbDup = QueryDef(
     "q24_dedup_embedding",
     (s, dir) => Similarity.cosineDupPairs(emb(s, dir), threshold = 0.45)
@@ -1165,7 +1215,8 @@ object PipelineQueries {
     })
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qNgramJaccard, qMinhash, qMinhashProbe, qSimhash, qEmbDup,
+    qDedupExact, qNgramJaccard, qMinhash, qMinhashProbe, qSimhash, qSimhash64,
+    qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
