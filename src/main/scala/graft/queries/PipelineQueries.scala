@@ -179,6 +179,67 @@ object PipelineQueries {
            |ORDER BY doc_a, doc_b""".stripMargin))
   }
 
+  /** The band-population guard itself under hash verification: an
+    * explicit `maxBandPop = 2` sits below this fixture's largest bucket
+    * populations (pop-3/4 buckets exist at every shipped SF), so BOTH
+    * branches run — pop ≤ 2 buckets all-pair, over-cap buckets emit
+    * (anchor = bucket min id, member) star pairs — and the oracle
+    * replicates the exact star/light split in SQL. q22 stays the
+    * uncapped reference; this row proves the guard's candidate algebra
+    * bit-for-bit, not just by spec.
+    */
+  private val qMinhashCapped = {
+    val k = 8
+    val cap = 2
+    val mhCols = (0 until k).map(i =>
+      s"list_min(list_transform(shh, x -> ${DuckSql.universalHash("x", i)})) AS mh$i")
+      .mkString(",\n         ")
+    val bandLegs = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, (mh${2 * b} * ${TextHash.P} + mh${2 * b + 1}) AS key FROM sig")
+      .mkString("\n  UNION ALL ")
+    QueryDef(
+      "q57_dedup_minhash_capped",
+      (s, dir) => Dedup.minhashLshPairs(docs(s, dir), threshold = 0.8,
+          maxBandPop = Some(cap))
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${DuckSql.shCte},
+           |sig AS (
+           |  SELECT doc_id, shh,
+           |         $mhCols
+           |  FROM sh WHERE len(shh) > 0),
+           |buckets AS (
+           |  $bandLegs),
+           |stats AS (
+           |  SELECT band, key, count(*) AS pop, min(doc_id) AS anchor
+           |  FROM buckets GROUP BY band, key),
+           |light AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM buckets a
+           |  JOIN buckets b ON a.band = b.band AND a.key = b.key
+           |    AND a.doc_id < b.doc_id
+           |  JOIN stats s ON s.band = a.band AND s.key = a.key
+           |  WHERE s.pop <= $cap),
+           |star AS (
+           |  SELECT s.anchor AS doc_a, b.doc_id AS doc_b
+           |  FROM buckets b
+           |  JOIN stats s ON s.band = b.band AND s.key = b.key
+           |  WHERE s.pop > $cap AND b.doc_id <> s.anchor),
+           |cand AS (
+           |  SELECT DISTINCT doc_a, doc_b FROM (
+           |    SELECT * FROM light UNION ALL SELECT * FROM star))
+           |SELECT doc_a, doc_b,
+           |       round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
+           |             len(list_distinct(sa.shh || sb.shh)), 6) AS jaccard
+           |FROM cand
+           |JOIN sig sa ON doc_a = sa.doc_id
+           |JOIN sig sb ON doc_b = sb.doc_id
+           |WHERE round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
+           |            len(list_distinct(sa.shh || sb.shh)), 6) >= 0.8
+           |ORDER BY doc_a, doc_b""".stripMargin))
+  }
+
   /** Incremental near-dup: the 20% "arriving batch" (doc_id % 5 = 0)
     * probes the MinHash band index of the other 80% "history" — the
     * ingest-time LSH path (bloom guards exact dups, this guards
@@ -1215,8 +1276,8 @@ object PipelineQueries {
     })
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qNgramJaccard, qMinhash, qMinhashProbe, qSimhash, qSimhash64,
-    qEmbDup,
+    qDedupExact, qNgramJaccard, qMinhash, qMinhashCapped, qMinhashProbe,
+    qSimhash, qSimhash64, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
