@@ -1061,6 +1061,57 @@ object PipelineQueries {
          |WHERE round(${DuckSql.cosine("x.vec", "y.vec")}, 6) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin))
 
+  /** The cluster-size guard (q49's anchor/star machinery) under hash
+    * verification, the q57 move for the semantic family: an explicit
+    * `maxClusterSize = 32` sits below this fixture's largest cluster
+    * populations (39/38/36/35/34-member clusters at sf0.01), so the
+    * heavy path runs — members of over-cap clusters pair with the
+    * cluster's min-id anchor only, light clusters all-pair — and the
+    * oracle replicates the exact split in SQL. q49 (cap pinned off)
+    * stays the uncapped reference.
+    */
+  private val qSemDedupCapped = {
+    val cap = 32
+    QueryDef(
+      "q58_dedup_semantic_capped",
+      (s, dir) => Similarity.semanticDupPairs(emb(s, dir), threshold = 0.45,
+          centroidK = Similarity.DefaultCentroidK, maxClusterSize = Some(cap))
+        .orderBy("vec_a", "vec_b"),
+      Some(
+        s"""WITH ${DuckSql.embCte},
+           |${DuckSql.ivfCentCte(Similarity.DefaultCentroidK)},
+           |a AS (
+           |  SELECT vec_id, centroid_id, vec FROM (
+           |    SELECT v.vec_id, c.centroid_id, v.vec,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+           |                      c.centroid_id) AS crank
+           |    FROM e v, cent c)
+           |  WHERE crank = 1),
+           |stats AS (
+           |  SELECT centroid_id, count(*) AS csize, min(vec_id) AS anchor
+           |  FROM a GROUP BY centroid_id),
+           |light AS (
+           |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           |         round(${DuckSql.cosine("x.vec", "y.vec")}, 6) AS cos_sim
+           |  FROM a x
+           |  JOIN a y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+           |  JOIN stats s ON s.centroid_id = x.centroid_id
+           |  WHERE s.csize <= $cap),
+           |star AS (
+           |  SELECT anc.vec_id AS vec_a, y.vec_id AS vec_b,
+           |         round(${DuckSql.cosine("anc.vec", "y.vec")}, 6) AS cos_sim
+           |  FROM a y
+           |  JOIN stats s ON s.centroid_id = y.centroid_id AND s.csize > $cap
+           |  JOIN a anc ON anc.vec_id = s.anchor
+           |    AND anc.centroid_id = s.centroid_id
+           |  WHERE y.vec_id <> s.anchor)
+           |SELECT vec_a, vec_b, cos_sim FROM (
+           |  SELECT * FROM light UNION ALL SELECT * FROM star)
+           |WHERE cos_sim >= 0.45
+           |ORDER BY vec_a, vec_b""".stripMargin))
+  }
+
   /** Sequence packing: the corpus as one token stream cut into 2048-token
     * context windows (distributed two-pass prefix sum on the Spark side;
     * a plain cumulative window in the oracle — same arithmetic).
@@ -1282,6 +1333,7 @@ object PipelineQueries {
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
-    qSrp, qSrpDup, qSemDedup, qIvfAssign, qComponents, qKeepers, qContamination,
+    qSrp, qSrpDup, qSemDedup, qSemDedupCapped, qIvfAssign, qComponents,
+    qKeepers, qContamination,
     qSample, qQuantize, qPack, qPipelineE2e, qPipelineRag)
 }
