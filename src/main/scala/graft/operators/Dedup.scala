@@ -359,6 +359,11 @@ object Dedup {
     * rebuild over history ∪ novel would: re-banding 100 TB of history
     * per epoch buys nothing. Geometry comes from the layout's `_meta`,
     * so an append can never mix band keys from two geometries.
+    *
+    * Raw primitive — a bare `mode("append")`, NOT atomic with the
+    * matching history append and NOT retry-safe. Epoch maintenance
+    * should go through [[rotateEpochBucketed]], whose manifest
+    * protocol makes the history+index pair all-or-nothing.
     */
   def appendMinhashIndex(
       novel: DataFrame,
@@ -372,6 +377,11 @@ object Dedup {
   /** Append a novel batch to a [[writeHistoryBucketed]] layout under the
     * layout's OWN modulus (read from `_meta`), so the probe's partition
     * pruning stays correct across epochs.
+    *
+    * Raw primitive — a bare `mode("append")`, NOT atomic with the
+    * matching index append and NOT retry-safe. Epoch maintenance
+    * should go through [[rotateEpochBucketed]], whose manifest
+    * protocol makes the history+index pair all-or-nothing.
     */
   def appendHistoryBucketed(novel: DataFrame, path: String): Unit = {
     val nBuckets = novel.sparkSession.read.parquet(s"$path/_meta")
@@ -418,17 +428,62 @@ object Dedup {
 
   /** Rotate an incremental-dedup epoch over the persisted layouts: the
     * epoch's accumulated NOVEL docs are appended to the bucketed
-    * history ([[appendHistoryBucketed]]) and the banded index
-    * ([[appendMinhashIndex]]) — both O(novel), never O(corpus) — and a
-    * new broadcast Bloom guard is built by [[bloomWithNovel]]. The
-    * superseded broadcast is unpersisted (executors drop their copy;
-    * any still-unevaluated frame holding it re-fetches from the
+    * history and the banded index — both O(novel), never O(corpus) —
+    * and a new broadcast Bloom guard is built by [[bloomWithNovel]].
+    * The superseded broadcast is unpersisted (executors drop their
+    * copy; any still-unevaluated frame holding it re-fetches from the
     * driver). Returns the new epoch's broadcast.
+    *
+    * CRASH-SAFE and (with a stable `epochId`) IDEMPOTENT — the naive
+    * append pair would leave a doc in history but absent from the
+    * index if the process died between the two writes: invisible to
+    * every future near-dup probe, silently and permanently (the Bloom
+    * only guards EXACT duplicates), and a blind retry would
+    * double-append history rows, inflating probe-verify Jaccard
+    * counts. Instead the rotation uses the same stage-then-commit
+    * manifest protocol as `Tsdb.compactTable`:
+    *
+    *   1. write BOTH appends' files into `historyPath/_rotate/<epochId>`
+    *      (the underscore prefix — WITHOUT an `=`, which would make
+    *      partition discovery claim the dir — keeps it invisible to
+    *      every reader);
+    *   2. write a `_MANIFEST` (recording `indexPath`) via write +
+    *      rename — the ATOMIC commit point;
+    *   3. move the staged files into the live layouts (part-file names
+    *      embed a job UUID — no collisions);
+    *   4. record `epochId` in the `historyPath/_epochs/` ledger, then
+    *      delete the staging dir.
+    *
+    * [[recoverRotations]] runs at rotation entry (and at
+    * `StreamingDedup.startIncrementalFromPaths`) and classifies a
+    * leftover staging dir: no manifest ⇒ the layouts were never
+    * touched, discard the stage (the epoch's ledger entry is absent,
+    * so a retry re-stages it); manifest present ⇒ finish the moves
+    * (skipping files already moved) and the ledger entry. Either way
+    * both layouts reflect the epoch completely or not at all. A retry
+    * of a COMPLETED epoch (ledger hit) skips the appends entirely and
+    * only re-derives the Bloom — safe, because merging the same novel
+    * sketch twice is an OR of identical bit sets, bit-for-bit the
+    * single-merge result.
+    *
+    * After a crash the restart sequence is: [[recoverRotations]] (or
+    * just re-enter via `startIncrementalFromPaths`), rebuild the Bloom
+    * from the recovered history ([[digestBloom]]), re-open the
+    * layouts, and re-rotate any epoch whose id is not in the ledger.
+    * The ledger costs one empty file per epoch — bounded by epoch
+    * cadence (hours/days), not data volume.
     *
     * `novel` must be materialized data (the caller's accumulated
     * micro-batch output), NOT a frame derived from reading
     * `historyPath`/`indexPath` — appending a lazy self-read is the
     * usual write-into-your-own-input hazard.
+    *
+    * @param epochId stable identifier for this rotation (e.g. the
+    *   epoch's sequence number). Pass the SAME id when retrying after
+    *   a failure — that is what makes the retry idempotent. The
+    *   default random id still gives crash ATOMICITY (recovery either
+    *   discards or completes), but a blind retry under a fresh id
+    *   would re-append a recovery-completed epoch.
     */
   def rotateEpochBucketed(
       novel: DataFrame,
@@ -438,16 +493,162 @@ object Dedup {
         org.apache.spark.util.sketch.BloomFilter],
       expectedItems: Long,
       fpp: Double = 0.01,
-      textCol: String = "text"): org.apache.spark.broadcast.Broadcast[
+      textCol: String = "text",
+      epochId: String = java.util.UUID.randomUUID().toString)
+      : org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter] =
+    rotateEpochStaged(novel, historyPath, indexPath, oldBloom,
+      expectedItems, fpp, textCol, epochId, _ => ())
+
+  /** [[rotateEpochBucketed]] with a crash-injection hook for the
+    * EpochRotationSpec scenarios: `failpoint` is invoked at the named
+    * protocol points ("staged-history", "staged", "committed",
+    * "moved-history") and simulates a crash by throwing.
+    */
+  private[graft] def rotateEpochStaged(
+      novel: DataFrame,
+      historyPath: String,
+      indexPath: String,
+      oldBloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      expectedItems: Long,
+      fpp: Double,
+      textCol: String,
+      epochId: String,
+      failpoint: String => Unit): org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter] = {
-    appendHistoryBucketed(novel, historyPath)
-    appendMinhashIndex(novel, indexPath, textCol)
+    require(epochId.nonEmpty && !epochId.contains("/"),
+      s"epochId must be a non-empty path segment, got '$epochId'")
+    val spark = novel.sparkSession
+    recoverRotations(spark, historyPath)
+    if (!epochApplied(spark, historyPath, epochId)) {
+      val f = fsFor(spark, historyPath)
+      val stageRoot = new org.apache.hadoop.fs.Path(
+        s"$historyPath/_rotate/$epochId")
+      // stage both appends under the layouts' OWN geometry/modulus
+      // (read from their _meta sidecars, same as the raw append paths)
+      val nBuckets = spark.read.parquet(s"$historyPath/_meta").head().getInt(0)
+      novel
+        .withColumn("id_bucket",
+          concat(lit("b"), pmod(col("doc_id"), lit(nBuckets.toLong))))
+        .write.partitionBy("id_bucket").mode("overwrite")
+        .parquet(s"$stageRoot/history")
+      failpoint("staged-history")
+      val m = spark.read.parquet(s"$indexPath/_meta").head()
+      minhashIndex(novel, textCol, m.getAs[Int]("k"), m.getAs[Int]("bands"))
+        .write.mode("overwrite").parquet(s"$stageRoot/index")
+      failpoint("staged")
+      // the manifest is the commit point, so it must appear ATOMICALLY
+      // (write + rename); it records indexPath so recovery scanning
+      // historyPath alone can finish the move
+      val manifestTmp = new org.apache.hadoop.fs.Path(stageRoot, "._MANIFEST.tmp")
+      val out = f.create(manifestTmp, true)
+      try out.write(
+        indexPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(
+        f.rename(manifestTmp,
+          new org.apache.hadoop.fs.Path(stageRoot, "_MANIFEST")),
+        s"rotate: manifest rename failed for $stageRoot")
+      failpoint("committed")
+      completeRotation(f, stageRoot, historyPath, indexPath, epochId, failpoint)
+    }
     val merged = bloomWithNovel(oldBloom.value, novel, expectedItems, fpp,
       textCol)
-    val next = novel.sparkSession.sparkContext.broadcast(merged)
+    val next = spark.sparkContext.broadcast(merged)
     oldBloom.unpersist(blocking = false)
     next
   }
+
+  /** Has `epochId` been fully applied to the layouts rooted at
+    * `historyPath`? (The [[rotateEpochBucketed]] ledger.)
+    */
+  def epochApplied(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      epochId: String): Boolean =
+    fsFor(spark, historyPath).exists(
+      new org.apache.hadoop.fs.Path(s"$historyPath/_epochs/$epochId"))
+
+  /** Resolve any crashed [[rotateEpochBucketed]] on the layouts rooted
+    * at `historyPath` (the index path comes from each staging dir's
+    * manifest). Runs at rotation entry and at
+    * `StreamingDedup.startIncrementalFromPaths`; call it explicitly
+    * when restarting a pipeline that opens the layouts by other means.
+    * Uncommitted staging (no `_MANIFEST`) is discarded — the layouts
+    * were never touched; committed staging is completed — the moves
+    * skip files a previous attempt already moved.
+    */
+  def recoverRotations(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String): Unit = {
+    val f = fsFor(spark, historyPath)
+    val root = new org.apache.hadoop.fs.Path(s"$historyPath/_rotate")
+    if (!f.exists(root)) return
+    f.listStatus(root).foreach { st =>
+      val manifest = new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST")
+      if (!f.exists(manifest)) {
+        require(f.delete(st.getPath, true),
+          s"rotate: cleanup of ${st.getPath} failed")
+      } else {
+        val len = f.getFileStatus(manifest).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = f.open(manifest)
+        try in.readFully(0, buf) finally in.close()
+        val indexPath =
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        completeRotation(f, st.getPath, historyPath, indexPath,
+          st.getPath.getName, _ => ())
+      }
+    }
+  }
+
+  /** Finish a COMMITTED rotation: move staged files into the live
+    * layouts (idempotent — files a previous attempt moved are simply
+    * absent from the stage), record the ledger entry, drop the stage.
+    */
+  private def completeRotation(
+      f: org.apache.hadoop.fs.FileSystem,
+      stageRoot: org.apache.hadoop.fs.Path,
+      historyPath: String,
+      indexPath: String,
+      epochId: String,
+      failpoint: String => Unit): Unit = {
+    val histStage = new org.apache.hadoop.fs.Path(stageRoot, "history")
+    if (f.exists(histStage))
+      f.listStatus(histStage)
+        .filter(_.getPath.getName.startsWith("id_bucket=")).foreach { pd =>
+          val dst = new org.apache.hadoop.fs.Path(historyPath, pd.getPath.getName)
+          f.mkdirs(dst) // idempotent; the move target must exist
+          f.listStatus(pd.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet")).foreach { nf =>
+              val to = new org.apache.hadoop.fs.Path(dst, nf.getPath.getName)
+              require(f.rename(nf.getPath, to),
+                s"rotate: rename ${nf.getPath} -> $to failed")
+            }
+        }
+    failpoint("moved-history")
+    val idxStage = new org.apache.hadoop.fs.Path(stageRoot, "index")
+    if (f.exists(idxStage))
+      f.listStatus(idxStage)
+        .filter(_.getPath.getName.endsWith(".parquet")).foreach { nf =>
+          val to = new org.apache.hadoop.fs.Path(indexPath, nf.getPath.getName)
+          require(f.rename(nf.getPath, to),
+            s"rotate: rename ${nf.getPath} -> $to failed")
+        }
+    val ledger = new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")
+    f.mkdirs(ledger)
+    f.create(new org.apache.hadoop.fs.Path(ledger, epochId), true).close()
+    require(f.delete(stageRoot, true),
+      s"rotate: cleanup of $stageRoot failed")
+  }
+
+  /** Hadoop FileSystem for `path` under the session's Hadoop conf. */
+  private[graft] def fsFor(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Near-dup pairs of a NEW batch against an indexed historical corpus
     * ([[minhashIndex]]): batch docs band locally, candidates come from

@@ -46,15 +46,26 @@ object StreamingDedup {
     * within itself, then (2) probed for NEAR-duplicates against the
     * persisted MinHash band index
     * ([[graft.operators.Dedup.minhashProbe]]). `onBatch` receives the
-    * surviving novel rows and their near-dup flags, atomically with the
-    * batch: append the novels, quarantine or drop the flagged ones, and
-    * at the epoch boundary hand the accumulated novels to
+    * BATCH ID, the surviving novel rows, and their near-dup flags,
+    * atomically with the batch: persist the novels KEYED BY THE BATCH
+    * ID (the [[spoolBatch]] helper — see below), quarantine or drop
+    * the flagged ones, and at the epoch boundary hand the accumulated
+    * novels ([[readSpool]]) to
     * [[graft.operators.Dedup.rotateEpochBucketed]] — an O(novel)
     * append to the persisted history + index layouts plus a Bloom
-    * merge, never an O(corpus) rebuild — then restart the stream with
-    * the returned broadcast and the re-opened layouts
-    * (StreamingDedupSpec's multi-epoch scenario is the worked
+    * merge, never an O(corpus) rebuild — then [[clearSpool]] and
+    * restart the stream with the returned broadcast and the re-opened
+    * layouts (StreamingDedupSpec's multi-epoch scenario is the worked
     * example).
+    *
+    * Delivery contract: `foreachBatch` is AT-LEAST-ONCE — after a
+    * task or driver failure the engine replays the last uncommitted
+    * batch with the SAME batchId. A bare `mode("append")` inside
+    * `onBatch` therefore duplicates the replayed novels (and the
+    * Bloom cannot catch them: the duplicates arrive in the very batch
+    * being retried). Appends must be keyed by the batchId so replay
+    * REPLACES instead of appending — [[spoolBatch]] implements
+    * exactly that (per-batch directory committed by atomic rename).
     *
     * State at scale: the sketch is O(bits) per epoch, the index is 3
     * longs per history doc per band, and each probe touches only the
@@ -68,7 +79,7 @@ object StreamingDedup {
       index: DataFrame,
       history: DataFrame,
       threshold: Double,
-      onBatch: (DataFrame, DataFrame) => Unit,
+      onBatch: (Long, DataFrame, DataFrame) => Unit,
       intervalSeconds: Long = 10,
       textCol: String = "text",
       k: Int = 8,
@@ -92,7 +103,7 @@ object StreamingDedup {
       index: DataFrame,
       historyPath: String,
       threshold: Double,
-      onBatch: (DataFrame, DataFrame) => Unit,
+      onBatch: (Long, DataFrame, DataFrame) => Unit,
       intervalSeconds: Long = 10,
       textCol: String = "text",
       k: Int = 8,
@@ -124,9 +135,13 @@ object StreamingDedup {
       indexPath: String,
       historyPath: String,
       threshold: Double,
-      onBatch: (DataFrame, DataFrame) => Unit,
+      onBatch: (Long, DataFrame, DataFrame) => Unit,
       intervalSeconds: Long = 10,
       textCol: String = "text"): StreamingQuery = {
+    // restart entry point: a crash mid-rotation must be resolved BEFORE
+    // either layout's file listing is taken, or the probe would see a
+    // half-applied epoch (history rows with no index entries)
+    Dedup.recoverRotations(docs.sparkSession, historyPath)
     val (index, k, bands) =
       Dedup.openMinhashIndex(docs.sparkSession, indexPath)
     startIncrementalBucketed(docs, bloom, index, historyPath, threshold,
@@ -140,16 +155,71 @@ object StreamingDedup {
       intervalSeconds: Long,
       textCol: String,
       probe: DataFrame => DataFrame,
-      onBatch: (DataFrame, DataFrame) => Unit): StreamingQuery =
+      onBatch: (Long, DataFrame, DataFrame) => Unit): StreamingQuery =
     docs.writeStream
       .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // materialize the novels once — both the probe and the caller
         // read them, and the bloom-probe UDF must not run twice
         val novel = Dedup.filterNovel(batch, bloom, textCol)
           .localCheckpoint(eager = true)
-        onBatch(novel, probe(novel))
+        onBatch(batchId, novel, probe(novel))
         ()
       }
       .start()
+
+  /** Idempotently persist one micro-batch's novel rows into an
+    * epoch-accumulation spool at `spoolPath` — the `onBatch` append
+    * that is SAFE under `foreachBatch`'s at-least-once replay. The
+    * batch is written to a `batch_id=<id>` directory, staged in a
+    * dot-prefixed tmp dir (invisible to readers) and committed by an
+    * atomic rename, so:
+    *
+    *   - a REPLAYED batch (same batchId after a failure) replaces its
+    *     own directory instead of appending a second copy;
+    *   - a crash mid-write leaves only an invisible tmp (or a missing
+    *     directory), and the engine's replay of the uncommitted batch
+    *     rewrites it;
+    *   - a reader ([[readSpool]]) never sees a half-written batch.
+    *
+    * At the epoch boundary, hand [[readSpool]]'s union to
+    * [[graft.operators.Dedup.rotateEpochBucketed]] (with a stable
+    * epochId), THEN [[clearSpool]] — clearing first would lose the
+    * epoch if the rotation failed.
+    */
+  def spoolBatch(novel: DataFrame, spoolPath: String, batchId: Long): Unit = {
+    val f = Dedup.fsFor(novel.sparkSession, spoolPath)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$spoolPath/.batch_id=$batchId.tmp")
+    novel.write.mode("overwrite").parquet(tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(s"$spoolPath/batch_id=$batchId")
+    if (f.exists(dst))
+      require(f.delete(dst, true), s"spool: delete of stale $dst failed")
+    require(f.rename(tmp, dst), s"spool: rename $tmp -> $dst failed")
+  }
+
+  /** The spool's accumulated novel rows (every committed batch,
+    * exactly once), or None when nothing was spooled this epoch.
+    */
+  def readSpool(
+      spark: org.apache.spark.sql.SparkSession,
+      spoolPath: String): Option[DataFrame] = {
+    val f = Dedup.fsFor(spark, spoolPath)
+    val root = new org.apache.hadoop.fs.Path(spoolPath)
+    if (!f.exists(root)) return None
+    val batches = f.listStatus(root)
+      .filter(_.getPath.getName.startsWith("batch_id="))
+    if (batches.isEmpty) None
+    else Some(spark.read.parquet(spoolPath).drop("batch_id"))
+  }
+
+  /** Drop the spool after its epoch has been rotated into the layouts. */
+  def clearSpool(
+      spark: org.apache.spark.sql.SparkSession,
+      spoolPath: String): Unit = {
+    val f = Dedup.fsFor(spark, spoolPath)
+    val root = new org.apache.hadoop.fs.Path(spoolPath)
+    if (f.exists(root))
+      require(f.delete(root, true), s"spool: delete of $root failed")
+  }
 }

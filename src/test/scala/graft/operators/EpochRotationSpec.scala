@@ -78,6 +78,90 @@ class EpochRotationSpec extends AnyFunSuite {
     bloom1.unpersist(blocking = false)
   }
 
+  test("crash injection at every protocol point: same-epochId retry " +
+    "converges to exactly the full-rebuild state, with no duplicates") {
+    def bytes(b: org.apache.spark.util.sketch.BloomFilter) = {
+      val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos); bos.toByteArray
+    }
+    val h0 = (0L until 40L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val n1 = (100L until 110L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+    val union = h0.unionByName(n1)
+    val batch = Seq(
+      (3L, nearDup(histText(3))), // near-dup, epoch 0
+      (4L, nearDup(novelText(108))) // near-dup, epoch 1
+    ).toDF("doc_id", "text")
+
+    def probeAll(histPath: String, idxPath: String) = {
+      val (idx, k, bands) = Dedup.openMinhashIndex(spark, idxPath)
+      val (hist, nb) = Dedup.openHistoryBucketed(spark, histPath)
+      Dedup.minhashProbeBucketedOn(batch, idx, hist, nb,
+          threshold = 0.8, k = k, bands = bands)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toSet
+    }
+
+    // the rebuild targets, computed once
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft-cr-full").toString
+    Dedup.writeHistoryBucketed(union, s"$fullRoot/hist", nBuckets = 8)
+    Dedup.writeMinhashIndex(union, s"$fullRoot/idx")
+    val wantHistRows = spark.read.parquet(s"$fullRoot/hist").count()
+    val wantIdxRows = spark.read.parquet(s"$fullRoot/idx").count()
+    val wantProbe = probeAll(s"$fullRoot/hist", s"$fullRoot/idx")
+    val wantBloom = bytes(Dedup.digestBloom(union, 1000, 0.001))
+    assert(wantProbe.map(_._1) == Set((3L, 3L), (4L, 108L)))
+
+    for (fp <- Seq("staged-history", "staged", "committed", "moved-history")) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-crash").toString
+      val histPath = s"$root/hist"
+      val idxPath = s"$root/idx"
+      Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 8)
+      Dedup.writeMinhashIndex(h0, idxPath)
+      val h0Rows = spark.read.parquet(histPath).count()
+      val bloom0 = spark.sparkContext.broadcast(
+        Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
+
+      val ex = intercept[RuntimeException] {
+        Dedup.rotateEpochStaged(n1, histPath, idxPath, bloom0,
+          expectedItems = 1000, fpp = 0.001, textCol = "text",
+          epochId = "e1",
+          failpoint = p =>
+            if (p == fp) throw new RuntimeException(s"injected at $p"))
+      }
+      assert(ex.getMessage.contains("injected"), fp)
+
+      if (fp == "staged-history" || fp == "staged") {
+        // uncommitted crash: the staged files are underscore-invisible,
+        // so readers see the layouts exactly as before the attempt
+        assert(spark.read.parquet(histPath).count() == h0Rows, fp)
+        assert(!Dedup.epochApplied(spark, histPath, "e1"), fp)
+      }
+
+      // retry under the SAME epochId: entry recovery discards an
+      // uncommitted stage (then re-applies) or completes a committed
+      // one (then skips the appends) — either way, the rebuild state
+      val bloom1 = Dedup.rotateEpochBucketed(n1, histPath, idxPath, bloom0,
+        expectedItems = 1000, fpp = 0.001, epochId = "e1")
+      assert(spark.read.parquet(histPath).count() == wantHistRows, fp)
+      assert(spark.read.parquet(idxPath).count() == wantIdxRows, fp)
+      assert(Dedup.epochApplied(spark, histPath, "e1"), fp)
+      assert(probeAll(histPath, idxPath) == wantProbe, fp)
+      assert(java.util.Arrays.equals(bytes(bloom1.value), wantBloom), fp)
+      // staging fully reclaimed
+      val f = new org.apache.hadoop.fs.Path(histPath).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_rotate/e1")), fp)
+
+      // a FURTHER retry of the completed epoch is a pure ledger hit:
+      // layouts untouched, bloom unchanged (re-merge ORs identical bits)
+      val bloom2 = Dedup.rotateEpochBucketed(n1, histPath, idxPath, bloom1,
+        expectedItems = 1000, fpp = 0.001, epochId = "e1")
+      assert(spark.read.parquet(histPath).count() == wantHistRows, fp)
+      assert(spark.read.parquet(idxPath).count() == wantIdxRows, fp)
+      assert(java.util.Arrays.equals(bytes(bloom2.value), wantBloom), fp)
+      bloom2.unpersist(blocking = false)
+    }
+  }
+
   test("bloomWithNovel rejects a mismatched epoch-0 capacity loudly") {
     val h0 = (0L until 10L).map(i => (i, histText(i))).toDF("doc_id", "text")
     val bloom = Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001)

@@ -55,7 +55,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     val flags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val query = StreamingDedup.startIncremental(docs, bloom, index, history,
       threshold = 0.8,
-      onBatch = (novel, flagged) => synchronized {
+      onBatch = (_, novel, flagged) => synchronized {
         novels ++= novel.select("doc_id").collect().map(_.getLong(0))
         flags ++= flagged.collect().map(r => (r.getLong(0), r.getLong(1)))
       },
@@ -88,7 +88,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     val query2 = StreamingDedup.startIncrementalBucketed(
       stream2.toDF().toDF("doc_id", "text"), bloom, index, root,
       threshold = 0.8,
-      onBatch = (_, flagged) => synchronized {
+      onBatch = (_, _, flagged) => synchronized {
         flags2 ++= flagged.collect().map(r => (r.getLong(0), r.getLong(1)))
       },
       intervalSeconds = 0)
@@ -99,6 +99,35 @@ class StreamingDedupSpec extends AnyFunSuite {
     query2.stop()
     assert(flags2.toSet == flags.toSet)
     bloom.unpersist(blocking = false)
+  }
+
+  test("replayed micro-batch spools idempotently: same batchId twice leaves " +
+    "the accumulated row count unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spool").toString
+    val spool = s"$root/spool"
+    val b7 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+
+    StreamingDedup.spoolBatch(b7, spool, batchId = 7L)
+    // at-least-once replay: the engine re-delivers batch 7 after a
+    // failure — the spool must REPLACE, not append
+    StreamingDedup.spoolBatch(b7, spool, batchId = 7L)
+    val afterReplay = StreamingDedup.readSpool(spark, spool).get
+    assert(afterReplay.count() == 2L)
+    assert(afterReplay.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L))
+
+    // a genuinely new batch still accumulates
+    StreamingDedup.spoolBatch(
+      Seq((3L, "gamma")).toDF("doc_id", "text"), spool, batchId = 8L)
+    assert(StreamingDedup.readSpool(spark, spool).get.count() == 3L)
+
+    // and a replay that arrives with REVISED content (e.g. the retry
+    // saw a different bloom broadcast) replaces the stale copy
+    StreamingDedup.spoolBatch(
+      Seq((2L, "beta")).toDF("doc_id", "text"), spool, batchId = 7L)
+    val revised = StreamingDedup.readSpool(spark, spool).get
+    assert(revised.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(2L, 3L))
   }
 
   test("multi-epoch ingest: rotation appends novels to the layouts and the " +
@@ -117,27 +146,32 @@ class StreamingDedupSpec extends AnyFunSuite {
     var bloom = spark.sparkContext.broadcast(
       Dedup.digestBloom(history, expectedItems = 1000, fpp = 0.001))
 
-    // ---- epoch 1: two fresh docs arrive and survive as novels
-    val epoch1Novels = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    // ---- epoch 1: two fresh docs arrive and survive as novels,
+    // accumulated through the batchId-keyed idempotent spool
+    val spoolPath = s"$root/spool"
     val (idx1, k1, b1) = Dedup.openMinhashIndex(spark, idxPath)
     val stream1 = MemoryStream[(Long, String)]
     val q1 = StreamingDedup.startIncrementalBucketed(
       stream1.toDF().toDF("doc_id", "text"), bloom, idx1, histPath,
       threshold = 0.8,
-      onBatch = (novel, _) => synchronized {
-        epoch1Novels ++= novel.select("doc_id", "text").collect()
-          .map(r => (r.getLong(0), r.getString(1)))
-      },
+      onBatch = (batchId, novel, _) =>
+        StreamingDedup.spoolBatch(novel.select("doc_id", "text"),
+          spoolPath, batchId),
       intervalSeconds = 0, k = k1, bands = b1)
     stream1.addData((1000L, text("e1", 0)), (1001L, text("e1", 1)))
     q1.processAllAvailable()
     q1.stop()
-    assert(epoch1Novels.map(_._1).sorted == Seq(1000L, 1001L))
+    val epoch1Novels = StreamingDedup.readSpool(spark, spoolPath).get
+    assert(epoch1Novels.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1000L, 1001L))
 
     // ---- rotate: epoch 1's novels enter history, index, and bloom
+    // (stable epochId = idempotent retry), then the spool is cleared
     bloom = Dedup.rotateEpochBucketed(
-      epoch1Novels.toSeq.toDF("doc_id", "text"), histPath, idxPath, bloom,
-      expectedItems = 1000, fpp = 0.001)
+      epoch1Novels, histPath, idxPath, bloom,
+      expectedItems = 1000, fpp = 0.001, epochId = "epoch-1")
+    StreamingDedup.clearSpool(spark, spoolPath)
+    assert(StreamingDedup.readSpool(spark, spoolPath).isEmpty)
 
     // ---- epoch 2: an exact dup OF AN EPOCH-1 NOVEL is bloom-dropped,
     // a near-dup of one is flagged against the rotated index, and a
@@ -149,7 +183,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     val q2 = StreamingDedup.startIncrementalFromPaths(
       stream2.toDF().toDF("doc_id", "text"), bloom, idxPath, histPath,
       threshold = 0.8,
-      onBatch = (novel, flagged) => synchronized {
+      onBatch = (_, novel, flagged) => synchronized {
         epoch2Novels ++= novel.select("doc_id").collect().map(_.getLong(0))
         epoch2Flags ++= flagged.collect().map(r => (r.getLong(0), r.getLong(1)))
       },
