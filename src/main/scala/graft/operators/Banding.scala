@@ -87,8 +87,9 @@ object Banding {
             val star = tagged
               .filter(col("pop") > cap && col(idCol) =!= col("anchor"))
               .select(col("anchor").as("id_a"), col(idCol).as("id_b"))
-            light.unionByName(star).distinct()
-              .localCheckpoint(eager = true)
+            // linear-bounded by construction; reliable when the job
+            // set Caching.reliableDir (executor-loss survivable)
+            Caching.materialize(light.unionByName(star).distinct())
           }
         } finally stats.unpersist(blocking = false)
     }

@@ -27,10 +27,53 @@ private[graft] object Caching {
     */
   @volatile var passthrough: Boolean = false
 
+  /** Optional STABLE checkpoint directory for operator result
+    * materializations — the `components()` reliable-checkpoint pattern
+    * lifted to the caching layer. Default (None): results materialize
+    * via `localCheckpoint`, whose blocks live on executors — fast, and
+    * fine on local[32] or for short jobs, but an executor loss makes
+    * the materialized frame unrecoverable mid-query. A long-running
+    * cluster job sets this (directly, or scoped via [[withReliable]])
+    * to an HDFS/object-store dir and every [[withCached]] result — and
+    * `Banding.selfPairs`' heavy-branch candidate materialization —
+    * becomes an eager RELIABLE checkpoint that survives executor loss.
+    *
+    * The caller owns the directory's lifecycle: Spark only reclaims
+    * reliable checkpoint files automatically when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on, so
+    * delete the dir when the job's results have been consumed (same
+    * contract as `components(checkpointDir = ...)`).
+    */
+  @volatile var reliableDir: Option[String] = None
+
+  /** Run `body` with [[reliableDir]] set, restoring the previous value
+    * after — the scoped form a job runner should prefer.
+    */
+  def withReliable[T](dir: String)(body: => T): T = {
+    val prev = reliableDir
+    reliableDir = Some(dir)
+    try body finally reliableDir = prev
+  }
+
+  /** Eagerly materialize an operator result, cutting its lineage:
+    * executor-local blocks by default, a reliable checkpoint under
+    * [[reliableDir]] when set.
+    */
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    reliableDir match {
+      case None => df.localCheckpoint(eager = true)
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        val prior = sc.getCheckpointDir
+        sc.setCheckpointDir(dir)
+        try df.checkpoint(eager = true)
+        finally prior.foreach(sc.setCheckpointDir)
+    }
+
   def withCached(intermediates: DataFrame*)(body: => DataFrame): DataFrame = {
     if (passthrough) return body
     intermediates.foreach(_.cache())
-    try body.localCheckpoint(eager = true)
+    try materialize(body)
     finally intermediates.foreach(_.unpersist(blocking = false))
   }
 }

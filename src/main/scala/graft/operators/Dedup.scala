@@ -1162,7 +1162,7 @@ object Dedup {
     * share most tokens, collapsing unigram SimHashes together; 3-gram
     * features keep the signature discriminative.
     */
-  def simhashed(docs: DataFrame, textCol: String = "text", bits: Int = 32): DataFrame = {
+  def simhashed(docs: DataFrame, textCol: String = "text", bits: Int = 64): DataFrame = {
     val d = shingled(docs, textCol)
     // bit j set iff the majority of shingle hashes have bit-hash_j odd —
     // one compiled pass per document via the codegen'd SimHash expression
@@ -1174,23 +1174,28 @@ object Dedup {
 
   /** SimHash near-dup pairs: band blocking, then Hamming <= max.
     *
-    * Geometry is configurable for the corpus scale: the 32-bit / 4×8-bit
-    * default gives only 4·256 = 1,024 distinct bucket keys — fine for
-    * fixture-scale corpora (and pinned by the oracle), but at 10⁹ docs
-    * random band collisions alone (~4·2⁻⁸ per pair) would generate
-    * ~n²/256 Hamming evaluations. A corpus-scale run passes `bits = 64`
-    * with 4×16-bit bands (268M keys; random collision ~6·10⁻⁵) — the
-    * signature stays one long, the plan is unchanged, and recall for
-    * true near-dups still follows the banding S-curve. `bands` must
-    * divide `bits`; candidates additionally run through the
-    * [[Banding.selfPairs]] population cap (anchor/star pairing for
-    * over-cap buckets) so even a degenerate key stays linear.
+    * Geometry is configurable for the corpus scale, and the DEFAULT is
+    * the corpus-scale one: 64 bits in 4×16-bit bands (268M distinct
+    * bucket keys; random band collision ~6·10⁻⁵ per pair) — the
+    * signature is one long either way and the plan is unchanged.
+    * `bits = 32` with 4×8-bit bands gives only 4·256 = 1,024 bucket
+    * keys: at 10⁹ docs random collisions alone generate ~n²/256
+    * Hamming evaluations (the 8× skew rehearsal measured the
+    * consequence: 10.5 s vs 1.3 s, SCALING.md), so the small geometry
+    * is only for tiny corpora and the pinned oracle query (q23).
+    * Recall for true near-dups follows the banding S-curve at either
+    * width — but note `maxHamming` is a distance over `bits` bit
+    * positions, so a threshold tuned at 32 bits roughly doubles at 64
+    * bits for the same similarity. `bands` must divide `bits`;
+    * candidates additionally run through the [[Banding.selfPairs]]
+    * population cap (anchor/star pairing for over-cap buckets) so even
+    * a degenerate key stays linear.
     */
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int,
       textCol: String = "text",
-      bits: Int = 32,
+      bits: Int = 64,
       bands: Int = 4,
       maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop)): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")

@@ -322,6 +322,41 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
+  /** Append novel vectors to an existing [[writeIvfPartitioned]] layout
+    * — the O(novel) epoch maintenance a GROWING embedding corpus needs
+    * (the full overwrite pays O(corpus) per epoch, exactly the cost
+    * `appendHistoryBucketed` eliminated for the dedup history). Each
+    * novel vector is assigned to its nearest centroid FROM THE LAYOUT'S
+    * OWN `_centroids` sidecar and appended into that centroid's
+    * partition, so the result is bit-identical to a full rebuild with
+    * the same centroid set: per-vector assignment depends only on the
+    * (vector, centroid set) pair, never on the rest of the corpus.
+    *
+    * The centroids are NOT re-trained. As the corpus distribution
+    * drifts, partitions skew and probe recall decays; the re-train
+    * trigger (e.g. max/median partition population ratio) forces a
+    * [[writeIvfPartitioned]] rebuild under a fresh [[kmeansFit]] — see
+    * SCALING.md. Plain single-layout append: a caller retrying a
+    * failed epoch should stage novels behind a batch-keyed spool
+    * (`StreamingDedup.spoolBatch`) rather than re-calling this blindly.
+    */
+  def appendIvfPartitioned(
+      novel: DataFrame,
+      path: String,
+      idCol: String = "vec_id"): Unit = {
+    val spark = novel.sparkSession
+    // the sidecar IS the layout's identity — missing means `path` is
+    // not a writeIvfPartitioned layout; fail loudly before any write
+    val cent = spark.read.parquet(s"$path/_centroids")
+      .select(expr("CAST(substring(centroid_id, 2) AS BIGINT)")
+          .as("centroid_id"),
+        col("cvec"), col("cnrm"))
+    rankCentroids(asDouble(novel, idCol = idCol), cent, 1, idCol)
+      .select(col(idCol), col("vec"), col("nrm"),
+        concat(lit("c"), col("centroid_id")).as("centroid_id"))
+      .write.partitionBy("centroid_id").mode("append").parquet(path)
+  }
+
   /** ANN top-k over an [[writeIvfPartitioned]] layout: resolve each
     * query's `nprobe` centroid directories (a tiny driver-side list — the
     * price of turning the probe into LITERAL partition predicates), then

@@ -179,6 +179,29 @@ class BandingSpec extends AnyFunSuite {
     assert(pairs(Some(Banding.DefaultMaxBandPop)) == pairs(None))
   }
 
+  test("reliable-checkpoint path: withReliable materializes operator " +
+    "results under the stable dir with identical pairs") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-reliable").toString
+    // default path (executor-local blocks) as the expectation
+    val want = Dedup.minhashLshPairs(skewedDocs, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    val got = Caching.withReliable(ckpt) {
+      // engages BOTH materializations: selfPairs' heavy branch (the
+      // 300-member cluster is over cap) and withCached's result
+      Dedup.minhashLshPairs(skewedDocs, threshold = 0.8)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    }
+    assert(got == want)
+    // the reliable path really ran: checkpoint data landed in the dir
+    def files(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(files)
+    }
+    assert(files(new java.io.File(ckpt)).nonEmpty)
+    // and the scope restored the default (local) materialization
+    assert(Caching.reliableDir.isEmpty)
+  }
+
   test("simhash 64-bit geometry: same true pairs, no more random candidates than 32-bit") {
     val words = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
       "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
@@ -203,5 +226,14 @@ class BandingSpec extends AnyFunSuite {
     val h = Dedup.simhashPairs(docs, maxHamming = 0, bits = 64, bands = 4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(h((100L, 101L)) == 0)
+
+    // the DEFAULT geometry IS the corpus-scale one: calling without
+    // bits/bands is bit-identical to the explicit 64-bit / 4×16 form
+    // (the rehearsal showed the old 32-bit default saturating every
+    // bucket at 40k docs — SCALING.md)
+    def all(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toSet
+    assert(all(Dedup.simhashPairs(docs, maxHamming = 3)) ==
+      all(Dedup.simhashPairs(docs, maxHamming = 3, bits = 64, bands = 4)))
   }
 }

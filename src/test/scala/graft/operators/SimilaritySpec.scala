@@ -134,6 +134,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got2 == expected2)
   }
 
+  test("appendIvfPartitioned: appending novels equals a full rebuild over " +
+    "the union with the SAME centroids, and the probe path agrees") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ids = emb.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val splitAt = ids(ids.length / 2)
+    val epoch0 = emb.filter(col("vec_id") < splitAt)
+    val novel = emb.filter(col("vec_id") >= splitAt)
+    assert(!novel.isEmpty)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.writeIvfPartitioned(epoch0, s"$root/grown")
+    Similarity.appendIvfPartitioned(novel, s"$root/grown")
+
+    // rebuild over the union, pinned to the SAME centroid set (the
+    // grown layout's sidecar) — the append must be indistinguishable
+    val cents = spark.read.parquet(s"$root/grown/_centroids")
+      .select(expr("CAST(substring(centroid_id, 2) AS BIGINT)")
+          .as("centroid_id"),
+        col("cvec"), col("cnrm"))
+      .localCheckpoint(eager = true)
+    Similarity.writeIvfPartitioned(emb, s"$root/rebuilt",
+      trainedCentroids = Some(cents))
+
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(s"$root/grown") == rows(s"$root/rebuilt"))
+
+    // probes over the grown layout find post-append neighbors and match
+    // the rebuilt layout exactly, single- and multi-probe
+    val queryIds = Seq(ids.head, splitAt, ids.last)
+    for (np <- Seq(1, 2)) {
+      def knn(p: String) = Similarity.ivfKnnPartitioned(spark, p, queryIds,
+          k = 5, nprobe = np)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+      val got = knn(s"$root/grown")
+      assert(got == knn(s"$root/rebuilt"), s"nprobe=$np")
+      assert(got.exists { case (_, n, _, _) => n >= splitAt }, s"nprobe=$np")
+    }
+  }
+
   test("semanticDupPairs: cluster-scoped subset of all-pairs with exact cosines") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val exact = Similarity.cosineDupPairs(emb, threshold = 0.45)
