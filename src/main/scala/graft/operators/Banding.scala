@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   * documents). Verification stays exact in the callers, so the cap can
   * never create a false positive.
   *
+  * RECALL CAVEAT — the cap IS a behavior change for mixed-population
+  * buckets: "components resolve identically" holds when an over-cap
+  * bucket is a genuine near-dup cluster (anchor pairs verify, the
+  * cluster chains). If a DEGENERATE band key captures mostly UNRELATED
+  * docs, a true near-dup pair inside such a bucket survives only if
+  * (a) one of the pair is the bucket's anchor, or (b) the pair also
+  * shares some under-cap bucket; otherwise it is dropped entirely —
+  * its anchor pairs fail exact verification and nothing chains it.
+  * Callers whose banding geometry risks degenerate keys (few bands ×
+  * short keys, e.g. the 32-bit SimHash geometry) should raise the cap
+  * or pass `None`; the default 64-bit/4×16 geometries make a random
+  * 256-doc key agreement vanishingly unlikely, which is what makes
+  * the default cap safe there.
+  *
   * The cap is ADAPTIVE, like the shingle-df guard: one
   * map-side-combinable aggregation over the bucket rows counts each
   * (band, key) population, and a single `limit(1)` probe decides
@@ -46,7 +60,8 @@ object Banding {
     * key)` bucket rows — the banding self-join, population-capped when
     * `maxBandPop` is set. Pass `None` for the exact uncapped join
     * (what the oracle queries pin, so engine parity holds at any
-    * fixture SF).
+    * fixture SF) — or when the geometry risks degenerate keys, where
+    * the cap costs recall (see the object docstring's caveat).
     */
   def selfPairs(
       buckets: DataFrame,

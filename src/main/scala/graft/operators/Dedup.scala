@@ -1037,7 +1037,14 @@ object Dedup {
         // an Observation metric — ONE action per round instead of a
         // checkpoint plus a separate count() over the changed filter
         // (each round of the two most expensive queries, q36/q44, was
-        // paying that second job)
+        // paying that second job).
+        // ONLY the zero/nonzero signal is reliable: under the
+        // reliable-checkpoint branch, rdd.checkpoint()+count()
+        // re-executes the plan for the checkpoint write, so the
+        // accumulator can observe each row twice. Convergence compares
+        // to zero (doubled zero is zero); never use the value
+        // numerically (round logging, damping) without deduplicating
+        // the observation first.
         val obs = org.apache.spark.sql.Observation(s"components-r$round")
         val next = ckptIn(s"r$round")(
           labels.join(nbrMin, col("node") === col("node2"), "left")

@@ -204,18 +204,32 @@ object Similarity {
     * nothing is nondeterministic even when duplicate ids carry
     * different vectors.
     *
-    * Precondition: `v` must have deterministic per-partition row order
-    * (a scan or a projection over one — every call site here), because
-    * the surrogate is positional. If a future caller feeds a
-    * shuffle-derived frame, a partial stage retry could re-number rows
-    * that other reducers already aggregated; such inputs should be
-    * checkpointed (or sorted) first.
+    * Precondition, ENFORCED: the surrogate is positional, so the input
+    * must have deterministic per-partition row order. A scan or a
+    * projection/filter over one qualifies (every call site here); any
+    * other shape — anything downstream of an exchange, where reducers
+    * fetch map outputs in arrival order — could be re-numbered by a
+    * partial stage retry after other reducers already aggregated, so
+    * it is eagerly materialized first, pinning the order the surrogate
+    * numbers. The guard is an allowlist over the optimized logical
+    * plan: unknown operators are treated as order-unstable.
     */
   private def assignByJoin(
       v: DataFrame,
       centroids: DataFrame,
-      idCol: String): DataFrame =
-    v.select(col(idCol), col("vec"), col("nrm"))
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    def scanDerived(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.LeafNode => true
+      case prj: logical.Project => scanDerived(prj.child)
+      case flt: logical.Filter => scanDerived(flt.child)
+      case _ => false
+    }
+    val sel = v.select(col(idCol), col("vec"), col("nrm"))
+    val stable =
+      if (scanDerived(sel.queryExecution.optimizedPlan)) sel
+      else Caching.materialize(sel)
+    stable
       .withColumn("__row", monotonically_increasing_id())
       .join(broadcast(centroids.select("centroid_id", "cvec", "cnrm")))
       .withColumn("csim", dot("vec", "cvec") / (col("nrm") * col("cnrm")))
@@ -227,6 +241,7 @@ object Similarity {
         first(col("nrm")).as("nrm"))
       .select(col(idCol), (-col("m.ncid")).as("centroid_id"),
         col("vec"), col("nrm"))
+  }
 
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (deterministic fixed-k centroid sample, [[ivfCentroids]]).

@@ -317,6 +317,16 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id", "centroid_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected)
+
+    // a SHUFFLE-DERIVED input (aggregation upstream) trips the
+    // order-stability guard — the positional surrogate must number a
+    // pinned materialization, and the assignment is unchanged
+    val shuffled = emb.groupBy("vec_id")
+      .agg(first("embedding").as("embedding"))
+    val got2 = Similarity.ivfAssign(shuffled, centroidK = k)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == expected)
   }
 
   test("srpDupPairs finds near-identical pairs, reports exact cosine, " +

@@ -115,13 +115,19 @@ if skew_frac:
               "press sitemap help variant")
     # documents: every K-th doc becomes the template + a rotating variant
     # word (near-dups: shingle sets differ only at the tail)
+    # n_chars is recomputed from the REWRITTEN text: leaving the
+    # original value would make the fixture internally inconsistent for
+    # any operator that reads n_chars (quality/stats rehearsals)
     con.execute(f"""COPY (
-      SELECT doc_id,
-             CASE WHEN doc_id % {K} = 0
-                  THEN '{boiler} v' || CAST(doc_id % 5 AS VARCHAR)
-                  ELSE text END AS text,
-             lang, source, n_chars
-      FROM '{out}/documents.parquet')
+      SELECT doc_id, text, lang, source,
+             length(text) AS n_chars
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % {K} = 0
+                    THEN '{boiler} v' || CAST(doc_id % 5 AS VARCHAR)
+                    ELSE text END AS text,
+               lang, source
+        FROM '{out}/documents.parquet'))
       TO '{out}/documents_skew.parquet' (FORMAT PARQUET)""")
     os.replace(f"{out}/documents_skew.parquet", f"{out}/documents.parquet")
     # embeddings: every K-th vector snaps to one shared direction plus
