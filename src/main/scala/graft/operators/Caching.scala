@@ -27,24 +27,36 @@ private[graft] object Caching {
     */
   @volatile var passthrough: Boolean = false
 
-  /** Optional STABLE checkpoint directory for operator result
-    * materializations — the `components()` reliable-checkpoint pattern
-    * lifted to the caching layer. Default (None): results materialize
-    * via `localCheckpoint`, whose blocks live on executors — fast, and
+  /** Optional STABLE materialization directory for operator results —
+    * the durability of `components()`'s reliable checkpoints, lifted
+    * to the caching layer. Default (None): results materialize via
+    * `localCheckpoint`, whose blocks live on executors — fast, and
     * fine on local[32] or for short jobs, but an executor loss makes
     * the materialized frame unrecoverable mid-query. A long-running
     * cluster job sets this (directly, or scoped via [[withReliable]])
     * to an HDFS/object-store dir and every [[withCached]] result — and
     * `Banding.selfPairs`' heavy-branch candidate materialization —
-    * becomes an eager RELIABLE checkpoint that survives executor loss.
+    * becomes an eager parquet spill under it that survives executor
+    * loss.
     *
-    * The caller owns the directory's lifecycle: Spark only reclaims
-    * reliable checkpoint files automatically when
-    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on, so
-    * delete the dir when the job's results have been consumed (same
-    * contract as `components(checkpointDir = ...)`).
+    * A parquet write + schema-pinned read-back, deliberately NOT
+    * `Dataset.checkpoint`: the checkpoint API routes through the
+    * SparkContext-GLOBAL checkpoint dir, and temporarily mutating that
+    * from here would race `components()` (which manages the global dir
+    * for its own per-round checkpoints) — a concurrent operator could
+    * checkpoint into a round subdir components is about to delete.
+    * The spill touches no global state; each materialization gets a
+    * unique `mat-<n>` subdir from a process-local counter.
+    *
+    * The caller owns the directory's lifecycle: one directory per job
+    * run (two JVMs sharing one dir would collide on the counter — the
+    * error-mode write makes that loud, not silent), deleted when the
+    * job's results have been consumed (same contract as
+    * `components(checkpointDir = ...)`).
     */
   @volatile var reliableDir: Option[String] = None
+
+  private val matSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Run `body` with [[reliableDir]] set, restoring the previous value
     * after — the scoped form a job runner should prefer.
@@ -56,18 +68,18 @@ private[graft] object Caching {
   }
 
   /** Eagerly materialize an operator result, cutting its lineage:
-    * executor-local blocks by default, a reliable checkpoint under
+    * executor-local blocks by default, a reliable parquet spill under
     * [[reliableDir]] when set.
     */
   private[graft] def materialize(df: DataFrame): DataFrame =
     reliableDir match {
       case None => df.localCheckpoint(eager = true)
       case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        val prior = sc.getCheckpointDir
-        sc.setCheckpointDir(dir)
-        try df.checkpoint(eager = true)
-        finally prior.foreach(sc.setCheckpointDir)
+        val p = s"$dir/mat-${matSeq.incrementAndGet()}"
+        df.write.mode("error").parquet(p)
+        // schema pinned from the plan: an empty result writes no part
+        // files, and an inferred read would fail on it
+        df.sparkSession.read.schema(df.schema).parquet(p)
     }
 
   def withCached(intermediates: DataFrame*)(body: => DataFrame): DataFrame = {

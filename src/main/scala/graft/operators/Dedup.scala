@@ -368,10 +368,20 @@ object Dedup {
   def appendMinhashIndex(
       novel: DataFrame,
       path: String,
-      textCol: String = "text"): Unit = {
-    val m = novel.sparkSession.read.parquet(s"$path/_meta").head()
+      textCol: String = "text"): Unit =
+    indexRowsUnderMeta(novel, path, textCol).write.mode("append").parquet(path)
+
+  /** A novel batch's band rows derived under the GEOMETRY of the layout
+    * at `indexPath` (its `_meta` sidecar) — the single definition both
+    * the raw append and the staged rotation write, so the two paths can
+    * never diverge on what an index row is.
+    */
+  private def indexRowsUnderMeta(
+      novel: DataFrame,
+      indexPath: String,
+      textCol: String): DataFrame = {
+    val m = novel.sparkSession.read.parquet(s"$indexPath/_meta").head()
     minhashIndex(novel, textCol, m.getAs[Int]("k"), m.getAs[Int]("bands"))
-      .write.mode("append").parquet(path)
   }
 
   /** Append a novel batch to a [[writeHistoryBucketed]] layout under the
@@ -383,14 +393,28 @@ object Dedup {
     * should go through [[rotateEpochBucketed]], whose manifest
     * protocol makes the history+index pair all-or-nothing.
     */
-  def appendHistoryBucketed(novel: DataFrame, path: String): Unit = {
-    val nBuckets = novel.sparkSession.read.parquet(s"$path/_meta")
-      .head().getInt(0)
-    novel
-      .withColumn("id_bucket",
-        concat(lit("b"), pmod(col("doc_id"), lit(nBuckets.toLong))))
+  def appendHistoryBucketed(novel: DataFrame, path: String): Unit =
+    historyRowsUnderMeta(novel, path)
       .write.partitionBy("id_bucket").mode("append").parquet(path)
+
+  /** A novel batch bucketed under the MODULUS of the layout at
+    * `historyPath` (its `_meta` sidecar) — the single definition of the
+    * `id_bucket` derivation shared by the raw append, the staged
+    * rotation, and (with an explicit modulus) [[writeHistoryBucketed]];
+    * a divergent copy would write rows into partitions the probe's
+    * pruning never reads.
+    */
+  private def historyRowsUnderMeta(
+      novel: DataFrame,
+      historyPath: String): DataFrame = {
+    val nBuckets = novel.sparkSession.read.parquet(s"$historyPath/_meta")
+      .head().getInt(0)
+    bucketedHistoryRows(novel, nBuckets)
   }
+
+  private def bucketedHistoryRows(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs.withColumn("id_bucket",
+      concat(lit("b"), pmod(col("doc_id"), lit(nBuckets.toLong))))
 
   /** The historical Bloom guard advanced by one epoch's novel docs —
     * WITHOUT the O(corpus) rebuild: the old sketch is cloned (serialize
@@ -478,6 +502,15 @@ object Dedup {
     * `historyPath`/`indexPath` — appending a lazy self-read is the
     * usual write-into-your-own-input hazard.
     *
+    * SINGLE MAINTENANCE WRITER, like `Tsdb.sync`/`compact` under their
+    * lock: at most one rotation or recovery may run against a layout
+    * pair at a time, and the incremental stream must be STOPPED across
+    * its layouts' rotation (the epoch lifecycle is stop → rotate →
+    * restart; `startIncrementalFromPaths` runs recovery at entry). A
+    * concurrent recovery could discard a not-yet-committed stage; the
+    * pre-commit existence check turns that contract violation into a
+    * loud failure instead of a silently empty epoch.
+    *
     * @param epochId stable identifier for this rotation (e.g. the
     *   epoch's sequence number). Pass the SAME id when retrying after
     *   a failure — that is what makes the retry idempotent. The
@@ -517,8 +550,15 @@ object Dedup {
       epochId: String,
       failpoint: String => Unit): org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter] = {
-    require(epochId.nonEmpty && !epochId.contains("/"),
-      s"epochId must be a non-empty path segment, got '$epochId'")
+    // a plain path SEGMENT only: '/' would nest, '.'/'..' would escape
+    // _rotate and stage straight into the live layout, and a leading
+    // '.'/'_' would collide with the hidden-file conventions
+    require(
+      epochId.nonEmpty && !epochId.exists(c => c == '/' || c == '\\') &&
+        epochId != "." && epochId != ".." &&
+        !epochId.startsWith(".") && !epochId.startsWith("_"),
+      s"epochId must be a plain path segment (no separators, not " +
+        s"'.'/'..', no leading '.'/'_'), got '$epochId'")
     val spark = novel.sparkSession
     recoverRotations(spark, historyPath)
     if (!epochApplied(spark, historyPath, epochId)) {
@@ -526,18 +566,26 @@ object Dedup {
       val stageRoot = new org.apache.hadoop.fs.Path(
         s"$historyPath/_rotate/$epochId")
       // stage both appends under the layouts' OWN geometry/modulus
-      // (read from their _meta sidecars, same as the raw append paths)
-      val nBuckets = spark.read.parquet(s"$historyPath/_meta").head().getInt(0)
-      novel
-        .withColumn("id_bucket",
-          concat(lit("b"), pmod(col("doc_id"), lit(nBuckets.toLong))))
+      // (their _meta sidecars) — the same row derivations the raw
+      // append primitives write, by construction (shared helpers)
+      historyRowsUnderMeta(novel, historyPath)
         .write.partitionBy("id_bucket").mode("overwrite")
         .parquet(s"$stageRoot/history")
       failpoint("staged-history")
-      val m = spark.read.parquet(s"$indexPath/_meta").head()
-      minhashIndex(novel, textCol, m.getAs[Int]("k"), m.getAs[Int]("bands"))
+      indexRowsUnderMeta(novel, indexPath, textCol)
         .write.mode("overwrite").parquet(s"$stageRoot/index")
       failpoint("staged")
+      // single-writer check before committing: a CONCURRENT
+      // recoverRotations (contract violation — see the docstring)
+      // would have discarded the uncommitted stage; committing an
+      // empty stage would ledger the epoch with zero rows appended,
+      // permanently. Fail loudly instead.
+      require(
+        f.exists(new org.apache.hadoop.fs.Path(s"$stageRoot/history")) &&
+          f.exists(new org.apache.hadoop.fs.Path(s"$stageRoot/index")),
+        s"rotate: staging for epoch '$epochId' vanished before commit — " +
+          "a concurrent recoverRotations/rotation ran against these " +
+          "layouts; rotation requires a single maintenance writer")
       // the manifest is the commit point, so it must appear ATOMICALLY
       // (write + rename); it records indexPath so recovery scanning
       // historyPath alone can finish the move
@@ -578,6 +626,11 @@ object Dedup {
     * Uncommitted staging (no `_MANIFEST`) is discarded — the layouts
     * were never touched; committed staging is completed — the moves
     * skip files a previous attempt already moved.
+    *
+    * Part of the layouts' single-maintenance-writer surface (see
+    * [[rotateEpochBucketed]]): never run it while a rotation on the
+    * same layouts is in flight — discarding a stage that is ABOUT to
+    * commit is indistinguishable from a crashed one.
     */
   def recoverRotations(
       spark: org.apache.spark.sql.SparkSession,
@@ -629,13 +682,28 @@ object Dedup {
         }
     failpoint("moved-history")
     val idxStage = new org.apache.hadoop.fs.Path(stageRoot, "index")
-    if (f.exists(idxStage))
+    if (f.exists(idxStage)) {
+      // the index may live on a DIFFERENT filesystem than the history
+      // (the staged files are always on the history's): rename works
+      // only within one FS, so a cross-FS layout copies + deletes —
+      // still idempotent (a replayed copy overwrites the same target;
+      // the source disappears only after a successful copy)
+      val idxFs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(f.getConf)
+      val sameFs = idxFs.getUri == f.getUri
       f.listStatus(idxStage)
         .filter(_.getPath.getName.endsWith(".parquet")).foreach { nf =>
           val to = new org.apache.hadoop.fs.Path(indexPath, nf.getPath.getName)
-          require(f.rename(nf.getPath, to),
-            s"rotate: rename ${nf.getPath} -> $to failed")
+          if (sameFs)
+            require(f.rename(nf.getPath, to),
+              s"rotate: rename ${nf.getPath} -> $to failed")
+          else
+            require(
+              org.apache.hadoop.fs.FileUtil.copy(
+                f, nf.getPath, idxFs, to, true, true, f.getConf),
+              s"rotate: copy ${nf.getPath} -> $to failed")
         }
+    }
     val ledger = new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")
     f.mkdirs(ledger)
     f.create(new org.apache.hadoop.fs.Path(ledger, epochId), true).close()
@@ -813,9 +881,7 @@ object Dedup {
       path: String,
       nBuckets: Int = DefaultHistoryBuckets): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    docs
-      .withColumn("id_bucket",
-        concat(lit("b"), pmod(col("doc_id"), lit(nBuckets.toLong))))
+    bucketedHistoryRows(docs, nBuckets)
       .write.partitionBy("id_bucket").mode("overwrite")
       // STATIC overwrite semantics regardless of the session default:
       // under dynamic mode a rewrite with a different nBuckets would

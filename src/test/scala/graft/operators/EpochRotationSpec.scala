@@ -162,6 +162,23 @@ class EpochRotationSpec extends AnyFunSuite {
     }
   }
 
+  test("epochId guard: separators, dot-segments, and hidden-prefix ids " +
+    "are rejected before any filesystem work") {
+    val novel = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val bloom = spark.sparkContext.broadcast(
+      Dedup.digestBloom(novel, expectedItems = 10, fpp = 0.01))
+    for (bad <- Seq("", "..", ".", "a/b", "a\\b", ".hidden", "_rotate")) {
+      val ex = intercept[IllegalArgumentException] {
+        // nonexistent paths: the guard must fire before they matter
+        Dedup.rotateEpochBucketed(novel, "/nonexistent/hist",
+          "/nonexistent/idx", bloom, expectedItems = 10, fpp = 0.01,
+          epochId = bad)
+      }
+      assert(ex.getMessage.contains("path segment"), s"id='$bad'")
+    }
+    bloom.unpersist(blocking = false)
+  }
+
   test("bloomWithNovel rejects a mismatched epoch-0 capacity loudly") {
     val h0 = (0L until 10L).map(i => (i, histText(i))).toDF("doc_id", "text")
     val bloom = Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001)
