@@ -372,6 +372,50 @@ object Similarity {
       .write.partitionBy("centroid_id").mode("append").parquet(path)
   }
 
+  /** Per-centroid storage footprint of a [[writeIvfPartitioned]]
+    * layout, from the layout LISTING alone — no Spark query, no data
+    * read: one `listStatus` per centroid directory, O(centroids)
+    * driver-side work against bounded state (the same budget the
+    * `_centroids` sidecar already spends). This is the centroid-drift
+    * monitor for an [[appendIvfPartitioned]]-grown corpus: appended
+    * epochs land in the partitions their frozen centroids own, so a
+    * drifting distribution shows up directly as partition-bytes skew.
+    * Returns one `(centroid_id, files, bytes)` row per partition.
+    */
+  def ivfPartitionStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Int, Long)] = {
+    val f = graft.operators.Dedup.fsFor(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    f.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+      .map { st =>
+        val parts = f.listStatus(st.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        (st.getPath.getName.stripPrefix("centroid_id="),
+          parts.length, parts.map(_.getLen).sum)
+      }
+      .toIndexedSeq
+      .sortBy(_._1)
+  }
+
+  /** The layout's partition-population skew: max/median partition
+    * bytes over [[ivfPartitionStats]]. ~1 for a balanced layout; the
+    * SCALING.md re-train trigger fires when it degrades (>~4× is a
+    * reasonable default) — rebuild via [[writeIvfPartitioned]] with a
+    * fresh [[kmeansFit]] and resume appending under the new sidecar.
+    */
+  def ivfSkewRatio(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Double = {
+    val bytes = ivfPartitionStats(spark, path).map(_._3).sorted
+    if (bytes.isEmpty) 1.0
+    else {
+      val median = bytes(bytes.size / 2).toDouble
+      if (median == 0.0) 1.0 else bytes.last / median
+    }
+  }
+
   /** ANN top-k over an [[writeIvfPartitioned]] layout: resolve each
     * query's `nprobe` centroid directories (a tiny driver-side list — the
     * price of turning the probe into LITERAL partition predicates), then

@@ -176,6 +176,22 @@ class SimilaritySpec extends AnyFunSuite {
       assert(got == knn(s"$root/rebuilt"), s"nprobe=$np")
       assert(got.exists { case (_, n, _, _) => n >= splitAt }, s"nprobe=$np")
     }
+
+    // the drift monitor reads the layout listing only: one row per
+    // partition dir, byte totals matching the filesystem, and the
+    // append visibly grew its target partitions
+    val stats = Similarity.ivfPartitionStats(spark, s"$root/grown")
+    val dirs = new java.io.File(s"$root/grown").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("centroid_id="))
+    assert(stats.size == dirs.length)
+    val wantBytes = dirs.map { d =>
+      d.getName.stripPrefix("centroid_id=") ->
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    }.toMap
+    assert(stats.map(s => s._1 -> s._3).toMap == wantBytes)
+    assert(stats.map(_._3).sum >
+      Similarity.ivfPartitionStats(spark, s"$root/rebuilt").map(_._3).sum / 2)
+    assert(Similarity.ivfSkewRatio(spark, s"$root/grown") >= 1.0)
   }
 
   test("semanticDupPairs: cluster-scoped subset of all-pairs with exact cosines") {
