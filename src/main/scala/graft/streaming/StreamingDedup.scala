@@ -186,6 +186,16 @@ object StreamingDedup {
     * [[graft.operators.Dedup.rotateEpochBucketed]] (with a stable
     * epochId), THEN [[clearSpool]] — clearing first would lose the
     * epoch if the rotation failed.
+    *
+    * Use a PER-EPOCH spool path (e.g. `.../spool/<epochId>`, the same
+    * id the rotation gets). The rotation ledger makes a SAME-id retry
+    * idempotent, but it cannot protect against leftovers crossing
+    * epochs: if [[clearSpool]] died halfway through a SHARED dir, the
+    * next epoch's rotation — under a fresh id — would re-read the
+    * surviving batch dirs and append last epoch's novels a second
+    * time. With epoch-scoped paths a half-cleared spool is simply
+    * residue that no rotation ever reads again, and [[clearSpool]] can
+    * be re-invoked at leisure.
     */
   def spoolBatch(novel: DataFrame, spoolPath: String, batchId: Long): Unit = {
     val f = Dedup.fsFor(novel.sparkSession, spoolPath)

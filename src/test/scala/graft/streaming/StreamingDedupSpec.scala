@@ -147,8 +147,11 @@ class StreamingDedupSpec extends AnyFunSuite {
       Dedup.digestBloom(history, expectedItems = 1000, fpp = 0.001))
 
     // ---- epoch 1: two fresh docs arrive and survive as novels,
-    // accumulated through the batchId-keyed idempotent spool
-    val spoolPath = s"$root/spool"
+    // accumulated through the batchId-keyed idempotent spool. The
+    // spool path is EPOCH-SCOPED (the documented contract): a
+    // half-cleared shared dir would leak last epoch's novels into the
+    // next rotation under a fresh epochId
+    val spoolPath = s"$root/spool/epoch-1"
     val (idx1, k1, b1) = Dedup.openMinhashIndex(spark, idxPath)
     val stream1 = MemoryStream[(Long, String)]
     val q1 = StreamingDedup.startIncrementalBucketed(
