@@ -130,6 +130,65 @@ class StreamingDedupSpec extends AnyFunSuite {
       .toSeq == Seq(2L, 3L))
   }
 
+  test("restart after a crash mid-rotation: recovery heals the committed " +
+    "stage and the restarted stream dedups against the rotated epoch") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    def text(p: String, i: Long) = (1 to 12).map(j => s"$p${i}w$j").mkString(" ")
+    def nearDup(t: String) = t.split(" ").dropRight(1).mkString(" ") + " tail"
+
+    val history = (0L until 30L).map(i => (i, text("h", i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(history, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(history, idxPath)
+    val bloom0 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(history, expectedItems = 1000, fpp = 0.001))
+
+    // the process dies right after the rotation's commit point: both
+    // layouts' live files still lack epoch 1, only the stage holds it
+    val novels = Seq((1000L, text("e1", 0))).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      Dedup.rotateEpochStaged(novels, histPath, idxPath, bloom0,
+        expectedItems = 1000, fpp = 0.001, textCol = "text",
+        epochId = "e1",
+        failpoint = p => if (p == "committed") throw new RuntimeException("crash"))
+    }
+
+    // the documented restart sequence: recover, rebuild the bloom from
+    // the RECOVERED history, then restart the stream from the paths
+    Dedup.recoverRotations(spark, histPath)
+    assert(Dedup.epochApplied(spark, histPath, "e1"))
+    val recoveredDocs = spark.read.parquet(histPath).select("doc_id", "text")
+    val bloom1 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(recoveredDocs, expectedItems = 1000, fpp = 0.001))
+
+    val flags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val novelIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingDedup.startIncrementalFromPaths(
+      stream.toDF().toDF("doc_id", "text"), bloom1, idxPath, histPath,
+      threshold = 0.8,
+      onBatch = (_, novel, flagged) => synchronized {
+        novelIds ++= novel.select("doc_id").collect().map(_.getLong(0))
+        flags ++= flagged.collect().map(r => (r.getLong(0), r.getLong(1)))
+      },
+      intervalSeconds = 0)
+    stream.addData(
+      (2000L, text("e1", 0)), // exact dup of the crashed epoch's novel
+      (2001L, nearDup(text("e1", 0))), // near-dup of it
+      (2002L, text("f", 1))) // fresh
+    q.processAllAvailable()
+    q.stop()
+
+    // the rebuilt bloom knows the recovered novel; the healed index
+    // flags its near-dup; the fresh doc passes
+    assert(novelIds.sorted == Seq(2001L, 2002L))
+    assert(flags.toSet == Set((2001L, 1000L)))
+    bloom1.unpersist(blocking = false)
+  }
+
   test("multi-epoch ingest: rotation appends novels to the layouts and the " +
     "next epoch's stream dedups against them") {
     import graft.operators.Dedup
