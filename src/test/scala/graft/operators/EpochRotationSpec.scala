@@ -162,6 +162,76 @@ class EpochRotationSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-epoch recovery: a crashed epoch-1 rotation is healed by " +
+    "epoch 2's entry, and both epochs equal the two-epoch rebuild") {
+    val h0 = (0L until 40L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val n1 = (100L until 110L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+    val n2 = (200L until 206L)
+      .map(i => (i, (1 to 12).map(j => s"m${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val union = h0.unionByName(n1).unionByName(n2)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-xepoch").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    val bloom0 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
+
+    // epoch 1 crashes right after its commit point
+    intercept[RuntimeException] {
+      Dedup.rotateEpochStaged(n1, histPath, idxPath, bloom0,
+        expectedItems = 1000, fpp = 0.001, textCol = "text",
+        epochId = "e1",
+        failpoint = p => if (p == "committed") throw new RuntimeException("crash"))
+    }
+    // epoch 2 rotates directly — no explicit recovery call: the
+    // rotation's OWN entry must complete e1's committed stage first.
+    // (In the real lifecycle the caller would rebuild the bloom from
+    // recovered history before e2; merging n1's sketch explicitly here
+    // keeps the bloom equivalent without re-reading the layouts.)
+    val bloom1 = spark.sparkContext.broadcast(
+      Dedup.bloomWithNovel(bloom0.value, n1, expectedItems = 1000, fpp = 0.001))
+    val bloom2 = Dedup.rotateEpochBucketed(n2, histPath, idxPath, bloom1,
+      expectedItems = 1000, fpp = 0.001, epochId = "e2")
+    assert(Dedup.epochApplied(spark, histPath, "e1"))
+    assert(Dedup.epochApplied(spark, histPath, "e2"))
+
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft-xe-full").toString
+    Dedup.writeHistoryBucketed(union, s"$fullRoot/hist", nBuckets = 8)
+    Dedup.writeMinhashIndex(union, s"$fullRoot/idx")
+    assert(spark.read.parquet(histPath).count() ==
+      spark.read.parquet(s"$fullRoot/hist").count())
+    assert(spark.read.parquet(idxPath).count() ==
+      spark.read.parquet(s"$fullRoot/idx").count())
+
+    // probes against near-dups of BOTH epochs' novels resolve through
+    // the healed layouts exactly as through the rebuild
+    val batch = Seq(
+      (1L, nearDup(novelText(104))), // epoch-1 novel
+      (2L, nearDup((1 to 12).map(j => s"m203w$j").mkString(" "))) // epoch-2
+    ).toDF("doc_id", "text")
+    def probe(hp: String, ip: String) = {
+      val (idx, k, bands) = Dedup.openMinhashIndex(spark, ip)
+      val (hist, nb) = Dedup.openHistoryBucketed(spark, hp)
+      Dedup.minhashProbeBucketedOn(batch, idx, hist, nb,
+          threshold = 0.8, k = k, bands = bands)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    }
+    val got = probe(histPath, idxPath)
+    assert(got == probe(s"$fullRoot/hist", s"$fullRoot/idx"))
+    assert(got.map(_._1) == Set((1L, 104L), (2L, 203L)))
+
+    // the bloom advanced through crash + recovery equals the rebuild's
+    val rebuilt = Dedup.digestBloom(union, expectedItems = 1000, fpp = 0.001)
+    def bytes(b: org.apache.spark.util.sketch.BloomFilter) = {
+      val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos); bos.toByteArray
+    }
+    assert(java.util.Arrays.equals(bytes(bloom2.value), bytes(rebuilt)))
+    bloom2.unpersist(blocking = false)
+  }
+
   test("epochId guard: separators, dot-segments, and hidden-prefix ids " +
     "are rejected before any filesystem work") {
     val novel = Seq((1L, "alpha")).toDF("doc_id", "text")
