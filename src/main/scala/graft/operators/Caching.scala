@@ -52,7 +52,16 @@ private[graft] object Caching {
     * run (two JVMs sharing one dir would collide on the counter — the
     * error-mode write makes that loud, not silent), deleted when the
     * job's results have been consumed (same contract as
-    * `components(checkpointDir = ...)`).
+    * `components(checkpointDir = ...)`). NOTHING here reclaims
+    * `mat-<n>` dirs mid-job — unlike the `localCheckpoint` default,
+    * whose blocks the ContextCleaner frees once unreferenced — so a
+    * job that invokes operators repeatedly under one dir grows storage
+    * by one spill per call until the caller deletes the dir. A
+    * long-running loop (e.g. a per-micro-batch probe) should SCOPE
+    * each iteration: `withReliable(s"$dir/batch-$id") { ... consume
+    * the result ... }` then delete the batch subdir — inside
+    * `foreachBatch` the result is fully consumed within the callback,
+    * so the spill is safe to drop at batch end.
     */
   @volatile var reliableDir: Option[String] = None
 

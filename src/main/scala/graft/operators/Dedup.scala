@@ -579,7 +579,11 @@ object Dedup {
       // recoverRotations (contract violation — see the docstring)
       // would have discarded the uncommitted stage; committing an
       // empty stage would ledger the epoch with zero rows appended,
-      // permanently. Fail loudly instead.
+      // permanently. This check only NARROWS the window (the deletion
+      // can still land between it and the manifest rename) — the
+      // guarantee comes from completeRotation, which re-verifies the
+      // manifest at the ledger write and fails loudly instead of
+      // recording an empty epoch.
       require(
         f.exists(new org.apache.hadoop.fs.Path(s"$stageRoot/history")) &&
           f.exists(new org.apache.hadoop.fs.Path(s"$stageRoot/index")),
@@ -697,13 +701,44 @@ object Dedup {
           if (sameFs)
             require(f.rename(nf.getPath, to),
               s"rotate: rename ${nf.getPath} -> $to failed")
-          else
+          else if (!idxFs.exists(to)) {
+            // cross-FS: copy to a dot-hidden temp ON the index fs,
+            // then rename WITHIN it — a crash mid-copy leaves only an
+            // invisible temp, never a truncated parquet file in the
+            // live layout. Replay overwrites a stale temp; a target a
+            // previous attempt already renamed skips straight to the
+            // source cleanup below.
+            val tmp = new org.apache.hadoop.fs.Path(indexPath,
+              s".${nf.getPath.getName}.inflight")
             require(
               org.apache.hadoop.fs.FileUtil.copy(
-                f, nf.getPath, idxFs, to, true, true, f.getConf),
-              s"rotate: copy ${nf.getPath} -> $to failed")
+                f, nf.getPath, idxFs, tmp, false, true, f.getConf),
+              s"rotate: copy ${nf.getPath} -> $tmp failed")
+            require(idxFs.rename(tmp, to),
+              s"rotate: rename $tmp -> $to failed")
+            require(f.delete(nf.getPath, false),
+              s"rotate: cleanup of staged ${nf.getPath} failed")
+          } else
+            require(f.delete(nf.getPath, false),
+              s"rotate: cleanup of staged ${nf.getPath} failed")
         }
     }
+    // commit-point verification: the manifest lives until the stage is
+    // reclaimed below, so its absence here means a concurrent
+    // recoverRotations/rotation deleted the stage mid-completion (the
+    // TOCTOU window the pre-commit check cannot close). Fail loudly —
+    // ledgering now would record the epoch as applied with whatever
+    // subset of rows happened to move, silently and permanently. NOTE:
+    // after this failure the layouts may hold a PARTIAL append with no
+    // stage left to resume from; a same-epochId retry would re-stage
+    // and double-append. Recovery is manual — restore the layouts from
+    // the previous epoch (or diff against the novel batch) before
+    // re-rotating. The single-maintenance-writer contract exists so
+    // this path is never taken.
+    require(f.exists(new org.apache.hadoop.fs.Path(stageRoot, "_MANIFEST")),
+      s"rotate: stage $stageRoot vanished mid-completion — a concurrent " +
+        "recoverRotations/rotation ran against these layouts; rotation " +
+        "requires a single maintenance writer")
     val ledger = new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")
     f.mkdirs(ledger)
     f.create(new org.apache.hadoop.fs.Path(ledger, epochId), true).close()

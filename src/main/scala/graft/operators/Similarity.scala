@@ -409,10 +409,13 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): Double = {
     val bytes = ivfPartitionStats(spark, path).map(_._3).sorted
-    if (bytes.isEmpty) 1.0
+    if (bytes.isEmpty || bytes.last == 0L) 1.0 // no data anywhere: nothing skewed
     else {
       val median = bytes(bytes.size / 2).toDouble
-      if (median == 0.0) 1.0 else bytes.last / median
+      // a zero median with nonzero data is MAXIMAL skew (over half the
+      // partitions empty while hot ones hold the corpus) — it must trip
+      // the re-train trigger, not report as balanced
+      if (median == 0.0) Double.PositiveInfinity else bytes.last / median
     }
   }
 

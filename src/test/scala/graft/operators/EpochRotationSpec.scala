@@ -249,6 +249,105 @@ class EpochRotationSpec extends AnyFunSuite {
     bloom.unpersist(blocking = false)
   }
 
+  test("cross-FS completion: index files land whole via hidden temp + " +
+    "rename, replay after a crash converges, pre-moved files are not " +
+    "duplicated") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.loc2.impl", classOf[Loc2FileSystem].getName)
+    val h0 = (0L until 40L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val n1 = (100L until 110L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+    val union = h0.unionByName(n1)
+    val root = java.nio.file.Files.createTempDirectory("graft-xfs").toString
+    val histPath = s"$root/hist" // default file:///
+    val idxPath = s"loc2:$root/idx" // a DIFFERENT FileSystem URI
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    val bloom0 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
+
+    // crash after the history move, BEFORE any index copy; the retry's
+    // entry recovery finishes the committed rotation through the
+    // cross-FS copy branch
+    intercept[RuntimeException] {
+      Dedup.rotateEpochStaged(n1, histPath, idxPath, bloom0,
+        expectedItems = 1000, fpp = 0.001, textCol = "text",
+        epochId = "e1",
+        failpoint = p =>
+          if (p == "moved-history") throw new RuntimeException("injected"))
+    }
+    // simulate a FURTHER partial attempt: one staged index file already
+    // renamed into the live layout by a crashed completion — the replay
+    // must skip it (no duplicate rows), not re-copy or fail
+    val f = new org.apache.hadoop.fs.Path(histPath).getFileSystem(conf)
+    val idxStage = new org.apache.hadoop.fs.Path(s"$histPath/_rotate/e1/index")
+    val staged = f.listStatus(idxStage)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(staged.nonEmpty)
+    val pre = staged.head.getPath
+    val preTo = new java.io.File(s"$root/idx", pre.getName)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(pre.toUri), preTo.toPath)
+
+    val bloom1 = Dedup.rotateEpochBucketed(n1, histPath, idxPath, bloom0,
+      expectedItems = 1000, fpp = 0.001, epochId = "e1")
+    assert(Dedup.epochApplied(spark, histPath, "e1"))
+
+    // the completed layout matches a full rebuild, probes included
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft-xfs-full").toString
+    Dedup.writeMinhashIndex(union, s"$fullRoot/idx")
+    assert(spark.read.parquet(idxPath).count() ==
+      spark.read.parquet(s"$fullRoot/idx").count())
+    val batch = Seq((3L, nearDup(histText(3))), (4L, nearDup(novelText(108))))
+      .toDF("doc_id", "text")
+    val (idx, k, bands) = Dedup.openMinhashIndex(spark, idxPath)
+    val (hist, nb) = Dedup.openHistoryBucketed(spark, histPath)
+    val got = Dedup.minhashProbeBucketedOn(batch, idx, hist, nb,
+        threshold = 0.8, k = k, bands = bands)
+      .select("batch_id", "hist_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 3L), (4L, 108L)))
+
+    // the live index never keeps an in-flight temp behind
+    assert(!new java.io.File(s"$root/idx").listFiles()
+      .exists(_.getName.endsWith(".inflight")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_rotate/e1")))
+    bloom1.unpersist(blocking = false)
+  }
+
+  test("commit-point guard: a stage deleted mid-completion (concurrent " +
+    "recovery, the TOCTOU window) fails loudly instead of ledgering an " +
+    "empty epoch") {
+    val h0 = (0L until 40L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val n1 = (100L until 110L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-toctou").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    val bloom0 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
+    val f = new org.apache.hadoop.fs.Path(histPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // simulate the single-writer-contract violation: a concurrent
+    // recoverRotations deletes the whole stage just after the history
+    // move — past the pre-commit check AND past the manifest rename
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.rotateEpochStaged(n1, histPath, idxPath, bloom0,
+        expectedItems = 1000, fpp = 0.001, textCol = "text",
+        epochId = "e1",
+        failpoint = p =>
+          if (p == "moved-history")
+            f.delete(new org.apache.hadoop.fs.Path(s"$histPath/_rotate/e1"),
+              true))
+    }
+    assert(ex.getMessage.contains("single maintenance writer"))
+    // the epoch must NOT be recorded as applied — that would be the
+    // silent-empty-epoch outcome the guard exists to prevent
+    assert(!Dedup.epochApplied(spark, histPath, "e1"))
+    bloom0.unpersist(blocking = false)
+  }
+
   test("bloomWithNovel rejects a mismatched epoch-0 capacity loudly") {
     val h0 = (0L until 10L).map(i => (i, histText(i))).toDF("doc_id", "text")
     val bloom = Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001)

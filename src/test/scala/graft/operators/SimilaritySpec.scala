@@ -192,6 +192,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(stats.map(_._3).sum >
       Similarity.ivfPartitionStats(spark, s"$root/rebuilt").map(_._3).sum / 2)
     assert(Similarity.ivfSkewRatio(spark, s"$root/grown") >= 1.0)
+
+    // maximal skew — over half the partitions EMPTY while hot ones
+    // hold data — must trip the >4x re-train trigger, not read as
+    // balanced (a zero median is not "ratio 1"); all-empty layouts
+    // have nothing to skew and stay at 1
+    val skewRoot = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    for (c <- Seq("c0", "c1", "c2", "c3", "c4"))
+      new java.io.File(s"$skewRoot/centroid_id=$c").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$skewRoot/centroid_id=c0/part-0.parquet"),
+      Array.fill[Byte](4096)(1))
+    assert(Similarity.ivfSkewRatio(spark, skewRoot).isPosInfinity)
+    new java.io.File(s"$skewRoot/centroid_id=c0/part-0.parquet").delete()
+    assert(Similarity.ivfSkewRatio(spark, skewRoot) == 1.0)
   }
 
   test("semanticDupPairs: cluster-scoped subset of all-pairs with exact cosines") {
