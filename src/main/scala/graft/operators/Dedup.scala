@@ -473,8 +473,10 @@ object Dedup {
     *      every reader);
     *   2. write a `_MANIFEST` (recording `indexPath`) via write +
     *      rename — the ATOMIC commit point;
-    *   3. move the staged files into the live layouts (part-file names
-    *      embed a job UUID — no collisions);
+    *   3. move the staged files into the live layouts under
+    *      `<epochId>=<staged-name>` names (staged names embed a job
+    *      UUID — no collisions; the prefix makes an unledgered epoch's
+    *      footprint scrubbable on retry);
     *   4. record `epochId` in the `historyPath/_epochs/` ledger, then
     *      delete the staging dir.
     *
@@ -508,8 +510,12 @@ object Dedup {
     * its layouts' rotation (the epoch lifecycle is stop → rotate →
     * restart; `startIncrementalFromPaths` runs recovery at entry). A
     * concurrent recovery could discard a not-yet-committed stage; the
-    * pre-commit existence check turns that contract violation into a
-    * loud failure instead of a silently empty epoch.
+    * pre-commit existence check and the commit-point manifest re-check
+    * turn that contract violation into a loud failure instead of a
+    * silently empty epoch — and because moved files carry the
+    * `<epochId>=` footprint, a same-epochId retry scrubs any partial
+    * append at entry and re-applies cleanly, whatever state the
+    * violation left behind.
     *
     * @param epochId stable identifier for this rotation (e.g. the
     *   epoch's sequence number). Pass the SAME id when retrying after
@@ -551,18 +557,26 @@ object Dedup {
       failpoint: String => Unit): org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter] = {
     // a plain path SEGMENT only: '/' would nest, '.'/'..' would escape
-    // _rotate and stage straight into the live layout, and a leading
-    // '.'/'_' would collide with the hidden-file conventions
+    // _rotate and stage straight into the live layout, a leading
+    // '.'/'_' would collide with the hidden-file conventions, and '='
+    // is the epoch-footprint separator in moved file names (an id
+    // containing it would make one epoch's scrub prefix match another's)
     require(
-      epochId.nonEmpty && !epochId.exists(c => c == '/' || c == '\\') &&
+      epochId.nonEmpty && !epochId.exists(c =>
+        c == '/' || c == '\\' || c == '=') &&
         epochId != "." && epochId != ".." &&
         !epochId.startsWith(".") && !epochId.startsWith("_"),
-      s"epochId must be a plain path segment (no separators, not " +
-        s"'.'/'..', no leading '.'/'_'), got '$epochId'")
+      s"epochId must be a plain path segment (no separators, no '=', " +
+        s"not '.'/'..', no leading '.'/'_'), got '$epochId'")
     val spark = novel.sparkSession
     recoverRotations(spark, historyPath)
     if (!epochApplied(spark, historyPath, epochId)) {
       val f = fsFor(spark, historyPath)
+      // entry scrub: the epoch is not ledgered, so any live-layout file
+      // carrying its `<epochId>=` footprint is a partial append from an
+      // attempt whose stage is gone (the TOCTOU state) — delete it, or
+      // re-staging below would double-append those rows
+      scrubEpoch(f, historyPath, indexPath, epochId)
       val stageRoot = new org.apache.hadoop.fs.Path(
         s"$historyPath/_rotate/$epochId")
       // stage both appends under the layouts' OWN geometry/modulus
@@ -663,6 +677,14 @@ object Dedup {
   /** Finish a COMMITTED rotation: move staged files into the live
     * layouts (idempotent — files a previous attempt moved are simply
     * absent from the stage), record the ledger entry, drop the stage.
+    *
+    * Moved files take an `<epochId>=<staged-name>` name, so an
+    * unledgered epoch's footprint in the live layouts is identifiable:
+    * that is what lets [[rotateEpochStaged]]'s entry scrub make a
+    * same-epochId retry idempotent even when the stage itself is gone
+    * (the concurrent-recovery TOCTOU state the commit-point check
+    * below fails loudly on). '=' inside FILE names is inert to Spark —
+    * partition discovery parses directory names only.
     */
   private def completeRotation(
       f: org.apache.hadoop.fs.FileSystem,
@@ -679,7 +701,8 @@ object Dedup {
           f.mkdirs(dst) // idempotent; the move target must exist
           f.listStatus(pd.getPath)
             .filter(_.getPath.getName.endsWith(".parquet")).foreach { nf =>
-              val to = new org.apache.hadoop.fs.Path(dst, nf.getPath.getName)
+              val to = new org.apache.hadoop.fs.Path(dst,
+                s"$epochId=${nf.getPath.getName}")
               require(f.rename(nf.getPath, to),
                 s"rotate: rename ${nf.getPath} -> $to failed")
             }
@@ -697,7 +720,8 @@ object Dedup {
       val sameFs = idxFs.getUri == f.getUri
       f.listStatus(idxStage)
         .filter(_.getPath.getName.endsWith(".parquet")).foreach { nf =>
-          val to = new org.apache.hadoop.fs.Path(indexPath, nf.getPath.getName)
+          val to = new org.apache.hadoop.fs.Path(indexPath,
+            s"$epochId=${nf.getPath.getName}")
           if (sameFs)
             require(f.rename(nf.getPath, to),
               s"rotate: rename ${nf.getPath} -> $to failed")
@@ -709,7 +733,7 @@ object Dedup {
             // previous attempt already renamed skips straight to the
             // source cleanup below.
             val tmp = new org.apache.hadoop.fs.Path(indexPath,
-              s".${nf.getPath.getName}.inflight")
+              s".$epochId=${nf.getPath.getName}.inflight")
             require(
               org.apache.hadoop.fs.FileUtil.copy(
                 f, nf.getPath, idxFs, tmp, false, true, f.getConf),
@@ -728,13 +752,12 @@ object Dedup {
     // recoverRotations/rotation deleted the stage mid-completion (the
     // TOCTOU window the pre-commit check cannot close). Fail loudly —
     // ledgering now would record the epoch as applied with whatever
-    // subset of rows happened to move, silently and permanently. NOTE:
-    // after this failure the layouts may hold a PARTIAL append with no
-    // stage left to resume from; a same-epochId retry would re-stage
-    // and double-append. Recovery is manual — restore the layouts from
-    // the previous epoch (or diff against the novel batch) before
-    // re-rotating. The single-maintenance-writer contract exists so
-    // this path is never taken.
+    // subset of rows happened to move, silently and permanently. The
+    // layouts may hold a PARTIAL append with no stage left to resume
+    // from, but every moved file carries the `<epochId>=` footprint:
+    // a same-epochId retry scrubs it at entry and re-applies cleanly.
+    // The single-maintenance-writer contract exists so this path is
+    // never taken in the first place.
     require(f.exists(new org.apache.hadoop.fs.Path(stageRoot, "_MANIFEST")),
       s"rotate: stage $stageRoot vanished mid-completion — a concurrent " +
         "recoverRotations/rotation ran against these layouts; rotation " +
@@ -744,6 +767,48 @@ object Dedup {
     f.create(new org.apache.hadoop.fs.Path(ledger, epochId), true).close()
     require(f.delete(stageRoot, true),
       s"rotate: cleanup of $stageRoot failed")
+  }
+
+  /** Delete an UNLEDGERED epoch's footprint from the live layouts:
+    * every `<epochId>=`-prefixed file under the history's bucket dirs
+    * and in the index dir (plus the index's hidden in-flight copy
+    * temps). Called by [[rotateEpochStaged]] before staging a
+    * not-yet-applied epoch, so a retry after ANY partial state — even
+    * one whose stage was lost to a concurrent recovery — starts from a
+    * clean slate instead of double-appending. Never matches epoch-0
+    * layout files or raw `appendHistoryBucketed` appends: Spark part
+    * file names contain no '='.
+    */
+  private def scrubEpoch(
+      f: org.apache.hadoop.fs.FileSystem,
+      historyPath: String,
+      indexPath: String,
+      epochId: String): Unit = {
+    val prefix = s"$epochId="
+    val hp = new org.apache.hadoop.fs.Path(historyPath)
+    if (f.exists(hp))
+      f.listStatus(hp)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("id_bucket=")).foreach { pd =>
+          f.listStatus(pd.getPath)
+            .filter(_.getPath.getName.startsWith(prefix)).foreach { nf =>
+              require(f.delete(nf.getPath, false),
+                s"rotate: scrub of ${nf.getPath} failed")
+            }
+        }
+    val ip = new org.apache.hadoop.fs.Path(indexPath)
+    val idxFs = ip.getFileSystem(f.getConf)
+    if (idxFs.exists(ip))
+      idxFs.listStatus(ip)
+        // the hidden match is ONLY the in-flight copy temps: a broader
+        // `.<prefix>` match would catch checksum-FS `.crc` siblings,
+        // which the visible file's delete already removes
+        .filter(st => st.getPath.getName.startsWith(prefix) ||
+          (st.getPath.getName.startsWith(s".$prefix") &&
+            st.getPath.getName.endsWith(".inflight"))).foreach { nf =>
+          require(idxFs.delete(nf.getPath, false),
+            s"rotate: scrub of ${nf.getPath} failed")
+        }
   }
 
   /** Hadoop FileSystem for `path` under the session's Hadoop conf. */

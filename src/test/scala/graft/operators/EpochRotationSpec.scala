@@ -237,7 +237,8 @@ class EpochRotationSpec extends AnyFunSuite {
     val novel = Seq((1L, "alpha")).toDF("doc_id", "text")
     val bloom = spark.sparkContext.broadcast(
       Dedup.digestBloom(novel, expectedItems = 10, fpp = 0.01))
-    for (bad <- Seq("", "..", ".", "a/b", "a\\b", ".hidden", "_rotate")) {
+    for (bad <- Seq("", "..", ".", "a/b", "a\\b", ".hidden", "_rotate",
+      "a=b")) {
       val ex = intercept[IllegalArgumentException] {
         // nonexistent paths: the guard must fire before they matter
         Dedup.rotateEpochBucketed(novel, "/nonexistent/hist",
@@ -284,7 +285,8 @@ class EpochRotationSpec extends AnyFunSuite {
       .filter(_.getPath.getName.endsWith(".parquet"))
     assert(staged.nonEmpty)
     val pre = staged.head.getPath
-    val preTo = new java.io.File(s"$root/idx", pre.getName)
+    // the live-layout name carries the epoch footprint prefix
+    val preTo = new java.io.File(s"$root/idx", s"e1=${pre.getName}")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(pre.toUri), preTo.toPath)
 
@@ -345,7 +347,28 @@ class EpochRotationSpec extends AnyFunSuite {
     // the epoch must NOT be recorded as applied — that would be the
     // silent-empty-epoch outcome the guard exists to prevent
     assert(!Dedup.epochApplied(spark, histPath, "e1"))
-    bloom0.unpersist(blocking = false)
+
+    // the violation left a PARTIAL append (history moved, stage gone).
+    // A same-epochId retry must scrub that footprint and converge to
+    // the rebuild state — no double-append
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft-toctou-full")
+      .toString
+    val union = h0.unionByName(n1)
+    Dedup.writeHistoryBucketed(union, s"$fullRoot/hist", nBuckets = 8)
+    Dedup.writeMinhashIndex(union, s"$fullRoot/idx")
+    val bloom1 = Dedup.rotateEpochBucketed(n1, histPath, idxPath, bloom0,
+      expectedItems = 1000, fpp = 0.001, epochId = "e1")
+    assert(Dedup.epochApplied(spark, histPath, "e1"))
+    assert(spark.read.parquet(histPath).count() ==
+      spark.read.parquet(s"$fullRoot/hist").count())
+    assert(spark.read.parquet(idxPath).count() ==
+      spark.read.parquet(s"$fullRoot/idx").count())
+    def bytes(b: org.apache.spark.util.sketch.BloomFilter) = {
+      val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos); bos.toByteArray
+    }
+    assert(java.util.Arrays.equals(bytes(bloom1.value),
+      bytes(Dedup.digestBloom(union, 1000, 0.001))))
+    bloom1.unpersist(blocking = false)
   }
 
   test("bloomWithNovel rejects a mismatched epoch-0 capacity loudly") {
