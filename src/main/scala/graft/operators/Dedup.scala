@@ -569,14 +569,12 @@ object Dedup {
       s"epochId must be a plain path segment (no separators, no '=', " +
         s"not '.'/'..', no leading '.'/'_'), got '$epochId'")
     val spark = novel.sparkSession
-    recoverRotations(spark, historyPath)
+    // the two-arg recovery also scrubs unledgered `<id>=` footprints
+    // from the live layouts — without it, re-staging this epoch after
+    // a stage-loss partial move would double-append its rows
+    recoverRotations(spark, historyPath, indexPath)
     if (!epochApplied(spark, historyPath, epochId)) {
       val f = fsFor(spark, historyPath)
-      // entry scrub: the epoch is not ledgered, so any live-layout file
-      // carrying its `<epochId>=` footprint is a partial append from an
-      // attempt whose stage is gone (the TOCTOU state) — delete it, or
-      // re-staging below would double-append those rows
-      scrubEpoch(f, historyPath, indexPath, epochId)
       val stageRoot = new org.apache.hadoop.fs.Path(
         s"$historyPath/_rotate/$epochId")
       // stage both appends under the layouts' OWN geometry/modulus
@@ -674,6 +672,55 @@ object Dedup {
     }
   }
 
+  /** [[recoverRotations]] plus a live-layout footprint scrub: after
+    * committed stages complete (ledgering their epochs), any
+    * `<id>=`-prefixed file whose id is NOT in the ledger is residue of
+    * a rotation that lost its stage after a partial move (the
+    * concurrent-recovery state [[rotateEpochBucketed]]'s commit-point
+    * guard fails loudly on) — history rows with no index entries,
+    * silently invisible to every probe. This form deletes that residue
+    * too, so a pipeline RESTART heals the state even when the operator
+    * never re-rotates the torn epoch (its id is absent from the
+    * ledger, so the documented restart sequence re-rotates it as a
+    * fresh epoch). Prefer this overload wherever the index path is
+    * known; the single-argument form cannot reach index-side residue.
+    */
+  def recoverRotations(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String): Unit = {
+    recoverRotations(spark, historyPath)
+    val f = fsFor(spark, historyPath)
+    // ids with a footprint in either layout; a leading '.' marks the
+    // index's in-flight temps. Deeper-hidden names (checksum '.crc'
+    // siblings) resolve to ids starting with '.' and are rejected —
+    // their visible sibling's delete removes them.
+    def idOf(name: String): Option[String] = {
+      val n = if (name.startsWith(".")) name.drop(1) else name
+      val i = n.indexOf('=')
+      if (i > 0 && !n.startsWith(".") && !n.startsWith("_"))
+        Some(n.substring(0, i))
+      else None
+    }
+    val ids = scala.collection.mutable.Set[String]()
+    val hp = new org.apache.hadoop.fs.Path(historyPath)
+    if (f.exists(hp))
+      f.listStatus(hp)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("id_bucket=")).foreach { pd =>
+          f.listStatus(pd.getPath).foreach(nf =>
+            idOf(nf.getPath.getName).foreach(ids += _))
+        }
+    val ip = new org.apache.hadoop.fs.Path(indexPath)
+    val idxFs = ip.getFileSystem(f.getConf)
+    if (idxFs.exists(ip))
+      idxFs.listStatus(ip).filter(_.isFile).foreach(nf =>
+        idOf(nf.getPath.getName).foreach(ids += _))
+    ids.filterNot(id => f.exists(
+        new org.apache.hadoop.fs.Path(s"$historyPath/_epochs/$id")))
+      .foreach(id => scrubEpoch(f, historyPath, indexPath, id))
+  }
+
   /** Finish a COMMITTED rotation: move staged files into the live
     * layouts (idempotent — files a previous attempt moved are simply
     * absent from the stage), record the ledger entry, drop the stage.
@@ -725,26 +772,26 @@ object Dedup {
           if (sameFs)
             require(f.rename(nf.getPath, to),
               s"rotate: rename ${nf.getPath} -> $to failed")
-          else if (!idxFs.exists(to)) {
+          else {
             // cross-FS: copy to a dot-hidden temp ON the index fs,
             // then rename WITHIN it — a crash mid-copy leaves only an
             // invisible temp, never a truncated parquet file in the
             // live layout. Replay overwrites a stale temp; a target a
             // previous attempt already renamed skips straight to the
-            // source cleanup below.
-            val tmp = new org.apache.hadoop.fs.Path(indexPath,
-              s".$epochId=${nf.getPath.getName}.inflight")
-            require(
-              org.apache.hadoop.fs.FileUtil.copy(
-                f, nf.getPath, idxFs, tmp, false, true, f.getConf),
-              s"rotate: copy ${nf.getPath} -> $tmp failed")
-            require(idxFs.rename(tmp, to),
-              s"rotate: rename $tmp -> $to failed")
+            // source cleanup.
+            if (!idxFs.exists(to)) {
+              val tmp = new org.apache.hadoop.fs.Path(indexPath,
+                s".$epochId=${nf.getPath.getName}.inflight")
+              require(
+                org.apache.hadoop.fs.FileUtil.copy(
+                  f, nf.getPath, idxFs, tmp, false, true, f.getConf),
+                s"rotate: copy ${nf.getPath} -> $tmp failed")
+              require(idxFs.rename(tmp, to),
+                s"rotate: rename $tmp -> $to failed")
+            }
             require(f.delete(nf.getPath, false),
               s"rotate: cleanup of staged ${nf.getPath} failed")
-          } else
-            require(f.delete(nf.getPath, false),
-              s"rotate: cleanup of staged ${nf.getPath} failed")
+          }
         }
     }
     // commit-point verification: the manifest lives until the stage is

@@ -140,8 +140,10 @@ object StreamingDedup {
       textCol: String = "text"): StreamingQuery = {
     // restart entry point: a crash mid-rotation must be resolved BEFORE
     // either layout's file listing is taken, or the probe would see a
-    // half-applied epoch (history rows with no index entries)
-    Dedup.recoverRotations(docs.sparkSession, historyPath)
+    // half-applied epoch (history rows with no index entries). The
+    // two-arg form also scrubs unledgered `<id>=` footprints, so even
+    // the stage-loss partial state heals on restart
+    Dedup.recoverRotations(docs.sparkSession, historyPath, indexPath)
     val (index, k, bands) =
       Dedup.openMinhashIndex(docs.sparkSession, indexPath)
     startIncrementalBucketed(docs, bloom, index, historyPath, threshold,

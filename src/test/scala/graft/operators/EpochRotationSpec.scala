@@ -371,6 +371,59 @@ class EpochRotationSpec extends AnyFunSuite {
     bloom1.unpersist(blocking = false)
   }
 
+  test("restart-path healing: two-arg recoverRotations scrubs a " +
+    "stage-loss partial append, so a restarted pipeline never sees " +
+    "history rows without index entries") {
+    val h0 = (0L until 40L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val n1 = (100L until 110L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    val h0HistRows = spark.read.parquet(histPath).count()
+    val h0IdxRows = spark.read.parquet(idxPath).count()
+    val bloom0 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
+    val f = new org.apache.hadoop.fs.Path(histPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // tear the epoch: stage deleted after the history move (concurrent
+    // recovery), loud commit-point failure, partial append left behind
+    intercept[IllegalArgumentException] {
+      Dedup.rotateEpochStaged(n1, histPath, idxPath, bloom0,
+        expectedItems = 1000, fpp = 0.001, textCol = "text",
+        epochId = "e1",
+        failpoint = p =>
+          if (p == "moved-history")
+            f.delete(new org.apache.hadoop.fs.Path(s"$histPath/_rotate/e1"),
+              true))
+    }
+    assert(spark.read.parquet(histPath).count() > h0HistRows)
+
+    // the RESTART path (not a re-rotation) must heal it: both layouts
+    // back to the epoch-0 state, the torn epoch unledgered
+    Dedup.recoverRotations(spark, histPath, idxPath)
+    assert(spark.read.parquet(histPath).count() == h0HistRows)
+    assert(spark.read.parquet(idxPath).count() == h0IdxRows)
+    assert(!Dedup.epochApplied(spark, histPath, "e1"))
+
+    // and the epoch re-applies cleanly afterward
+    val bloom1 = Dedup.rotateEpochBucketed(n1, histPath, idxPath, bloom0,
+      expectedItems = 1000, fpp = 0.001, epochId = "e1")
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft-restart-f")
+      .toString
+    val union = h0.unionByName(n1)
+    Dedup.writeHistoryBucketed(union, s"$fullRoot/hist", nBuckets = 8)
+    Dedup.writeMinhashIndex(union, s"$fullRoot/idx")
+    assert(spark.read.parquet(histPath).count() ==
+      spark.read.parquet(s"$fullRoot/hist").count())
+    assert(spark.read.parquet(idxPath).count() ==
+      spark.read.parquet(s"$fullRoot/idx").count())
+    assert(Dedup.epochApplied(spark, histPath, "e1"))
+    bloom1.unpersist(blocking = false)
+  }
+
   test("bloomWithNovel rejects a mismatched epoch-0 capacity loudly") {
     val h0 = (0L until 10L).map(i => (i, histText(i))).toDF("doc_id", "text")
     val bloom = Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001)
