@@ -189,6 +189,74 @@ class StreamingDedupSpec extends AnyFunSuite {
     bloom1.unpersist(blocking = false)
   }
 
+  test("restart after a TORN rotation (stage lost mid-move): the restart " +
+    "sequence rolls the partial epoch back and the stream sees a " +
+    "consistent corpus — the torn doc re-ingests as novel") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    def text(p: String, i: Long) = (1 to 12).map(j => s"$p${i}w$j").mkString(" ")
+    def nearDup(t: String) = t.split(" ").dropRight(1).mkString(" ") + " tail"
+
+    val history = (0L until 30L).map(i => (i, text("h", i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-torn").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(history, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(history, idxPath)
+    val h0Rows = spark.read.parquet(histPath).count()
+    val bloom0 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(history, expectedItems = 1000, fpp = 0.001))
+    val f = new org.apache.hadoop.fs.Path(histPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // the worst partial state: history moved, then the stage vanishes
+    // (concurrent-recovery contract violation) — loud failure, e1's doc
+    // is in history with no index entries
+    val novels = Seq((1000L, text("e1", 0))).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.rotateEpochStaged(novels, histPath, idxPath, bloom0,
+        expectedItems = 1000, fpp = 0.001, textCol = "text",
+        epochId = "e1",
+        failpoint = p =>
+          if (p == "moved-history")
+            f.delete(new org.apache.hadoop.fs.Path(s"$histPath/_rotate/e1"),
+              true))
+    }
+    assert(spark.read.parquet(histPath).count() > h0Rows)
+
+    // documented restart sequence: recover (scrubs the torn footprint),
+    // rebuild the bloom from the RECOVERED history, restart the stream
+    Dedup.recoverRotations(spark, histPath, idxPath)
+    assert(!Dedup.epochApplied(spark, histPath, "e1"))
+    assert(spark.read.parquet(histPath).count() == h0Rows)
+    val recoveredDocs = spark.read.parquet(histPath).select("doc_id", "text")
+    val bloom1 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(recoveredDocs, expectedItems = 1000, fpp = 0.001))
+
+    val flags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val novelIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingDedup.startIncrementalFromPaths(
+      stream.toDF().toDF("doc_id", "text"), bloom1, idxPath, histPath,
+      threshold = 0.8,
+      onBatch = (_, novel, flagged) => synchronized {
+        novelIds ++= novel.select("doc_id").collect().map(_.getLong(0))
+        flags ++= flagged.collect().map(r => (r.getLong(0), r.getLong(1)))
+      },
+      intervalSeconds = 0)
+    stream.addData(
+      (2000L, text("e1", 0)), // the torn epoch's doc: novel again
+      (2001L, nearDup(text("h", 3)))) // near-dup of surviving epoch 0
+    q.processAllAvailable()
+    q.stop()
+
+    // rollback is COMPLETE: the torn doc is novel (not a phantom dup),
+    // and the surviving corpus still flags its near-dups
+    assert(novelIds.sorted == Seq(2000L, 2001L))
+    assert(flags.toSet == Set((2001L, 3L)))
+    bloom1.unpersist(blocking = false)
+  }
+
   test("multi-epoch ingest: rotation appends novels to the layouts and the " +
     "next epoch's stream dedups against them") {
     import graft.operators.Dedup
