@@ -476,7 +476,7 @@ object Dedup {
     *   3. move the staged files into the live layouts under
     *      `<epochId>=<staged-name>` names (staged names embed a job
     *      UUID — no collisions; the prefix makes an unledgered epoch's
-    *      footprint scrubbable on retry);
+    *      footprint quarantinable on retry);
     *   4. record `epochId` in the `historyPath/_epochs/` ledger, then
     *      delete the staging dir.
     *
@@ -513,9 +513,9 @@ object Dedup {
     * pre-commit existence check and the commit-point manifest re-check
     * turn that contract violation into a loud failure instead of a
     * silently empty epoch — and because moved files carry the
-    * `<epochId>=` footprint, a same-epochId retry scrubs any partial
-    * append at entry and re-applies cleanly, whatever state the
-    * violation left behind.
+    * `<epochId>=` footprint, a same-epochId retry quarantines any
+    * partial append at entry and re-applies cleanly, whatever state
+    * the violation left behind.
     *
     * @param epochId stable identifier for this rotation (e.g. the
     *   epoch's sequence number). Pass the SAME id when retrying after
@@ -560,7 +560,8 @@ object Dedup {
     // _rotate and stage straight into the live layout, a leading
     // '.'/'_' would collide with the hidden-file conventions, and '='
     // is the epoch-footprint separator in moved file names (an id
-    // containing it would make one epoch's scrub prefix match another's)
+    // containing it would make one epoch's footprint prefix match
+    // another's)
     require(
       epochId.nonEmpty && !epochId.exists(c =>
         c == '/' || c == '\\' || c == '=') &&
@@ -569,12 +570,18 @@ object Dedup {
       s"epochId must be a plain path segment (no separators, no '=', " +
         s"not '.'/'..', no leading '.'/'_'), got '$epochId'")
     val spark = novel.sparkSession
-    // the two-arg recovery also scrubs unledgered `<id>=` footprints
-    // from the live layouts — without it, re-staging this epoch after
-    // a stage-loss partial move would double-append its rows
+    // the two-arg recovery also quarantines unledgered `<id>=`
+    // footprints from the live layouts — without it, re-staging this
+    // epoch after a stage-loss partial move would double-append its
+    // rows
     recoverRotations(spark, historyPath, indexPath)
     if (!epochApplied(spark, historyPath, epochId)) {
       val f = fsFor(spark, historyPath)
+      // the ledger DIR is created before any data can move, so every
+      // layout that ever started a rotation has it — recovery treats
+      // "footprints but no ledger dir" as ledger loss and refuses to
+      // quarantine the corpus
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$historyPath/_epochs"))
       val stageRoot = new org.apache.hadoop.fs.Path(
         s"$historyPath/_rotate/$epochId")
       // stage both appends under the layouts' OWN geometry/modulus
@@ -636,12 +643,15 @@ object Dedup {
 
   /** Resolve any crashed [[rotateEpochBucketed]] on the layouts rooted
     * at `historyPath` (the index path comes from each staging dir's
-    * manifest). Runs at rotation entry and at
-    * `StreamingDedup.startIncrementalFromPaths`; call it explicitly
-    * when restarting a pipeline that opens the layouts by other means.
-    * Uncommitted staging (no `_MANIFEST`) is discarded — the layouts
-    * were never touched; committed staging is completed — the moves
-    * skip files a previous attempt already moved.
+    * manifest). Uncommitted staging (no `_MANIFEST`) is discarded —
+    * the layouts were never touched; committed staging is completed —
+    * the moves skip files a previous attempt already moved.
+    *
+    * When restarting a pipeline that opens the layouts by other means,
+    * call the TWO-argument overload instead: this form resolves
+    * staging dirs but cannot reach unledgered `<id>=` footprints in
+    * the live layouts (the stage-loss partial state) — only the
+    * overload that knows the index path can quarantine those.
     *
     * Part of the layouts' single-maintenance-writer surface (see
     * [[rotateEpochBucketed]]): never run it while a rotation on the
@@ -672,18 +682,31 @@ object Dedup {
     }
   }
 
-  /** [[recoverRotations]] plus a live-layout footprint scrub: after
+  /** [[recoverRotations]] plus a live-layout footprint sweep: after
     * committed stages complete (ledgering their epochs), any
     * `<id>=`-prefixed file whose id is NOT in the ledger is residue of
     * a rotation that lost its stage after a partial move (the
     * concurrent-recovery state [[rotateEpochBucketed]]'s commit-point
     * guard fails loudly on) — history rows with no index entries,
-    * silently invisible to every probe. This form deletes that residue
-    * too, so a pipeline RESTART heals the state even when the operator
-    * never re-rotates the torn epoch (its id is absent from the
-    * ledger, so the documented restart sequence re-rotates it as a
-    * fresh epoch). Prefer this overload wherever the index path is
-    * known; the single-argument form cannot reach index-side residue.
+    * silently invisible to every probe. This form QUARANTINES that
+    * residue (moves it under each layout's hidden `_quarantine/<id>/`,
+    * never deletes data), so a pipeline RESTART heals the state even
+    * when the operator never re-rotates the torn epoch (its id is
+    * absent from the ledger, so the documented restart sequence
+    * re-rotates it as a fresh epoch — and a completed re-rotation
+    * drops its own quarantine). Prefer this overload wherever the
+    * index path is known; the single-argument form cannot reach
+    * index-side residue.
+    *
+    * Safety valve: if footprints exist but the `_epochs` ledger dir
+    * itself is MISSING, this refuses to touch anything — every layout
+    * that ever started a rotation has the dir (created at stage time),
+    * so its absence means the ledger was lost (an underscore-blind
+    * copy/restore is the usual cause) and "everything is unledgered"
+    * would quarantine the whole corpus. Restore `_epochs` (it travels
+    * WITH the layouts) and re-run. Names containing '=' at the layout
+    * roots are RESERVED for the rotation protocol — don't park foreign
+    * files there.
     */
   def recoverRotations(
       spark: org.apache.spark.sql.SparkSession,
@@ -691,10 +714,10 @@ object Dedup {
       indexPath: String): Unit = {
     recoverRotations(spark, historyPath)
     val f = fsFor(spark, historyPath)
-    // ids with a footprint in either layout; a leading '.' marks the
-    // index's in-flight temps. Deeper-hidden names (checksum '.crc'
-    // siblings) resolve to ids starting with '.' and are rejected —
-    // their visible sibling's delete removes them.
+    // footprint files by id, with where each should quarantine to; a
+    // leading '.' marks the index's in-flight copy temps. Deeper-hidden
+    // names (checksum '.crc' siblings) resolve to ids starting with
+    // '.' and are rejected — they follow their visible sibling's move.
     def idOf(name: String): Option[String] = {
       val n = if (name.startsWith(".")) name.drop(1) else name
       val i = n.indexOf('=')
@@ -702,23 +725,52 @@ object Dedup {
         Some(n.substring(0, i))
       else None
     }
-    val ids = scala.collection.mutable.Set[String]()
+    val residue = scala.collection.mutable.ArrayBuffer
+      .empty[(String, org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path, String)]
     val hp = new org.apache.hadoop.fs.Path(historyPath)
     if (f.exists(hp))
       f.listStatus(hp)
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith("id_bucket=")).foreach { pd =>
-          f.listStatus(pd.getPath).foreach(nf =>
-            idOf(nf.getPath.getName).foreach(ids += _))
+          f.listStatus(pd.getPath).foreach { nf =>
+            idOf(nf.getPath.getName).foreach(id => residue +=
+              ((id, f, nf.getPath,
+                s"$historyPath/_quarantine/$id/${pd.getPath.getName}")))
+          }
         }
     val ip = new org.apache.hadoop.fs.Path(indexPath)
     val idxFs = ip.getFileSystem(f.getConf)
     if (idxFs.exists(ip))
-      idxFs.listStatus(ip).filter(_.isFile).foreach(nf =>
-        idOf(nf.getPath.getName).foreach(ids += _))
-    ids.filterNot(id => f.exists(
-        new org.apache.hadoop.fs.Path(s"$historyPath/_epochs/$id")))
-      .foreach(id => scrubEpoch(f, historyPath, indexPath, id))
+      idxFs.listStatus(ip).filter(_.isFile).foreach { nf =>
+        idOf(nf.getPath.getName).foreach(id => residue +=
+          ((id, idxFs, nf.getPath, s"$indexPath/_quarantine/$id")))
+      }
+    val torn = residue.filterNot { case (id, _, _, _) =>
+      f.exists(new org.apache.hadoop.fs.Path(s"$historyPath/_epochs/$id"))
+    }
+    if (torn.nonEmpty) {
+      require(f.exists(new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")),
+        s"recover: '<id>=' footprint files exist under $historyPath/" +
+          s"$indexPath but the _epochs ledger dir is missing — either " +
+          "the ledger was lost in a copy/restore (restore it; it " +
+          "travels WITH the layouts) or foreign '='-named files were " +
+          "placed in the layouts (that namespace is reserved). " +
+          "Refusing to quarantine the corpus.")
+      torn.foreach { case (_, fs, file, qDir) =>
+        if (file.getName.endsWith(".inflight"))
+          // an in-flight temp is a partial COPY by construction (its
+          // rename never happened) — never valid data, just drop it
+          require(fs.delete(file, false),
+            s"recover: cleanup of $file failed")
+        else {
+          val d = new org.apache.hadoop.fs.Path(qDir)
+          fs.mkdirs(d)
+          require(fs.rename(file, new org.apache.hadoop.fs.Path(d, file.getName)),
+            s"recover: quarantine of $file -> $d failed")
+        }
+      }
+    }
   }
 
   /** Finish a COMMITTED rotation: move staged files into the live
@@ -727,8 +779,8 @@ object Dedup {
     *
     * Moved files take an `<epochId>=<staged-name>` name, so an
     * unledgered epoch's footprint in the live layouts is identifiable:
-    * that is what lets [[rotateEpochStaged]]'s entry scrub make a
-    * same-epochId retry idempotent even when the stage itself is gone
+    * that is what lets [[rotateEpochStaged]]'s entry quarantine make
+    * a same-epochId retry idempotent even when the stage itself is gone
     * (the concurrent-recovery TOCTOU state the commit-point check
     * below fails loudly on). '=' inside FILE names is inert to Spark —
     * partition discovery parses directory names only.
@@ -802,7 +854,8 @@ object Dedup {
     // subset of rows happened to move, silently and permanently. The
     // layouts may hold a PARTIAL append with no stage left to resume
     // from, but every moved file carries the `<epochId>=` footprint:
-    // a same-epochId retry scrubs it at entry and re-applies cleanly.
+    // a same-epochId retry quarantines it at entry and re-applies
+    // cleanly.
     // The single-maintenance-writer contract exists so this path is
     // never taken in the first place.
     require(f.exists(new org.apache.hadoop.fs.Path(stageRoot, "_MANIFEST")),
@@ -812,50 +865,16 @@ object Dedup {
     val ledger = new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")
     f.mkdirs(ledger)
     f.create(new org.apache.hadoop.fs.Path(ledger, epochId), true).close()
+    // the epoch is ledgered: any quarantine from an earlier torn
+    // attempt of the SAME epoch is redundant now (the re-rotation just
+    // re-applied the full epoch) — drop it. Absent dirs are a no-op.
+    f.delete(new org.apache.hadoop.fs.Path(
+      s"$historyPath/_quarantine/$epochId"), true)
+    new org.apache.hadoop.fs.Path(indexPath).getFileSystem(f.getConf)
+      .delete(new org.apache.hadoop.fs.Path(
+        s"$indexPath/_quarantine/$epochId"), true)
     require(f.delete(stageRoot, true),
       s"rotate: cleanup of $stageRoot failed")
-  }
-
-  /** Delete an UNLEDGERED epoch's footprint from the live layouts:
-    * every `<epochId>=`-prefixed file under the history's bucket dirs
-    * and in the index dir (plus the index's hidden in-flight copy
-    * temps). Called by [[rotateEpochStaged]] before staging a
-    * not-yet-applied epoch, so a retry after ANY partial state — even
-    * one whose stage was lost to a concurrent recovery — starts from a
-    * clean slate instead of double-appending. Never matches epoch-0
-    * layout files or raw `appendHistoryBucketed` appends: Spark part
-    * file names contain no '='.
-    */
-  private def scrubEpoch(
-      f: org.apache.hadoop.fs.FileSystem,
-      historyPath: String,
-      indexPath: String,
-      epochId: String): Unit = {
-    val prefix = s"$epochId="
-    val hp = new org.apache.hadoop.fs.Path(historyPath)
-    if (f.exists(hp))
-      f.listStatus(hp)
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("id_bucket=")).foreach { pd =>
-          f.listStatus(pd.getPath)
-            .filter(_.getPath.getName.startsWith(prefix)).foreach { nf =>
-              require(f.delete(nf.getPath, false),
-                s"rotate: scrub of ${nf.getPath} failed")
-            }
-        }
-    val ip = new org.apache.hadoop.fs.Path(indexPath)
-    val idxFs = ip.getFileSystem(f.getConf)
-    if (idxFs.exists(ip))
-      idxFs.listStatus(ip)
-        // the hidden match is ONLY the in-flight copy temps: a broader
-        // `.<prefix>` match would catch checksum-FS `.crc` siblings,
-        // which the visible file's delete already removes
-        .filter(st => st.getPath.getName.startsWith(prefix) ||
-          (st.getPath.getName.startsWith(s".$prefix") &&
-            st.getPath.getName.endsWith(".inflight"))).foreach { nf =>
-          require(idxFs.delete(nf.getPath, false),
-            s"rotate: scrub of ${nf.getPath} failed")
-        }
   }
 
   /** Hadoop FileSystem for `path` under the session's Hadoop conf. */

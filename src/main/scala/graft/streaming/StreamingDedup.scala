@@ -141,8 +141,8 @@ object StreamingDedup {
     // restart entry point: a crash mid-rotation must be resolved BEFORE
     // either layout's file listing is taken, or the probe would see a
     // half-applied epoch (history rows with no index entries). The
-    // two-arg form also scrubs unledgered `<id>=` footprints, so even
-    // the stage-loss partial state heals on restart
+    // two-arg form also quarantines unledgered `<id>=` footprints, so
+    // even the stage-loss partial state heals on restart
     Dedup.recoverRotations(docs.sparkSession, historyPath, indexPath)
     val (index, k, bands) =
       Dedup.openMinhashIndex(docs.sparkSession, indexPath)

@@ -371,7 +371,7 @@ class EpochRotationSpec extends AnyFunSuite {
     bloom1.unpersist(blocking = false)
   }
 
-  test("restart-path healing: two-arg recoverRotations scrubs a " +
+  test("restart-path healing: two-arg recoverRotations quarantines a " +
     "stage-loss partial append, so a restarted pipeline never sees " +
     "history rows without index entries") {
     val h0 = (0L until 40L).map(i => (i, histText(i))).toDF("doc_id", "text")
@@ -407,6 +407,12 @@ class EpochRotationSpec extends AnyFunSuite {
     assert(spark.read.parquet(histPath).count() == h0HistRows)
     assert(spark.read.parquet(idxPath).count() == h0IdxRows)
     assert(!Dedup.epochApplied(spark, histPath, "e1"))
+    // healing QUARANTINES, never deletes: the torn files moved under
+    // the hidden _quarantine/<id>/ dir, recoverable by an operator
+    val qDir = new java.io.File(s"$histPath/_quarantine/e1")
+    assert(qDir.isDirectory)
+    assert(qDir.listFiles().exists(d => d.isDirectory &&
+      d.listFiles().exists(_.getName.endsWith(".parquet"))))
 
     // and the epoch re-applies cleanly afterward
     val bloom1 = Dedup.rotateEpochBucketed(n1, histPath, idxPath, bloom0,
@@ -421,6 +427,49 @@ class EpochRotationSpec extends AnyFunSuite {
     assert(spark.read.parquet(idxPath).count() ==
       spark.read.parquet(s"$fullRoot/idx").count())
     assert(Dedup.epochApplied(spark, histPath, "e1"))
+    // the completed re-rotation drops its now-redundant quarantine
+    assert(!new java.io.File(s"$histPath/_quarantine/e1").exists())
+    bloom1.unpersist(blocking = false)
+  }
+
+  test("ledger-loss safety valve: footprints with NO _epochs dir refuse " +
+    "recovery instead of quarantining the whole corpus") {
+    val h0 = (0L until 40L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val n1 = (100L until 110L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-ledgerloss").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    val bloom0 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
+    val bloom1 = Dedup.rotateEpochBucketed(n1, histPath, idxPath, bloom0,
+      expectedItems = 1000, fpp = 0.001, epochId = "e1")
+    val unionHistRows = spark.read.parquet(histPath).count()
+    val unionIdxRows = spark.read.parquet(idxPath).count()
+
+    // an underscore-blind copy/restore loses the hidden ledger: every
+    // '<id>=' file now LOOKS unledgered. Recovery must refuse loudly —
+    // quarantining here would silently truncate the corpus to epoch 0
+    val f = new org.apache.hadoop.fs.Path(histPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(f.delete(new org.apache.hadoop.fs.Path(s"$histPath/_epochs"), true))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.recoverRotations(spark, histPath, idxPath)
+    }
+    assert(ex.getMessage.contains("ledger"))
+    // nothing was touched
+    assert(spark.read.parquet(histPath).count() == unionHistRows)
+    assert(spark.read.parquet(idxPath).count() == unionIdxRows)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_quarantine")))
+
+    // restoring the ledger (the documented fix) makes recovery a no-op
+    // again and the layouts keep both epochs
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$histPath/_epochs"))
+    f.create(new org.apache.hadoop.fs.Path(s"$histPath/_epochs/e1"), true).close()
+    Dedup.recoverRotations(spark, histPath, idxPath)
+    assert(spark.read.parquet(histPath).count() == unionHistRows)
+    assert(spark.read.parquet(idxPath).count() == unionIdxRows)
     bloom1.unpersist(blocking = false)
   }
 
