@@ -694,9 +694,10 @@ object Dedup {
     * when the operator never re-rotates the torn epoch (its id is
     * absent from the ledger, so the documented restart sequence
     * re-rotates it as a fresh epoch — and a completed re-rotation
-    * drops its own quarantine). Prefer this overload wherever the
-    * index path is known; the single-argument form cannot reach
-    * index-side residue.
+    * drops its own quarantine; fresh-id re-ingestion leaves the old
+    * id's behind, see [[listQuarantined]]). Prefer this overload
+    * wherever the index path is known; the single-argument form
+    * cannot reach index-side residue.
     *
     * Safety valve: if footprints exist but the `_epochs` ledger dir
     * itself is MISSING, this refuses to touch anything — every layout
@@ -712,8 +713,13 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       historyPath: String,
       indexPath: String): Unit = {
-    recoverRotations(spark, historyPath)
     val f = fsFor(spark, historyPath)
+    // ledger presence is judged AT ENTRY: completing a committed stage
+    // below (re)creates the dir for its own entry, which must not
+    // defeat the ledger-loss valve for every OTHER epoch's footprints
+    val ledgerDirAtEntry = f.exists(
+      new org.apache.hadoop.fs.Path(s"$historyPath/_epochs"))
+    recoverRotations(spark, historyPath)
     // footprint files by id, with where each should quarantine to; a
     // leading '.' marks the index's in-flight copy temps. Deeper-hidden
     // names (checksum '.crc' siblings) resolve to ids starting with
@@ -746,17 +752,27 @@ object Dedup {
         idOf(nf.getPath.getName).foreach(id => residue +=
           ((id, idxFs, nf.getPath, s"$indexPath/_quarantine/$id")))
       }
-    val torn = residue.filterNot { case (id, _, _, _) =>
-      f.exists(new org.apache.hadoop.fs.Path(s"$historyPath/_epochs/$id"))
-    }
+    // ledger membership from ONE listing of _epochs — in a mature
+    // layout every post-epoch-0 file carries a footprint, so a
+    // per-file exists() would be O(corpus files) round-trips
+    val ledgerP = new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")
+    val ledgered: Set[String] =
+      if (f.exists(ledgerP))
+        f.listStatus(ledgerP).map(_.getPath.getName).toSet
+      else Set.empty
+    val torn = residue.filterNot { case (id, _, _, _) => ledgered(id) }
     if (torn.nonEmpty) {
-      require(f.exists(new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")),
-        s"recover: '<id>=' footprint files exist under $historyPath/" +
-          s"$indexPath but the _epochs ledger dir is missing — either " +
-          "the ledger was lost in a copy/restore (restore it; it " +
-          "travels WITH the layouts) or foreign '='-named files were " +
-          "placed in the layouts (that namespace is reserved). " +
-          "Refusing to quarantine the corpus.")
+      require(ledgerDirAtEntry,
+        s"recover: '<id>=' footprint files exist under $historyPath " +
+          s"and/or $indexPath but the _epochs ledger dir is missing. " +
+          "Either the ledger was lost in a copy/restore (restore it; " +
+          "it travels WITH the layouts), or no rotation on this layout " +
+          "ever completed (a first rotation torn by a concurrent " +
+          "recovery): in that case create an empty _epochs dir under " +
+          "the history path to let recovery quarantine the partial " +
+          "epoch. Foreign '='-named files are also possible — that " +
+          "namespace is reserved for the rotation protocol. Refusing " +
+          "to quarantine the corpus.")
       torn.foreach { case (_, fs, file, qDir) =>
         if (file.getName.endsWith(".inflight"))
           // an in-flight temp is a partial COPY by construction (its
@@ -771,6 +787,43 @@ object Dedup {
         }
       }
     }
+  }
+
+  /** The quarantine's operator surface: one `(epochId, files, bytes)`
+    * row per quarantined torn epoch, aggregated across both layouts'
+    * hidden `_quarantine/<id>/` dirs. A quarantine is dropped
+    * automatically only when the SAME epochId later completes a
+    * rotation; torn novel data re-ingested under a FRESH id (e.g. the
+    * default random UUID) leaves the old id's quarantine behind —
+    * monitor with this listing and purge ids that were re-ingested or
+    * deliberately abandoned. Listing-only: never reads data files.
+    */
+  def listQuarantined(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String): Seq[(String, Long, Long)] = {
+    def scan(fs: org.apache.hadoop.fs.FileSystem, root: String) = {
+      val q = new org.apache.hadoop.fs.Path(s"$root/_quarantine")
+      if (!fs.exists(q)) Seq.empty
+      else fs.listStatus(q).filter(_.isDirectory).toSeq.map { d =>
+        val it = fs.listFiles(d.getPath, true)
+        var files = 0L
+        var bytes = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          files += 1; bytes += st.getLen
+        }
+        (d.getPath.getName, files, bytes)
+      }
+    }
+    val f = fsFor(spark, historyPath)
+    val idxFs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(f.getConf)
+    (scan(f, historyPath) ++ scan(idxFs, indexPath))
+      .groupBy(_._1).toSeq
+      .map { case (id, rows) =>
+        (id, rows.map(_._2).sum, rows.map(_._3).sum) }
+      .sortBy(_._1)
   }
 
   /** Finish a COMMITTED rotation: move staged files into the live

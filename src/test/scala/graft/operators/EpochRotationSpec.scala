@@ -413,6 +413,10 @@ class EpochRotationSpec extends AnyFunSuite {
     assert(qDir.isDirectory)
     assert(qDir.listFiles().exists(d => d.isDirectory &&
       d.listFiles().exists(_.getName.endsWith(".parquet"))))
+    // and the operator surface reports it, listing-only
+    val q = Dedup.listQuarantined(spark, histPath, idxPath)
+    assert(q.map(_._1) == Seq("e1"))
+    assert(q.head._2 > 0 && q.head._3 > 0)
 
     // and the epoch re-applies cleanly afterward
     val bloom1 = Dedup.rotateEpochBucketed(n1, histPath, idxPath, bloom0,
@@ -429,6 +433,7 @@ class EpochRotationSpec extends AnyFunSuite {
     assert(Dedup.epochApplied(spark, histPath, "e1"))
     // the completed re-rotation drops its now-redundant quarantine
     assert(!new java.io.File(s"$histPath/_quarantine/e1").exists())
+    assert(Dedup.listQuarantined(spark, histPath, idxPath).isEmpty)
     bloom1.unpersist(blocking = false)
   }
 
@@ -470,6 +475,52 @@ class EpochRotationSpec extends AnyFunSuite {
     Dedup.recoverRotations(spark, histPath, idxPath)
     assert(spark.read.parquet(histPath).count() == unionHistRows)
     assert(spark.read.parquet(idxPath).count() == unionIdxRows)
+    bloom1.unpersist(blocking = false)
+  }
+
+  test("ledger-loss valve is judged at entry: a surviving committed " +
+    "stage cannot re-create the ledger dir and defeat the refusal") {
+    val h0 = (0L until 40L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val n1 = (100L until 110L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+    val n2 = (200L until 210L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-valve").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    val bloom0 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
+    val bloom1 = Dedup.rotateEpochBucketed(n1, histPath, idxPath, bloom0,
+      expectedItems = 1000, fpp = 0.001, epochId = "e1")
+    // e2 crashes right AFTER its commit point: the committed stage
+    // survives on disk
+    intercept[RuntimeException] {
+      Dedup.rotateEpochStaged(n2, histPath, idxPath, bloom1,
+        expectedItems = 1000, fpp = 0.001, textCol = "text",
+        epochId = "e2",
+        failpoint = p => if (p == "committed") throw new RuntimeException("crash"))
+    }
+    val f = new org.apache.hadoop.fs.Path(histPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(f.delete(new org.apache.hadoop.fs.Path(s"$histPath/_epochs"), true))
+
+    // recovery completes e2's committed stage (always safe) — which
+    // re-creates _epochs for e2's entry — but e1's footprints are now
+    // unledgered and the valve, judged at ENTRY, must still refuse
+    val before = spark.read.parquet(histPath).count()
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.recoverRotations(spark, histPath, idxPath)
+    }
+    assert(ex.getMessage.contains("ledger"))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_quarantine")))
+    assert(spark.read.parquet(histPath).count() >= before) // nothing removed
+
+    // restoring e1's ledger entry (the documented fix) clears the path
+    f.create(new org.apache.hadoop.fs.Path(s"$histPath/_epochs/e1"), true).close()
+    Dedup.recoverRotations(spark, histPath, idxPath)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_quarantine")))
+    assert(Dedup.epochApplied(spark, histPath, "e1"))
+    assert(Dedup.epochApplied(spark, histPath, "e2"))
     bloom1.unpersist(blocking = false)
   }
 
