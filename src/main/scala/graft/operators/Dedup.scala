@@ -682,9 +682,9 @@ object Dedup {
     }
   }
 
-  /** [[recoverRotations]] plus a live-layout footprint sweep: after
-    * committed stages complete (ledgering their epochs), any
-    * `<id>=`-prefixed file whose id is NOT in the ledger is residue of
+  /** [[recoverRotations]] plus a live-layout footprint sweep: any
+    * `<id>=`-prefixed file whose id is neither in the ledger nor has a
+    * committed stage pending completion is residue of
     * a rotation that lost its stage after a partial move (the
     * concurrent-recovery state [[rotateEpochBucketed]]'s commit-point
     * guard fails loudly on) — history rows with no index entries,
@@ -699,27 +699,22 @@ object Dedup {
     * wherever the index path is known; the single-argument form
     * cannot reach index-side residue.
     *
-    * Safety valve: if footprints exist but the `_epochs` ledger dir
-    * itself is MISSING, this refuses to touch anything — every layout
-    * that ever started a rotation has the dir (created at stage time),
-    * so its absence means the ledger was lost (an underscore-blind
-    * copy/restore is the usual cause) and "everything is unledgered"
-    * would quarantine the whole corpus. Restore `_epochs` (it travels
-    * WITH the layouts) and re-run. Names containing '=' at the layout
-    * roots are RESERVED for the rotation protocol — don't park foreign
-    * files there.
+    * Safety valve: if torn footprints exist but the `_epochs` ledger
+    * dir itself is MISSING, this refuses BEFORE mutating anything
+    * (stages included) — every layout that ever started a rotation has
+    * the dir (created at stage time), so its absence means the ledger
+    * was lost (an underscore-blind copy/restore is the usual cause)
+    * and "everything is unledgered" would quarantine the whole corpus.
+    * The refusal is idempotent: a blind retry refuses again rather
+    * than proceeding. Restore `_epochs` (it travels WITH the layouts)
+    * and re-run. Names containing '=' at the layout roots are RESERVED
+    * for the rotation protocol — don't park foreign files there.
     */
   def recoverRotations(
       spark: org.apache.spark.sql.SparkSession,
       historyPath: String,
       indexPath: String): Unit = {
     val f = fsFor(spark, historyPath)
-    // ledger presence is judged AT ENTRY: completing a committed stage
-    // below (re)creates the dir for its own entry, which must not
-    // defeat the ledger-loss valve for every OTHER epoch's footprints
-    val ledgerDirAtEntry = f.exists(
-      new org.apache.hadoop.fs.Path(s"$historyPath/_epochs"))
-    recoverRotations(spark, historyPath)
     // footprint files by id, with where each should quarantine to; a
     // leading '.' marks the index's in-flight copy temps. Deeper-hidden
     // names (checksum '.crc' siblings) resolve to ids starting with
@@ -760,31 +755,49 @@ object Dedup {
       if (f.exists(ledgerP))
         f.listStatus(ledgerP).map(_.getPath.getName).toSet
       else Set.empty
-    val torn = residue.filterNot { case (id, _, _, _) => ledgered(id) }
-    if (torn.nonEmpty) {
-      require(ledgerDirAtEntry,
+    // ids with a COMMITTED stage pending are not torn — completing
+    // them below writes their ledger entry
+    val rotateRoot = new org.apache.hadoop.fs.Path(s"$historyPath/_rotate")
+    val pendingCommitted: Set[String] =
+      if (f.exists(rotateRoot))
+        f.listStatus(rotateRoot)
+          .filter(st => f.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST")))
+          .map(_.getPath.getName).toSet
+      else Set.empty
+    val torn = residue.filterNot { case (id, _, _, _) =>
+      ledgered(id) || pendingCommitted(id) }
+    // the ledger-loss valve is judged BEFORE any mutation: completing
+    // a committed stage re-creates _epochs for its own entry, so
+    // deciding afterwards (or on a retry after a refusal that had
+    // completed one) would let a blind re-run pass the valve and
+    // quarantine every other epoch. Footprints imply footprint-era
+    // code, which creates _epochs at stage time — its absence can
+    // only mean external deletion.
+    if (torn.nonEmpty)
+      require(f.exists(ledgerP),
         s"recover: '<id>=' footprint files exist under $historyPath " +
-          s"and/or $indexPath but the _epochs ledger dir is missing. " +
-          "Either the ledger was lost in a copy/restore (restore it; " +
-          "it travels WITH the layouts), or no rotation on this layout " +
-          "ever completed (a first rotation torn by a concurrent " +
-          "recovery): in that case create an empty _epochs dir under " +
-          "the history path to let recovery quarantine the partial " +
-          "epoch. Foreign '='-named files are also possible — that " +
-          "namespace is reserved for the rotation protocol. Refusing " +
-          "to quarantine the corpus.")
-      torn.foreach { case (_, fs, file, qDir) =>
-        if (file.getName.endsWith(".inflight"))
-          // an in-flight temp is a partial COPY by construction (its
-          // rename never happened) — never valid data, just drop it
-          require(fs.delete(file, false),
-            s"recover: cleanup of $file failed")
-        else {
-          val d = new org.apache.hadoop.fs.Path(qDir)
-          fs.mkdirs(d)
-          require(fs.rename(file, new org.apache.hadoop.fs.Path(d, file.getName)),
-            s"recover: quarantine of $file -> $d failed")
-        }
+          s"and/or $indexPath but the _epochs ledger dir is missing — " +
+          "it was lost (an underscore-blind copy/restore is the usual " +
+          "cause). Restore it: it travels WITH the layouts. If it is " +
+          "unrecoverable, reconstruct an entry file per epoch known to " +
+          "be applied before re-running — an EMPTY ledger would send " +
+          "every rotated epoch's data to quarantine. (Foreign " +
+          "'='-named files are also possible; that namespace is " +
+          "reserved for the rotation protocol.) Refusing to touch the " +
+          "corpus.")
+    recoverRotations(spark, historyPath)
+    torn.foreach { case (_, fs, file, qDir) =>
+      if (file.getName.endsWith(".inflight"))
+        // an in-flight temp is a partial COPY by construction (its
+        // rename never happened) — never valid data, just drop it
+        require(fs.delete(file, false),
+          s"recover: cleanup of $file failed")
+      else {
+        val d = new org.apache.hadoop.fs.Path(qDir)
+        fs.mkdirs(d)
+        require(fs.rename(file, new org.apache.hadoop.fs.Path(d, file.getName)),
+          s"recover: quarantine of $file -> $d failed")
       }
     }
   }

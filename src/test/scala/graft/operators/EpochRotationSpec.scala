@@ -504,23 +504,35 @@ class EpochRotationSpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration)
     require(f.delete(new org.apache.hadoop.fs.Path(s"$histPath/_epochs"), true))
 
-    // recovery completes e2's committed stage (always safe) — which
-    // re-creates _epochs for e2's entry — but e1's footprints are now
-    // unledgered and the valve, judged at ENTRY, must still refuse
+    // e1's footprints are unledgered while e2 only has its committed
+    // stage: the valve must refuse BEFORE mutating anything — e2's
+    // stage must survive uncompleted, _epochs must stay absent, and a
+    // blind retry must refuse identically (not pass because a first
+    // run recreated the ledger dir)
     val before = spark.read.parquet(histPath).count()
-    val ex = intercept[IllegalArgumentException] {
-      Dedup.recoverRotations(spark, histPath, idxPath)
+    for (attempt <- 1 to 2) {
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.recoverRotations(spark, histPath, idxPath)
+      }
+      assert(ex.getMessage.contains("ledger"), s"attempt $attempt")
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_quarantine")),
+        s"attempt $attempt")
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_epochs")),
+        s"attempt $attempt")
+      assert(f.exists(new org.apache.hadoop.fs.Path(
+        s"$histPath/_rotate/e2/_MANIFEST")), s"attempt $attempt")
+      assert(spark.read.parquet(histPath).count() == before, s"attempt $attempt")
     }
-    assert(ex.getMessage.contains("ledger"))
-    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_quarantine")))
-    assert(spark.read.parquet(histPath).count() >= before) // nothing removed
 
-    // restoring e1's ledger entry (the documented fix) clears the path
+    // restoring e1's ledger entry (the documented fix) clears the
+    // path: e2's stage completes, both epochs land, nothing quarantined
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$histPath/_epochs"))
     f.create(new org.apache.hadoop.fs.Path(s"$histPath/_epochs/e1"), true).close()
     Dedup.recoverRotations(spark, histPath, idxPath)
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_quarantine")))
     assert(Dedup.epochApplied(spark, histPath, "e1"))
     assert(Dedup.epochApplied(spark, histPath, "e2"))
+    assert(spark.read.parquet(histPath).count() == before + 10) // e2's docs
     bloom1.unpersist(blocking = false)
   }
 
