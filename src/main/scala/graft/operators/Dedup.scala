@@ -651,7 +651,11 @@ object Dedup {
     * call the TWO-argument overload instead: this form resolves
     * staging dirs but cannot reach unledgered `<id>=` footprints in
     * the live layouts (the stage-loss partial state) — only the
-    * overload that knows the index path can quarantine those.
+    * overload that knows the index path can quarantine those. Both
+    * forms share the ledger-loss valve: a committed stage is NOT
+    * completed while footprints exist but the `_epochs` dir is
+    * missing, because completion would re-create an almost-empty
+    * ledger and doom every other epoch to quarantine.
     *
     * Part of the layouts' single-maintenance-writer surface (see
     * [[rotateEpochBucketed]]): never run it while a rotation on the
@@ -664,7 +668,28 @@ object Dedup {
     val f = fsFor(spark, historyPath)
     val root = new org.apache.hadoop.fs.Path(s"$historyPath/_rotate")
     if (!f.exists(root)) return
-    f.listStatus(root).foreach { st =>
+    val stages = f.listStatus(root)
+    // the ledger-loss valve, same judgment as the two-arg overload:
+    // completing a committed stage re-creates _epochs with only its
+    // own entry, after which a later footprint sweep would treat every
+    // OTHER epoch as torn and quarantine the corpus. Footprints imply
+    // footprint-era code, which creates _epochs at stage time — if the
+    // dir is missing while footprints exist, the ledger was lost;
+    // refuse before mutating anything. (Both exists() checks are
+    // skipped entirely on the normal path.)
+    if (stages.exists(st => f.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST"))) &&
+      !f.exists(new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")))
+      require(!anyHistoryFootprint(f, historyPath),
+        s"recover: committed staging under $historyPath/_rotate with " +
+          "'<id>=' footprint files in the layout but no _epochs ledger " +
+          "dir — the ledger was lost (an underscore-blind copy/restore " +
+          "is the usual cause). Restore it (it travels WITH the " +
+          "layouts); completing the stage now would re-create an " +
+          "almost-empty ledger and send every other rotated epoch's " +
+          "data to quarantine on the next recovery. Refusing to touch " +
+          "the corpus.")
+    stages.foreach { st =>
       val manifest = new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST")
       if (!f.exists(manifest)) {
         require(f.delete(st.getPath, true),
@@ -751,8 +776,9 @@ object Dedup {
     // layout every post-epoch-0 file carries a footprint, so a
     // per-file exists() would be O(corpus files) round-trips
     val ledgerP = new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")
+    val ledgerDirExists = f.exists(ledgerP)
     val ledgered: Set[String] =
-      if (f.exists(ledgerP))
+      if (ledgerDirExists)
         f.listStatus(ledgerP).map(_.getPath.getName).toSet
       else Set.empty
     // ids with a COMMITTED stage pending are not torn — completing
@@ -775,7 +801,7 @@ object Dedup {
     // code, which creates _epochs at stage time — its absence can
     // only mean external deletion.
     if (torn.nonEmpty)
-      require(f.exists(ledgerP),
+      require(ledgerDirExists,
         s"recover: '<id>=' footprint files exist under $historyPath " +
           s"and/or $indexPath but the _epochs ledger dir is missing — " +
           "it was lost (an underscore-blind copy/restore is the usual " +
@@ -800,6 +826,22 @@ object Dedup {
           s"recover: quarantine of $file -> $d failed")
       }
     }
+  }
+
+  /** Does any live history bucket hold a `<id>=` footprint file?
+    * (Early-exit listing; hidden/underscore names excluded.) Used only
+    * by the ledger-loss valves — never on the normal path.
+    */
+  private def anyHistoryFootprint(
+      f: org.apache.hadoop.fs.FileSystem,
+      historyPath: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(historyPath)
+    f.exists(hp) && f.listStatus(hp).exists(st => st.isDirectory &&
+      st.getPath.getName.startsWith("id_bucket=") &&
+      f.listStatus(st.getPath).exists { nf =>
+        val n = nf.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_") && n.contains('=')
+      })
   }
 
   /** The quarantine's operator surface: one `(epochId, files, bytes)`

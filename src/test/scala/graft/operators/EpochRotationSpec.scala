@@ -515,6 +515,12 @@ class EpochRotationSpec extends AnyFunSuite {
         Dedup.recoverRotations(spark, histPath, idxPath)
       }
       assert(ex.getMessage.contains("ledger"), s"attempt $attempt")
+      // the ONE-arg form shares the valve: it must not complete the
+      // stage (re-creating an almost-empty ledger) either
+      val ex1 = intercept[IllegalArgumentException] {
+        Dedup.recoverRotations(spark, histPath)
+      }
+      assert(ex1.getMessage.contains("ledger"), s"attempt $attempt")
       assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_quarantine")),
         s"attempt $attempt")
       assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_epochs")),
