@@ -56,6 +56,23 @@ object Banding {
     */
   val DefaultMaxBandPop: Int = 256
 
+  /** Default cap for a banding geometry of `bits` total signature bits
+    * in `bands` bands — the enforcement of the object docstring's
+    * recall caveat, not just its documentation. Band keys of ≤ 8 bits
+    * (≤ 256 distinct values per band, e.g. the 32-bit/4-band SimHash
+    * geometry) make 256-doc RANDOM key agreements routine at corpus
+    * scale, exactly the degenerate-bucket shape where anchor/star
+    * pairing drops true near-dup pairs — so the default there is
+    * `None` (uncapped; the caller can still pass an explicit cap).
+    * Wider keys keep [[DefaultMaxBandPop]]: a random 256-doc agreement
+    * on a 16-bit-plus key carries no near-dup signal. Degenerate
+    * `bands`/`bits` combinations fall through to the capped default —
+    * the operators' own `require`s reject them before any plan runs.
+    */
+  def defaultCapFor(bits: Int, bands: Int): Option[Int] =
+    if (bands >= 1 && bits >= bands && bits / bands <= 8) None
+    else Some(DefaultMaxBandPop)
+
   /** Distinct candidate pairs (`id_a` < `id_b`) from `(idCol, band,
     * key)` bucket rows — the banding self-join, population-capped when
     * `maxBandPop` is set. Pass `None` for the exact uncapped join

@@ -62,8 +62,25 @@ private[graft] object Caching {
     * the result ... }` then delete the batch subdir — inside
     * `foreachBatch` the result is fully consumed within the callback,
     * so the spill is safe to drop at batch end.
+    *
+    * THREAD-LOCAL: the scope binds to the DRIVER thread that sets it
+    * (inherited by threads it spawns afterwards), so two concurrent
+    * jobs in one JVM — a streaming `foreachBatch` scoping a per-batch
+    * dir while another operator runs on a second thread — each see
+    * their own mode, and neither can spill into (or delete with) the
+    * other's directory. Executor-side code never reads this: the
+    * materialization decision happens on the driver, before any task
+    * is planned. A job that fans its own operator calls across
+    * threads must set the scope on each thread (or spawn the workers
+    * from inside the scope, inheriting it).
     */
-  @volatile var reliableDir: Option[String] = None
+  private val reliableDirTl: InheritableThreadLocal[Option[String]] =
+    new InheritableThreadLocal[Option[String]] {
+      override def initialValue: Option[String] = None
+    }
+
+  def reliableDir: Option[String] = reliableDirTl.get()
+  def reliableDir_=(v: Option[String]): Unit = reliableDirTl.set(v)
 
   private val matSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 

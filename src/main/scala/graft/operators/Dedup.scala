@@ -518,11 +518,14 @@ object Dedup {
     * the violation left behind.
     *
     * @param epochId stable identifier for this rotation (e.g. the
-    *   epoch's sequence number). Pass the SAME id when retrying after
-    *   a failure — that is what makes the retry idempotent. The
-    *   default random id still gives crash ATOMICITY (recovery either
-    *   discards or completes), but a blind retry under a fresh id
-    *   would re-append a recovery-completed epoch.
+    *   epoch's sequence number) — REQUIRED, deliberately no default:
+    *   an earlier revision defaulted to a fresh random UUID, which
+    *   kept crash atomicity but made the documented idempotent retry
+    *   OPT-IN — a blind retry after a crash that recovery had already
+    *   completed re-appended the same novels under a new id, silently
+    *   double-counting history and index rows. Pass the SAME id when
+    *   retrying after a failure — that is what makes the retry
+    *   idempotent.
     */
   def rotateEpochBucketed(
       novel: DataFrame,
@@ -533,7 +536,7 @@ object Dedup {
       expectedItems: Long,
       fpp: Double = 0.01,
       textCol: String = "text",
-      epochId: String = java.util.UUID.randomUUID().toString)
+      epochId: String)
       : org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter] =
     rotateEpochStaged(novel, historyPath, indexPath, oldBloom,
@@ -655,7 +658,10 @@ object Dedup {
     * forms share the ledger-loss valve: a committed stage is NOT
     * completed while footprints exist but the `_epochs` dir is
     * missing, because completion would re-create an almost-empty
-    * ledger and doom every other epoch to quarantine.
+    * ledger and doom every other epoch to quarantine. The valve sweeps
+    * BOTH sides here — each committed stage's manifest records its
+    * indexPath, so even an index-only torn state (an empty-novel epoch
+    * crashed mid-index-move) triggers the refusal.
     *
     * Part of the layouts' single-maintenance-writer surface (see
     * [[rotateEpochBucketed]]): never run it while a rotation on the
@@ -669,18 +675,29 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(s"$historyPath/_rotate")
     if (!f.exists(root)) return
     val stages = f.listStatus(root)
+    // committed stages' manifests, read up front: each records its
+    // indexPath, which extends the ledger-loss valve below to the
+    // index SIDE — an index-only torn state (an empty-novel epoch that
+    // crashed mid-index-move) has no history footprint at all, and a
+    // history-only sweep would let it slip the valve
+    val committed: Seq[(org.apache.hadoop.fs.Path, String)] =
+      stages.toSeq.flatMap { st =>
+        val manifest = new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST")
+        if (f.exists(manifest)) Some(st.getPath -> readManifest(f, manifest))
+        else None
+      }
     // the ledger-loss valve, same judgment as the two-arg overload:
     // completing a committed stage re-creates _epochs with only its
     // own entry, after which a later footprint sweep would treat every
     // OTHER epoch as torn and quarantine the corpus. Footprints imply
     // footprint-era code, which creates _epochs at stage time — if the
-    // dir is missing while footprints exist, the ledger was lost;
-    // refuse before mutating anything. (Both exists() checks are
-    // skipped entirely on the normal path.)
-    if (stages.exists(st => f.exists(
-        new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST"))) &&
+    // dir is missing while footprints exist ON EITHER SIDE, the ledger
+    // was lost; refuse before mutating anything. (All exists() checks
+    // are skipped entirely on the normal path.)
+    if (committed.nonEmpty &&
       !f.exists(new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")))
-      require(!anyHistoryFootprint(f, historyPath),
+      require(!anyHistoryFootprint(f, historyPath) &&
+        !committed.exists { case (_, ip) => anyIndexFootprint(f, ip) },
         s"recover: committed staging under $historyPath/_rotate with " +
           "'<id>=' footprint files in the layout but no _epochs ledger " +
           "dir — the ledger was lost (an underscore-blind copy/restore " +
@@ -689,22 +706,28 @@ object Dedup {
           "almost-empty ledger and send every other rotated epoch's " +
           "data to quarantine on the next recovery. Refusing to touch " +
           "the corpus.")
+    val committedBy = committed.toMap
     stages.foreach { st =>
-      val manifest = new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST")
-      if (!f.exists(manifest)) {
-        require(f.delete(st.getPath, true),
-          s"rotate: cleanup of ${st.getPath} failed")
-      } else {
-        val len = f.getFileStatus(manifest).getLen.toInt
-        val buf = new Array[Byte](len)
-        val in = f.open(manifest)
-        try in.readFully(0, buf) finally in.close()
-        val indexPath =
-          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-        completeRotation(f, st.getPath, historyPath, indexPath,
-          st.getPath.getName, _ => ())
+      committedBy.get(st.getPath) match {
+        case None =>
+          require(f.delete(st.getPath, true),
+            s"rotate: cleanup of ${st.getPath} failed")
+        case Some(indexPath) =>
+          completeRotation(f, st.getPath, historyPath, indexPath,
+            st.getPath.getName, _ => ())
       }
     }
+  }
+
+  /** Read a committed stage's `_MANIFEST` (the indexPath it recorded). */
+  private def readManifest(
+      f: org.apache.hadoop.fs.FileSystem,
+      manifest: org.apache.hadoop.fs.Path): String = {
+    val len = f.getFileStatus(manifest).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = f.open(manifest)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** [[recoverRotations]] plus a live-layout footprint sweep: any
@@ -844,6 +867,22 @@ object Dedup {
       })
   }
 
+  /** Does the flat index layout at `indexPath` (possibly on a different
+    * filesystem — resolved under `f`'s conf) hold a `<id>=` footprint
+    * file? The index-side twin of [[anyHistoryFootprint]]; used only by
+    * the ledger-loss valves — never on the normal path.
+    */
+  private def anyIndexFootprint(
+      f: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Boolean = {
+    val ip = new org.apache.hadoop.fs.Path(indexPath)
+    val idxFs = ip.getFileSystem(f.getConf)
+    idxFs.exists(ip) && idxFs.listStatus(ip).exists { nf =>
+      val n = nf.getPath.getName
+      nf.isFile && !n.startsWith(".") && !n.startsWith("_") && n.contains('=')
+    }
+  }
+
   /** The quarantine's operator surface: one `(epochId, files, bytes)`
     * row per quarantined torn epoch, aggregated across both layouts'
     * hidden `_quarantine/<id>/` dirs. A quarantine is dropped
@@ -974,15 +1013,47 @@ object Dedup {
     f.mkdirs(ledger)
     f.create(new org.apache.hadoop.fs.Path(ledger, epochId), true).close()
     // the epoch is ledgered: any quarantine from an earlier torn
-    // attempt of the SAME epoch is redundant now (the re-rotation just
-    // re-applied the full epoch) — drop it. Absent dirs are a no-op.
-    f.delete(new org.apache.hadoop.fs.Path(
-      s"$historyPath/_quarantine/$epochId"), true)
-    new org.apache.hadoop.fs.Path(indexPath).getFileSystem(f.getConf)
-      .delete(new org.apache.hadoop.fs.Path(
-        s"$indexPath/_quarantine/$epochId"), true)
+    // attempt of the SAME epoch is superseded now (the re-rotation
+    // just re-applied the full epoch). RETIRE it — move under the
+    // hidden `_retired/<id>[.n]` sibling — rather than delete:
+    // "quarantine moves, never deletes data" must hold even when an
+    // operator re-rotates the same epochId with a DIFFERENT novel set
+    // than the torn attempt (e.g. a partially lost spool) — deletion
+    // there would permanently destroy the only copy of the first
+    // attempt's rows. Retired dirs are outside [[listQuarantined]]'s
+    // active listing; purge them once the epoch's content is confirmed
+    // superseded. Absent dirs are a no-op.
+    retireQuarantine(f, historyPath, epochId)
+    retireQuarantine(
+      new org.apache.hadoop.fs.Path(indexPath).getFileSystem(f.getConf),
+      indexPath, epochId)
     require(f.delete(stageRoot, true),
       s"rotate: cleanup of $stageRoot failed")
+  }
+
+  /** Move `root/_quarantine/<epochId>` (if present) under
+    * `root/_retired/<epochId>`, suffixing `.2`, `.3`, … when earlier
+    * retirements of the same id exist — the completion-time supersede
+    * step that keeps the quarantine contract ("moves, never deletes")
+    * absolute. One rename per retirement; listing-only otherwise.
+    */
+  private[operators] def retireQuarantine(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      epochId: String): Unit = {
+    val q = new org.apache.hadoop.fs.Path(s"$root/_quarantine/$epochId")
+    if (fs.exists(q)) {
+      val retiredRoot = new org.apache.hadoop.fs.Path(s"$root/_retired")
+      fs.mkdirs(retiredRoot)
+      var dst = new org.apache.hadoop.fs.Path(retiredRoot, epochId)
+      var n = 1
+      while (fs.exists(dst)) {
+        n += 1
+        dst = new org.apache.hadoop.fs.Path(retiredRoot, s"$epochId.$n")
+      }
+      require(fs.rename(q, dst),
+        s"rotate: retire of quarantine $q -> $dst failed")
+    }
   }
 
   /** Hadoop FileSystem for `path` under the session's Hadoop conf. */
@@ -1536,7 +1607,14 @@ object Dedup {
     * bits for the same similarity. `bands` must divide `bits`;
     * candidates additionally run through the [[Banding.selfPairs]]
     * population cap (anchor/star pairing for over-cap buckets) so even
-    * a degenerate key stays linear.
+    * a degenerate key stays linear — but the cap's DEFAULT is
+    * geometry-gated ([[Banding.defaultCapFor]]): band keys of ≤ 8 bits
+    * (the 32-bit/4-band geometry) default to uncapped, because random
+    * 256-doc key agreements are routine there and anchor/star pairing
+    * over a mostly-unrelated bucket drops true near-dup pairs (the
+    * recall caveat in [[Banding]]'s docstring, enforced rather than
+    * documented). Callers wanting the linear bound at a short-key
+    * geometry opt in with an explicit cap.
     */
   def simhashPairs(
       docs: DataFrame,
@@ -1544,7 +1622,17 @@ object Dedup {
       textCol: String = "text",
       bits: Int = 64,
       bands: Int = 4,
-      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop)): DataFrame = {
+      // `null` = geometry-gated default, resolved against the ACTUAL
+      // bits/bands below (a default expression cannot read parameters
+      // of its own list): short band keys (bits/bands <= 8) run
+      // UNCAPPED — the degenerate-key geometry where the cap costs
+      // recall — while the 64-bit default geometry keeps the
+      // population cap ([[Banding.defaultCapFor]]). An explicit
+      // Some/None always wins.
+      maxBandPop: Option[Int] = null): DataFrame = {
+    val cap =
+      if (maxBandPop eq null) Banding.defaultCapFor(bits, bands)
+      else maxBandPop
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     require(bands >= 1 && bits % bands == 0,
       s"bands ($bands) must divide bits ($bits)")
@@ -1561,7 +1649,7 @@ object Dedup {
             .as("key")))
       val buckets = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      Banding.selfPairs(buckets, "doc_id", maxBandPop)
+      Banding.selfPairs(buckets, "doc_id", cap)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
         .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")),
           Seq("doc_a"))

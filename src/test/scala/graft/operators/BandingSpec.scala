@@ -202,6 +202,64 @@ class BandingSpec extends AnyFunSuite {
     assert(Caching.reliableDir.isEmpty)
   }
 
+  test("geometry-gated cap default: short band keys (<= 8 bits) run " +
+    "uncapped, wide keys keep the population cap") {
+    assert(Banding.defaultCapFor(32, 4).isEmpty) // 8-bit keys
+    assert(Banding.defaultCapFor(64, 8).isEmpty) // 8-bit keys
+    assert(Banding.defaultCapFor(64, 4).contains(Banding.DefaultMaxBandPop))
+    assert(Banding.defaultCapFor(16, 1).contains(Banding.DefaultMaxBandPop))
+    // degenerate geometries fall through to the capped default (the
+    // operators' own requires reject them before any plan runs)
+    assert(Banding.defaultCapFor(32, 0).contains(Banding.DefaultMaxBandPop))
+
+    // ENFORCEMENT, not documentation: the 32-bit geometry's default is
+    // now the uncapped join — on the over-cap cluster it emits the full
+    // quadratic pair set, bit-identical to an explicit None, and NOT
+    // the 299 anchor pairs an explicit cap would produce
+    def pairs(cap: Option[Int]) =
+      Dedup.simhashPairs(skewedDocs, maxHamming = 3, bits = 32, bands = 4,
+          maxBandPop = cap)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byDefault = Dedup.simhashPairs(skewedDocs, maxHamming = 3,
+        bits = 32, bands = 4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byDefault == pairs(None))
+    assert(byDefault.count(_._2 < 1000L) == 300 * 299 / 2)
+    assert(pairs(Some(Banding.DefaultMaxBandPop))
+      .count(_._2 < 1000L) == 299)
+  }
+
+  test("reliableDir scope is per-thread: two concurrent scopes never " +
+    "see (or restore over) each other's dir") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-rel-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-rel-b").toString
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def worker(name: String, dir: String) = new Thread(() => {
+      try {
+        assert(Caching.reliableDir.isEmpty) // fresh thread: no inherited scope
+        Caching.withReliable(dir) {
+          barrier.await() // both scopes active simultaneously...
+          seen.put(name, Caching.reliableDir)
+          barrier.await() // ...and each must still see ITS OWN dir
+        }
+        // the finally-restore cleared only this thread's scope
+        assert(Caching.reliableDir.isEmpty)
+      } catch { case t: Throwable => errs.add(t) }
+    }, name)
+    val ta = worker("a", dirA)
+    val tb = worker("b", dirB)
+    ta.start(); tb.start(); ta.join(30000); tb.join(30000)
+    assert(errs.isEmpty, s"worker failures: ${errs.toArray.mkString(", ")}")
+    assert(seen.get("a") == Some(dirA))
+    assert(seen.get("b") == Some(dirB))
+    // and the main (test) thread's mode was never touched
+    assert(Caching.reliableDir.isEmpty)
+  }
+
   test("simhash 64-bit geometry: same true pairs, no more random candidates than 32-bit") {
     val words = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
       "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")

@@ -31,7 +31,7 @@ class EpochRotationSpec extends AnyFunSuite {
       Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
 
     val bloom1 = Dedup.rotateEpochBucketed(n1, histPath, idxPath, bloom0,
-      expectedItems = 1000, fpp = 0.001)
+      expectedItems = 1000, fpp = 0.001, epochId = "e1")
 
     // the merged sketch is BIT-IDENTICAL to a full-rebuild sketch of the
     // union (Bloom insertion is an OR of bit sets at fixed geometry)
@@ -539,6 +539,130 @@ class EpochRotationSpec extends AnyFunSuite {
     assert(Dedup.epochApplied(spark, histPath, "e1"))
     assert(Dedup.epochApplied(spark, histPath, "e2"))
     assert(spark.read.parquet(histPath).count() == before + 10) // e2's docs
+    bloom1.unpersist(blocking = false)
+  }
+
+  test("one-arg recovery's ledger-loss valve covers the INDEX side: a " +
+    "torn state whose only footprints are index files still refuses") {
+    val h0 = (0L until 40L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val n1 = (100L until 110L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-idxvalve").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    val bloom0 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
+    // crash right after the commit point: committed stage, NO moves yet
+    intercept[RuntimeException] {
+      Dedup.rotateEpochStaged(n1, histPath, idxPath, bloom0,
+        expectedItems = 1000, fpp = 0.001, textCol = "text",
+        epochId = "e1",
+        failpoint = p => if (p == "committed") throw new RuntimeException("crash"))
+    }
+    val f = new org.apache.hadoop.fs.Path(histPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a partial INDEX-side move by a further crashed completion
+    // (history side untouched — e.g. an epoch whose history append was
+    // empty): same-FS moves are renames, so the staged source is gone
+    // once the live footprint exists. Then ledger loss.
+    val staged = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$histPath/_rotate/e1/index"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(staged.nonEmpty)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(staged.head.getPath.toUri),
+      java.nio.file.Paths.get(s"$idxPath/e1=${staged.head.getPath.getName}"))
+    require(f.delete(new org.apache.hadoop.fs.Path(s"$histPath/_epochs"), true))
+
+    // history side has NO '<id>=' footprint — only the manifest's
+    // indexPath can reveal the torn state. The one-arg form must refuse
+    // idempotently, leaving the stage for a restored-ledger recovery.
+    val before = spark.read.parquet(histPath).count()
+    for (attempt <- 1 to 2) {
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.recoverRotations(spark, histPath)
+      }
+      assert(ex.getMessage.contains("ledger"), s"attempt $attempt")
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_epochs")),
+        s"attempt $attempt")
+      assert(f.exists(new org.apache.hadoop.fs.Path(
+        s"$histPath/_rotate/e1/_MANIFEST")), s"attempt $attempt")
+      assert(spark.read.parquet(histPath).count() == before, s"attempt $attempt")
+    }
+    // restoring the (empty — no epoch ever completed) ledger dir clears
+    // the path: recovery completes e1, and the pre-moved index file is
+    // not duplicated
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$histPath/_epochs"))
+    Dedup.recoverRotations(spark, histPath)
+    assert(Dedup.epochApplied(spark, histPath, "e1"))
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft-idxvalve-f")
+      .toString
+    Dedup.writeMinhashIndex(h0.unionByName(n1), s"$fullRoot/idx")
+    assert(spark.read.parquet(idxPath).count() ==
+      spark.read.parquet(s"$fullRoot/idx").count())
+    bloom0.unpersist(blocking = false)
+  }
+
+  test("same-id re-rotation with a DIFFERENT novel set retires the torn " +
+    "attempt's quarantine instead of deleting it") {
+    val h0 = (0L until 40L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    // the torn attempt carried novels the retry does NOT (a partially
+    // lost spool): their quarantined rows are the only copy
+    val nLost = (100L until 110L).map(i => (i, novelText(i)))
+      .toDF("doc_id", "text")
+    val nRetry = (100L until 105L).map(i => (i, novelText(i)))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-retire").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    val bloom0 = spark.sparkContext.broadcast(
+      Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
+    val f = new org.apache.hadoop.fs.Path(histPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // tear e1 (stage lost after the history move), then heal: nLost's
+    // rows land in _quarantine/e1
+    intercept[IllegalArgumentException] {
+      Dedup.rotateEpochStaged(nLost, histPath, idxPath, bloom0,
+        expectedItems = 1000, fpp = 0.001, textCol = "text",
+        epochId = "e1",
+        failpoint = p =>
+          if (p == "moved-history")
+            f.delete(new org.apache.hadoop.fs.Path(s"$histPath/_rotate/e1"),
+              true))
+    }
+    Dedup.recoverRotations(spark, histPath, idxPath)
+    assert(Dedup.listQuarantined(spark, histPath, idxPath).map(_._1) ==
+      Seq("e1"))
+    val quarantinedRows = spark.read.schema(
+        spark.read.parquet(histPath).schema)
+      .parquet(s"$histPath/_quarantine/e1/*")
+      .count()
+    assert(quarantinedRows > 0)
+
+    // re-rotate e1 with the SMALLER novel set: completion must retire —
+    // not delete — the superseded quarantine
+    val bloom1 = Dedup.rotateEpochBucketed(nRetry, histPath, idxPath, bloom0,
+      expectedItems = 1000, fpp = 0.001, epochId = "e1")
+    assert(Dedup.epochApplied(spark, histPath, "e1"))
+    // active quarantine is clear (the operator surface shows nothing)…
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_quarantine/e1")))
+    assert(Dedup.listQuarantined(spark, histPath, idxPath).isEmpty)
+    // …but the torn attempt's rows SURVIVE under _retired, byte-complete
+    val retired = spark.read.schema(spark.read.parquet(histPath).schema)
+      .parquet(s"$histPath/_retired/e1/*")
+      .count()
+    assert(retired == quarantinedRows)
+    // and the live layout holds exactly h0 + nRetry (never nLost's tail)
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft-retire-f")
+      .toString
+    Dedup.writeHistoryBucketed(h0.unionByName(nRetry), s"$fullRoot/hist",
+      nBuckets = 8)
+    assert(spark.read.parquet(histPath).count() ==
+      spark.read.parquet(s"$fullRoot/hist").count())
     bloom1.unpersist(blocking = false)
   }
 
