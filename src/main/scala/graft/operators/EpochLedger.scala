@@ -1,0 +1,283 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Crash-safe, idempotent epoch appends for a SINGLE partitioned-parquet
+  * layout — the one-layout specialization of the two-layout protocol
+  * [[Dedup.rotateEpochBucketed]] runs over the dedup history + banded
+  * index pair. The IVF embedding layout ([[Similarity.appendIvfPartitioned]])
+  * is the first client: a growing corpus appends an epoch of novel
+  * vectors per maintenance cycle, and a crashed or blindly-retried epoch
+  * must never half-append or double-append.
+  *
+  * Protocol (same stages, same invariants as the dedup rotation —
+  * reference semantics: the reference engine has no epoch maintenance at
+  * all; this is the scale path's own discipline):
+  *
+  *   1. stage the epoch's files under `path/_rotate/<epochId>/data`
+  *      (underscore prefix: invisible to every reader's file index);
+  *   2. write `_MANIFEST` via write + rename — the ATOMIC commit point;
+  *   3. move staged files into the live partition dirs under
+  *      `<epochId>=<staged-name>` names (the FOOTPRINT that makes an
+  *      unledgered partial move identifiable on retry; '=' in file
+  *      names is inert to partition discovery, which parses dir names);
+  *   4. record `epochId` in the `path/_epochs/` ledger, drop the stage.
+  *
+  * [[recover]] classifies leftovers exactly like the dedup twin: an
+  * uncommitted stage is discarded (the layout was never touched), a
+  * committed stage is completed (moves skip files already moved), and
+  * unledgered `<id>=` footprints in the live layout — the stage-lost
+  * partial state — are QUARANTINED under `path/_quarantine/<id>/`,
+  * never deleted. The ledger-loss valve is judged BEFORE any mutation:
+  * footprints with no `_epochs` dir mean the ledger was lost (an
+  * underscore-blind copy/restore is the usual cause), and proceeding
+  * would quarantine the whole corpus; the refusal is idempotent.
+  *
+  * SINGLE MAINTENANCE WRITER, like the dedup rotation: at most one
+  * [[commitEpoch]]/[[recover]] may run against a layout at a time. The
+  * pre-commit stage-existence check and the completion-time manifest
+  * re-check turn a violation into a loud failure instead of a silently
+  * empty or partial epoch.
+  *
+  * Driver cost: renames linear in the epoch's part-file count, one
+  * ledger file per epoch (bounded by epoch cadence, not data volume),
+  * listing-only sweeps at epoch cadence. Nothing here reads data files.
+  */
+object EpochLedger {
+
+  /** `epochId` must be a plain path segment: '/' would nest, '.'/'..'
+    * would escape `_rotate` and stage straight into the live layout, a
+    * leading '.'/'_' would collide with the hidden-file conventions,
+    * and '=' is the footprint separator in moved file names (an id
+    * containing it would make one epoch's footprint prefix-match
+    * another's).
+    */
+  private[operators] def requireEpochId(epochId: String): Unit =
+    require(
+      epochId.nonEmpty && !epochId.exists(c =>
+        c == '/' || c == '\\' || c == '=') &&
+        epochId != "." && epochId != ".." &&
+        !epochId.startsWith(".") && !epochId.startsWith("_"),
+      s"epochId must be a plain path segment (no separators, no '=', " +
+        s"not '.'/'..', no leading '.'/'_'), got '$epochId'")
+
+  /** Has `epochId` been fully applied to the layout at `path`? */
+  def applied(spark: SparkSession, path: String, epochId: String): Boolean =
+    Dedup.fsFor(spark, path).exists(new Path(s"$path/_epochs/$epochId"))
+
+  /** Run one epoch through the protocol. `stageWrite` receives the
+    * staging dir and must write the epoch's rows there as a parquet
+    * tree partitioned by a `partPrefix`-named column (e.g.
+    * `"centroid_id="`). Returns true when the epoch was applied now,
+    * false when `epochId` was already ledgered (a replay: the layout
+    * is left untouched). `failpoint` is the crash-injection hook for
+    * specs — invoked at "staged", "committed", "move-file" (before
+    * every individual rename) and "moved".
+    */
+  private[operators] def commitEpoch(
+      spark: SparkSession,
+      path: String,
+      epochId: String,
+      partPrefix: String,
+      stageWrite: String => Unit,
+      failpoint: String => Unit = _ => ()): Boolean = {
+    requireEpochId(epochId)
+    // heals any torn prior epoch AND quarantines this epoch's own
+    // unledgered footprints (the stage-lost partial-move state), so a
+    // same-epochId retry re-applies cleanly whatever state the crash
+    // left behind
+    recover(spark, path, partPrefix)
+    if (applied(spark, path, epochId)) return false
+    val f = Dedup.fsFor(spark, path)
+    // the ledger dir exists before any data can move — recovery treats
+    // "footprints but no ledger dir" as ledger loss and refuses
+    f.mkdirs(new Path(s"$path/_epochs"))
+    val stageRoot = new Path(s"$path/_rotate/$epochId")
+    stageWrite(s"$stageRoot/data")
+    failpoint("staged")
+    // single-writer check before committing: a concurrent recover()
+    // (contract violation) would have discarded the uncommitted stage;
+    // committing an empty stage would ledger the epoch with zero rows,
+    // permanently. This only NARROWS the window — the guarantee comes
+    // from complete()'s manifest re-check at the ledger write.
+    require(f.exists(new Path(s"$stageRoot/data")),
+      s"epoch-ledger: staging for epoch '$epochId' vanished before " +
+        "commit — a concurrent recover/commit ran against this layout; " +
+        "the protocol requires a single maintenance writer")
+    val manifestTmp = new Path(stageRoot, "._MANIFEST.tmp")
+    val out = f.create(manifestTmp, true)
+    try out.write(path.getBytes(UTF_8)) finally out.close()
+    require(f.rename(manifestTmp, new Path(stageRoot, "_MANIFEST")),
+      s"epoch-ledger: manifest rename failed for $stageRoot")
+    failpoint("committed")
+    complete(f, stageRoot, path, epochId, partPrefix, failpoint)
+    true
+  }
+
+  /** Finish a COMMITTED epoch: move staged files into the live
+    * partition dirs (idempotent — files a previous attempt moved are
+    * simply absent from the stage), ledger, retire any superseded
+    * quarantine, drop the stage.
+    */
+  private def complete(
+      f: FileSystem,
+      stageRoot: Path,
+      path: String,
+      epochId: String,
+      partPrefix: String,
+      failpoint: String => Unit): Unit = {
+    val dataStage = new Path(stageRoot, "data")
+    if (f.exists(dataStage))
+      f.listStatus(dataStage)
+        .filter(_.getPath.getName.startsWith(partPrefix)).foreach { pd =>
+          val dst = new Path(path, pd.getPath.getName)
+          f.mkdirs(dst) // idempotent; the move target must exist
+          f.listStatus(pd.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet")).foreach { nf =>
+              failpoint("move-file")
+              val to = new Path(dst, s"$epochId=${nf.getPath.getName}")
+              require(f.rename(nf.getPath, to),
+                s"epoch-ledger: rename ${nf.getPath} -> $to failed")
+            }
+        }
+    failpoint("moved")
+    // commit-point verification: the manifest lives until the stage is
+    // reclaimed below, so its absence here means a concurrent recover
+    // deleted the stage mid-completion. Fail loudly — ledgering now
+    // would record the epoch as applied with whatever subset of rows
+    // happened to move. Every moved file carries the footprint, so a
+    // same-epochId retry quarantines the partial append and re-applies.
+    require(f.exists(new Path(stageRoot, "_MANIFEST")),
+      s"epoch-ledger: stage $stageRoot vanished mid-completion — a " +
+        "concurrent recover/commit ran against this layout; the " +
+        "protocol requires a single maintenance writer")
+    val ledger = new Path(s"$path/_epochs")
+    f.mkdirs(ledger)
+    f.create(new Path(ledger, epochId), true).close()
+    // same supersede semantics as the dedup rotation: a completed
+    // re-application RETIRES (never deletes) the torn attempt's
+    // quarantine — see Dedup.retireQuarantine
+    Dedup.retireQuarantine(f, path, epochId)
+    require(f.delete(stageRoot, true),
+      s"epoch-ledger: cleanup of $stageRoot failed")
+  }
+
+  /** Resolve any crashed [[commitEpoch]] on the layout at `path`:
+    * discard uncommitted stages, complete committed ones, QUARANTINE
+    * unledgered `<id>=` footprints (residue of an epoch that lost its
+    * stage after a partial move) under `path/_quarantine/<id>/` —
+    * moves, never deletes. The ledger-loss valve is judged before any
+    * mutation and the refusal is idempotent. Part of the layout's
+    * single-maintenance-writer surface: never run concurrently with a
+    * commit on the same layout.
+    */
+  def recover(
+      spark: SparkSession,
+      path: String,
+      partPrefix: String): Unit = {
+    val f = Dedup.fsFor(spark, path)
+    // footprint id of a live-layout file name; a leading '.' marks
+    // hidden temps/checksums, which follow their visible sibling
+    def idOf(name: String): Option[String] = {
+      val i = name.indexOf('=')
+      if (i > 0 && !name.startsWith(".") && !name.startsWith("_"))
+        Some(name.substring(0, i))
+      else None
+    }
+    val residue = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Path, String)]
+    val root = new Path(path)
+    if (f.exists(root))
+      f.listStatus(root)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(partPrefix)).foreach { pd =>
+          f.listStatus(pd.getPath).foreach { nf =>
+            idOf(nf.getPath.getName).foreach(id => residue +=
+              ((id, nf.getPath,
+                s"$path/_quarantine/$id/${pd.getPath.getName}")))
+          }
+        }
+    // ledger membership from ONE listing — in a mature layout every
+    // post-epoch-0 file carries a footprint, so per-file exists()
+    // would be O(corpus files) round-trips
+    val ledgerP = new Path(s"$path/_epochs")
+    val ledgerDirExists = f.exists(ledgerP)
+    val ledgered: Set[String] =
+      if (ledgerDirExists)
+        f.listStatus(ledgerP).map(_.getPath.getName).toSet
+      else Set.empty
+    // ids with a COMMITTED stage pending are not torn — completing
+    // them below writes their ledger entries
+    val rotateRoot = new Path(s"$path/_rotate")
+    val stages =
+      if (f.exists(rotateRoot)) f.listStatus(rotateRoot).toSeq
+      else Seq.empty
+    val pendingCommitted: Set[String] = stages
+      .filter(st => f.exists(new Path(st.getPath, "_MANIFEST")))
+      .map(_.getPath.getName).toSet
+    val torn = residue.filterNot { case (id, _, _) =>
+      ledgered(id) || pendingCommitted(id) }
+    // the ledger-loss valve, judged BEFORE any mutation (completing a
+    // committed stage would re-create _epochs with only its own entry,
+    // after which a later sweep would quarantine every OTHER epoch).
+    // Footprints imply footprint-era code, which creates _epochs at
+    // stage time — absence can only mean external deletion. ANY
+    // footprint counts, torn or pending-committed: with the ledger
+    // gone, even completing a committed stage over its own partial
+    // moves would forge an almost-empty ledger.
+    if (residue.nonEmpty)
+      require(ledgerDirExists,
+        s"epoch-ledger: '<id>=' footprint files exist under $path but " +
+          "the _epochs ledger dir is missing — it was lost (an " +
+          "underscore-blind copy/restore is the usual cause). Restore " +
+          "it: it travels WITH the layout. If it is unrecoverable, " +
+          "reconstruct an entry file per epoch known to be applied " +
+          "before re-running — an EMPTY ledger would send every " +
+          "applied epoch's data to quarantine. (Foreign '='-named " +
+          "files are also possible; that namespace is reserved for " +
+          "the protocol.) Refusing to touch the corpus.")
+    stages.foreach { st =>
+      if (!pendingCommitted(st.getPath.getName))
+        require(f.delete(st.getPath, true),
+          s"epoch-ledger: cleanup of ${st.getPath} failed")
+      else
+        complete(f, st.getPath, path, st.getPath.getName, partPrefix,
+          _ => ())
+    }
+    torn.foreach { case (_, file, qDir) =>
+      val d = new Path(qDir)
+      f.mkdirs(d)
+      require(f.rename(file, new Path(d, file.getName)),
+        s"epoch-ledger: quarantine of $file -> $d failed")
+    }
+  }
+
+  /** One `(epochId, files, bytes)` row per quarantined torn epoch under
+    * `path/_quarantine/` — the single-layout twin of
+    * [[Dedup.listQuarantined]]. Listing-only: never reads data files.
+    * A quarantine is retired automatically only when the SAME epochId
+    * later completes; torn data re-ingested under a fresh id leaves the
+    * old id's quarantine behind — monitor here and purge ids that were
+    * re-ingested or deliberately abandoned.
+    */
+  def listQuarantined(
+      spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] = {
+    val f = Dedup.fsFor(spark, path)
+    val q = new Path(s"$path/_quarantine")
+    if (!f.exists(q)) Seq.empty
+    else f.listStatus(q).filter(_.isDirectory).toSeq.map { d =>
+      val it = f.listFiles(d.getPath, true)
+      var files = 0L
+      var bytes = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        files += 1; bytes += st.getLen
+      }
+      (d.getPath.getName, files, bytes)
+    }.sortBy(_._1)
+  }
+}
