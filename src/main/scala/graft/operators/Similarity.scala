@@ -337,28 +337,17 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
-  /** Append novel vectors to an existing [[writeIvfPartitioned]] layout
-    * — the O(novel) epoch maintenance a GROWING embedding corpus needs
-    * (the full overwrite pays O(corpus) per epoch, exactly the cost
-    * `appendHistoryBucketed` eliminated for the dedup history). Each
-    * novel vector is assigned to its nearest centroid FROM THE LAYOUT'S
-    * OWN `_centroids` sidecar and appended into that centroid's
-    * partition, so the result is bit-identical to a full rebuild with
-    * the same centroid set: per-vector assignment depends only on the
-    * (vector, centroid set) pair, never on the rest of the corpus.
-    *
-    * The centroids are NOT re-trained. As the corpus distribution
-    * drifts, partitions skew and probe recall decays; the re-train
-    * trigger (e.g. max/median partition population ratio) forces a
-    * [[writeIvfPartitioned]] rebuild under a fresh [[kmeansFit]] — see
-    * SCALING.md. Plain single-layout append: a caller retrying a
-    * failed epoch should stage novels behind a batch-keyed spool
-    * (`StreamingDedup.spoolBatch`) rather than re-calling this blindly.
+  /** Novel vectors assigned against the layout's OWN `_centroids`
+    * sidecar, shaped for the layout's partition scheme — the shared
+    * front half of [[appendIvfPartitioned]] and [[appendIvfEpoch]].
+    * Assignment depends only on the (vector, centroid set) pair, never
+    * on the rest of the corpus, so an append is bit-identical to a
+    * full rebuild with the same centroid set.
     */
-  def appendIvfPartitioned(
+  private def assignToLayout(
       novel: DataFrame,
       path: String,
-      idCol: String = "vec_id"): Unit = {
+      idCol: String): DataFrame = {
     val spark = novel.sparkSession
     // the sidecar IS the layout's identity — missing means `path` is
     // not a writeIvfPartitioned layout; fail loudly before any write
@@ -369,8 +358,100 @@ object Similarity {
     rankCentroids(asDouble(novel, idCol = idCol), cent, 1, idCol)
       .select(col(idCol), col("vec"), col("nrm"),
         concat(lit("c"), col("centroid_id")).as("centroid_id"))
-      .write.partitionBy("centroid_id").mode("append").parquet(path)
   }
+
+  /** Append novel vectors to an existing [[writeIvfPartitioned]] layout
+    * — the O(novel) epoch maintenance a GROWING embedding corpus needs
+    * (the full overwrite pays O(corpus) per epoch, exactly the cost
+    * `appendHistoryBucketed` eliminated for the dedup history). Each
+    * novel vector is assigned to its nearest centroid from the layout's
+    * `_centroids` sidecar and appended into that centroid's partition.
+    *
+    * RAW append: a crashed write can leave a half-appended epoch, and a
+    * blind retry double-appends. [[appendIvfEpoch]] is the crash-safe,
+    * retry-idempotent entry — prefer it for any unattended maintenance
+    * loop; this raw form remains only for callers that already stage
+    * novels behind their own exactly-once spool
+    * (`StreamingDedup.spoolBatch`).
+    *
+    * The centroids are NOT re-trained. As the corpus distribution
+    * drifts, partitions skew and probe recall decays; the re-train
+    * trigger ([[ivfSkewRatio]]) forces a [[rotateIvf]] re-train — see
+    * SCALING.md.
+    */
+  def appendIvfPartitioned(
+      novel: DataFrame,
+      path: String,
+      idCol: String = "vec_id"): Unit =
+    assignToLayout(novel, path, idCol)
+      .write.partitionBy("centroid_id").mode("append").parquet(path)
+
+  /** Crash-safe, idempotent epoch append to a [[writeIvfPartitioned]]
+    * layout — [[appendIvfPartitioned]]'s assignment routed through the
+    * [[EpochLedger]] stage → manifest → footprint → ledger protocol
+    * (the single-layout twin of `Dedup.rotateEpochBucketed`): a crashed
+    * epoch either never touched the layout (uncommitted stage,
+    * discarded on retry) or completes exactly once on retry, and a
+    * blind same-`epochId` retry of a COMPLETED epoch returns false and
+    * leaves the layout untouched. `epochId` must be the caller's stable
+    * name for this novel batch (a spool/batch id), reused verbatim on
+    * every retry. Returns true when the epoch was applied now.
+    *
+    * SINGLE MAINTENANCE WRITER per layout, like the dedup rotation —
+    * see [[EpochLedger.commitEpoch]] for the protocol's invariants and
+    * [[recoverIvfEpochs]] for the restart path.
+    */
+  def appendIvfEpoch(
+      novel: DataFrame,
+      path: String,
+      epochId: String,
+      idCol: String = "vec_id"): Boolean =
+    appendIvfEpochStaged(novel, path, epochId, idCol, _ => ())
+
+  /** [[appendIvfEpoch]] with the crash-injection hook exposed for
+    * specs — fired at "staged", "committed", "move-file", "moved".
+    */
+  private[operators] def appendIvfEpochStaged(
+      novel: DataFrame,
+      path: String,
+      epochId: String,
+      idCol: String,
+      failpoint: String => Unit): Boolean =
+    EpochLedger.commitEpoch(novel.sparkSession, path, epochId,
+      partPrefix = "centroid_id=",
+      stageWrite = stageDir =>
+        assignToLayout(novel, path, idCol)
+          .write.partitionBy("centroid_id").parquet(stageDir),
+      failpoint = failpoint)
+
+  /** Resolve any crashed [[appendIvfEpoch]] on the layout at `path` —
+    * the restart-path entry a pipeline calls before its first append of
+    * a session. Uncommitted stages are discarded, committed ones
+    * completed, and stage-lost partial appends QUARANTINED under
+    * `path/_quarantine/<epochId>/` (moved, never deleted); footprints
+    * with no `_epochs` ledger refuse recovery entirely (see
+    * [[EpochLedger.recover]]'s ledger-loss valve). Single maintenance
+    * writer: never run concurrently with an append on the same layout.
+    */
+  def recoverIvfEpochs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    EpochLedger.recover(spark, path, partPrefix = "centroid_id=")
+
+  /** Has `epochId` been fully applied to the layout at `path`? */
+  def ivfEpochApplied(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      epochId: String): Boolean =
+    EpochLedger.applied(spark, path, epochId)
+
+  /** One `(epochId, files, bytes)` row per quarantined torn epoch of
+    * the layout at `path` — see [[EpochLedger.listQuarantined]].
+    */
+  def listIvfQuarantined(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long, Long)] =
+    EpochLedger.listQuarantined(spark, path)
 
   /** Per-centroid storage footprint of a [[writeIvfPartitioned]]
     * layout, from the layout LISTING alone — no Spark query, no data

@@ -483,6 +483,65 @@ object PipelineQueries {
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin))
 
+  /** The epoch-grown IVF layout under hash verification: the layout is
+    * written from the even-id half of the corpus (so the centroid set
+    * is derived from that half ALONE), the odd-id half is appended as a
+    * ledgered epoch ([[Similarity.appendIvfEpoch]] — the crash-safe
+    * maintenance path), and the multi-probe query runs over the grown
+    * layout. The oracle computes the same centroid set, assignment and
+    * probe over the UNION in SQL — so the row hashes pin "append ==
+    * rebuild" through the live query path, the way q56–q58 pin the cap
+    * algebra.
+    */
+  private val qIvfAppendedProbe = QueryDef(
+    "q59_ivf_appended_probe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-q59").toString
+      val path = s"$root/ivf"
+      Similarity.writeIvfPartitioned(e.filter(col("vec_id") % 2 === 0), path)
+      Similarity.appendIvfEpoch(e.filter(col("vec_id") % 2 =!= 0), path,
+        epochId = "epoch1")
+      Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |ea AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, vec AS cvec FROM ea
+         |  ORDER BY ((vec_id % ${DuckSql.P}) * 2654435761) % ${DuckSql.P}, vec_id
+         |  LIMIT ${Similarity.DefaultCentroidK}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, vec FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.vec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c)
+         |  WHERE crank = 1),
+         |qp AS (
+         |  SELECT vec_id AS query_id, centroid_id, vec AS vec_q FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.vec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c
+         |    WHERE v.vec_id < 8)
+         |  WHERE crank <= 2),
+         |scored AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |         round(${DuckSql.cosine("q.vec_q", "n.vec")}, 6) AS sim
+         |  FROM assigned n JOIN qp q ON n.centroid_id = q.centroid_id
+         |  WHERE n.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin))
+
   // ----------------------------------------------------------------- text
 
   private val qQuality = {
@@ -1329,7 +1388,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qMinhash, qMinhashCapped, qMinhashProbe,
     qSimhash, qSimhash64, qEmbDup,
-    qKnnBrute, qKnnIvf, qKnnIvfMulti,
+    qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
