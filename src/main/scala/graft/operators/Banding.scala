@@ -73,6 +73,43 @@ object Banding {
     if (bands >= 1 && bits >= bands && bits / bands <= 8) None
     else Some(DefaultMaxBandPop)
 
+  /** Some(hazard message) exactly when [[defaultCapFor]] resolves
+    * `bits`/`bands` to the uncapped default — the scale warning that
+    * keeps the short-key recall trade from being a silent O(N²) at
+    * corpus scale: an uncapped self-join over k-bit band keys has
+    * expected bucket population N/2^k, i.e. O(N²/2^k) candidate pairs
+    * from random agreements alone. None for geometries whose default
+    * keeps the population cap.
+    */
+  def shortKeyHazard(bits: Int, bands: Int): Option[String] =
+    defaultCapFor(bits, bands) match {
+      case None =>
+        val keyBits = bits / bands
+        Some(s"banding geometry $bits bits / $bands bands has $keyBits-bit " +
+          s"band keys (${1L << keyBits} distinct values per band): the " +
+          "resolved DEFAULT is uncapped, because random full-bucket " +
+          "agreements are routine at this key width and anchor/star " +
+          "pairing over mostly-unrelated buckets drops true near-dup " +
+          "pairs. At corpus scale the uncapped bucket self-join emits " +
+          s"O(N^2/2^$keyBits) candidate pairs from random agreements " +
+          "alone — a scale-killer. Prefer a wider geometry (e.g. 64 " +
+          "bits / 4 bands), or pass an explicit maxBandPop to accept " +
+          "the recall trade, or an explicit None to silence this warning.")
+      case Some(_) => None
+    }
+
+  /** [[defaultCapFor]] with the uncapped resolution made LOUD — the
+    * operators' `maxBandPop = null` sites resolve through here, so a
+    * short-key geometry left on its default logs the O(N²/2^keyBits)
+    * hazard instead of burying it in a docstring. An EXPLICIT
+    * Some/None from the caller never reaches this path.
+    */
+  def resolveDefaultCap(bits: Int, bands: Int): Option[Int] = {
+    shortKeyHazard(bits, bands).foreach(m =>
+      org.slf4j.LoggerFactory.getLogger(Banding.getClass).warn(m))
+    defaultCapFor(bits, bands)
+  }
+
   /** Distinct candidate pairs (`id_a` < `id_b`) from `(idCol, band,
     * key)` bucket rows — the banding self-join, population-capped when
     * `maxBandPop` is set. Pass `None` for the exact uncapped join

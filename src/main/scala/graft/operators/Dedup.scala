@@ -895,29 +895,64 @@ object Dedup {
   def listQuarantined(
       spark: org.apache.spark.sql.SparkSession,
       historyPath: String,
-      indexPath: String): Seq[(String, Long, Long)] = {
-    def scan(fs: org.apache.hadoop.fs.FileSystem, root: String) = {
-      val q = new org.apache.hadoop.fs.Path(s"$root/_quarantine")
-      if (!fs.exists(q)) Seq.empty
-      else fs.listStatus(q).filter(_.isDirectory).toSeq.map { d =>
-        val it = fs.listFiles(d.getPath, true)
-        var files = 0L
-        var bytes = 0L
-        while (it.hasNext) {
-          val st = it.next()
-          files += 1; bytes += st.getLen
-        }
-        (d.getPath.getName, files, bytes)
-      }
-    }
+      indexPath: String): Seq[(String, Long, Long)] =
+    listBothLayouts(spark, historyPath, indexPath, "_quarantine")
+
+  /** The RETIRED-quarantine surface: one `(name, files, bytes)` row per
+    * `_retired/<epochId>[.n]` dir across both layouts — the quarantines
+    * a later completed rotation of the same epochId superseded
+    * ([[retireQuarantine]]; the `.2`, `.3`, … suffixes are repeat
+    * retirements of one id, each its own row). Retired dirs are outside
+    * [[listQuarantined]]'s active listing by design, but "quarantine
+    * moves, never deletes" means THEIR storage also lives until an
+    * operator purges it — this listing is what makes that purge step
+    * monitorable. Listing-only: never reads data files.
+    */
+  def listRetired(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String): Seq[(String, Long, Long)] =
+    listBothLayouts(spark, historyPath, indexPath, "_retired")
+
+  /** One `(dir-name, files, bytes)` row per child of `root/<sub>` on
+    * each layout's own filesystem, summed per name across the pair —
+    * the shared scanner behind the quarantine/retired listings.
+    */
+  private def listBothLayouts(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String,
+      sub: String): Seq[(String, Long, Long)] = {
     val f = fsFor(spark, historyPath)
     val idxFs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(f.getConf)
-    (scan(f, historyPath) ++ scan(idxFs, indexPath))
+    (scanHiddenRoot(f, historyPath, sub) ++
+      scanHiddenRoot(idxFs, indexPath, sub))
       .groupBy(_._1).toSeq
       .map { case (id, rows) =>
         (id, rows.map(_._2).sum, rows.map(_._3).sum) }
       .sortBy(_._1)
+  }
+
+  /** One `(dir-name, files, bytes)` row per directory under
+    * `root/<sub>`, by recursive listing alone.
+    */
+  private[operators] def scanHiddenRoot(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      sub: String): Seq[(String, Long, Long)] = {
+    val q = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    if (!fs.exists(q)) Seq.empty
+    else fs.listStatus(q).filter(_.isDirectory).toSeq.map { d =>
+      val it = fs.listFiles(d.getPath, true)
+      var files = 0L
+      var bytes = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        files += 1; bytes += st.getLen
+      }
+      (d.getPath.getName, files, bytes)
+    }
   }
 
   /** Finish a COMMITTED rotation: move staged files into the live
@@ -1631,7 +1666,7 @@ object Dedup {
       // Some/None always wins.
       maxBandPop: Option[Int] = null): DataFrame = {
     val cap =
-      if (maxBandPop eq null) Banding.defaultCapFor(bits, bands)
+      if (maxBandPop eq null) Banding.resolveDefaultCap(bits, bands)
       else maxBandPop
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     require(bands >= 1 && bits % bands == 0,

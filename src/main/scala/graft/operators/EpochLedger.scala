@@ -265,19 +265,20 @@ object EpochLedger {
     */
   def listQuarantined(
       spark: SparkSession,
-      path: String): Seq[(String, Long, Long)] = {
-    val f = Dedup.fsFor(spark, path)
-    val q = new Path(s"$path/_quarantine")
-    if (!f.exists(q)) Seq.empty
-    else f.listStatus(q).filter(_.isDirectory).toSeq.map { d =>
-      val it = f.listFiles(d.getPath, true)
-      var files = 0L
-      var bytes = 0L
-      while (it.hasNext) {
-        val st = it.next()
-        files += 1; bytes += st.getLen
-      }
-      (d.getPath.getName, files, bytes)
-    }.sortBy(_._1)
-  }
+      path: String): Seq[(String, Long, Long)] =
+    Dedup.scanHiddenRoot(Dedup.fsFor(spark, path), path, "_quarantine")
+      .sortBy(_._1)
+
+  /** One `(name, files, bytes)` row per `path/_retired/<epochId>[.n]`
+    * dir — the single-layout twin of [[Dedup.listRetired]]: quarantines
+    * a later completed epoch of the same id superseded (each `.n`
+    * repeat retirement is its own row). Outside [[listQuarantined]]'s
+    * active listing by design; this is the purge step's monitor.
+    * Listing-only: never reads data files.
+    */
+  def listRetired(
+      spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] =
+    Dedup.scanHiddenRoot(Dedup.fsFor(spark, path), path, "_retired")
+      .sortBy(_._1)
 }

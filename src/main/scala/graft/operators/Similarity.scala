@@ -416,27 +416,38 @@ object Similarity {
       path: String,
       epochId: String,
       idCol: String,
-      failpoint: String => Unit): Boolean =
+      failpoint: String => Unit): Boolean = {
+    // a torn rotation first: its retired-but-not-swapped window leaves
+    // `_centroids` missing, which would fail the assignment loudly but
+    // uselessly — healing here makes restart-after-rotation-crash as
+    // self-serve as restart-after-epoch-crash
+    recoverIvfRotations(novel.sparkSession, path)
     EpochLedger.commitEpoch(novel.sparkSession, path, epochId,
       partPrefix = "centroid_id=",
       stageWrite = stageDir =>
         assignToLayout(novel, path, idCol)
           .write.partitionBy("centroid_id").parquet(stageDir),
       failpoint = failpoint)
+  }
 
-  /** Resolve any crashed [[appendIvfEpoch]] on the layout at `path` —
-    * the restart-path entry a pipeline calls before its first append of
-    * a session. Uncommitted stages are discarded, committed ones
-    * completed, and stage-lost partial appends QUARANTINED under
-    * `path/_quarantine/<epochId>/` (moved, never deleted); footprints
-    * with no `_epochs` ledger refuse recovery entirely (see
-    * [[EpochLedger.recover]]'s ledger-loss valve). Single maintenance
-    * writer: never run concurrently with an append on the same layout.
+  /** Resolve any crashed [[appendIvfEpoch]] or [[rotateIvf]] on the
+    * layout at `path` — the restart-path entry a pipeline calls before
+    * its first append of a session. Torn rotations are healed first
+    * (uncommitted rotation stages discarded, committed ones completed
+    * through the marker-fenced swap), then epochs: uncommitted stages
+    * are discarded, committed ones completed, and stage-lost partial
+    * appends QUARANTINED under `path/_quarantine/<epochId>/` (moved,
+    * never deleted); footprints with no `_epochs` ledger refuse
+    * recovery entirely (see [[EpochLedger.recover]]'s ledger-loss
+    * valve). Single maintenance writer: never run concurrently with an
+    * append or rotation on the same layout.
     */
   def recoverIvfEpochs(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit =
+      path: String): Unit = {
+    recoverIvfRotations(spark, path)
     EpochLedger.recover(spark, path, partPrefix = "centroid_id=")
+  }
 
   /** Has `epochId` been fully applied to the layout at `path`? */
   def ivfEpochApplied(
@@ -452,6 +463,194 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(String, Long, Long)] =
     EpochLedger.listQuarantined(spark, path)
+
+  /** One `(epochId[.n], files, bytes)` row per RETIRED quarantine of
+    * the layout at `path` — see [[EpochLedger.listRetired]].
+    */
+  def listIvfRetired(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long, Long)] =
+    EpochLedger.listRetired(spark, path)
+
+  /** Re-train and rebuild the IVF layout at `path` IN PLACE — the
+    * runbook [[ivfSkewRatio]]'s re-train trigger prescribes, as one
+    * crash-safe operation: [[kmeansFit]] over the layout's own corpus
+    * (optionally a `sampleFrac` sample — at 100 TB the trainer needs a
+    * representative sample, not every vector), a full
+    * [[writeIvfPartitioned]] rebuild STAGED under
+    * `path/_retrain/<rotationId>/`, then a marker-fenced swap: the old
+    * partition dirs and `_centroids` sidecar are RETIRED (moved, never
+    * deleted) under `path/_retired/<rotationId>.pre-rotate/`, and the
+    * staged layout moves in. O(corpus) once per re-train — the cost
+    * [[appendIvfEpoch]] amortizes away between re-trains.
+    *
+    * Crash-safe like the epoch protocol, with the same ledger:
+    * `_MANIFEST` is the commit point (an uncommitted crash leaves the
+    * live layout untouched and the stage is discarded on
+    * [[recoverIvfEpochs]]), the `_RETIRED` marker fences retire from
+    * swap-in so a resumed completion never confuses old dirs with new,
+    * and the rotation id lands in the layout's `_epochs` ledger — a
+    * blind same-`rotationId` retry of a COMPLETED rotation returns
+    * false and leaves the layout untouched. Prior epoch ids REMAIN
+    * ledgered (their rows are inside the rebuilt corpus), so a replayed
+    * old epoch still refuses after rotation.
+    *
+    * NOT reader-atomic: between retire and swap-in a concurrent reader
+    * sees a partial layout (a multi-directory swap cannot be one
+    * rename). Run it in the same maintenance window the SINGLE
+    * MAINTENANCE WRITER contract already requires; probes resume after.
+    *
+    * Returns true when the rotation was applied now.
+    */
+  def rotateIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      rotationId: String,
+      centroidK: Int = DefaultCentroidK,
+      sampleFrac: Double = 1.0,
+      maxIters: Int = 10,
+      idCol: String = "vec_id"): Boolean =
+    rotateIvfStaged(spark, path, rotationId, centroidK, sampleFrac,
+      maxIters, idCol, _ => ())
+
+  /** [[rotateIvf]] with the crash-injection hook exposed for specs —
+    * fired at "staged", "committed", "retire-dir", "retired",
+    * "swap-dir", "swapped".
+    */
+  private[operators] def rotateIvfStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      rotationId: String,
+      centroidK: Int,
+      sampleFrac: Double,
+      maxIters: Int,
+      idCol: String,
+      failpoint: String => Unit): Boolean = {
+    EpochLedger.requireEpochId(rotationId)
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"sampleFrac must be in (0, 1], got $sampleFrac")
+    // heal torn rotations AND epochs before reading the corpus — a torn
+    // prior epoch would otherwise be trained into the new centroids
+    // half-appended
+    recoverIvfEpochs(spark, path)
+    if (EpochLedger.applied(spark, path, rotationId)) return false
+    val f = Dedup.fsFor(spark, path)
+    // ledger dir exists before any data moves (the ledger-loss valve's
+    // footprint-era invariant)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_epochs"))
+    val stageRoot = new org.apache.hadoop.fs.Path(
+      s"$path/_retrain/$rotationId")
+    // the corpus read is LAZY and the stage lives under an underscore
+    // dir of the same root — the rebuild streams the live layout into
+    // the stage without ever writing into its own input
+    val corpus = spark.read.parquet(path)
+      .select(col(idCol), col("vec").as("embedding"))
+    val trainIn =
+      if (sampleFrac < 1.0)
+        corpus.sample(withReplacement = false, sampleFrac, seed = 42L)
+      else corpus
+    val trained = kmeansFit(trainIn, centroidK, maxIters, idCol = idCol)
+    writeIvfPartitioned(corpus, s"$stageRoot/data", centroidK, idCol,
+      trainedCentroids = Some(trained))
+    failpoint("staged")
+    // single-writer check before committing (narrows the window; the
+    // guarantee is the completion-time manifest re-check)
+    require(f.exists(new org.apache.hadoop.fs.Path(s"$stageRoot/data")),
+      s"rotate-ivf: staging for rotation '$rotationId' vanished before " +
+        "commit — a concurrent recover/rotation ran against this " +
+        "layout; the protocol requires a single maintenance writer")
+    val manifestTmp = new org.apache.hadoop.fs.Path(stageRoot, "._MANIFEST.tmp")
+    val out = f.create(manifestTmp, true)
+    try out.write(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(
+      f.rename(manifestTmp,
+        new org.apache.hadoop.fs.Path(stageRoot, "_MANIFEST")),
+      s"rotate-ivf: manifest rename failed for $stageRoot")
+    failpoint("committed")
+    completeIvfRotation(f, stageRoot, path, rotationId, failpoint)
+    true
+  }
+
+  /** Finish a COMMITTED rotation: retire every live `centroid_id=*`
+    * dir and the `_centroids` sidecar under
+    * `path/_retired/<rotationId>.pre-rotate/` (phase fenced by the
+    * stage's `_RETIRED` marker — on a resumed completion, live centroid
+    * dirs are OLD exactly when the marker is absent), then move the
+    * staged layout in, ledger the rotation id, drop the stage. Every
+    * step is idempotent under same-id retry: already-retired dirs are
+    * absent from the live root, already-swapped dirs are absent from
+    * the stage.
+    */
+  private def completeIvfRotation(
+      f: org.apache.hadoop.fs.FileSystem,
+      stageRoot: org.apache.hadoop.fs.Path,
+      path: String,
+      rotationId: String,
+      failpoint: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    def isLayoutDir(n: String): Boolean =
+      n.startsWith("centroid_id=") || n == "_centroids"
+    val retiredMark = new Path(stageRoot, "_RETIRED")
+    if (!f.exists(retiredMark)) {
+      val retireDst = new Path(s"$path/_retired/$rotationId.pre-rotate")
+      f.mkdirs(retireDst)
+      f.listStatus(new Path(path))
+        .filter(st => st.isDirectory && isLayoutDir(st.getPath.getName))
+        .foreach { st =>
+          failpoint("retire-dir")
+          require(
+            f.rename(st.getPath, new Path(retireDst, st.getPath.getName)),
+            s"rotate-ivf: retire ${st.getPath} -> $retireDst failed")
+        }
+      failpoint("retired")
+      f.create(retiredMark, true).close()
+    }
+    val dataStage = new Path(stageRoot, "data")
+    if (f.exists(dataStage))
+      f.listStatus(dataStage)
+        .filter(st => st.isDirectory && isLayoutDir(st.getPath.getName))
+        .foreach { st =>
+          failpoint("swap-dir")
+          require(
+            f.rename(st.getPath, new Path(path, st.getPath.getName)),
+            s"rotate-ivf: swap-in of ${st.getPath} failed")
+        }
+    failpoint("swapped")
+    // commit-point verification, same as the epoch protocol: a missing
+    // manifest here means a concurrent recover deleted the stage
+    // mid-completion — ledgering now would record a partial swap
+    require(f.exists(new Path(stageRoot, "_MANIFEST")),
+      s"rotate-ivf: stage $stageRoot vanished mid-completion — a " +
+        "concurrent recover/rotation ran against this layout; the " +
+        "protocol requires a single maintenance writer")
+    val ledger = new Path(s"$path/_epochs")
+    f.mkdirs(ledger)
+    f.create(new Path(ledger, rotationId), true).close()
+    Dedup.retireQuarantine(f, path, rotationId)
+    require(f.delete(stageRoot, true),
+      s"rotate-ivf: cleanup of $stageRoot failed")
+  }
+
+  /** Resolve any crashed [[rotateIvf]] on the layout at `path`:
+    * uncommitted stages are discarded (the live layout was never
+    * touched), committed ones are completed through the marker-fenced
+    * swap. Part of the layout's single-maintenance-writer surface.
+    */
+  private[operators] def recoverIvfRotations(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val f = Dedup.fsFor(spark, path)
+    val retrainRoot = new org.apache.hadoop.fs.Path(s"$path/_retrain")
+    if (!f.exists(retrainRoot)) return
+    f.listStatus(retrainRoot).foreach { st =>
+      if (f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST")))
+        completeIvfRotation(f, st.getPath, path, st.getPath.getName, _ => ())
+      else
+        require(f.delete(st.getPath, true),
+          s"rotate-ivf: cleanup of uncommitted stage ${st.getPath} failed")
+    }
+  }
 
   /** Per-centroid storage footprint of a [[writeIvfPartitioned]]
     * layout, from the layout LISTING alone — no Spark query, no data

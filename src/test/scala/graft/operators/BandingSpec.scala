@@ -260,6 +260,24 @@ class BandingSpec extends AnyFunSuite {
     assert(Caching.reliableDir.isEmpty)
   }
 
+  test("short-key uncapped default is LOUD: the hazard fires at 32/4 " +
+    "(and every <= 8-bit-key geometry), not at 64/4, and resolution " +
+    "through it never changes the resolved cap") {
+    // the hazard exists exactly where the default resolves uncapped
+    val hazard32 = Banding.shortKeyHazard(32, 4)
+    assert(hazard32.isDefined)
+    // the message must NAME the quadratic risk and the escape hatches
+    assert(hazard32.get.contains("O(N^2/2^8)"))
+    assert(hazard32.get.contains("maxBandPop"))
+    assert(Banding.shortKeyHazard(64, 8).isDefined) // 8-bit keys too
+    assert(Banding.shortKeyHazard(64, 4).isEmpty)
+    assert(Banding.shortKeyHazard(16, 1).isEmpty)
+    // the loud resolver is cap-transparent: same resolution, plus the log
+    for ((bits, bands) <- Seq((32, 4), (64, 8), (64, 4), (16, 1), (32, 0)))
+      assert(Banding.resolveDefaultCap(bits, bands) ==
+        Banding.defaultCapFor(bits, bands), s"$bits/$bands")
+  }
+
   test("simhash 64-bit geometry: same true pairs, no more random candidates than 32-bit") {
     val words = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
       "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Seeded randomized crash sweep over BOTH epoch-append protocols —
+  * the two-layout dedup rotation ([[Dedup.rotateEpochBucketed]]) and
+  * the single-layout IVF epoch ([[Similarity.appendIvfEpoch]]). Each
+  * trial kills the protocol at a randomly drawn failpoint (sometimes
+  * at a second one on the first retry), then retries under the SAME
+  * epochId until it completes, and asserts the invariants the
+  * scenario specs pin pointwise:
+  *
+  *   - the layouts equal the full-rebuild state — no row lost, none
+  *     duplicated;
+  *   - the epoch is ledgered exactly once, and a further blind retry
+  *     is a pure no-op;
+  *   - recovery afterward is a no-op: nothing quarantines, so no
+  *     unledgered visible file survived;
+  *   - the staging area is fully reclaimed.
+  *
+  * 50 seeded trials (~25 per protocol): the point is the CROSS PRODUCT
+  * of crash points × retry-crash points the enumerated specs don't
+  * cover, under a fixed seed so any failure replays exactly.
+  */
+class CrashSweepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private case object Boom extends RuntimeException("injected-crash")
+
+  /** Run `attempt` with a crash plan: attempt i throws at plan(i) if
+    * that failpoint is reached; the attempt after the plan runs clean.
+    * Returns the number of attempts that actually crashed.
+    */
+  private def driveWithCrashes(plan: Seq[String])(
+      attempt: (String => Unit) => Unit): Int = {
+    var crashed = 0
+    for (fp <- plan) {
+      try attempt(p => if (p == fp) throw Boom)
+      catch { case Boom => crashed += 1 }
+    }
+    attempt(_ => ()) // final clean retry
+    crashed
+  }
+
+  // ------------------------------------------------------------- ivf side
+
+  private val ivfFps = Seq("staged", "committed", "move-file", "moved")
+
+  private def vec(id: Long): Array[Float] =
+    Array.tabulate(4) { j =>
+      val h = scala.util.hashing.byteswap64(id * 4 + j)
+      (Math.floorMod(h, 1001L) - 500L).toFloat / 500f
+    }
+
+  private lazy val ivfBase =
+    (0L until 6L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+  private lazy val ivfNovel =
+    (100L until 106L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+  private def ivfRows(p: String): Set[(Long, String)] =
+    spark.read.parquet(p).select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  /** The rebuild target: centroid sampling is deterministic (id-hash),
+    * so the grown layout's rows are the same in every trial — computed
+    * once from one clean append.
+    */
+  private lazy val ivfWant: Set[(Long, String)] = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-want").toString
+    Similarity.writeIvfPartitioned(ivfBase, s"$root/ivf", centroidK = 2)
+    assert(Similarity.appendIvfEpoch(ivfNovel, s"$root/ivf", "e1"))
+    ivfRows(s"$root/ivf")
+  }
+
+  private def ivfTrial(plan: Seq[String]): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-ivf").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(ivfBase, path, centroidK = 2)
+    driveWithCrashes(plan) { fail =>
+      Similarity.appendIvfEpochStaged(ivfNovel, path, "e1", "vec_id", fail)
+      ()
+    }
+    val ctx = s"plan=$plan"
+    assert(ivfRows(path) == ivfWant, ctx)
+    assert(Similarity.ivfEpochApplied(spark, path, "e1"), ctx)
+    // blind replay: no-op
+    assert(!Similarity.appendIvfEpoch(ivfNovel, path, "e1"), ctx)
+    // recovery is a no-op: nothing unledgered survived to quarantine
+    Similarity.recoverIvfEpochs(spark, path)
+    assert(ivfRows(path) == ivfWant, ctx)
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty, ctx)
+    // staging reclaimed
+    val f = Dedup.fsFor(spark, path)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_rotate/e1")), ctx)
+  }
+
+  // ----------------------------------------------------------- dedup side
+
+  private val dedupFps = Seq("staged-history", "staged", "committed",
+    "moved-history")
+
+  private def histText(i: Long) = (1 to 8).map(j => s"h${i}w$j").mkString(" ")
+  private def novelText(i: Long) = (1 to 8).map(j => s"n${i}w$j").mkString(" ")
+
+  private lazy val dedupH0 =
+    (0L until 8L).map(i => (i, histText(i))).toDF("doc_id", "text")
+  private lazy val dedupN1 =
+    (100L until 104L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+
+  private def histRows(p: String): Set[(Long, String)] =
+    spark.read.parquet(p).select("doc_id", "id_bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+  private def idxRows(p: String): Set[(Long, Int, Long)] =
+    spark.read.parquet(p).select("doc_id", "band", "key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  /** Rebuild targets, computed once: both row derivations are
+    * deterministic functions of (doc, layout geometry).
+    */
+  private lazy val (dedupWantHist, dedupWantIdx) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-dwant").toString
+    val union = dedupH0.unionByName(dedupN1)
+    Dedup.writeHistoryBucketed(union, s"$root/hist", nBuckets = 4)
+    Dedup.writeMinhashIndex(union, s"$root/idx")
+    (histRows(s"$root/hist"), idxRows(s"$root/idx"))
+  }
+
+  private lazy val dedupBloom0 =
+    Dedup.digestBloom(dedupH0, expectedItems = 100, fpp = 0.01)
+
+  private def dedupTrial(plan: Seq[String]): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-ded").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(dedupH0, histPath, nBuckets = 4)
+    Dedup.writeMinhashIndex(dedupH0, idxPath)
+    driveWithCrashes(plan) { fail =>
+      val b = spark.sparkContext.broadcast(dedupBloom0)
+      Dedup.rotateEpochStaged(dedupN1, histPath, idxPath, b,
+        expectedItems = 100, fpp = 0.01, textCol = "text",
+        epochId = "e1", failpoint = fail)
+      ()
+    }
+    val ctx = s"plan=$plan"
+    assert(histRows(histPath) == dedupWantHist, ctx)
+    assert(idxRows(idxPath) == dedupWantIdx, ctx)
+    assert(Dedup.epochApplied(spark, histPath, "e1"), ctx)
+    // recovery is a no-op: nothing unledgered survived to quarantine
+    Dedup.recoverRotations(spark, histPath, idxPath)
+    assert(histRows(histPath) == dedupWantHist, ctx)
+    assert(idxRows(idxPath) == dedupWantIdx, ctx)
+    assert(Dedup.listQuarantined(spark, histPath, idxPath).isEmpty, ctx)
+    val f = Dedup.fsFor(spark, histPath)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/_rotate/e1")),
+      ctx)
+  }
+
+  // ---------------------------------------------------------------- sweep
+
+  test("50 seeded randomized crash trials across both protocols: " +
+    "retry-until-complete always converges to the rebuild state") {
+    val rnd = new scala.util.Random(0xC0FFEE42L)
+    var ivfCount = 0
+    var dedupCount = 0
+    for (trial <- 1 to 50) {
+      val useIvf = rnd.nextBoolean()
+      val fps = if (useIvf) ivfFps else dedupFps
+      // 1 or 2 planned crashes; a post-commit first crash makes the
+      // second plan entry unreachable (the retry completes through
+      // entry recovery) — that path is part of the sweep's coverage
+      val plan = Seq.fill(1 + rnd.nextInt(2))(fps(rnd.nextInt(fps.size)))
+      withClue(s"trial $trial (${if (useIvf) "ivf" else "dedup"}, $plan): ") {
+        if (useIvf) { ivfTrial(plan); ivfCount += 1 }
+        else { dedupTrial(plan); dedupCount += 1 }
+      }
+    }
+    // the seed must actually exercise both protocols and both plan depths
+    assert(ivfCount >= 15 && dedupCount >= 15, s"$ivfCount/$dedupCount")
+  }
+}

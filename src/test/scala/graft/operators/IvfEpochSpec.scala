@@ -193,6 +193,41 @@ class IvfEpochSpec extends AnyFunSuite {
     assert(rows(s"$root/grown") == unionRows)
   }
 
+  test("listRetired surfaces every _retired/<id>[.n] dir as its own row " +
+    "on both the single-layout and two-layout surfaces") {
+    val root = java.nio.file.Files.createTempDirectory("graft-retls").toString
+    val f = Dedup.fsFor(spark, root)
+    def put(p: String, bytes: Int): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(p), true)
+      try out.write(Array.fill[Byte](bytes)(1)) finally out.close()
+    }
+    // first torn attempt of e1, quarantined then superseded (retired)
+    put(s"$root/_quarantine/e1/centroid_id=c0/part-0.parquet", 4)
+    Dedup.retireQuarantine(f, root, "e1")
+    // the SAME id tears again (re-ingested torn attempt) and is
+    // superseded again — the second retirement must take the `.2`
+    // suffix, never overwrite or delete the first
+    put(s"$root/_quarantine/e1/centroid_id=c0/part-0.parquet", 6)
+    Dedup.retireQuarantine(f, root, "e1")
+
+    val single = EpochLedger.listRetired(spark, root)
+    assert(single.map(_._1) == Seq("e1", "e1.2"))
+    assert(single.find(_._1 == "e1").get == ("e1", 1L, 4L))
+    assert(single.find(_._1 == "e1.2").get == ("e1.2", 1L, 6L))
+    assert(Similarity.listIvfRetired(spark, root) == single)
+    // active quarantine listing is empty — retired dirs are out of it
+    assert(EpochLedger.listQuarantined(spark, root).isEmpty)
+
+    // the two-layout surface sums per name across history + index roots
+    val idx = java.nio.file.Files.createTempDirectory("graft-retls-idx").toString
+    put(s"$idx/_retired/e1/part-0.parquet", 10)
+    val both = Dedup.listRetired(spark, root, idx)
+    assert(both == Seq(("e1", 2L, 14L), ("e1.2", 1L, 6L)))
+    // roots with no _retired at all list empty
+    val bare = java.nio.file.Files.createTempDirectory("graft-retls-bare").toString
+    assert(Dedup.listRetired(spark, bare, bare).isEmpty)
+  }
+
   test("epochId guard: separators, dot-segments, hidden prefixes and '=' " +
     "are rejected before any filesystem work") {
     val novel = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")

@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Drift rotation for the IVF layout ([[Similarity.rotateIvf]]): the
+  * [[Similarity.ivfSkewRatio]] runbook's re-train as one crash-safe
+  * operation. The drift scenario: a layout whose centroids were derived
+  * from ONE direction cluster grows (via ledgered epochs) a second
+  * cluster the frozen centroids cannot represent — partition skew rises
+  * and nprobe-1 recall for the new cluster decays because its members
+  * split across near-identical old centroids. Rotation re-trains over
+  * the grown corpus and must reset the skew and restore recall without
+  * losing or duplicating a single row.
+  */
+class IvfRotationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 64 dims so a 600-point partition's DATA bytes dominate parquet
+    * per-file overhead — [[Similarity.ivfSkewRatio]] is bytes-based by
+    * design (listing-only), so the fixture must be big enough for
+    * bytes to track rows.
+    */
+  private val dim = 64
+
+  /** Deterministic jittered point around a base direction. The per-
+    * (id, j) jitter comes from a MIXING hash (byteswap64) — a linear
+    * `(id*a + j*b) mod m` form has period m in id, which collapses a
+    * "cluster" into m distinct vectors repeated: identical copies then
+    * co-locate under ANY centroid set and every drift observable
+    * (skew, recall) degenerates.
+    */
+  private def jittered(id: Long, base: Array[Float], amp: Float): Array[Float] =
+    base.zipWithIndex.map { case (b, j) =>
+      val h = scala.util.hashing.byteswap64(id * 64 + j)
+      b + amp * ((Math.floorMod(h, 1001L) - 500L).toFloat / 500f)
+    }
+
+  private val dirA = Array.tabulate(dim)(j => if (j == 0) 1f else 0f)
+  private val dirB = Array.tabulate(dim)(j => if (j == 2) 1f else 0f)
+
+  private val aIds = 0L until 600L
+  private val bIds = 1000L until 1600L
+
+  /** Cluster A: tight around dirA. Cluster B (the later-appended
+    * drift): tight around dirB, orthogonal to everything the A-era
+    * centroids represent.
+    */
+  private def clusterA: DataFrame =
+    aIds.map(i => (i, jittered(i, dirA, 0.15f))).toDF("vec_id", "embedding")
+  private def clusterB: DataFrame =
+    bIds.map(i => (i, jittered(i, dirB, 0.15f))).toDF("vec_id", "embedding")
+
+  private def ids(p: String): Seq[Long] =
+    spark.read.parquet(p).select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  /** Mean fraction of the brute-force top-k an nprobe-1 partitioned
+    * probe recovers, over cluster-B queries.
+    */
+  private def recallAt(path: String, union: DataFrame, queryIds: Seq[Long],
+      k: Int): Double = {
+    def top(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val truth = top(Similarity.bruteForceKnn(union, queryIds, k))
+    val got = top(Similarity.ivfKnnPartitioned(spark, path, queryIds, k,
+      nprobe = 1))
+    queryIds.map { q =>
+      val t = truth.getOrElse(q, Set.empty)
+      if (t.isEmpty) 1.0
+      else got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / queryIds.size
+  }
+
+  test("skew drift: the appended cluster piles onto ONE frozen A-era " +
+    "centroid; rotation re-balances, every row survives exactly once, " +
+    "replay refuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rot").toString
+    val path = s"$root/ivf"
+    // frozen A-era centroids, one of which (c3) leans 0.3 into B's
+    // direction (component 2) — 0.3 dominates every per-point jitter
+    // cross-term (sigma ~0.06), so (essentially) ALL of B lands on c3:
+    // the pile-up shape ivfSkewRatio's docstring warns about. A itself
+    // splits across the four by its own jitter.
+    def cent(id: Long, v: Array[Double]) =
+      (id, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+    def dirWith(j: Int, x: Double) =
+      Array.tabulate(dim)(i => if (i == 0) 1.0 else if (i == j) x else 0.0)
+    val frozen = Seq(
+      cent(0L, dirWith(1, 0.3)), cent(1L, dirWith(1, -0.3)),
+      cent(2L, dirWith(3, 0.3)), cent(3L, dirWith(2, 0.3)))
+      .toDF("centroid_id", "cvec", "cnrm")
+    Similarity.writeIvfPartitioned(clusterA, path,
+      trainedCentroids = Some(frozen))
+    assert(Similarity.appendIvfEpoch(clusterB, path, epochId = "e1"))
+    val idsBefore = ids(path).sorted
+    assert(idsBefore == (aIds ++ bIds).sorted)
+
+    val skewBefore = Similarity.ivfSkewRatio(spark, path)
+    assert(skewBefore > 1.5, s"construction should skew, got $skewBefore")
+
+    // re-train at the corpus's TRUE structure (two direction clusters)
+    assert(Similarity.rotateIvf(spark, path, rotationId = "rot1",
+      centroidK = 2))
+
+    // no row lost, none duplicated
+    val idsAfter = ids(path)
+    assert(idsAfter.sorted == idsBefore && idsAfter.distinct.size == idsAfter.size)
+    // the sidecar matches the live partitions (a self-contained layout)
+    val sidecar = spark.read.parquet(s"$path/_centroids")
+      .select("centroid_id").collect().map(_.getString(0)).toSet
+    val partDirs = Similarity.ivfPartitionStats(spark, path).map(_._1).toSet
+    assert(partDirs.subsetOf(sidecar))
+
+    // drift undone: one centroid per true cluster, 80/80 rows
+    val skewAfter = Similarity.ivfSkewRatio(spark, path)
+    assert(skewAfter < skewBefore && skewAfter < 1.5,
+      s"skew $skewBefore -> $skewAfter")
+
+    // blind same-id retry: ledger hit, layout untouched
+    assert(!Similarity.rotateIvf(spark, path, rotationId = "rot1",
+      centroidK = 2))
+    assert(ids(path).sorted == idsBefore)
+    // prior epoch ids stay ledgered across the rotation — a replayed
+    // old epoch refuses instead of double-appending into the rebuild
+    assert(!Similarity.appendIvfEpoch(clusterB, path, epochId = "e1"))
+    assert(ids(path).sorted == idsBefore)
+
+    // the pre-rotation corpus was RETIRED, never deleted, and the
+    // retired listing surfaces it
+    val retired = Similarity.listIvfRetired(spark, path)
+    assert(retired.map(_._1) == Seq("rot1.pre-rotate"))
+    assert(retired.head._2 > 0 && retired.head._3 > 0)
+    // stage fully reclaimed
+    val f = Dedup.fsFor(spark, path)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_retrain/rot1")))
+  }
+
+  test("recall drift: the appended cluster SPLITS across near-identical " +
+    "frozen centroids and nprobe-1 recall decays; rotation restores it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rot2").toString
+    val path = s"$root/ivf"
+    // frozen A-era centroids with IDENTICAL (zero) component-2 — B's
+    // dominant b2 term cancels across them, so each B vector's nearest
+    // centroid is decided by its own jitter cross-terms and the
+    // cluster SPLITS across all four partitions, decaying nprobe-1
+    // recall (the other face of the same drift)
+    def cent(id: Long, v: Array[Double]) =
+      (id, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+    def dirWith(j: Int, x: Double) =
+      Array.tabulate(dim)(i => if (i == 0) 1.0 else if (i == j) x else 0.0)
+    val frozen = Seq(
+      cent(0L, dirWith(1, 0.3)), cent(1L, dirWith(1, -0.3)),
+      cent(2L, dirWith(3, 0.3)), cent(3L, dirWith(3, -0.3)))
+      .toDF("centroid_id", "cvec", "cnrm")
+    Similarity.writeIvfPartitioned(clusterA, path,
+      trainedCentroids = Some(frozen))
+    assert(Similarity.appendIvfEpoch(clusterB, path, epochId = "e1"))
+    val union = clusterA.unionByName(clusterB)
+    val idsBefore = ids(path).sorted
+
+    val queryIds = (1000L until 1010L).toSeq
+    val recallBefore = recallAt(path, union, queryIds, k = 5)
+    // sanity: the split really costs recall in this construction
+    assert(recallBefore < 0.9, s"construction should split B, got $recallBefore")
+
+    assert(Similarity.rotateIvf(spark, path, rotationId = "rot1",
+      centroidK = 2))
+
+    val recallAfter = recallAt(path, union, queryIds, k = 5)
+    assert(recallAfter >= recallBefore && recallAfter >= 0.9,
+      s"recall $recallBefore -> $recallAfter")
+    assert(ids(path).sorted == idsBefore)
+  }
+
+  test("crash injection at every rotation point: restart-path recovery " +
+    "plus a same-id retry converge to a complete rotated layout") {
+    for (fp <- Seq("staged", "committed", "retire-dir", "retired",
+      "swap-dir", "swapped")) {
+      val root = java.nio.file.Files.createTempDirectory("graft-rotcr").toString
+      val path = s"$root/ivf"
+      Similarity.writeIvfPartitioned(clusterA, path, centroidK = 4)
+      assert(Similarity.appendIvfEpoch(clusterB, path, epochId = "e1"))
+      val idsBefore = ids(path).sorted
+
+      val ex = intercept[RuntimeException] {
+        Similarity.rotateIvfStaged(spark, path, "rot1", 4, 1.0, 10, "vec_id",
+          failpoint = p =>
+            if (p == fp) throw new RuntimeException(s"injected at $p"))
+      }
+      assert(ex.getMessage.contains("injected"), fp)
+      assert(!EpochLedger.applied(spark, path, "rot1"), fp)
+      if (fp == "staged") {
+        // uncommitted crash: the live layout was never touched
+        assert(ids(path).sorted == idsBefore, fp)
+      }
+
+      // retry under the SAME id: entry recovery completes a committed
+      // rotation (retry = ledger hit, false) or discards an uncommitted
+      // stage and re-runs (true)
+      val appliedNow = Similarity.rotateIvf(spark, path, "rot1",
+        centroidK = 4)
+      assert(appliedNow == (fp == "staged"), fp)
+      assert(EpochLedger.applied(spark, path, "rot1"), fp)
+
+      // complete layout: all rows exactly once, sidecar present and
+      // covering the partitions, old corpus retired
+      val idsAfter = ids(path)
+      assert(idsAfter.sorted == idsBefore, fp)
+      assert(idsAfter.distinct.size == idsAfter.size, fp)
+      val sidecar = spark.read.parquet(s"$path/_centroids")
+        .select("centroid_id").collect().map(_.getString(0)).toSet
+      assert(Similarity.ivfPartitionStats(spark, path).map(_._1).toSet
+        .subsetOf(sidecar), fp)
+      assert(Similarity.listIvfRetired(spark, path)
+        .map(_._1) == Seq("rot1.pre-rotate"), fp)
+
+      // a probe works end-to-end on the rotated layout
+      assert(Similarity.ivfKnnPartitioned(spark, path,
+        Seq(0L, 1000L), k = 3, nprobe = 2).count() > 0, fp)
+
+      // further retry: pure ledger hit
+      assert(!Similarity.rotateIvf(spark, path, "rot1", centroidK = 4), fp)
+      val f = Dedup.fsFor(spark, path)
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_retrain/rot1")),
+        fp)
+    }
+  }
+
+  test("a torn rotation heals on the APPEND path too: appendIvfEpoch " +
+    "after a committed-rotation crash completes the swap first") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rotheal").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(clusterA, path, centroidK = 4)
+    intercept[RuntimeException] {
+      Similarity.rotateIvfStaged(spark, path, "rot1", 4, 1.0, 10, "vec_id",
+        failpoint = p =>
+          if (p == "retired") throw new RuntimeException("injected"))
+    }
+    // the crash window left the live layout EMPTY (retired, not yet
+    // swapped) — the next epoch append must heal it before assigning
+    assert(Similarity.appendIvfEpoch(clusterB, path, epochId = "e1"))
+    assert(EpochLedger.applied(spark, path, "rot1"))
+    assert(ids(path).sorted == (aIds ++ bIds).sorted)
+  }
+
+  test("rotation id and sampleFrac are validated before any work") {
+    intercept[IllegalArgumentException] {
+      Similarity.rotateIvf(spark, "/nonexistent", "a/b")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rotateIvf(spark, "/nonexistent", "rot1", sampleFrac = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rotateIvf(spark, "/nonexistent", "rot1", sampleFrac = 1.5)
+    }
+  }
+}
