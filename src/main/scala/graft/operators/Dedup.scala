@@ -934,6 +934,49 @@ object Dedup {
       .sortBy(_._1)
   }
 
+  /** Delete ONE retired dir by its exact [[listRetired]] name
+    * (`<epochId>` or `<epochId>.n`) from whichever of the two layout
+    * roots holds it — the deliberate, operator-initiated end of the
+    * quarantine lifecycle (tear → quarantine → supersede-retire →
+    * monitored purge). Deletion never happens implicitly anywhere in
+    * the protocol; this is the only entry, and it takes the exact
+    * suffixed name so a purge can never reach more than one
+    * retirement. Returns true when something was deleted.
+    */
+  def purgeRetired(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String,
+      name: String): Boolean = {
+    val f = fsFor(spark, historyPath)
+    val idxFs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(f.getConf)
+    val a = purgeRetiredDir(f, historyPath, name)
+    val b = purgeRetiredDir(idxFs, indexPath, name)
+    a || b
+  }
+
+  /** Single-root purge behind [[purgeRetired]] and
+    * [[EpochLedger.purgeRetired]]: validates `name` is a plain path
+    * segment (a '/' or '..' could otherwise walk the delete out of
+    * `_retired`), then deletes `root/_retired/<name>` if present.
+    */
+  private[operators] def purgeRetiredDir(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      name: String): Boolean = {
+    require(
+      name.nonEmpty && !name.exists(c => c == '/' || c == '\\') &&
+        name != "." && name != ".." && !name.startsWith("."),
+      s"retired name must be a plain path segment, got '$name'")
+    val p = new org.apache.hadoop.fs.Path(s"$root/_retired/$name")
+    if (!fs.exists(p)) false
+    else {
+      require(fs.delete(p, true), s"purge of $p failed")
+      true
+    }
+  }
+
   /** One `(dir-name, files, bytes)` row per directory under
     * `root/<sub>`, by recursive listing alone.
     */

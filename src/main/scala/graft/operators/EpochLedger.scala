@@ -281,4 +281,15 @@ object EpochLedger {
       path: String): Seq[(String, Long, Long)] =
     Dedup.scanHiddenRoot(Dedup.fsFor(spark, path), path, "_retired")
       .sortBy(_._1)
+
+  /** Delete ONE retired dir by its exact [[listRetired]] name — the
+    * single-layout twin of [[Dedup.purgeRetired]], and the only place
+    * retired data is ever deleted. Returns true when something was
+    * deleted.
+    */
+  def purgeRetired(
+      spark: SparkSession,
+      path: String,
+      name: String): Boolean =
+    Dedup.purgeRetiredDir(Dedup.fsFor(spark, path), path, name)
 }

@@ -472,6 +472,15 @@ object Similarity {
       path: String): Seq[(String, Long, Long)] =
     EpochLedger.listRetired(spark, path)
 
+  /** Delete ONE retired dir of the layout at `path` by its exact
+    * [[listIvfRetired]] name — see [[EpochLedger.purgeRetired]].
+    */
+  def purgeIvfRetired(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      name: String): Boolean =
+    EpochLedger.purgeRetired(spark, path, name)
+
   /** Re-train and rebuild the IVF layout at `path` IN PLACE — the
     * runbook [[ivfSkewRatio]]'s re-train trigger prescribes, as one
     * crash-safe operation: [[kmeansFit]] over the layout's own corpus

@@ -5,9 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** Seeded randomized crash sweep over BOTH epoch-append protocols —
-  * the two-layout dedup rotation ([[Dedup.rotateEpochBucketed]]) and
-  * the single-layout IVF epoch ([[Similarity.appendIvfEpoch]]). Each
+/** Seeded randomized crash sweep over ALL THREE layout-maintenance
+  * protocols — the two-layout dedup rotation
+  * ([[Dedup.rotateEpochBucketed]]), the single-layout IVF epoch
+  * ([[Similarity.appendIvfEpoch]]), and the IVF re-train rotation
+  * ([[Similarity.rotateIvf]]). Each
   * trial kills the protocol at a randomly drawn failpoint (sometimes
   * at a second one on the first retry), then retries under the SAME
   * epochId until it completes, and asserts the invariants the
@@ -21,7 +23,7 @@ import graft.TestSpark
   *     unledgered visible file survived;
   *   - the staging area is fully reclaimed.
   *
-  * 50 seeded trials (~25 per protocol): the point is the CROSS PRODUCT
+  * 50 seeded trials (~17 per protocol): the point is the CROSS PRODUCT
   * of crash points × retry-crash points the enumerated specs don't
   * cover, under a fixed seed so any failure replays exactly.
   */
@@ -98,6 +100,47 @@ class CrashSweepSpec extends AnyFunSuite {
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_rotate/e1")), ctx)
   }
 
+  // -------------------------------------------------------- rotation side
+
+  private val rotFps = Seq("staged", "committed", "retire-dir", "retired",
+    "swap-dir", "swapped")
+
+  /** Rotation trial: a grown layout (base + one ledgered epoch) is
+    * re-trained under crashes. Centroids re-train per attempt, so the
+    * invariant is structural — every id exactly once, sidecar covers
+    * the partitions, old corpus retired — not a fixed row target.
+    */
+  private def rotTrial(plan: Seq[String]): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-rot").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(ivfBase, path, centroidK = 2)
+    assert(Similarity.appendIvfEpoch(ivfNovel, path, "e1"))
+    val wantIds = ivfRows(path).map(_._1)
+    driveWithCrashes(plan) { fail =>
+      Similarity.rotateIvfStaged(spark, path, "rot1", 2, 1.0, 10, "vec_id",
+        fail)
+      ()
+    }
+    val ctx = s"plan=$plan"
+    assert(EpochLedger.applied(spark, path, "rot1"), ctx)
+    val got = ivfRows(path)
+    assert(got.map(_._1) == wantIds, ctx)
+    assert(got.size == wantIds.size, ctx) // no id appears twice
+    val sidecar = spark.read.parquet(s"$path/_centroids")
+      .select("centroid_id").collect().map(_.getString(0)).toSet
+    assert(got.map(_._2).subsetOf(sidecar), ctx)
+    // blind replay: no-op; recovery: no-op; staging reclaimed
+    assert(!Similarity.rotateIvf(spark, path, "rot1", centroidK = 2), ctx)
+    Similarity.recoverIvfEpochs(spark, path)
+    assert(ivfRows(path) == got, ctx)
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty, ctx)
+    val f = Dedup.fsFor(spark, path)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_retrain/rot1")),
+      ctx)
+    assert(Similarity.listIvfRetired(spark, path).map(_._1)
+      .forall(_.startsWith("rot1.pre-rotate")), ctx)
+  }
+
   // ----------------------------------------------------------- dedup side
 
   private val dedupFps = Seq("staged-history", "staged", "committed",
@@ -161,24 +204,32 @@ class CrashSweepSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- sweep
 
-  test("50 seeded randomized crash trials across both protocols: " +
+  test("50 seeded randomized crash trials across all three protocols: " +
     "retry-until-complete always converges to the rebuild state") {
     val rnd = new scala.util.Random(0xC0FFEE42L)
-    var ivfCount = 0
-    var dedupCount = 0
+    val counts = scala.collection.mutable.Map(
+      "ivf" -> 0, "dedup" -> 0, "rotation" -> 0)
     for (trial <- 1 to 50) {
-      val useIvf = rnd.nextBoolean()
-      val fps = if (useIvf) ivfFps else dedupFps
+      val proto = Seq("ivf", "dedup", "rotation")(rnd.nextInt(3))
+      val fps = proto match {
+        case "ivf" => ivfFps
+        case "dedup" => dedupFps
+        case _ => rotFps
+      }
       // 1 or 2 planned crashes; a post-commit first crash makes the
       // second plan entry unreachable (the retry completes through
       // entry recovery) — that path is part of the sweep's coverage
       val plan = Seq.fill(1 + rnd.nextInt(2))(fps(rnd.nextInt(fps.size)))
-      withClue(s"trial $trial (${if (useIvf) "ivf" else "dedup"}, $plan): ") {
-        if (useIvf) { ivfTrial(plan); ivfCount += 1 }
-        else { dedupTrial(plan); dedupCount += 1 }
+      withClue(s"trial $trial ($proto, $plan): ") {
+        proto match {
+          case "ivf" => ivfTrial(plan)
+          case "dedup" => dedupTrial(plan)
+          case _ => rotTrial(plan)
+        }
+        counts(proto) += 1
       }
     }
-    // the seed must actually exercise both protocols and both plan depths
-    assert(ivfCount >= 15 && dedupCount >= 15, s"$ivfCount/$dedupCount")
+    // the seed must actually exercise every protocol arm
+    assert(counts.values.forall(_ >= 10), counts.toString)
   }
 }

@@ -226,6 +226,20 @@ class IvfEpochSpec extends AnyFunSuite {
     // roots with no _retired at all list empty
     val bare = java.nio.file.Files.createTempDirectory("graft-retls-bare").toString
     assert(Dedup.listRetired(spark, bare, bare).isEmpty)
+
+    // the monitored purge: exact suffixed name only, one dir at a time,
+    // on BOTH roots that hold it; a second purge of the same name is
+    // false, and the sibling suffix survives
+    assert(Dedup.purgeRetired(spark, root, idx, "e1"))
+    assert(!Dedup.purgeRetired(spark, root, idx, "e1"))
+    assert(Dedup.listRetired(spark, root, idx) == Seq(("e1.2", 1L, 6L)))
+    assert(EpochLedger.purgeRetired(spark, root, "e1.2"))
+    assert(Similarity.listIvfRetired(spark, root).isEmpty)
+    // names that could walk out of _retired are rejected before any IO
+    for (bad <- Seq("", "..", ".", "a/b", "a\\b", ".hidden"))
+      intercept[IllegalArgumentException] {
+        EpochLedger.purgeRetired(spark, root, bad)
+      }
   }
 
   test("epochId guard: separators, dot-segments, hidden prefixes and '=' " +
