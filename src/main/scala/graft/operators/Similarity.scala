@@ -518,9 +518,10 @@ object Similarity {
       centroidK: Int = DefaultCentroidK,
       sampleFrac: Double = 1.0,
       maxIters: Int = 10,
-      idCol: String = "vec_id"): Boolean =
+      idCol: String = "vec_id",
+      trainedCentroids: Option[DataFrame] = None): Boolean =
     rotateIvfStaged(spark, path, rotationId, centroidK, sampleFrac,
-      maxIters, idCol, _ => ())
+      maxIters, idCol, _ => (), trainedCentroids)
 
   /** [[rotateIvf]] with the crash-injection hook exposed for specs —
     * fired at "staged", "committed", "retire-dir", "retired",
@@ -534,7 +535,13 @@ object Similarity {
       sampleFrac: Double,
       maxIters: Int,
       idCol: String,
-      failpoint: String => Unit): Boolean = {
+      failpoint: String => Unit,
+      // (centroid_id, cvec, cnrm) from an EXTERNAL trainer, replacing
+      // the kmeansFit re-train — the deterministic-rotation escape
+      // hatch (what lets q60 hash-pin the swap against a DuckDB
+      // oracle: kmeansFit is deterministic only up to float summation
+      // order, the id-hash sample is exactly reproducible)
+      trainedCentroids: Option[DataFrame] = None): Boolean = {
     EpochLedger.requireEpochId(rotationId)
     require(sampleFrac > 0.0 && sampleFrac <= 1.0,
       s"sampleFrac must be in (0, 1], got $sampleFrac")
@@ -554,11 +561,13 @@ object Similarity {
     // the stage without ever writing into its own input
     val corpus = spark.read.parquet(path)
       .select(col(idCol), col("vec").as("embedding"))
-    val trainIn =
-      if (sampleFrac < 1.0)
-        corpus.sample(withReplacement = false, sampleFrac, seed = 42L)
-      else corpus
-    val trained = kmeansFit(trainIn, centroidK, maxIters, idCol = idCol)
+    val trained = trainedCentroids.getOrElse {
+      val trainIn =
+        if (sampleFrac < 1.0)
+          corpus.sample(withReplacement = false, sampleFrac, seed = 42L)
+        else corpus
+      kmeansFit(trainIn, centroidK, maxIters, idCol = idCol)
+    }
     writeIvfPartitioned(corpus, s"$stageRoot/data", centroidK, idCol,
       trainedCentroids = Some(trained))
     failpoint("staged")

@@ -542,6 +542,70 @@ object PipelineQueries {
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin))
 
+  /** The ROTATED IVF layout under hash verification — q59's
+    * counterpart for [[Similarity.rotateIvf]]'s marker-fenced swap:
+    * the full corpus is first laid out around a STALE deterministic
+    * centroid set (the id-hash sample of the even-id half alone — the
+    * frozen-era state), then rotated IN PLACE to the id-hash sample of
+    * the full corpus via the `trainedCentroids` escape hatch
+    * (kmeansFit is deterministic only up to float summation order; the
+    * id-hash sample is exactly DuckDB-reproducible), and the
+    * multi-probe query runs over the rotated layout. The oracle
+    * computes assignment + probe around the full-corpus sample ONLY:
+    * stale-partition residue the swap failed to retire shows up as
+    * extra rows, a dropped row as a missing one — either breaks the
+    * row hashes.
+    */
+  private val qIvfRotatedProbe = QueryDef(
+    "q60_ivf_rotated_probe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-q60").toString
+      val path = s"$root/ivf"
+      val stale = Similarity.ivfCentroids(
+        Similarity.asDouble(e.filter(col("vec_id") % 2 === 0)),
+        Similarity.DefaultCentroidK)
+      Similarity.writeIvfPartitioned(e, path, trainedCentroids = Some(stale))
+      val fresh = Similarity.ivfCentroids(Similarity.asDouble(e),
+        Similarity.DefaultCentroidK)
+      Similarity.rotateIvf(s, path, rotationId = "rot1",
+        trainedCentroids = Some(fresh))
+      Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |${DuckSql.ivfCentCte(Similarity.DefaultCentroidK)},
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, vec FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.vec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c)
+         |  WHERE crank = 1),
+         |qp AS (
+         |  SELECT vec_id AS query_id, centroid_id, vec AS vec_q FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.vec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c
+         |    WHERE v.vec_id < 8)
+         |  WHERE crank <= 2),
+         |scored AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |         round(${DuckSql.cosine("q.vec_q", "n.vec")}, 6) AS sim
+         |  FROM assigned n JOIN qp q ON n.centroid_id = q.centroid_id
+         |  WHERE n.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin))
+
   // ----------------------------------------------------------------- text
 
   private val qQuality = {
@@ -1388,7 +1452,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qMinhash, qMinhashCapped, qMinhashProbe,
     qSimhash, qSimhash64, qEmbDup,
-    qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe,
+    qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe, qIvfRotatedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
