@@ -231,6 +231,26 @@ class IvfRotationSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleFrac re-train: rotating on a half-corpus training sample " +
+    "still recovers the cluster structure (the 100 TB trainer shape)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rotsf").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(clusterA, path, centroidK = 4)
+    assert(Similarity.appendIvfEpoch(clusterB, path, epochId = "e1"))
+    val union = clusterA.unionByName(clusterB)
+    val idsBefore = ids(path).sorted
+    val queryIds = (1000L until 1010L).toSeq
+
+    assert(Similarity.rotateIvf(spark, path, rotationId = "rot1",
+      centroidK = 2, sampleFrac = 0.5))
+
+    // the sampled trainer still seeds both direction clusters, so the
+    // rotated layout recovers full nprobe-1 recall — and ASSIGNMENT
+    // always runs over the whole corpus regardless of the sample
+    assert(ids(path).sorted == idsBefore)
+    assert(recallAt(path, union, queryIds, k = 5) >= 0.9)
+  }
+
   test("a torn rotation heals on the APPEND path too: appendIvfEpoch " +
     "after a committed-rotation crash completes the swap first") {
     val root = java.nio.file.Files.createTempDirectory("graft-rotheal").toString
