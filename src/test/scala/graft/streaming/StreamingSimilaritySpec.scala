@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.{Dedup, Similarity}
+
+/** The streaming embedding ingest ([[StreamingSimilarity]]): spooled
+  * micro-batches epoch-append into the IVF layout exactly once — under
+  * engine replay of a batch AND under a crash between the append and
+  * the spool clear — and the grown layout equals the full rebuild.
+  */
+class StreamingSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vec(id: Long): Array[Float] =
+    Array.tabulate(4) { j =>
+      val h = scala.util.hashing.byteswap64(id * 4 + j)
+      (Math.floorMod(h, 1001L) - 500L).toFloat / 500f
+    }
+
+  private def rows(p: String): Set[(Long, String)] =
+    spark.read.parquet(p).select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  /** Rebuild of `union` around the grown layout's own sidecar — the
+    * append == rebuild target (same shape as IvfEpochSpec).
+    */
+  private def rebuildRows(union: org.apache.spark.sql.DataFrame,
+      grownPath: String): Set[(Long, String)] = {
+    val cents = spark.read.parquet(s"$grownPath/_centroids")
+      .select(expr("CAST(substring(centroid_id, 2) AS BIGINT)")
+          .as("centroid_id"),
+        col("cvec"), col("cnrm"))
+      .localCheckpoint(eager = true)
+    val at = java.nio.file.Files.createTempDirectory("graft-ssim-rb").toString
+    Similarity.writeIvfPartitioned(union, at, trainedCentroids = Some(cents))
+    rows(at)
+  }
+
+  test("streamed batches spool per epoch and apply exactly once; the " +
+    "grown layout equals the rebuild; replay after a lost clear is a " +
+    "ledger-hit no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ssim").toString
+    val path = s"$root/ivf"
+    val spoolRoot = s"$root/spool"
+    val base = (0L until 6L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.writeIvfPartitioned(base, path, centroidK = 2)
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val query = StreamingSimilarity.startSpool(
+      stream.toDF().toDF("vec_id", "embedding"), spoolRoot,
+      epochIdFor = _ => "e1", intervalSeconds = 0)
+    stream.addData((100L, vec(100L)), (101L, vec(101L)))
+    query.processAllAvailable()
+    stream.addData((102L, vec(102L)))
+    query.processAllAvailable()
+    query.stop()
+
+    // epoch boundary: the spool's union appends under the spool's id
+    assert(StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e1", path))
+    val novel = Seq(100L, 101L, 102L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val want = rebuildRows(base.unionByName(novel), path)
+    assert(rows(path) == want)
+    // the spool is cleared: a second boundary call is an empty no-op
+    assert(!StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e1", path))
+    assert(rows(path) == want)
+
+    // crash between append and clear: the spool survives with the SAME
+    // epoch's rows — the retry is a ledger hit that only redoes the
+    // clear, never a double append
+    StreamingDedup.spoolBatch(novel, s"$spoolRoot/e1", batchId = 0L)
+    assert(!StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e1", path))
+    assert(rows(path) == want)
+    assert(StreamingDedup.readSpool(spark, s"$spoolRoot/e1").isEmpty)
+
+    // a NEW epoch under a fresh id still applies
+    val novel2 = Seq((200L, vec(200L))).toDF("vec_id", "embedding")
+    StreamingDedup.spoolBatch(novel2, s"$spoolRoot/e2", batchId = 0L)
+    assert(StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e2", path))
+    assert(rows(path) ==
+      rebuildRows(base.unionByName(novel).unionByName(novel2), path))
+    // nothing quarantined anywhere along the way
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty)
+    val f = Dedup.fsFor(spark, path)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_rotate/e1")))
+  }
+
+  test("engine replay of a micro-batch replaces its spool dir: the " +
+    "epoch's applied rows carry no duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ssim2").toString
+    val path = s"$root/ivf"
+    val spoolRoot = s"$root/spool"
+    val base = (0L until 4L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.writeIvfPartitioned(base, path, centroidK = 2)
+
+    val b = Seq((100L, vec(100L))).toDF("vec_id", "embedding")
+    // at-least-once: the same batchId delivered twice
+    StreamingDedup.spoolBatch(b, s"$spoolRoot/e1", batchId = 3L)
+    StreamingDedup.spoolBatch(b, s"$spoolRoot/e1", batchId = 3L)
+    assert(StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e1", path))
+    val got = rows(path)
+    assert(got.map(_._1).toSeq.sorted == Seq(0L, 1L, 2L, 3L, 100L))
+    assert(got.size == 5) // 100 exactly once
+  }
+}
