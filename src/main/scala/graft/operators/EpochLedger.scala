@@ -68,6 +68,79 @@ object EpochLedger {
   def applied(spark: SparkSession, path: String, epochId: String): Boolean =
     Dedup.fsFor(spark, path).exists(new Path(s"$path/_epochs/$epochId"))
 
+  /** Record `id` in the layout's ledger, tagging WHICH protocol
+    * applied it ("epoch" or "rotation") — what lets an id collision
+    * across the two protocols fail loudly instead of silently
+    * no-oping the requested operation.
+    */
+  private[operators] def writeLedgerEntry(
+      f: FileSystem,
+      path: String,
+      id: String,
+      kind: String): Unit = {
+    val ledger = new Path(s"$path/_epochs")
+    f.mkdirs(ledger)
+    val out = f.create(new Path(ledger, id), true)
+    try out.write(kind.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** The protocol kind that applied `id`, if any — Some("") for
+    * entries recorded before kind tagging existed.
+    */
+  private[operators] def appliedKind(
+      f: FileSystem,
+      path: String,
+      id: String): Option[String] = {
+    val p = new Path(s"$path/_epochs/$id")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(if (n <= 0) "" else new String(buf, 0, n, UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Refuse to treat an id applied by ONE protocol as a replay of the
+    * OTHER: a shared date-style id would otherwise make the second
+    * operation a silent no-op (a rotation that never re-trains, or an
+    * epoch whose spooled rows are cleared unapplied). Pre-tagging
+    * (empty) entries are accepted as matching — their kind is unknown.
+    */
+  private[operators] def requireKind(
+      f: FileSystem,
+      path: String,
+      id: String,
+      kind: String): Unit =
+    appliedKind(f, path, id).foreach { k =>
+      require(k.isEmpty || k == kind,
+        s"epoch-ledger: id '$id' on $path was applied by the '$k' " +
+          s"protocol; refusing to treat it as a '$kind' replay — epoch " +
+          "appends and rotations must not share ids on one layout")
+    }
+
+  /** Any live `<id>=` footprint file under the layout's `partPrefix`
+    * partition dirs? The listing the ledger-loss valve judges — shared
+    * with the rotation recovery, which must refuse completion over a
+    * footprinted layout whose ledger is gone (completing would forge a
+    * fresh ledger holding only its own id, dooming every other epoch's
+    * files to quarantine at the next sweep).
+    */
+  private[operators] def hasFootprints(
+      f: FileSystem,
+      path: String,
+      partPrefix: String): Boolean = {
+    val root = new Path(path)
+    f.exists(root) && f.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partPrefix))
+      .exists(pd => f.listStatus(pd.getPath).exists { nf =>
+        val n = nf.getPath.getName
+        n.indexOf('=') > 0 && !n.startsWith(".") && !n.startsWith("_")
+      })
+  }
+
   /** Run one epoch through the protocol. `stageWrite` receives the
     * staging dir and must write the epoch's rows there as a parquet
     * tree partitioned by a `partPrefix`-named column (e.g.
@@ -90,7 +163,12 @@ object EpochLedger {
     // same-epochId retry re-applies cleanly whatever state the crash
     // left behind
     recover(spark, path, partPrefix)
-    if (applied(spark, path, epochId)) return false
+    if (applied(spark, path, epochId)) {
+      // a ledger hit is only a REPLAY when the same protocol applied
+      // it; an id a rotation ledgered must fail loudly instead
+      requireKind(Dedup.fsFor(spark, path), path, epochId, "epoch")
+      return false
+    }
     val f = Dedup.fsFor(spark, path)
     // the ledger dir exists before any data can move — recovery treats
     // "footprints but no ledger dir" as ledger loss and refuses
@@ -154,9 +232,7 @@ object EpochLedger {
       s"epoch-ledger: stage $stageRoot vanished mid-completion — a " +
         "concurrent recover/commit ran against this layout; the " +
         "protocol requires a single maintenance writer")
-    val ledger = new Path(s"$path/_epochs")
-    f.mkdirs(ledger)
-    f.create(new Path(ledger, epochId), true).close()
+    writeLedgerEntry(f, path, epochId, "epoch")
     // same supersede semantics as the dedup rotation: a completed
     // re-application RETIRES (never deletes) the torn attempt's
     // quarantine — see Dedup.retireQuarantine

@@ -549,7 +549,14 @@ object Similarity {
     // prior epoch would otherwise be trained into the new centroids
     // half-appended
     recoverIvfEpochs(spark, path)
-    if (EpochLedger.applied(spark, path, rotationId)) return false
+    if (EpochLedger.applied(spark, path, rotationId)) {
+      // a ledger hit is only a replay when a ROTATION applied it; an
+      // id an epoch append ledgered must fail loudly instead of
+      // silently skipping the re-train
+      EpochLedger.requireKind(Dedup.fsFor(spark, path), path, rotationId,
+        "rotation")
+      return false
+    }
     val f = Dedup.fsFor(spark, path)
     // ledger dir exists before any data moves (the ledger-loss valve's
     // footprint-era invariant)
@@ -642,18 +649,29 @@ object Similarity {
       s"rotate-ivf: stage $stageRoot vanished mid-completion — a " +
         "concurrent recover/rotation ran against this layout; the " +
         "protocol requires a single maintenance writer")
-    val ledger = new Path(s"$path/_epochs")
-    f.mkdirs(ledger)
-    f.create(new Path(ledger, rotationId), true).close()
+    EpochLedger.writeLedgerEntry(f, path, rotationId, "rotation")
     Dedup.retireQuarantine(f, path, rotationId)
+    // the ledger entry above fences this teardown: a crash that
+    // removes data/_RETIRED but leaves _MANIFEST can no longer
+    // resurrect the retire phase on restart — recovery sees the
+    // ledgered id and only finishes the delete
     require(f.delete(stageRoot, true),
       s"rotate-ivf: cleanup of $stageRoot failed")
   }
 
   /** Resolve any crashed [[rotateIvf]] on the layout at `path`:
     * uncommitted stages are discarded (the live layout was never
-    * touched), committed ones are completed through the marker-fenced
-    * swap. Part of the layout's single-maintenance-writer surface.
+    * touched), already-LEDGERED stages are torn down only (the crash
+    * hit the final cleanup — re-running completion would resurrect the
+    * retire phase against the NEW layout), and committed un-ledgered
+    * ones are completed through the marker-fenced swap — but ONLY
+    * under an intact ledger: completing a rotation while `<id>=`
+    * footprints exist with no `_epochs` dir would forge a fresh ledger
+    * holding only the rotation's own id, dooming every other applied
+    * epoch's files to quarantine at the next sweep (the same
+    * ledger-loss valve [[EpochLedger.recover]] judges, applied before
+    * the rotation can mask the evidence by retiring the footprinted
+    * dirs). Part of the layout's single-maintenance-writer surface.
     */
   private[operators] def recoverIvfRotations(
       spark: org.apache.spark.sql.SparkSession,
@@ -662,11 +680,25 @@ object Similarity {
     val retrainRoot = new org.apache.hadoop.fs.Path(s"$path/_retrain")
     if (!f.exists(retrainRoot)) return
     f.listStatus(retrainRoot).foreach { st =>
-      if (f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST")))
-        completeIvfRotation(f, st.getPath, path, st.getPath.getName, _ => ())
-      else
+      val id = st.getPath.getName
+      val committed =
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST"))
+      if (EpochLedger.applied(spark, path, id) || !committed)
         require(f.delete(st.getPath, true),
-          s"rotate-ivf: cleanup of uncommitted stage ${st.getPath} failed")
+          s"rotate-ivf: cleanup of stage ${st.getPath} failed")
+      else {
+        require(
+          !EpochLedger.hasFootprints(f, path, "centroid_id=") ||
+            f.exists(new org.apache.hadoop.fs.Path(s"$path/_epochs")),
+          s"rotate-ivf: '<id>=' footprint files exist under $path but " +
+            "the _epochs ledger dir is missing — it was lost (an " +
+            "underscore-blind copy/restore is the usual cause). " +
+            "Restore it before recovery: completing this rotation " +
+            "would re-create the ledger with only its own entry and " +
+            "send every other applied epoch's files to quarantine. " +
+            "Refusing to touch the corpus.")
+        completeIvfRotation(f, st.getPath, path, id, _ => ())
+      }
     }
   }
 
@@ -700,8 +732,10 @@ object Similarity {
   /** The layout's partition-population skew: max/median partition
     * bytes over [[ivfPartitionStats]]. ~1 for a balanced layout; the
     * SCALING.md re-train trigger fires when it degrades (>~4× is a
-    * reasonable default) — rebuild via [[writeIvfPartitioned]] with a
-    * fresh [[kmeansFit]] and resume appending under the new sidecar.
+    * reasonable default) — rotate with [[rotateIvf]] (the crash-safe
+    * staged re-train + swap) and resume appending under the new
+    * sidecar. A raw [[writeIvfPartitioned]] overwrite re-trains too
+    * but a crash mid-overwrite loses the layout; prefer the rotation.
     */
   def ivfSkewRatio(
       spark: org.apache.spark.sql.SparkSession,

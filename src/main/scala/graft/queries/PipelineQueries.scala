@@ -17,6 +17,24 @@ object PipelineQueries {
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Scratch dir for the layout-building queries (q59/q60), reclaimed
+    * at JVM exit — each execution writes a full IVF copy of the
+    * embeddings corpus, and bench's warm-up + N timed runs would
+    * otherwise leave one copy per run in /tmp.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+        ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   // ---------------------------------------------------------------- dedup
 
   private val qDedupExact = QueryDef(
@@ -497,7 +515,7 @@ object PipelineQueries {
     "q59_ivf_appended_probe",
     (s, dir) => {
       val e = emb(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft-q59").toString
+      val root = scratchDir("graft-q59")
       val path = s"$root/ivf"
       Similarity.writeIvfPartitioned(e.filter(col("vec_id") % 2 === 0), path)
       Similarity.appendIvfEpoch(e.filter(col("vec_id") % 2 =!= 0), path,
@@ -560,7 +578,7 @@ object PipelineQueries {
     "q60_ivf_rotated_probe",
     (s, dir) => {
       val e = emb(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft-q60").toString
+      val root = scratchDir("graft-q60")
       val path = s"$root/ivf"
       val stale = Similarity.ivfCentroids(
         Similarity.asDouble(e.filter(col("vec_id") % 2 === 0)),

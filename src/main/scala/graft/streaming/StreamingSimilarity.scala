@@ -34,20 +34,34 @@ object StreamingSimilarity {
     * per `epochIdFor(batchId)` — `spoolRoot/<epochId>/batch_id=<id>`.
     * The frame must carry the layout's id column and an `embedding`
     * array column (what [[Similarity.appendIvfEpoch]] assigns).
+    *
+    * ALWAYS pass a stable `checkpointLocation` in production: without
+    * one the engine uses a temporary checkpoint, a restart resets
+    * batchIds to 0, and `epochIdFor` then maps NEW data onto epoch ids
+    * that are already ledgered — [[applySpooledEpoch]] would clear
+    * those rows unapplied (the ledger hit looks like the documented
+    * crash retry). The kind-tagged ledger cannot catch this: the id
+    * really was an epoch id. A pinned checkpoint makes batchIds
+    * continue across restarts, which is what keeps `epochIdFor`
+    * collision-free.
     */
   def startSpool(
       emb: DataFrame,
       spoolRoot: String,
       epochIdFor: Long => String,
-      intervalSeconds: Long = 10): StreamingQuery =
-    emb.writeStream
+      intervalSeconds: Long = 10,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = emb.writeStream
       .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         StreamingDedup.spoolBatch(batch,
           s"$spoolRoot/${epochIdFor(batchId)}", batchId)
         ()
       }
+    checkpointLocation
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
+  }
 
   /** Epoch-boundary step: append `spoolRoot/<epochId>`'s accumulated
     * rows to the layout under `epochId` (crash-safe, retry-idempotent —

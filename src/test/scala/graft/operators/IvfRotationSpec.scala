@@ -268,6 +268,91 @@ class IvfRotationSpec extends AnyFunSuite {
     assert(ids(path).sorted == (aIds ++ bIds).sorted)
   }
 
+  test("rotation recovery honors the ledger-loss valve: a committed " +
+    "stage over a footprinted layout with no _epochs dir refuses " +
+    "(idempotently); restoring the ledger lets it complete") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rotvalve").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(clusterA, path, centroidK = 4)
+    assert(Similarity.appendIvfEpoch(clusterB, path, epochId = "e1"))
+    val idsBefore = ids(path).sorted
+    intercept[RuntimeException] {
+      Similarity.rotateIvfStaged(spark, path, "rot1", 2, 1.0, 10, "vec_id",
+        failpoint = p =>
+          if (p == "committed") throw new RuntimeException("injected"))
+    }
+    val f = Dedup.fsFor(spark, path)
+    require(f.delete(new org.apache.hadoop.fs.Path(s"$path/_epochs"), true))
+    // completing the committed rotation now would retire the
+    // footprinted dirs and forge a ledger holding only 'rot1' — the
+    // valve must refuse BEFORE the rotation can mask the evidence
+    for (attempt <- 1 to 2) {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.recoverIvfEpochs(spark, path)
+      }
+      assert(ex.getMessage.contains("ledger"), s"attempt $attempt")
+      assert(ids(path).sorted == idsBefore, s"attempt $attempt")
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_quarantine")),
+        s"attempt $attempt")
+    }
+    // the documented fix: restore the applied epoch's entry, recovery
+    // then completes the rotation normally
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_epochs"))
+    f.create(new org.apache.hadoop.fs.Path(s"$path/_epochs/e1"), true).close()
+    Similarity.recoverIvfEpochs(spark, path)
+    assert(EpochLedger.applied(spark, path, "rot1"))
+    assert(ids(path).sorted == idsBefore)
+    assert(Similarity.listIvfRetired(spark, path)
+      .map(_._1) == Seq("rot1.pre-rotate"))
+  }
+
+  test("a stage reduced to its manifest AFTER the rotation ledgered " +
+    "(crash mid-teardown) tears down without re-running the retire " +
+    "phase against the new layout") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rotteard").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(clusterA, path, centroidK = 2)
+    assert(Similarity.rotateIvf(spark, path, "rot1", centroidK = 2))
+    val want = ids(path).sorted
+    // simulate the final-delete crash: the stage root survives with
+    // ONLY its manifest (data/ and _RETIRED already gone)
+    val f = Dedup.fsFor(spark, path)
+    val stage = new org.apache.hadoop.fs.Path(s"$path/_retrain/rot1")
+    f.mkdirs(stage)
+    val out = f.create(new org.apache.hadoop.fs.Path(stage, "_MANIFEST"), true)
+    try out.write(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+
+    Similarity.recoverIvfEpochs(spark, path)
+    // the live layout was NOT re-retired into emptiness
+    assert(ids(path).sorted == want)
+    assert(!f.exists(stage))
+  }
+
+  test("an id cannot cross protocols: rotating under an applied epoch " +
+    "id, or appending under a rotation id, fails loudly instead of " +
+    "silently no-oping") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rotkind").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(clusterA, path, centroidK = 2)
+    assert(Similarity.appendIvfEpoch(clusterB, path, epochId = "x1"))
+    val ex1 = intercept[IllegalArgumentException] {
+      Similarity.rotateIvf(spark, path, "x1", centroidK = 2)
+    }
+    assert(ex1.getMessage.contains("protocol"))
+
+    assert(Similarity.rotateIvf(spark, path, "r1", centroidK = 2))
+    val more = Seq((5000L, jittered(5000L, dirB, 0.15f)))
+      .toDF("vec_id", "embedding")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.appendIvfEpoch(more, path, epochId = "r1")
+    }
+    assert(ex2.getMessage.contains("protocol"))
+    // same-kind replays still answer false quietly
+    assert(!Similarity.appendIvfEpoch(clusterB, path, epochId = "x1"))
+    assert(!Similarity.rotateIvf(spark, path, "r1", centroidK = 2))
+  }
+
   test("rotation id and sampleFrac are validated before any work") {
     intercept[IllegalArgumentException] {
       Similarity.rotateIvf(spark, "/nonexistent", "a/b")

@@ -91,6 +91,24 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_rotate/e1")))
   }
 
+  test("a pinned checkpointLocation is honored — the restart-safety " +
+    "knob the epoch mapping depends on") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ssim3").toString
+    val stream = MemoryStream[(Long, Array[Float])]
+    val query = StreamingSimilarity.startSpool(
+      stream.toDF().toDF("vec_id", "embedding"), s"$root/spool",
+      epochIdFor = _ => "e1", intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt"))
+    stream.addData((1L, vec(1L)))
+    query.processAllAvailable()
+    query.stop()
+    val f = Dedup.fsFor(spark, s"$root/ckpt")
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(s"$root/ckpt"))
+      .nonEmpty)
+    assert(StreamingDedup.readSpool(spark, s"$root/spool/e1").get.count() == 1)
+  }
+
   test("engine replay of a micro-batch replaces its spool dir: the " +
     "epoch's applied rows carry no duplicate") {
     implicit val sqlCtx = spark.sqlContext
