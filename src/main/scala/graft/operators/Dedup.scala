@@ -612,18 +612,9 @@ object Dedup {
         s"rotate: staging for epoch '$epochId' vanished before commit — " +
           "a concurrent recoverRotations/rotation ran against these " +
           "layouts; rotation requires a single maintenance writer")
-      // the manifest is the commit point, so it must appear ATOMICALLY
-      // (write + rename); it records indexPath so recovery scanning
-      // historyPath alone can finish the move
-      val manifestTmp = new org.apache.hadoop.fs.Path(stageRoot, "._MANIFEST.tmp")
-      val out = f.create(manifestTmp, true)
-      try out.write(
-        indexPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      require(
-        f.rename(manifestTmp,
-          new org.apache.hadoop.fs.Path(stageRoot, "_MANIFEST")),
-        s"rotate: manifest rename failed for $stageRoot")
+      // the manifest is the commit point; it records indexPath so
+      // recovery scanning historyPath alone can finish the move
+      EpochLedger.commitManifest(f, stageRoot, indexPath, "rotate")
       failpoint("committed")
       completeRotation(f, stageRoot, historyPath, indexPath, epochId, failpoint)
     }

@@ -121,6 +121,24 @@ object EpochLedger {
           "appends and rotations must not share ids on one layout")
     }
 
+  /** Write `stageRoot/_MANIFEST` ATOMICALLY (write to a dot-hidden tmp,
+    * then rename) — the commit point every staged protocol in this
+    * repo shares (epoch append, IVF rotation, dedup rotation). The
+    * content is informational for recovery (the dedup rotation records
+    * its index path there); atomicity is what matters.
+    */
+  private[operators] def commitManifest(
+      f: FileSystem,
+      stageRoot: Path,
+      content: String,
+      what: String): Unit = {
+    val tmp = new Path(stageRoot, "._MANIFEST.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+    require(f.rename(tmp, new Path(stageRoot, "_MANIFEST")),
+      s"$what: manifest rename failed for $stageRoot")
+  }
+
   /** Any live `<id>=` footprint file under the layout's `partPrefix`
     * partition dirs? The listing the ledger-loss valve judges — shared
     * with the rotation recovery, which must refuse completion over a
@@ -185,11 +203,7 @@ object EpochLedger {
       s"epoch-ledger: staging for epoch '$epochId' vanished before " +
         "commit — a concurrent recover/commit ran against this layout; " +
         "the protocol requires a single maintenance writer")
-    val manifestTmp = new Path(stageRoot, "._MANIFEST.tmp")
-    val out = f.create(manifestTmp, true)
-    try out.write(path.getBytes(UTF_8)) finally out.close()
-    require(f.rename(manifestTmp, new Path(stageRoot, "_MANIFEST")),
-      s"epoch-ledger: manifest rename failed for $stageRoot")
+    commitManifest(f, stageRoot, path, "epoch-ledger")
     failpoint("committed")
     complete(f, stageRoot, path, epochId, partPrefix, failpoint)
     true

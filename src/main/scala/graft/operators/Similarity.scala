@@ -584,14 +584,7 @@ object Similarity {
       s"rotate-ivf: staging for rotation '$rotationId' vanished before " +
         "commit — a concurrent recover/rotation ran against this " +
         "layout; the protocol requires a single maintenance writer")
-    val manifestTmp = new org.apache.hadoop.fs.Path(stageRoot, "._MANIFEST.tmp")
-    val out = f.create(manifestTmp, true)
-    try out.write(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(
-      f.rename(manifestTmp,
-        new org.apache.hadoop.fs.Path(stageRoot, "_MANIFEST")),
-      s"rotate-ivf: manifest rename failed for $stageRoot")
+    EpochLedger.commitManifest(f, stageRoot, path, "rotate-ivf")
     failpoint("committed")
     completeIvfRotation(f, stageRoot, path, rotationId, failpoint)
     true
