@@ -71,6 +71,13 @@ object StreamingDedup {
     * longs per history doc per band, and each probe touches only the
     * colliding sliver of history — nothing here grows with the stream.
     * Same (k, bands) as the index build, or keys won't collide.
+    *
+    * ALWAYS pass a stable `checkpointLocation` in production: without
+    * one a restart resets batchIds to 0, and a batchId-keyed spool
+    * ([[spoolBatch]]) then OVERWRITES earlier batches of the same
+    * epoch with new data — silent loss inside the replace-on-replay
+    * mechanism that exists to prevent duplication. A pinned checkpoint
+    * continues batchIds across restarts.
     */
   def startIncremental(
       docs: DataFrame,
@@ -83,11 +90,12 @@ object StreamingDedup {
       intervalSeconds: Long = 10,
       textCol: String = "text",
       k: Int = 8,
-      bands: Int = 4): StreamingQuery =
+      bands: Int = 4,
+      checkpointLocation: Option[String] = None): StreamingQuery =
     startWith(docs, bloom, intervalSeconds, textCol,
       novel => Dedup.minhashProbe(novel, index, history, threshold,
         textCol, k, bands),
-      onBatch)
+      onBatch, checkpointLocation)
 
   /** [[startIncremental]] with the history at rest in a
     * [[graft.operators.Dedup.writeHistoryBucketed]] layout: each batch's
@@ -107,7 +115,8 @@ object StreamingDedup {
       intervalSeconds: Long = 10,
       textCol: String = "text",
       k: Int = 8,
-      bands: Int = 4): StreamingQuery = {
+      bands: Int = 4,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
     // the layout is epoch-static: resolve the _meta modulus and list the
     // file index ONCE here, not once per micro-batch — per-trigger
     // re-listing of a 100 TB layout would grow with history file count
@@ -116,7 +125,7 @@ object StreamingDedup {
     startWith(docs, bloom, intervalSeconds, textCol,
       novel => Dedup.minhashProbeBucketedOn(novel, index, history, nBuckets,
         threshold, textCol, k, bands),
-      onBatch)
+      onBatch, checkpointLocation)
   }
 
   /** [[startIncrementalBucketed]] with BOTH layouts resolved from their
@@ -137,7 +146,8 @@ object StreamingDedup {
       threshold: Double,
       onBatch: (Long, DataFrame, DataFrame) => Unit,
       intervalSeconds: Long = 10,
-      textCol: String = "text"): StreamingQuery = {
+      textCol: String = "text",
+      checkpointLocation: Option[String] = None): StreamingQuery = {
     // restart entry point: a crash mid-rotation must be resolved BEFORE
     // either layout's file listing is taken, or the probe would see a
     // half-applied epoch (history rows with no index entries). The
@@ -147,7 +157,7 @@ object StreamingDedup {
     val (index, k, bands) =
       Dedup.openMinhashIndex(docs.sparkSession, indexPath)
     startIncrementalBucketed(docs, bloom, index, historyPath, threshold,
-      onBatch, intervalSeconds, textCol, k, bands)
+      onBatch, intervalSeconds, textCol, k, bands, checkpointLocation)
   }
 
   private def startWith(
@@ -157,8 +167,9 @@ object StreamingDedup {
       intervalSeconds: Long,
       textCol: String,
       probe: DataFrame => DataFrame,
-      onBatch: (Long, DataFrame, DataFrame) => Unit): StreamingQuery =
-    docs.writeStream
+      onBatch: (Long, DataFrame, DataFrame) => Unit,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
       .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // materialize the novels once — both the probe and the caller
@@ -168,7 +179,10 @@ object StreamingDedup {
         onBatch(batchId, novel, probe(novel))
         ()
       }
+    checkpointLocation
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
+  }
 
   /** Idempotently persist one micro-batch's novel rows into an
     * epoch-accumulation spool at `spoolPath` — the `onBatch` append

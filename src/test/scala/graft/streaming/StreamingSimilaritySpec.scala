@@ -107,6 +107,23 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     assert(f.listStatus(new org.apache.hadoop.fs.Path(s"$root/ckpt"))
       .nonEmpty)
     assert(StreamingDedup.readSpool(spark, s"$root/spool/e1").get.count() == 1)
+
+    // the dedup stream honors the same knob (shared startWith plumbing)
+    val history = Seq((1L, "alpha words here")).toDF("doc_id", "text")
+    val bloom = spark.sparkContext.broadcast(
+      graft.operators.Dedup.digestBloom(history, 100, 0.01))
+    val s2 = MemoryStream[(Long, String)]
+    val q2 = StreamingDedup.startIncremental(
+      s2.toDF().toDF("doc_id", "text"), bloom,
+      graft.operators.Dedup.minhashIndex(history), history,
+      threshold = 0.8, onBatch = (_, _, _) => (), intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt2"))
+    s2.addData((2L, "beta words here"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(s"$root/ckpt2"))
+      .nonEmpty)
+    bloom.unpersist(blocking = false)
   }
 
   test("engine replay of a micro-batch replaces its spool dir: the " +
