@@ -64,9 +64,16 @@ object EpochLedger {
       s"epochId must be a plain path segment (no separators, no '=', " +
         s"not '.'/'..', no leading '.'/'_'), got '$epochId'")
 
-  /** Has `epochId` been fully applied to the layout at `path`? */
-  def applied(spark: SparkSession, path: String, epochId: String): Boolean =
-    Dedup.fsFor(spark, path).exists(new Path(s"$path/_epochs/$epochId"))
+  /** Has `epochId` been fully applied to the layout at `path`? An id
+    * is ledgered either as its own `_epochs/<id>` entry file (the
+    * recent tail) or inside the compacted applied-set file a
+    * [[compactLedger]] roll-up produced.
+    */
+  def applied(spark: SparkSession, path: String, epochId: String): Boolean = {
+    val f = Dedup.fsFor(spark, path)
+    f.exists(new Path(s"$path/_epochs/$epochId")) ||
+      rollupMap(f, path).contains(epochId)
+  }
 
   /** Record `id` in the layout's ledger, tagging WHICH protocol
     * applied it ("epoch" or "rotation") — what lets an id collision
@@ -84,23 +91,129 @@ object EpochLedger {
     try out.write(kind.getBytes(UTF_8)) finally out.close()
   }
 
+  /** Read a (tiny) ledger file fully — the InputStream contract allows
+    * short reads, so a single `read(buf)` could hand back a prefix of
+    * the kind tag on some FileSystem implementations and trip a
+    * spurious kind mismatch. Loops to EOF; entry files are a few bytes.
+    */
+  private[operators] def readSmallFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, UTF_8)
+    } finally in.close()
+  }
+
   /** The protocol kind that applied `id`, if any — Some("") for
-    * entries recorded before kind tagging existed.
+    * entries recorded before kind tagging existed. Consults the entry
+    * file first, then the [[compactLedger]] roll-up.
     */
   private[operators] def appliedKind(
       f: FileSystem,
       path: String,
       id: String): Option[String] = {
     val p = new Path(s"$path/_epochs/$id")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(if (n <= 0) "" else new String(buf, 0, n, UTF_8))
-      } finally in.close()
+    if (f.exists(p)) Some(readSmallFile(f, p))
+    else rollupMap(f, path).get(id)
+  }
+
+  /** Name of the newest roll-up file under `_epochs/`, if any —
+    * `_compacted.<n>` with the largest `n`. Older roll-ups are
+    * supersets-in-waiting a crashed [[compactLedger]] left behind;
+    * the newest always holds their union.
+    */
+  private def newestRollup(f: FileSystem, ledger: Path): Option[Path] = {
+    if (!f.exists(ledger)) return None
+    val rolls = f.listStatus(ledger)
+      .map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("_compacted."))
+          scala.util.Try(n.stripPrefix("_compacted.").toLong).toOption
+            .map(p -> _)
+        else None
+      }
+    if (rolls.isEmpty) None else Some(rolls.maxBy(_._2)._1)
+  }
+
+  /** The compacted applied-set: `id -> kind` from the newest
+    * `_epochs/_compacted.<n>` roll-up file (empty when none exists).
+    */
+  private[operators] def rollupMap(
+      f: FileSystem,
+      path: String): Map[String, String] =
+    newestRollup(f, new Path(s"$path/_epochs")) match {
+      case None => Map.empty
+      case Some(p) =>
+        readSmallFile(f, p).split('\n').filter(_.nonEmpty).map { line =>
+          val i = line.indexOf('\t')
+          if (i < 0) (line, "") else (line.substring(0, i), line.substring(i + 1))
+        }.toMap
     }
+
+  /** Every ledgered id of the layout at `path`: the individual entry
+    * files (the recent tail) plus the roll-up's applied-set — ONE
+    * directory listing plus at most one small-file read.
+    */
+  private[operators] def ledgeredIds(
+      f: FileSystem,
+      path: String): Set[String] = {
+    val ledger = new Path(s"$path/_epochs")
+    val tail: Set[String] =
+      if (f.exists(ledger))
+        f.listStatus(ledger).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+          .toSet
+      else Set.empty
+    tail ++ rollupMap(f, path).keySet
+  }
+
+  /** Roll every individual `_epochs/<id>` entry file into ONE compacted
+    * applied-set file (`_epochs/_compacted.<n>`, kind tags preserved),
+    * then drop the merged entries — after years of hourly epochs the
+    * ledger listing [[recover]] and [[ledgeredIds]] pay stays O(recent
+    * tail), not O(every epoch ever applied). Crash-safe by
+    * construction: the new roll-up is written to a FRESH name (tmp +
+    * atomic rename) BEFORE any old roll-up or entry file is deleted,
+    * so every applied id is readable from at least one place at every
+    * instant — a crash leaves superset state and a re-run converges.
+    * Part of the layout's single-maintenance-writer surface. Returns
+    * the number of entry files rolled up.
+    */
+  def compactLedger(spark: SparkSession, path: String): Int = {
+    val f = Dedup.fsFor(spark, path)
+    val ledger = new Path(s"$path/_epochs")
+    if (!f.exists(ledger)) return 0
+    val entries = f.listStatus(ledger).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+    if (entries.isEmpty) return 0
+    val prevN = newestRollup(f, ledger)
+      .map(_.getName.stripPrefix("_compacted.").toLong).getOrElse(0L)
+    val merged = rollupMap(f, path) ++
+      entries.map(p => p.getName -> readSmallFile(f, p))
+    val next = new Path(ledger, s"_compacted.${prevN + 1}")
+    val tmp = new Path(ledger, s"._compacted.${prevN + 1}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(merged.toSeq.sorted.map { case (id, k) => s"$id\t$k" }
+      .mkString("\n").getBytes(UTF_8))
+    finally out.close()
+    require(f.rename(tmp, next),
+      s"epoch-ledger: roll-up rename $tmp -> $next failed")
+    // superseded roll-ups and merged entries are now redundant copies
+    f.listStatus(ledger).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val stale =
+        (n.startsWith("_compacted.") && n != next.getName) ||
+          n.startsWith("._compacted.") ||
+          entries.exists(_.getName == n)
+      if (stale)
+        require(f.delete(p, false),
+          s"epoch-ledger: roll-up cleanup of $p failed")
+    }
+    entries.length
   }
 
   /** Refuse to treat an id applied by ONE protocol as a replay of the
@@ -139,6 +252,20 @@ object EpochLedger {
       s"$what: manifest rename failed for $stageRoot")
   }
 
+  /** Parse a staged-generation `_MANIFEST` into its `key:value` lines
+    * (`gen`, `old`, `kind`). Legacy manifests (pre-generation rotation
+    * stages, whose content was a bare path) yield a map without a
+    * `gen` key — the completion path refuses those loudly.
+    */
+  private[operators] def readManifest(
+      f: FileSystem,
+      p: Path): Map[String, String] =
+    readSmallFile(f, p).split('\n').flatMap { line =>
+      val i = line.indexOf(':')
+      if (i > 0) Some(line.substring(0, i) -> line.substring(i + 1))
+      else None
+    }.toMap
+
   /** Any live `<id>=` footprint file under the layout's `partPrefix`
     * partition dirs? The listing the ledger-loss valve judges — shared
     * with the rotation recovery, which must refuse completion over a
@@ -167,6 +294,12 @@ object EpochLedger {
     * is left untouched). `failpoint` is the crash-injection hook for
     * specs — invoked at "staged", "committed", "move-file" (before
     * every individual rename) and "moved".
+    *
+    * `dataRoot` is where the live partition dirs live — `path` itself
+    * for a flat layout, `path/gen-<N>` for a generational one
+    * ([[Similarity.rotateIvf]]'s pointer-published layout). All
+    * protocol metadata (`_epochs`, `_rotate`, `_quarantine`,
+    * `_retired`) stays at `path`, so the ledger survives rotations.
     */
   private[operators] def commitEpoch(
       spark: SparkSession,
@@ -174,13 +307,15 @@ object EpochLedger {
       epochId: String,
       partPrefix: String,
       stageWrite: String => Unit,
-      failpoint: String => Unit = _ => ()): Boolean = {
+      failpoint: String => Unit = _ => (),
+      dataRoot: Option[String] = None): Boolean = {
     requireEpochId(epochId)
+    val dr = dataRoot.getOrElse(path)
     // heals any torn prior epoch AND quarantines this epoch's own
     // unledgered footprints (the stage-lost partial-move state), so a
     // same-epochId retry re-applies cleanly whatever state the crash
     // left behind
-    recover(spark, path, partPrefix)
+    recover(spark, path, partPrefix, dataRoot)
     if (applied(spark, path, epochId)) {
       // a ledger hit is only a REPLAY when the same protocol applied
       // it; an id a rotation ledgered must fail loudly instead
@@ -205,7 +340,7 @@ object EpochLedger {
         "the protocol requires a single maintenance writer")
     commitManifest(f, stageRoot, path, "epoch-ledger")
     failpoint("committed")
-    complete(f, stageRoot, path, epochId, partPrefix, failpoint)
+    complete(f, stageRoot, path, epochId, partPrefix, failpoint, dr)
     true
   }
 
@@ -220,12 +355,13 @@ object EpochLedger {
       path: String,
       epochId: String,
       partPrefix: String,
-      failpoint: String => Unit): Unit = {
+      failpoint: String => Unit,
+      dataRoot: String): Unit = {
     val dataStage = new Path(stageRoot, "data")
     if (f.exists(dataStage))
       f.listStatus(dataStage)
         .filter(_.getPath.getName.startsWith(partPrefix)).foreach { pd =>
-          val dst = new Path(path, pd.getPath.getName)
+          val dst = new Path(dataRoot, pd.getPath.getName)
           f.mkdirs(dst) // idempotent; the move target must exist
           f.listStatus(pd.getPath)
             .filter(_.getPath.getName.endsWith(".parquet")).foreach { nf =>
@@ -267,8 +403,10 @@ object EpochLedger {
   def recover(
       spark: SparkSession,
       path: String,
-      partPrefix: String): Unit = {
+      partPrefix: String,
+      dataRoot: Option[String] = None): Unit = {
     val f = Dedup.fsFor(spark, path)
+    val dr = dataRoot.getOrElse(path)
     // footprint id of a live-layout file name; a leading '.' marks
     // hidden temps/checksums, which follow their visible sibling
     def idOf(name: String): Option[String] = {
@@ -279,7 +417,7 @@ object EpochLedger {
     }
     val residue = scala.collection.mutable.ArrayBuffer
       .empty[(String, Path, String)]
-    val root = new Path(path)
+    val root = new Path(dr)
     if (f.exists(root))
       f.listStatus(root)
         .filter(st => st.isDirectory &&
@@ -290,15 +428,14 @@ object EpochLedger {
                 s"$path/_quarantine/$id/${pd.getPath.getName}")))
           }
         }
-    // ledger membership from ONE listing — in a mature layout every
-    // post-epoch-0 file carries a footprint, so per-file exists()
-    // would be O(corpus files) round-trips
+    // ledger membership from ONE listing (plus the roll-up's
+    // applied-set) — in a mature layout every post-epoch-0 file
+    // carries a footprint, so per-file exists() would be
+    // O(corpus files) round-trips
     val ledgerP = new Path(s"$path/_epochs")
     val ledgerDirExists = f.exists(ledgerP)
     val ledgered: Set[String] =
-      if (ledgerDirExists)
-        f.listStatus(ledgerP).map(_.getPath.getName).toSet
-      else Set.empty
+      if (ledgerDirExists) ledgeredIds(f, path) else Set.empty
     // ids with a COMMITTED stage pending are not torn — completing
     // them below writes their ledger entries
     val rotateRoot = new Path(s"$path/_rotate")
@@ -317,8 +454,12 @@ object EpochLedger {
     // stage time — absence can only mean external deletion. ANY
     // footprint counts, torn or pending-committed: with the ledger
     // gone, even completing a committed stage over its own partial
-    // moves would forge an almost-empty ledger.
-    if (residue.nonEmpty)
+    // moves would forge an almost-empty ledger. A published `_current`
+    // generation pointer is footprint-equivalent evidence: a rotated
+    // layout carries NO footprints (it's a fresh rebuild) yet its
+    // ledger still fences every previously-applied epoch id from
+    // double-appending — losing it must refuse just the same.
+    if (residue.nonEmpty || f.exists(new Path(s"$path/_current")))
       require(ledgerDirExists,
         s"epoch-ledger: '<id>=' footprint files exist under $path but " +
           "the _epochs ledger dir is missing — it was lost (an " +
@@ -335,7 +476,7 @@ object EpochLedger {
           s"epoch-ledger: cleanup of ${st.getPath} failed")
       else
         complete(f, st.getPath, path, st.getPath.getName, partPrefix,
-          _ => ())
+          _ => (), dr)
     }
     torn.foreach { case (_, file, qDir) =>
       val d = new Path(qDir)

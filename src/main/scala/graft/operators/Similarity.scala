@@ -314,6 +314,15 @@ object Similarity {
       centroidK: Int = DefaultCentroidK,
       idCol: String = "vec_id",
       trainedCentroids: Option[DataFrame] = None): Unit = {
+    // a generational layout's live data lives under its published
+    // gen dir — a flat overwrite here would write BESIDE it, invisible
+    // to every pointer-resolving reader; re-train in place with
+    // rotateIvf instead
+    require(!Dedup.fsFor(emb.sparkSession, path)
+        .exists(new org.apache.hadoop.fs.Path(s"$path/_current")),
+      s"$path is a generational IVF layout (a rotation/compaction " +
+        "published a _current pointer) — rebuild it with rotateIvf, " +
+        "not a flat writeIvfPartitioned overwrite")
     val all = asDouble(emb, idCol = idCol)
     val centroids = trainedCentroids.getOrElse(ivfCentroids(all, centroidK, idCol))
     rankCentroids(all, centroids, 1, idCol)
@@ -337,21 +346,90 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
+  /** The live DATA ROOT of the IVF layout at `path`: `path` itself for
+    * a flat [[writeIvfPartitioned]] layout, or `path/_gen-<N>` — the
+    * generation named by the highest-numbered `_current/` pointer
+    * entry — once a [[rotateIvf]]/[[compactIvf]] has published one.
+    * Generation dirs are UNDERSCORE-prefixed so a flat-root read never
+    * sees a staged-but-unpublished generation (Spark's file index
+    * ignores underscore dirs unless they ARE the read root — the same
+    * convention that hides the `_centroids` sidecar).
+    * Every reader and the append path resolve through this, which is
+    * what makes a rotation READER-ATOMIC: the new generation is built
+    * complete off to the side, then ONE atomic pointer-entry create
+    * switches every subsequent resolution from the old layout to the
+    * new — no partial-layout window. (A reader that resolved the OLD
+    * root just before its retirement fails fast on the vanished dir —
+    * never a partial answer; the bytes live on under `_retired/`.)
+    */
+  def ivfDataRoot(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    ivfDataRoot(Dedup.fsFor(spark, path), path)
+
+  private[operators] def ivfDataRoot(
+      f: org.apache.hadoop.fs.FileSystem,
+      path: String): String =
+    currentGenName(f, path).map(g => s"$path/$g").getOrElse(path)
+
+  /** The published generation name (`_gen-<N>`, largest N) of the
+    * layout at `path`, or None for a flat layout. Resolution is by
+    * pointer-entry NAME alone — no content read — so a reader can
+    * never observe a half-written pointer: an entry appears atomically
+    * (tmp + rename) and superseded entries are pruned only after a
+    * newer one exists (deleting a non-max entry cannot change the max).
+    */
+  private[operators] def currentGenName(
+      f: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[String] = {
+    val cur = new org.apache.hadoop.fs.Path(s"$path/_current")
+    if (!f.exists(cur)) return None
+    val gens = f.listStatus(cur).map(_.getPath.getName).flatMap(genNumber)
+    if (gens.isEmpty) None else Some(s"_gen-${gens.max}")
+  }
+
+  private def genNumber(name: String): Option[Long] =
+    if (name.startsWith("_gen-"))
+      scala.util.Try(name.stripPrefix("_gen-").toLong).toOption
+    else None
+
+  /** Next generation number for the layout at `path`: one past the
+    * largest existing `_gen-<N>` dir or pointer entry. Computed once at
+    * commit time and recorded in the stage `_MANIFEST`, so a resumed
+    * completion publishes the SAME generation the crash interrupted.
+    */
+  private def nextGenName(
+      f: org.apache.hadoop.fs.FileSystem,
+      path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val dirs =
+      if (f.exists(root))
+        f.listStatus(root).map(_.getPath.getName).flatMap(genNumber)
+      else Array.empty[Long]
+    val cur = new org.apache.hadoop.fs.Path(s"$path/_current")
+    val entries =
+      if (f.exists(cur))
+        f.listStatus(cur).map(_.getPath.getName).flatMap(genNumber)
+      else Array.empty[Long]
+    s"_gen-${((dirs ++ entries) :+ 0L).max + 1L}"
+  }
+
   /** Novel vectors assigned against the layout's OWN `_centroids`
     * sidecar, shaped for the layout's partition scheme — the shared
     * front half of [[appendIvfPartitioned]] and [[appendIvfEpoch]].
+    * `dataRoot` is the RESOLVED live root ([[ivfDataRoot]]).
     * Assignment depends only on the (vector, centroid set) pair, never
     * on the rest of the corpus, so an append is bit-identical to a
     * full rebuild with the same centroid set.
     */
   private def assignToLayout(
       novel: DataFrame,
-      path: String,
+      dataRoot: String,
       idCol: String): DataFrame = {
     val spark = novel.sparkSession
-    // the sidecar IS the layout's identity — missing means `path` is
-    // not a writeIvfPartitioned layout; fail loudly before any write
-    val cent = spark.read.parquet(s"$path/_centroids")
+    // the sidecar IS the layout's identity — missing means `dataRoot`
+    // is not a writeIvfPartitioned layout; fail loudly before any write
+    val cent = spark.read.parquet(s"$dataRoot/_centroids")
       .select(expr("CAST(substring(centroid_id, 2) AS BIGINT)")
           .as("centroid_id"),
         col("cvec"), col("cnrm"))
@@ -369,22 +447,24 @@ object Similarity {
     *
     * RAW append: a crashed write can leave a half-appended epoch, and a
     * blind retry double-appends. [[appendIvfEpoch]] is the crash-safe,
-    * retry-idempotent entry — prefer it for any unattended maintenance
-    * loop; this raw form remains only for callers that already stage
-    * novels behind their own exactly-once spool
-    * (`StreamingDedup.spoolBatch`).
+    * retry-idempotent entry — this raw form is package-private so the
+    * "callers with their own exactly-once spool" contract is
+    * compiler-enforced (the spool-guarded streaming path and the specs
+    * are the only legitimate callers, both in-package).
     *
     * The centroids are NOT re-trained. As the corpus distribution
     * drifts, partitions skew and probe recall decays; the re-train
-    * trigger ([[ivfSkewRatio]]) forces a [[rotateIvf]] re-train — see
-    * SCALING.md.
+    * trigger ([[ivfSkewRatio]], [[ivfRecallProbe]]) forces a
+    * [[rotateIvf]] re-train — see SCALING.md.
     */
-  def appendIvfPartitioned(
+  private[operators] def appendIvfPartitioned(
       novel: DataFrame,
       path: String,
-      idCol: String = "vec_id"): Unit =
-    assignToLayout(novel, path, idCol)
-      .write.partitionBy("centroid_id").mode("append").parquet(path)
+      idCol: String = "vec_id"): Unit = {
+    val dataRoot = ivfDataRoot(Dedup.fsFor(novel.sparkSession, path), path)
+    assignToLayout(novel, dataRoot, idCol)
+      .write.partitionBy("centroid_id").mode("append").parquet(dataRoot)
+  }
 
   /** Crash-safe, idempotent epoch append to a [[writeIvfPartitioned]]
     * layout — [[appendIvfPartitioned]]'s assignment routed through the
@@ -417,17 +497,21 @@ object Similarity {
       epochId: String,
       idCol: String,
       failpoint: String => Unit): Boolean = {
-    // a torn rotation first: its retired-but-not-swapped window leaves
-    // `_centroids` missing, which would fail the assignment loudly but
-    // uselessly — healing here makes restart-after-rotation-crash as
-    // self-serve as restart-after-epoch-crash
+    // a torn rotation first: an unfinished generation publish would
+    // otherwise leave the resolution pointing at the superseded root —
+    // healing here makes restart-after-rotation-crash as self-serve as
+    // restart-after-epoch-crash. The data root is resolved AFTER the
+    // heal, so the append lands in the settled current generation.
     recoverIvfRotations(novel.sparkSession, path)
+    val dataRoot =
+      ivfDataRoot(Dedup.fsFor(novel.sparkSession, path), path)
     EpochLedger.commitEpoch(novel.sparkSession, path, epochId,
       partPrefix = "centroid_id=",
       stageWrite = stageDir =>
-        assignToLayout(novel, path, idCol)
+        assignToLayout(novel, dataRoot, idCol)
           .write.partitionBy("centroid_id").parquet(stageDir),
-      failpoint = failpoint)
+      failpoint = failpoint,
+      dataRoot = Some(dataRoot))
   }
 
   /** Resolve any crashed [[appendIvfEpoch]] or [[rotateIvf]] on the
@@ -446,7 +530,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     recoverIvfRotations(spark, path)
-    EpochLedger.recover(spark, path, partPrefix = "centroid_id=")
+    EpochLedger.recover(spark, path, partPrefix = "centroid_id=",
+      dataRoot = Some(ivfDataRoot(Dedup.fsFor(spark, path), path)))
   }
 
   /** Has `epochId` been fully applied to the layout at `path`? */
@@ -482,32 +567,38 @@ object Similarity {
     EpochLedger.purgeRetired(spark, path, name)
 
   /** Re-train and rebuild the IVF layout at `path` IN PLACE — the
-    * runbook [[ivfSkewRatio]]'s re-train trigger prescribes, as one
-    * crash-safe operation: [[kmeansFit]] over the layout's own corpus
-    * (optionally a `sampleFrac` sample — at 100 TB the trainer needs a
+    * runbook [[ivfSkewRatio]]/[[ivfRecallProbe]]'s re-train trigger
+    * prescribes, as one crash-safe, READER-ATOMIC operation:
+    * [[kmeansFit]] over the layout's own corpus (optionally a
+    * `sampleFrac` sample — at 100 TB the trainer needs a
     * representative sample, not every vector), a full
     * [[writeIvfPartitioned]] rebuild STAGED under
-    * `path/_retrain/<rotationId>/`, then a marker-fenced swap: the old
-    * partition dirs and `_centroids` sidecar are RETIRED (moved, never
-    * deleted) under `path/_retired/<rotationId>.pre-rotate/`, and the
-    * staged layout moves in. O(corpus) once per re-train — the cost
-    * [[appendIvfEpoch]] amortizes away between re-trains.
+    * `path/_retrain/<rotationId>/`, then a GENERATION PUBLISH: the
+    * staged layout moves (one rename) to `path/_gen-<N>`, ONE atomic
+    * pointer-entry create under `path/_current/` switches every
+    * resolver ([[ivfDataRoot]]) to it, and only then is the superseded
+    * root RETIRED (moved, never deleted) under
+    * `path/_retired/<rotationId>.pre-rotate/`. A probe concurrent with
+    * any point of the rotation sees either the old layout or the new
+    * one COMPLETE — never a partial mix; no maintenance window needed.
+    * O(corpus) once per re-train — the cost [[appendIvfEpoch]]
+    * amortizes away between re-trains.
     *
     * Crash-safe like the epoch protocol, with the same ledger:
-    * `_MANIFEST` is the commit point (an uncommitted crash leaves the
-    * live layout untouched and the stage is discarded on
-    * [[recoverIvfEpochs]]), the `_RETIRED` marker fences retire from
-    * swap-in so a resumed completion never confuses old dirs with new,
+    * `_MANIFEST` is the commit point (it records the target generation
+    * and the superseded root, so a resumed completion publishes the
+    * SAME generation; an uncommitted crash leaves the live layout
+    * untouched and the stage is discarded on [[recoverIvfEpochs]]),
     * and the rotation id lands in the layout's `_epochs` ledger — a
     * blind same-`rotationId` retry of a COMPLETED rotation returns
     * false and leaves the layout untouched. Prior epoch ids REMAIN
-    * ledgered (their rows are inside the rebuilt corpus), so a replayed
-    * old epoch still refuses after rotation.
+    * ledgered (their rows are inside the rebuilt corpus), so a
+    * replayed old epoch still refuses after rotation.
     *
-    * NOT reader-atomic: between retire and swap-in a concurrent reader
-    * sees a partial layout (a multi-directory swap cannot be one
-    * rename). Run it in the same maintenance window the SINGLE
-    * MAINTENANCE WRITER contract already requires; probes resume after.
+    * The FIRST rotation of a flat [[writeIvfPartitioned]] layout
+    * migrates it: the flat partition dirs are what gets retired, and
+    * the layout is generational from then on. Flat layouts that never
+    * rotate stay flat and fully readable — no migration required.
     *
     * Returns true when the rotation was applied now.
     */
@@ -524,8 +615,8 @@ object Similarity {
       maxIters, idCol, _ => (), trainedCentroids)
 
   /** [[rotateIvf]] with the crash-injection hook exposed for specs —
-    * fired at "staged", "committed", "retire-dir", "retired",
-    * "swap-dir", "swapped".
+    * fired at "staged", "committed", "gen-move", "gen-moved",
+    * "published", "retire-dir", "retired".
     */
   private[operators] def rotateIvfStaged(
       spark: org.apache.spark.sql.SparkSession,
@@ -538,80 +629,205 @@ object Similarity {
       failpoint: String => Unit,
       // (centroid_id, cvec, cnrm) from an EXTERNAL trainer, replacing
       // the kmeansFit re-train — the deterministic-rotation escape
-      // hatch (what lets q60 hash-pin the swap against a DuckDB
+      // hatch (what lets q60 hash-pin the publish against a DuckDB
       // oracle: kmeansFit is deterministic only up to float summation
       // order, the id-hash sample is exactly reproducible)
       trainedCentroids: Option[DataFrame] = None): Boolean = {
-    EpochLedger.requireEpochId(rotationId)
     require(sampleFrac > 0.0 && sampleFrac <= 1.0,
       s"sampleFrac must be in (0, 1], got $sampleFrac")
-    // heal torn rotations AND epochs before reading the corpus — a torn
-    // prior epoch would otherwise be trained into the new centroids
-    // half-appended
+    stageGeneration(spark, path, rotationId, "rotation",
+      failpoint) { (dataRoot, stageData) =>
+      // the corpus read is LAZY and the stage lives under an underscore
+      // dir of the layout root — the rebuild streams the live layout
+      // into the stage without ever writing into its own input
+      val corpus = spark.read.parquet(dataRoot)
+        .select(col(idCol), col("vec").as("embedding"))
+      val trained = trainedCentroids.getOrElse {
+        val trainIn =
+          if (sampleFrac < 1.0)
+            corpus.sample(withReplacement = false, sampleFrac, seed = 42L)
+          else corpus
+        kmeansFit(trainIn, centroidK, maxIters, idCol = idCol)
+      }
+      writeIvfPartitioned(corpus, stageData, centroidK, idCol,
+        trainedCentroids = Some(trained))
+    }
+  }
+
+  /** Compact the IVF layout at `path`: rewrite the corpus into a NEW
+    * generation with ONE file per centroid partition (optionally split
+    * by `maxRecordsPerFile`), published through the same staged +
+    * manifest + pointer + ledger discipline as [[rotateIvf]] —
+    * reader-atomic, crash-safe, idempotent under same-`compactionId`
+    * retry (a replay returns false). The stored assignment is reused:
+    * no re-train and no argmax — the rewrite is IO-shaped, one
+    * exchange on the partition key to coalesce files — so probe
+    * results over the compacted layout are row-identical to the
+    * uncompacted one.
+    *
+    * Why it exists: [[appendIvfEpoch]] lands one file-set per
+    * partition dir per epoch; at hourly cadence a year is ~8.8k
+    * file-sets per partition, and scan planning plus the listing-only
+    * recovery sweeps degrade with file count. This is `Tsdb.compact`'s
+    * move applied to the ANN layout. Pair with
+    * [[EpochLedger.compactLedger]] to also roll the `_epochs/` entry
+    * tail into one applied-set file. Compaction cadence is weekly-ish,
+    * not hourly — the O(corpus) rewrite amortizes the same way the
+    * re-train does.
+    */
+  def compactIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      compactionId: String,
+      maxRecordsPerFile: Long = 0L): Boolean =
+    compactIvfStaged(spark, path, compactionId, maxRecordsPerFile, _ => ())
+
+  /** [[compactIvf]] with the crash-injection hook exposed for specs —
+    * same failpoints as [[rotateIvfStaged]].
+    */
+  private[operators] def compactIvfStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      compactionId: String,
+      maxRecordsPerFile: Long,
+      failpoint: String => Unit): Boolean =
+    stageGeneration(spark, path, compactionId, "compaction",
+      failpoint) { (dataRoot, stageData) =>
+      val corpus = spark.read.parquet(dataRoot)
+      val writer = corpus
+        // hash-exchange on the partition key: every centroid's rows
+        // land in exactly one task, so each partition dir gets one
+        // file (maxRecordsPerFile re-splits oversized ones)
+        .repartition(col("centroid_id"))
+        .write.partitionBy("centroid_id")
+      (if (maxRecordsPerFile > 0L)
+         writer.option("maxRecordsPerFile", maxRecordsPerFile)
+       else writer)
+        .parquet(stageData)
+      // the sidecar travels unchanged: same centroid set, same ids
+      spark.read.parquet(s"$dataRoot/_centroids")
+        .write.parquet(s"$stageData/_centroids")
+    }
+
+  /** Shared staged-generation runner behind [[rotateIvf]] and
+    * [[compactIvf]]: heal, replay-check, stage a complete replacement
+    * layout via `buildStage(dataRoot, stageDataDir)`, commit a
+    * manifest recording the target generation and the superseded root,
+    * and publish through [[completeIvfGeneration]]. Returns true when
+    * applied now.
+    */
+  private def stageGeneration(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      id: String,
+      kind: String,
+      failpoint: String => Unit)(
+      buildStage: (String, String) => Unit): Boolean = {
+    EpochLedger.requireEpochId(id)
+    // heal torn rotations AND epochs before reading the corpus — a
+    // torn prior epoch would otherwise be rebuilt half-appended
     recoverIvfEpochs(spark, path)
-    if (EpochLedger.applied(spark, path, rotationId)) {
-      // a ledger hit is only a replay when a ROTATION applied it; an
-      // id an epoch append ledgered must fail loudly instead of
-      // silently skipping the re-train
-      EpochLedger.requireKind(Dedup.fsFor(spark, path), path, rotationId,
-        "rotation")
+    val f = Dedup.fsFor(spark, path)
+    if (EpochLedger.applied(spark, path, id)) {
+      // a ledger hit is only a replay when the SAME protocol applied
+      // it; an id another protocol ledgered must fail loudly instead
+      // of silently skipping the rebuild
+      EpochLedger.requireKind(f, path, id, kind)
       return false
     }
-    val f = Dedup.fsFor(spark, path)
     // ledger dir exists before any data moves (the ledger-loss valve's
     // footprint-era invariant)
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_epochs"))
-    val stageRoot = new org.apache.hadoop.fs.Path(
-      s"$path/_retrain/$rotationId")
-    // the corpus read is LAZY and the stage lives under an underscore
-    // dir of the same root — the rebuild streams the live layout into
-    // the stage without ever writing into its own input
-    val corpus = spark.read.parquet(path)
-      .select(col(idCol), col("vec").as("embedding"))
-    val trained = trainedCentroids.getOrElse {
-      val trainIn =
-        if (sampleFrac < 1.0)
-          corpus.sample(withReplacement = false, sampleFrac, seed = 42L)
-        else corpus
-      kmeansFit(trainIn, centroidK, maxIters, idCol = idCol)
-    }
-    writeIvfPartitioned(corpus, s"$stageRoot/data", centroidK, idCol,
-      trainedCentroids = Some(trained))
+    val stageRoot = new org.apache.hadoop.fs.Path(s"$path/_retrain/$id")
+    val dataRoot = ivfDataRoot(f, path)
+    buildStage(dataRoot, s"$stageRoot/data")
     failpoint("staged")
     // single-writer check before committing (narrows the window; the
     // guarantee is the completion-time manifest re-check)
     require(f.exists(new org.apache.hadoop.fs.Path(s"$stageRoot/data")),
-      s"rotate-ivf: staging for rotation '$rotationId' vanished before " +
-        "commit — a concurrent recover/rotation ran against this " +
-        "layout; the protocol requires a single maintenance writer")
-    EpochLedger.commitManifest(f, stageRoot, path, "rotate-ivf")
+      s"ivf-$kind: staging for '$id' vanished before commit — a " +
+        "concurrent recover/rotation ran against this layout; the " +
+        "protocol requires a single maintenance writer")
+    val oldRel =
+      if (dataRoot == path) "." else dataRoot.substring(path.length + 1)
+    EpochLedger.commitManifest(f, stageRoot,
+      s"gen:${nextGenName(f, path)}\nold:$oldRel\nkind:$kind",
+      s"ivf-$kind")
     failpoint("committed")
-    completeIvfRotation(f, stageRoot, path, rotationId, failpoint)
+    completeIvfGeneration(f, stageRoot, path, id, failpoint)
     true
   }
 
-  /** Finish a COMMITTED rotation: retire every live `centroid_id=*`
-    * dir and the `_centroids` sidecar under
-    * `path/_retired/<rotationId>.pre-rotate/` (phase fenced by the
-    * stage's `_RETIRED` marker — on a resumed completion, live centroid
-    * dirs are OLD exactly when the marker is absent), then move the
-    * staged layout in, ledger the rotation id, drop the stage. Every
-    * step is idempotent under same-id retry: already-retired dirs are
-    * absent from the live root, already-swapped dirs are absent from
-    * the stage.
+  /** Finish a COMMITTED generation publish (rotation or compaction),
+    * from the stage's own manifest — every step idempotent under
+    * same-id retry:
+    *
+    *   1. move the staged layout (one rename) to `path/_gen-<N>`;
+    *   2. PUBLISH: one atomic pointer-entry create under
+    *      `path/_current/` — the reader-visible switch;
+    *   3. retire the superseded root (the prior `gen-<M>` dir in one
+    *      rename, or each flat-layout dir on the first, migrating
+    *      rotation) under `path/_retired/<id>.pre-rotate/`;
+    *   4. prune superseded pointer entries, ledger the id, drop the
+    *      stage.
+    *
+    * Steps 3-4 run after the publish, so a crash anywhere leaves
+    * readers on a COMPLETE layout (old before step 2, new from step 2
+    * on) and recovery resumes exactly where the crash hit.
     */
-  private def completeIvfRotation(
+  private def completeIvfGeneration(
       f: org.apache.hadoop.fs.FileSystem,
       stageRoot: org.apache.hadoop.fs.Path,
       path: String,
-      rotationId: String,
+      id: String,
       failpoint: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
+    val mf = EpochLedger.readManifest(f, new Path(stageRoot, "_MANIFEST"))
+    require(mf.contains("gen") && mf.contains("old"),
+      s"ivf rotation stage $stageRoot carries a PRE-GENERATION " +
+        "manifest (the retire-then-swap protocol of an older version). " +
+        "Refusing to resume it blindly: complete or discard it with " +
+        "the version that created it, or delete the stage dir if the " +
+        "live layout is intact (an uncommitted old-protocol crash " +
+        "never touched it).")
+    val newGen = mf("gen")
+    val oldRel = mf("old")
+    val kind = mf.getOrElse("kind", "rotation")
     def isLayoutDir(n: String): Boolean =
       n.startsWith("centroid_id=") || n == "_centroids"
-    val retiredMark = new Path(stageRoot, "_RETIRED")
-    if (!f.exists(retiredMark)) {
-      val retireDst = new Path(s"$path/_retired/$rotationId.pre-rotate")
+    val genDst = new Path(path, newGen)
+    val dataStage = new Path(stageRoot, "data")
+    if (f.exists(dataStage)) {
+      // both present would mean two writers staged the same generation
+      // number — renaming INTO the existing dir would nest it; refuse
+      require(!f.exists(genDst),
+        s"ivf-$kind: both $dataStage and $genDst exist — a concurrent " +
+          "rotation ran against this layout; the protocol requires a " +
+          "single maintenance writer")
+      failpoint("gen-move")
+      require(f.rename(dataStage, genDst),
+        s"ivf-$kind: move $dataStage -> $genDst failed")
+    }
+    failpoint("gen-moved")
+    // THE publish: readers resolve by highest entry name, so this one
+    // atomic create switches them all to the complete new generation
+    val curDir = new Path(path, "_current")
+    f.mkdirs(curDir)
+    val entry = new Path(curDir, newGen)
+    if (!f.exists(entry)) {
+      val tmp = new Path(curDir, s".$newGen.tmp")
+      val out = f.create(tmp, true)
+      try out.write(newGen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(f.rename(tmp, entry),
+        s"ivf-$kind: pointer publish $tmp -> $entry failed")
+    }
+    failpoint("published")
+    // retire the superseded root — readers are on the new generation;
+    // the bytes are preserved under _retired, never deleted
+    val retireDst = new Path(s"$path/_retired/$id.pre-rotate")
+    if (oldRel == ".") {
+      // first rotation of a flat layout: each flat dir moves
       f.mkdirs(retireDst)
       f.listStatus(new Path(path))
         .filter(st => st.isDirectory && isLayoutDir(st.getPath.getName))
@@ -619,52 +835,54 @@ object Similarity {
           failpoint("retire-dir")
           require(
             f.rename(st.getPath, new Path(retireDst, st.getPath.getName)),
-            s"rotate-ivf: retire ${st.getPath} -> $retireDst failed")
+            s"ivf-$kind: retire ${st.getPath} -> $retireDst failed")
         }
-      failpoint("retired")
-      f.create(retiredMark, true).close()
+    } else {
+      val old = new Path(path, oldRel)
+      if (oldRel != newGen && f.exists(old)) {
+        f.mkdirs(retireDst)
+        failpoint("retire-dir")
+        require(f.rename(old, new Path(retireDst, oldRel)),
+          s"ivf-$kind: retire $old -> $retireDst failed")
+      }
     }
-    val dataStage = new Path(stageRoot, "data")
-    if (f.exists(dataStage))
-      f.listStatus(dataStage)
-        .filter(st => st.isDirectory && isLayoutDir(st.getPath.getName))
-        .foreach { st =>
-          failpoint("swap-dir")
-          require(
-            f.rename(st.getPath, new Path(path, st.getPath.getName)),
-            s"rotate-ivf: swap-in of ${st.getPath} failed")
-        }
-    failpoint("swapped")
+    failpoint("retired")
+    // prune superseded pointer entries and stale publish temps —
+    // resolution ignores them (the newest name wins) but the pointer
+    // dir must not grow one entry per rotation forever
+    f.listStatus(curDir).map(_.getPath)
+      .filter(_.getName != newGen)
+      .foreach(p => require(f.delete(p, false),
+        s"ivf-$kind: pointer prune of $p failed"))
     // commit-point verification, same as the epoch protocol: a missing
     // manifest here means a concurrent recover deleted the stage
-    // mid-completion — ledgering now would record a partial swap
+    // mid-completion — ledgering now would record a partial publish
     require(f.exists(new Path(stageRoot, "_MANIFEST")),
-      s"rotate-ivf: stage $stageRoot vanished mid-completion — a " +
+      s"ivf-$kind: stage $stageRoot vanished mid-completion — a " +
         "concurrent recover/rotation ran against this layout; the " +
         "protocol requires a single maintenance writer")
-    EpochLedger.writeLedgerEntry(f, path, rotationId, "rotation")
-    Dedup.retireQuarantine(f, path, rotationId)
-    // the ledger entry above fences this teardown: a crash that
-    // removes data/_RETIRED but leaves _MANIFEST can no longer
-    // resurrect the retire phase on restart — recovery sees the
-    // ledgered id and only finishes the delete
+    EpochLedger.writeLedgerEntry(f, path, id, kind)
+    Dedup.retireQuarantine(f, path, id)
+    // the ledger entry above fences this teardown: recovery of a
+    // ledgered stage only finishes the delete, never re-publishes
     require(f.delete(stageRoot, true),
-      s"rotate-ivf: cleanup of $stageRoot failed")
+      s"ivf-$kind: cleanup of $stageRoot failed")
   }
 
-  /** Resolve any crashed [[rotateIvf]] on the layout at `path`:
-    * uncommitted stages are discarded (the live layout was never
-    * touched), already-LEDGERED stages are torn down only (the crash
-    * hit the final cleanup — re-running completion would resurrect the
-    * retire phase against the NEW layout), and committed un-ledgered
-    * ones are completed through the marker-fenced swap — but ONLY
-    * under an intact ledger: completing a rotation while `<id>=`
-    * footprints exist with no `_epochs` dir would forge a fresh ledger
-    * holding only the rotation's own id, dooming every other applied
-    * epoch's files to quarantine at the next sweep (the same
-    * ledger-loss valve [[EpochLedger.recover]] judges, applied before
-    * the rotation can mask the evidence by retiring the footprinted
-    * dirs). Part of the layout's single-maintenance-writer surface.
+  /** Resolve any crashed [[rotateIvf]]/[[compactIvf]] on the layout at
+    * `path`: uncommitted stages are discarded (the live layout was
+    * never touched), already-LEDGERED stages are torn down only (the
+    * crash hit the final cleanup), and committed un-ledgered ones are
+    * completed through the generation publish — but ONLY under an
+    * intact ledger: completing while evidence of ledgered history
+    * exists with no `_epochs` dir would forge a fresh ledger holding
+    * only this id, dooming every other applied epoch to quarantine or
+    * double-append. Evidence is any of: live `<id>=` footprint files,
+    * a legacy stage's `_RETIRED` marker (the retire phase moved the
+    * footprints aside — the marker proves the same history), or a
+    * published `_current` pointer (a rotated layout carries no
+    * footprints at all). Part of the layout's
+    * single-maintenance-writer surface.
     */
   private[operators] def recoverIvfRotations(
       spark: org.apache.spark.sql.SparkSession,
@@ -680,17 +898,23 @@ object Similarity {
         require(f.delete(st.getPath, true),
           s"rotate-ivf: cleanup of stage ${st.getPath} failed")
       else {
-        require(
-          !EpochLedger.hasFootprints(f, path, "centroid_id=") ||
+        val evidence =
+          EpochLedger.hasFootprints(f, ivfDataRoot(f, path),
+            "centroid_id=") ||
+            f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_RETIRED")) ||
+            f.exists(new org.apache.hadoop.fs.Path(s"$path/_current"))
+        require(!evidence ||
             f.exists(new org.apache.hadoop.fs.Path(s"$path/_epochs")),
-          s"rotate-ivf: '<id>=' footprint files exist under $path but " +
-            "the _epochs ledger dir is missing — it was lost (an " +
-            "underscore-blind copy/restore is the usual cause). " +
-            "Restore it before recovery: completing this rotation " +
-            "would re-create the ledger with only its own entry and " +
-            "send every other applied epoch's files to quarantine. " +
-            "Refusing to touch the corpus.")
-        completeIvfRotation(f, st.getPath, path, id, _ => ())
+          s"rotate-ivf: the layout under $path carries ledgered " +
+            "history (epoch footprints, a retire marker, or a " +
+            "published generation pointer) but the _epochs ledger dir " +
+            "is missing — it was lost (an underscore-blind " +
+            "copy/restore is the usual cause). Restore it before " +
+            "recovery: completing this rotation would re-create the " +
+            "ledger with only its own entry and expose every other " +
+            "applied epoch to quarantine or double-append. Refusing " +
+            "to touch the corpus.")
+        completeIvfGeneration(f, st.getPath, path, id, _ => ())
       }
     }
   }
@@ -709,7 +933,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(String, Int, Long)] = {
     val f = graft.operators.Dedup.fsFor(spark, path)
-    val root = new org.apache.hadoop.fs.Path(path)
+    val root = new org.apache.hadoop.fs.Path(ivfDataRoot(f, path))
     f.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
       .map { st =>
@@ -744,6 +968,62 @@ object Similarity {
     }
   }
 
+  /** Result of [[ivfRecallProbe]]: mean recall@k over the sampled
+    * queries, with the probe geometry that produced it.
+    */
+  final case class IvfRecall(
+      recallAtK: Double,
+      queries: Int,
+      k: Int,
+      nprobe: Int)
+
+  /** Measured recall@k of the layout's multi-probe ANN answer against
+    * brute-force exact top-k, over a deterministic id-hash sample of
+    * `sampleN` stored vectors — the RECALL-side drift monitor next to
+    * the bytes-side [[ivfSkewRatio]]: a drifting corpus can hurt probe
+    * recall (queries' true neighbors land outside their probed
+    * partitions) before it shows as partition-bytes skew, and this
+    * makes that decay measurable so the [[rotateIvf]] trigger can key
+    * on it. Cost: one full corpus scan scoring `sampleN` broadcast
+    * queries both ways — an observability probe run at maintenance
+    * cadence, not a serving path. Driver state is O(sampleN·k) id
+    * pairs. Both answers use the same rounding and tie-breaks, so
+    * recall 1.0 means literally identical top-k sets.
+    */
+  def ivfRecallProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      sampleN: Int = 64,
+      k: Int = 10,
+      nprobe: Int = 1,
+      idCol: String = "vec_id"): IvfRecall = {
+    require(sampleN >= 1, s"sampleN must be >= 1, got $sampleN")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
+    val corpus = spark.read.parquet(dataRoot)
+    // the ivfCentroids sampling hash, reused: deterministic, id-order
+    // decorrelated, and a TakeOrdered (never a global sort)
+    val qids = corpus
+      .select(col(idCol),
+        ((col(idCol) % graft.functions.TextHash.P) * lit(2654435761L)
+          % graft.functions.TextHash.P).as("chash"))
+      .orderBy(col("chash"), col(idCol))
+      .limit(sampleN)
+      .collect().map(_.getLong(0)).toSeq
+    if (qids.isEmpty) return IvfRecall(1.0, 0, k, nprobe)
+    val approx = ivfKnnPartitioned(spark, path, qids, k, nprobe, idCol)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = bruteForceKnn(
+        corpus.select(col(idCol), col("vec").as("embedding")), qids, k, idCol)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall =
+      if (exact.isEmpty) 1.0
+      else approx.intersect(exact).size.toDouble / exact.size
+    IvfRecall(recall, qids.size, k, nprobe)
+  }
+
   /** ANN top-k over an [[writeIvfPartitioned]] layout: resolve each
     * query's `nprobe` centroid directories (a tiny driver-side list — the
     * price of turning the probe into LITERAL partition predicates), then
@@ -762,7 +1042,11 @@ object Similarity {
       nprobe: Int = 1,
       idCol: String = "vec_id"): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val corpus = spark.read.parquet(path)
+    // one pointer resolution per probe: the corpus scan AND the
+    // sidecar read come from the SAME generation, so a concurrent
+    // rotation can never mix old assignment with new centroids
+    val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
+    val corpus = spark.read.parquet(dataRoot)
     require(
       corpus.schema("centroid_id").dataType ==
         org.apache.spark.sql.types.StringType,
@@ -774,7 +1058,7 @@ object Similarity {
     val probes =
       if (nprobe == 1) queries
       else {
-        val cent = spark.read.parquet(s"$path/_centroids")
+        val cent = spark.read.parquet(s"$dataRoot/_centroids")
         val w = Window.partitionBy("query_id")
           .orderBy(col("csim").desc,
             expr("CAST(substring(centroid_id, 2) AS BIGINT)"))
@@ -1165,7 +1449,8 @@ object Similarity {
       threshold: Double,
       maxClusterSize: Option[Int] = Some(DefaultMaxClusterSize),
       idCol: String = "vec_id"): DataFrame = {
-    val corpus = spark.read.parquet(path)
+    val corpus =
+      spark.read.parquet(ivfDataRoot(Dedup.fsFor(spark, path), path))
     require(
       corpus.schema.fieldNames.contains("centroid_id") &&
         corpus.schema("centroid_id").dataType ==

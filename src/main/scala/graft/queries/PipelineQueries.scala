@@ -17,22 +17,41 @@ object PipelineQueries {
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Scratch dir for the layout-building queries (q59/q60), reclaimed
-    * at JVM exit — each execution writes a full IVF copy of the
-    * embeddings corpus, and bench's warm-up + N timed runs would
-    * otherwise leave one copy per run in /tmp.
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+    ()
+  }
+
+  /** ONE scratch dir per prefix for the whole process, cleared EAGERLY
+    * at the start of each execution — each q59/q60 run writes a full
+    * IVF copy of the embeddings corpus, and bench's warm-up + N timed
+    * runs must not accumulate one copy (and one shutdown hook) per
+    * run. The single per-prefix hook remains only as the last-resort
+    * exit sweep.
     */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-        ()
-      }
-      rm(p.toFile)
-    }))
-    p.toString
+    val p = scratchDirs.computeIfAbsent(prefix, _ => {
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(d.toFile)))
+      d.toString
+    })
+    // reclaim the PREVIOUS execution's layout copy before building anew
+    Option(new java.io.File(p).listFiles()).foreach(_.foreach(rmTree))
+    p
+  }
+
+  /** A scratch dir that PERSISTS for the process (exit-hook cleanup
+    * only) — the memoized probe-only bench layouts live here, so the
+    * eager per-run reclaim above never deletes a layout a later timed
+    * probe run still reads.
+    */
+  private def persistentScratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(d.toFile)))
+    d.toString
   }
 
   // ---------------------------------------------------------------- dedup
@@ -623,6 +642,59 @@ object PipelineQueries {
          |  FROM scored)
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin))
+
+  /** Probe-only bench variants of q59/q60: the layout is built ONCE
+    * per (query, sf dir) for the process — memoized under a persistent
+    * scratch dir — and each bench run times ONLY the probe. This is
+    * the second observable that keeps the suite numbers from
+    * conflating the per-run maintenance REHEARSAL (the layout
+    * build/append/rotation q59/q60 deliberately hash-verify live) with
+    * the query's own cost: at deployment the build is paid once per
+    * epoch/rotation, the probe per query. Bench-only — the probe plan
+    * and rows are exactly q59/q60's, so the correctness gate already
+    * pins them.
+    */
+  private val probeLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def memoLayout(key: String)(build: String => Unit): String =
+    probeLayouts.computeIfAbsent(key, _ => {
+      val path = s"${persistentScratchDir(s"graft-$key-probe")}/ivf"
+      build(path)
+      path
+    })
+
+  val benchProbes: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "q59_probe_only" -> { (s, dir) =>
+      val path = memoLayout(s"q59-${dir.hashCode.toHexString}") { p =>
+        val e = emb(s, dir)
+        Similarity.writeIvfPartitioned(e.filter(col("vec_id") % 2 === 0), p)
+        Similarity.appendIvfEpoch(e.filter(col("vec_id") % 2 =!= 0), p,
+          epochId = "epoch1")
+        ()
+      }
+      Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    "q60_probe_only" -> { (s, dir) =>
+      val path = memoLayout(s"q60-${dir.hashCode.toHexString}") { p =>
+        val e = emb(s, dir)
+        val stale = Similarity.ivfCentroids(
+          Similarity.asDouble(e.filter(col("vec_id") % 2 === 0)),
+          Similarity.DefaultCentroidK)
+        Similarity.writeIvfPartitioned(e, p, trainedCentroids = Some(stale))
+        val fresh = Similarity.ivfCentroids(Similarity.asDouble(e),
+          Similarity.DefaultCentroidK)
+        Similarity.rotateIvf(s, p, rotationId = "rot1",
+          trainedCentroids = Some(fresh))
+        ()
+      }
+      Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    })
 
   // ----------------------------------------------------------------- text
 

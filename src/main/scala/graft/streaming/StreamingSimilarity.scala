@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** Streaming embedding ingest for the IVF layout — the similarity-side
   * twin of [[StreamingDedup]]'s spool → rotate lifecycle, built from
@@ -14,11 +14,18 @@ import graft.operators.Similarity
   *      via [[StreamingDedup.spoolBatch]] (staged + atomic rename, so
   *      `foreachBatch`'s at-least-once replay REPLACES instead of
   *      double-spooling);
-  *   2. at the epoch boundary, [[applySpooledEpoch]] appends the
-  *      spool's union to the layout through the crash-safe
+  *   2. at the epoch boundary, the PREVIOUS epoch's spool is appended
+  *      to the layout through the crash-safe
   *      [[Similarity.appendIvfEpoch]] protocol under the SPOOL'S OWN
-  *      epoch id, then clears the spool — ledgered either way, so a
-  *      crash between append and clear just replays as a ledger hit.
+  *      epoch id, then cleared — ledgered either way, so a crash
+  *      between append and clear just replays as a ledger hit. With
+  *      `applyToLayout` set, [[startSpool]] does this ITSELF: the
+  *      first batch of each new epoch applies every older spooled
+  *      epoch before spooling (boundary detection is a spool-root
+  *      listing, so a crash-before-apply heals on the next batch too).
+  *      Without it, call [[applySpooledEpoch]] manually at the
+  *      boundary — and even with it, once the stream STOPS for good,
+  *      drain the final epoch with one manual [[applySpooledEpoch]].
   *
   * No per-batch query runs against the layout (unlike the dedup
   * stream's probe): ANN readers keep probing the layout as-is and see
@@ -26,9 +33,18 @@ import graft.operators.Similarity
   * contract, an epoch id must never be REUSED for different data — the
   * ledger makes a reused id a silent no-op and [[applySpooledEpoch]]
   * would then clear the new rows unapplied; `epochIdFor` must be a
-  * stable batch→epoch mapping (e.g. `batchId / batchesPerEpoch`).
+  * stable, MONOTONE batch→epoch mapping (e.g.
+  * `batchId / batchesPerEpoch`) — the auto-apply treats every spooled
+  * epoch other than the current batch's as finished.
+  *
+  * Single maintenance writer: with `applyToLayout` set, the STREAM is
+  * the layout's maintenance writer — don't run appends, rotations, or
+  * recovery against the same layout while it runs.
   */
 object StreamingSimilarity {
+
+  private val log =
+    org.slf4j.LoggerFactory.getLogger(StreamingSimilarity.getClass)
 
   /** Start spooling the embedding stream, one epoch-scoped directory
     * per `epochIdFor(batchId)` — `spoolRoot/<epochId>/batch_id=<id>`.
@@ -43,24 +59,65 @@ object StreamingSimilarity {
     * crash retry). The kind-tagged ledger cannot catch this: the id
     * really was an epoch id. A pinned checkpoint makes batchIds
     * continue across restarts, which is what keeps `epochIdFor`
-    * collision-free.
+    * collision-free. The unpinned default WARNS loudly for exactly
+    * this reason (the `Banding.resolveDefaultCap` make-the-hazard-loud
+    * approach); it remains the dev-convenience default only.
+    *
+    * `applyToLayout` turns the epoch boundary into ENGINE behavior:
+    * on each batch, every spooled epoch whose id differs from the
+    * current batch's is applied to that layout (then its spool is
+    * cleared) BEFORE the batch spools — so epoch N lands exactly when
+    * epoch N+1's first batch arrives, and a restart after a
+    * crash-before-apply heals the leftover spool the same way.
     */
   def startSpool(
       emb: DataFrame,
       spoolRoot: String,
       epochIdFor: Long => String,
       intervalSeconds: Long = 10,
-      checkpointLocation: Option[String] = None): StreamingQuery = {
+      checkpointLocation: Option[String] = None,
+      applyToLayout: Option[String] = None,
+      idCol: String = "vec_id"): StreamingQuery = {
+    if (checkpointLocation.isEmpty)
+      log.warn(
+        "startSpool without a checkpointLocation: a restart resets " +
+          "batchIds to 0 and epochIdFor will map NEW data onto " +
+          "already-ledgered epoch ids, whose rows are then cleared " +
+          "UNAPPLIED at the boundary. Pin a stable checkpointLocation " +
+          "for anything beyond a throwaway dev run.")
     val writer = emb.writeStream
       .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        StreamingDedup.spoolBatch(batch,
-          s"$spoolRoot/${epochIdFor(batchId)}", batchId)
+        val epochId = epochIdFor(batchId)
+        applyToLayout.foreach { layout =>
+          listSpooledEpochs(batch.sparkSession, spoolRoot)
+            .filterNot(_ == epochId)
+            .foreach { prev =>
+              applySpooledEpoch(batch.sparkSession, spoolRoot, prev,
+                layout, idCol)
+            }
+        }
+        StreamingDedup.spoolBatch(batch, s"$spoolRoot/$epochId", batchId)
         ()
       }
     checkpointLocation
       .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
+  }
+
+  /** The epoch ids with a spool dir under `spoolRoot` — the boundary
+    * detector's listing (one `listStatus`, names only).
+    */
+  def listSpooledEpochs(
+      spark: SparkSession,
+      spoolRoot: String): Seq[String] = {
+    val f = Dedup.fsFor(spark, spoolRoot)
+    val root = new org.apache.hadoop.fs.Path(spoolRoot)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toIndexedSeq.sorted
   }
 
   /** Epoch-boundary step: append `spoolRoot/<epochId>`'s accumulated
@@ -69,8 +126,12 @@ object StreamingSimilarity {
     * when the epoch was applied NOW; false when the spool was empty or
     * the epoch was already ledgered (the crash-between-append-and-clear
     * retry: the layout already holds the rows, only the clear reruns).
-    * Call with the stream STOPPED or after the epoch's last batch — the
-    * single-maintenance-writer contract of the append protocol.
+    * Heals any crashed epoch/rotation on the layout at entry, so a
+    * first-of-session call needs no separate
+    * [[Similarity.recoverIvfEpochs]]. Call with the stream STOPPED or
+    * after the epoch's last batch — the single-maintenance-writer
+    * contract of the append protocol ([[startSpool]]'s `applyToLayout`
+    * satisfies it from inside the serialized `foreachBatch`).
     */
   def applySpooledEpoch(
       spark: SparkSession,
@@ -78,6 +139,9 @@ object StreamingSimilarity {
       epochId: String,
       layoutPath: String,
       idCol: String = "vec_id"): Boolean = {
+    // an empty spool otherwise skips appendIvfEpoch's own healing —
+    // the restart that lost its spool must still resolve torn state
+    Similarity.recoverIvfEpochs(spark, layoutPath)
     val sp = s"$spoolRoot/$epochId"
     StreamingDedup.readSpool(spark, sp) match {
       case None => false

@@ -5,11 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** Seeded randomized crash sweep over ALL THREE layout-maintenance
+/** Seeded randomized crash sweep over ALL FOUR layout-maintenance
   * protocols — the two-layout dedup rotation
   * ([[Dedup.rotateEpochBucketed]]), the single-layout IVF epoch
-  * ([[Similarity.appendIvfEpoch]]), and the IVF re-train rotation
-  * ([[Similarity.rotateIvf]]). Each
+  * ([[Similarity.appendIvfEpoch]]), the IVF re-train rotation
+  * ([[Similarity.rotateIvf]], generation-pointer publish), and the
+  * IVF compaction ([[Similarity.compactIvf]], same publish). Each
   * trial kills the protocol at a randomly drawn failpoint (sometimes
   * at a second one on the first retry), then retries under the SAME
   * epochId until it completes, and asserts the invariants the
@@ -64,7 +65,8 @@ class CrashSweepSpec extends AnyFunSuite {
     (100L until 106L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
 
   private def ivfRows(p: String): Set[(Long, String)] =
-    spark.read.parquet(p).select("vec_id", "centroid_id").collect()
+    spark.read.parquet(Similarity.ivfDataRoot(spark, p))
+      .select("vec_id", "centroid_id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
 
   /** The rebuild target: centroid sampling is deterministic (id-hash),
@@ -102,8 +104,8 @@ class CrashSweepSpec extends AnyFunSuite {
 
   // -------------------------------------------------------- rotation side
 
-  private val rotFps = Seq("staged", "committed", "retire-dir", "retired",
-    "swap-dir", "swapped")
+  private val rotFps = Seq("staged", "committed", "gen-move", "gen-moved",
+    "published", "retire-dir", "retired")
 
   /** Rotation trial: a grown layout (base + one ledgered epoch) is
     * re-trained under crashes. Centroids re-train per attempt, so the
@@ -126,7 +128,8 @@ class CrashSweepSpec extends AnyFunSuite {
     val got = ivfRows(path)
     assert(got.map(_._1) == wantIds, ctx)
     assert(got.size == wantIds.size, ctx) // no id appears twice
-    val sidecar = spark.read.parquet(s"$path/_centroids")
+    val sidecar = spark.read
+      .parquet(s"${Similarity.ivfDataRoot(spark, path)}/_centroids")
       .select("centroid_id").collect().map(_.getString(0)).toSet
     assert(got.map(_._2).subsetOf(sidecar), ctx)
     // blind replay: no-op; recovery: no-op; staging reclaimed
@@ -139,6 +142,38 @@ class CrashSweepSpec extends AnyFunSuite {
       ctx)
     assert(Similarity.listIvfRetired(spark, path).map(_._1)
       .forall(_.startsWith("rot1.pre-rotate")), ctx)
+  }
+
+  // ------------------------------------------------------ compaction side
+
+  /** Compaction trial: a grown layout (base + one ledgered epoch, so
+    * partitions carry multiple file-sets) is compacted under crashes.
+    * The row target is FIXED (compaction reuses the stored assignment),
+    * so the invariant is exact: same rows, fewer files.
+    */
+  private def compactTrial(plan: Seq[String]): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-cmp").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(ivfBase, path, centroidK = 2)
+    assert(Similarity.appendIvfEpoch(ivfNovel, path, "e1"))
+    val want = ivfRows(path)
+    driveWithCrashes(plan) { fail =>
+      Similarity.compactIvfStaged(spark, path, "c1", 0L, fail)
+      ()
+    }
+    val ctx = s"plan=$plan"
+    assert(ivfRows(path) == want, ctx)
+    assert(EpochLedger.applied(spark, path, "c1"), ctx)
+    // the compacted generation holds ONE file per partition dir
+    assert(Similarity.ivfPartitionStats(spark, path).forall(_._2 == 1), ctx)
+    // blind replay: no-op; recovery: no-op; staging reclaimed
+    assert(!Similarity.compactIvf(spark, path, "c1"), ctx)
+    Similarity.recoverIvfEpochs(spark, path)
+    assert(ivfRows(path) == want, ctx)
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty, ctx)
+    val f = Dedup.fsFor(spark, path)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_retrain/c1")),
+      ctx)
   }
 
   // ----------------------------------------------------------- dedup side
@@ -204,13 +239,13 @@ class CrashSweepSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- sweep
 
-  test("50 seeded randomized crash trials across all three protocols: " +
+  test("60 seeded randomized crash trials across all four protocols: " +
     "retry-until-complete always converges to the rebuild state") {
     val rnd = new scala.util.Random(0xC0FFEE42L)
     val counts = scala.collection.mutable.Map(
-      "ivf" -> 0, "dedup" -> 0, "rotation" -> 0)
-    for (trial <- 1 to 50) {
-      val proto = Seq("ivf", "dedup", "rotation")(rnd.nextInt(3))
+      "ivf" -> 0, "dedup" -> 0, "rotation" -> 0, "compaction" -> 0)
+    for (trial <- 1 to 60) {
+      val proto = Seq("ivf", "dedup", "rotation", "compaction")(rnd.nextInt(4))
       val fps = proto match {
         case "ivf" => ivfFps
         case "dedup" => dedupFps
@@ -224,12 +259,13 @@ class CrashSweepSpec extends AnyFunSuite {
         proto match {
           case "ivf" => ivfTrial(plan)
           case "dedup" => dedupTrial(plan)
-          case _ => rotTrial(plan)
+          case "rotation" => rotTrial(plan)
+          case _ => compactTrial(plan)
         }
         counts(proto) += 1
       }
     }
     // the seed must actually exercise every protocol arm
-    assert(counts.values.forall(_ >= 10), counts.toString)
+    assert(counts.values.forall(_ >= 8), counts.toString)
   }
 }

@@ -55,8 +55,16 @@ class IvfRotationSpec extends AnyFunSuite {
   private def clusterB: DataFrame =
     bIds.map(i => (i, jittered(i, dirB, 0.15f))).toDF("vec_id", "embedding")
 
+  /** Row ids through the layout's pointer resolution — what every
+    * production reader sees (`p` may be flat or generational).
+    */
   private def ids(p: String): Seq[Long] =
-    spark.read.parquet(p).select("vec_id").collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(Similarity.ivfDataRoot(spark, p))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  private def sidecarIds(p: String): Set[String] =
+    spark.read.parquet(s"${Similarity.ivfDataRoot(spark, p)}/_centroids")
+      .select("centroid_id").collect().map(_.getString(0)).toSet
 
   /** Mean fraction of the brute-force top-k an nprobe-1 partitioned
     * probe recovers, over cluster-B queries.
@@ -111,8 +119,7 @@ class IvfRotationSpec extends AnyFunSuite {
     val idsAfter = ids(path)
     assert(idsAfter.sorted == idsBefore && idsAfter.distinct.size == idsAfter.size)
     // the sidecar matches the live partitions (a self-contained layout)
-    val sidecar = spark.read.parquet(s"$path/_centroids")
-      .select("centroid_id").collect().map(_.getString(0)).toSet
+    val sidecar = sidecarIds(path)
     val partDirs = Similarity.ivfPartitionStats(spark, path).map(_._1).toSet
     assert(partDirs.subsetOf(sidecar))
 
@@ -179,8 +186,8 @@ class IvfRotationSpec extends AnyFunSuite {
 
   test("crash injection at every rotation point: restart-path recovery " +
     "plus a same-id retry converge to a complete rotated layout") {
-    for (fp <- Seq("staged", "committed", "retire-dir", "retired",
-      "swap-dir", "swapped")) {
+    for (fp <- Seq("staged", "committed", "gen-move", "gen-moved",
+      "published", "retire-dir", "retired")) {
       val root = java.nio.file.Files.createTempDirectory("graft-rotcr").toString
       val path = s"$root/ivf"
       Similarity.writeIvfPartitioned(clusterA, path, centroidK = 4)
@@ -212,10 +219,8 @@ class IvfRotationSpec extends AnyFunSuite {
       val idsAfter = ids(path)
       assert(idsAfter.sorted == idsBefore, fp)
       assert(idsAfter.distinct.size == idsAfter.size, fp)
-      val sidecar = spark.read.parquet(s"$path/_centroids")
-        .select("centroid_id").collect().map(_.getString(0)).toSet
       assert(Similarity.ivfPartitionStats(spark, path).map(_._1).toSet
-        .subsetOf(sidecar), fp)
+        .subsetOf(sidecarIds(path)), fp)
       assert(Similarity.listIvfRetired(spark, path)
         .map(_._1) == Seq("rot1.pre-rotate"), fp)
 
@@ -229,6 +234,106 @@ class IvfRotationSpec extends AnyFunSuite {
       assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_retrain/rot1")),
         fp)
     }
+  }
+
+  test("ivfRecallProbe: drift-induced recall decay is measurable BEFORE " +
+    "rotation and recovers after — the recall-side rotate trigger next " +
+    "to the bytes-side ivfSkewRatio") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rprobe").toString
+    val path = s"$root/ivf"
+    // the recall-drift construction: identical component-2 across the
+    // frozen centroids makes the appended B cluster SPLIT, which hurts
+    // nprobe-1 recall without necessarily skewing bytes
+    def cent(id: Long, v: Array[Double]) =
+      (id, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+    def dirWith(j: Int, x: Double) =
+      Array.tabulate(dim)(i => if (i == 0) 1.0 else if (i == j) x else 0.0)
+    val frozen = Seq(
+      cent(0L, dirWith(1, 0.3)), cent(1L, dirWith(1, -0.3)),
+      cent(2L, dirWith(3, 0.3)), cent(3L, dirWith(3, -0.3)))
+      .toDF("centroid_id", "cvec", "cnrm")
+    Similarity.writeIvfPartitioned(clusterA, path,
+      trainedCentroids = Some(frozen))
+    assert(Similarity.appendIvfEpoch(clusterB, path, epochId = "e1"))
+
+    val before = Similarity.ivfRecallProbe(spark, path, sampleN = 32,
+      k = 5, nprobe = 1)
+    assert(before.queries == 32 && before.k == 5 && before.nprobe == 1)
+    assert(before.recallAtK < 0.9,
+      s"construction should decay probed recall, got ${before.recallAtK}")
+
+    assert(Similarity.rotateIvf(spark, path, rotationId = "rot1",
+      centroidK = 2))
+    val after = Similarity.ivfRecallProbe(spark, path, sampleN = 32,
+      k = 5, nprobe = 1)
+    assert(after.recallAtK > before.recallAtK && after.recallAtK >= 0.9,
+      s"recall ${before.recallAtK} -> ${after.recallAtK}")
+    // the probe is read-only observability: the layout is untouched
+    assert(ids(path).sorted == (aIds ++ bIds).sorted)
+  }
+
+  test("reader atomicity: a probe at EVERY rotation point sees either " +
+    "the old layout or the new one COMPLETE, and flips exactly at the " +
+    "pointer publish — for the flat->gen migration AND a gen->gen " +
+    "rotation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rotatomic").toString
+    val path = s"$root/ivf"
+    val union = clusterA.unionByName(clusterB)
+    // both centroid sets are the DETERMINISTIC id-hash sample, so the
+    // old and new probe answers are computable before the race
+    val stale = Similarity.ivfCentroids(Similarity.asDouble(clusterA), 4)
+    val fresh = Similarity.ivfCentroids(Similarity.asDouble(union), 4)
+    Similarity.writeIvfPartitioned(union, path, trainedCentroids = Some(stale))
+    val queryIds = Seq(0L, 5L, 1000L, 1005L)
+    def probe(p: String): Set[(Long, Long, Int)] =
+      Similarity.ivfKnnPartitioned(spark, p, queryIds, k = 3, nprobe = 2)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def reference(cents: DataFrame, name: String): Set[(Long, Long, Int)] = {
+      val ref = s"$root/$name"
+      Similarity.writeIvfPartitioned(union, ref, trainedCentroids = Some(cents))
+      probe(ref)
+    }
+    val oldAnswer = probe(path)
+    val newAnswer = reference(fresh, "ref-fresh")
+    assert(oldAnswer != newAnswer, "fixture must make the answers differ")
+
+    // the probe flips from old to new at ONE point: the pointer publish
+    val preSwitch = Set("staged", "committed", "gen-move", "gen-moved")
+    def raceRotation(id: String, cents: DataFrame,
+        before: Set[(Long, Long, Int)], after: Set[(Long, Long, Int)]): Unit = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+      assert(Similarity.rotateIvfStaged(spark, path, id, 4, 1.0, 10,
+        "vec_id",
+        failpoint = p => {
+          seen += p
+          val a = probe(path)
+          assert(a == (if (preSwitch(p)) before else after),
+            s"$id@$p: partial or mistimed layout visible to the probe")
+        },
+        trainedCentroids = Some(cents)))
+      // every phase actually raced (retire-dir repeats per dir)
+      assert(seen.toSet == Set("staged", "committed", "gen-move",
+        "gen-moved", "published", "retire-dir", "retired"), seen)
+      assert(probe(path) == after, id)
+    }
+    raceRotation("rot1", fresh, oldAnswer, newAnswer)
+
+    // second rotation: gen -> gen (the steady-state single-rename
+    // retire), same atomicity — rotating BACK to the stale centroid
+    // set, whose answer is the already-distinct oldAnswer
+    raceRotation("rot2", stale, newAnswer, oldAnswer)
+
+    // generation bookkeeping: one live gen, one pointer entry, the
+    // prior generation retired wholesale
+    val f = Dedup.fsFor(spark, path)
+    assert(Similarity.ivfDataRoot(spark, path) == s"$path/_gen-2")
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(s"$path/_current"))
+      .map(_.getPath.getName).toSeq == Seq("_gen-2"))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_gen-1")))
+    assert(Similarity.listIvfRetired(spark, path).map(_._1).sorted ==
+      Seq("rot1.pre-rotate", "rot2.pre-rotate"))
+    assert(ids(path).sorted == (aIds ++ bIds).sorted)
   }
 
   test("sampleFrac re-train: rotating on a half-corpus training sample " +
@@ -261,8 +366,9 @@ class IvfRotationSpec extends AnyFunSuite {
         failpoint = p =>
           if (p == "retired") throw new RuntimeException("injected"))
     }
-    // the crash window left the live layout EMPTY (retired, not yet
-    // swapped) — the next epoch append must heal it before assigning
+    // the crash hit after the publish but before the ledger entry —
+    // the next epoch append must finish the rotation (ledger + stage
+    // teardown) before assigning against the new generation
     assert(Similarity.appendIvfEpoch(clusterB, path, epochId = "e1"))
     assert(EpochLedger.applied(spark, path, "rot1"))
     assert(ids(path).sorted == (aIds ++ bIds).sorted)

@@ -91,6 +91,85 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_rotate/e1")))
   }
 
+  test("applyToLayout automates the epoch boundary: a live stream " +
+    "crossing TWO epoch boundaries applies each finished epoch with no " +
+    "manual call, and the layout equals the batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ssim4").toString
+    val path = s"$root/ivf"
+    val spoolRoot = s"$root/spool"
+    val base = (0L until 6L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.writeIvfPartitioned(base, path, centroidK = 2)
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val query = StreamingSimilarity.startSpool(
+      stream.toDF().toDF("vec_id", "embedding"), spoolRoot,
+      epochIdFor = b => s"e${b / 2}", intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt"),
+      applyToLayout = Some(path))
+    def feed(id: Long): Unit = {
+      stream.addData((id, vec(id)))
+      query.processAllAvailable()
+    }
+    // epoch e0 = batches 0, 1 — still open, so the layout is untouched
+    feed(100L)
+    feed(101L)
+    assert(rows(path).map(_._1) == (0L until 6L).toSet)
+    assert(!Similarity.ivfEpochApplied(spark, path, "e0"))
+    // batch 2 opens epoch e1: e0's spool applies and clears FIRST
+    feed(102L)
+    assert(Similarity.ivfEpochApplied(spark, path, "e0"))
+    assert(StreamingDedup.readSpool(spark, s"$spoolRoot/e0").isEmpty)
+    val n01 = Seq(100L, 101L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    assert(rows(path) == rebuildRows(base.unionByName(n01), path))
+    // batch 3 closes e1; batch 4 opens e2 and e1 auto-applies
+    feed(103L)
+    assert(!Similarity.ivfEpochApplied(spark, path, "e1"))
+    feed(104L)
+    assert(Similarity.ivfEpochApplied(spark, path, "e1"))
+    query.stop()
+    // the final, still-open epoch drains with the documented manual call
+    assert(StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e2", path))
+    val all = (100L to 104L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    assert(rows(path) == rebuildRows(base.unionByName(all), path))
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty)
+  }
+
+  test("a crash before the boundary apply heals on restart: leftover " +
+    "spooled epochs apply on the restarted stream's first batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ssim5").toString
+    val path = s"$root/ivf"
+    val spoolRoot = s"$root/spool"
+    val base = (0L until 6L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.writeIvfPartitioned(base, path, centroidK = 2)
+    // the pre-crash session spooled two whole epochs but never reached
+    // their boundaries' applies
+    StreamingDedup.spoolBatch(
+      Seq((100L, vec(100L))).toDF("vec_id", "embedding"),
+      s"$spoolRoot/e0", batchId = 0L)
+    StreamingDedup.spoolBatch(
+      Seq((101L, vec(101L))).toDF("vec_id", "embedding"),
+      s"$spoolRoot/e1", batchId = 1L)
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val query = StreamingSimilarity.startSpool(
+      stream.toDF().toDF("vec_id", "embedding"), spoolRoot,
+      epochIdFor = b => s"e${b + 7}", intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt"),
+      applyToLayout = Some(path))
+    stream.addData((200L, vec(200L)))
+    query.processAllAvailable()
+    query.stop()
+    assert(Similarity.ivfEpochApplied(spark, path, "e0"))
+    assert(Similarity.ivfEpochApplied(spark, path, "e1"))
+    assert(StreamingSimilarity.listSpooledEpochs(spark, spoolRoot)
+      == Seq("e7"))
+    val healed = Seq(100L, 101L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    assert(rows(path) == rebuildRows(base.unionByName(healed), path))
+  }
+
   test("a pinned checkpointLocation is honored — the restart-safety " +
     "knob the epoch mapping depends on") {
     implicit val sqlCtx = spark.sqlContext
