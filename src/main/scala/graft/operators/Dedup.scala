@@ -626,14 +626,31 @@ object Dedup {
   }
 
   /** Has `epochId` been fully applied to the layouts rooted at
-    * `historyPath`? (The [[rotateEpochBucketed]] ledger.)
+    * `historyPath`? (The [[rotateEpochBucketed]] ledger.) An id is
+    * ledgered either as its own `_epochs/<id>` entry file (the recent
+    * tail) or inside the applied-set file a [[compactLedger]] roll-up
+    * produced.
     */
   def epochApplied(
       spark: org.apache.spark.sql.SparkSession,
       historyPath: String,
-      epochId: String): Boolean =
-    fsFor(spark, historyPath).exists(
-      new org.apache.hadoop.fs.Path(s"$historyPath/_epochs/$epochId"))
+      epochId: String): Boolean = {
+    val f = fsFor(spark, historyPath)
+    f.exists(
+      new org.apache.hadoop.fs.Path(s"$historyPath/_epochs/$epochId")) ||
+      EpochLedger.rollupMap(f, historyPath).contains(epochId)
+  }
+
+  /** Roll the dedup-rotation ledger's entry tail into one applied-set
+    * file — [[EpochLedger.compactLedger]] over `historyPath/_epochs`
+    * (the two protocols share the ledger file format; dedup entries
+    * just carry no kind tag). Single maintenance writer, like the
+    * rotation itself. Returns the number of entry files rolled up.
+    */
+  def compactLedger(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String): Int =
+    EpochLedger.compactLedger(spark, historyPath)
 
   /** Resolve any crashed [[rotateEpochBucketed]] on the layouts rooted
     * at `historyPath` (the index path comes from each staging dir's
@@ -786,14 +803,14 @@ object Dedup {
         idOf(nf.getPath.getName).foreach(id => residue +=
           ((id, idxFs, nf.getPath, s"$indexPath/_quarantine/$id")))
       }
-    // ledger membership from ONE listing of _epochs — in a mature
-    // layout every post-epoch-0 file carries a footprint, so a
-    // per-file exists() would be O(corpus files) round-trips
+    // ledger membership from ONE listing of _epochs (plus the
+    // roll-up's applied-set) — in a mature layout every post-epoch-0
+    // file carries a footprint, so a per-file exists() would be
+    // O(corpus files) round-trips
     val ledgerP = new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")
     val ledgerDirExists = f.exists(ledgerP)
     val ledgered: Set[String] =
-      if (ledgerDirExists)
-        f.listStatus(ledgerP).map(_.getPath.getName).toSet
+      if (ledgerDirExists) EpochLedger.ledgeredIds(f, historyPath)
       else Set.empty
     // ids with a COMMITTED stage pending are not torn — completing
     // them below writes their ledger entry

@@ -78,6 +78,54 @@ class EpochRotationSpec extends AnyFunSuite {
     bloom1.unpersist(blocking = false)
   }
 
+  test("compactLedger on the dedup rotation ledger: rolled-up epoch ids " +
+    "still refuse a blind re-rotation, and new epochs keep ledgering") {
+    val h0 = (0L until 20L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-rotledg").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 4)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    var bloom = spark.sparkContext.broadcast(
+      Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
+    for (e <- 1 to 3) {
+      val n = ((100L * e) until (100L * e + 4L)).map(i => (i, novelText(i)))
+        .toDF("doc_id", "text")
+      bloom = Dedup.rotateEpochBucketed(n, histPath, idxPath, bloom,
+        expectedItems = 1000, fpp = 0.001, epochId = s"e$e")
+    }
+    val histRows = spark.read.parquet(histPath).count()
+
+    assert(Dedup.compactLedger(spark, histPath) == 3)
+    val f = Dedup.fsFor(spark, histPath)
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(s"$histPath/_epochs"))
+      .map(_.getPath.getName).toSeq.sorted == Seq("_compacted.1"))
+    (1 to 3).foreach(e =>
+      assert(Dedup.epochApplied(spark, histPath, s"e$e"), s"e$e"))
+    assert(!Dedup.epochApplied(spark, histPath, "e4"))
+
+    // a replayed rolled-up id is a no-op off the roll-up alone: the
+    // layouts are untouched (rotateEpochBucketed only re-merges the
+    // Bloom, which is idempotent by construction)
+    val replay = ((100L) until 104L).map(i => (i, novelText(i)))
+      .toDF("doc_id", "text")
+    Dedup.rotateEpochBucketed(replay, histPath, idxPath, bloom,
+      expectedItems = 1000, fpp = 0.001, epochId = "e1")
+    assert(spark.read.parquet(histPath).count() == histRows)
+
+    // new epochs land as fresh tail entries beside the roll-up
+    val n4 = (400L until 404L).map(i => (i, novelText(i)))
+      .toDF("doc_id", "text")
+    bloom = Dedup.rotateEpochBucketed(n4, histPath, idxPath, bloom,
+      expectedItems = 1000, fpp = 0.001, epochId = "e4")
+    assert(Dedup.epochApplied(spark, histPath, "e4"))
+    assert(spark.read.parquet(histPath).count() == histRows + 4)
+    // recovery over the rolled-up ledger is a clean no-op
+    Dedup.recoverRotations(spark, histPath, idxPath)
+    assert(Dedup.listQuarantined(spark, histPath, idxPath).isEmpty)
+    bloom.unpersist(blocking = false)
+  }
+
   test("crash injection at every protocol point: same-epochId retry " +
     "converges to exactly the full-rebuild state, with no duplicates") {
     def bytes(b: org.apache.spark.util.sketch.BloomFilter) = {
