@@ -600,6 +600,13 @@ object Similarity {
     * the layout is generational from then on. Flat layouts that never
     * rotate stay flat and fully readable — no migration required.
     *
+    * A probe that resolved the OLD root just before the publish reads
+    * retired-away dirs and fails fast (never answers partially). For
+    * always-on probe traffic, pass `deferRetire = true`: the
+    * superseded root stays in place — invisible to resolution — until
+    * a [[retireSupersededGenerations]] sweep moves it aside after
+    * in-flight readers drain (the retention-window pattern).
+    *
     * Returns true when the rotation was applied now.
     */
   def rotateIvf(
@@ -610,9 +617,10 @@ object Similarity {
       sampleFrac: Double = 1.0,
       maxIters: Int = 10,
       idCol: String = "vec_id",
-      trainedCentroids: Option[DataFrame] = None): Boolean =
+      trainedCentroids: Option[DataFrame] = None,
+      deferRetire: Boolean = false): Boolean =
     rotateIvfStaged(spark, path, rotationId, centroidK, sampleFrac,
-      maxIters, idCol, _ => (), trainedCentroids)
+      maxIters, idCol, _ => (), trainedCentroids, deferRetire)
 
   /** [[rotateIvf]] with the crash-injection hook exposed for specs —
     * fired at "staged", "committed", "gen-move", "gen-moved",
@@ -632,11 +640,12 @@ object Similarity {
       // hatch (what lets q60 hash-pin the publish against a DuckDB
       // oracle: kmeansFit is deterministic only up to float summation
       // order, the id-hash sample is exactly reproducible)
-      trainedCentroids: Option[DataFrame] = None): Boolean = {
+      trainedCentroids: Option[DataFrame] = None,
+      deferRetire: Boolean = false): Boolean = {
     require(sampleFrac > 0.0 && sampleFrac <= 1.0,
       s"sampleFrac must be in (0, 1], got $sampleFrac")
     stageGeneration(spark, path, rotationId, "rotation",
-      failpoint) { (dataRoot, stageData) =>
+      failpoint, deferRetire) { (dataRoot, stageData) =>
       // the corpus read is LAZY and the stage lives under an underscore
       // dir of the layout root — the rebuild streams the live layout
       // into the stage without ever writing into its own input
@@ -673,14 +682,17 @@ object Similarity {
     * [[EpochLedger.compactLedger]] to also roll the `_epochs/` entry
     * tail into one applied-set file. Compaction cadence is weekly-ish,
     * not hourly — the O(corpus) rewrite amortizes the same way the
-    * re-train does.
+    * re-train does. `deferRetire` keeps the superseded generation in
+    * place for in-flight readers, as on [[rotateIvf]].
     */
   def compactIvf(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       compactionId: String,
-      maxRecordsPerFile: Long = 0L): Boolean =
-    compactIvfStaged(spark, path, compactionId, maxRecordsPerFile, _ => ())
+      maxRecordsPerFile: Long = 0L,
+      deferRetire: Boolean = false): Boolean =
+    compactIvfStaged(spark, path, compactionId, maxRecordsPerFile, _ => (),
+      deferRetire)
 
   /** [[compactIvf]] with the crash-injection hook exposed for specs —
     * same failpoints as [[rotateIvfStaged]].
@@ -690,9 +702,10 @@ object Similarity {
       path: String,
       compactionId: String,
       maxRecordsPerFile: Long,
-      failpoint: String => Unit): Boolean =
+      failpoint: String => Unit,
+      deferRetire: Boolean = false): Boolean =
     stageGeneration(spark, path, compactionId, "compaction",
-      failpoint) { (dataRoot, stageData) =>
+      failpoint, deferRetire) { (dataRoot, stageData) =>
       val corpus = spark.read.parquet(dataRoot)
       val writer = corpus
         // hash-exchange on the partition key: every centroid's rows
@@ -721,7 +734,8 @@ object Similarity {
       path: String,
       id: String,
       kind: String,
-      failpoint: String => Unit)(
+      failpoint: String => Unit,
+      deferRetire: Boolean = false)(
       buildStage: (String, String) => Unit): Boolean = {
     EpochLedger.requireEpochId(id)
     // heal torn rotations AND epochs before reading the corpus — a
@@ -751,7 +765,8 @@ object Similarity {
     val oldRel =
       if (dataRoot == path) "." else dataRoot.substring(path.length + 1)
     EpochLedger.commitManifest(f, stageRoot,
-      s"gen:${nextGenName(f, path)}\nold:$oldRel\nkind:$kind",
+      s"gen:${nextGenName(f, path)}\nold:$oldRel\nkind:$kind" +
+        (if (deferRetire) "\ndefer:true" else ""),
       s"ivf-$kind")
     failpoint("committed")
     completeIvfGeneration(f, stageRoot, path, id, failpoint)
@@ -824,26 +839,33 @@ object Similarity {
     }
     failpoint("published")
     // retire the superseded root — readers are on the new generation;
-    // the bytes are preserved under _retired, never deleted
-    val retireDst = new Path(s"$path/_retired/$id.pre-rotate")
-    if (oldRel == ".") {
-      // first rotation of a flat layout: each flat dir moves
-      f.mkdirs(retireDst)
-      f.listStatus(new Path(path))
-        .filter(st => st.isDirectory && isLayoutDir(st.getPath.getName))
-        .foreach { st =>
-          failpoint("retire-dir")
-          require(
-            f.rename(st.getPath, new Path(retireDst, st.getPath.getName)),
-            s"ivf-$kind: retire ${st.getPath} -> $retireDst failed")
-        }
-    } else {
-      val old = new Path(path, oldRel)
-      if (oldRel != newGen && f.exists(old)) {
+    // the bytes are preserved under _retired, never deleted. With
+    // defer:true the retire is SKIPPED: the superseded root stays in
+    // place (invisible to resolution — the pointer names the max) so
+    // probes that resolved it BEFORE the publish can drain, and a
+    // later retireSupersededGenerations sweep moves it aside — the
+    // retention-window pattern for always-on probe traffic.
+    if (!mf.get("defer").contains("true")) {
+      val retireDst = new Path(s"$path/_retired/$id.pre-rotate")
+      if (oldRel == ".") {
+        // first rotation of a flat layout: each flat dir moves
         f.mkdirs(retireDst)
-        failpoint("retire-dir")
-        require(f.rename(old, new Path(retireDst, oldRel)),
-          s"ivf-$kind: retire $old -> $retireDst failed")
+        f.listStatus(new Path(path))
+          .filter(st => st.isDirectory && isLayoutDir(st.getPath.getName))
+          .foreach { st =>
+            failpoint("retire-dir")
+            require(
+              f.rename(st.getPath, new Path(retireDst, st.getPath.getName)),
+              s"ivf-$kind: retire ${st.getPath} -> $retireDst failed")
+          }
+      } else {
+        val old = new Path(path, oldRel)
+        if (oldRel != newGen && f.exists(old)) {
+          f.mkdirs(retireDst)
+          failpoint("retire-dir")
+          require(f.rename(old, new Path(retireDst, oldRel)),
+            s"ivf-$kind: retire $old -> $retireDst failed")
+        }
       }
     }
     failpoint("retired")
@@ -867,6 +889,46 @@ object Similarity {
     // ledgered stage only finishes the delete, never re-publishes
     require(f.delete(stageRoot, true),
       s"ivf-$kind: cleanup of $stageRoot failed")
+  }
+
+  /** Retire every SUPERSEDED root a `deferRetire` rotation/compaction
+    * left in place: `_gen-<M>` dirs below the current generation and —
+    * when the layout went generational — any flat-era `centroid_id=*`
+    * dirs and `_centroids` sidecar still at the layout root. Moved
+    * (never deleted) under `path/_retired/<name>.superseded/`, same
+    * lifecycle as the eager retire ([[listIvfRetired]] /
+    * [[purgeIvfRetired]]). Call it AFTER in-flight probes of the old
+    * generation have drained — the retention-window sweep that pairs
+    * with `deferRetire`; covers roots from EVERY prior deferred
+    * publish, not just the latest. Single maintenance writer, like
+    * the protocols themselves. Returns the number of roots retired.
+    */
+  def retireSupersededGenerations(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      name: String): Int = {
+    import org.apache.hadoop.fs.Path
+    EpochLedger.requireEpochId(name)
+    val f = Dedup.fsFor(spark, path)
+    val cur = currentGenName(f, path).getOrElse {
+      // flat layout: nothing is superseded
+      return 0
+    }
+    val curN = cur.stripPrefix("_gen-").toLong
+    val superseded = f.listStatus(new Path(path)).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        genNumber(n).exists(_ < curN) ||
+          n.startsWith("centroid_id=") || n == "_centroids"
+      }
+    if (superseded.isEmpty) return 0
+    val dst = new Path(s"$path/_retired/$name.superseded")
+    f.mkdirs(dst)
+    superseded.foreach { p =>
+      require(f.rename(p, new Path(dst, p.getName)),
+        s"retire-superseded: $p -> $dst failed")
+    }
+    superseded.length
   }
 
   /** Resolve any crashed [[rotateIvf]]/[[compactIvf]] on the layout at

@@ -336,6 +336,64 @@ class IvfRotationSpec extends AnyFunSuite {
     assert(ids(path).sorted == (aIds ++ bIds).sorted)
   }
 
+  test("deferRetire: the superseded root survives the publish for " +
+    "in-flight readers — old-root probes keep working — and the " +
+    "retireSupersededGenerations sweep moves every deferred root " +
+    "aside afterward") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rotdefer").toString
+    val path = s"$root/ivf"
+    val union = clusterA.unionByName(clusterB)
+    val stale = Similarity.ivfCentroids(Similarity.asDouble(clusterA), 4)
+    val fresh = Similarity.ivfCentroids(Similarity.asDouble(union), 4)
+    Similarity.writeIvfPartitioned(union, path, trainedCentroids = Some(stale))
+    val f = Dedup.fsFor(spark, path)
+
+    // an "in-flight reader" pinned to the pre-rotation root
+    val oldRoot = Similarity.ivfDataRoot(spark, path)
+    def oldRootRows(): Long = spark.read.parquet(oldRoot).count()
+    val want = oldRootRows()
+
+    assert(Similarity.rotateIvf(spark, path, "rot1",
+      trainedCentroids = Some(fresh), deferRetire = true))
+    // resolution switched...
+    assert(Similarity.ivfDataRoot(spark, path) == s"$path/_gen-1")
+    assert(ids(path).sorted == (aIds ++ bIds).sorted)
+    // ...but the old flat root is still fully readable in place
+    assert(oldRootRows() == want)
+    assert(Similarity.listIvfRetired(spark, path).isEmpty)
+
+    // a second deferred rotation leaves BOTH superseded roots behind
+    assert(Similarity.rotateIvf(spark, path, "rot2",
+      trainedCentroids = Some(stale), deferRetire = true))
+    assert(Similarity.ivfDataRoot(spark, path) == s"$path/_gen-2")
+    assert(oldRootRows() == want)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$path/_gen-1")))
+
+    // the drain-complete sweep retires every deferred root at once:
+    // the flat-era dirs AND _gen-1 (5 flat dirs: 4 partitions with
+    // data under the stale centroids + _centroids, plus the gen dir)
+    val n = Similarity.retireSupersededGenerations(spark, path, "sweep1")
+    assert(n >= 2)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_gen-1")))
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName)
+      .count(d => d.startsWith("centroid_id=") || d == "_centroids") == 0)
+    assert(Similarity.listIvfRetired(spark, path)
+      .map(_._1) == Seq("sweep1.superseded"))
+    // the live generation is untouched; appends and probes continue
+    assert(ids(path).sorted == (aIds ++ bIds).sorted)
+    assert(Similarity.ivfKnnPartitioned(spark, path, Seq(0L, 1000L),
+      k = 3, nprobe = 2).count() > 0)
+    // idempotent: nothing superseded remains
+    assert(Similarity.retireSupersededGenerations(spark, path, "sweep2") == 0)
+    assert(Similarity.listIvfRetired(spark, path)
+      .map(_._1) == Seq("sweep1.superseded"))
+    // recovery over the swept layout is a clean no-op
+    Similarity.recoverIvfEpochs(spark, path)
+    assert(ids(path).sorted == (aIds ++ bIds).sorted)
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty)
+  }
+
   test("sampleFrac re-train: rotating on a half-corpus training sample " +
     "still recovers the cluster structure (the 100 TB trainer shape)") {
     val root = java.nio.file.Files.createTempDirectory("graft-rotsf").toString
