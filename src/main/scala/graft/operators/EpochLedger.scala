@@ -183,7 +183,17 @@ object EpochLedger {
     * Part of the layout's single-maintenance-writer surface. Returns
     * the number of entry files rolled up.
     */
-  def compactLedger(spark: SparkSession, path: String): Int = {
+  def compactLedger(spark: SparkSession, path: String): Int =
+    compactLedgerStaged(spark, path, _ => ())
+
+  /** [[compactLedger]] with the crash-injection hook exposed for specs
+    * — fired at "rolled" (new roll-up durable, nothing pruned yet) and
+    * "prune-file" (before each redundant-copy delete).
+    */
+  private[operators] def compactLedgerStaged(
+      spark: SparkSession,
+      path: String,
+      failpoint: String => Unit): Int = {
     val f = Dedup.fsFor(spark, path)
     val ledger = new Path(s"$path/_epochs")
     if (!f.exists(ledger)) return 0
@@ -202,16 +212,22 @@ object EpochLedger {
     finally out.close()
     require(f.rename(tmp, next),
       s"epoch-ledger: roll-up rename $tmp -> $next failed")
-    // superseded roll-ups and merged entries are now redundant copies
+    failpoint("rolled")
+    // superseded roll-ups and merged entries are now redundant copies —
+    // every id is already readable from `next`, so a crash anywhere in
+    // this prune leaves superset state a re-run converges from
+    val entryNames = entries.map(_.getName).toSet
     f.listStatus(ledger).map(_.getPath).foreach { p =>
       val n = p.getName
       val stale =
         (n.startsWith("_compacted.") && n != next.getName) ||
           n.startsWith("._compacted.") ||
-          entries.exists(_.getName == n)
-      if (stale)
+          entryNames(n)
+      if (stale) {
+        failpoint("prune-file")
         require(f.delete(p, false),
           s"epoch-ledger: roll-up cleanup of $p failed")
+      }
     }
     entries.length
   }

@@ -710,7 +710,11 @@ object Similarity {
       val writer = corpus
         // hash-exchange on the partition key: every centroid's rows
         // land in exactly one task, so each partition dir gets one
-        // file (maxRecordsPerFile re-splits oversized ones)
+        // file (maxRecordsPerFile re-splits oversized ones). A
+        // pathologically hot centroid makes that one task heavy — but
+        // that layout is already past the ivfSkewRatio re-train
+        // trigger: ROTATE it (which re-balances the partitions), then
+        // compact; compaction is not the skew remedy
         .repartition(col("centroid_id"))
         .write.partitionBy("centroid_id")
       (if (maxRecordsPerFile > 0L)

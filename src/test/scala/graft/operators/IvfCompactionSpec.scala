@@ -196,6 +196,40 @@ class IvfCompactionSpec extends AnyFunSuite {
     assert(ledgerFiles == Seq("_compacted.2"))
   }
 
+  test("compactLedger crash injection: a crash after the roll-up lands " +
+    "or mid-prune leaves every id readable, and a re-run converges to " +
+    "one roll-up file") {
+    for (fp <- Seq("rolled", "prune-file")) {
+      val root = java.nio.file.Files.createTempDirectory("graft-cmplcr").toString
+      val path = grown(root, epochs = 3)
+      val f = Dedup.fsFor(spark, path)
+      def ledgerFiles: Seq[String] =
+        f.listStatus(new org.apache.hadoop.fs.Path(s"$path/_epochs"))
+          .map(_.getPath.getName).toIndexedSeq.sorted
+      val ex = intercept[RuntimeException] {
+        EpochLedger.compactLedgerStaged(spark, path,
+          p => if (p == fp) throw new RuntimeException(s"injected at $p"))
+      }
+      assert(ex.getMessage.contains("injected"), fp)
+      // superset state: the roll-up is durable and every id answers
+      // applied from at least one place
+      assert(ledgerFiles.contains("_compacted.1"), fp)
+      (1 to 3).foreach(e =>
+        assert(EpochLedger.applied(spark, path, s"e$e"), s"$fp e$e"))
+      assert(!Similarity.appendIvfEpoch(emb(100 until 108), path, "e1"), fp)
+      // re-run converges: one roll-up, no stray entries or temps
+      EpochLedger.compactLedger(spark, path)
+      val after = ledgerFiles
+      assert(after.count(_.startsWith("_compacted.")) == 1, s"$fp: $after")
+      assert(after.forall(_.startsWith("_compacted.")), s"$fp: $after")
+      (1 to 3).foreach(e =>
+        assert(EpochLedger.applied(spark, path, s"e$e"), s"$fp e$e"))
+      // the layout itself still appends normally
+      assert(Similarity.appendIvfEpoch(emb(800 until 804), path, "e8"), fp)
+      assert(EpochLedger.applied(spark, path, "e8"), fp)
+    }
+  }
+
   test("compactLedger is harmless on a layout with no ledger dir") {
     val root = java.nio.file.Files.createTempDirectory("graft-cmpnl").toString
     val path = s"$root/ivf"
