@@ -72,6 +72,12 @@ class IvfCompactionSpec extends AnyFunSuite {
       .map(_._1) == Seq("c1.pre-rotate"))
     // replay: ledger hit, nothing rewritten
     assert(!Similarity.compactIvf(spark, path, "c1"))
+    // partition pruning survives the generational layout: the probe
+    // predicate still reaches the (gen-dir) scan as a PartitionFilter
+    val plan = Similarity.ivfKnnPartitioned(spark, path, Seq(0L, 3L),
+        k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"))
     // appends continue against the compacted generation
     assert(Similarity.appendIvfEpoch(emb(900 until 908), path, "e9"))
     assert(rows(path).size == before.size + 8)
