@@ -1043,6 +1043,54 @@ object Similarity {
       k: Int,
       nprobe: Int)
 
+  /** One-call layout health snapshot — see [[ivfHealth]]. */
+  final case class IvfHealth(
+      dataRoot: String,
+      generation: Option[String],
+      partitions: Int,
+      files: Long,
+      bytes: Long,
+      maxFilesPerPartition: Int,
+      skewRatio: Double,
+      recall: Option[IvfRecall],
+      quarantined: Int,
+      retired: Int)
+
+  /** The layout runbook's single entry point: every maintenance
+    * observable in one call. LISTING-ONLY by default (partition stats,
+    * skew, quarantine/retired counts, current generation — no data
+    * read); pass `recallSampleN > 0` to also run the corpus-scan
+    * [[ivfRecallProbe]]. Read it as: `skewRatio` past ~4× or a recall
+    * drop → [[rotateIvf]]; `maxFilesPerPartition` grown past a few
+    * hundred → [[compactIvf]] (+ [[EpochLedger.compactLedger]]);
+    * `quarantined > 0` → a torn epoch needs investigation
+    * ([[listIvfQuarantined]]); `retired > 0` → confirmed-superseded
+    * bytes awaiting [[purgeIvfRetired]].
+    */
+  def ivfHealth(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      recallSampleN: Int = 0,
+      k: Int = 10,
+      nprobe: Int = 1): IvfHealth = {
+    val f = Dedup.fsFor(spark, path)
+    val stats = ivfPartitionStats(spark, path)
+    IvfHealth(
+      dataRoot = ivfDataRoot(f, path),
+      generation = currentGenName(f, path),
+      partitions = stats.size,
+      files = stats.map(_._2.toLong).sum,
+      bytes = stats.map(_._3).sum,
+      maxFilesPerPartition = if (stats.isEmpty) 0 else stats.map(_._2).max,
+      skewRatio = ivfSkewRatio(spark, path),
+      recall =
+        if (recallSampleN > 0)
+          Some(ivfRecallProbe(spark, path, recallSampleN, k, nprobe))
+        else None,
+      quarantined = listIvfQuarantined(spark, path).size,
+      retired = listIvfRetired(spark, path).size)
+  }
+
   /** Measured recall@k of the layout's multi-probe ANN answer against
     * brute-force exact top-k, over a deterministic id-hash sample of
     * `sampleN` stored vectors — the RECALL-side drift monitor next to

@@ -120,6 +120,21 @@ object StreamingSimilarity {
       .map(_.getPath.getName).toIndexedSeq.sorted
   }
 
+  /** Apply EVERY spooled epoch to the layout — the stream-STOPPED
+    * drain that completes the lifecycle [[startSpool]]'s auto-boundary
+    * leaves open (the final epoch has no next batch to trigger its
+    * apply). Call after `query.stop()`; already-ledgered or empty
+    * spools are no-ops like any boundary retry. Returns the epoch ids
+    * applied NOW, in spool-listing order.
+    */
+  def drainSpool(
+      spark: SparkSession,
+      spoolRoot: String,
+      layoutPath: String,
+      idCol: String = "vec_id"): Seq[String] =
+    listSpooledEpochs(spark, spoolRoot).filter(e =>
+      applySpooledEpoch(spark, spoolRoot, e, layoutPath, idCol))
+
   /** Epoch-boundary step: append `spoolRoot/<epochId>`'s accumulated
     * rows to the layout under `epochId` (crash-safe, retry-idempotent —
     * [[Similarity.appendIvfEpoch]]), then clear the spool. Returns true

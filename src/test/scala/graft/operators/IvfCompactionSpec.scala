@@ -236,6 +236,28 @@ class IvfCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfHealth: one call surfaces every runbook observable, " +
+    "listing-only by default, across the flat->compacted transition") {
+    val root = java.nio.file.Files.createTempDirectory("graft-health").toString
+    val path = grown(root, epochs = 3)
+    val h0 = Similarity.ivfHealth(spark, path)
+    assert(h0.dataRoot == path && h0.generation.isEmpty)
+    assert(h0.partitions > 0 && h0.files > h0.partitions && h0.bytes > 0)
+    assert(h0.maxFilesPerPartition > 1) // the compaction trigger
+    assert(h0.skewRatio >= 1.0)
+    assert(h0.recall.isEmpty && h0.quarantined == 0 && h0.retired == 0)
+
+    assert(Similarity.compactIvf(spark, path, "c1"))
+    val h1 = Similarity.ivfHealth(spark, path, recallSampleN = 8, k = 3,
+      nprobe = 2)
+    assert(h1.dataRoot == s"$path/_gen-1" && h1.generation.contains("_gen-1"))
+    assert(h1.maxFilesPerPartition == 1)
+    assert(h1.retired == 1) // the pre-compaction root awaits purge
+    val r = h1.recall.get
+    assert(r.queries == 8 && r.k == 3 && r.nprobe == 2)
+    assert(r.recallAtK >= 0.0 && r.recallAtK <= 1.0)
+  }
+
   test("compactLedger is harmless on a layout with no ledger dir") {
     val root = java.nio.file.Files.createTempDirectory("graft-cmpnl").toString
     val path = s"$root/ivf"

@@ -128,8 +128,10 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     feed(104L)
     assert(Similarity.ivfEpochApplied(spark, path, "e1"))
     query.stop()
-    // the final, still-open epoch drains with the documented manual call
-    assert(StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e2", path))
+    // the final, still-open epoch drains with the one-call stop-side
+    // drain (idempotent: a second drain applies nothing)
+    assert(StreamingSimilarity.drainSpool(spark, spoolRoot, path) == Seq("e2"))
+    assert(StreamingSimilarity.drainSpool(spark, spoolRoot, path).isEmpty)
     val all = (100L to 104L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
     assert(rows(path) == rebuildRows(base.unionByName(all), path))
     assert(Similarity.listIvfQuarantined(spark, path).isEmpty)
