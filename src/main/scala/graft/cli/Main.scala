@@ -18,7 +18,22 @@ import graft.streaming.Ingest
  * graft.cli.Main show   <root> <period>          # daemon.py:219-229
   * graft.cli.Main metric <root> <path> <period> <stat> [start] [end]
   * graft.cli.Main serve  <root> <host:port>       # JSON /graph + / (wsgi.py)
+  * graft.cli.Main ivf <sub> <layout> ...          # engine addition: IVF layout maintenance
   * }}}
+  *
+  * The `ivf` group is the SCALING.md runbook as ops commands (no
+  * reference analogue — the reference has no ANN layout):
+  * {{{
+  * ivf health  <layout> [--recall N]
+  * ivf rotate  <layout> <id> [--k K] [--sample-frac F] [--defer-retire] [--lock-file F]
+  * ivf compact <layout> <id> [--max-records-per-file N] [--defer-retire] [--lock-file F]
+  * ivf retire-superseded <layout> <name> [--lock-file F]
+  * ivf compact-ledger <layout> [--lock-file F]
+  * ivf recover <layout> [--lock-file F]
+  * }}}
+  * `--lock-file` gives the layouts' single-maintenance-writer contract
+  * its process-level teeth — the same exclusive OS lock the sync path
+  * takes.
   *
   * `--lock-file` takes an exclusive OS file lock for process-level mutual
   * exclusion of concurrent syncs, like the reference's InterProcessLock
@@ -122,6 +137,22 @@ object Main {
         .show(1000, truncate = false)
       spark.stop()
 
+    case "ivf" :: sub :: layout :: rest =>
+      // rotate/compact/retire-superseded take a positional id first
+      val needsId = Set("rotate", "compact", "retire-superseded")
+      val (posArg, flags) = rest match {
+        case id :: tl if needsId(sub) && !id.startsWith("--") => (Some(id), tl)
+        case _ => (None, rest)
+      }
+      val lockFile = flags.sliding(2).collectFirst {
+        case List("--lock-file", f) => f
+      }
+      val spark = session()
+      try println(withLock(lockFile) {
+        ivfCommand(spark, sub, layout, posArg, flags)
+      })
+      finally spark.stop()
+
     // the reference's web entry point (wsgi.py:1-18 / `flask run`): a
     // read-only server over the same root the sync job maintains
     case "serve" :: root :: hostPort :: Nil =>
@@ -135,7 +166,65 @@ object Main {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: sync|daemon|compact|show|metric|serve ...")
+      System.err.println("usage: sync|daemon|compact|show|metric|serve|ivf ...")
       sys.exit(2)
+  }
+
+  /** The `ivf` subcommand bodies, factored out of [[main]] so specs
+    * can drive them against a shared test session (main owns the
+    * session lifecycle and would stop it). Returns the one line main
+    * prints.
+    */
+  private[cli] def ivfCommand(
+      spark: SparkSession,
+      sub: String,
+      layout: String,
+      posArg: Option[String],
+      flags: List[String]): String = {
+    import graft.operators.{EpochLedger, Similarity}
+    def flag(name: String): Option[String] = flags.sliding(2).collectFirst {
+      case List(`name`, v) => v
+    }
+    def id(what: String): String =
+      posArg.getOrElse(sys.error(s"ivf $sub needs a positional <$what>"))
+    sub match {
+      case "health" =>
+        val h = Similarity.ivfHealth(spark, layout,
+          recallSampleN = flag("--recall").map(_.toInt).getOrElse(0))
+        val recallStr = h.recall
+          .map(r => f"${r.recallAtK}%.4f(k=${r.k},nprobe=${r.nprobe})")
+          .getOrElse("-")
+        s"dataRoot=${h.dataRoot} generation=${h.generation.getOrElse("-")} " +
+          s"partitions=${h.partitions} files=${h.files} bytes=${h.bytes} " +
+          s"maxFilesPerPartition=${h.maxFilesPerPartition} " +
+          f"skewRatio=${h.skewRatio}%.2f recall=$recallStr " +
+          s"quarantined=${h.quarantined} retired=${h.retired}"
+      case "rotate" =>
+        val applied = Similarity.rotateIvf(spark, layout, id("rotationId"),
+          centroidK = flag("--k").map(_.toInt)
+            .getOrElse(Similarity.DefaultCentroidK),
+          sampleFrac = flag("--sample-frac").map(_.toDouble).getOrElse(1.0),
+          deferRetire = flags.contains("--defer-retire"))
+        s"applied=$applied"
+      case "compact" =>
+        val applied = Similarity.compactIvf(spark, layout, id("compactionId"),
+          maxRecordsPerFile =
+            flag("--max-records-per-file").map(_.toLong).getOrElse(0L),
+          deferRetire = flags.contains("--defer-retire"))
+        s"applied=$applied"
+      case "retire-superseded" =>
+        val n = Similarity.retireSupersededGenerations(spark, layout,
+          id("name"))
+        s"retired=$n"
+      case "compact-ledger" =>
+        s"rolled=${EpochLedger.compactLedger(spark, layout)}"
+      case "recover" =>
+        Similarity.recoverIvfEpochs(spark, layout)
+        s"recovered quarantined=" +
+          s"${Similarity.listIvfQuarantined(spark, layout).size}"
+      case otherSub =>
+        sys.error(s"unknown ivf subcommand '$otherSub' " +
+          "(health|rotate|compact|retire-superseded|compact-ledger|recover)")
+    }
   }
 }

@@ -37,4 +37,56 @@ class MainSpec extends AnyFunSuite {
     Main.withLock(None) { ran = true }
     assert(ran)
   }
+
+  test("ivf command group drives the full maintenance lifecycle: " +
+    "health -> compact -> rotate --defer-retire -> retire-superseded " +
+    "-> compact-ledger -> recover") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(8) { j =>
+        val h = scala.util.hashing.byteswap64(id * 8 + j)
+        (Math.floorMod(h, 1001L) - 500L).toFloat / 500f
+      }
+    val root = Files.createTempDirectory("graft-cli-ivf").toString
+    val layout = s"$root/ivf"
+    graft.operators.Similarity.writeIvfPartitioned(
+      (0L until 16L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      layout, centroidK = 2)
+    assert(graft.operators.Similarity.appendIvfEpoch(
+      (100L until 108L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      layout, "e1"))
+
+    def run(sub: String, posArg: Option[String] = None,
+        flags: List[String] = Nil): String =
+      Main.ivfCommand(spark, sub, layout, posArg, flags)
+
+    val h0 = run("health", flags = List("--recall", "4"))
+    assert(h0.contains("generation=-") && h0.contains("quarantined=0"))
+    assert(h0.contains("recall=") && !h0.contains("recall=-"), h0)
+
+    assert(run("compact", Some("c1")) == "applied=true")
+    assert(run("compact", Some("c1")) == "applied=false") // replay
+    assert(run("health").contains("generation=_gen-1"))
+    assert(run("health").contains("maxFilesPerPartition=1"))
+
+    assert(run("rotate", Some("r1"),
+      List("--k", "2", "--defer-retire")) == "applied=true")
+    assert(run("health").contains("generation=_gen-2"))
+    val swept = run("retire-superseded", Some("sweep1"))
+    assert(swept == "retired=1", swept) // _gen-1 (flat root already retired by c1)
+
+    assert(run("compact-ledger") == "rolled=3") // e1, c1, r1
+    assert(run("compact-ledger") == "rolled=0")
+    assert(run("compact", Some("c1")) == "applied=false") // rolled-up id holds
+
+    assert(run("recover") == "recovered quarantined=0")
+    // rows intact through the whole lifecycle
+    assert(spark.read.parquet(
+        graft.operators.Similarity.ivfDataRoot(spark, layout))
+      .count() == 24)
+
+    intercept[RuntimeException] { run("rotate") } // missing id
+    intercept[RuntimeException] { run("bogus") }
+  }
 }
