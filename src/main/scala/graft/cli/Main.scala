@@ -25,12 +25,20 @@ import graft.streaming.Ingest
   * reference analogue — the reference has no ANN layout):
   * {{{
   * ivf health  <layout> [--recall N]
+  * ivf maintain <layout> <id> [--max-files N] [--skew X] [--recall N]
+  *              [--recall-floor F] [--ledger-tail N] [--k K]
+  *              [--sample-frac F] [--defer-retire] [--lock-file F]
   * ivf rotate  <layout> <id> [--k K] [--sample-frac F] [--defer-retire] [--lock-file F]
   * ivf compact <layout> <id> [--max-records-per-file N] [--defer-retire] [--lock-file F]
+  * ivf compact-partitions <layout> <id> [--max-files N] [--lock-file F]
   * ivf retire-superseded <layout> <name> [--lock-file F]
+  * ivf purge-retired <layout> --older-than <dur> [--lock-file F]
   * ivf compact-ledger <layout> [--lock-file F]
   * ivf recover <layout> [--lock-file F]
   * }}}
+  * `--older-than` durations: `<n>s|m|h|d` or plain seconds. The flag is
+  * REQUIRED — bulk deletion without an explicit retention window is
+  * refused (use the API's `purgeIvfRetired(name)` for one exact name).
   * `--lock-file` gives the layouts' single-maintenance-writer contract
   * its process-level teeth — the same exclusive OS lock the sync path
   * takes.
@@ -138,14 +146,15 @@ object Main {
       spark.stop()
 
     case "ivf" :: sub :: layout :: rest =>
-      // rotate/compact/retire-superseded take a positional id first
-      val needsId = Set("rotate", "compact", "retire-superseded")
+      // these subcommands take a positional id first
+      val needsId = Set("rotate", "compact", "compact-partitions",
+        "maintain", "retire-superseded")
       val (posArg, flags) = rest match {
         case id :: tl if needsId(sub) && !id.startsWith("--") => (Some(id), tl)
         case _ => (None, rest)
       }
       val lockFile = flags.sliding(2).collectFirst {
-        case List("--lock-file", f) => f
+        case List("--lock-file", f) if !f.startsWith("--") => f
       }
       val spark = session()
       try println(withLock(lockFile) {
@@ -182,8 +191,16 @@ object Main {
       posArg: Option[String],
       flags: List[String]): String = {
     import graft.operators.{EpochLedger, Similarity}
-    def flag(name: String): Option[String] = flags.sliding(2).collectFirst {
-      case List(`name`, v) => v
+    // a flag's value must be a real operand: taking the NEXT FLAG as the
+    // value ('ivf health p --recall --lock-file f') would feed
+    // '--lock-file' to .toInt — reject with a usage error instead
+    def flag(name: String): Option[String] = {
+      val i = flags.indexOf(name)
+      if (i < 0) None
+      else if (i + 1 >= flags.length || flags(i + 1).startsWith("--"))
+        sys.error(s"ivf $sub: $name needs a value " +
+          s"(got ${if (i + 1 >= flags.length) "nothing" else flags(i + 1)})")
+      else Some(flags(i + 1))
     }
     def id(what: String): String =
       posArg.getOrElse(sys.error(s"ivf $sub needs a positional <$what>"))
@@ -212,10 +229,42 @@ object Main {
             flag("--max-records-per-file").map(_.toLong).getOrElse(0L),
           deferRetire = flags.contains("--defer-retire"))
         s"applied=$applied"
+      case "compact-partitions" =>
+        val n = Similarity.compactIvfPartitions(spark, layout,
+          id("compactionId"),
+          maxFilesPerPartition = flag("--max-files").map(_.toInt)
+            .getOrElse(1))
+        s"compacted_dirs=$n"
+      case "maintain" =>
+        val m = Similarity.ivfMaintain(spark, layout, id("maintenanceId"),
+          maxFilesPerPartition = flag("--max-files").map(_.toInt)
+            .getOrElse(64),
+          skewThreshold = flag("--skew").map(_.toDouble).getOrElse(4.0),
+          recallFloor = flag("--recall-floor").map(_.toDouble),
+          recallSampleN = flag("--recall").map(_.toInt).getOrElse(64),
+          ledgerTailMax = flag("--ledger-tail").map(_.toInt).getOrElse(256),
+          centroidK = flag("--k").map(_.toInt)
+            .getOrElse(Similarity.DefaultCentroidK),
+          sampleFrac = flag("--sample-frac").map(_.toDouble).getOrElse(1.0),
+          deferRetire = flags.contains("--defer-retire"))
+        val acts =
+          if (m.actions.isEmpty) "none (healthy)" else m.actions.mkString("; ")
+        s"actions=$acts " +
+          f"skewRatio=${m.health.skewRatio}%.2f " +
+          s"maxFilesPerPartition=${m.health.maxFilesPerPartition}" +
+          m.health.recall.map(r => f" recall=${r.recallAtK}%.4f").getOrElse("")
       case "retire-superseded" =>
         val n = Similarity.retireSupersededGenerations(spark, layout,
           id("name"))
         s"retired=$n"
+      case "purge-retired" =>
+        val dur = flag("--older-than").getOrElse(sys.error(
+          "ivf purge-retired refuses to run without an explicit " +
+            "--older-than retention window"))
+        val purged = Similarity.purgeIvfRetiredOlderThan(spark, layout,
+          parseDuration(dur))
+        s"purged=${purged.size}${
+          if (purged.isEmpty) "" else purged.mkString(" [", ", ", "]")}"
       case "compact-ledger" =>
         s"rolled=${EpochLedger.compactLedger(spark, layout)}"
       case "recover" =>
@@ -224,7 +273,26 @@ object Main {
           s"${Similarity.listIvfQuarantined(spark, layout).size}"
       case otherSub =>
         sys.error(s"unknown ivf subcommand '$otherSub' " +
-          "(health|rotate|compact|retire-superseded|compact-ledger|recover)")
+          "(health|maintain|rotate|compact|compact-partitions|" +
+          "retire-superseded|purge-retired|compact-ledger|recover)")
     }
+  }
+
+  /** `<n>[s|m|h|d]` (no suffix = seconds) → milliseconds. */
+  private[cli] def parseDuration(s: String): Long = {
+    if (s.isEmpty) sys.error("bad duration '' (want <n>[s|m|h|d])")
+    val (num, mult) = s.last match {
+      case 's' => (s.dropRight(1), 1000L)
+      case 'm' => (s.dropRight(1), 60L * 1000)
+      case 'h' => (s.dropRight(1), 3600L * 1000)
+      case 'd' => (s.dropRight(1), 86400L * 1000)
+      case _ => (s, 1000L)
+    }
+    val n = try num.toLong catch {
+      case _: NumberFormatException =>
+        sys.error(s"bad duration '$s' (want <n>[s|m|h|d])")
+    }
+    require(n > 0, s"duration must be positive, got '$s'")
+    n * mult
   }
 }

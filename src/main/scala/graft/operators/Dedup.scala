@@ -964,6 +964,52 @@ object Dedup {
     a || b
   }
 
+  /** Bulk retention-window purge across the dedup layout PAIR — the
+    * two-layout twin of [[EpochLedger.purgeRetiredOlderThan]]: every
+    * `_retired/<name>` dir under either root whose listing mtime is
+    * older than `olderThanMs` is deleted (exact-name single-dir
+    * deletes underneath). Returns the deleted names (deduplicated
+    * across the pair), in listing order.
+    */
+  def purgeRetiredOlderThan(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String,
+      olderThanMs: Long,
+      now: Long = System.currentTimeMillis): Seq[String] = {
+    val f = fsFor(spark, historyPath)
+    val idxFs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(f.getConf)
+    (purgeRetiredOlderThanDirs(f, historyPath, olderThanMs, now) ++
+      purgeRetiredOlderThanDirs(idxFs, indexPath, olderThanMs, now)).distinct
+  }
+
+  /** Single-root retention sweep behind the bulk purges: list
+    * `root/_retired`, judge each child dir's age from its listing
+    * mtime, and delete the over-age ones via [[purgeRetiredDir]]
+    * (exact-name semantics — the age filter only SELECTS names; the
+    * deletion path is the same single-dir delete the operator entry
+    * uses). A non-positive `olderThanMs` is refused: an accidental 0
+    * would silently purge everything, including dirs an in-flight
+    * `deferRetire` reader may still be draining from.
+    */
+  private[operators] def purgeRetiredOlderThanDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      olderThanMs: Long,
+      now: Long): Seq[String] = {
+    require(olderThanMs > 0L,
+      s"olderThanMs must be positive, got $olderThanMs — an explicit " +
+        "retention window is the point of the bulk purge; use " +
+        "purgeRetired(name) to delete a specific retirement now")
+    val p = new org.apache.hadoop.fs.Path(s"$root/_retired")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).toIndexedSeq
+      .filter(st => now - st.getModificationTime > olderThanMs)
+      .map(_.getPath.getName)
+      .map { n => purgeRetiredDir(fs, root, n); n }
+  }
+
   /** Single-root purge behind [[purgeRetired]] and
     * [[EpochLedger.purgeRetired]]: validates `name` is a plain path
     * segment (a '/' or '..' could otherwise walk the delete out of

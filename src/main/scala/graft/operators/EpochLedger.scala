@@ -458,7 +458,16 @@ object EpochLedger {
     val stages =
       if (f.exists(rotateRoot)) f.listStatus(rotateRoot).toSeq
       else Seq.empty
-    val pendingCommitted: Set[String] = stages
+    // a committed _retrain stage (rotation / partition compaction —
+    // [[Similarity.recoverIvfRotations]]'s jurisdiction) also fences
+    // its id: a mid-swap partition compaction leaves its footprinted
+    // files in live dirs before its ledger entry lands, and this sweep
+    // must not quarantine them out from under the resumable stage
+    val retrainRoot = new Path(s"$path/_retrain")
+    val retrainStages =
+      if (f.exists(retrainRoot)) f.listStatus(retrainRoot).toSeq
+      else Seq.empty
+    val pendingCommitted: Set[String] = (stages ++ retrainStages)
       .filter(st => f.exists(new Path(st.getPath, "_MANIFEST")))
       .map(_.getPath.getName).toSet
     val torn = residue.filterNot { case (id, _, _) =>
@@ -539,4 +548,27 @@ object EpochLedger {
       path: String,
       name: String): Boolean =
     Dedup.purgeRetiredDir(Dedup.fsFor(spark, path), path, name)
+
+  /** Bulk purge with an EXPLICIT retention window: delete every
+    * `path/_retired/<name>` dir older than `olderThanMs`, exact-name
+    * semantics preserved underneath (each deletion is one
+    * [[purgeRetired]]-shaped dir delete; nothing outside `_retired`
+    * is reachable). Age is judged from the dir's listing mtime — its
+    * last content change, which for publish-time retires (the
+    * `.pre-rotate`/`.compact`/`.superseded` dirs, populated by a
+    * rename INTO a fresh dir) IS the retire instant; for a retired
+    * quarantine (renamed wholesale) it's the earlier QUARANTINE
+    * instant, so such a dir can purge up to its tear-to-reapply gap
+    * early — size the window well above that gap (days, not minutes;
+    * the window's purpose is operator review time, not reader
+    * draining). `now` is injectable for tests. Returns the names
+    * deleted, in listing order.
+    */
+  def purgeRetiredOlderThan(
+      spark: SparkSession,
+      path: String,
+      olderThanMs: Long,
+      now: Long = System.currentTimeMillis): Seq[String] =
+    Dedup.purgeRetiredOlderThanDirs(
+      Dedup.fsFor(spark, path), path, olderThanMs, now)
 }

@@ -566,6 +566,19 @@ object Similarity {
       name: String): Boolean =
     EpochLedger.purgeRetired(spark, path, name)
 
+  /** Bulk purge of the layout's retired dirs older than an EXPLICIT
+    * retention window — see [[EpochLedger.purgeRetiredOlderThan]].
+    * The one-call end of the deferRetire / retire-superseded
+    * lifecycle: sweep at maintenance cadence with a window well past
+    * reader drain time, instead of hand-purging names.
+    */
+  def purgeIvfRetiredOlderThan(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      olderThanMs: Long,
+      now: Long = System.currentTimeMillis): Seq[String] =
+    EpochLedger.purgeRetiredOlderThan(spark, path, olderThanMs, now)
+
   /** Re-train and rebuild the IVF layout at `path` IN PLACE — the
     * runbook [[ivfSkewRatio]]/[[ivfRecallProbe]]'s re-train trigger
     * prescribes, as one crash-safe, READER-ATOMIC operation:
@@ -726,6 +739,188 @@ object Similarity {
         .write.parquet(s"$stageData/_centroids")
     }
 
+  /** Compact ONLY the fragmented partitions of the IVF layout at
+    * `path`, in place within the CURRENT generation — the
+    * O(fragmented) selective variant of [[compactIvf]]'s O(corpus)
+    * whole-layout rewrite. Every `centroid_id=` dir whose file count
+    * exceeds `maxFilesPerPartition` is rewritten to one file
+    * (`maxRecordsPerFile` re-splits oversized ones) in ONE Spark job
+    * that reads only those dirs; untouched partitions are never read,
+    * never rewritten, never moved. At 100 TB this is the difference
+    * between a weekly whole-corpus rewrite and rewriting the 3% of
+    * partitions the append cadence actually fragmented —
+    * [[ivfHealth]]'s `maxFilesPerPartition` identifies the offenders
+    * and [[ivfMaintain]] drives this with the same threshold.
+    *
+    * Crash-safe through the shared stage → `_MANIFEST` → ledger
+    * discipline ([[EpochLedger]]): an uncommitted crash never touched
+    * the live layout (stage discarded on recovery), a committed crash
+    * resumes through the per-dir swaps (each idempotent), and a blind
+    * same-`compactionId` retry of a COMPLETED compaction is a no-op.
+    * Compacted files carry the `<compactionId>=` footprint prefix like
+    * epoch-appended files, so ledgered history stays evidenced in the
+    * live dirs (the ledger-loss valve keys on those footprints) and a
+    * stage-lost partial state remains identifiable. Replaced dirs are
+    * RETIRED (moved, never deleted) under
+    * `path/_retired/<compactionId>.compact/`.
+    *
+    * NOT reader-atomic per dir, unlike the generation publish: each
+    * target dir's swap is two renames (fragmented dir out to retired,
+    * compacted dir in) and a probe whose file listing lands exactly in
+    * that sub-millisecond window misses that one partition (one that
+    * listed just before fails fast on the vanished files — never a
+    * mixed answer, and never doubled rows: the compacted dir only
+    * appears after the old one is out). For always-on probe traffic
+    * where even that window is unacceptable, use [[compactIvf]]'s
+    * pointer-published generation instead — this variant trades that
+    * window for not rewriting the unfragmented 97%. Single maintenance
+    * writer, like every protocol on the layout.
+    *
+    * Returns the number of partition dirs compacted now: 0 when
+    * nothing exceeds the threshold (nothing staged, nothing ledgered —
+    * the id stays reusable) or when `compactionId` was already
+    * ledgered (the replay no-op).
+    */
+  def compactIvfPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      compactionId: String,
+      maxFilesPerPartition: Int = 1,
+      maxRecordsPerFile: Long = 0L): Int =
+    compactIvfPartitionsStaged(spark, path, compactionId,
+      maxFilesPerPartition, maxRecordsPerFile, _ => ())
+
+  /** [[compactIvfPartitions]] with the crash-injection hook exposed
+    * for specs — fired at "staged", "committed", "swap-retire" (before
+    * each dir's retire rename), "swap-in" (before each compacted dir
+    * moves in), "swapped".
+    */
+  private[operators] def compactIvfPartitionsStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      compactionId: String,
+      maxFilesPerPartition: Int,
+      maxRecordsPerFile: Long,
+      failpoint: String => Unit): Int = {
+    import org.apache.hadoop.fs.Path
+    EpochLedger.requireEpochId(compactionId)
+    require(maxFilesPerPartition >= 1,
+      s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
+    recoverIvfEpochs(spark, path)
+    val f = Dedup.fsFor(spark, path)
+    if (EpochLedger.applied(spark, path, compactionId)) {
+      EpochLedger.requireKind(f, path, compactionId, "partition-compaction")
+      return 0
+    }
+    val dataRoot = ivfDataRoot(f, path)
+    val targets = ivfPartitionStats(spark, path)
+      .filter(_._2 > maxFilesPerPartition)
+      .map { case (cid, _, _) => s"centroid_id=$cid" }
+    if (targets.isEmpty) return 0
+    f.mkdirs(new Path(s"$path/_epochs"))
+    val stageRoot = new Path(s"$path/_retrain/$compactionId")
+    val stageData = s"$stageRoot/data"
+    // ONE job over ONLY the fragmented dirs; basePath keeps the
+    // centroid_id partition column so partitionBy re-creates the same
+    // dir names. The hash exchange on the partition key puts each
+    // target dir's rows in one task -> one file per dir.
+    val reader = spark.read.option("basePath", dataRoot)
+    val writer = reader.parquet(targets.map(d => s"$dataRoot/$d"): _*)
+      .repartition(col("centroid_id"))
+      .write.partitionBy("centroid_id")
+    (if (maxRecordsPerFile > 0L)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer)
+      .parquet(stageData)
+    // footprint-prefix the staged files NOW (pre-commit, invisible to
+    // readers): the compacted files land in live dirs carrying the
+    // compaction id, exactly like epoch-appended files — ledgered
+    // history stays evidenced in the layout itself
+    targets.foreach { d =>
+      val sd = new Path(s"$stageData/$d")
+      if (f.exists(sd))
+        f.listStatus(sd)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .filterNot(_.getPath.getName.contains('='))
+          .foreach { nf =>
+            val to = new Path(sd, s"$compactionId=${nf.getPath.getName}")
+            require(f.rename(nf.getPath, to),
+              s"ivf-partition-compaction: stage rename ${nf.getPath} " +
+                s"-> $to failed")
+          }
+    }
+    failpoint("staged")
+    require(f.exists(new Path(stageData)),
+      s"ivf-partition-compaction: staging for '$compactionId' vanished " +
+        "before commit — a concurrent recover/rotation ran against this " +
+        "layout; the protocol requires a single maintenance writer")
+    val oldRel =
+      if (dataRoot == path) "." else dataRoot.substring(path.length + 1)
+    EpochLedger.commitManifest(f, stageRoot,
+      s"kind:partition-compaction\nroot:$oldRel\ndirs:${targets.mkString(",")}",
+      "ivf-partition-compaction")
+    failpoint("committed")
+    completePartitionCompaction(f, stageRoot, path, compactionId, failpoint)
+    targets.size
+  }
+
+  /** Finish a COMMITTED partition-scoped compaction from the stage's
+    * own manifest — every per-dir swap idempotent under resume: a dir
+    * whose staged replacement is gone was already swapped in; a live
+    * dir already absent was already retired (the crash hit between its
+    * two renames — only the move-in remains). Runs after the commit
+    * point, so recovery ([[recoverIvfRotations]]) can complete it from
+    * any crash.
+    */
+  private def completePartitionCompaction(
+      f: org.apache.hadoop.fs.FileSystem,
+      stageRoot: org.apache.hadoop.fs.Path,
+      path: String,
+      id: String,
+      failpoint: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val mf = EpochLedger.readManifest(f, new Path(stageRoot, "_MANIFEST"))
+    require(mf.get("kind").contains("partition-compaction") &&
+        mf.contains("root") && mf.contains("dirs"),
+      s"ivf-partition-compaction: stage $stageRoot carries a foreign " +
+        "manifest — refusing to resume it")
+    val dataRoot =
+      if (mf("root") == ".") path else s"$path/${mf("root")}"
+    val retireBase = new Path(s"$path/_retired/$id.compact")
+    mf("dirs").split(',').filter(_.nonEmpty).foreach { d =>
+      val stageDir = new Path(s"$stageRoot/data/$d")
+      val liveDir = new Path(s"$dataRoot/$d")
+      if (f.exists(stageDir)) {
+        if (f.exists(liveDir)) {
+          f.mkdirs(retireBase)
+          // uniquify defensively (matches retireQuarantine's `.n`
+          // convention) — unreachable under the single-writer contract
+          var dst = new Path(retireBase, d)
+          var n = 1
+          while (f.exists(dst)) {
+            n += 1; dst = new Path(retireBase, s"$d.$n")
+          }
+          failpoint("swap-retire")
+          require(f.rename(liveDir, dst),
+            s"ivf-partition-compaction: retire $liveDir -> $dst failed")
+        }
+        failpoint("swap-in")
+        require(f.rename(stageDir, liveDir),
+          s"ivf-partition-compaction: swap-in $stageDir -> $liveDir failed")
+      }
+    }
+    failpoint("swapped")
+    // commit-point verification, same as the sibling protocols
+    require(f.exists(new Path(stageRoot, "_MANIFEST")),
+      s"ivf-partition-compaction: stage $stageRoot vanished " +
+        "mid-completion — a concurrent recover/rotation ran against " +
+        "this layout; the protocol requires a single maintenance writer")
+    EpochLedger.writeLedgerEntry(f, path, id, "partition-compaction")
+    Dedup.retireQuarantine(f, path, id)
+    require(f.delete(stageRoot, true),
+      s"ivf-partition-compaction: cleanup of $stageRoot failed")
+  }
+
   /** Shared staged-generation runner behind [[rotateIvf]] and
     * [[compactIvf]]: heal, replay-check, stage a complete replacement
     * layout via `buildStage(dataRoot, stageDataDir)`, commit a
@@ -875,11 +1070,24 @@ object Similarity {
     failpoint("retired")
     // prune superseded pointer entries and stale publish temps —
     // resolution ignores them (the newest name wins) but the pointer
-    // dir must not grow one entry per rotation forever
+    // dir must not grow one entry per rotation forever. Prune is
+    // STRICTLY below this publish's generation: a HIGHER-numbered
+    // entry means a newer publish already won — deleting it would
+    // silently roll the layout back to this one (resolution is by max
+    // name); that state is a double-writer violation, so fail loudly
+    // like the other single-writer checks instead of "fixing" it.
+    val newGenN = genNumber(newGen).get
     f.listStatus(curDir).map(_.getPath)
       .filter(_.getName != newGen)
-      .foreach(p => require(f.delete(p, false),
-        s"ivf-$kind: pointer prune of $p failed"))
+      .foreach { p =>
+        genNumber(p.getName).foreach(n => require(n < newGenN,
+          s"ivf-$kind: pointer entry ${p.getName} is NEWER than this " +
+            s"publish's $newGen — a concurrent rotation published after " +
+            "this stage committed; the protocol requires a single " +
+            "maintenance writer. Leaving the newer pointer in place."))
+        require(f.delete(p, false),
+          s"ivf-$kind: pointer prune of $p failed")
+      }
     // commit-point verification, same as the epoch protocol: a missing
     // manifest here means a concurrent recover deleted the stage
     // mid-completion — ledgering now would record a partial publish
@@ -980,7 +1188,15 @@ object Similarity {
             "ledger with only its own entry and expose every other " +
             "applied epoch to quarantine or double-append. Refusing " +
             "to touch the corpus.")
-        completeIvfGeneration(f, st.getPath, path, id, _ => ())
+        // dispatch on the stage's own manifest: a partition-scoped
+        // compaction resumes through its per-dir swaps, everything
+        // else through the generation publish
+        val mf = EpochLedger.readManifest(f,
+          new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST"))
+        if (mf.get("kind").contains("partition-compaction"))
+          completePartitionCompaction(f, st.getPath, path, id, _ => ())
+        else
+          completeIvfGeneration(f, st.getPath, path, id, _ => ())
       }
     }
   }
@@ -1089,6 +1305,100 @@ object Similarity {
         else None,
       quarantined = listIvfQuarantined(spark, path).size,
       retired = listIvfRetired(spark, path).size)
+  }
+
+  /** What [[ivfMaintain]] did and why: the action strings in execution
+    * order (empty for a healthy layout) and the pre-decision health
+    * snapshot the policy judged.
+    */
+  final case class IvfMaintenance(actions: Seq[String], health: IvfHealth)
+
+  /** The closed-loop maintenance policy step: read [[ivfHealth]] ONCE,
+    * judge it against explicit thresholds, and run the prescribed
+    * maintenance — the runbook sentence ("skew past ~4× or a recall
+    * drop → rotate; files past a few hundred → compact; ledger tail
+    * long → roll it up") as one idempotent entry instead of a human
+    * reading a snapshot. Decisions, in order:
+    *
+    *   - `skewRatio > skewThreshold`, or `recallFloor` is set and the
+    *     measured recall@k (probed with `recallSampleN`) is below it →
+    *     [[rotateIvf]] under id `<id>-rotate` (a re-train re-balances
+    *     AND rewrites every partition, so no compaction is needed on
+    *     top);
+    *   - otherwise `maxFilesPerPartition` exceeded →
+    *     [[compactIvfPartitions]] under id `<id>-compact` with the
+    *     same threshold (O(fragmented), in-generation);
+    *   - independently, a ledger entry tail longer than
+    *     `ledgerTailMax` → [[EpochLedger.compactLedger]].
+    *
+    * A healthy layout is a LISTING-ONLY no-op (empty `actions`).
+    * Replay-safe like its parts: re-running with the same `id` after a
+    * crash resumes/no-ops through each sub-protocol's own ledger.
+    * Recall probing only runs when `recallFloor` is set — it is the
+    * one corpus-scan observable ([[ivfRecallProbe]]); the rest stay
+    * listing-only. Single maintenance writer, like everything else on
+    * the layout; the CLI twin (`ivf maintain --lock-file`) gives that
+    * contract process teeth.
+    */
+  def ivfMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      id: String,
+      maxFilesPerPartition: Int = 64,
+      skewThreshold: Double = 4.0,
+      recallFloor: Option[Double] = None,
+      recallSampleN: Int = 64,
+      k: Int = 10,
+      nprobe: Int = 1,
+      ledgerTailMax: Int = 256,
+      centroidK: Int = DefaultCentroidK,
+      sampleFrac: Double = 1.0,
+      deferRetire: Boolean = false): IvfMaintenance = {
+    EpochLedger.requireEpochId(id)
+    require(maxFilesPerPartition >= 1 && skewThreshold > 1.0 &&
+        ledgerTailMax >= 1,
+      s"thresholds out of range: maxFilesPerPartition=" +
+        s"$maxFilesPerPartition skewThreshold=$skewThreshold " +
+        s"ledgerTailMax=$ledgerTailMax")
+    val h = ivfHealth(spark, path,
+      recallSampleN = if (recallFloor.isDefined) recallSampleN else 0,
+      k = k, nprobe = nprobe)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    val skewHit = h.skewRatio > skewThreshold
+    val recallHit = recallFloor.exists(fl =>
+      h.recall.exists(_.recallAtK < fl))
+    if (skewHit || recallHit) {
+      val reason =
+        (if (skewHit) Seq(f"skew ${h.skewRatio}%.2f>$skewThreshold%.2f")
+         else Seq.empty) ++
+          (if (recallHit)
+             Seq(f"recall ${h.recall.get.recallAtK}%.4f<" +
+               f"${recallFloor.get}%.4f")
+           else Seq.empty)
+      val applied = rotateIvf(spark, path, s"$id-rotate",
+        centroidK = centroidK, sampleFrac = sampleFrac,
+        deferRetire = deferRetire)
+      actions += s"rotate(${reason.mkString(", ")})" +
+        (if (applied) "" else " [already applied]")
+    } else if (h.maxFilesPerPartition > maxFilesPerPartition) {
+      val n = compactIvfPartitions(spark, path, s"$id-compact",
+        maxFilesPerPartition = maxFilesPerPartition)
+      actions += s"compact-partitions(maxFiles=" +
+        s"${h.maxFilesPerPartition}>$maxFilesPerPartition, dirs=$n)"
+    }
+    val f = Dedup.fsFor(spark, path)
+    val ledgerP = new org.apache.hadoop.fs.Path(s"$path/_epochs")
+    val tail =
+      if (f.exists(ledgerP))
+        f.listStatus(ledgerP).map(_.getPath.getName)
+          .count(n => !n.startsWith("_") && !n.startsWith("."))
+      else 0
+    if (tail > ledgerTailMax) {
+      val rolled = EpochLedger.compactLedger(spark, path)
+      actions += s"compact-ledger(tail=$tail>$ledgerTailMax, " +
+        s"rolled=$rolled)"
+    }
+    IvfMaintenance(actions.toSeq, h)
   }
 
   /** Measured recall@k of the layout's multi-probe ANN answer against

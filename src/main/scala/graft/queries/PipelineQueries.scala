@@ -530,21 +530,15 @@ object PipelineQueries {
     * rebuild" through the live query path, the way q56–q58 pin the cap
     * algebra.
     */
-  private val qIvfAppendedProbe = QueryDef(
-    "q59_ivf_appended_probe",
-    (s, dir) => {
-      val e = emb(s, dir)
-      val root = scratchDir("graft-q59")
-      val path = s"$root/ivf"
-      Similarity.writeIvfPartitioned(e.filter(col("vec_id") % 2 === 0), path)
-      Similarity.appendIvfEpoch(e.filter(col("vec_id") % 2 =!= 0), path,
-        epochId = "epoch1")
-      Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
-    },
-    Some(
-      s"""WITH ${DuckSql.embCte},
+  /** The oracle of the q59-shaped layout (even-half centroid sample,
+    * full-corpus assignment + multi-probe) — shared verbatim by q59
+    * (which builds the layout live, hash-verifying the maintenance
+    * algebra per run) and q61 (which probes the PRE-BUILT memoized
+    * layout, pinning probe correctness independently of the build
+    * rehearsal).
+    */
+  private val ivfAppendedOracleSql: String =
+    s"""WITH ${DuckSql.embCte},
          |ea AS (SELECT * FROM e WHERE vec_id % 2 = 0),
          |cent AS (
          |  SELECT vec_id AS centroid_id, vec AS cvec FROM ea
@@ -577,7 +571,40 @@ object PipelineQueries {
          |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin))
+         |ORDER BY query_id, rank""".stripMargin
+
+  private val qIvfAppendedProbe = QueryDef(
+    "q59_ivf_appended_probe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val root = scratchDir("graft-q59")
+      val path = s"$root/ivf"
+      Similarity.writeIvfPartitioned(e.filter(col("vec_id") % 2 === 0), path)
+      Similarity.appendIvfEpoch(e.filter(col("vec_id") % 2 =!= 0), path,
+        epochId = "epoch1")
+      Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfAppendedOracleSql))
+
+  /** Probe-only oracle row: the identical multi-probe query over a
+    * layout built ONCE by the memoized fixture step (the same layout
+    * the bench's `q59_probe_only` times) — probe correctness pinned
+    * INDEPENDENTLY of the per-run build rehearsal q59 deliberately
+    * includes, and the bench probe_only numbers gain their own oracle:
+    * this row's timed runs never rebuild, so its bench number IS the
+    * per-query cost a deployment pays against a standing layout.
+    */
+  private val qIvfProbePrebuilt = QueryDef(
+    "q61_ivf_probe_prebuilt",
+    (s, dir) => {
+      val path = memoLayout("q59", dir)(buildAppendedLayout(s, dir))
+      Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfAppendedOracleSql))
 
   /** The ROTATED IVF layout under hash verification — q59's
     * counterpart for [[Similarity.rotateIvf]]'s marker-fenced swap:
@@ -657,40 +684,75 @@ object PipelineQueries {
   private val probeLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def memoLayout(key: String)(build: String => Unit): String =
-    probeLayouts.computeIfAbsent(key, _ => {
-      val path = s"${persistentScratchDir(s"graft-$key-probe")}/ivf"
+  /** Memo key for a probe-only layout: query name + the sf dir's
+    * CANONICAL path (not a compressed hash — String.hashCode collisions
+    * between two sf dirs in one process would silently serve the wrong
+    * layout) + a cheap contents fingerprint of `embeddings.parquet`
+    * (file count, total bytes, max mtime — the only input these layouts
+    * are built from), so a fixture regenerated in place under the same
+    * path invalidates the memo instead of serving stale data.
+    */
+  private[graft] def probeLayoutKey(name: String, dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .toSeq.flatMap(walk)
+      else Seq(f)
+    val fs = walk(new java.io.File(s"$dir/embeddings.parquet"))
+    val fp = s"${fs.size}-${fs.map(_.length).sum}-" +
+      s"${if (fs.isEmpty) 0L else fs.map(_.lastModified).max}"
+    s"$name|${new java.io.File(dir).getCanonicalPath}|$fp"
+  }
+
+  private[graft] def memoLayout(name: String, dir: String)(
+      build: String => Unit): String =
+    probeLayouts.computeIfAbsent(probeLayoutKey(name, dir), _ => {
+      val path = s"${persistentScratchDir(s"graft-$name-probe")}/ivf"
       build(path)
       path
     })
 
+  /** The q59-shaped layout build (even-id flat write + odd-id ledgered
+    * epoch append) — shared by the q59 probe-only bench variant and the
+    * q61 pre-built-probe oracle row, so both probe the SAME memoized
+    * layout.
+    */
+  private def buildAppendedLayout(
+      s: org.apache.spark.sql.SparkSession, dir: String)(p: String): Unit = {
+    val e = emb(s, dir)
+    Similarity.writeIvfPartitioned(e.filter(col("vec_id") % 2 === 0), p)
+    Similarity.appendIvfEpoch(e.filter(col("vec_id") % 2 =!= 0), p,
+      epochId = "epoch1")
+    ()
+  }
+
+  /** The q60-shaped layout build (stale full write + deterministic
+    * rotation to the full-corpus centroid sample).
+    */
+  private def buildRotatedLayout(
+      s: org.apache.spark.sql.SparkSession, dir: String)(p: String): Unit = {
+    val e = emb(s, dir)
+    val stale = Similarity.ivfCentroids(
+      Similarity.asDouble(e.filter(col("vec_id") % 2 === 0)),
+      Similarity.DefaultCentroidK)
+    Similarity.writeIvfPartitioned(e, p, trainedCentroids = Some(stale))
+    val fresh = Similarity.ivfCentroids(Similarity.asDouble(e),
+      Similarity.DefaultCentroidK)
+    Similarity.rotateIvf(s, p, rotationId = "rot1",
+      trainedCentroids = Some(fresh))
+    ()
+  }
+
   val benchProbes: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] = Map(
     "q59_probe_only" -> { (s, dir) =>
-      val path = memoLayout(s"q59-${dir.hashCode.toHexString}") { p =>
-        val e = emb(s, dir)
-        Similarity.writeIvfPartitioned(e.filter(col("vec_id") % 2 === 0), p)
-        Similarity.appendIvfEpoch(e.filter(col("vec_id") % 2 =!= 0), p,
-          epochId = "epoch1")
-        ()
-      }
+      val path = memoLayout("q59", dir)(buildAppendedLayout(s, dir))
       Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
     "q60_probe_only" -> { (s, dir) =>
-      val path = memoLayout(s"q60-${dir.hashCode.toHexString}") { p =>
-        val e = emb(s, dir)
-        val stale = Similarity.ivfCentroids(
-          Similarity.asDouble(e.filter(col("vec_id") % 2 === 0)),
-          Similarity.DefaultCentroidK)
-        Similarity.writeIvfPartitioned(e, p, trainedCentroids = Some(stale))
-        val fresh = Similarity.ivfCentroids(Similarity.asDouble(e),
-          Similarity.DefaultCentroidK)
-        Similarity.rotateIvf(s, p, rotationId = "rot1",
-          trainedCentroids = Some(fresh))
-        ()
-      }
+      val path = memoLayout("q60", dir)(buildRotatedLayout(s, dir))
       Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
@@ -1543,6 +1605,7 @@ object PipelineQueries {
     qDedupExact, qNgramJaccard, qMinhash, qMinhashCapped, qMinhashProbe,
     qSimhash, qSimhash64, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe, qIvfRotatedProbe,
+    qIvfProbePrebuilt,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,

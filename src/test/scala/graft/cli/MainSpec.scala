@@ -88,5 +88,83 @@ class MainSpec extends AnyFunSuite {
 
     intercept[RuntimeException] { run("rotate") } // missing id
     intercept[RuntimeException] { run("bogus") }
+
+    // a flag taking the NEXT FLAG as its value is a usage error, not a
+    // NumberFormatException from '--lock-file'.toInt
+    val exFlag = intercept[RuntimeException] {
+      run("health", flags = List("--recall", "--lock-file"))
+    }
+    assert(exFlag.getMessage.contains("--recall needs a value"), exFlag)
+    val exTail = intercept[RuntimeException] {
+      run("health", flags = List("--recall"))
+    }
+    assert(exTail.getMessage.contains("--recall needs a value"), exTail)
+  }
+
+  test("ivf maintain + compact-partitions commands: the policy runs " +
+    "under explicit thresholds and reports what it did and why") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(8) { j =>
+        val h = scala.util.hashing.byteswap64(id * 8 + j)
+        (Math.floorMod(h, 1001L) - 500L).toFloat / 500f
+      }
+    val root = Files.createTempDirectory("graft-cli-maint").toString
+    val layout = s"$root/ivf"
+    graft.operators.Similarity.writeIvfPartitioned(
+      (0L until 16L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      layout, centroidK = 2)
+    (1 to 3).foreach { e =>
+      assert(graft.operators.Similarity.appendIvfEpoch(
+        (100L * e until 100L * e + 8L).map(i => (i, vec(i)))
+          .toDF("vec_id", "embedding"),
+        layout, s"e$e"))
+    }
+    def run(sub: String, posArg: Option[String] = None,
+        flags: List[String] = Nil): String =
+      Main.ivfCommand(spark, sub, layout, posArg, flags)
+
+    // healthy under generous thresholds: reports the no-op AND the
+    // observables it judged
+    val m0 = run("maintain", Some("m0"),
+      List("--max-files", "100", "--skew", "1000000"))
+    assert(m0.startsWith("actions=none (healthy)"), m0)
+    assert(m0.contains("maxFilesPerPartition="), m0)
+
+    // fragmented: the policy compacts selectively
+    val m1 = run("maintain", Some("m1"),
+      List("--max-files", "1", "--skew", "1000000"))
+    assert(m1.contains("compact-partitions("), m1)
+    assert(run("health").contains("maxFilesPerPartition=1"))
+
+    // direct selective compaction entry: nothing over threshold now
+    assert(run("compact-partitions", Some("pc9"),
+      List("--max-files", "1")) == "compacted_dirs=0")
+
+    // rows intact
+    assert(spark.read.parquet(
+        graft.operators.Similarity.ivfDataRoot(spark, layout))
+      .count() == 40)
+
+    // purge-retired refuses without an explicit retention window
+    val exP = intercept[RuntimeException] { run("purge-retired") }
+    assert(exP.getMessage.contains("--older-than"), exP.getMessage)
+    // nothing old enough yet: purged=0 (the m1-compact retire is fresh)
+    assert(run("purge-retired",
+      flags = List("--older-than", "1h")) == "purged=0")
+  }
+
+  test("parseDuration accepts s/m/h/d suffixes and plain seconds, " +
+    "refuses garbage and non-positive values") {
+    assert(Main.parseDuration("45") == 45000L)
+    assert(Main.parseDuration("45s") == 45000L)
+    assert(Main.parseDuration("90m") == 90L * 60 * 1000)
+    assert(Main.parseDuration("2h") == 2L * 3600 * 1000)
+    assert(Main.parseDuration("7d") == 7L * 86400 * 1000)
+    intercept[RuntimeException] { Main.parseDuration("") }
+    intercept[RuntimeException] { Main.parseDuration("h") }
+    intercept[RuntimeException] { Main.parseDuration("x7d") }
+    intercept[IllegalArgumentException] { Main.parseDuration("0s") }
   }
 }

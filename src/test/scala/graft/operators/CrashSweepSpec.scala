@@ -176,6 +176,45 @@ class CrashSweepSpec extends AnyFunSuite {
       ctx)
   }
 
+  // ------------------------------------- partition-compaction side
+
+  private val pcmpFps = Seq("staged", "committed", "swap-retire",
+    "swap-in", "swapped")
+
+  /** Partition-scoped compaction trial: a grown layout is selectively
+    * compacted (threshold 1 — every fragmented dir targeted) under
+    * crashes. Row target FIXED (the stored assignment is reused), and
+    * the reader's view at any instant must never hold doubled rows.
+    */
+  private def pcmpTrial(plan: Seq[String]): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-pcm").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(ivfBase, path, centroidK = 2)
+    assert(Similarity.appendIvfEpoch(ivfNovel, path, "e1"))
+    val want = ivfRows(path)
+    driveWithCrashes(plan) { fail =>
+      // the reader view at attempt entry (i.e. at whatever instant the
+      // PREVIOUS attempt crashed): full set or full set minus a
+      // mid-swap dir — NEVER doubled, never a foreign row
+      val view = ivfRows(path)
+      assert(view.subsetOf(want), s"plan=$plan view=$view")
+      Similarity.compactIvfPartitionsStaged(spark, path, "pc1", 1, 0L, fail)
+      ()
+    }
+    val ctx = s"plan=$plan"
+    assert(ivfRows(path) == want, ctx)
+    assert(EpochLedger.applied(spark, path, "pc1"), ctx)
+    assert(Similarity.ivfPartitionStats(spark, path).forall(_._2 == 1), ctx)
+    // blind replay: no-op; recovery: no-op; staging reclaimed
+    assert(Similarity.compactIvfPartitions(spark, path, "pc1") == 0, ctx)
+    Similarity.recoverIvfEpochs(spark, path)
+    assert(ivfRows(path) == want, ctx)
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty, ctx)
+    val f = Dedup.fsFor(spark, path)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_retrain/pc1")),
+      ctx)
+  }
+
   // ----------------------------------------------------------- dedup side
 
   private val dedupFps = Seq("staged-history", "staged", "committed",
@@ -239,16 +278,19 @@ class CrashSweepSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- sweep
 
-  test("60 seeded randomized crash trials across all four protocols: " +
+  test("75 seeded randomized crash trials across all five protocols: " +
     "retry-until-complete always converges to the rebuild state") {
     val rnd = new scala.util.Random(0xC0FFEE42L)
     val counts = scala.collection.mutable.Map(
-      "ivf" -> 0, "dedup" -> 0, "rotation" -> 0, "compaction" -> 0)
-    for (trial <- 1 to 60) {
-      val proto = Seq("ivf", "dedup", "rotation", "compaction")(rnd.nextInt(4))
+      "ivf" -> 0, "dedup" -> 0, "rotation" -> 0, "compaction" -> 0,
+      "partition-compaction" -> 0)
+    for (trial <- 1 to 75) {
+      val proto = Seq("ivf", "dedup", "rotation", "compaction",
+        "partition-compaction")(rnd.nextInt(5))
       val fps = proto match {
         case "ivf" => ivfFps
         case "dedup" => dedupFps
+        case "partition-compaction" => pcmpFps
         case _ => rotFps
       }
       // 1 or 2 planned crashes; a post-commit first crash makes the
@@ -260,6 +302,7 @@ class CrashSweepSpec extends AnyFunSuite {
           case "ivf" => ivfTrial(plan)
           case "dedup" => dedupTrial(plan)
           case "rotation" => rotTrial(plan)
+          case "partition-compaction" => pcmpTrial(plan)
           case _ => compactTrial(plan)
         }
         counts(proto) += 1

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -256,6 +257,289 @@ class IvfCompactionSpec extends AnyFunSuite {
     val r = h1.recall.get
     assert(r.queries == 8 && r.k == 3 && r.nprobe == 2)
     assert(r.recallAtK >= 0.0 && r.recallAtK <= 1.0)
+  }
+
+  // ------------------------------------- partition-scoped compaction
+
+  /** File names (with sizes) per partition dir — the "untouched dirs
+    * really untouched" witness: a rewrite changes names, an identity
+    * swap doesn't.
+    */
+  private def fileNames(p: String): Map[String, Set[String]] = {
+    val f = Dedup.fsFor(spark, p)
+    val root = new org.apache.hadoop.fs.Path(
+      Similarity.ivfDataRoot(spark, p))
+    f.listStatus(root)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id="))
+      .map { st =>
+        st.getPath.getName ->
+          f.listStatus(st.getPath).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).toSet
+      }.toMap
+  }
+
+  /** A layout where ONE partition is fragmented and the rest are not:
+    * compact everything to one file, then append epochs whose vectors
+    * all duplicate one stored vector — every epoch lands in that
+    * vector's partition alone.
+    */
+  private def lopsided(root: String): (String, String) = {
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(emb(0 until 16), path, centroidK = 2)
+    assert(Similarity.compactIvf(spark, path, "c0"))
+    val hot = spark.read.parquet(Similarity.ivfDataRoot(spark, path))
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).head
+    (1 to 3).foreach { e =>
+      val dup = (1 to 4).map(i => (1000L * e + i, vec(hot._1)))
+        .toDF("vec_id", "embedding")
+      assert(Similarity.appendIvfEpoch(dup, path, s"pe$e"))
+    }
+    (path, s"centroid_id=${hot._2}")
+  }
+
+  test("compactIvfPartitions rewrites ONLY over-threshold dirs, in the " +
+    "same generation: untouched dirs keep their exact files, rows and " +
+    "probes are identical, compacted files carry the id footprint, " +
+    "replay and nothing-to-do are no-ops") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pcmp").toString
+    val (path, hotDir) = lopsided(root)
+    val before = rows(path)
+    val probeBefore = probe(path)
+    val namesBefore = fileNames(path)
+    assert(namesBefore(hotDir).size > 3) // really fragmented
+    val genBefore = Similarity.ivfDataRoot(spark, path)
+
+    assert(Similarity.compactIvfPartitions(spark, path, "pc1",
+      maxFilesPerPartition = 3) == 1)
+    // answers identical, NO generation bump
+    assert(rows(path) == before)
+    assert(probe(path) == probeBefore)
+    assert(Similarity.ivfDataRoot(spark, path) == genBefore)
+    val namesAfter = fileNames(path)
+    // untouched dirs kept their EXACT files
+    (namesBefore - hotDir).foreach { case (d, ns) =>
+      assert(namesAfter(d) == ns, d)
+    }
+    // the hot dir is one file, footprint-named
+    assert(namesAfter(hotDir).size == 1)
+    assert(namesAfter(hotDir).forall(_.startsWith("pc1=")))
+    // replaced files retired, never deleted
+    assert(Similarity.listIvfRetired(spark, path).map(_._1)
+      .contains("pc1.compact"))
+    // replay: ledger hit, nothing moves
+    assert(Similarity.compactIvfPartitions(spark, path, "pc1",
+      maxFilesPerPartition = 3) == 0)
+    assert(fileNames(path) == namesAfter)
+    // nothing over threshold now: fresh id is a no-op and stays
+    // UNLEDGERED (reusable)
+    assert(Similarity.compactIvfPartitions(spark, path, "pc2",
+      maxFilesPerPartition = 3) == 0)
+    assert(!EpochLedger.applied(spark, path, "pc2"))
+    // appends continue normally
+    assert(Similarity.appendIvfEpoch(emb(700 until 708), path, "e7"))
+    assert(rows(path).size == before.size + 8)
+  }
+
+  test("compactIvfPartitions on a flat (never-rotated) layout stays " +
+    "flat and keeps ledger evidence via footprints") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pcmpf").toString
+    val path = grown(root, epochs = 3)
+    val before = rows(path)
+    val n = Similarity.compactIvfPartitions(spark, path, "pc1",
+      maxFilesPerPartition = 1)
+    assert(n >= 1)
+    assert(rows(path) == before)
+    assert(Similarity.ivfDataRoot(spark, path) == path) // still flat
+    assert(Similarity.ivfPartitionStats(spark, path)
+      .forall(_._2 == 1)) // every over-threshold dir now one file
+    // the compacted files' footprints keep the layout evidenced: a
+    // recovery sweep still sees ledgered history in the live dirs
+    assert(EpochLedger.applied(spark, path, "pc1"))
+    Similarity.recoverIvfEpochs(spark, path)
+    assert(rows(path) == before)
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty)
+  }
+
+  test("compactIvfPartitions crash injection at every swap point: the " +
+    "reader never sees doubled or mixed rows, and a same-id retry " +
+    "converges with untouched dirs untouched") {
+    for (fp <- Seq("staged", "committed", "swap-retire", "swap-in",
+      "swapped")) {
+      val root = java.nio.file.Files.createTempDirectory("graft-pcmpcr")
+        .toString
+      val (path, hotDir) = lopsided(root)
+      val before = rows(path)
+      val probeBefore = probe(path)
+      val untouched = fileNames(path) - hotDir
+      val ex = intercept[RuntimeException] {
+        Similarity.compactIvfPartitionsStaged(spark, path, "pc1", 3, 0L,
+          p => if (p == fp) throw new RuntimeException(s"injected at $p"))
+      }
+      assert(ex.getMessage.contains("injected"), fp)
+      // at the crash instant: never doubled, never mixed — the view is
+      // the full row set or (inside the two-rename window) the full
+      // set minus exactly the swapping dir
+      val atCrash = rows(path)
+      assert(atCrash.subsetOf(before), fp)
+      assert(atCrash == before ||
+        atCrash == before.filterNot(_._2 == hotDir.stripPrefix("centroid_id=")),
+        fp)
+
+      val appliedNow = Similarity.compactIvfPartitions(spark, path, "pc1",
+        maxFilesPerPartition = 3)
+      assert(appliedNow == (if (fp == "staged") 1 else 0), fp)
+      assert(EpochLedger.applied(spark, path, "pc1"), fp)
+      assert(rows(path) == before, fp)
+      assert(probe(path) == probeBefore, fp)
+      val after = fileNames(path)
+      untouched.foreach { case (d, ns) => assert(after(d) == ns, s"$fp $d") }
+      assert(after(hotDir).size == 1, fp)
+      val f = Dedup.fsFor(spark, path)
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_retrain/pc1")),
+        fp)
+      assert(Similarity.listIvfQuarantined(spark, path).isEmpty, fp)
+    }
+  }
+
+  test("compactIvfPartitions works inside a published generation " +
+    "without bumping it, and ids cannot cross protocols") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pcmpg").toString
+    val (path, hotDir) = lopsided(root) // already generational (_gen-1)
+    // bump to a fresh generation, then re-fragment one partition in it
+    assert(Similarity.compactIvf(spark, path, "g1"))
+    assert(Similarity.ivfDataRoot(spark, path) == s"$path/_gen-2")
+    val hotCid = hotDir.stripPrefix("centroid_id=")
+    val hotVec = spark.read.parquet(s"$path/_gen-2")
+      .filter(col("centroid_id") === hotCid)
+      .select("vec_id").collect().map(_.getLong(0)).head
+    (1 to 3).foreach { e =>
+      val dup = (1 to 4).map(i => (5000L * e + i, vec(hotVec)))
+        .toDF("vec_id", "embedding")
+      assert(Similarity.appendIvfEpoch(dup, path, s"ge$e"))
+    }
+    val before = rows(path)
+    assert(Similarity.compactIvfPartitions(spark, path, "pc1",
+      maxFilesPerPartition = 3) == 1)
+    assert(rows(path) == before)
+    assert(Similarity.ivfDataRoot(spark, path) == s"$path/_gen-2")
+    // cross-protocol refusals, both directions
+    val ex1 = intercept[IllegalArgumentException] {
+      Similarity.compactIvfPartitions(spark, path, "ge1")
+    }
+    assert(ex1.getMessage.contains("protocol"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.appendIvfEpoch(emb(600 until 604), path, "pc1")
+    }
+    assert(ex2.getMessage.contains("protocol"))
+    val ex3 = intercept[IllegalArgumentException] {
+      Similarity.compactIvf(spark, path, "pc1")
+    }
+    assert(ex3.getMessage.contains("protocol"))
+  }
+
+  // -------------------------------------------------- maintain policy
+
+  test("ivfMaintain: healthy layout is a listing-only no-op; a " +
+    "fragmented one compacts selectively in place; a long ledger tail " +
+    "rolls up; a same-id re-run is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val path = grown(root, epochs = 4)
+    // generous thresholds: nothing to do
+    val m0 = Similarity.ivfMaintain(spark, path, "m0",
+      maxFilesPerPartition = 100, ledgerTailMax = 100)
+    assert(m0.actions.isEmpty)
+    assert(m0.health.maxFilesPerPartition > 2) // it SAW the fragmentation
+    // fragmentation past threshold: compacts (never rotates), answers
+    // identical, layout stays flat
+    val before = rows(path)
+    val probeBefore = probe(path)
+    val m1 = Similarity.ivfMaintain(spark, path, "m1",
+      maxFilesPerPartition = 2, ledgerTailMax = 100)
+    assert(m1.actions.size == 1 &&
+      m1.actions.head.startsWith("compact-partitions("), m1.actions)
+    assert(EpochLedger.applied(spark, path, "m1-compact"))
+    assert(rows(path) == before)
+    assert(probe(path) == probeBefore)
+    assert(Similarity.ivfPartitionStats(spark, path).forall(_._2 <= 2))
+    assert(Similarity.ivfDataRoot(spark, path) == path)
+    // re-run, same id and thresholds: below threshold now, no actions
+    val m1b = Similarity.ivfMaintain(spark, path, "m1",
+      maxFilesPerPartition = 2, ledgerTailMax = 100)
+    assert(m1b.actions.isEmpty)
+    // ledger tail (e1..e4 + m1-compact = 5) past threshold: rolls up
+    val m2 = Similarity.ivfMaintain(spark, path, "m2",
+      maxFilesPerPartition = 100, ledgerTailMax = 4)
+    assert(m2.actions.size == 1 &&
+      m2.actions.head.startsWith("compact-ledger("), m2.actions)
+    (1 to 4).foreach(e =>
+      assert(EpochLedger.applied(spark, path, s"e$e"), s"e$e"))
+    assert(EpochLedger.applied(spark, path, "m1-compact"))
+  }
+
+  test("ivfMaintain: a skew breach rotates (re-trains) instead of " +
+    "compacting, preserving every row") {
+    val root = java.nio.file.Files.createTempDirectory("graft-maintsk").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(emb(0 until 16), path, centroidK = 4)
+    val hot = spark.read.parquet(path)
+      .select("vec_id").collect().map(_.getLong(0)).min
+    (1 to 3).foreach { e =>
+      val dup = (1 to 8).map(i => (2000L * e + i, vec(hot)))
+        .toDF("vec_id", "embedding")
+      assert(Similarity.appendIvfEpoch(dup, path, s"se$e"))
+    }
+    val wantIds = spark.read.parquet(path)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(Similarity.ivfSkewRatio(spark, path) > 2.0)
+    val m = Similarity.ivfMaintain(spark, path, "m1",
+      skewThreshold = 2.0, maxFilesPerPartition = 1000, centroidK = 4)
+    assert(m.actions.size == 1 && m.actions.head.startsWith("rotate(skew"),
+      m.actions)
+    assert(EpochLedger.applied(spark, path, "m1-rotate"))
+    val gotIds = spark.read
+      .parquet(Similarity.ivfDataRoot(spark, path))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == wantIds)
+  }
+
+  test("purgeRetiredOlderThan: only over-age retired dirs are deleted, " +
+    "a non-positive window is refused, and the dedup-pair mirror " +
+    "sweeps both roots") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft-purge").toString
+    val path = grown(root, epochs = 1)
+    assert(Similarity.compactIvf(spark, path, "c1")) // retires c1.pre-rotate
+    assert(Similarity.compactIvf(spark, path, "c2")) // retires c2.pre-rotate
+    val f = Dedup.fsFor(spark, path)
+    val now = System.currentTimeMillis
+    f.setTimes(new Path(s"$path/_retired/c1.pre-rotate"),
+      now - 2 * 3600 * 1000L, -1)
+    intercept[IllegalArgumentException] {
+      Similarity.purgeIvfRetiredOlderThan(spark, path, 0L)
+    }
+    // window 1h: only the aged dir goes
+    val purged =
+      Similarity.purgeIvfRetiredOlderThan(spark, path, 3600L * 1000, now)
+    assert(purged == Seq("c1.pre-rotate"))
+    assert(Similarity.listIvfRetired(spark, path).map(_._1) ==
+      Seq("c2.pre-rotate"))
+    // idempotent; fresh dir survives until IT ages past the window
+    assert(Similarity.purgeIvfRetiredOlderThan(spark, path, 3600L * 1000,
+      now).isEmpty)
+    assert(Similarity.purgeIvfRetiredOlderThan(spark, path, 3600L * 1000,
+      now + 2 * 3600 * 1000L) == Seq("c2.pre-rotate"))
+    // the dedup-pair mirror sweeps both roots in one call
+    val h = s"$root/hist"
+    val i = s"$root/idx"
+    f.mkdirs(new Path(s"$h/_retired/old1"))
+    f.mkdirs(new Path(s"$i/_retired/old2"))
+    f.setTimes(new Path(s"$h/_retired/old1"), now - 10000, -1)
+    f.setTimes(new Path(s"$i/_retired/old2"), now - 10000, -1)
+    assert(Dedup.purgeRetiredOlderThan(spark, h, i, 5000L, now).toSet ==
+      Set("old1", "old2"))
+    assert(Dedup.listRetired(spark, h, i).isEmpty)
   }
 
   test("compactLedger is harmless on a layout with no ledger dir") {

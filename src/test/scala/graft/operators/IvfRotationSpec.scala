@@ -272,6 +272,43 @@ class IvfRotationSpec extends AnyFunSuite {
     assert(ids(path).sorted == (aIds ++ bIds).sorted)
   }
 
+  test("ivfMaintain: a recall-floor breach rotates and restores recall; " +
+    "the post-rotation re-run is healthy") {
+    val root = java.nio.file.Files.createTempDirectory("graft-maintrc").toString
+    val path = s"$root/ivf"
+    def cent(id: Long, v: Array[Double]) =
+      (id, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+    def dirWith(j: Int, x: Double) =
+      Array.tabulate(dim)(i => if (i == 0) 1.0 else if (i == j) x else 0.0)
+    val frozen = Seq(
+      cent(0L, dirWith(1, 0.3)), cent(1L, dirWith(1, -0.3)),
+      cent(2L, dirWith(3, 0.3)), cent(3L, dirWith(3, -0.3)))
+      .toDF("centroid_id", "cvec", "cnrm")
+    Similarity.writeIvfPartitioned(clusterA, path,
+      trainedCentroids = Some(frozen))
+    assert(Similarity.appendIvfEpoch(clusterB, path, epochId = "e1"))
+    assert(Similarity.ivfRecallProbe(spark, path, sampleN = 32, k = 5,
+      nprobe = 1).recallAtK < 0.9)
+
+    val m = Similarity.ivfMaintain(spark, path, "m1",
+      maxFilesPerPartition = 1000, skewThreshold = 1e9,
+      recallFloor = Some(0.9), recallSampleN = 32, k = 5, nprobe = 1,
+      centroidK = 2)
+    assert(m.actions.size == 1 && m.actions.head.startsWith("rotate(") &&
+      m.actions.head.contains("recall"), m.actions)
+    assert(EpochLedger.applied(spark, path, "m1-rotate"))
+    // rotation restored recall above the floor and lost no row
+    assert(Similarity.ivfRecallProbe(spark, path, sampleN = 32, k = 5,
+      nprobe = 1).recallAtK >= 0.9)
+    assert(ids(path).sorted == (aIds ++ bIds).sorted)
+    // healthy now: the same policy is a no-op (fresh id)
+    val m2 = Similarity.ivfMaintain(spark, path, "m2",
+      maxFilesPerPartition = 1000, skewThreshold = 1e9,
+      recallFloor = Some(0.9), recallSampleN = 32, k = 5, nprobe = 1,
+      centroidK = 2)
+    assert(m2.actions.isEmpty, m2.actions)
+  }
+
   test("reader atomicity: a probe at EVERY rotation point sees either " +
     "the old layout or the new one COMPLETE, and flips exactly at the " +
     "pointer publish — for the flat->gen migration AND a gen->gen " +
