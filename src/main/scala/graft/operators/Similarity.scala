@@ -1413,6 +1413,18 @@ object Similarity {
     * cadence, not a serving path. Driver state is O(sampleN·k) id
     * pairs. Both answers use the same rounding and tie-breaks, so
     * recall 1.0 means literally identical top-k sets.
+    *
+    * `queryVectors` switches to SERVING-shaped recall: the probe runs
+    * with the supplied external (`query_id`, `embedding`) vectors —
+    * [[ivfKnnPartitionedWith]] vs [[bruteForceKnnWith]], no
+    * self-exclusion on either side — instead of sampling stored rows.
+    * Stored-vector recall under-detects drift a query workload off the
+    * stored distribution DOES feel (a stored vector always probes the
+    * partition it lives in; a between-clusters query routes to one
+    * partition while its true neighbors span several), so a deployment
+    * with a representative held-out query set should monitor this mode
+    * next to the stored one. `sampleN` is ignored in this mode — every
+    * supplied vector is probed.
     */
   def ivfRecallProbe(
       spark: org.apache.spark.sql.SparkSession,
@@ -1420,11 +1432,29 @@ object Similarity {
       sampleN: Int = 64,
       k: Int = 10,
       nprobe: Int = 1,
-      idCol: String = "vec_id"): IvfRecall = {
+      idCol: String = "vec_id",
+      queryVectors: Option[DataFrame] = None): IvfRecall = {
     require(sampleN >= 1, s"sampleN must be >= 1, got $sampleN")
     require(k >= 1, s"k must be >= 1, got $k")
     val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
     val corpus = spark.read.parquet(dataRoot)
+    if (queryVectors.isDefined) {
+      val qv = queryVectors.get
+      val approx = ivfKnnPartitionedWith(spark, path, qv, k, nprobe,
+          idCol = idCol)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = bruteForceKnnWith(
+          corpus.select(col(idCol), col("vec").as("embedding")), qv, k,
+          idCol = idCol)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall =
+        if (exact.isEmpty) 1.0
+        else approx.intersect(exact).size.toDouble / exact.size
+      return IvfRecall(recall,
+        exact.map(_._1).union(approx.map(_._1)).size, k, nprobe)
+    }
     // the ivfCentroids sampling hash, reused: deterministic, id-order
     // decorrelated, and a TakeOrdered (never a global sort)
     val qids = corpus
@@ -1501,6 +1531,85 @@ object Similarity {
         col("vec").as("vec_n"), col("nrm").as("nrm_n"))
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Brute-force cosine top-k for EXTERNAL query vectors: every row of
+    * `queries` (`queryIdCol` + `embedding`) against the whole corpus.
+    * The external twin of [[bruteForceKnn]] — no self-exclusion,
+    * because external query ids are their own namespace (a query equal
+    * to a stored vector legitimately finds that row at sim 1.0). Same
+    * rounding and tie-breaks as every other scorer here.
+    */
+  def bruteForceKnnWith(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val corpus = asDouble(emb, idCol = idCol)
+      .select(col(idCol).as("neighbor_id"), col("vec").as("vec_n"),
+        col("nrm").as("nrm_n"))
+    val q = asDouble(queries, idCol = queryIdCol)
+      .select(col(queryIdCol).as("query_id"), col("vec").as("vec_q"),
+        col("nrm").as("nrm_q"))
+    val scored = corpus.join(broadcast(q))
+      .withColumn("sim",
+        round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** ANN top-k over a [[writeIvfPartitioned]] layout for EXTERNAL
+    * query vectors — the SERVING-shaped probe: queries arrive as a
+    * (`queryIdCol`, `embedding`) frame instead of stored-row ids, are
+    * routed by ranking against the layout's `_centroids` sidecar
+    * (there is no stored assignment for a vector the corpus doesn't
+    * hold), and only the routed partitions are scanned — the same
+    * literal `PartitionFilters` plan as [[ivfKnnPartitioned]]. No
+    * self-exclusion, as on [[bruteForceKnnWith]].
+    */
+  def ivfKnnPartitionedWith(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 1,
+      queryIdCol: String = "query_id",
+      idCol: String = "vec_id"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // one pointer resolution, like ivfKnnPartitioned: scan and sidecar
+    // from the same generation
+    val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
+    val corpus = spark.read.parquet(dataRoot)
+    val cent = spark.read.parquet(s"$dataRoot/_centroids")
+    val q = asDouble(queries, idCol = queryIdCol)
+      .select(col(queryIdCol).as("query_id"), col("vec").as("vec_q"),
+        col("nrm").as("nrm_q"))
+    val w0 = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc,
+        expr("CAST(substring(centroid_id, 2) AS BIGINT)"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("csim", dot("vec_q", "cvec") / (col("nrm_q") * col("cnrm")))
+      .withColumn("crank", row_number().over(w0))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "centroid_id", "vec_q", "nrm_q")
+    val probed: Seq[String] = probes.select("centroid_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val scored = corpus
+      .filter(col("centroid_id").isInCollection(probed)) // partition prune
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col("vec").as("vec_n"), col("nrm").as("nrm_n"))
+      .join(broadcast(probes), Seq("centroid_id"))
       .withColumn("sim",
         round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
     val w = Window.partitionBy("query_id")

@@ -25,7 +25,10 @@ import graft.operators.{Dedup, Similarity}
   *      listing, so a crash-before-apply heals on the next batch too).
   *      Without it, call [[applySpooledEpoch]] manually at the
   *      boundary — and even with it, once the stream STOPS for good,
-  *      drain the final epoch with one manual [[applySpooledEpoch]].
+  *      drain the final epoch: one manual [[drainSpool]], or
+  *      `drainOnStop = true` to have a clean `stop()` run it
+  *      automatically (see [[startSpool]] for that mode's
+  *      stop-is-terminal contract).
   *
   * No per-batch query runs against the layout (unlike the dedup
   * stream's probe): ANN readers keep probing the layout as-is and see
@@ -69,6 +72,23 @@ object StreamingSimilarity {
     * cleared) BEFORE the batch spools — so epoch N lands exactly when
     * epoch N+1's first batch arrives, and a restart after a
     * crash-before-apply heals the leftover spool the same way.
+    *
+    * `drainOnStop` (requires `applyToLayout`) removes the last manual
+    * step: a [[org.apache.spark.sql.streaming.StreamingQueryListener]]
+    * runs [[drainSpool]] when THIS query terminates CLEANLY — so
+    * `query.stop()` alone leaves no unapplied spool. Termination by
+    * ERROR deliberately does NOT drain: the error path is a crash, and
+    * a crash's contract is heal-on-restart (the next run's boundary or
+    * entry healing applies the leftover spool under its own epoch id).
+    * Draining there would also be WRONG for a restart that continues
+    * the same checkpoint: the current epoch's id would be ledgered
+    * with partial data and the restart's remaining rows for that epoch
+    * would later clear UNAPPLIED as a "replay". The same hazard is why
+    * `drainOnStop` must only be set when a clean stop is TERMINAL for
+    * this spool/checkpoint lineage — to resume ingest after a drained
+    * stop, start a fresh epoch mapping (e.g. an epochIdFor offset past
+    * the drained ids), exactly as the manual-drain contract already
+    * required.
     */
   def startSpool(
       emb: DataFrame,
@@ -77,7 +97,10 @@ object StreamingSimilarity {
       intervalSeconds: Long = 10,
       checkpointLocation: Option[String] = None,
       applyToLayout: Option[String] = None,
-      idCol: String = "vec_id"): StreamingQuery = {
+      idCol: String = "vec_id",
+      drainOnStop: Boolean = false): StreamingQuery = {
+    require(!drainOnStop || applyToLayout.isDefined,
+      "drainOnStop without applyToLayout has no layout to drain into")
     if (checkpointLocation.isEmpty)
       log.warn(
         "startSpool without a checkpointLocation: a restart resets " +
@@ -100,9 +123,40 @@ object StreamingSimilarity {
         StreamingDedup.spoolBatch(batch, s"$spoolRoot/$epochId", batchId)
         ()
       }
-    checkpointLocation
+    val query = checkpointLocation
       .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
+    if (drainOnStop) applyToLayout.foreach { layout =>
+      val spark = emb.sparkSession
+      val queryId = query.id
+      val listener = new org.apache.spark.sql.streaming
+          .StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit =
+          if (e.id == queryId) {
+            // clean stop only — see the drainOnStop contract above
+            try {
+              if (e.exception.isEmpty)
+                drainSpool(spark, spoolRoot, layout, idCol)
+            } catch {
+              case t: Throwable =>
+                // the spool survives (idempotent protocol): a manual
+                // drain or the next session's healing finishes the job
+                log.error(s"drainOnStop of $spoolRoot -> $layout " +
+                  "failed; spool left for restart healing", t)
+            } finally spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+    }
+    query
   }
 
   /** The epoch ids with a spool dir under `spoolRoot` — the boundary

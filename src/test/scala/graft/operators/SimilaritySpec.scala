@@ -376,4 +376,61 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(dup.toSeq == Seq((0L, 1L)))
   }
+
+  test("held-out query recall: external query vectors detect a routing " +
+    "miss stored-vector recall cannot see, and the serving probe " +
+    "answers exactly at the wider nprobe") {
+    val root = java.nio.file.Files.createTempDirectory("graft-extrc").toString
+    val path = s"$root/ivf"
+    // two tight clusters on orthogonal axes; the jitter lives in dims
+    // 4..7 so the signal dims 0/1 stay exact
+    def unit(c0: Double, c1: Double, id: Long): Array[Float] = {
+      val a = Array.fill(8)(0f)
+      a(0) = c0.toFloat; a(1) = c1.toFloat
+      (4 until 8).foreach { j =>
+        val h = scala.util.hashing.byteswap64(id * 8 + j)
+        a(j) = ((Math.floorMod(h, 1001L) - 500L).toFloat / 500f) * 0.01f
+      }
+      a
+    }
+    val aRows = (0L until 20L).map(i => (i, unit(1.0, 0.0, i)))
+    // B members lean 30 deg off e1 toward e0 — still assigned to the
+    // e1 centroid (0.866 > 0.5), but CLOSER than any A member to a
+    // between-clusters query
+    val bRows = (100L until 120L).map(i => (i, unit(0.5, 0.866, i)))
+    val emb = (aRows ++ bRows).toDF("vec_id", "embedding")
+    def cent(id: Long, v: Array[Double]) =
+      (id, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+    val e0 = Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0)
+    val e1 = Array.tabulate(8)(i => if (i == 1) 1.0 else 0.0)
+    val cents = Seq(cent(0L, e0), cent(1L, e1))
+      .toDF("centroid_id", "cvec", "cnrm")
+    Similarity.writeIvfPartitioned(emb, path, trainedCentroids = Some(cents))
+
+    // stored-vector recall at nprobe-1 is PERFECT: every stored
+    // vector's true neighbors live in its own partition
+    val stored = Similarity.ivfRecallProbe(spark, path, sampleN = 16, k = 5)
+    assert(stored.recallAtK == 1.0, stored)
+
+    // a between-clusters query (cos 0.8 to e0, 0.6 to e1) ROUTES to
+    // the A partition, but its true top-5 are ALL B members
+    // (0.8*0.5 + 0.6*0.866 = 0.92 > 0.8): serving recall at nprobe-1
+    // is 0 while the stored observable says the layout is healthy
+    val held = Seq((9000L, unit(0.8, 0.6, 9000L)))
+      .toDF("query_id", "embedding")
+    val ext = Similarity.ivfRecallProbe(spark, path, k = 5,
+      queryVectors = Some(held))
+    assert(ext.queries == 1 && ext.recallAtK == 0.0, ext)
+    // widening nprobe recovers it — the tuning answer the observable
+    // exists to trigger
+    val ext2 = Similarity.ivfRecallProbe(spark, path, k = 5, nprobe = 2,
+      queryVectors = Some(held))
+    assert(ext2.recallAtK == 1.0, ext2)
+    // and the serving-path probe itself returns the exact set there
+    val got = Similarity.ivfKnnPartitionedWith(spark, path, held, k = 5,
+      nprobe = 2).collect()
+    assert(got.length == 5 && got.forall(_.getLong(1) >= 100L))
+    // external mode never touches the layout
+    assert(spark.read.parquet(path).count() == 40)
+  }
 }

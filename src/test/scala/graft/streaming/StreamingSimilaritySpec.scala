@@ -137,6 +137,78 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     assert(Similarity.listIvfQuarantined(spark, path).isEmpty)
   }
 
+  test("drainOnStop: a clean stop() alone leaves no unapplied spool; " +
+    "an ERROR termination leaves the spool for restart healing; the " +
+    "flag requires applyToLayout") {
+    implicit val sqlCtx = spark.sqlContext
+    def await(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (!cond && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(cond, s"timed out waiting: $what")
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-ssimds").toString
+    val path = s"$root/ivf"
+    val base = (0L until 6L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.writeIvfPartitioned(base, path, centroidK = 2)
+
+    intercept[IllegalArgumentException] {
+      StreamingSimilarity.startSpool(
+        MemoryStream[(Long, Array[Float])].toDF()
+          .toDF("vec_id", "embedding"),
+        s"$root/nospool", epochIdFor = _ => "x", drainOnStop = true)
+    }
+
+    // clean stop: the listener drains the final epoch, no manual call
+    val spool1 = s"$root/spool1"
+    val stream = MemoryStream[(Long, Array[Float])]
+    val query = StreamingSimilarity.startSpool(
+      stream.toDF().toDF("vec_id", "embedding"), spool1,
+      epochIdFor = _ => "e1", intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt1"),
+      applyToLayout = Some(path), drainOnStop = true)
+    stream.addData((100L, vec(100L)), (101L, vec(101L)))
+    query.processAllAvailable()
+    query.stop()
+    await("clean-stop auto-drain") {
+      Similarity.ivfEpochApplied(spark, path, "e1") &&
+        StreamingSimilarity.listSpooledEpochs(spark, spool1).isEmpty
+    }
+    val n1 = Seq(100L, 101L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    assert(rows(path) == rebuildRows(base.unionByName(n1), path))
+
+    // error termination: NO drain — the crash contract is
+    // heal-on-restart, so the spool must survive intact
+    val spool2 = s"$root/spool2"
+    @volatile var boom = false
+    val stream2 = MemoryStream[(Long, Array[Float])]
+    val query2 = StreamingSimilarity.startSpool(
+      stream2.toDF().toDF("vec_id", "embedding"), spool2,
+      epochIdFor = b =>
+        { if (boom) throw new RuntimeException("injected-stream-crash")
+          "e9" },
+      intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt2"),
+      applyToLayout = Some(path), drainOnStop = true)
+    stream2.addData((200L, vec(200L)))
+    query2.processAllAvailable()
+    boom = true
+    stream2.addData((201L, vec(201L)))
+    intercept[Exception] { query2.processAllAvailable() }
+    await("error termination") { !query2.isActive }
+    // give the listener bus time to (wrongly) act, then check it didn't
+    Thread.sleep(500)
+    assert(!Similarity.ivfEpochApplied(spark, path, "e9"))
+    assert(StreamingSimilarity.listSpooledEpochs(spark, spool2) ==
+      Seq("e9"))
+    // restart-path healing applies the surviving spool exactly once
+    assert(StreamingSimilarity.drainSpool(spark, spool2, path) == Seq("e9"))
+    val n2 = Seq((200L, vec(200L))).toDF("vec_id", "embedding")
+    assert(rows(path) ==
+      rebuildRows(base.unionByName(n1).unionByName(n2), path))
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty)
+  }
+
   test("a crash before the boundary apply heals on restart: leftover " +
     "spooled epochs apply on the restarted stream's first batch") {
     implicit val sqlCtx = spark.sqlContext
