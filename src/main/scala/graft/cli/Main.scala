@@ -24,9 +24,10 @@ import graft.streaming.Ingest
   * The `ivf` group is the SCALING.md runbook as ops commands (no
   * reference analogue — the reference has no ANN layout):
   * {{{
-  * ivf health  <layout> [--recall N]
+  * ivf health  <layout> [--recall N] [--recall-queries PARQUET]
   * ivf maintain <layout> <id> [--max-files N] [--skew X] [--recall N]
-  *              [--recall-floor F] [--ledger-tail N] [--k K]
+  *              [--recall-queries PARQUET] [--recall-floor F]
+  *              [--ledger-tail N] [--k K]
   *              [--sample-frac F] [--defer-retire] [--lock-file F]
   * ivf rotate  <layout> <id> [--k K] [--sample-frac F] [--defer-retire] [--lock-file F]
   * ivf compact <layout> <id> [--max-records-per-file N] [--defer-retire] [--lock-file F]
@@ -204,10 +205,15 @@ object Main {
     }
     def id(what: String): String =
       posArg.getOrElse(sys.error(s"ivf $sub needs a positional <$what>"))
+    // held-out query vectors for the serving-shaped recall mode: a
+    // parquet of (query_id, embedding)
+    def recallQueries: Option[org.apache.spark.sql.DataFrame] =
+      flag("--recall-queries").map(spark.read.parquet(_))
     sub match {
       case "health" =>
         val h = Similarity.ivfHealth(spark, layout,
-          recallSampleN = flag("--recall").map(_.toInt).getOrElse(0))
+          recallSampleN = flag("--recall").map(_.toInt).getOrElse(0),
+          queryVectors = recallQueries)
         val recallStr = h.recall
           .map(r => f"${r.recallAtK}%.4f(k=${r.k},nprobe=${r.nprobe})")
           .getOrElse("-")
@@ -246,7 +252,8 @@ object Main {
           centroidK = flag("--k").map(_.toInt)
             .getOrElse(Similarity.DefaultCentroidK),
           sampleFrac = flag("--sample-frac").map(_.toDouble).getOrElse(1.0),
-          deferRetire = flags.contains("--defer-retire"))
+          deferRetire = flags.contains("--defer-retire"),
+          queryVectors = recallQueries)
         val acts =
           if (m.actions.isEmpty) "none (healthy)" else m.actions.mkString("; ")
         s"actions=$acts " +

@@ -1281,14 +1281,18 @@ object Similarity {
     * hundred → [[compactIvf]] (+ [[EpochLedger.compactLedger]]);
     * `quarantined > 0` → a torn epoch needs investigation
     * ([[listIvfQuarantined]]); `retired > 0` → confirmed-superseded
-    * bytes awaiting [[purgeIvfRetired]].
+    * bytes awaiting [[purgeIvfRetired]]. `queryVectors` switches the
+    * recall observable to the SERVING-shaped held-out mode (see
+    * [[ivfRecallProbe]]) — it implies the probe runs even when
+    * `recallSampleN` is 0.
     */
   def ivfHealth(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       recallSampleN: Int = 0,
       k: Int = 10,
-      nprobe: Int = 1): IvfHealth = {
+      nprobe: Int = 1,
+      queryVectors: Option[DataFrame] = None): IvfHealth = {
     val f = Dedup.fsFor(spark, path)
     val stats = ivfPartitionStats(spark, path)
     IvfHealth(
@@ -1300,8 +1304,9 @@ object Similarity {
       maxFilesPerPartition = if (stats.isEmpty) 0 else stats.map(_._2).max,
       skewRatio = ivfSkewRatio(spark, path),
       recall =
-        if (recallSampleN > 0)
-          Some(ivfRecallProbe(spark, path, recallSampleN, k, nprobe))
+        if (recallSampleN > 0 || queryVectors.isDefined)
+          Some(ivfRecallProbe(spark, path, recallSampleN.max(1), k, nprobe,
+            queryVectors = queryVectors))
         else None,
       quarantined = listIvfQuarantined(spark, path).size,
       retired = listIvfRetired(spark, path).size)
@@ -1336,9 +1341,12 @@ object Similarity {
     * crash resumes/no-ops through each sub-protocol's own ledger.
     * Recall probing only runs when `recallFloor` is set — it is the
     * one corpus-scan observable ([[ivfRecallProbe]]); the rest stay
-    * listing-only. Single maintenance writer, like everything else on
-    * the layout; the CLI twin (`ivf maintain --lock-file`) gives that
-    * contract process teeth.
+    * listing-only. With `queryVectors` the floor judges SERVING-shaped
+    * recall over the supplied held-out vectors instead of the stored
+    * sample — the drift mode stored sampling under-detects. Single
+    * maintenance writer, like everything else on the layout; the CLI
+    * twin (`ivf maintain --lock-file`) gives that contract process
+    * teeth.
     */
   def ivfMaintain(
       spark: org.apache.spark.sql.SparkSession,
@@ -1353,7 +1361,8 @@ object Similarity {
       ledgerTailMax: Int = 256,
       centroidK: Int = DefaultCentroidK,
       sampleFrac: Double = 1.0,
-      deferRetire: Boolean = false): IvfMaintenance = {
+      deferRetire: Boolean = false,
+      queryVectors: Option[DataFrame] = None): IvfMaintenance = {
     EpochLedger.requireEpochId(id)
     require(maxFilesPerPartition >= 1 && skewThreshold > 1.0 &&
         ledgerTailMax >= 1,
@@ -1362,7 +1371,8 @@ object Similarity {
         s"ledgerTailMax=$ledgerTailMax")
     val h = ivfHealth(spark, path,
       recallSampleN = if (recallFloor.isDefined) recallSampleN else 0,
-      k = k, nprobe = nprobe)
+      k = k, nprobe = nprobe,
+      queryVectors = if (recallFloor.isDefined) queryVectors else None)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     val skewHit = h.skewRatio > skewThreshold
     val recallHit = recallFloor.exists(fl =>

@@ -147,6 +147,14 @@ class MainSpec extends AnyFunSuite {
         graft.operators.Similarity.ivfDataRoot(spark, layout))
       .count() == 40)
 
+    // serving-shaped recall from a held-out parquet: the recall
+    // observable appears without --recall (the stored-sample knob)
+    val qPath = s"$root/held"
+    Seq((9000L, vec(9000L))).toDF("query_id", "embedding")
+      .write.parquet(qPath)
+    val hq = run("health", flags = List("--recall-queries", qPath))
+    assert(hq.contains("recall=") && !hq.contains("recall=-"), hq)
+
     // purge-retired refuses without an explicit retention window
     val exP = intercept[RuntimeException] { run("purge-retired") }
     assert(exP.getMessage.contains("--older-than"), exP.getMessage)
