@@ -578,6 +578,13 @@ object Dedup {
     // epoch after a stage-loss partial move would double-append its
     // rows
     recoverRotations(spark, historyPath, indexPath)
+    if (epochApplied(spark, historyPath, epochId))
+      // a ledger hit is only a replay when the SAME protocol applied
+      // it; an id a partition-compaction ledgered must fail loudly
+      // instead of silently skipping the appends (empty legacy entries
+      // pass as kind-unknown)
+      EpochLedger.requireKind(fsFor(spark, historyPath), historyPath,
+        epochId, "epoch")
     if (!epochApplied(spark, historyPath, epochId)) {
       val f = fsFor(spark, historyPath)
       // the ledger DIR is created before any data can move, so every
@@ -652,6 +659,84 @@ object Dedup {
       historyPath: String): Int =
     EpochLedger.compactLedger(spark, historyPath)
 
+  /** Per-bucket storage footprint of a [[writeHistoryBucketed]] layout
+    * — one `(id_bucket, parquet-files, bytes)` row per partition dir,
+    * from the listing alone. The history twin of
+    * [[Similarity.ivfPartitionStats]]: every [[rotateEpochBucketed]]
+    * epoch lands one file-set per bucket dir, so `files` here is the
+    * fragmentation observable that drives
+    * [[compactHistoryPartitions]].
+    */
+  def historyPartitionStats(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String): Seq[(String, Int, Long)] =
+    EpochLedger.partitionFileStats(fsFor(spark, historyPath), historyPath,
+      "id_bucket=")
+      .map { case (d, n, b) => (d.stripPrefix("id_bucket="), n, b) }
+
+  /** Compact ONLY the fragmented buckets of a [[writeHistoryBucketed]]
+    * layout, in place — the history twin of
+    * [[Similarity.compactIvfPartitions]], through the same generic
+    * stage → `_MANIFEST` → per-dir idempotent swaps → ledger protocol
+    * ([[EpochLedger.compactPartitionsStaged]]): every `id_bucket=` dir
+    * whose parquet-file count exceeds `maxFilesPerPartition` is
+    * rewritten to one file (`maxRecordsPerFile` re-splits) in ONE job
+    * that reads only those dirs; untouched buckets keep their exact
+    * files. At epoch cadence a year of rotations is hundreds of
+    * file-sets per bucket — this bounds probe-scan planning and the
+    * listing-only recovery sweeps at O(fragmented) rewrite cost, not
+    * O(corpus). Compacted files carry the `<compactionId>=` footprint
+    * and the id lands kind-tagged ("partition-compaction") in the
+    * SHARED `historyPath/_epochs` ledger, so an id collision with an
+    * epoch rotation fails loudly in either direction. Replaced dirs
+    * retire (never delete) under
+    * `historyPath/_retired/<id>.compact/`.
+    *
+    * The index side needs no counterpart here: the flat minhash index
+    * is DERIVED data (a pure function of the corpus), so its
+    * file-growth remedy is a rebuild (`writeMinhashIndex` over the
+    * corpus) inside the stopped-stream maintenance window the epoch
+    * lifecycle already mandates — see SCALING.md.
+    *
+    * Same non-atomic per-dir swap window as the IVF twin (two renames;
+    * a probe listing exactly then misses that one bucket — never
+    * doubled, never mixed), and the same contract: single maintenance
+    * writer, stream STOPPED, heal-at-entry. Returns the number of
+    * bucket dirs compacted now (0 = replay or nothing over
+    * threshold).
+    */
+  def compactHistoryPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String,
+      compactionId: String,
+      maxFilesPerPartition: Int = 1,
+      maxRecordsPerFile: Long = 0L): Int =
+    compactHistoryPartitionsStaged(spark, historyPath, indexPath,
+      compactionId, maxFilesPerPartition, maxRecordsPerFile, _ => ())
+
+  /** [[compactHistoryPartitions]] with the crash-injection hook —
+    * same failpoints as the IVF twin ("staged", "committed",
+    * "swap-retire", "swap-in", "swapped").
+    */
+  private[operators] def compactHistoryPartitionsStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String,
+      compactionId: String,
+      maxFilesPerPartition: Int,
+      maxRecordsPerFile: Long,
+      failpoint: String => Unit): Int = {
+    // heal the PAIR first — a torn rotation would otherwise be
+    // compacted half-appended (and its unledgered footprints must
+    // quarantine before the rewrite reads them as corpus)
+    recoverRotations(spark, historyPath, indexPath)
+    EpochLedger.compactPartitionsStaged(spark, historyPath,
+      dataRoot = historyPath, partitionCol = "id_bucket",
+      id = compactionId, maxFilesPerPartition = maxFilesPerPartition,
+      maxRecordsPerFile = maxRecordsPerFile, failpoint = failpoint)
+  }
+
   /** Resolve any crashed [[rotateEpochBucketed]] on the layouts rooted
     * at `historyPath` (the index path comes from each staging dir's
     * manifest). Uncommitted staging (no `_MANIFEST`) is discarded —
@@ -681,8 +766,14 @@ object Dedup {
       historyPath: String): Unit = {
     val f = fsFor(spark, historyPath)
     val root = new org.apache.hadoop.fs.Path(s"$historyPath/_rotate")
-    if (!f.exists(root)) return
-    val stages = f.listStatus(root)
+    val retrainRoot = new org.apache.hadoop.fs.Path(s"$historyPath/_retrain")
+    val retrainStages =
+      if (f.exists(retrainRoot)) f.listStatus(retrainRoot).toSeq
+      else Seq.empty
+    if (!f.exists(root) && retrainStages.isEmpty) return
+    val stages =
+      if (f.exists(root)) f.listStatus(root)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
     // committed stages' manifests, read up front: each records its
     // indexPath, which extends the ledger-loss valve below to the
     // index SIDE — an index-only torn state (an empty-novel epoch that
@@ -702,7 +793,9 @@ object Dedup {
     // dir is missing while footprints exist ON EITHER SIDE, the ledger
     // was lost; refuse before mutating anything. (All exists() checks
     // are skipped entirely on the normal path.)
-    if (committed.nonEmpty &&
+    val retrainCommitted = retrainStages.filter(st =>
+      f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST")))
+    if ((committed.nonEmpty || retrainCommitted.nonEmpty) &&
       !f.exists(new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")))
       require(!anyHistoryFootprint(f, historyPath) &&
         !committed.exists { case (_, ip) => anyIndexFootprint(f, ip) },
@@ -724,6 +817,22 @@ object Dedup {
           completeRotation(f, st.getPath, historyPath, indexPath,
             st.getPath.getName, _ => ())
       }
+    }
+    // _retrain stages are the history layout's partition-scoped
+    // compactions ([[compactHistoryPartitions]]): uncommitted or
+    // already-ledgered → discard; committed → resume the per-dir
+    // swaps. A foreign manifest kind refuses loudly inside the
+    // completion (nothing else stages under _retrain here).
+    retrainStages.foreach { st =>
+      val id = st.getPath.getName
+      val isCommitted =
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST"))
+      if (EpochLedger.applied(spark, historyPath, id) || !isCommitted)
+        require(f.delete(st.getPath, true),
+          s"partition-compaction: cleanup of stage ${st.getPath} failed")
+      else
+        EpochLedger.completePartitionCompaction(f, st.getPath,
+          historyPath, id, _ => ())
     }
   }
 
@@ -814,14 +923,19 @@ object Dedup {
       else Set.empty
     // ids with a COMMITTED stage pending are not torn — completing
     // them below writes their ledger entry
-    val rotateRoot = new org.apache.hadoop.fs.Path(s"$historyPath/_rotate")
+    // committed _retrain stages (partition compactions) fence their
+    // ids too: a mid-swap compaction's footprinted files must not be
+    // quarantined out from under the resumable stage
     val pendingCommitted: Set[String] =
-      if (f.exists(rotateRoot))
-        f.listStatus(rotateRoot)
-          .filter(st => f.exists(
-            new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST")))
-          .map(_.getPath.getName).toSet
-      else Set.empty
+      Seq(s"$historyPath/_rotate", s"$historyPath/_retrain").flatMap { r =>
+        val rp = new org.apache.hadoop.fs.Path(r)
+        if (f.exists(rp))
+          f.listStatus(rp)
+            .filter(st => f.exists(
+              new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST")))
+            .map(_.getPath.getName)
+        else Seq.empty
+      }.toSet
     val torn = residue.filterNot { case (id, _, _, _) =>
       ledgered(id) || pendingCommitted(id) }
     // the ledger-loss valve is judged BEFORE any mutation: completing
@@ -1141,9 +1255,11 @@ object Dedup {
       s"rotate: stage $stageRoot vanished mid-completion — a concurrent " +
         "recoverRotations/rotation ran against these layouts; rotation " +
         "requires a single maintenance writer")
-    val ledger = new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")
-    f.mkdirs(ledger)
-    f.create(new org.apache.hadoop.fs.Path(ledger, epochId), true).close()
+    // kind-tagged like every other protocol on a shared ledger (legacy
+    // empty entries remain accepted as kind-unknown): what lets an id
+    // collision with a history partition-compaction fail loudly
+    // instead of silently no-oping one of the two operations
+    EpochLedger.writeLedgerEntry(f, historyPath, epochId, "epoch")
     // the epoch is ledgered: any quarantine from an earlier torn
     // attempt of the SAME epoch is superseded now (the re-rotation
     // just re-applied the full epoch). RETIRE it — move under the

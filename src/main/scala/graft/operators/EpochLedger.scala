@@ -232,6 +232,168 @@ object EpochLedger {
     entries.length
   }
 
+  /** One `(partition-dir-name, parquet-files, bytes)` row per
+    * `partPrefix` dir under `dataRoot` — listing-only. The generic
+    * form behind [[Similarity.ivfPartitionStats]] and the history
+    * layout's fragmentation observable.
+    */
+  private[operators] def partitionFileStats(
+      f: FileSystem,
+      dataRoot: String,
+      partPrefix: String): Seq[(String, Int, Long)] = {
+    val root = new Path(dataRoot)
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partPrefix))
+      .map { st =>
+        val parts = f.listStatus(st.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        (st.getPath.getName, parts.length, parts.map(_.getLen).sum)
+      }
+      .toIndexedSeq
+      .sortBy(_._1)
+  }
+
+  /** Partition-scoped file compaction for ONE partitioned layout — the
+    * generic protocol behind [[Similarity.compactIvfPartitions]] and
+    * [[Dedup.compactHistoryPartitions]]: rewrite ONLY the
+    * `partitionCol=` dirs whose parquet-file count exceeds
+    * `maxFilesPerPartition`, in place (no generation bump), through
+    * stage → `_MANIFEST` → per-dir idempotent swaps → ledger.
+    * Compacted files carry the `<id>=` footprint prefix. The CALLER
+    * heals its layout's torn state before invoking (this function
+    * assumes a settled layout and a resolved `dataRoot`); recovery of
+    * a crashed run happens via the caller's recovery entry
+    * dispatching committed stages to [[completePartitionCompaction]].
+    * Returns the number of dirs compacted now (0 = replay or nothing
+    * over threshold; the nothing-to-do case stays unledgered so the
+    * id is reusable). Single maintenance writer, as everywhere.
+    */
+  private[operators] def compactPartitionsStaged(
+      spark: SparkSession,
+      path: String,
+      dataRoot: String,
+      partitionCol: String,
+      id: String,
+      maxFilesPerPartition: Int,
+      maxRecordsPerFile: Long,
+      failpoint: String => Unit): Int = {
+    import org.apache.spark.sql.functions.col
+    requireEpochId(id)
+    require(maxFilesPerPartition >= 1,
+      s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
+    val f = Dedup.fsFor(spark, path)
+    if (applied(spark, path, id)) {
+      requireKind(f, path, id, "partition-compaction")
+      return 0
+    }
+    val targets = partitionFileStats(f, dataRoot, s"$partitionCol=")
+      .filter(_._2 > maxFilesPerPartition)
+      .map(_._1)
+    if (targets.isEmpty) return 0
+    f.mkdirs(new Path(s"$path/_epochs"))
+    val stageRoot = new Path(s"$path/_retrain/$id")
+    val stageData = s"$stageRoot/data"
+    // ONE job over ONLY the fragmented dirs; basePath keeps the
+    // partition column so partitionBy re-creates the same dir names.
+    // The hash exchange on the partition key puts each target dir's
+    // rows in one task -> one file per dir.
+    val writer = spark.read.option("basePath", dataRoot)
+      .parquet(targets.map(d => s"$dataRoot/$d"): _*)
+      .repartition(col(partitionCol))
+      .write.partitionBy(partitionCol)
+    (if (maxRecordsPerFile > 0L)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer)
+      .parquet(stageData)
+    // footprint-prefix the staged files NOW (pre-commit, invisible to
+    // readers): the compacted files land in live dirs carrying the
+    // compaction id, exactly like epoch-appended files — ledgered
+    // history stays evidenced in the layout itself
+    targets.foreach { d =>
+      val sd = new Path(s"$stageData/$d")
+      if (f.exists(sd))
+        f.listStatus(sd)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .filterNot(_.getPath.getName.contains('='))
+          .foreach { nf =>
+            val to = new Path(sd, s"$id=${nf.getPath.getName}")
+            require(f.rename(nf.getPath, to),
+              s"partition-compaction: stage rename ${nf.getPath} " +
+                s"-> $to failed")
+          }
+    }
+    failpoint("staged")
+    require(f.exists(new Path(stageData)),
+      s"partition-compaction: staging for '$id' vanished before " +
+        "commit — a concurrent recover/rotation ran against this " +
+        "layout; the protocol requires a single maintenance writer")
+    val oldRel =
+      if (dataRoot == path) "." else dataRoot.substring(path.length + 1)
+    commitManifest(f, stageRoot,
+      s"kind:partition-compaction\nroot:$oldRel\ndirs:${targets.mkString(",")}",
+      "partition-compaction")
+    failpoint("committed")
+    completePartitionCompaction(f, stageRoot, path, id, failpoint)
+    targets.size
+  }
+
+  /** Finish a COMMITTED partition-scoped compaction from the stage's
+    * own manifest — every per-dir swap idempotent under resume: a dir
+    * whose staged replacement is gone was already swapped in; a live
+    * dir already absent was already retired (the crash hit between its
+    * two renames — only the move-in remains). Runs after the commit
+    * point, so the layout's recovery entry can complete it from any
+    * crash.
+    */
+  private[operators] def completePartitionCompaction(
+      f: FileSystem,
+      stageRoot: Path,
+      path: String,
+      id: String,
+      failpoint: String => Unit): Unit = {
+    val mf = readManifest(f, new Path(stageRoot, "_MANIFEST"))
+    require(mf.get("kind").contains("partition-compaction") &&
+        mf.contains("root") && mf.contains("dirs"),
+      s"partition-compaction: stage $stageRoot carries a foreign " +
+        "manifest — refusing to resume it")
+    val dataRoot =
+      if (mf("root") == ".") path else s"$path/${mf("root")}"
+    val retireBase = new Path(s"$path/_retired/$id.compact")
+    mf("dirs").split(',').filter(_.nonEmpty).foreach { d =>
+      val stageDir = new Path(s"$stageRoot/data/$d")
+      val liveDir = new Path(s"$dataRoot/$d")
+      if (f.exists(stageDir)) {
+        if (f.exists(liveDir)) {
+          f.mkdirs(retireBase)
+          // uniquify defensively (matches retireQuarantine's `.n`
+          // convention) — unreachable under the single-writer contract
+          var dst = new Path(retireBase, d)
+          var n = 1
+          while (f.exists(dst)) {
+            n += 1; dst = new Path(retireBase, s"$d.$n")
+          }
+          failpoint("swap-retire")
+          require(f.rename(liveDir, dst),
+            s"partition-compaction: retire $liveDir -> $dst failed")
+        }
+        failpoint("swap-in")
+        require(f.rename(stageDir, liveDir),
+          s"partition-compaction: swap-in $stageDir -> $liveDir failed")
+      }
+    }
+    failpoint("swapped")
+    // commit-point verification, same as the sibling protocols
+    require(f.exists(new Path(stageRoot, "_MANIFEST")),
+      s"partition-compaction: stage $stageRoot vanished " +
+        "mid-completion — a concurrent recover/rotation ran against " +
+        "this layout; the protocol requires a single maintenance writer")
+    writeLedgerEntry(f, path, id, "partition-compaction")
+    Dedup.retireQuarantine(f, path, id)
+    require(f.delete(stageRoot, true),
+      s"partition-compaction: cleanup of $stageRoot failed")
+  }
+
   /** Refuse to treat an id applied by ONE protocol as a replay of the
     * OTHER: a shared date-style id would otherwise make the second
     * operation a silent no-op (a rotation that never re-trains, or an

@@ -802,123 +802,12 @@ object Similarity {
       maxFilesPerPartition: Int,
       maxRecordsPerFile: Long,
       failpoint: String => Unit): Int = {
-    import org.apache.hadoop.fs.Path
-    EpochLedger.requireEpochId(compactionId)
-    require(maxFilesPerPartition >= 1,
-      s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
     recoverIvfEpochs(spark, path)
-    val f = Dedup.fsFor(spark, path)
-    if (EpochLedger.applied(spark, path, compactionId)) {
-      EpochLedger.requireKind(f, path, compactionId, "partition-compaction")
-      return 0
-    }
-    val dataRoot = ivfDataRoot(f, path)
-    val targets = ivfPartitionStats(spark, path)
-      .filter(_._2 > maxFilesPerPartition)
-      .map { case (cid, _, _) => s"centroid_id=$cid" }
-    if (targets.isEmpty) return 0
-    f.mkdirs(new Path(s"$path/_epochs"))
-    val stageRoot = new Path(s"$path/_retrain/$compactionId")
-    val stageData = s"$stageRoot/data"
-    // ONE job over ONLY the fragmented dirs; basePath keeps the
-    // centroid_id partition column so partitionBy re-creates the same
-    // dir names. The hash exchange on the partition key puts each
-    // target dir's rows in one task -> one file per dir.
-    val reader = spark.read.option("basePath", dataRoot)
-    val writer = reader.parquet(targets.map(d => s"$dataRoot/$d"): _*)
-      .repartition(col("centroid_id"))
-      .write.partitionBy("centroid_id")
-    (if (maxRecordsPerFile > 0L)
-       writer.option("maxRecordsPerFile", maxRecordsPerFile)
-     else writer)
-      .parquet(stageData)
-    // footprint-prefix the staged files NOW (pre-commit, invisible to
-    // readers): the compacted files land in live dirs carrying the
-    // compaction id, exactly like epoch-appended files — ledgered
-    // history stays evidenced in the layout itself
-    targets.foreach { d =>
-      val sd = new Path(s"$stageData/$d")
-      if (f.exists(sd))
-        f.listStatus(sd)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .filterNot(_.getPath.getName.contains('='))
-          .foreach { nf =>
-            val to = new Path(sd, s"$compactionId=${nf.getPath.getName}")
-            require(f.rename(nf.getPath, to),
-              s"ivf-partition-compaction: stage rename ${nf.getPath} " +
-                s"-> $to failed")
-          }
-    }
-    failpoint("staged")
-    require(f.exists(new Path(stageData)),
-      s"ivf-partition-compaction: staging for '$compactionId' vanished " +
-        "before commit — a concurrent recover/rotation ran against this " +
-        "layout; the protocol requires a single maintenance writer")
-    val oldRel =
-      if (dataRoot == path) "." else dataRoot.substring(path.length + 1)
-    EpochLedger.commitManifest(f, stageRoot,
-      s"kind:partition-compaction\nroot:$oldRel\ndirs:${targets.mkString(",")}",
-      "ivf-partition-compaction")
-    failpoint("committed")
-    completePartitionCompaction(f, stageRoot, path, compactionId, failpoint)
-    targets.size
-  }
-
-  /** Finish a COMMITTED partition-scoped compaction from the stage's
-    * own manifest — every per-dir swap idempotent under resume: a dir
-    * whose staged replacement is gone was already swapped in; a live
-    * dir already absent was already retired (the crash hit between its
-    * two renames — only the move-in remains). Runs after the commit
-    * point, so recovery ([[recoverIvfRotations]]) can complete it from
-    * any crash.
-    */
-  private def completePartitionCompaction(
-      f: org.apache.hadoop.fs.FileSystem,
-      stageRoot: org.apache.hadoop.fs.Path,
-      path: String,
-      id: String,
-      failpoint: String => Unit): Unit = {
-    import org.apache.hadoop.fs.Path
-    val mf = EpochLedger.readManifest(f, new Path(stageRoot, "_MANIFEST"))
-    require(mf.get("kind").contains("partition-compaction") &&
-        mf.contains("root") && mf.contains("dirs"),
-      s"ivf-partition-compaction: stage $stageRoot carries a foreign " +
-        "manifest — refusing to resume it")
-    val dataRoot =
-      if (mf("root") == ".") path else s"$path/${mf("root")}"
-    val retireBase = new Path(s"$path/_retired/$id.compact")
-    mf("dirs").split(',').filter(_.nonEmpty).foreach { d =>
-      val stageDir = new Path(s"$stageRoot/data/$d")
-      val liveDir = new Path(s"$dataRoot/$d")
-      if (f.exists(stageDir)) {
-        if (f.exists(liveDir)) {
-          f.mkdirs(retireBase)
-          // uniquify defensively (matches retireQuarantine's `.n`
-          // convention) — unreachable under the single-writer contract
-          var dst = new Path(retireBase, d)
-          var n = 1
-          while (f.exists(dst)) {
-            n += 1; dst = new Path(retireBase, s"$d.$n")
-          }
-          failpoint("swap-retire")
-          require(f.rename(liveDir, dst),
-            s"ivf-partition-compaction: retire $liveDir -> $dst failed")
-        }
-        failpoint("swap-in")
-        require(f.rename(stageDir, liveDir),
-          s"ivf-partition-compaction: swap-in $stageDir -> $liveDir failed")
-      }
-    }
-    failpoint("swapped")
-    // commit-point verification, same as the sibling protocols
-    require(f.exists(new Path(stageRoot, "_MANIFEST")),
-      s"ivf-partition-compaction: stage $stageRoot vanished " +
-        "mid-completion — a concurrent recover/rotation ran against " +
-        "this layout; the protocol requires a single maintenance writer")
-    EpochLedger.writeLedgerEntry(f, path, id, "partition-compaction")
-    Dedup.retireQuarantine(f, path, id)
-    require(f.delete(stageRoot, true),
-      s"ivf-partition-compaction: cleanup of $stageRoot failed")
+    EpochLedger.compactPartitionsStaged(spark, path,
+      dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path),
+      partitionCol = "centroid_id", id = compactionId,
+      maxFilesPerPartition = maxFilesPerPartition,
+      maxRecordsPerFile = maxRecordsPerFile, failpoint = failpoint)
   }
 
   /** Shared staged-generation runner behind [[rotateIvf]] and
@@ -1194,7 +1083,8 @@ object Similarity {
         val mf = EpochLedger.readManifest(f,
           new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST"))
         if (mf.get("kind").contains("partition-compaction"))
-          completePartitionCompaction(f, st.getPath, path, id, _ => ())
+          EpochLedger.completePartitionCompaction(
+            f, st.getPath, path, id, _ => ())
         else
           completeIvfGeneration(f, st.getPath, path, id, _ => ())
       }

@@ -723,4 +723,136 @@ class EpochRotationSpec extends AnyFunSuite {
       Dedup.bloomWithNovel(bloom, novel, expectedItems = 37, fpp = 0.001)
     }
   }
+
+  // ---------------------------- history partition-scoped compaction
+
+  /** A rotated-twice layout pair: every bucket dir carries the base
+    * file-set plus one per epoch. Returns (histPath, idxPath, probe
+    * batch) with the bloom chain released.
+    */
+  private def rotatedPair(root: String): (String, String) = {
+    val h0 = (0L until 40L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 4)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    var bloom = spark.sparkContext.broadcast(
+      Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001))
+    for (e <- 1 to 2) {
+      val n = (100L * e until 100L * e + 8L).map(i => (i, novelText(i)))
+        .toDF("doc_id", "text")
+      bloom = Dedup.rotateEpochBucketed(n, histPath, idxPath, bloom,
+        expectedItems = 1000, fpp = 0.001, epochId = s"e$e")
+    }
+    bloom.unpersist(blocking = false)
+    (histPath, idxPath)
+  }
+
+  private def histRowSet(p: String): Set[(Long, String)] =
+    spark.read.parquet(p).select("doc_id", "id_bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def probeRows(histPath: String, idxPath: String)
+      : Map[(Long, Long), Double] = {
+    val batch = Seq(
+      (1L, nearDup(histText(3))),
+      (2L, nearDup(novelText(105))),
+      (3L, nearDup(novelText(203)))).toDF("doc_id", "text")
+    val (idx, k, bands) = Dedup.openMinhashIndex(spark, idxPath)
+    val (hist, nb) = Dedup.openHistoryBucketed(spark, histPath)
+    Dedup.minhashProbeBucketedOn(batch, idx, hist, nb, threshold = 0.8,
+        k = k, bands = bands)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+  }
+
+  test("compactHistoryPartitions: only over-threshold buckets are " +
+    "rewritten in place, probe rows identical, footprint-named files, " +
+    "replay no-op, rotation continues after; ids cannot cross " +
+    "protocols in either direction") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hcmp").toString
+    val (histPath, idxPath) = rotatedPair(root)
+    val before = histRowSet(histPath)
+    val probeBefore = probeRows(histPath, idxPath)
+    assert(probeBefore.nonEmpty)
+    val statsBefore = Dedup.historyPartitionStats(spark, histPath)
+    assert(statsBefore.exists(_._2 > 1)) // epochs really fragmented it
+
+    val n = Dedup.compactHistoryPartitions(spark, histPath, idxPath,
+      "hc1", maxFilesPerPartition = 1)
+    assert(n >= 1)
+    assert(histRowSet(histPath) == before)
+    assert(probeRows(histPath, idxPath) == probeBefore)
+    assert(Dedup.historyPartitionStats(spark, histPath).forall(_._2 == 1))
+    // compacted files carry the compaction-id footprint; replaced
+    // files retired, never deleted
+    val f = Dedup.fsFor(spark, histPath)
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(
+        s"$histPath/id_bucket=${statsBefore.filter(_._2 > 1).head._1}"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .forall(_.startsWith("hc1=")))
+    assert(Dedup.listRetired(spark, histPath, idxPath).map(_._1)
+      .contains("hc1.compact"))
+    // replay: ledger hit, nothing moves
+    assert(Dedup.compactHistoryPartitions(spark, histPath, idxPath,
+      "hc1", maxFilesPerPartition = 1) == 0)
+    // cross-protocol refusals, both directions
+    val bloomX = spark.sparkContext.broadcast(
+      Dedup.digestBloom(spark.read.parquet(histPath)
+        .select("doc_id", "text"), 1000, 0.001))
+    val nx = Seq((900L, novelText(900))).toDF("doc_id", "text")
+    val ex1 = intercept[IllegalArgumentException] {
+      Dedup.rotateEpochBucketed(nx, histPath, idxPath, bloomX,
+        expectedItems = 1000, fpp = 0.001, epochId = "hc1")
+    }
+    assert(ex1.getMessage.contains("protocol"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.compactHistoryPartitions(spark, histPath, idxPath, "e1")
+    }
+    assert(ex2.getMessage.contains("protocol"))
+    // rotation continues normally against the compacted layout
+    val bloom3 = Dedup.rotateEpochBucketed(nx, histPath, idxPath, bloomX,
+      expectedItems = 1000, fpp = 0.001, epochId = "e3")
+    assert(histRowSet(histPath).size == before.size + 1)
+    assert(Dedup.listQuarantined(spark, histPath, idxPath).isEmpty)
+    bloom3.unpersist(blocking = false)
+  }
+
+  test("compactHistoryPartitions crash injection at every swap point: " +
+    "the reader never sees doubled rows, a same-id retry converges, " +
+    "and recovery afterward is a no-op") {
+    for (fp <- Seq("staged", "committed", "swap-retire", "swap-in",
+      "swapped")) {
+      val root = java.nio.file.Files.createTempDirectory("graft-hcmpcr")
+        .toString
+      val (histPath, idxPath) = rotatedPair(root)
+      val before = histRowSet(histPath)
+      val probeBefore = probeRows(histPath, idxPath)
+      val ex = intercept[RuntimeException] {
+        Dedup.compactHistoryPartitionsStaged(spark, histPath, idxPath,
+          "hc1", 1, 0L,
+          p => if (p == fp) throw new RuntimeException(s"injected at $p"))
+      }
+      assert(ex.getMessage.contains("injected"), fp)
+      // never doubled, never mixed: the view is the full set or the
+      // full set minus exactly the mid-swap bucket
+      assert(histRowSet(histPath).subsetOf(before), fp)
+
+      val appliedNow = Dedup.compactHistoryPartitions(spark, histPath,
+        idxPath, "hc1", maxFilesPerPartition = 1)
+      assert((appliedNow >= 1) == (fp == "staged"), fp)
+      assert(Dedup.epochApplied(spark, histPath, "hc1"), fp)
+      assert(histRowSet(histPath) == before, fp)
+      assert(probeRows(histPath, idxPath) == probeBefore, fp)
+      assert(Dedup.historyPartitionStats(spark, histPath)
+        .forall(_._2 == 1), fp)
+      // recovery is a no-op; staging reclaimed; nothing quarantined
+      Dedup.recoverRotations(spark, histPath, idxPath)
+      assert(histRowSet(histPath) == before, fp)
+      assert(Dedup.listQuarantined(spark, histPath, idxPath).isEmpty, fp)
+      val f = Dedup.fsFor(spark, histPath)
+      assert(!f.exists(
+        new org.apache.hadoop.fs.Path(s"$histPath/_retrain/hc1")), fp)
+    }
+  }
 }
