@@ -37,6 +37,16 @@ import graft.streaming.Ingest
   * ivf compact-ledger <layout> [--lock-file F]
   * ivf recover <layout> [--lock-file F]
   * }}}
+  * The `dedup` group is the incremental-dedup layout PAIR's
+  * maintenance (engine addition, like `ivf`):
+  * {{{
+  * dedup stats <hist>
+  * dedup compact-history <hist> <idx> <id> [--max-files N]
+  *       [--max-records-per-file N] [--lock-file F]
+  * dedup recover <hist> <idx> [--lock-file F]
+  * dedup purge-retired <hist> <idx> --older-than <dur> [--lock-file F]
+  * dedup compact-ledger <hist> [--lock-file F]
+  * }}}
   * `--older-than` durations: `<n>s|m|h|d` or plain seconds. The flag is
   * REQUIRED — bulk deletion without an explicit retention window is
   * refused (use the API's `purgeIvfRetired(name)` for one exact name).
@@ -163,6 +173,18 @@ object Main {
       })
       finally spark.stop()
 
+    case "dedup" :: sub :: rest =>
+      // positionals first, then flags
+      val (pos, flags) = rest.span(!_.startsWith("--"))
+      val lockFile = flags.sliding(2).collectFirst {
+        case List("--lock-file", f) if !f.startsWith("--") => f
+      }
+      val spark = session()
+      try println(withLock(lockFile) {
+        dedupCommand(spark, sub, pos, flags)
+      })
+      finally spark.stop()
+
     // the reference's web entry point (wsgi.py:1-18 / `flask run`): a
     // read-only server over the same root the sync job maintains
     case "serve" :: root :: hostPort :: Nil =>
@@ -176,7 +198,8 @@ object Main {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: sync|daemon|compact|show|metric|serve|ivf ...")
+      System.err.println(
+        "usage: sync|daemon|compact|show|metric|serve|ivf|dedup ...")
       sys.exit(2)
   }
 
@@ -192,17 +215,8 @@ object Main {
       posArg: Option[String],
       flags: List[String]): String = {
     import graft.operators.{EpochLedger, Similarity}
-    // a flag's value must be a real operand: taking the NEXT FLAG as the
-    // value ('ivf health p --recall --lock-file f') would feed
-    // '--lock-file' to .toInt — reject with a usage error instead
-    def flag(name: String): Option[String] = {
-      val i = flags.indexOf(name)
-      if (i < 0) None
-      else if (i + 1 >= flags.length || flags(i + 1).startsWith("--"))
-        sys.error(s"ivf $sub: $name needs a value " +
-          s"(got ${if (i + 1 >= flags.length) "nothing" else flags(i + 1)})")
-      else Some(flags(i + 1))
-    }
+    def flag(name: String): Option[String] =
+      flagValue(flags, name, s"ivf $sub")
     def id(what: String): String =
       posArg.getOrElse(sys.error(s"ivf $sub needs a positional <$what>"))
     // held-out query vectors for the serving-shaped recall mode: a
@@ -282,6 +296,85 @@ object Main {
         sys.error(s"unknown ivf subcommand '$otherSub' " +
           "(health|maintain|rotate|compact|compact-partitions|" +
           "retire-superseded|purge-retired|compact-ledger|recover)")
+    }
+  }
+
+  /** A flag's value must be a real operand: taking the NEXT FLAG as
+    * the value ('... --recall --lock-file f') would feed '--lock-file'
+    * to .toInt — reject with a usage error instead.
+    */
+  private def flagValue(
+      flags: List[String],
+      name: String,
+      ctx: String): Option[String] = {
+    val i = flags.indexOf(name)
+    if (i < 0) None
+    else if (i + 1 >= flags.length || flags(i + 1).startsWith("--"))
+      sys.error(s"$ctx: flag $name needs a value " +
+        s"(got ${if (i + 1 >= flags.length) "nothing" else flags(i + 1)})")
+    else Some(flags(i + 1))
+  }
+
+  /** The `dedup` subcommand bodies — the incremental-dedup layout
+    * pair's maintenance as ops commands, like [[ivfCommand]] for the
+    * IVF layout. Positional operands come before flags.
+    */
+  private[cli] def dedupCommand(
+      spark: SparkSession,
+      sub: String,
+      pos: List[String],
+      flags: List[String]): String = {
+    import graft.operators.Dedup
+    def flag(name: String): Option[String] =
+      flagValue(flags, name, s"dedup $sub")
+    sub match {
+      case "stats" => pos match {
+        case hist :: Nil =>
+          val st = Dedup.historyPartitionStats(spark, hist)
+          val maxF = if (st.isEmpty) 0 else st.map(_._2).max
+          s"buckets=${st.size} files=${st.map(_._2.toLong).sum} " +
+            s"bytes=${st.map(_._3).sum} maxFilesPerBucket=$maxF"
+        case _ => sys.error("dedup stats needs <historyPath>")
+      }
+      case "compact-history" => pos match {
+        case hist :: idx :: id :: Nil =>
+          val n = Dedup.compactHistoryPartitions(spark, hist, idx, id,
+            maxFilesPerPartition =
+              flag("--max-files").map(_.toInt).getOrElse(1),
+            maxRecordsPerFile =
+              flag("--max-records-per-file").map(_.toLong).getOrElse(0L))
+          s"compacted_buckets=$n"
+        case _ =>
+          sys.error("dedup compact-history needs " +
+            "<historyPath> <indexPath> <compactionId>")
+      }
+      case "recover" => pos match {
+        case hist :: idx :: Nil =>
+          Dedup.recoverRotations(spark, hist, idx)
+          s"recovered quarantined=" +
+            s"${Dedup.listQuarantined(spark, hist, idx).size}"
+        case _ => sys.error("dedup recover needs <historyPath> <indexPath>")
+      }
+      case "purge-retired" => pos match {
+        case hist :: idx :: Nil =>
+          val dur = flag("--older-than").getOrElse(sys.error(
+            "dedup purge-retired refuses to run without an explicit " +
+              "--older-than retention window"))
+          val purged = Dedup.purgeRetiredOlderThan(spark, hist, idx,
+            parseDuration(dur))
+          s"purged=${purged.size}${
+            if (purged.isEmpty) "" else purged.mkString(" [", ", ", "]")}"
+        case _ =>
+          sys.error("dedup purge-retired needs <historyPath> <indexPath>")
+      }
+      case "compact-ledger" => pos match {
+        case hist :: Nil =>
+          s"rolled=${Dedup.compactLedger(spark, hist)}"
+        case _ => sys.error("dedup compact-ledger needs <historyPath>")
+      }
+      case otherSub =>
+        sys.error(s"unknown dedup subcommand '$otherSub' " +
+          "(stats|compact-history|recover|purge-retired|compact-ledger)")
     }
   }
 

@@ -163,6 +163,51 @@ class MainSpec extends AnyFunSuite {
       flags = List("--older-than", "1h")) == "purged=0")
   }
 
+  test("dedup command group: stats -> compact-history -> recover -> " +
+    "purge-retired, with the retention window required") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    def text(i: Long) = (1 to 12).map(j => s"d${i}w$j").mkString(" ")
+    val root = Files.createTempDirectory("graft-cli-dedup").toString
+    val hist = s"$root/hist"
+    val idx = s"$root/idx"
+    val h0 = (0L until 20L).map(i => (i, text(i))).toDF("doc_id", "text")
+    graft.operators.Dedup.writeHistoryBucketed(h0, hist, nBuckets = 4)
+    graft.operators.Dedup.writeMinhashIndex(h0, idx)
+    var bloom = spark.sparkContext.broadcast(
+      graft.operators.Dedup.digestBloom(h0, 1000, 0.001))
+    (1 to 2).foreach { e =>
+      val n = (100L * e until 100L * e + 4L).map(i => (i, text(1000 + i)))
+        .toDF("doc_id", "text")
+      bloom = graft.operators.Dedup.rotateEpochBucketed(n, hist, idx,
+        bloom, 1000, 0.001, epochId = s"e$e")
+    }
+    bloom.unpersist(blocking = false)
+
+    def run(sub: String, pos: List[String],
+        flags: List[String] = Nil): String =
+      Main.dedupCommand(spark, sub, pos, flags)
+
+    val st = run("stats", List(hist))
+    assert(st.contains("buckets=") && !st.contains("maxFilesPerBucket=1"),
+      st)
+    val c = run("compact-history", List(hist, idx, "hc1"))
+    assert(c.stripPrefix("compacted_buckets=").toInt >= 1, c)
+    assert(run("stats", List(hist)).contains("maxFilesPerBucket=1"))
+    assert(run("compact-history", List(hist, idx, "hc1")) ==
+      "compacted_buckets=0") // replay
+    assert(run("recover", List(hist, idx)) == "recovered quarantined=0")
+    val exP = intercept[RuntimeException] {
+      run("purge-retired", List(hist, idx))
+    }
+    assert(exP.getMessage.contains("--older-than"))
+    assert(run("purge-retired", List(hist, idx),
+      List("--older-than", "1h")) == "purged=0") // hc1.compact is fresh
+    assert(run("compact-ledger", List(hist)) == "rolled=3") // e1 e2 hc1
+    intercept[RuntimeException] { run("stats", Nil) }
+    intercept[RuntimeException] { run("bogus", List(hist)) }
+  }
+
   test("parseDuration accepts s/m/h/d suffixes and plain seconds, " +
     "refuses garbage and non-positive values") {
     assert(Main.parseDuration("45") == 45000L)
