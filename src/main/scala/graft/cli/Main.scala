@@ -41,6 +41,8 @@ import graft.streaming.Ingest
   * maintenance (engine addition, like `ivf`):
   * {{{
   * dedup stats <hist>
+  * dedup maintain <hist> <idx> <id> [--max-files N] [--ledger-tail N]
+  *       [--lock-file F]
   * dedup compact-history <hist> <idx> <id> [--max-files N]
   *       [--max-records-per-file N] [--lock-file F]
   * dedup recover <hist> <idx> [--lock-file F]
@@ -336,6 +338,23 @@ object Main {
             s"bytes=${st.map(_._3).sum} maxFilesPerBucket=$maxF"
         case _ => sys.error("dedup stats needs <historyPath>")
       }
+      case "maintain" => pos match {
+        case hist :: idx :: id :: Nil =>
+          val m = Dedup.dedupMaintain(spark, hist, idx, id,
+            maxFilesPerPartition =
+              flag("--max-files").map(_.toInt).getOrElse(64),
+            ledgerTailMax =
+              flag("--ledger-tail").map(_.toInt).getOrElse(256))
+          val acts =
+            if (m.actions.isEmpty) "none (healthy)"
+            else m.actions.mkString("; ")
+          s"actions=$acts buckets=${m.buckets} " +
+            s"maxFilesPerBucket=${m.maxFilesPerBucket} " +
+            s"ledgerTail=${m.ledgerTail}"
+        case _ =>
+          sys.error("dedup maintain needs " +
+            "<historyPath> <indexPath> <maintenanceId>")
+      }
       case "compact-history" => pos match {
         case hist :: idx :: id :: Nil =>
           val n = Dedup.compactHistoryPartitions(spark, hist, idx, id,
@@ -374,7 +393,8 @@ object Main {
       }
       case otherSub =>
         sys.error(s"unknown dedup subcommand '$otherSub' " +
-          "(stats|compact-history|recover|purge-retired|compact-ledger)")
+          "(stats|maintain|compact-history|recover|purge-retired|" +
+          "compact-ledger)")
     }
   }
 

@@ -737,6 +737,66 @@ object Dedup {
       maxRecordsPerFile = maxRecordsPerFile, failpoint = failpoint)
   }
 
+  /** What [[dedupMaintain]] did and why — the action strings in
+    * execution order (empty for a healthy pair) plus the observables
+    * the policy judged.
+    */
+  final case class DedupMaintenance(
+      actions: Seq[String],
+      buckets: Int,
+      maxFilesPerBucket: Int,
+      ledgerTail: Int)
+
+  /** The dedup-pair twin of [[Similarity.ivfMaintain]]: read the
+    * history layout's fragmentation and ledger observables ONCE
+    * (listing-only), judge them against explicit thresholds, and run
+    * the prescribed maintenance — bucket file count past
+    * `maxFilesPerPartition` → [[compactHistoryPartitions]] under id
+    * `<id>-compact`; `_epochs` entry tail past `ledgerTailMax` →
+    * [[compactLedger]]. No skew or recall arm: buckets are id-hash
+    * partitions (balanced by construction, no trainable geometry to
+    * drift), and the index is derived data whose remedy is a rebuild,
+    * not a policy step. Healthy pair = empty `actions`. Replay-safe
+    * through the sub-protocols' ledgers. Single maintenance writer,
+    * stream STOPPED — same contract as every entry on the pair; the
+    * CLI twin is `dedup maintain --lock-file`.
+    */
+  def dedupMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String,
+      id: String,
+      maxFilesPerPartition: Int = 64,
+      ledgerTailMax: Int = 256,
+      maxRecordsPerFile: Long = 0L): DedupMaintenance = {
+    EpochLedger.requireEpochId(id)
+    require(maxFilesPerPartition >= 1 && ledgerTailMax >= 1,
+      s"thresholds out of range: maxFilesPerPartition=" +
+        s"$maxFilesPerPartition ledgerTailMax=$ledgerTailMax")
+    val stats = historyPartitionStats(spark, historyPath)
+    val maxFiles = if (stats.isEmpty) 0 else stats.map(_._2).max
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (maxFiles > maxFilesPerPartition) {
+      val n = compactHistoryPartitions(spark, historyPath, indexPath,
+        s"$id-compact", maxFilesPerPartition, maxRecordsPerFile)
+      actions += s"compact-history(maxFiles=$maxFiles>" +
+        s"$maxFilesPerPartition, buckets=$n)"
+    }
+    val f = fsFor(spark, historyPath)
+    val ledgerP = new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")
+    val tail =
+      if (f.exists(ledgerP))
+        f.listStatus(ledgerP).map(_.getPath.getName)
+          .count(n => !n.startsWith("_") && !n.startsWith("."))
+      else 0
+    if (tail > ledgerTailMax) {
+      val rolled = compactLedger(spark, historyPath)
+      actions += s"compact-ledger(tail=$tail>$ledgerTailMax, " +
+        s"rolled=$rolled)"
+    }
+    DedupMaintenance(actions.toSeq, stats.size, maxFiles, tail)
+  }
+
   /** Resolve any crashed [[rotateEpochBucketed]] on the layouts rooted
     * at `historyPath` (the index path comes from each staging dir's
     * manifest). Uncommitted staging (no `_MANIFEST`) is discarded —

@@ -204,6 +204,12 @@ class MainSpec extends AnyFunSuite {
     assert(run("purge-retired", List(hist, idx),
       List("--older-than", "1h")) == "purged=0") // hc1.compact is fresh
     assert(run("compact-ledger", List(hist)) == "rolled=3") // e1 e2 hc1
+    // the policy step: healthy under generous thresholds, and it
+    // reports the observables it judged
+    val m = run("maintain", List(hist, idx, "m1"),
+      List("--max-files", "100"))
+    assert(m.startsWith("actions=none (healthy)") &&
+      m.contains("maxFilesPerBucket="), m)
     intercept[RuntimeException] { run("stats", Nil) }
     intercept[RuntimeException] { run("bogus", List(hist)) }
   }

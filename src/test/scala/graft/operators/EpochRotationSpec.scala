@@ -818,6 +818,38 @@ class EpochRotationSpec extends AnyFunSuite {
     bloom3.unpersist(blocking = false)
   }
 
+  test("dedupMaintain: healthy pair is a no-op that still reports the " +
+    "observables; a fragmented history compacts selectively; a long " +
+    "ledger tail rolls up; a same-id re-run is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dmaint").toString
+    val (histPath, idxPath) = rotatedPair(root)
+    val m0 = Dedup.dedupMaintain(spark, histPath, idxPath, "m0",
+      maxFilesPerPartition = 100, ledgerTailMax = 100)
+    assert(m0.actions.isEmpty)
+    assert(m0.buckets == 4 && m0.maxFilesPerBucket > 1 && m0.ledgerTail == 2)
+
+    val before = histRowSet(histPath)
+    val probeBefore = probeRows(histPath, idxPath)
+    val m1 = Dedup.dedupMaintain(spark, histPath, idxPath, "m1",
+      maxFilesPerPartition = 1, ledgerTailMax = 100)
+    assert(m1.actions.size == 1 &&
+      m1.actions.head.startsWith("compact-history("), m1.actions)
+    assert(Dedup.epochApplied(spark, histPath, "m1-compact"))
+    assert(histRowSet(histPath) == before)
+    assert(probeRows(histPath, idxPath) == probeBefore)
+    assert(Dedup.historyPartitionStats(spark, histPath).forall(_._2 == 1))
+    // same id, same thresholds: below threshold now, nothing to do
+    assert(Dedup.dedupMaintain(spark, histPath, idxPath, "m1",
+      maxFilesPerPartition = 1, ledgerTailMax = 100).actions.isEmpty)
+    // ledger tail (e1, e2, m1-compact) past threshold: rolls up
+    val m2 = Dedup.dedupMaintain(spark, histPath, idxPath, "m2",
+      maxFilesPerPartition = 100, ledgerTailMax = 2)
+    assert(m2.actions.size == 1 &&
+      m2.actions.head.startsWith("compact-ledger("), m2.actions)
+    Seq("e1", "e2", "m1-compact").foreach(id =>
+      assert(Dedup.epochApplied(spark, histPath, id), id))
+  }
+
   test("compactHistoryPartitions crash injection at every swap point: " +
     "the reader never sees doubled rows, a same-id retry converges, " +
     "and recovery afterward is a no-op") {
