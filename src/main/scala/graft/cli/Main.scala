@@ -27,7 +27,7 @@ import graft.streaming.Ingest
   * ivf health  <layout> [--recall N] [--recall-queries PARQUET]
   * ivf maintain <layout> <id> [--max-files N] [--skew X] [--recall N]
   *              [--recall-queries PARQUET] [--recall-floor F]
-  *              [--ledger-tail N] [--k K]
+  *              [--ledger-tail N] [--purge-older-than <dur>] [--k K]
   *              [--sample-frac F] [--defer-retire] [--lock-file F]
   * ivf rotate  <layout> <id> [--k K] [--sample-frac F] [--defer-retire] [--lock-file F]
   * ivf compact <layout> <id> [--max-records-per-file N] [--defer-retire] [--lock-file F]
@@ -42,7 +42,7 @@ import graft.streaming.Ingest
   * {{{
   * dedup stats <hist>
   * dedup maintain <hist> <idx> <id> [--max-files N] [--ledger-tail N]
-  *       [--lock-file F]
+  *       [--purge-older-than <dur>] [--lock-file F]
   * dedup compact-history <hist> <idx> <id> [--max-files N]
   *       [--max-records-per-file N] [--lock-file F]
   * dedup recover <hist> <idx> [--lock-file F]
@@ -269,7 +269,9 @@ object Main {
             .getOrElse(Similarity.DefaultCentroidK),
           sampleFrac = flag("--sample-frac").map(_.toDouble).getOrElse(1.0),
           deferRetire = flags.contains("--defer-retire"),
-          queryVectors = recallQueries)
+          queryVectors = recallQueries,
+          purgeRetiredOlderThanMs =
+            flag("--purge-older-than").map(parseDuration))
         val acts =
           if (m.actions.isEmpty) "none (healthy)" else m.actions.mkString("; ")
         s"actions=$acts " +
@@ -344,7 +346,9 @@ object Main {
             maxFilesPerPartition =
               flag("--max-files").map(_.toInt).getOrElse(64),
             ledgerTailMax =
-              flag("--ledger-tail").map(_.toInt).getOrElse(256))
+              flag("--ledger-tail").map(_.toInt).getOrElse(256),
+            purgeRetiredOlderThanMs =
+              flag("--purge-older-than").map(parseDuration))
           val acts =
             if (m.actions.isEmpty) "none (healthy)"
             else m.actions.mkString("; ")

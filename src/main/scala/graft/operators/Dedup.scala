@@ -768,7 +768,8 @@ object Dedup {
       id: String,
       maxFilesPerPartition: Int = 64,
       ledgerTailMax: Int = 256,
-      maxRecordsPerFile: Long = 0L): DedupMaintenance = {
+      maxRecordsPerFile: Long = 0L,
+      purgeRetiredOlderThanMs: Option[Long] = None): DedupMaintenance = {
     EpochLedger.requireEpochId(id)
     require(maxFilesPerPartition >= 1 && ledgerTailMax >= 1,
       s"thresholds out of range: maxFilesPerPartition=" +
@@ -793,6 +794,14 @@ object Dedup {
       val rolled = compactLedger(spark, historyPath)
       actions += s"compact-ledger(tail=$tail>$ledgerTailMax, " +
         s"rolled=$rolled)"
+    }
+    // the only deleting arm, and only under an EXPLICIT window
+    purgeRetiredOlderThanMs.foreach { window =>
+      val purged =
+        purgeRetiredOlderThan(spark, historyPath, indexPath, window)
+      if (purged.nonEmpty)
+        actions += s"purge-retired(olderThanMs=$window, " +
+          s"purged=${purged.size})"
     }
     DedupMaintenance(actions.toSeq, stats.size, maxFiles, tail)
   }

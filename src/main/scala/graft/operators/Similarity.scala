@@ -1224,7 +1224,12 @@ object Similarity {
     *     [[compactIvfPartitions]] under id `<id>-compact` with the
     *     same threshold (O(fragmented), in-generation);
     *   - independently, a ledger entry tail longer than
-    *     `ledgerTailMax` → [[EpochLedger.compactLedger]].
+    *     `ledgerTailMax` → [[EpochLedger.compactLedger]];
+    *   - independently, when `purgeRetiredOlderThanMs` is set, retired
+    *     dirs older than that window →
+    *     [[purgeIvfRetiredOlderThan]] (the only deleting arm, and only
+    *     under an EXPLICIT window — unset means retired bytes are
+    *     never touched).
     *
     * A healthy layout is a LISTING-ONLY no-op (empty `actions`).
     * Replay-safe like its parts: re-running with the same `id` after a
@@ -1252,7 +1257,8 @@ object Similarity {
       centroidK: Int = DefaultCentroidK,
       sampleFrac: Double = 1.0,
       deferRetire: Boolean = false,
-      queryVectors: Option[DataFrame] = None): IvfMaintenance = {
+      queryVectors: Option[DataFrame] = None,
+      purgeRetiredOlderThanMs: Option[Long] = None): IvfMaintenance = {
     EpochLedger.requireEpochId(id)
     require(maxFilesPerPartition >= 1 && skewThreshold > 1.0 &&
         ledgerTailMax >= 1,
@@ -1297,6 +1303,12 @@ object Similarity {
       val rolled = EpochLedger.compactLedger(spark, path)
       actions += s"compact-ledger(tail=$tail>$ledgerTailMax, " +
         s"rolled=$rolled)"
+    }
+    purgeRetiredOlderThanMs.foreach { window =>
+      val purged = purgeIvfRetiredOlderThan(spark, path, window)
+      if (purged.nonEmpty)
+        actions += s"purge-retired(olderThanMs=$window, " +
+          s"purged=${purged.size})"
     }
     IvfMaintenance(actions.toSeq, h)
   }

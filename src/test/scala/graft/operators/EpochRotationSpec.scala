@@ -848,6 +848,21 @@ class EpochRotationSpec extends AnyFunSuite {
       m2.actions.head.startsWith("compact-ledger("), m2.actions)
     Seq("e1", "e2", "m1-compact").foreach(id =>
       assert(Dedup.epochApplied(spark, histPath, id), id))
+    // the purge arm mirrors the IVF policy: explicit window only,
+    // aged retired dirs purged and reported
+    assert(Dedup.listRetired(spark, histPath, idxPath).nonEmpty)
+    val f = Dedup.fsFor(spark, histPath)
+    Dedup.listRetired(spark, histPath, idxPath).foreach { case (nm, _, _) =>
+      val p = new org.apache.hadoop.fs.Path(s"$histPath/_retired/$nm")
+      if (f.exists(p))
+        f.setTimes(p, System.currentTimeMillis - 2 * 3600 * 1000L, -1)
+    }
+    val m3 = Dedup.dedupMaintain(spark, histPath, idxPath, "m3",
+      maxFilesPerPartition = 100, ledgerTailMax = 100,
+      purgeRetiredOlderThanMs = Some(3600L * 1000))
+    assert(m3.actions.size == 1 &&
+      m3.actions.head.startsWith("purge-retired("), m3.actions)
+    assert(Dedup.listRetired(spark, histPath, idxPath).isEmpty)
   }
 
   test("compactHistoryPartitions crash injection at every swap point: " +

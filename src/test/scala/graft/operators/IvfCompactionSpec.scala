@@ -476,6 +476,26 @@ class IvfCompactionSpec extends AnyFunSuite {
     (1 to 4).foreach(e =>
       assert(EpochLedger.applied(spark, path, s"e$e"), s"e$e"))
     assert(EpochLedger.applied(spark, path, "m1-compact"))
+    // the purge arm: unset = retired bytes never touched (m1 left
+    // m1-compact.compact retired); an explicit window purges only
+    // over-age dirs, reported as an action
+    assert(Similarity.listIvfRetired(spark, path).nonEmpty)
+    val m3 = Similarity.ivfMaintain(spark, path, "m3",
+      maxFilesPerPartition = 100, ledgerTailMax = 100,
+      purgeRetiredOlderThanMs = Some(3600L * 1000)) // all still fresh
+    assert(m3.actions.isEmpty)
+    assert(Similarity.listIvfRetired(spark, path).nonEmpty)
+    val f2 = Dedup.fsFor(spark, path)
+    Similarity.listIvfRetired(spark, path).foreach { case (nm, _, _) =>
+      f2.setTimes(new org.apache.hadoop.fs.Path(s"$path/_retired/$nm"),
+        System.currentTimeMillis - 2 * 3600 * 1000L, -1)
+    }
+    val m4 = Similarity.ivfMaintain(spark, path, "m4",
+      maxFilesPerPartition = 100, ledgerTailMax = 100,
+      purgeRetiredOlderThanMs = Some(3600L * 1000))
+    assert(m4.actions.size == 1 &&
+      m4.actions.head.startsWith("purge-retired("), m4.actions)
+    assert(Similarity.listIvfRetired(spark, path).isEmpty)
   }
 
   test("ivfMaintain: a skew breach rotates (re-trains) instead of " +
