@@ -283,7 +283,13 @@ object PipelineQueries {
     * near-dups). Same bands/keys/verify as q22, split across the two
     * sides.
     */
-  private val qMinhashProbe = {
+  /** q52's oracle (batch = doc_id%5==0 probing the other 80% as
+    * history) — shared verbatim with q63, which runs the SAME probe
+    * over the AT-REST bucketed layouts after a live epoch rotation +
+    * partition-scoped history compaction: the hashes pin "rotation +
+    * selective compaction == identity" through the probe path.
+    */
+  private val incrementalProbeOracleSql: String = {
     val k = 8
     val mhCols = (0 until k).map(i =>
       s"list_min(list_transform(shh, x -> ${DuckSql.universalHash("x", i)})) AS mh$i")
@@ -291,6 +297,31 @@ object PipelineQueries {
     val bandLegs = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, (mh${2 * b} * ${TextHash.P} + mh${2 * b + 1}) AS key FROM sig")
       .mkString("\n  UNION ALL ")
+    s"""WITH ${DuckSql.docsCte},
+       |${DuckSql.shCte},
+       |sig AS (
+       |  SELECT doc_id, shh,
+       |         $mhCols
+       |  FROM sh WHERE len(shh) > 0),
+       |buckets AS (
+       |  $bandLegs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS hist_id
+       |  FROM buckets a
+       |  JOIN buckets b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+       |SELECT batch_id, hist_id,
+       |       round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
+       |             len(list_distinct(sa.shh || sb.shh)), 6) AS jaccard
+       |FROM cand
+       |JOIN sig sa ON batch_id = sa.doc_id
+       |JOIN sig sb ON hist_id = sb.doc_id
+       |WHERE round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
+       |            len(list_distinct(sa.shh || sb.shh)), 6) >= 0.8
+       |ORDER BY batch_id, hist_id""".stripMargin
+  }
+
+  private val qMinhashProbe = {
     QueryDef(
       "q52_dedup_incremental_probe",
       (s, dir) => {
@@ -303,30 +334,48 @@ object PipelineQueries {
             threshold = 0.8, maxBandPop = None)
           .orderBy("batch_id", "hist_id")
       },
-      Some(
-        s"""WITH ${DuckSql.docsCte},
-           |${DuckSql.shCte},
-           |sig AS (
-           |  SELECT doc_id, shh,
-           |         $mhCols
-           |  FROM sh WHERE len(shh) > 0),
-           |buckets AS (
-           |  $bandLegs),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS hist_id
-           |  FROM buckets a
-           |  JOIN buckets b ON a.band = b.band AND a.key = b.key
-           |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
-           |SELECT batch_id, hist_id,
-           |       round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
-           |             len(list_distinct(sa.shh || sb.shh)), 6) AS jaccard
-           |FROM cand
-           |JOIN sig sa ON batch_id = sa.doc_id
-           |JOIN sig sb ON hist_id = sb.doc_id
-           |WHERE round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
-           |            len(list_distinct(sa.shh || sb.shh)), 6) >= 0.8
-           |ORDER BY batch_id, hist_id""".stripMargin))
+      Some(incrementalProbeOracleSql))
   }
+
+  /** The AT-REST incremental layouts under LIVE maintenance, hash-
+    * verified: the history pair is written from the even non-batch
+    * docs, the odd non-batch docs arrive as a ledgered epoch rotation
+    * ([[Dedup.rotateEpochBucketed]]), the fragmented buckets are then
+    * selectively compacted in place
+    * ([[Dedup.compactHistoryPartitions]]), and the q52 probe runs over
+    * the result through the bucketed partition-pruned path. The oracle
+    * is q52's verbatim (history = all non-batch docs): a row lost or
+    * duplicated by the rotation or the compaction swaps breaks the
+    * hashes — the dedup-side counterpart of q59/q60/q62.
+    */
+  private val qHistCompactedProbe = QueryDef(
+    "q63_dedup_hcompacted_probe",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val part1 =
+        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 0)
+      val part2 =
+        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 =!= 0)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+      val root = scratchDir("graft-q63")
+      val hist = s"$root/hist"
+      val idx = s"$root/idx"
+      Dedup.writeHistoryBucketed(part1, hist, nBuckets = 8)
+      Dedup.writeMinhashIndex(part1, idx)
+      val bloom = s.sparkContext.broadcast(
+        Dedup.digestBloom(part1, expectedItems = 10000, fpp = 0.01))
+      Dedup.rotateEpochBucketed(part2, hist, idx, bloom,
+        expectedItems = 10000, fpp = 0.01, epochId = "ep1")
+        .unpersist(blocking = false)
+      Dedup.compactHistoryPartitions(s, hist, idx, "hc1",
+        maxFilesPerPartition = 1)
+      val (ix, k, bands) = Dedup.openMinhashIndex(s, idx)
+      val (h, nb) = Dedup.openHistoryBucketed(s, hist)
+      Dedup.minhashProbeBucketedOn(batch, ix, h, nb, threshold = 0.8,
+          k = k, bands = bands, maxBandPop = None)
+        .orderBy("batch_id", "hist_id")
+    },
+    Some(incrementalProbeOracleSql))
 
   private val qSimhash = {
     val bits = 32
@@ -600,6 +649,32 @@ object PipelineQueries {
     "q61_ivf_probe_prebuilt",
     (s, dir) => {
       val path = memoLayout("q59", dir)(buildAppendedLayout(s, dir))
+      Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfAppendedOracleSql))
+
+  /** Partition-scoped compaction under hash verification — q60's
+    * counterpart for [[Similarity.compactIvfPartitions]]: the q59
+    * layout shape (even-half centroids, odd-half ledgered epoch —
+    * which fragments the partitions the epoch lands in) is then
+    * SELECTIVELY compacted in place and probed. The oracle is q59's
+    * verbatim: compaction is pure file coalescing, so ANY row the
+    * per-dir swaps lose, duplicate, or misplace breaks the row
+    * hashes through the live probe path.
+    */
+  private val qIvfPCompactedProbe = QueryDef(
+    "q62_ivf_pcompacted_probe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val root = scratchDir("graft-q62")
+      val path = s"$root/ivf"
+      Similarity.writeIvfPartitioned(e.filter(col("vec_id") % 2 === 0), path)
+      Similarity.appendIvfEpoch(e.filter(col("vec_id") % 2 =!= 0), path,
+        epochId = "epoch1")
+      Similarity.compactIvfPartitions(s, path, "pc1",
+        maxFilesPerPartition = 1)
       Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
@@ -1605,7 +1680,7 @@ object PipelineQueries {
     qDedupExact, qNgramJaccard, qMinhash, qMinhashCapped, qMinhashProbe,
     qSimhash, qSimhash64, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe, qIvfRotatedProbe,
-    qIvfProbePrebuilt,
+    qIvfProbePrebuilt, qIvfPCompactedProbe, qHistCompactedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
