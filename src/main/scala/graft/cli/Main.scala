@@ -45,6 +45,7 @@ import graft.streaming.Ingest
   *       [--purge-older-than <dur>] [--lock-file F]
   * dedup compact-history <hist> <idx> <id> [--max-files N]
   *       [--max-records-per-file N] [--lock-file F]
+  * dedup rebuild-index <hist> <idx> [--k K --bands B] [--lock-file F]
   * dedup recover <hist> <idx> [--lock-file F]
   * dedup purge-retired <hist> <idx> --older-than <dur> [--lock-file F]
   * dedup compact-ledger <hist> [--lock-file F]
@@ -395,10 +396,23 @@ object Main {
           s"rolled=${Dedup.compactLedger(spark, hist)}"
         case _ => sys.error("dedup compact-ledger needs <historyPath>")
       }
+      case "rebuild-index" => pos match {
+        case hist :: idx :: Nil =>
+          val geometry = (flag("--k"), flag("--bands")) match {
+            case (Some(k), Some(b)) => Some((k.toInt, b.toInt))
+            case (None, None) => None
+            case _ => sys.error(
+              "dedup rebuild-index: pass BOTH --k and --bands or neither")
+          }
+          s"indexed_docs=" +
+            s"${Dedup.rebuildMinhashIndex(spark, hist, idx, geometry)}"
+        case _ =>
+          sys.error("dedup rebuild-index needs <historyPath> <indexPath>")
+      }
       case otherSub =>
         sys.error(s"unknown dedup subcommand '$otherSub' " +
-          "(stats|maintain|compact-history|recover|purge-retired|" +
-          "compact-ledger)")
+          "(stats|maintain|compact-history|rebuild-index|recover|" +
+          "purge-retired|compact-ledger)")
     }
   }
 

@@ -737,6 +737,43 @@ object Dedup {
       maxRecordsPerFile = maxRecordsPerFile, failpoint = failpoint)
   }
 
+  /** Rebuild the flat minhash index at `indexPath` from the AT-REST
+    * bucketed history — the index-side file-growth remedy
+    * ([[compactHistoryPartitions]]'s docstring): the index is a pure
+    * function of the corpus, so rather than swapping thousands of
+    * flat-root files safely in place, re-derive it in one overwrite.
+    * Geometry comes from the index's own `_meta` (or the explicit
+    * `(k, bands)` override — the disaster path for a crash that took
+    * `_meta` with it). The result is bit-identical to
+    * [[writeMinhashIndex]] over the same corpus: band rows are per-doc
+    * pure functions.
+    *
+    * CONTRACT: stopped-stream maintenance window, single writer — the
+    * same window the epoch lifecycle already mandates. Crash story:
+    * a crash mid-overwrite leaves a partial index, and the remedy is
+    * to RE-RUN the rebuild — the history is the system of record and
+    * nothing is lost; this is deliberately simpler than the staged
+    * protocols because derived data needs no quarantine discipline.
+    * Returns the number of indexed docs.
+    */
+  def rebuildMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String,
+      geometry: Option[(Int, Int)] = None): Long = {
+    // heal the pair first: a torn rotation's half-appended history
+    // must quarantine before the rebuild reads it as corpus
+    recoverRotations(spark, historyPath, indexPath)
+    val (k, bands) = geometry.getOrElse {
+      val m = spark.read.parquet(s"$indexPath/_meta").head()
+      (m.getAs[Int]("k"), m.getAs[Int]("bands"))
+    }
+    val (history, _) = openHistoryBucketed(spark, historyPath)
+    val docs = history.select("doc_id", "text")
+    writeMinhashIndex(docs, indexPath, k = k, bands = bands)
+    docs.count()
+  }
+
   /** What [[dedupMaintain]] did and why — the action strings in
     * execution order (empty for a healthy pair) plus the observables
     * the policy judged.

@@ -865,6 +865,35 @@ class EpochRotationSpec extends AnyFunSuite {
     assert(Dedup.listRetired(spark, histPath, idxPath).isEmpty)
   }
 
+  test("rebuildMinhashIndex: re-derives the flat index from the at-rest " +
+    "history — same rows, identical probe, epoch footprints cleared — " +
+    "and the explicit-geometry override covers a lost _meta") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ridx").toString
+    val (histPath, idxPath) = rotatedPair(root)
+    val probeBefore = probeRows(histPath, idxPath)
+    val rowsBefore = spark.read.parquet(idxPath).count()
+    val f = Dedup.fsFor(spark, histPath)
+    def idxFiles: Seq[String] =
+      f.listStatus(new org.apache.hadoop.fs.Path(idxPath))
+        .filter(_.isFile).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toIndexedSeq
+    assert(idxFiles.exists(_.contains('='))) // epochs left footprints
+
+    val n = Dedup.rebuildMinhashIndex(spark, histPath, idxPath)
+    assert(n == 40 + 16) // base + two 8-doc epochs
+    assert(spark.read.parquet(idxPath).count() == rowsBefore)
+    assert(probeRows(histPath, idxPath) == probeBefore)
+    assert(!idxFiles.exists(_.contains('='))) // fresh derivation
+    val (_, k, bands) = Dedup.openMinhashIndex(spark, idxPath)
+    assert(k == 8 && bands == 4) // _meta survives the rebuild
+
+    // lost-_meta disaster path: explicit geometry, probe still equal
+    assert(f.delete(new org.apache.hadoop.fs.Path(s"$idxPath/_meta"), true))
+    assert(Dedup.rebuildMinhashIndex(spark, histPath, idxPath,
+      geometry = Some((8, 4))) == 56)
+    assert(probeRows(histPath, idxPath) == probeBefore)
+  }
+
   test("compactHistoryPartitions crash injection at every swap point: " +
     "the reader never sees doubled rows, a same-id retry converges, " +
     "and recovery afterward is a no-op") {
