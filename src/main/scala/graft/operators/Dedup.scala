@@ -793,8 +793,10 @@ object Dedup {
     * [[compactLedger]]. No skew or recall arm: buckets are id-hash
     * partitions (balanced by construction, no trainable geometry to
     * drift), and the index is derived data whose remedy is a rebuild,
-    * not a policy step. Healthy pair = empty `actions`. Replay-safe
-    * through the sub-protocols' ledgers. Single maintenance writer,
+    * not a policy step. Healthy pair = empty `actions`, after the
+    * entry HEALING pass ([[recoverRotations]] — a torn rotation or
+    * compaction resolves even when every threshold reads healthy).
+    * Replay-safe through the sub-protocols' ledgers. Single maintenance writer,
     * stream STOPPED — same contract as every entry on the pair; the
     * CLI twin is `dedup maintain --lock-file`.
     */
@@ -811,6 +813,9 @@ object Dedup {
     require(maxFilesPerPartition >= 1 && ledgerTailMax >= 1,
       s"thresholds out of range: maxFilesPerPartition=" +
         s"$maxFilesPerPartition ledgerTailMax=$ledgerTailMax")
+    // heal-at-entry, like the IVF policy: a torn rotation or
+    // compaction resolves even when every threshold reads healthy
+    recoverRotations(spark, historyPath, indexPath)
     val stats = historyPartitionStats(spark, historyPath)
     val maxFiles = if (stats.isEmpty) 0 else stats.map(_._2).max
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]

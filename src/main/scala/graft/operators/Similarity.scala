@@ -1231,7 +1231,10 @@ object Similarity {
     *     under an EXPLICIT window — unset means retired bytes are
     *     never touched).
     *
-    * A healthy layout is a LISTING-ONLY no-op (empty `actions`).
+    * A healthy layout is a LISTING-ONLY no-op (empty `actions`) —
+    * after the entry HEALING pass ([[recoverIvfEpochs]]): the policy
+    * is the cron'd one-call, so a torn epoch/rotation/compaction
+    * resolves here even when every threshold then reads healthy.
     * Replay-safe like its parts: re-running with the same `id` after a
     * crash resumes/no-ops through each sub-protocol's own ledger.
     * Recall probing only runs when `recallFloor` is set — it is the
@@ -1265,6 +1268,11 @@ object Similarity {
       s"thresholds out of range: maxFilesPerPartition=" +
         s"$maxFilesPerPartition skewThreshold=$skewThreshold " +
         s"ledgerTailMax=$ledgerTailMax")
+    // heal-at-entry: the policy is the cron'd one-call — a torn
+    // epoch/rotation/compaction must resolve even when every
+    // threshold then reads healthy (the sub-operations heal again at
+    // their own entries; recovery is idempotent)
+    recoverIvfEpochs(spark, path)
     val h = ivfHealth(spark, path,
       recallSampleN = if (recallFloor.isDefined) recallSampleN else 0,
       k = k, nprobe = nprobe,

@@ -865,6 +865,24 @@ class EpochRotationSpec extends AnyFunSuite {
     assert(Dedup.listRetired(spark, histPath, idxPath).isEmpty)
   }
 
+  test("dedupMaintain heals a torn compaction at entry even when every " +
+    "threshold then reads healthy") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dmheal").toString
+    val (histPath, idxPath) = rotatedPair(root)
+    val before = histRowSet(histPath)
+    intercept[RuntimeException] {
+      Dedup.compactHistoryPartitionsStaged(spark, histPath, idxPath,
+        "hc1", 1, 0L,
+        p => if (p == "swap-in") throw new RuntimeException("injected"))
+    }
+    assert(histRowSet(histPath) != before) // mid-swap bucket missing
+    val m = Dedup.dedupMaintain(spark, histPath, idxPath, "mh",
+      maxFilesPerPartition = 1000, ledgerTailMax = 1000)
+    assert(m.actions.isEmpty)
+    assert(histRowSet(histPath) == before)
+    assert(Dedup.epochApplied(spark, histPath, "hc1"))
+  }
+
   test("rebuildMinhashIndex: re-derives the flat index from the at-rest " +
     "history — same rows, identical probe, epoch footprints cleared — " +
     "and the explicit-geometry override covers a lost _meta") {

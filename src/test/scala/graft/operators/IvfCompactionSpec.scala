@@ -498,6 +498,25 @@ class IvfCompactionSpec extends AnyFunSuite {
     assert(Similarity.listIvfRetired(spark, path).isEmpty)
   }
 
+  test("ivfMaintain heals a torn compaction at entry even when every " +
+    "threshold then reads healthy") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mheal").toString
+    val (path, _) = lopsided(root)
+    val before = rows(path)
+    intercept[RuntimeException] {
+      Similarity.compactIvfPartitionsStaged(spark, path, "pc1", 3, 0L,
+        p => if (p == "swap-in") throw new RuntimeException("injected"))
+    }
+    assert(rows(path) != before) // really torn (mid-swap dir missing)
+    val m = Similarity.ivfMaintain(spark, path, "mh",
+      maxFilesPerPartition = 1000, skewThreshold = 1e9)
+    assert(m.actions.isEmpty) // healthy thresholds: no ACTION...
+    assert(rows(path) == before) // ...but the torn compaction completed
+    assert(EpochLedger.applied(spark, path, "pc1"))
+    val f = Dedup.fsFor(spark, path)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_retrain/pc1")))
+  }
+
   test("ivfMaintain: a skew breach rotates (re-trains) instead of " +
     "compacting, preserving every row") {
     val root = java.nio.file.Files.createTempDirectory("graft-maintsk").toString
