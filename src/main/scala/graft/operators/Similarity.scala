@@ -1208,6 +1208,50 @@ object Similarity {
     */
   final case class IvfMaintenance(actions: Seq[String], health: IvfHealth)
 
+  /** [[ivfMaintain]]'s thresholds as one value — for callers that
+    * schedule the policy rather than invoke it once (the streaming
+    * boundary hook, a cron wrapper): hold the knobs in a config, pass
+    * it with a fresh id per run. Field meanings are [[ivfMaintain]]'s
+    * parameters of the same names. `queryVectors` rides along for the
+    * serving-shaped recall floor; it is a driver-side handle, so a
+    * policy value can be built once and reused across runs.
+    */
+  final case class IvfMaintainPolicy(
+      maxFilesPerPartition: Int = 64,
+      skewThreshold: Double = 4.0,
+      recallFloor: Option[Double] = None,
+      recallSampleN: Int = 64,
+      k: Int = 10,
+      nprobe: Int = 1,
+      ledgerTailMax: Int = 256,
+      centroidK: Int = DefaultCentroidK,
+      sampleFrac: Double = 1.0,
+      deferRetire: Boolean = false,
+      queryVectors: Option[DataFrame] = None,
+      purgeRetiredOlderThanMs: Option[Long] = None)
+
+  /** [[ivfMaintain]] with the thresholds packed in an
+    * [[IvfMaintainPolicy]] — same semantics, config-shaped call site.
+    */
+  def ivfMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      id: String,
+      policy: IvfMaintainPolicy): IvfMaintenance =
+    ivfMaintain(spark, path, id,
+      maxFilesPerPartition = policy.maxFilesPerPartition,
+      skewThreshold = policy.skewThreshold,
+      recallFloor = policy.recallFloor,
+      recallSampleN = policy.recallSampleN,
+      k = policy.k,
+      nprobe = policy.nprobe,
+      ledgerTailMax = policy.ledgerTailMax,
+      centroidK = policy.centroidK,
+      sampleFrac = policy.sampleFrac,
+      deferRetire = policy.deferRetire,
+      queryVectors = policy.queryVectors,
+      purgeRetiredOlderThanMs = policy.purgeRetiredOlderThanMs)
+
   /** The closed-loop maintenance policy step: read [[ivfHealth]] ONCE,
     * judge it against explicit thresholds, and run the prescribed
     * maintenance — the runbook sentence ("skew past ~4× or a recall

@@ -681,6 +681,43 @@ object PipelineQueries {
     },
     Some(ivfAppendedOracleSql))
 
+  /** The CLOSED-LOOP maintenance policy under hash verification —
+    * q62's compaction invoked THROUGH [[Similarity.ivfMaintain]]
+    * instead of directly: the fragmented q59 layout shape is handed to
+    * the policy with thresholds that force the compact-partitions arm
+    * (`maxFilesPerPartition = 1`) and the ledger roll-up arm
+    * (`ledgerTailMax = 1`), then probed. One row pins the whole policy
+    * path live — heal-at-entry, the health read, the threshold
+    * judgment, the selective compaction it prescribes, and the ledger
+    * roll-up — against q59's verbatim oracle: a row the policy's
+    * maintenance loses, duplicates, or misplaces breaks the hashes.
+    * `skewThreshold` is pinned effectively-infinite: the rotate arm
+    * re-trains centroids, which would change the assignment the oracle
+    * computes — this row verifies the policy's PLUMBING, q60 verifies
+    * rotation itself.
+    */
+  private val qIvfMaintainedProbe = QueryDef(
+    "q64_ivf_maintained_probe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val root = scratchDir("graft-q64")
+      val path = s"$root/ivf"
+      Similarity.writeIvfPartitioned(e.filter(col("vec_id") % 2 === 0), path)
+      Similarity.appendIvfEpoch(e.filter(col("vec_id") % 2 =!= 0), path,
+        epochId = "epoch1")
+      val m = Similarity.ivfMaintain(s, path, "m1",
+        maxFilesPerPartition = 1, skewThreshold = Double.MaxValue,
+        ledgerTailMax = 1)
+      require(m.actions.exists(_.startsWith("compact-partitions(")) &&
+          m.actions.exists(_.startsWith("compact-ledger(")),
+        s"q64 expects the policy to compact files AND roll the ledger, " +
+          s"got ${m.actions}")
+      Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfAppendedOracleSql))
+
   /** The ROTATED IVF layout under hash verification — q59's
     * counterpart for [[Similarity.rotateIvf]]'s marker-fenced swap:
     * the full corpus is first laid out around a STALE deterministic
@@ -1680,7 +1717,8 @@ object PipelineQueries {
     qDedupExact, qNgramJaccard, qMinhash, qMinhashCapped, qMinhashProbe,
     qSimhash, qSimhash64, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe, qIvfRotatedProbe,
-    qIvfProbePrebuilt, qIvfPCompactedProbe, qHistCompactedProbe,
+    qIvfProbePrebuilt, qIvfPCompactedProbe, qIvfMaintainedProbe,
+    qHistCompactedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,

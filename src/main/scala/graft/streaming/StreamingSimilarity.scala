@@ -42,7 +42,10 @@ import graft.operators.{Dedup, Similarity}
   *
   * Single maintenance writer: with `applyToLayout` set, the STREAM is
   * the layout's maintenance writer — don't run appends, rotations, or
-  * recovery against the same layout while it runs.
+  * recovery against the same layout while it runs. That ownership is
+  * what lets `maintainAtBoundary` run the full
+  * [[Similarity.ivfMaintain]] policy (compact / rotate / ledger
+  * roll-up) at each epoch boundary with no external coordination.
   */
 object StreamingSimilarity {
 
@@ -89,6 +92,25 @@ object StreamingSimilarity {
     * stop, start a fresh epoch mapping (e.g. an epochIdFor offset past
     * the drained ids), exactly as the manual-drain contract already
     * required.
+    *
+    * `maintainAtBoundary` (requires `applyToLayout`) closes the
+    * maintenance loop for the steady state: after a boundary's
+    * finished epochs land, ONE [[Similarity.ivfMaintain]] runs with
+    * the supplied policy under the deterministic id
+    * `maintain-<newest applied epoch id>` — fragmentation/skew/ledger
+    * growth from continuous ingest is judged and repaired at the same
+    * cadence that creates it, no cron or human in the loop. The
+    * boundary batch PAYS the maintenance latency (the stream is the
+    * layout's single maintenance writer, so this is inherent; at
+    * epoch cadence it is rare); a replayed boundary re-enters the
+    * policy under the SAME id and no-ops through the sub-protocols'
+    * ledgers, while a crash after the spool clear but before the
+    * policy skips that tick — the next boundary covers it
+    * (maintenance is cadence, not correctness). Deployments probing
+    * the layout while the stream runs should set `deferRetire` in the
+    * policy so a policy-driven rotation retires superseded
+    * generations on a drain window instead of deleting under an
+    * in-flight probe.
     */
   def startSpool(
       emb: DataFrame,
@@ -98,9 +120,13 @@ object StreamingSimilarity {
       checkpointLocation: Option[String] = None,
       applyToLayout: Option[String] = None,
       idCol: String = "vec_id",
-      drainOnStop: Boolean = false): StreamingQuery = {
+      drainOnStop: Boolean = false,
+      maintainAtBoundary: Option[Similarity.IvfMaintainPolicy] = None):
+      StreamingQuery = {
     require(!drainOnStop || applyToLayout.isDefined,
       "drainOnStop without applyToLayout has no layout to drain into")
+    require(maintainAtBoundary.isEmpty || applyToLayout.isDefined,
+      "maintainAtBoundary without applyToLayout has no layout to maintain")
     if (checkpointLocation.isEmpty)
       log.warn(
         "startSpool without a checkpointLocation: a restart resets " +
@@ -113,12 +139,30 @@ object StreamingSimilarity {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val epochId = epochIdFor(batchId)
         applyToLayout.foreach { layout =>
-          listSpooledEpochs(batch.sparkSession, spoolRoot)
+          val finished = listSpooledEpochs(batch.sparkSession, spoolRoot)
             .filterNot(_ == epochId)
-            .foreach { prev =>
-              applySpooledEpoch(batch.sparkSession, spoolRoot, prev,
-                layout, idCol)
+          finished.foreach { prev =>
+            applySpooledEpoch(batch.sparkSession, spoolRoot, prev,
+              layout, idCol)
+          }
+          // the maintenance tick rides the SAME boundary the applies
+          // do: one policy run after the finished epochs land, under a
+          // deterministic id derived from the newest of them — a
+          // boundary replay (crash between apply and maintain resumes
+          // here with the spool still present) re-enters the policy
+          // under the SAME id and each sub-protocol no-ops through its
+          // ledger. A crash AFTER the spool clear but before the
+          // policy skips this tick entirely; the next boundary's tick
+          // covers it — maintenance is cadence, not correctness.
+          maintainAtBoundary.foreach { policy =>
+            if (finished.nonEmpty) {
+              val m = Similarity.ivfMaintain(batch.sparkSession, layout,
+                s"maintain-${finished.max}", policy)
+              if (m.actions.nonEmpty)
+                log.info(s"boundary maintain of $layout: " +
+                  m.actions.mkString("; "))
             }
+          }
         }
         StreamingDedup.spoolBatch(batch, s"$spoolRoot/$epochId", batchId)
         ()

@@ -5,12 +5,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** Seeded randomized crash sweep over ALL FOUR layout-maintenance
+/** Seeded randomized crash sweep over the layout-maintenance
   * protocols — the two-layout dedup rotation
   * ([[Dedup.rotateEpochBucketed]]), the single-layout IVF epoch
   * ([[Similarity.appendIvfEpoch]]), the IVF re-train rotation
-  * ([[Similarity.rotateIvf]], generation-pointer publish), and the
-  * IVF compaction ([[Similarity.compactIvf]], same publish). Each
+  * ([[Similarity.rotateIvf]], generation-pointer publish), the IVF
+  * compaction ([[Similarity.compactIvf]], same publish), and the
+  * in-generation partition compaction
+  * ([[Similarity.compactIvfPartitions]]) — plus the two CLOSED-LOOP
+  * maintain policies ([[Similarity.ivfMaintain]],
+  * [[Dedup.dedupMaintain]]), swept as the CONVERGER: a random
+  * sub-protocol is torn at a random failpoint and one clean policy
+  * call must heal and restore every invariant. Each protocol-arm
   * trial kills the protocol at a randomly drawn failpoint (sometimes
   * at a second one on the first retry), then retries under the SAME
   * epochId until it completes, and asserts the invariants the
@@ -276,39 +282,172 @@ class CrashSweepSpec extends AnyFunSuite {
       ctx)
   }
 
+  // ------------------------------------------------- maintain-policy arms
+
+  private lazy val ivfNovel2 =
+    (200L until 206L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+  /** Maintain-policy trial, IVF side: a random sub-protocol is torn
+    * mid-flight at a random failpoint, then ONE clean
+    * [[Similarity.ivfMaintain]] call must converge the layout —
+    * heal-at-entry resolves the torn op (complete if committed,
+    * discard if not), the compact arm restores the file-count
+    * invariant, and a second maintain is a listing-only no-op. The
+    * closed loop the pointwise IvfCompactionSpec cases pin, under the
+    * sweep's randomized sub-protocol × failpoint cross product.
+    */
+  private def ivfMaintainTrial(sub: String, fp: String): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-mnt").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(ivfBase, path, centroidK = 2)
+    assert(Similarity.appendIvfEpoch(ivfNovel, path, "e1"))
+    val grownIds = ivfRows(path).map(_._1)
+    val crash: String => Unit = p => if (p == fp) throw Boom
+    try {
+      sub match {
+        case "epoch" =>
+          Similarity.appendIvfEpochStaged(ivfNovel2, path, "e2", "vec_id",
+            crash)
+        case "rotation" =>
+          Similarity.rotateIvfStaged(spark, path, "r2", 2, 1.0, 10,
+            "vec_id", crash)
+        case "compaction" =>
+          Similarity.compactIvfStaged(spark, path, "c2", 0L, crash)
+        case "partition-compaction" =>
+          Similarity.compactIvfPartitionsStaged(spark, path, "pc2", 1, 0L,
+            crash)
+      }
+      ()
+    } catch { case Boom => () }
+    val m1 = Similarity.ivfMaintain(spark, path, "mnt1",
+      maxFilesPerPartition = 1, skewThreshold = Double.MaxValue)
+    val ctx = s"sub=$sub fp=$fp actions=${m1.actions}"
+    // the torn op healed whichever way its commit point dictates; the
+    // id set is conditional only for the epoch sub-protocol
+    val wantIds =
+      if (sub == "epoch" && Similarity.ivfEpochApplied(spark, path, "e2"))
+        grownIds ++ (200L until 206L)
+      else grownIds
+    val got = ivfRows(path)
+    assert(got.map(_._1) == wantIds, ctx)
+    assert(got.size == wantIds.size, ctx) // no id appears twice
+    assert(Similarity.ivfPartitionStats(spark, path).forall(_._2 == 1), ctx)
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty, ctx)
+    val m2 = Similarity.ivfMaintain(spark, path, "mnt2",
+      maxFilesPerPartition = 1, skewThreshold = Double.MaxValue)
+    assert(m2.actions.isEmpty, s"$ctx m2=${m2.actions}")
+    // staging fully reclaimed for every id the trial could have touched
+    val f = Dedup.fsFor(spark, path)
+    for (d <- Seq("_rotate/e2", "_retrain/r2", "_retrain/c2",
+        "_retrain/pc2", "_retrain/mnt1-compact", "_retrain/mnt2-compact"))
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/$d")),
+        s"$ctx leftover $d")
+  }
+
+  /** Hist-only rebuild targets for the discarded-rotation branch of
+    * the dedup maintain trial.
+    */
+  private lazy val (dedupWantHist0, dedupWantIdx0) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-dw0").toString
+    Dedup.writeHistoryBucketed(dedupH0, s"$root/hist", nBuckets = 4)
+    Dedup.writeMinhashIndex(dedupH0, s"$root/idx")
+    (histRows(s"$root/hist"), idxRows(s"$root/idx"))
+  }
+
+  /** Maintain-policy trial, dedup side: the epoch rotation is torn at
+    * a random failpoint, then ONE clean [[Dedup.dedupMaintain]] call
+    * must converge the history/index pair the same way.
+    */
+  private def dedupMaintainTrial(fp: String): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-dmn").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(dedupH0, histPath, nBuckets = 4)
+    Dedup.writeMinhashIndex(dedupH0, idxPath)
+    try {
+      val b = spark.sparkContext.broadcast(dedupBloom0)
+      Dedup.rotateEpochStaged(dedupN1, histPath, idxPath, b,
+        expectedItems = 100, fpp = 0.01, textCol = "text",
+        epochId = "e1", failpoint = p => if (p == fp) throw Boom)
+      ()
+    } catch { case Boom => () }
+    val m1 = Dedup.dedupMaintain(spark, histPath, idxPath, "mnt1",
+      maxFilesPerPartition = 1)
+    val ctx = s"fp=$fp actions=${m1.actions}"
+    val (wantH, wantI) =
+      if (Dedup.epochApplied(spark, histPath, "e1"))
+        (dedupWantHist, dedupWantIdx)
+      else (dedupWantHist0, dedupWantIdx0)
+    assert(histRows(histPath) == wantH, ctx)
+    assert(idxRows(idxPath) == wantI, ctx)
+    assert(Dedup.historyPartitionStats(spark, histPath).forall(_._2 == 1),
+      ctx)
+    assert(Dedup.listQuarantined(spark, histPath, idxPath).isEmpty, ctx)
+    val m2 = Dedup.dedupMaintain(spark, histPath, idxPath, "mnt2",
+      maxFilesPerPartition = 1)
+    assert(m2.actions.isEmpty, s"$ctx m2=${m2.actions}")
+    val f = Dedup.fsFor(spark, histPath)
+    for (d <- Seq("_rotate/e1", "_retrain/mnt1-compact",
+        "_retrain/mnt2-compact"))
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$histPath/$d")),
+        s"$ctx leftover $d")
+  }
+
   // ---------------------------------------------------------------- sweep
 
-  test("75 seeded randomized crash trials across all five protocols: " +
-    "retry-until-complete always converges to the rebuild state") {
+  test("105 seeded randomized crash trials across five protocols and " +
+    "two maintain policies: retry-until-complete (or one maintain call) " +
+    "always converges to the rebuild state") {
     val rnd = new scala.util.Random(0xC0FFEE42L)
-    val counts = scala.collection.mutable.Map(
-      "ivf" -> 0, "dedup" -> 0, "rotation" -> 0, "compaction" -> 0,
-      "partition-compaction" -> 0)
-    for (trial <- 1 to 75) {
-      val proto = Seq("ivf", "dedup", "rotation", "compaction",
-        "partition-compaction")(rnd.nextInt(5))
-      val fps = proto match {
-        case "ivf" => ivfFps
-        case "dedup" => dedupFps
-        case "partition-compaction" => pcmpFps
-        case _ => rotFps
+    val protos = Seq("ivf", "dedup", "rotation", "compaction",
+      "partition-compaction", "ivf-maintain", "dedup-maintain")
+    val counts =
+      scala.collection.mutable.Map(protos.map(_ -> 0): _*)
+    for (trial <- 1 to 105) {
+      val proto = protos(rnd.nextInt(protos.size))
+      proto match {
+        case "ivf-maintain" =>
+          // the torn sub-protocol and its failpoint, drawn per trial
+          val sub = Seq("epoch", "rotation", "compaction",
+            "partition-compaction")(rnd.nextInt(4))
+          val fps = sub match {
+            case "epoch" => ivfFps
+            case "partition-compaction" => pcmpFps
+            case _ => rotFps
+          }
+          val fp = fps(rnd.nextInt(fps.size))
+          withClue(s"trial $trial (ivf-maintain, $sub@$fp): ") {
+            ivfMaintainTrial(sub, fp)
+          }
+        case "dedup-maintain" =>
+          val fp = dedupFps(rnd.nextInt(dedupFps.size))
+          withClue(s"trial $trial (dedup-maintain, @$fp): ") {
+            dedupMaintainTrial(fp)
+          }
+        case _ =>
+          val fps = proto match {
+            case "ivf" => ivfFps
+            case "dedup" => dedupFps
+            case "partition-compaction" => pcmpFps
+            case _ => rotFps
+          }
+          // 1 or 2 planned crashes; a post-commit first crash makes the
+          // second plan entry unreachable (the retry completes through
+          // entry recovery) — that path is part of the sweep's coverage
+          val plan = Seq.fill(1 + rnd.nextInt(2))(fps(rnd.nextInt(fps.size)))
+          withClue(s"trial $trial ($proto, $plan): ") {
+            proto match {
+              case "ivf" => ivfTrial(plan)
+              case "dedup" => dedupTrial(plan)
+              case "rotation" => rotTrial(plan)
+              case "partition-compaction" => pcmpTrial(plan)
+              case _ => compactTrial(plan)
+            }
+          }
       }
-      // 1 or 2 planned crashes; a post-commit first crash makes the
-      // second plan entry unreachable (the retry completes through
-      // entry recovery) — that path is part of the sweep's coverage
-      val plan = Seq.fill(1 + rnd.nextInt(2))(fps(rnd.nextInt(fps.size)))
-      withClue(s"trial $trial ($proto, $plan): ") {
-        proto match {
-          case "ivf" => ivfTrial(plan)
-          case "dedup" => dedupTrial(plan)
-          case "rotation" => rotTrial(plan)
-          case "partition-compaction" => pcmpTrial(plan)
-          case _ => compactTrial(plan)
-        }
-        counts(proto) += 1
-      }
+      counts(proto) += 1
     }
-    // the seed must actually exercise every protocol arm
+    // the seed must actually exercise every arm
     assert(counts.values.forall(_ >= 8), counts.toString)
   }
 }

@@ -297,4 +297,72 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq.sorted == Seq(0L, 1L, 2L, 3L, 100L))
     assert(got.size == 5) // 100 exactly once
   }
+
+  test("maintainAtBoundary runs the ivfMaintain policy at each epoch " +
+    "boundary: the fragmentation each applied epoch creates is " +
+    "compacted at the same cadence, rows stay rebuild-identical, and " +
+    "the flag requires applyToLayout") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ssimm").toString
+    val path = s"$root/ivf"
+    val spoolRoot = s"$root/spool"
+    val base = (0L until 6L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.writeIvfPartitioned(base, path, centroidK = 2)
+    // skew pinned un-triggerable: this case pins the COMPACT arm (a
+    // policy rotation would re-train centroids and change the rebuild
+    // target rows); threshold 1 makes every applied epoch's
+    // fragmentation a breach the very boundary it lands
+    val policy = Similarity.IvfMaintainPolicy(
+      maxFilesPerPartition = 1, skewThreshold = Double.MaxValue)
+
+    intercept[IllegalArgumentException] {
+      StreamingSimilarity.startSpool(
+        MemoryStream[(Long, Array[Float])].toDF()
+          .toDF("vec_id", "embedding"),
+        s"$root/nospool", epochIdFor = _ => "x",
+        maintainAtBoundary = Some(policy))
+    }
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val query = StreamingSimilarity.startSpool(
+      stream.toDF().toDF("vec_id", "embedding"), spoolRoot,
+      epochIdFor = b => s"e${b / 2}", intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt"),
+      applyToLayout = Some(path),
+      maintainAtBoundary = Some(policy))
+    def feed(id: Long): Unit = {
+      stream.addData((id, vec(id)))
+      query.processAllAvailable()
+    }
+    // epoch e0 = batches 0, 1 — open: no apply, no maintain tick
+    feed(100L)
+    feed(101L)
+    assert(!graft.operators.EpochLedger.applied(spark, path,
+      "maintain-e0-compact"))
+    // batch 2 opens e1: e0 applies (fragmenting its partitions), then
+    // the boundary's maintain tick compacts back to one file per dir
+    feed(102L)
+    assert(Similarity.ivfEpochApplied(spark, path, "e0"))
+    assert(graft.operators.EpochLedger.applied(spark, path,
+      "maintain-e0-compact"))
+    assert(Similarity.ivfPartitionStats(spark, path).forall(_._2 == 1))
+    val n01 = Seq(100L, 101L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    assert(rows(path) == rebuildRows(base.unionByName(n01), path))
+    // the next boundary ticks again under ITS epoch's id
+    feed(103L)
+    feed(104L)
+    assert(Similarity.ivfEpochApplied(spark, path, "e1"))
+    assert(graft.operators.EpochLedger.applied(spark, path,
+      "maintain-e1-compact"))
+    assert(Similarity.ivfPartitionStats(spark, path).forall(_._2 == 1))
+    query.stop()
+    val all = (100L to 103L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    assert(rows(path) == rebuildRows(base.unionByName(all), path))
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty)
+    // staging fully reclaimed by every tick
+    val f = Dedup.fsFor(spark, path)
+    for (d <- Seq("_retrain/maintain-e0-compact",
+        "_retrain/maintain-e1-compact"))
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/$d")), d)
+  }
 }
