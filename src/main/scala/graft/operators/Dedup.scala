@@ -395,6 +395,11 @@ object Dedup {
     */
   def appendHistoryBucketed(novel: DataFrame, path: String): Unit =
     historyRowsUnderMeta(novel, path)
+      // hash-exchange on the bucket key before the partitioned write
+      // (the compaction paths' idiom): one file per touched bucket per
+      // epoch instead of one per task holding its rows — bucket
+      // fragmentation grows O(epochs), not O(tasks × epochs)
+      .repartition(col("id_bucket"))
       .write.partitionBy("id_bucket").mode("append").parquet(path)
 
   /** A novel batch bucketed under the MODULUS of the layout at
@@ -598,6 +603,10 @@ object Dedup {
       // (their _meta sidecars) — the same row derivations the raw
       // append primitives write, by construction (shared helpers)
       historyRowsUnderMeta(novel, historyPath)
+        // one file per touched bucket per epoch (see
+        // [[appendHistoryBucketed]]) — the protocol's per-file moves
+        // become O(touched buckets), not O(tasks × buckets)
+        .repartition(col("id_bucket"))
         .write.partitionBy("id_bucket").mode("overwrite")
         .parquet(s"$stageRoot/history")
       failpoint("staged-history")
@@ -1259,6 +1268,21 @@ object Dedup {
   /** One `(dir-name, files, bytes)` row per directory under
     * `root/<sub>`, by recursive listing alone.
     */
+  /** The number of dirs under `root/sub` — ONE `listStatus`, no
+    * descent. The health-read twin of [[scanHiddenRoot]]: a boundary-
+    * cadence observable must not pay O(retired corpus) enumeration
+    * just to report a count ([[scanHiddenRoot]]'s per-dir file/byte
+    * stats remain the purge monitor's shape).
+    */
+  private[operators] def countHiddenDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      sub: String): Int = {
+    val q = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    if (!fs.exists(q)) 0
+    else fs.listStatus(q).count(_.isDirectory)
+  }
+
   private[operators] def scanHiddenRoot(
       fs: org.apache.hadoop.fs.FileSystem,
       root: String,

@@ -243,15 +243,34 @@ object EpochLedger {
       partPrefix: String): Seq[(String, Int, Long)] = {
     val root = new Path(dataRoot)
     if (!f.exists(root)) return Seq.empty
+    // one root listStatus (seeds the dirs, so an empty partition still
+    // reports n=0) + ONE recursive listFiles — on object stores a
+    // single paged flat LIST — instead of a listStatus round trip PER
+    // partition dir: the health read and compaction targeting stay a
+    // constant number of listing calls at any partition count (a
+    // per-dir walk at k=4096 × object-store listing latency is minutes
+    // of driver time per health read; this is one LIST)
+    // keyed by the FULL parent path, so a same-named partition dir
+    // nested elsewhere in the tree (e.g. under _retired/ on a flat
+    // layout root) can never be counted into a live dir
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Path, (Int, Long)]
     f.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partPrefix))
-      .map { st =>
-        val parts = f.listStatus(st.getPath)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-        (st.getPath.getName, parts.length, parts.map(_.getLen).sum)
+      .foreach(st => acc(st.getPath) = (0, 0L))
+    val it = f.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      // only direct children of a seeded partition dir count — same
+      // contract as the per-dir listing this replaces
+      if (p.getName.endsWith(".parquet")) {
+        acc.get(p.getParent).foreach { case (n, b) =>
+          acc(p.getParent) = (n + 1, b + st.getLen)
+        }
       }
-      .toIndexedSeq
-      .sortBy(_._1)
+    }
+    acc.toIndexedSeq
+      .map { case (d, (n, b)) => (d.getName, n, b) }.sortBy(_._1)
   }
 
   /** Partition-scoped file compaction for ONE partitioned layout — the

@@ -463,6 +463,12 @@ object Similarity {
       idCol: String = "vec_id"): Unit = {
     val dataRoot = ivfDataRoot(Dedup.fsFor(novel.sparkSession, path), path)
     assignToLayout(novel, dataRoot, idCol)
+      // hash-exchange on the partition key before the partitioned
+      // write (the compaction paths' idiom): each touched dir gets ONE
+      // file per epoch instead of one per TASK holding its rows —
+      // fragmentation grows O(epochs), not O(tasks × epochs), and the
+      // skew bound is the epoch's hot share, not the corpus's
+      .repartition(col("centroid_id"))
       .write.partitionBy("centroid_id").mode("append").parquet(dataRoot)
   }
 
@@ -508,7 +514,13 @@ object Similarity {
     EpochLedger.commitEpoch(novel.sparkSession, path, epochId,
       partPrefix = "centroid_id=",
       stageWrite = stageDir =>
+        // one file per touched dir per epoch (see
+        // [[appendIvfPartitioned]]) — which also makes the protocol's
+        // per-file footprint moves O(touched dirs), not
+        // O(tasks × dirs): at cluster scale the difference between
+        // thousands of renames per epoch and |touched centroids|
         assignToLayout(novel, dataRoot, idCol)
+          .repartition(col("centroid_id"))
           .write.partitionBy("centroid_id").parquet(stageDir),
       failpoint = failpoint,
       dataRoot = Some(dataRoot))
@@ -1105,17 +1117,10 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(String, Int, Long)] = {
     val f = graft.operators.Dedup.fsFor(spark, path)
-    val root = new org.apache.hadoop.fs.Path(ivfDataRoot(f, path))
-    f.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
-      .map { st =>
-        val parts = f.listStatus(st.getPath)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-        (st.getPath.getName.stripPrefix("centroid_id="),
-          parts.length, parts.map(_.getLen).sum)
-      }
-      .toIndexedSeq
-      .sortBy(_._1)
+    // the shared constant-round-trip listing (one root listStatus +
+    // one recursive listFiles) — NOT a listStatus per partition dir
+    EpochLedger.partitionFileStats(f, ivfDataRoot(f, path), "centroid_id=")
+      .map { case (d, n, b) => (d.stripPrefix("centroid_id="), n, b) }
   }
 
   /** The layout's partition-population skew: max/median partition
@@ -1128,8 +1133,16 @@ object Similarity {
     */
   def ivfSkewRatio(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Double = {
-    val bytes = ivfPartitionStats(spark, path).map(_._3).sorted
+      path: String): Double =
+    skewFromStats(ivfPartitionStats(spark, path))
+
+  /** [[ivfSkewRatio]]'s formula over an already-read
+    * [[ivfPartitionStats]] result — so one listing can serve both the
+    * file-count and the skew observables ([[ivfHealth]] reads stats
+    * ONCE and derives both).
+    */
+  private def skewFromStats(stats: Seq[(String, Int, Long)]): Double = {
+    val bytes = stats.map(_._3).sorted
     if (bytes.isEmpty || bytes.last == 0L) 1.0 // no data anywhere: nothing skewed
     else {
       val median = bytes(bytes.size / 2).toDouble
@@ -1192,14 +1205,19 @@ object Similarity {
       files = stats.map(_._2.toLong).sum,
       bytes = stats.map(_._3).sum,
       maxFilesPerPartition = if (stats.isEmpty) 0 else stats.map(_._2).max,
-      skewRatio = ivfSkewRatio(spark, path),
+      skewRatio = skewFromStats(stats),
       recall =
         if (recallSampleN > 0 || queryVectors.isDefined)
           Some(ivfRecallProbe(spark, path, recallSampleN.max(1), k, nprobe,
             queryVectors = queryVectors))
         else None,
-      quarantined = listIvfQuarantined(spark, path).size,
-      retired = listIvfRetired(spark, path).size)
+      // dir COUNTS via one listStatus each — the full per-dir
+      // file/byte scans (listIvfQuarantined/listIvfRetired) enumerate
+      // the retired corpus, which a boundary-cadence health read must
+      // not pay (6+ s observed on a layout with one retired
+      // generation; O(retired corpus) in general)
+      quarantined = Dedup.countHiddenDirs(f, path, "_quarantine"),
+      retired = Dedup.countHiddenDirs(f, path, "_retired"))
   }
 
   /** What [[ivfMaintain]] did and why: the action strings in execution

@@ -524,8 +524,15 @@ class IvfCompactionSpec extends AnyFunSuite {
     Similarity.writeIvfPartitioned(emb(0 until 16), path, centroidK = 4)
     val hot = spark.read.parquet(path)
       .select("vec_id").collect().map(_.getLong(0)).min
+    // enough DISTINCT near-duplicate rows that the hot dir's byte
+    // share alone breaches the threshold — the append's
+    // one-file-per-dir exchange means per-file overhead no longer pads
+    // the fragmented dir's bytes, and identical vectors would
+    // dictionary-compress away; scaling the magnitude keeps the
+    // direction (and so the cosine assignment) while defeating both
     (1 to 3).foreach { e =>
-      val dup = (1 to 8).map(i => (2000L * e + i, vec(hot)))
+      val dup = (1 to 48).map(i =>
+          (2000L * e + i, vec(hot).map(_ * (1f + i * 1e-4f))))
         .toDF("vec_id", "embedding")
       assert(Similarity.appendIvfEpoch(dup, path, s"se$e"))
     }

@@ -355,6 +355,18 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     assert(graft.operators.EpochLedger.applied(spark, path,
       "maintain-e1-compact"))
     assert(Similarity.ivfPartitionStats(spark, path).forall(_._2 == 1))
+    // replayed boundary (a lost spool clear): e1's rows re-spool, the
+    // next batch's boundary re-applies them — a ledger-hit no-op, no
+    // double append — and the maintain tick re-enters under the SAME
+    // maintain-e1 id, no-oping through the sub-protocols' ledgers
+    val n23 = Seq(102L, 103L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    StreamingDedup.spoolBatch(n23, s"$spoolRoot/e1", batchId = 2L)
+    val beforeReplay = rows(path)
+    feed(105L)
+    assert(rows(path) == beforeReplay)
+    assert(StreamingSimilarity.listSpooledEpochs(spark, spoolRoot) ==
+      Seq("e2"))
     query.stop()
     val all = (100L to 103L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
     assert(rows(path) == rebuildRows(base.unionByName(all), path))
