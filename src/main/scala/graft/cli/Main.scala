@@ -244,7 +244,9 @@ object Main {
           centroidK = flag("--k").map(_.toInt)
             .getOrElse(Similarity.DefaultCentroidK),
           sampleFrac = flag("--sample-frac").map(_.toDouble).getOrElse(1.0),
-          deferRetire = flags.contains("--defer-retire"))
+          deferRetire = flags.contains("--defer-retire"),
+          filesPerPartition =
+            flag("--files-per-partition").map(_.toInt).getOrElse(1))
         s"applied=$applied"
       case "compact" =>
         val applied = Similarity.compactIvf(spark, layout, id("compactionId"),

@@ -243,32 +243,45 @@ object EpochLedger {
       partPrefix: String): Seq[(String, Int, Long)] = {
     val root = new Path(dataRoot)
     if (!f.exists(root)) return Seq.empty
-    // one root listStatus (seeds the dirs, so an empty partition still
-    // reports n=0) + ONE recursive listFiles — on object stores a
-    // single paged flat LIST — instead of a listStatus round trip PER
-    // partition dir: the health read and compaction targeting stay a
-    // constant number of listing calls at any partition count (a
-    // per-dir walk at k=4096 × object-store listing latency is minutes
-    // of driver time per health read; this is one LIST)
+    val rootEntries = f.listStatus(root)
+    val partDirs = rootEntries
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partPrefix))
     // keyed by the FULL parent path, so a same-named partition dir
     // nested elsewhere in the tree (e.g. under _retired/ on a flat
-    // layout root) can never be counted into a live dir
+    // layout root) can never be counted into a live dir; seeded from
+    // the root listing so an empty partition still reports n=0
     val acc = scala.collection.mutable.LinkedHashMap.empty[Path, (Int, Long)]
-    f.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partPrefix))
-      .foreach(st => acc(st.getPath) = (0, 0L))
-    val it = f.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      // only direct children of a seeded partition dir count — same
-      // contract as the per-dir listing this replaces
-      if (p.getName.endsWith(".parquet")) {
-        acc.get(p.getParent).foreach { case (n, b) =>
-          acc(p.getParent) = (n + 1, b + st.getLen)
+    partDirs.foreach(st => acc(st.getPath) = (0, 0L))
+    def tally(it: org.apache.hadoop.fs.RemoteIterator[
+        org.apache.hadoop.fs.LocatedFileStatus]): Unit =
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath
+        // only direct children of a seeded partition dir count — same
+        // contract as a per-dir listing
+        if (p.getName.endsWith(".parquet")) {
+          acc.get(p.getParent).foreach { case (n, b) =>
+            acc(p.getParent) = (n + 1, b + st.getLen)
+          }
         }
       }
-    }
+    // strategy from the root listing already in hand: a CLEAN root (a
+    // published generation dir — the steady state once a rotation or
+    // compaction has run, and where partition counts are largest)
+    // gets ONE recursive listFiles — a single paged flat LIST on
+    // object stores — instead of a listStatus round trip per
+    // partition dir (k=4096 × object-store listing latency is minutes
+    // of driver time per health read). A root carrying hidden trees
+    // (_epochs/_retired/_rotate/… on a flat layout) keeps the per-dir
+    // walk: a flat recursive LIST from such a root would enumerate
+    // the retired corpus and every staged file just to count live
+    // partitions.
+    val hiddenTrees = rootEntries.exists(st => st.isDirectory && {
+      val n = st.getPath.getName
+      (n.startsWith("_") || n.startsWith(".")) && n != "_centroids"
+    })
+    if (!hiddenTrees) tally(f.listFiles(root, true))
+    else partDirs.foreach(st => tally(f.listFiles(st.getPath, false)))
     acc.toIndexedSeq
       .map { case (d, (n, b)) => (d.getName, n, b) }.sortBy(_._1)
   }

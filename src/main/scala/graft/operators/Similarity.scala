@@ -313,7 +313,10 @@ object Similarity {
       path: String,
       centroidK: Int = DefaultCentroidK,
       idCol: String = "vec_id",
-      trainedCentroids: Option[DataFrame] = None): Unit = {
+      trainedCentroids: Option[DataFrame] = None,
+      filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1, got $filesPerPartition")
     // a generational layout's live data lives under its published
     // gen dir — a flat overwrite here would write BESIDE it, invisible
     // to every pointer-resolving reader; re-train in place with
@@ -325,9 +328,21 @@ object Similarity {
         "not a flat writeIvfPartitioned overwrite")
     val all = asDouble(emb, idCol = idCol)
     val centroids = trainedCentroids.getOrElse(ivfCentroids(all, centroidK, idCol))
-    rankCentroids(all, centroids, 1, idCol)
+    val assigned = rankCentroids(all, centroids, 1, idCol)
       .select(col(idCol), col("vec"), col("nrm"),
         concat(lit("c"), col("centroid_id")).as("centroid_id"))
+    // hash-exchange on the partition key so the layout is born SETTLED
+    // (the append/compaction idiom): without it a partitioned write
+    // emits one file per TASK per dir — O(tasks × k) files a
+    // compactIvf would immediately have to rewrite, a second full
+    // corpus write for nothing. `filesPerPartition > 1` adds an
+    // id-hash salt to the exchange: each dir's rows spread over that
+    // many tasks — the write-parallelism/tail knob for corpus-scale
+    // builds where one task per hot dir is too slow — at the cost of
+    // that many files per dir.
+    (if (filesPerPartition <= 1) assigned.repartition(col("centroid_id"))
+     else assigned.repartition(col("centroid_id"),
+       pmod(xxhash64(col(idCol)), lit(filesPerPartition.toLong))))
       .write.partitionBy("centroid_id").mode("overwrite")
       // STATIC overwrite regardless of the session default: a rewrite
       // with a different centroid set must replace the WHOLE layout
@@ -643,9 +658,11 @@ object Similarity {
       maxIters: Int = 10,
       idCol: String = "vec_id",
       trainedCentroids: Option[DataFrame] = None,
-      deferRetire: Boolean = false): Boolean =
+      deferRetire: Boolean = false,
+      filesPerPartition: Int = 1): Boolean =
     rotateIvfStaged(spark, path, rotationId, centroidK, sampleFrac,
-      maxIters, idCol, _ => (), trainedCentroids, deferRetire)
+      maxIters, idCol, _ => (), trainedCentroids, deferRetire,
+      filesPerPartition)
 
   /** [[rotateIvf]] with the crash-injection hook exposed for specs —
     * fired at "staged", "committed", "gen-move", "gen-moved",
@@ -666,7 +683,8 @@ object Similarity {
       // oracle: kmeansFit is deterministic only up to float summation
       // order, the id-hash sample is exactly reproducible)
       trainedCentroids: Option[DataFrame] = None,
-      deferRetire: Boolean = false): Boolean = {
+      deferRetire: Boolean = false,
+      filesPerPartition: Int = 1): Boolean = {
     require(sampleFrac > 0.0 && sampleFrac <= 1.0,
       s"sampleFrac must be in (0, 1], got $sampleFrac")
     stageGeneration(spark, path, rotationId, "rotation",
@@ -684,7 +702,8 @@ object Similarity {
         kmeansFit(trainIn, centroidK, maxIters, idCol = idCol)
       }
       writeIvfPartitioned(corpus, stageData, centroidK, idCol,
-        trainedCentroids = Some(trained))
+        trainedCentroids = Some(trained),
+        filesPerPartition = filesPerPartition)
     }
   }
 

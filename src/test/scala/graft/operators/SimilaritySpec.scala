@@ -433,4 +433,37 @@ class SimilaritySpec extends AnyFunSuite {
     // external mode never touches the layout
     assert(spark.read.parquet(path).count() == 40)
   }
+
+  test("writeIvfPartitioned is born settled: one file per partition " +
+    "dir by default, <= filesPerPartition with the parallelism salt, " +
+    "rows identical either way") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-settled").toString
+    Similarity.writeIvfPartitioned(emb, s"$root/one")
+    assert(Similarity.ivfPartitionStats(spark, s"$root/one")
+      .forall(_._2 == 1))
+    // AQE's partition coalescing merges the tiny salt groups back into
+    // one task at this fixture scale (at corpus scale the groups are
+    // GBs and stay separate — the knob's target regime); disable it
+    // for this write so the salt's spreading is observable
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      Similarity.writeIvfPartitioned(emb, s"$root/four",
+        filesPerPartition = 4)
+    } finally spark.conf.set(coalesceKey, prev)
+    val statsFour = Similarity.ivfPartitionStats(spark, s"$root/four")
+    assert(statsFour.forall(_._2 <= 4))
+    // the salt actually spreads a populated dir across tasks
+    assert(statsFour.exists(_._2 > 1))
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(s"$root/one") == rows(s"$root/four"))
+    intercept[IllegalArgumentException] {
+      Similarity.writeIvfPartitioned(emb, s"$root/bad",
+        filesPerPartition = 0)
+    }
+  }
 }
