@@ -274,7 +274,9 @@ object Main {
           deferRetire = flags.contains("--defer-retire"),
           queryVectors = recallQueries,
           purgeRetiredOlderThanMs =
-            flag("--purge-older-than").map(parseDuration))
+            flag("--purge-older-than").map(parseDuration),
+          filesPerPartition =
+            flag("--files-per-partition").map(_.toInt).getOrElse(1))
         val acts =
           if (m.actions.isEmpty) "none (healthy)" else m.actions.mkString("; ")
         s"actions=$acts " +

@@ -1265,9 +1265,6 @@ object Dedup {
     }
   }
 
-  /** One `(dir-name, files, bytes)` row per directory under
-    * `root/<sub>`, by recursive listing alone.
-    */
   /** The number of dirs under `root/sub` — ONE `listStatus`, no
     * descent. The health-read twin of [[scanHiddenRoot]]: a boundary-
     * cadence observable must not pay O(retired corpus) enumeration
@@ -1283,6 +1280,9 @@ object Dedup {
     else fs.listStatus(q).count(_.isDirectory)
   }
 
+  /** One `(dir-name, files, bytes)` row per directory under
+    * `root/<sub>`, by recursive listing alone.
+    */
   private[operators] def scanHiddenRoot(
       fs: org.apache.hadoop.fs.FileSystem,
       root: String,

@@ -1265,7 +1265,8 @@ object Similarity {
       sampleFrac: Double = 1.0,
       deferRetire: Boolean = false,
       queryVectors: Option[DataFrame] = None,
-      purgeRetiredOlderThanMs: Option[Long] = None)
+      purgeRetiredOlderThanMs: Option[Long] = None,
+      filesPerPartition: Int = 1)
 
   /** [[ivfMaintain]] with the thresholds packed in an
     * [[IvfMaintainPolicy]] — same semantics, config-shaped call site.
@@ -1287,7 +1288,8 @@ object Similarity {
       sampleFrac = policy.sampleFrac,
       deferRetire = policy.deferRetire,
       queryVectors = policy.queryVectors,
-      purgeRetiredOlderThanMs = policy.purgeRetiredOlderThanMs)
+      purgeRetiredOlderThanMs = policy.purgeRetiredOlderThanMs,
+      filesPerPartition = policy.filesPerPartition)
 
   /** The closed-loop maintenance policy step: read [[ivfHealth]] ONCE,
     * judge it against explicit thresholds, and run the prescribed
@@ -1300,7 +1302,8 @@ object Similarity {
     *     measured recall@k (probed with `recallSampleN`) is below it →
     *     [[rotateIvf]] under id `<id>-rotate` (a re-train re-balances
     *     AND rewrites every partition, so no compaction is needed on
-    *     top);
+    *     top; `filesPerPartition` is that rebuild's write-parallelism
+    *     knob for corpus-scale layouts — see [[writeIvfPartitioned]]);
     *   - otherwise `maxFilesPerPartition` exceeded →
     *     [[compactIvfPartitions]] under id `<id>-compact` with the
     *     same threshold (O(fragmented), in-generation);
@@ -1342,7 +1345,8 @@ object Similarity {
       sampleFrac: Double = 1.0,
       deferRetire: Boolean = false,
       queryVectors: Option[DataFrame] = None,
-      purgeRetiredOlderThanMs: Option[Long] = None): IvfMaintenance = {
+      purgeRetiredOlderThanMs: Option[Long] = None,
+      filesPerPartition: Int = 1): IvfMaintenance = {
     EpochLedger.requireEpochId(id)
     require(maxFilesPerPartition >= 1 && skewThreshold > 1.0 &&
         ledgerTailMax >= 1,
@@ -1372,7 +1376,7 @@ object Similarity {
            else Seq.empty)
       val applied = rotateIvf(spark, path, s"$id-rotate",
         centroidK = centroidK, sampleFrac = sampleFrac,
-        deferRetire = deferRetire)
+        deferRetire = deferRetire, filesPerPartition = filesPerPartition)
       actions += s"rotate(${reason.mkString(", ")})" +
         (if (applied) "" else " [already applied]")
     } else if (h.maxFilesPerPartition > maxFilesPerPartition) {

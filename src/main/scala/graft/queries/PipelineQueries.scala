@@ -655,6 +655,76 @@ object PipelineQueries {
     },
     Some(ivfAppendedOracleSql))
 
+  /** The SERVING-shaped ANN path under hash verification —
+    * [[Similarity.ivfKnnPartitionedWith]] probed with EXTERNAL held-out
+    * query vectors over the same pre-built memoized layout q61 probes.
+    * The held-out set is deterministic and genuinely off-corpus
+    * (midpoints of consecutive stored pairs, all-double arithmetic on
+    * both sides), so the row pins what the stored-id rows q59/q61
+    * cannot: the serving route itself — centroid RANKING against the
+    * `_centroids` sidecar for a vector with no stored assignment, the
+    * literal partition prune it prescribes, and the
+    * no-self-exclusion contract. The oracle recomputes midpoints,
+    * routing, pruned scoring and top-k verbatim in SQL.
+    */
+  private val qIvfServingProbe = QueryDef(
+    "q65_ivf_serving_probe",
+    (s, dir) => {
+      val path = memoLayout("q59", dir)(buildAppendedLayout(s, dir))
+      val d = emb(s, dir)
+      val a = d.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("va"))
+      val b = d.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").cast("array<double>").as("vb"))
+      val held = a.join(b, "vec_id")
+        .filter(col("vec_id") % 16 === 0 && col("vec_id") < 128)
+        .select(col("vec_id").as("query_id"),
+          zip_with(col("va"), col("vb"),
+            (x, y) => (x + y) / lit(2.0)).as("embedding"))
+      Similarity.ivfKnnPartitionedWith(s, path, held, k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |ea AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, vec AS cvec FROM ea
+         |  ORDER BY ((vec_id % ${DuckSql.P}) * 2654435761) % ${DuckSql.P}, vec_id
+         |  LIMIT ${Similarity.DefaultCentroidK}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, vec FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.vec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c)
+         |  WHERE crank = 1),
+         |q AS (
+         |  SELECT a.vec_id AS query_id,
+         |         list_transform(range(1, len(a.vec) + 1),
+         |           i -> (a.vec[i] + b.vec[i]) / 2.0) AS vec_q
+         |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+         |  WHERE a.vec_id % 16 = 0 AND a.vec_id < 128),
+         |qp AS (
+         |  SELECT query_id, centroid_id, vec_q FROM (
+         |    SELECT q.query_id, c.centroid_id, q.vec_q,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${DuckSql.cosine("q.vec_q", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM q, cent c)
+         |  WHERE crank <= 2),
+         |scored AS (
+         |  SELECT qp.query_id, n.vec_id AS neighbor_id,
+         |         round(${DuckSql.cosine("qp.vec_q", "n.vec")}, 6) AS sim
+         |  FROM assigned n JOIN qp ON n.centroid_id = qp.centroid_id)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin))
+
   /** Partition-scoped compaction under hash verification — q60's
     * counterpart for [[Similarity.compactIvfPartitions]]: the q59
     * layout shape (even-half centroids, odd-half ledgered epoch —
@@ -1718,7 +1788,7 @@ object PipelineQueries {
     qSimhash, qSimhash64, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe, qIvfRotatedProbe,
     qIvfProbePrebuilt, qIvfPCompactedProbe, qIvfMaintainedProbe,
-    qHistCompactedProbe,
+    qIvfServingProbe, qHistCompactedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,

@@ -290,13 +290,28 @@ class IvfRotationSpec extends AnyFunSuite {
     assert(Similarity.ivfRecallProbe(spark, path, sampleN = 32, k = 5,
       nprobe = 1).recallAtK < 0.9)
 
-    val m = Similarity.ivfMaintain(spark, path, "m1",
-      maxFilesPerPartition = 1000, skewThreshold = 1e9,
-      recallFloor = Some(0.9), recallSampleN = 32, k = 5, nprobe = 1,
-      centroidK = 2)
+    // filesPerPartition rides the policy into the rebuild (AQE's
+    // partition coalescing would merge the tiny salt groups at this
+    // fixture scale — disable it so the knob's spreading is observable,
+    // as in SimilaritySpec's settled-build case)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    val m =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        Similarity.ivfMaintain(spark, path, "m1",
+          maxFilesPerPartition = 1000, skewThreshold = 1e9,
+          recallFloor = Some(0.9), recallSampleN = 32, k = 5, nprobe = 1,
+          centroidK = 2, filesPerPartition = 2)
+      } finally spark.conf.set(coalesceKey, prevCoalesce)
     assert(m.actions.size == 1 && m.actions.head.startsWith("rotate(") &&
       m.actions.head.contains("recall"), m.actions)
     assert(EpochLedger.applied(spark, path, "m1-rotate"))
+    // the policy-driven rebuild respected the write-parallelism knob
+    val statsAfter = Similarity.ivfPartitionStats(spark, path)
+    assert(statsAfter.forall(_._2 <= 2), statsAfter)
+    assert(statsAfter.exists(_._2 > 1),
+      s"salt should spread a populated dir across tasks: $statsAfter")
     // rotation restored recall above the floor and lost no row
     assert(Similarity.ivfRecallProbe(spark, path, sampleN = 32, k = 5,
       nprobe = 1).recallAtK >= 0.9)
