@@ -338,8 +338,8 @@ object PipelineQueries {
   }
 
   /** The AT-REST incremental layouts under LIVE maintenance, hash-
-    * verified: the history pair is written from the even non-batch
-    * docs, the odd non-batch docs arrive as a ledgered epoch rotation
+    * verified: the history pair is written from the low-id non-batch
+    * docs, the high-id non-batch docs arrive as a ledgered epoch rotation
     * ([[Dedup.rotateEpochBucketed]]), the fragmented buckets are then
     * selectively compacted in place
     * ([[Dedup.compactHistoryPartitions]]), and the q52 probe runs over
@@ -352,10 +352,14 @@ object PipelineQueries {
     "q63_dedup_hcompacted_probe",
     (s, dir) => {
       val d = docs(s, dir)
+      // split by id RANGE, not parity: id_bucket is doc_id mod nBuckets,
+      // so a parity split would land the epoch in disjoint buckets and
+      // the "fragmented dirs" the compaction targets would never exist —
+      // a range split puts base + epoch files in EVERY bucket
       val part1 =
-        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 0)
+        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250)
       val part2 =
-        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 =!= 0)
+        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250)
       val batch = d.filter(col("doc_id") % 5 === 0)
       val root = scratchDir("graft-q63")
       val hist = s"$root/hist"
@@ -367,8 +371,59 @@ object PipelineQueries {
       Dedup.rotateEpochBucketed(part2, hist, idx, bloom,
         expectedItems = 10000, fpp = 0.01, epochId = "ep1")
         .unpersist(blocking = false)
-      Dedup.compactHistoryPartitions(s, hist, idx, "hc1",
+      val n = Dedup.compactHistoryPartitions(s, hist, idx, "hc1",
         maxFilesPerPartition = 1)
+      require(n > 0,
+        s"q63 expects the rotation to fragment buckets the compaction " +
+          s"then rewrites, got $n compacted dirs")
+      val (ix, k, bands) = Dedup.openMinhashIndex(s, idx)
+      val (h, nb) = Dedup.openHistoryBucketed(s, hist)
+      Dedup.minhashProbeBucketedOn(batch, ix, h, nb, threshold = 0.8,
+          k = k, bands = bands, maxBandPop = None)
+        .orderBy("batch_id", "hist_id")
+    },
+    Some(incrementalProbeOracleSql))
+
+  /** The dedup-pair CLOSED-LOOP policy under hash verification — q64's
+    * counterpart for [[Dedup.dedupMaintain]]: the q63 layout shape
+    * (bucketed history fragmented by a live epoch rotation) is handed
+    * to the policy with thresholds that force BOTH arms — the
+    * partition-scoped history compaction (`maxFilesPerPartition = 1`)
+    * and the `_epochs` ledger roll-up (`ledgerTailMax = 1`, breached
+    * once the compaction ledgers its own id) — then probed against
+    * q52's oracle verbatim. One row pins the policy's plumbing live:
+    * heal-at-entry, the fragmentation read, the threshold judgment,
+    * the selective compaction it prescribes, and the roll-up; any row
+    * the maintenance loses, duplicates, or misplaces breaks the
+    * hashes.
+    */
+  private val qDedupMaintainedProbe = QueryDef(
+    "q66_dedup_maintained_probe",
+    (s, dir) => {
+      val d = docs(s, dir)
+      // range split, as in q63: parity would dodge the fragmentation
+      // the policy's thresholds are pinned to detect
+      val part1 =
+        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250)
+      val part2 =
+        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+      val root = scratchDir("graft-q66")
+      val hist = s"$root/hist"
+      val idx = s"$root/idx"
+      Dedup.writeHistoryBucketed(part1, hist, nBuckets = 8)
+      Dedup.writeMinhashIndex(part1, idx)
+      val bloom = s.sparkContext.broadcast(
+        Dedup.digestBloom(part1, expectedItems = 10000, fpp = 0.01))
+      Dedup.rotateEpochBucketed(part2, hist, idx, bloom,
+        expectedItems = 10000, fpp = 0.01, epochId = "ep1")
+        .unpersist(blocking = false)
+      val m = Dedup.dedupMaintain(s, hist, idx, "m1",
+        maxFilesPerPartition = 1, ledgerTailMax = 1)
+      require(m.actions.exists(_.startsWith("compact-history(")) &&
+          m.actions.exists(_.startsWith("compact-ledger(")),
+        s"q66 expects the policy to compact buckets AND roll the ledger, " +
+          s"got ${m.actions}")
       val (ix, k, bands) = Dedup.openMinhashIndex(s, idx)
       val (h, nb) = Dedup.openHistoryBucketed(s, hist)
       Dedup.minhashProbeBucketedOn(batch, ix, h, nb, threshold = 0.8,
@@ -1788,7 +1843,7 @@ object PipelineQueries {
     qSimhash, qSimhash64, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe, qIvfRotatedProbe,
     qIvfProbePrebuilt, qIvfPCompactedProbe, qIvfMaintainedProbe,
-    qIvfServingProbe, qHistCompactedProbe,
+    qIvfServingProbe, qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
