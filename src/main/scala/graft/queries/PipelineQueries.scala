@@ -798,8 +798,11 @@ object PipelineQueries {
       Similarity.writeIvfPartitioned(e.filter(col("vec_id") % 2 === 0), path)
       Similarity.appendIvfEpoch(e.filter(col("vec_id") % 2 =!= 0), path,
         epochId = "epoch1")
-      Similarity.compactIvfPartitions(s, path, "pc1",
+      val n = Similarity.compactIvfPartitions(s, path, "pc1",
         maxFilesPerPartition = 1)
+      require(n > 0,
+        s"q62 expects the epoch append to fragment partitions the " +
+          s"compaction then rewrites, got $n compacted dirs")
       Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
