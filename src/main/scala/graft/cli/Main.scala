@@ -258,7 +258,9 @@ object Main {
         val n = Similarity.compactIvfPartitions(spark, layout,
           id("compactionId"),
           maxFilesPerPartition = flag("--max-files").map(_.toInt)
-            .getOrElse(1))
+            .getOrElse(1),
+          filesPerPartition =
+            flag("--files-per-partition").map(_.toInt).getOrElse(1))
         s"compacted_dirs=$n"
       case "maintain" =>
         val m = Similarity.ivfMaintain(spark, layout, id("maintenanceId"),
@@ -353,7 +355,9 @@ object Main {
             ledgerTailMax =
               flag("--ledger-tail").map(_.toInt).getOrElse(256),
             purgeRetiredOlderThanMs =
-              flag("--purge-older-than").map(parseDuration))
+              flag("--purge-older-than").map(parseDuration),
+            filesPerPartition =
+              flag("--files-per-partition").map(_.toInt).getOrElse(1))
           val acts =
             if (m.actions.isEmpty) "none (healthy)"
             else m.actions.mkString("; ")
@@ -370,7 +374,9 @@ object Main {
             maxFilesPerPartition =
               flag("--max-files").map(_.toInt).getOrElse(1),
             maxRecordsPerFile =
-              flag("--max-records-per-file").map(_.toLong).getOrElse(0L))
+              flag("--max-records-per-file").map(_.toLong).getOrElse(0L),
+            filesPerPartition =
+              flag("--files-per-partition").map(_.toInt).getOrElse(1))
           s"compacted_buckets=$n"
         case _ =>
           sys.error("dedup compact-history needs " +

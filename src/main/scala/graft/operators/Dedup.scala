@@ -720,9 +720,11 @@ object Dedup {
       indexPath: String,
       compactionId: String,
       maxFilesPerPartition: Int = 1,
-      maxRecordsPerFile: Long = 0L): Int =
+      maxRecordsPerFile: Long = 0L,
+      filesPerPartition: Int = 1): Int =
     compactHistoryPartitionsStaged(spark, historyPath, indexPath,
-      compactionId, maxFilesPerPartition, maxRecordsPerFile, _ => ())
+      compactionId, maxFilesPerPartition, maxRecordsPerFile, _ => (),
+      filesPerPartition)
 
   /** [[compactHistoryPartitions]] with the crash-injection hook —
     * same failpoints as the IVF twin ("staged", "committed",
@@ -735,7 +737,8 @@ object Dedup {
       compactionId: String,
       maxFilesPerPartition: Int,
       maxRecordsPerFile: Long,
-      failpoint: String => Unit): Int = {
+      failpoint: String => Unit,
+      filesPerPartition: Int = 1): Int = {
     // heal the PAIR first — a torn rotation would otherwise be
     // compacted half-appended (and its unledgered footprints must
     // quarantine before the rewrite reads them as corpus)
@@ -743,7 +746,8 @@ object Dedup {
     EpochLedger.compactPartitionsStaged(spark, historyPath,
       dataRoot = historyPath, partitionCol = "id_bucket",
       id = compactionId, maxFilesPerPartition = maxFilesPerPartition,
-      maxRecordsPerFile = maxRecordsPerFile, failpoint = failpoint)
+      maxRecordsPerFile = maxRecordsPerFile, failpoint = failpoint,
+      filesPerPartition = filesPerPartition)
   }
 
   /** Rebuild the flat minhash index at `indexPath` from the AT-REST
@@ -817,7 +821,8 @@ object Dedup {
       maxFilesPerPartition: Int = 64,
       ledgerTailMax: Int = 256,
       maxRecordsPerFile: Long = 0L,
-      purgeRetiredOlderThanMs: Option[Long] = None): DedupMaintenance = {
+      purgeRetiredOlderThanMs: Option[Long] = None,
+      filesPerPartition: Int = 1): DedupMaintenance = {
     EpochLedger.requireEpochId(id)
     require(maxFilesPerPartition >= 1 && ledgerTailMax >= 1,
       s"thresholds out of range: maxFilesPerPartition=" +
@@ -830,7 +835,8 @@ object Dedup {
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     if (maxFiles > maxFilesPerPartition) {
       val n = compactHistoryPartitions(spark, historyPath, indexPath,
-        s"$id-compact", maxFilesPerPartition, maxRecordsPerFile)
+        s"$id-compact", maxFilesPerPartition, maxRecordsPerFile,
+        filesPerPartition)
       actions += s"compact-history(maxFiles=$maxFiles>" +
         s"$maxFilesPerPartition, buckets=$n)"
     }

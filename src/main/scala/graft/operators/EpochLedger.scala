@@ -309,11 +309,14 @@ object EpochLedger {
       id: String,
       maxFilesPerPartition: Int,
       maxRecordsPerFile: Long,
-      failpoint: String => Unit): Int = {
-    import org.apache.spark.sql.functions.col
+      failpoint: String => Unit,
+      filesPerPartition: Int = 1): Int = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     requireEpochId(id)
     require(maxFilesPerPartition >= 1,
       s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1, got $filesPerPartition")
     val f = Dedup.fsFor(spark, path)
     if (applied(spark, path, id)) {
       requireKind(f, path, id, "partition-compaction")
@@ -329,11 +332,21 @@ object EpochLedger {
     // ONE job over ONLY the fragmented dirs; basePath keeps the
     // partition column so partitionBy re-creates the same dir names.
     // The hash exchange on the partition key puts each target dir's
-    // rows in one task -> one file per dir.
-    val writer = spark.read.option("basePath", dataRoot)
+    // rows in one task -> one file per dir. `filesPerPartition > 1`
+    // adds a row-hash salt to the exchange (the build/rotation knob's
+    // twin): a HOT fragmented dir rewrites across that many tasks
+    // instead of one — the write-parallelism/tail remedy when a single
+    // over-threshold dir is tens of GB — at the cost of that many
+    // files per compacted dir (keep it <= maxFilesPerPartition or the
+    // dir re-triggers next tick).
+    val src = spark.read.option("basePath", dataRoot)
       .parquet(targets.map(d => s"$dataRoot/$d"): _*)
-      .repartition(col(partitionCol))
-      .write.partitionBy(partitionCol)
+    val exchanged =
+      if (filesPerPartition <= 1) src.repartition(col(partitionCol))
+      else src.repartition(col(partitionCol),
+        pmod(xxhash64(src.columns.map(col).toIndexedSeq: _*),
+          lit(filesPerPartition.toLong)))
+    val writer = exchanged.write.partitionBy(partitionCol)
     (if (maxRecordsPerFile > 0L)
        writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer)

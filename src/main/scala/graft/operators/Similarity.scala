@@ -817,9 +817,11 @@ object Similarity {
       path: String,
       compactionId: String,
       maxFilesPerPartition: Int = 1,
-      maxRecordsPerFile: Long = 0L): Int =
+      maxRecordsPerFile: Long = 0L,
+      filesPerPartition: Int = 1): Int =
     compactIvfPartitionsStaged(spark, path, compactionId,
-      maxFilesPerPartition, maxRecordsPerFile, _ => ())
+      maxFilesPerPartition, maxRecordsPerFile, _ => (),
+      filesPerPartition)
 
   /** [[compactIvfPartitions]] with the crash-injection hook exposed
     * for specs — fired at "staged", "committed", "swap-retire" (before
@@ -832,13 +834,15 @@ object Similarity {
       compactionId: String,
       maxFilesPerPartition: Int,
       maxRecordsPerFile: Long,
-      failpoint: String => Unit): Int = {
+      failpoint: String => Unit,
+      filesPerPartition: Int = 1): Int = {
     recoverIvfEpochs(spark, path)
     EpochLedger.compactPartitionsStaged(spark, path,
       dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path),
       partitionCol = "centroid_id", id = compactionId,
       maxFilesPerPartition = maxFilesPerPartition,
-      maxRecordsPerFile = maxRecordsPerFile, failpoint = failpoint)
+      maxRecordsPerFile = maxRecordsPerFile, failpoint = failpoint,
+      filesPerPartition = filesPerPartition)
   }
 
   /** Shared staged-generation runner behind [[rotateIvf]] and
@@ -1302,11 +1306,14 @@ object Similarity {
     *     measured recall@k (probed with `recallSampleN`) is below it →
     *     [[rotateIvf]] under id `<id>-rotate` (a re-train re-balances
     *     AND rewrites every partition, so no compaction is needed on
-    *     top; `filesPerPartition` is that rebuild's write-parallelism
-    *     knob for corpus-scale layouts — see [[writeIvfPartitioned]]);
+    *     top);
     *   - otherwise `maxFilesPerPartition` exceeded →
     *     [[compactIvfPartitions]] under id `<id>-compact` with the
     *     same threshold (O(fragmented), in-generation);
+    *   - `filesPerPartition` is the write-parallelism salt for
+    *     whichever rewrite fires (rotation rebuild or selective
+    *     compaction — see [[writeIvfPartitioned]]): at corpus scale a
+    *     hot partition should not rewrite through one task;
     *   - independently, a ledger entry tail longer than
     *     `ledgerTailMax` → [[EpochLedger.compactLedger]];
     *   - independently, when `purgeRetiredOlderThanMs` is set, retired
@@ -1381,7 +1388,8 @@ object Similarity {
         (if (applied) "" else " [already applied]")
     } else if (h.maxFilesPerPartition > maxFilesPerPartition) {
       val n = compactIvfPartitions(spark, path, s"$id-compact",
-        maxFilesPerPartition = maxFilesPerPartition)
+        maxFilesPerPartition = maxFilesPerPartition,
+        filesPerPartition = filesPerPartition)
       actions += s"compact-partitions(maxFiles=" +
         s"${h.maxFilesPerPartition}>$maxFilesPerPartition, dirs=$n)"
     }

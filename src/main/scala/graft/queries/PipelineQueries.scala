@@ -722,21 +722,42 @@ object PipelineQueries {
     * no-self-exclusion contract. The oracle recomputes midpoints,
     * routing, pruned scoring and top-k verbatim in SQL.
     */
+  /** Deterministic OFF-CORPUS held-out query vectors shared by the
+    * serving rows (q65/q67): midpoints of consecutive stored pairs at
+    * ids 0, 16, …, 112 — derived in-plan (self-join + codegen'd
+    * `zip_with`, all-double arithmetic) so both engines compute
+    * bit-identical query vectors.
+    */
+  private def heldOutQueries(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = emb(s, dir)
+    val a = d.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("va"))
+    val b = d.select((col("vec_id") - 1).as("vec_id"),
+      col("embedding").cast("array<double>").as("vb"))
+    a.join(b, "vec_id")
+      .filter(col("vec_id") % 16 === 0 && col("vec_id") < 128)
+      .select(col("vec_id").as("query_id"),
+        zip_with(col("va"), col("vb"),
+          (x, y) => (x + y) / lit(2.0)).as("embedding"))
+  }
+
+  /** [[heldOutQueries]]' DuckDB twin (`q(query_id, vec_q)`). */
+  private val heldOutCte: String =
+    s"""q AS (
+       |  SELECT a.vec_id AS query_id,
+       |         list_transform(range(1, len(a.vec) + 1),
+       |           i -> (a.vec[i] + b.vec[i]) / 2.0) AS vec_q
+       |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+       |  WHERE a.vec_id % 16 = 0 AND a.vec_id < 128)""".stripMargin
+
   private val qIvfServingProbe = QueryDef(
     "q65_ivf_serving_probe",
     (s, dir) => {
       val path = memoLayout("q59", dir)(buildAppendedLayout(s, dir))
-      val d = emb(s, dir)
-      val a = d.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("va"))
-      val b = d.select((col("vec_id") - 1).as("vec_id"),
-        col("embedding").cast("array<double>").as("vb"))
-      val held = a.join(b, "vec_id")
-        .filter(col("vec_id") % 16 === 0 && col("vec_id") < 128)
-        .select(col("vec_id").as("query_id"),
-          zip_with(col("va"), col("vb"),
-            (x, y) => (x + y) / lit(2.0)).as("embedding"))
-      Similarity.ivfKnnPartitionedWith(s, path, held, k = 5, nprobe = 2)
+      Similarity.ivfKnnPartitionedWith(s, path, heldOutQueries(s, dir),
+          k = 5, nprobe = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
@@ -755,12 +776,7 @@ object PipelineQueries {
          |                      c.centroid_id) AS crank
          |    FROM e v, cent c)
          |  WHERE crank = 1),
-         |q AS (
-         |  SELECT a.vec_id AS query_id,
-         |         list_transform(range(1, len(a.vec) + 1),
-         |           i -> (a.vec[i] + b.vec[i]) / 2.0) AS vec_q
-         |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
-         |  WHERE a.vec_id % 16 = 0 AND a.vec_id < 128),
+         |$heldOutCte,
          |qp AS (
          |  SELECT query_id, centroid_id, vec_q FROM (
          |    SELECT q.query_id, c.centroid_id, q.vec_q,
@@ -773,6 +789,36 @@ object PipelineQueries {
          |  SELECT qp.query_id, n.vec_id AS neighbor_id,
          |         round(${DuckSql.cosine("qp.vec_q", "n.vec")}, 6) AS sim
          |  FROM assigned n JOIN qp ON n.centroid_id = qp.centroid_id)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin))
+
+  /** The EXACT side of the serving recall probe under hash
+    * verification — [[Similarity.bruteForceKnnWith]] over the same
+    * held-out off-corpus queries as q65, no IVF routing, no
+    * self-exclusion: external ids are their own namespace, so a query
+    * equal to a stored vector legitimately finds that row at sim 1.0.
+    * This is the reference answer `ivfRecallProbe(queryVectors = …)`
+    * divides by — pinning it keeps the serving recall observable
+    * itself oracle-grounded.
+    */
+  private val qKnnBruteExternal = QueryDef(
+    "q67_knn_brute_external",
+    (s, dir) =>
+      Similarity.bruteForceKnnWith(emb(s, dir), heldOutQueries(s, dir),
+          k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank"),
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |$heldOutCte,
+         |scored AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |         round(${DuckSql.cosine("q.vec_q", "n.vec")}, 6) AS sim
+         |  FROM e n, q)
          |SELECT query_id, neighbor_id, rank, sim FROM (
          |  SELECT *, row_number() OVER
          |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -1846,7 +1892,8 @@ object PipelineQueries {
     qSimhash, qSimhash64, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe, qIvfRotatedProbe,
     qIvfProbePrebuilt, qIvfPCompactedProbe, qIvfMaintainedProbe,
-    qIvfServingProbe, qHistCompactedProbe, qDedupMaintainedProbe,
+    qIvfServingProbe, qKnnBruteExternal,
+    qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,

@@ -342,6 +342,33 @@ class IvfCompactionSpec extends AnyFunSuite {
     assert(rows(path).size == before.size + 8)
   }
 
+  test("compactIvfPartitions filesPerPartition salt: a hot dir " +
+    "rewrites across up to N tasks/files, rows and probes identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pcsalt").toString
+    val (path, hotDir) = lopsided(root)
+    val before = rows(path)
+    val probeBefore = probe(path)
+    assert(fileNames(path)(hotDir).size > 3)
+    // AQE's coalescing would merge the tiny salt groups at fixture
+    // scale (the knob's target regime is GB-sized groups) — disable it
+    // so the spreading is observable, as in the settled-build specs
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val n =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        Similarity.compactIvfPartitions(spark, path, "pcs1",
+          maxFilesPerPartition = 3, filesPerPartition = 2)
+      } finally spark.conf.set(coalesceKey, prev)
+    assert(n == 1)
+    val after = fileNames(path)(hotDir)
+    assert(after.size <= 2 && after.forall(_.startsWith("pcs1=")), after)
+    // the salt spread the hot dir across tasks
+    assert(after.size == 2, after)
+    assert(rows(path) == before)
+    assert(probe(path) == probeBefore)
+  }
+
   test("compactIvfPartitions on a flat (never-rotated) layout stays " +
     "flat and keeps ledger evidence via footprints") {
     val root = java.nio.file.Files.createTempDirectory("graft-pcmpf").toString
