@@ -25,8 +25,10 @@ import graft.streaming.Ingest
   * reference analogue — the reference has no ANN layout):
   * {{{
   * ivf health  <layout> [--recall N] [--recall-queries PARQUET]
+  *             [--recall-k K] [--nprobe P]
   * ivf maintain <layout> <id> [--max-files N] [--skew X] [--recall N]
   *              [--recall-queries PARQUET] [--recall-floor F]
+  *              [--recall-k K] [--nprobe P]
   *              [--ledger-tail N] [--purge-older-than <dur>] [--k K]
   *              [--sample-frac F] [--defer-retire] [--lock-file F]
   * ivf rotate  <layout> <id> [--k K] [--sample-frac F] [--defer-retire] [--lock-file F]
@@ -82,9 +84,7 @@ object Main {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "sync" :: root :: rest =>
-      val lockFile = rest.sliding(2).collectFirst {
-        case List("--lock-file", f) => f
-      }
+      val lockFile = flagValue(rest, "--lock-file", "sync")
       val emit = rest.contains("--emit-metrics")
       val spark = session()
       val tsdb = new Tsdb(spark, root)
@@ -128,9 +128,7 @@ object Main {
       try q.awaitTermination() finally bridge.close()
 
     case "compact" :: root :: rest =>
-      val lockFile = rest.sliding(2).collectFirst {
-        case List("--lock-file", f) => f
-      }
+      val lockFile = flagValue(rest, "--lock-file", "compact")
       val spark = session()
       withLock(lockFile) { new Tsdb(spark, root).compact() }
       spark.stop()
@@ -167,9 +165,9 @@ object Main {
         case id :: tl if needsId(sub) && !id.startsWith("--") => (Some(id), tl)
         case _ => (None, rest)
       }
-      val lockFile = flags.sliding(2).collectFirst {
-        case List("--lock-file", f) if !f.startsWith("--") => f
-      }
+      // strict parse: a missing value must ERROR, not silently run the
+      // maintenance unlocked
+      val lockFile = flagValue(flags, "--lock-file", s"ivf $sub")
       val spark = session()
       try println(withLock(lockFile) {
         ivfCommand(spark, sub, layout, posArg, flags)
@@ -179,9 +177,7 @@ object Main {
     case "dedup" :: sub :: rest =>
       // positionals first, then flags
       val (pos, flags) = rest.span(!_.startsWith("--"))
-      val lockFile = flags.sliding(2).collectFirst {
-        case List("--lock-file", f) if !f.startsWith("--") => f
-      }
+      val lockFile = flagValue(flags, "--lock-file", s"dedup $sub")
       val spark = session()
       try println(withLock(lockFile) {
         dedupCommand(spark, sub, pos, flags)
@@ -226,10 +222,16 @@ object Main {
     // parquet of (query_id, embedding)
     def recallQueries: Option[org.apache.spark.sql.DataFrame] =
       flag("--recall-queries").map(spark.read.parquet(_))
+    // the recall probe's OWN k/nprobe — a floor judged at nprobe=1 for
+    // a deployment serving nprobe=4 queries would trigger spurious
+    // re-train rotations ("--k" is taken by the rotation's centroidK)
+    def recallK: Int = flag("--recall-k").map(_.toInt).getOrElse(10)
+    def recallNprobe: Int = flag("--nprobe").map(_.toInt).getOrElse(1)
     sub match {
       case "health" =>
         val h = Similarity.ivfHealth(spark, layout,
           recallSampleN = flag("--recall").map(_.toInt).getOrElse(0),
+          k = recallK, nprobe = recallNprobe,
           queryVectors = recallQueries)
         val recallStr = h.recall
           .map(r => f"${r.recallAtK}%.4f(k=${r.k},nprobe=${r.nprobe})")
@@ -269,6 +271,7 @@ object Main {
           skewThreshold = flag("--skew").map(_.toDouble).getOrElse(4.0),
           recallFloor = flag("--recall-floor").map(_.toDouble),
           recallSampleN = flag("--recall").map(_.toInt).getOrElse(64),
+          k = recallK, nprobe = recallNprobe,
           ledgerTailMax = flag("--ledger-tail").map(_.toInt).getOrElse(256),
           centroidK = flag("--k").map(_.toInt)
             .getOrElse(Similarity.DefaultCentroidK),
@@ -314,7 +317,7 @@ object Main {
     * the value ('... --recall --lock-file f') would feed '--lock-file'
     * to .toInt — reject with a usage error instead.
     */
-  private def flagValue(
+  private[cli] def flagValue(
       flags: List[String],
       name: String,
       ctx: String): Option[String] = {

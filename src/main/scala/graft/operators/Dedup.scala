@@ -583,14 +583,15 @@ object Dedup {
     // epoch after a stage-loss partial move would double-append its
     // rows
     recoverRotations(spark, historyPath, indexPath)
-    if (epochApplied(spark, historyPath, epochId))
+    val alreadyApplied = epochApplied(spark, historyPath, epochId)
+    if (alreadyApplied)
       // a ledger hit is only a replay when the SAME protocol applied
       // it; an id a partition-compaction ledgered must fail loudly
       // instead of silently skipping the appends (empty legacy entries
       // pass as kind-unknown)
       EpochLedger.requireKind(fsFor(spark, historyPath), historyPath,
         epochId, "epoch")
-    if (!epochApplied(spark, historyPath, epochId)) {
+    if (!alreadyApplied) {
       val f = fsFor(spark, historyPath)
       // the ledger DIR is created before any data can move, so every
       // layout that ever started a rotation has it — recovery treats
@@ -827,6 +828,12 @@ object Dedup {
     require(maxFilesPerPartition >= 1 && ledgerTailMax >= 1,
       s"thresholds out of range: maxFilesPerPartition=" +
         s"$maxFilesPerPartition ledgerTailMax=$ledgerTailMax")
+    // above the threshold the policy would re-compact its own output
+    // every tick (see ivfMaintain's identical guard)
+    require(filesPerPartition >= 1 &&
+        filesPerPartition <= maxFilesPerPartition,
+      s"filesPerPartition=$filesPerPartition must be in " +
+        s"[1, maxFilesPerPartition=$maxFilesPerPartition]")
     // heal-at-entry, like the IVF policy: a torn rotation or
     // compaction resolves even when every threshold reads healthy
     recoverRotations(spark, historyPath, indexPath)
@@ -840,13 +847,8 @@ object Dedup {
       actions += s"compact-history(maxFiles=$maxFiles>" +
         s"$maxFilesPerPartition, buckets=$n)"
     }
-    val f = fsFor(spark, historyPath)
-    val ledgerP = new org.apache.hadoop.fs.Path(s"$historyPath/_epochs")
     val tail =
-      if (f.exists(ledgerP))
-        f.listStatus(ledgerP).map(_.getPath.getName)
-          .count(n => !n.startsWith("_") && !n.startsWith("."))
-      else 0
+      EpochLedger.ledgerTail(fsFor(spark, historyPath), historyPath)
     if (tail > ledgerTailMax) {
       val rolled = compactLedger(spark, historyPath)
       actions += s"compact-ledger(tail=$tail>$ledgerTailMax, " +
@@ -1232,6 +1234,15 @@ object Dedup {
     * uses). A non-positive `olderThanMs` is refused: an accidental 0
     * would silently purge everything, including dirs an in-flight
     * `deferRetire` reader may still be draining from.
+    *
+    * Object-store caveat handled here: S3A (and friends) report
+    * `modificationTime = 0` for DIRECTORY statuses — trusting it would
+    * make every retired dir "older than" any window and the very first
+    * sweep would delete retirements made seconds ago. A dir whose
+    * listing mtime is non-positive is re-judged by the NEWEST file
+    * mtime inside it (one recursive listing, paid only on such
+    * stores and only for purge candidates); a dir with no readable
+    * timestamp at all is SKIPPED — never deleted on missing evidence.
     */
   private[operators] def purgeRetiredOlderThanDirs(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -1242,10 +1253,21 @@ object Dedup {
       s"olderThanMs must be positive, got $olderThanMs — an explicit " +
         "retention window is the point of the bulk purge; use " +
         "purgeRetired(name) to delete a specific retirement now")
+    def newestFileMtime(d: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(d, true)
+      var newest = 0L
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      newest
+    }
     val p = new org.apache.hadoop.fs.Path(s"$root/_retired")
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory).toIndexedSeq
-      .filter(st => now - st.getModificationTime > olderThanMs)
+      .filter { st =>
+        val mtime =
+          if (st.getModificationTime > 0L) st.getModificationTime
+          else newestFileMtime(st.getPath)
+        mtime > 0L && now - mtime > olderThanMs
+      }
       .map(_.getPath.getName)
       .map { n => purgeRetiredDir(fs, root, n); n }
   }

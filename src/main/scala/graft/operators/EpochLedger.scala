@@ -439,6 +439,21 @@ object EpochLedger {
       s"partition-compaction: cleanup of $stageRoot failed")
   }
 
+  /** The number of VISIBLE entry files in `path/_epochs` (the rolled
+    * applied-set file and hidden temps excluded) — the "ledger tail"
+    * observable both maintain policies judge against their
+    * `ledgerTailMax`, kept here so the visible-entry convention lives
+    * in one place.
+    */
+  private[operators] def ledgerTail(
+      f: FileSystem,
+      path: String): Int = {
+    val p = new Path(s"$path/_epochs")
+    if (!f.exists(p)) 0
+    else f.listStatus(p).map(_.getPath.getName)
+      .count(n => !n.startsWith("_") && !n.startsWith("."))
+  }
+
   /** Refuse to treat an id applied by ONE protocol as a replay of the
     * OTHER: a shared date-style id would otherwise make the second
     * operation a silent no-op (a rotation that never re-trains, or an

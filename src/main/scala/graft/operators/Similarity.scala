@@ -1360,6 +1360,16 @@ object Similarity {
       s"thresholds out of range: maxFilesPerPartition=" +
         s"$maxFilesPerPartition skewThreshold=$skewThreshold " +
         s"ledgerTailMax=$ledgerTailMax")
+    // a salt above the file-count threshold would make every tick
+    // re-detect its own compaction output as fragmented: an endless
+    // rewrite-and-retire loop at maintenance cadence. A one-shot call
+    // may choose that trade consciously (compactIvfPartitions allows
+    // it); the cron'd policy must not.
+    require(filesPerPartition >= 1 &&
+        filesPerPartition <= maxFilesPerPartition,
+      s"filesPerPartition=$filesPerPartition must be in " +
+        s"[1, maxFilesPerPartition=$maxFilesPerPartition] — above the " +
+        "threshold the policy would re-compact its own output forever")
     // heal-at-entry: the policy is the cron'd one-call — a torn
     // epoch/rotation/compaction must resolve even when every
     // threshold then reads healthy (the sub-operations heal again at
@@ -1393,13 +1403,7 @@ object Similarity {
       actions += s"compact-partitions(maxFiles=" +
         s"${h.maxFilesPerPartition}>$maxFilesPerPartition, dirs=$n)"
     }
-    val f = Dedup.fsFor(spark, path)
-    val ledgerP = new org.apache.hadoop.fs.Path(s"$path/_epochs")
-    val tail =
-      if (f.exists(ledgerP))
-        f.listStatus(ledgerP).map(_.getPath.getName)
-          .count(n => !n.startsWith("_") && !n.startsWith("."))
-      else 0
+    val tail = EpochLedger.ledgerTail(Dedup.fsFor(spark, path), path)
     if (tail > ledgerTailMax) {
       val rolled = EpochLedger.compactLedger(spark, path)
       actions += s"compact-ledger(tail=$tail>$ledgerTailMax, " +
@@ -1453,14 +1457,19 @@ object Similarity {
     val corpus = spark.read.parquet(dataRoot)
     if (queryVectors.isDefined) {
       val qv = queryVectors.get
+      // cast the USER-supplied query id to long at the driver edge: an
+      // int32 query_id column (pandas-written parquet) would otherwise
+      // throw ClassCastException out of getLong inside a health read
       val approx = ivfKnnPartitionedWith(spark, path, qv, k, nprobe,
           idCol = idCol)
-        .select("query_id", "neighbor_id").collect()
+        .select(col("query_id").cast("long"), col("neighbor_id"))
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val exact = bruteForceKnnWith(
           corpus.select(col(idCol), col("vec").as("embedding")), qv, k,
           idCol = idCol)
-        .select("query_id", "neighbor_id").collect()
+        .select(col("query_id").cast("long"), col("neighbor_id"))
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall =
         if (exact.isEmpty) 1.0

@@ -157,7 +157,7 @@ object StreamingSimilarity {
           maintainAtBoundary.foreach { policy =>
             if (finished.nonEmpty) {
               val m = Similarity.ivfMaintain(batch.sparkSession, layout,
-                s"maintain-${finished.max}", policy)
+                s"maintain-${newestEpochId(finished)}", policy)
               if (m.actions.nonEmpty)
                 log.info(s"boundary maintain of $layout: " +
                   m.actions.mkString("; "))
@@ -257,7 +257,17 @@ object StreamingSimilarity {
     Similarity.recoverIvfEpochs(spark, layoutPath)
     val sp = s"$spoolRoot/$epochId"
     StreamingDedup.readSpool(spark, sp) match {
-      case None => false
+      case None =>
+        // a residue-only dir (a torn spoolBatch tmp with no committed
+        // `batch_id=` child) holds NO data this lineage can still
+        // need: a checkpoint replay of that batch re-enters under its
+        // own epoch id (which the boundary excludes as CURRENT), and a
+        // fresh-mapping restart never writes this id again. Clear it —
+        // left in place it re-enters the boundary's `finished` list on
+        // EVERY subsequent batch, forcing a maintain tick per batch
+        // and pinning the tick id forever.
+        StreamingDedup.clearSpool(spark, sp)
+        false
       case Some(novel) =>
         val applied =
           Similarity.appendIvfEpoch(novel, layoutPath, epochId, idCol)
@@ -265,4 +275,14 @@ object StreamingSimilarity {
         applied
     }
   }
+
+  /** The newest epoch id of a batch of spool ids — (length, value)
+    * ordering, which is NUMERIC order for the unpadded decimal ids
+    * `startSpool`'s default `epochIdFor` produces (`"100" > "9"`,
+    * where plain string max would pin `"9"` as newest for ninety
+    * epochs) and plain lexicographic order for same-length padded
+    * schemes.
+    */
+  private[streaming] def newestEpochId(ids: Seq[String]): String =
+    ids.maxBy(id => (id.length, id))
 }

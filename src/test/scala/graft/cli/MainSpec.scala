@@ -99,6 +99,21 @@ class MainSpec extends AnyFunSuite {
       run("health", flags = List("--recall"))
     }
     assert(exTail.getMessage.contains("--recall needs a value"), exTail)
+
+    // --lock-file goes through the SAME strict parse: a missing value
+    // must error, never silently run the maintenance UNLOCKED
+    val exLock = intercept[RuntimeException] {
+      Main.flagValue(List("--lock-file"), "--lock-file", "ivf rotate")
+    }
+    assert(exLock.getMessage.contains("--lock-file needs a value"), exLock)
+    val exLockFlag = intercept[RuntimeException] {
+      Main.flagValue(List("--lock-file", "--defer-retire"),
+        "--lock-file", "ivf rotate")
+    }
+    assert(exLockFlag.getMessage.contains("--lock-file needs a value"),
+      exLockFlag)
+    assert(Main.flagValue(List("--lock-file", "/tmp/l"),
+      "--lock-file", "ivf rotate") == Some("/tmp/l"))
   }
 
   test("ivf maintain + compact-partitions commands: the policy runs " +

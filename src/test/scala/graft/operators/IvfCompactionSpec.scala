@@ -615,6 +615,56 @@ class IvfCompactionSpec extends AnyFunSuite {
     assert(Dedup.listRetired(spark, h, i).isEmpty)
   }
 
+  test("purgeRetiredOlderThan on a zero-mtime dir (the S3A directory-" +
+    "status shape) falls back to the newest FILE mtime — fresh content " +
+    "survives any window, aged content purges, empty dirs are skipped") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft-purge0").toString
+    val path = grown(root, epochs = 1)
+    assert(Similarity.compactIvf(spark, path, "c1"))
+    val f = Dedup.fsFor(spark, path)
+    val retired = new Path(s"$path/_retired/c1.pre-rotate")
+    val now = System.currentTimeMillis
+    // simulate the object-store listing: dir mtime reads 0 while the
+    // files inside are FRESH — trusting the dir mtime would purge a
+    // seconds-old retirement on the first sweep
+    f.setTimes(retired, 0L, -1)
+    assert(f.getFileStatus(retired).getModificationTime == 0L)
+    assert(Similarity.purgeIvfRetiredOlderThan(spark, path,
+      3600L * 1000, now).isEmpty)
+    assert(Similarity.listIvfRetired(spark, path).map(_._1) ==
+      Seq("c1.pre-rotate"))
+    // age the CONTENT past the window: the fallback judges by it
+    val it = f.listFiles(retired, true)
+    while (it.hasNext)
+      f.setTimes(it.next().getPath, now - 2 * 3600 * 1000L, -1)
+    f.setTimes(retired, 0L, -1)
+    assert(Similarity.purgeIvfRetiredOlderThan(spark, path,
+      3600L * 1000, now) == Seq("c1.pre-rotate"))
+    // a zero-mtime dir with NO readable timestamp anywhere is never
+    // deleted on missing evidence
+    val empty = new Path(s"$path/_retired/ghost")
+    f.mkdirs(empty)
+    f.setTimes(empty, 0L, -1)
+    assert(Similarity.purgeIvfRetiredOlderThan(spark, path,
+      1L, now + 1000L).isEmpty)
+    assert(f.exists(empty))
+  }
+
+  test("maintain policies refuse a filesPerPartition salt above the " +
+    "file-count threshold (the compact-every-tick loop)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-saltg").toString
+    val path = grown(root, epochs = 1)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfMaintain(spark, path, "mg1",
+        maxFilesPerPartition = 4, filesPerPartition = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupMaintain(spark, s"$root/h", s"$root/i", "mg2",
+        maxFilesPerPartition = 4, filesPerPartition = 8)
+    }
+  }
+
   test("compactLedger is harmless on a layout with no ledger dir") {
     val root = java.nio.file.Files.createTempDirectory("graft-cmpnl").toString
     val path = s"$root/ivf"

@@ -426,6 +426,14 @@ class SimilaritySpec extends AnyFunSuite {
     val ext2 = Similarity.ivfRecallProbe(spark, path, k = 5, nprobe = 2,
       queryVectors = Some(held))
     assert(ext2.recallAtK == 1.0, ext2)
+    // an int32 query_id (the shape a pandas-written query parquet
+    // produces) must probe identically, not ClassCastException out of
+    // the driver-edge collect
+    val heldInt = Seq((9000, unit(0.8, 0.6, 9000L)))
+      .toDF("query_id", "embedding")
+    val extInt = Similarity.ivfRecallProbe(spark, path, k = 5, nprobe = 2,
+      queryVectors = Some(heldInt))
+    assert(extInt.recallAtK == 1.0 && extInt.queries == 1, extInt)
     // and the serving-path probe itself returns the exact set there
     val got = Similarity.ivfKnnPartitionedWith(spark, path, held, k = 5,
       nprobe = 2).collect()

@@ -377,4 +377,36 @@ class StreamingSimilaritySpec extends AnyFunSuite {
         "_retrain/maintain-e1-compact"))
       assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/$d")), d)
   }
+
+  test("a residue-only spool dir (torn tmp, no committed batch) is " +
+    "CLEARED by applySpooledEpoch instead of re-entering the boundary " +
+    "forever; the newest-epoch id is numeric, not lexicographic") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft-resid").toString
+    val path = s"$root/ivf"
+    val base = (0L until 8L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.writeIvfPartitioned(base, path, centroidK = 2)
+    val spoolRoot = s"$root/spool"
+    val f = Dedup.fsFor(spark, spoolRoot)
+    // a crashed spoolBatch: the epoch dir exists with only an
+    // uncommitted hidden tmp — no `batch_id=` child ever landed
+    f.mkdirs(new Path(s"$spoolRoot/9"))
+    f.create(new Path(s"$spoolRoot/9/.batch_id=0.tmp"), true).close()
+    assert(StreamingSimilarity.listSpooledEpochs(spark, spoolRoot) ==
+      Seq("9"))
+    assert(!StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "9",
+      path))
+    // the dir is GONE — the next boundary's `finished` list is empty,
+    // so no maintain tick fires per batch and no id is pinned
+    assert(StreamingSimilarity.listSpooledEpochs(spark, spoolRoot).isEmpty)
+    // nothing was appended, nothing ledgered under "9"
+    assert(rows(path).size == 8)
+    assert(!Similarity.ivfEpochApplied(spark, path, "9"))
+    // unpadded decimal ids order numerically for the maintain id:
+    // "100" is newer than "9" (string max would pin "9" for ~90 epochs)
+    assert(StreamingSimilarity.newestEpochId(Seq("9", "10", "100")) ==
+      "100")
+    assert(StreamingSimilarity.newestEpochId(Seq("e007", "e010")) ==
+      "e010")
+  }
 }
