@@ -165,11 +165,20 @@ object EpochLedger {
     val tail: Set[String] =
       if (f.exists(ledger))
         f.listStatus(ledger).map(_.getPath.getName)
-          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+          .filter(isVisibleEntry)
           .toSet
       else Set.empty
     tail ++ rollupMap(f, path).keySet
   }
+
+  /** Is a `_epochs` child a VISIBLE entry file (an applied id), as
+    * opposed to the rolled applied-set file or a hidden temp? The one
+    * definition every tail count, roll-up and recovery listing shares —
+    * `requireEpochId` guarantees real ids can never collide with the
+    * reserved prefixes.
+    */
+  private def isVisibleEntry(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
 
   /** Roll every individual `_epochs/<id>` entry file into ONE compacted
     * applied-set file (`_epochs/_compacted.<n>`, kind tags preserved),
@@ -198,7 +207,7 @@ object EpochLedger {
     val ledger = new Path(s"$path/_epochs")
     if (!f.exists(ledger)) return 0
     val entries = f.listStatus(ledger).map(_.getPath)
-      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .filter(p => isVisibleEntry(p.getName))
     if (entries.isEmpty) return 0
     val prevN = newestRollup(f, ledger)
       .map(_.getName.stripPrefix("_compacted.").toLong).getOrElse(0L)
@@ -450,8 +459,7 @@ object EpochLedger {
       path: String): Int = {
     val p = new Path(s"$path/_epochs")
     if (!f.exists(p)) 0
-    else f.listStatus(p).map(_.getPath.getName)
-      .count(n => !n.startsWith("_") && !n.startsWith("."))
+    else f.listStatus(p).map(_.getPath.getName).count(isVisibleEntry)
   }
 
   /** Refuse to treat an id applied by ONE protocol as a replay of the
