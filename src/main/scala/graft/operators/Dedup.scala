@@ -455,6 +455,76 @@ object Dedup {
     clone
   }
 
+  /** Freshness token of the history layout's bloom sidecar: an MD5
+    * over the SORTED ledgered epoch ids (plus their count). The
+    * sidecar is valid exactly when the ledger set it was written
+    * under is the ledger set now — a rotation changes the set (token
+    * mismatch → rebuild), while a [[compactLedger]] roll-up preserves
+    * it (the applied-id SET is the roll-up's invariant), so ledger
+    * maintenance never invalidates a fresh sidecar.
+    */
+  private def bloomToken(
+      f: org.apache.hadoop.fs.FileSystem,
+      historyPath: String): String = {
+    val ids = EpochLedger.ledgeredIds(f, historyPath).toSeq.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(ids.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"${ids.size}-${md.digest().map("%02x".format(_)).mkString}"
+  }
+
+  /** Persist `bloom` as the history layout's `_bloom` sidecar so a
+    * stream restart pays a two-file read instead of the O(corpus)
+    * [[digestBloom]] rebuild. ADVISORY derived data, like the minhash
+    * index: the filter plus a freshness token ([[bloomToken]]) land in
+    * a hidden tmp dir and publish by one rename; a crash mid-publish
+    * leaves no sidecar (rebuild), a stale sidecar (token mismatch
+    * after an out-of-band rotation) reads as absent. Written
+    * automatically by [[rotateEpochBucketed]]; call directly after
+    * seeding a fresh layout pair.
+    */
+  def writeBloomSidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val f = fsFor(spark, historyPath)
+    val tmp = new org.apache.hadoop.fs.Path(s"$historyPath/._bloom.tmp")
+    f.delete(tmp, true)
+    f.mkdirs(tmp)
+    val out = f.create(new org.apache.hadoop.fs.Path(tmp, "filter"), true)
+    try bloom.writeTo(out) finally out.close()
+    val tok = f.create(new org.apache.hadoop.fs.Path(tmp, "token"), true)
+    try tok.write(bloomToken(f, historyPath)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally tok.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$historyPath/_bloom")
+    f.delete(dst, true)
+    require(f.rename(tmp, dst),
+      s"bloom sidecar publish $tmp -> $dst failed")
+  }
+
+  /** The persisted `_bloom` sidecar, if present AND fresh (its token
+    * matches the ledger's current applied-id set) — None means rebuild
+    * with [[digestBloom]] over the at-rest history. Never trusts a
+    * sidecar the ledger has moved past: a stale guard would pass
+    * already-stored docs as novel, degrading the exact-dedup guarantee
+    * to the near-dup probe's.
+    */
+  def readBloomSidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val f = fsFor(spark, historyPath)
+    val dir = new org.apache.hadoop.fs.Path(s"$historyPath/_bloom")
+    val tokP = new org.apache.hadoop.fs.Path(dir, "token")
+    val filtP = new org.apache.hadoop.fs.Path(dir, "filter")
+    if (!f.exists(tokP) || !f.exists(filtP)) return None
+    if (EpochLedger.readSmallFile(f, tokP) != bloomToken(f, historyPath))
+      return None
+    val in = f.open(filtP)
+    try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+    finally in.close()
+  }
+
   /** Rotate an incremental-dedup epoch over the persisted layouts: the
     * epoch's accumulated NOVEL docs are appended to the bucketed
     * history and the banded index — both O(novel), never O(corpus) —
@@ -637,6 +707,13 @@ object Dedup {
     }
     val merged = bloomWithNovel(oldBloom.value, novel, expectedItems, fpp,
       textCol)
+    // persist the merged guard as the layout's advisory sidecar: the
+    // next stream start reads two files instead of re-digesting the
+    // corpus. Token derives from the ledger AFTER this epoch's entry,
+    // so a replay rewrites the identical state (idempotent) and a
+    // crash right here leaves the PREVIOUS sidecar stale — which the
+    // token check turns into a rebuild, never a wrong guard.
+    writeBloomSidecar(spark, historyPath, merged)
     val next = spark.sparkContext.broadcast(merged)
     oldBloom.unpersist(blocking = false)
     next
@@ -797,6 +874,36 @@ object Dedup {
       buckets: Int,
       maxFilesPerBucket: Int,
       ledgerTail: Int)
+
+  /** [[dedupMaintain]]'s thresholds as one value — the dedup twin of
+    * [[Similarity.IvfMaintainPolicy]], for callers that schedule the
+    * policy (the auto-epoch stream boundary, a cron wrapper) rather
+    * than invoke it once. Field meanings are [[dedupMaintain]]'s
+    * parameters of the same names.
+    */
+  final case class DedupMaintainPolicy(
+      maxFilesPerPartition: Int = 64,
+      ledgerTailMax: Int = 256,
+      maxRecordsPerFile: Long = 0L,
+      purgeRetiredOlderThanMs: Option[Long] = None,
+      filesPerPartition: Int = 1)
+
+  /** [[dedupMaintain]] with the thresholds packed in a
+    * [[DedupMaintainPolicy]] — same semantics, config-shaped call
+    * site.
+    */
+  def dedupMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String,
+      id: String,
+      policy: DedupMaintainPolicy): DedupMaintenance =
+    dedupMaintain(spark, historyPath, indexPath, id,
+      maxFilesPerPartition = policy.maxFilesPerPartition,
+      ledgerTailMax = policy.ledgerTailMax,
+      maxRecordsPerFile = policy.maxRecordsPerFile,
+      purgeRetiredOlderThanMs = policy.purgeRetiredOlderThanMs,
+      filesPerPartition = policy.filesPerPartition)
 
   /** The dedup-pair twin of [[Similarity.ivfMaintain]]: read the
     * history layout's fragmentation and ledger observables ONCE

@@ -248,4 +248,191 @@ object StreamingDedup {
     if (f.exists(root))
       require(f.delete(root, true), s"spool: delete of $root failed")
   }
+
+  private val log =
+    org.slf4j.LoggerFactory.getLogger(StreamingDedup.getClass)
+
+  /** The per-epoch handles the auto stream probes with — refreshed at
+    * every epoch boundary so the probe always reads the post-rotation
+    * (and post-maintenance) file listings.
+    */
+  private final case class EpochState(
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      index: DataFrame,
+      k: Int,
+      bands: Int,
+      history: DataFrame,
+      nBuckets: Int)
+
+  private def openState(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String,
+      expectedItems: Long,
+      fpp: Double,
+      prevBloom: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]]): EpochState = {
+    val (index, k, bands) = Dedup.openMinhashIndex(spark, indexPath)
+    val (history, nBuckets) = Dedup.openHistoryBucketed(spark, historyPath)
+    val bloom = prevBloom.getOrElse {
+      Dedup.readBloomSidecar(spark, historyPath) match {
+        case Some(b) => spark.sparkContext.broadcast(b)
+        case None =>
+          // no fresh sidecar: one O(corpus) digest scan, then persist
+          // so the NEXT start pays two file reads
+          log.info(s"no fresh _bloom sidecar under $historyPath: " +
+            "rebuilding the guard from the at-rest history")
+          val b = Dedup.digestBloom(history, expectedItems, fpp)
+          Dedup.writeBloomSidecar(spark, historyPath, b)
+          spark.sparkContext.broadcast(b)
+      }
+    }
+    EpochState(bloom, index, k, bands, history, nBuckets)
+  }
+
+  /** The SELF-MAINTAINING incremental-dedup stream — the dedup pair's
+    * twin of [[StreamingSimilarity.startSpool]]'s closed loop: the
+    * manual epoch contract ("at the boundary, rotate, re-broadcast,
+    * and RESTART the stream") becomes automatic. Per micro-batch, as
+    * in [[startIncrementalFromPaths]]: Bloom-guard exact filter, novel
+    * rows probed for near-dups against the bucketed pair, `onBatch`
+    * told, novels spooled under `epochIdFor(batchId)`. At an epoch
+    * BOUNDARY (the first batch whose epoch id differs), each finished
+    * epoch's spool is rotated into the layouts
+    * ([[graft.operators.Dedup.rotateEpochBucketed]] — ledgered,
+    * replay-idempotent), the merged Bloom replaces the broadcast (the
+    * sidecar persists it for the next restart), the optional
+    * `maintainAtBoundary` policy runs ONE
+    * [[graft.operators.Dedup.dedupMaintain]] tick under
+    * `maintain-<newest rotated id>`, and the index/history handles are
+    * REOPENED so the new epoch probes the post-rotation (and
+    * post-compaction) listings.
+    *
+    * Crash story, all inherited from the parts: a replayed boundary
+    * re-enters the rotation under the same id and no-ops through the
+    * ledger; a crash between rotation and spool clear heals the same
+    * way; a residue-only spool dir clears without rotating; a torn
+    * rotation from a PREVIOUS session resolves in the entry
+    * `recoverRotations`. The initial guard comes from the `_bloom`
+    * sidecar when fresh, else one O(corpus) [[Dedup.digestBloom]]
+    * rebuild (then persisted). `drainOnStop` mirrors
+    * [[StreamingSimilarity.startSpool]]: a CLEAN `stop()` rotates the
+    * final epoch's spool; an error path leaves heal-on-restart
+    * semantics untouched, and a clean stop is then TERMINAL for this
+    * spool/checkpoint lineage.
+    *
+    * Single maintenance writer: with this stream running, IT owns the
+    * layout pair — no concurrent rotation, compaction, or recovery.
+    * ALWAYS pin `checkpointLocation` in production (see
+    * [[startIncremental]]'s contract: a reset batchId sequence under a
+    * batch-keyed spool means silent loss).
+    */
+  def startIncrementalAuto(
+      docs: DataFrame,
+      historyPath: String,
+      indexPath: String,
+      spoolRoot: String,
+      threshold: Double,
+      onBatch: (Long, DataFrame, DataFrame) => Unit,
+      expectedItems: Long,
+      epochIdFor: Long => String,
+      fpp: Double = 0.01,
+      intervalSeconds: Long = 10,
+      textCol: String = "text",
+      checkpointLocation: Option[String] = None,
+      drainOnStop: Boolean = false,
+      maintainAtBoundary: Option[Dedup.DedupMaintainPolicy] = None)
+      : StreamingQuery = {
+    val spark = docs.sparkSession
+    if (checkpointLocation.isEmpty)
+      log.warn(
+        "startIncrementalAuto without a checkpointLocation: a restart " +
+          "resets batchIds to 0 and epochIdFor maps NEW data onto " +
+          "already-ledgered epoch ids, whose spools then clear " +
+          "UNROTATED at the boundary. Pin a stable checkpointLocation " +
+          "for anything beyond a throwaway dev run.")
+    // entry healing: a torn rotation (or partition compaction) from a
+    // crashed session must resolve before any listing is taken
+    Dedup.recoverRotations(spark, historyPath, indexPath)
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      openState(spark, historyPath, indexPath, expectedItems, fpp, None))
+    def rotateFinished(current: Option[String]): Unit = {
+      val finished = StreamingSimilarity
+        .listSpooledEpochs(spark, spoolRoot)
+        .filterNot(e => current.contains(e))
+      if (finished.isEmpty) return
+      finished.foreach { prev =>
+        readSpool(spark, s"$spoolRoot/$prev") match {
+          case None =>
+            // residue-only (torn tmp): no data, just stop it from
+            // re-entering this list every batch
+            clearSpool(spark, s"$spoolRoot/$prev")
+          case Some(novel) =>
+            val next = Dedup.rotateEpochBucketed(novel, historyPath,
+              indexPath, state.get.bloom, expectedItems, fpp, textCol,
+              epochId = prev)
+            clearSpool(spark, s"$spoolRoot/$prev")
+            state.set(state.get.copy(bloom = next))
+        }
+      }
+      maintainAtBoundary.foreach { policy =>
+        val m = Dedup.dedupMaintain(spark, historyPath, indexPath,
+          s"maintain-${StreamingSimilarity.newestEpochId(finished)}",
+          policy)
+        if (m.actions.nonEmpty)
+          log.info(s"boundary maintain of $historyPath: " +
+            m.actions.mkString("; "))
+      }
+      // the new epoch probes the post-rotation/post-maintenance
+      // listings; the bloom survives from the rotation merges above
+      state.set(openState(spark, historyPath, indexPath, expectedItems,
+        fpp, Some(state.get.bloom)))
+    }
+    val writer = docs.writeStream
+      .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val epochId = epochIdFor(batchId)
+        rotateFinished(current = Some(epochId))
+        val st = state.get
+        val novel = Dedup.filterNovel(batch, st.bloom, textCol)
+          .localCheckpoint(eager = true)
+        onBatch(batchId, novel,
+          Dedup.minhashProbeBucketedOn(novel, st.index, st.history,
+            st.nBuckets, threshold, textCol, st.k, st.bands))
+        spoolBatch(novel, s"$spoolRoot/$epochId", batchId)
+        ()
+      }
+    val query = checkpointLocation
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+    if (drainOnStop) {
+      val queryId = query.id
+      val listener = new org.apache.spark.sql.streaming
+          .StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit =
+          if (e.id == queryId) {
+            try {
+              // clean stop only — the error path's contract is
+              // heal-on-restart (see StreamingSimilarity.startSpool)
+              if (e.exception.isEmpty) rotateFinished(current = None)
+            } catch {
+              case t: Throwable =>
+                log.error(s"drainOnStop of $spoolRoot -> $historyPath " +
+                  "failed; spool left for restart healing", t)
+            } finally spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+    }
+    query
+  }
 }

@@ -949,4 +949,49 @@ class EpochRotationSpec extends AnyFunSuite {
         new org.apache.hadoop.fs.Path(s"$histPath/_retrain/hc1")), fp)
     }
   }
+
+  test("bloom sidecar: rotation persists a fresh guard, ledger drift " +
+    "invalidates it, a compactLedger roll-up preserves it (the token " +
+    "is the applied-id SET), and the loaded guard drops rotated novels") {
+    val h0 = (0L until 20L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-bside").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 4)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    // no sidecar on a freshly seeded pair
+    assert(Dedup.readBloomSidecar(spark, histPath).isEmpty)
+    val b0 = Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001)
+    Dedup.writeBloomSidecar(spark, histPath, b0)
+    assert(Dedup.readBloomSidecar(spark, histPath).isDefined)
+
+    // rotation REFRESHES the sidecar: still fresh after the ledger
+    // gained e1, and the loaded guard knows e1's novels
+    val n1 = (100L until 104L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+    val bloom1 = Dedup.rotateEpochBucketed(n1, histPath, idxPath,
+      spark.sparkContext.broadcast(b0),
+      expectedItems = 1000, fpp = 0.001, epochId = "e1")
+    val side = Dedup.readBloomSidecar(spark, histPath)
+    assert(side.isDefined)
+    val sideB = spark.sparkContext.broadcast(side.get)
+    val probe = Seq((1L, novelText(101)), (2L, novelText(999)))
+      .toDF("doc_id", "text")
+    assert(Dedup.filterNovel(probe, sideB).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+    // out-of-band ledger drift: the token no longer matches, the
+    // sidecar reads as ABSENT (a stale guard would pass stored docs
+    // as novel) — never a wrong guard
+    EpochLedger.writeLedgerEntry(Dedup.fsFor(spark, histPath), histPath,
+      "outofband", "epoch")
+    assert(Dedup.readBloomSidecar(spark, histPath).isEmpty)
+
+    // re-persist under the current set; a roll-up PRESERVES the set,
+    // so ledger maintenance never invalidates a fresh sidecar
+    Dedup.writeBloomSidecar(spark, histPath, bloom1.value)
+    assert(Dedup.readBloomSidecar(spark, histPath).isDefined)
+    assert(EpochLedger.compactLedger(spark, histPath) > 0)
+    assert(Dedup.readBloomSidecar(spark, histPath).isDefined)
+    bloom1.unpersist(blocking = false)
+  }
 }

@@ -330,4 +330,105 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(epoch2Flags.toSet == Set((2001L, 1001L)))
     bloom.unpersist(blocking = false)
   }
+
+  test("self-maintaining incremental stream: the epoch boundary rotates " +
+    "IN-stream (bloom + listings refresh, no restart), the boundary " +
+    "maintain tick compacts and rolls, a clean stop drains the final " +
+    "epoch, and the persisted sidecar makes the next session's guard " +
+    "a two-file read") {
+    import graft.operators.{Dedup, EpochLedger}
+    implicit val sqlCtx = spark.sqlContext
+    def await(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (!cond && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(cond, s"timed out waiting: $what")
+    }
+    def text(p: String, i: Long) = (1 to 12).map(j => s"$p${i}w$j").mkString(" ")
+    def nearDup(t: String) = t.split(" ").dropRight(1).mkString(" ") + " tail"
+
+    val history = (0L until 30L).map(i => (i, text("h", i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-auto").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(history, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(history, idxPath)
+    // no sidecar yet: the start pays ONE digest rebuild, then persists
+    assert(Dedup.readBloomSidecar(spark, histPath).isEmpty)
+
+    val novels = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamingDedup.startIncrementalAuto(
+      stream.toDF().toDF("doc_id", "text"), histPath, idxPath,
+      s"$root/spool", threshold = 0.8,
+      onBatch = (_, novel, flagged) => synchronized {
+        novels ++= novel.select("doc_id").collect().map(_.getLong(0))
+        flags ++= flagged.collect().map(r => (r.getLong(0), r.getLong(1)))
+      },
+      expectedItems = 1000, epochIdFor = b => s"ep${b / 2}",
+      fpp = 0.001, intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt"),
+      drainOnStop = true,
+      maintainAtBoundary = Some(Dedup.DedupMaintainPolicy(
+        maxFilesPerPartition = 1, ledgerTailMax = 1)))
+    // the start persisted the rebuilt guard for the next session
+    assert(Dedup.readBloomSidecar(spark, histPath).isDefined)
+
+    // ep0, batch 0: two fresh docs + one exact history dup (dropped)
+    stream.addData((1000L, text("e1", 0)), (1001L, text("e1", 1)),
+      (1002L, text("h", 5)))
+    query.processAllAvailable()
+    // ep0, batch 1: one more fresh
+    stream.addData((1003L, text("e1", 2)))
+    query.processAllAvailable()
+    // layouts untouched mid-epoch
+    assert(!Dedup.epochApplied(spark, histPath, "ep0"))
+
+    // batch 2 = ep1's first batch = the BOUNDARY: ep0's spool rotates
+    // in-stream, the broadcast swaps, the listings refresh — proven by
+    // the batch itself: an exact dup of an ep0 NOVEL is bloom-dropped,
+    // a near-dup of one is flagged against the refreshed index
+    stream.addData(
+      (2000L, text("e1", 0)),
+      (2001L, nearDup(text("e1", 1))),
+      (2002L, text("f", 9)))
+    query.processAllAvailable()
+    assert(Dedup.epochApplied(spark, histPath, "ep0"))
+    // the maintain tick ran at the same boundary: the rotation's
+    // fresh bucket files compacted (threshold 1), the ledger rolled
+    assert(EpochLedger.applied(spark, histPath, "maintain-ep0-compact"))
+    assert(synchronized(novels.sorted.toSeq) ==
+      Seq(1000L, 1001L, 1003L, 2001L, 2002L))
+    assert(synchronized(flags.toSet) == Set((2001L, 1001L)))
+
+    // clean stop: drainOnStop rotates the FINAL epoch, no manual call
+    query.stop()
+    await("drain rotated ep1") {
+      Dedup.epochApplied(spark, histPath, "ep1") &&
+        StreamingSimilarity.listSpooledEpochs(spark, s"$root/spool").isEmpty
+    }
+    val (atRest, _) = Dedup.openHistoryBucketed(spark, histPath)
+    assert(atRest.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      ((0L until 30L) ++ Seq(1000L, 1001L, 1003L, 2001L, 2002L)).toSet)
+
+    // next session: the guard loads from the sidecar (no corpus scan)
+    // and already knows the DRAINED epoch's novels
+    assert(Dedup.readBloomSidecar(spark, histPath).isDefined)
+    val novels2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = StreamingDedup.startIncrementalAuto(
+      stream2.toDF().toDF("doc_id", "text"), histPath, idxPath,
+      s"$root/spool2", threshold = 0.8,
+      onBatch = (_, novel, _) => synchronized {
+        novels2 ++= novel.select("doc_id").collect().map(_.getLong(0))
+      },
+      expectedItems = 1000, epochIdFor = _ => "z0",
+      fpp = 0.001, intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt2"))
+    stream2.addData((3000L, text("f", 9))) // exact dup of drained 2002
+    q2.processAllAvailable()
+    q2.stop()
+    assert(synchronized(novels2.toSeq).isEmpty)
+  }
 }
