@@ -431,4 +431,64 @@ class StreamingDedupSpec extends AnyFunSuite {
     q2.stop()
     assert(synchronized(novels2.toSeq).isEmpty)
   }
+
+  test("auto stream crash between rotation and spool clear: the next " +
+    "session's boundary re-enters the rotation as a ledger no-op, " +
+    "clears the leftover spool, and appends nothing twice") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    def text(p: String, i: Long) = (1 to 12).map(j => s"$p${i}w$j").mkString(" ")
+    val history = (0L until 20L).map(i => (i, text("h", i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-autocr").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(history, histPath, nBuckets = 4)
+    Dedup.writeMinhashIndex(history, idxPath)
+    val bloom = spark.sparkContext.broadcast(
+      Dedup.digestBloom(history, expectedItems = 1000, fpp = 0.001))
+
+    // the crash: epoch "c0"'s spool was rotated into the layouts but
+    // the process died BEFORE clearSpool — the torn state a restart
+    // must resolve without double-appending
+    val spoolRoot = s"$root/spool"
+    val novelsC0 = Seq((500L, text("c", 0)), (501L, text("c", 1)))
+      .toDF("doc_id", "text")
+    StreamingDedup.spoolBatch(novelsC0, s"$spoolRoot/c0", 0L)
+    Dedup.rotateEpochBucketed(novelsC0, histPath, idxPath, bloom,
+      expectedItems = 1000, fpp = 0.001, epochId = "c0")
+      .unpersist(blocking = false)
+    assert(Dedup.epochApplied(spark, histPath, "c0"))
+    assert(StreamingSimilarity.listSpooledEpochs(spark, spoolRoot) ==
+      Seq("c0"))
+
+    // next session, fresh checkpoint lineage mapping to NEW epoch ids:
+    // the first batch's boundary sees c0 as finished, re-rotates it
+    // (ledger no-op), clears it, and the stream continues
+    val novels = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingDedup.startIncrementalAuto(
+      stream.toDF().toDF("doc_id", "text"), histPath, idxPath,
+      spoolRoot, threshold = 0.8,
+      onBatch = (_, novel, _) => synchronized {
+        novels ++= novel.select("doc_id").collect().map(_.getLong(0))
+      },
+      expectedItems = 1000, epochIdFor = b => s"d$b",
+      fpp = 0.001, intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt"))
+    // an exact dup of a c0 novel proves the sidecar/rebuilt guard
+    // already covers the healed epoch; a fresh doc passes
+    stream.addData((600L, text("c", 0)), (601L, text("g", 3)))
+    q.processAllAvailable()
+    q.stop()
+    assert(synchronized(novels.toSeq) == Seq(601L))
+    assert(!StreamingSimilarity.listSpooledEpochs(spark, spoolRoot)
+      .contains("c0"))
+    // exactly ONE copy of each c0 novel at rest
+    val (atRest, _) = Dedup.openHistoryBucketed(spark, histPath)
+    import org.apache.spark.sql.functions.col
+    val counts = atRest.filter(col("doc_id") >= 500L && col("doc_id") < 502L)
+      .groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts == Map(500L -> 1L, 501L -> 1L))
+  }
 }
