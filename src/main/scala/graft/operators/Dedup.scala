@@ -456,17 +456,22 @@ object Dedup {
   }
 
   /** Freshness token of the history layout's bloom sidecar: an MD5
-    * over the SORTED ledgered epoch ids (plus their count). The
-    * sidecar is valid exactly when the ledger set it was written
-    * under is the ledger set now — a rotation changes the set (token
-    * mismatch → rebuild), while a [[compactLedger]] roll-up preserves
-    * it (the applied-id SET is the roll-up's invariant), so ledger
-    * maintenance never invalidates a fresh sidecar.
+    * over the SORTED ledgered ids of the protocols that CHANGE THE
+    * DOC SET — epoch rotations (kind "epoch", plus legacy untagged
+    * entries). Partition compactions are pure file coalescing (same
+    * rows, fewer files), so their ledger entries are EXCLUDED: a
+    * maintain tick that compacts right after a rotation must not
+    * invalidate the sidecar that rotation just wrote (the guard
+    * depends only on the doc set). A [[compactLedger]] roll-up
+    * preserves both ids and kind tags, so ledger maintenance never
+    * invalidates a fresh sidecar either.
     */
   private def bloomToken(
       f: org.apache.hadoop.fs.FileSystem,
       historyPath: String): String = {
-    val ids = EpochLedger.ledgeredIds(f, historyPath).toSeq.sorted
+    val ids = EpochLedger.ledgeredKinds(f, historyPath)
+      .collect { case (id, kind) if kind != "partition-compaction" => id }
+      .toSeq.sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(ids.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -512,18 +517,27 @@ object Dedup {
     */
   def readBloomSidecar(
       spark: org.apache.spark.sql.SparkSession,
-      historyPath: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val f = fsFor(spark, historyPath)
-    val dir = new org.apache.hadoop.fs.Path(s"$historyPath/_bloom")
-    val tokP = new org.apache.hadoop.fs.Path(dir, "token")
-    val filtP = new org.apache.hadoop.fs.Path(dir, "filter")
-    if (!f.exists(tokP) || !f.exists(filtP)) return None
-    if (EpochLedger.readSmallFile(f, tokP) != bloomToken(f, historyPath))
-      return None
-    val in = f.open(filtP)
-    try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-    finally in.close()
-  }
+      historyPath: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    // any read failure — including the TOCTOU window where a concurrent
+    // writeBloomSidecar deleted `_bloom` between our exists() and
+    // open() — reads as ABSENT, per the sidecar's advisory contract;
+    // the caller rebuilds
+    try {
+      val f = fsFor(spark, historyPath)
+      val dir = new org.apache.hadoop.fs.Path(s"$historyPath/_bloom")
+      val tokP = new org.apache.hadoop.fs.Path(dir, "token")
+      val filtP = new org.apache.hadoop.fs.Path(dir, "filter")
+      if (!f.exists(tokP) || !f.exists(filtP)) None
+      else if (EpochLedger.readSmallFile(f, tokP) !=
+          bloomToken(f, historyPath)) None
+      else {
+        val in = f.open(filtP)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    } catch {
+      case _: java.io.IOException => None
+    }
 
   /** Rotate an incremental-dedup epoch over the persisted layouts: the
     * epoch's accumulated NOVEL docs are appended to the bucketed

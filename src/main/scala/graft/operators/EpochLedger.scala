@@ -55,7 +55,7 @@ object EpochLedger {
     * containing it would make one epoch's footprint prefix-match
     * another's).
     */
-  private[operators] def requireEpochId(epochId: String): Unit =
+  private[graft] def requireEpochId(epochId: String): Unit =
     require(
       epochId.nonEmpty && !epochId.exists(c =>
         c == '/' || c == '\\' || c == '=') &&
@@ -169,6 +169,27 @@ object EpochLedger {
           .toSet
       else Set.empty
     tail ++ rollupMap(f, path).keySet
+  }
+
+  /** Every ledgered id of the layout at `path` WITH the kind that
+    * applied it (Some("") legacy entries read as "") — the roll-up's
+    * in-memory map plus ONE small-file read per tail entry. For
+    * callers that need kinds for the whole set ([[Dedup]]'s bloom
+    * token), cheaper than [[appliedKind]] per id, which would re-read
+    * the roll-up file every call.
+    */
+  private[operators] def ledgeredKinds(
+      f: FileSystem,
+      path: String): Map[String, String] = {
+    val ledger = new Path(s"$path/_epochs")
+    val tail: Map[String, String] =
+      if (f.exists(ledger))
+        f.listStatus(ledger).map(_.getPath)
+          .filter(p => isVisibleEntry(p.getName))
+          .map(p => p.getName -> readSmallFile(f, p))
+          .toMap
+      else Map.empty
+    rollupMap(f, path) ++ tail
   }
 
   /** Is a `_epochs` child a VISIBLE entry file (an applied id), as

@@ -323,10 +323,21 @@ object StreamingDedup {
     * spool/checkpoint lineage.
     *
     * Single maintenance writer: with this stream running, IT owns the
-    * layout pair — no concurrent rotation, compaction, or recovery.
+    * layout pair — no concurrent rotation, compaction, or recovery,
+    * and after a `drainOnStop` stop the drain may still be running
+    * when `stop()` returns: handshake through
+    * [[StreamTermination.awaitDrain]] before any follow-on maintenance.
     * ALWAYS pin `checkpointLocation` in production (see
     * [[startIncremental]]'s contract: a reset batchId sequence under a
     * batch-keyed spool means silent loss).
+    *
+    * Within-epoch window: a doc novel in batch N and repeated in batch
+    * N+1 of the SAME epoch is reported novel to `onBatch` both times
+    * (the Bloom only advances at rotation) but never becomes duplicate
+    * corpus state — the rotation dedupes the spool union exactly
+    * (digest → min-id keeper) before it enters the layouts. Pipe the
+    * source through [[firstSeen]] when in-epoch report exactness
+    * matters too.
     */
   def startIncrementalAuto(
       docs: DataFrame,
@@ -369,9 +380,17 @@ object StreamingDedup {
             // re-entering this list every batch
             clearSpool(spark, s"$spoolRoot/$prev")
           case Some(novel) =>
-            val next = Dedup.rotateEpochBucketed(novel, historyPath,
-              indexPath, state.get.bloom, expectedItems, fpp, textCol,
-              epochId = prev)
+            // the bloom only advances HERE, so a doc novel in batch N
+            // and repeated in batch N+1 of the same epoch reaches the
+            // spool twice — dedupe the union exactly (digest → min-id
+            // keeper, the q20 operator) before it becomes history, or
+            // the duplicate is permanent corpus state
+            val keepers = Dedup.exact(novel, textCol)
+              .select(org.apache.spark.sql.functions.col("keeper_id")
+                .as("doc_id"))
+            val next = Dedup.rotateEpochBucketed(novel.join(keepers, "doc_id"),
+              historyPath, indexPath, state.get.bloom, expectedItems, fpp,
+              textCol, epochId = prev)
             clearSpool(spark, s"$spoolRoot/$prev")
             state.set(state.get.copy(bloom = next))
         }
@@ -393,6 +412,11 @@ object StreamingDedup {
       .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val epochId = epochIdFor(batchId)
+        // fail loudly NOW: a '_'/'.'-prefixed id would spool to a dir
+        // the boundary listing filters out — never rotated, never
+        // cleared, silently lost; a '/'-carrying id would nest dirs
+        // the residue path then deletes unrotated
+        graft.operators.EpochLedger.requireEpochId(epochId)
         rotateFinished(current = Some(epochId))
         val st = state.get
         val novel = Dedup.filterNovel(batch, st.bloom, textCol)
@@ -406,33 +430,14 @@ object StreamingDedup {
     val query = checkpointLocation
       .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
-    if (drainOnStop) {
-      val queryId = query.id
-      val listener = new org.apache.spark.sql.streaming
-          .StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener
-              .QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener
-              .QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener
-              .QueryTerminatedEvent): Unit =
-          if (e.id == queryId) {
-            try {
-              // clean stop only — the error path's contract is
-              // heal-on-restart (see StreamingSimilarity.startSpool)
-              if (e.exception.isEmpty) rotateFinished(current = None)
-            } catch {
-              case t: Throwable =>
-                log.error(s"drainOnStop of $spoolRoot -> $historyPath " +
-                  "failed; spool left for restart healing", t)
-            } finally spark.streams.removeListener(this)
-          }
+    if (drainOnStop)
+      // clean stop only — see StreamingSimilarity.startSpool's
+      // contract; follow-on maintenance after stop() must handshake
+      // through StreamTermination.awaitDrain
+      StreamTermination.onCleanTermination(spark, query,
+        s"drainOnStop of $spoolRoot -> $historyPath") {
+        rotateFinished(current = None)
       }
-      spark.streams.addListener(listener)
-    }
     query
   }
 }

@@ -138,6 +138,11 @@ object StreamingSimilarity {
       .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val epochId = epochIdFor(batchId)
+        // fail loudly NOW: a '_'/'.'-prefixed id would spool to a dir
+        // listSpooledEpochs filters out — never applied, never
+        // cleared, silently lost (appendIvfEpoch's own guard only
+        // catches ids that REACH it)
+        graft.operators.EpochLedger.requireEpochId(epochId)
         applyToLayout.foreach { layout =>
           val finished = listSpooledEpochs(batch.sparkSession, spoolRoot)
             .filterNot(_ == epochId)
@@ -171,34 +176,14 @@ object StreamingSimilarity {
       .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
     if (drainOnStop) applyToLayout.foreach { layout =>
-      val spark = emb.sparkSession
-      val queryId = query.id
-      val listener = new org.apache.spark.sql.streaming
-          .StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener
-              .QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener
-              .QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener
-              .QueryTerminatedEvent): Unit =
-          if (e.id == queryId) {
-            // clean stop only — see the drainOnStop contract above
-            try {
-              if (e.exception.isEmpty)
-                drainSpool(spark, spoolRoot, layout, idCol)
-            } catch {
-              case t: Throwable =>
-                // the spool survives (idempotent protocol): a manual
-                // drain or the next session's healing finishes the job
-                log.error(s"drainOnStop of $spoolRoot -> $layout " +
-                  "failed; spool left for restart healing", t)
-            } finally spark.streams.removeListener(this)
-          }
+      // clean stop only — see the drainOnStop contract above; callers
+      // that follow a stop() with more maintenance on the layout must
+      // handshake through StreamTermination.awaitDrain
+      StreamTermination.onCleanTermination(emb.sparkSession, query,
+        s"drainOnStop of $spoolRoot -> $layout") {
+        drainSpool(emb.sparkSession, spoolRoot, layout, idCol)
+        ()
       }
-      spark.streams.addListener(listener)
     }
     query
   }

@@ -338,12 +338,6 @@ class StreamingDedupSpec extends AnyFunSuite {
     "a two-file read") {
     import graft.operators.{Dedup, EpochLedger}
     implicit val sqlCtx = spark.sqlContext
-    def await(what: String)(cond: => Boolean): Unit = {
-      val deadline = System.currentTimeMillis + 30000
-      while (!cond && System.currentTimeMillis < deadline)
-        Thread.sleep(50)
-      assert(cond, s"timed out waiting: $what")
-    }
     def text(p: String, i: Long) = (1 to 12).map(j => s"$p${i}w$j").mkString(" ")
     def nearDup(t: String) = t.split(" ").dropRight(1).mkString(" ") + " tail"
 
@@ -379,8 +373,10 @@ class StreamingDedupSpec extends AnyFunSuite {
     stream.addData((1000L, text("e1", 0)), (1001L, text("e1", 1)),
       (1002L, text("h", 5)))
     query.processAllAvailable()
-    // ep0, batch 1: one more fresh
-    stream.addData((1003L, text("e1", 2)))
+    // ep0, batch 1: one more fresh + a WITHIN-EPOCH repeat of batch
+    // 0's novel 1000 (the bloom can't see it yet — reported novel, but
+    // the rotation's exact dedupe keeps it out of the corpus)
+    stream.addData((1003L, text("e1", 2)), (1004L, text("e1", 0)))
     query.processAllAvailable()
     // layouts untouched mid-epoch
     assert(!Dedup.epochApplied(spark, histPath, "ep0"))
@@ -398,17 +394,21 @@ class StreamingDedupSpec extends AnyFunSuite {
     // the maintain tick ran at the same boundary: the rotation's
     // fresh bucket files compacted (threshold 1), the ledger rolled
     assert(EpochLedger.applied(spark, histPath, "maintain-ep0-compact"))
+    // 1004 (the within-epoch repeat) is REPORTED novel — the bloom
+    // advances at rotation, the documented window
     assert(synchronized(novels.sorted.toSeq) ==
-      Seq(1000L, 1001L, 1003L, 2001L, 2002L))
+      Seq(1000L, 1001L, 1003L, 1004L, 2001L, 2002L))
     assert(synchronized(flags.toSet) == Set((2001L, 1001L)))
 
-    // clean stop: drainOnStop rotates the FINAL epoch, no manual call
+    // clean stop: drainOnStop rotates the FINAL epoch, no manual call;
+    // awaitDrain is the handshake before touching the layouts again
     query.stop()
-    await("drain rotated ep1") {
-      Dedup.epochApplied(spark, histPath, "ep1") &&
-        StreamingSimilarity.listSpooledEpochs(spark, s"$root/spool").isEmpty
-    }
+    assert(StreamTermination.awaitDrain(query), "drain timed out")
+    assert(Dedup.epochApplied(spark, histPath, "ep1"))
+    assert(StreamingSimilarity.listSpooledEpochs(spark, s"$root/spool").isEmpty)
     val (atRest, _) = Dedup.openHistoryBucketed(spark, histPath)
+    // ...but it never became corpus state: the rotation's exact dedupe
+    // kept only the min-id keeper 1000
     assert(atRest.select("doc_id").collect().map(_.getLong(0)).toSet ==
       ((0L until 30L) ++ Seq(1000L, 1001L, 1003L, 2001L, 2002L)).toSet)
 
@@ -490,5 +490,27 @@ class StreamingDedupSpec extends AnyFunSuite {
       .groupBy("doc_id").count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(counts == Map(500L -> 1L, 501L -> 1L))
+  }
+
+  test("epochIdFor output is validated at the batch: a hidden-prefix id " +
+    "fails loudly instead of spooling to a dir no boundary ever lists") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    def text(i: Long) = (1 to 12).map(j => s"v${i}w$j").mkString(" ")
+    val history = (0L until 8L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-badid").toString
+    Dedup.writeHistoryBucketed(history, s"$root/hist", nBuckets = 2)
+    Dedup.writeMinhashIndex(history, s"$root/idx")
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingDedup.startIncrementalAuto(
+      stream.toDF().toDF("doc_id", "text"), s"$root/hist", s"$root/idx",
+      s"$root/spool", threshold = 0.8, onBatch = (_, _, _) => (),
+      expectedItems = 100, epochIdFor = _ => "_ep0",
+      intervalSeconds = 0, checkpointLocation = Some(s"$root/ckpt"))
+    stream.addData((100L, text(100L)))
+    intercept[Exception] { q.processAllAvailable() }
+    // nothing spooled under the rejected id
+    assert(StreamingSimilarity.listSpooledEpochs(spark, s"$root/spool")
+      .isEmpty)
   }
 }
