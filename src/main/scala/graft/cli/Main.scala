@@ -48,6 +48,7 @@ import graft.streaming.Ingest
   * dedup compact-history <hist> <idx> <id> [--max-files N]
   *       [--max-records-per-file N] [--lock-file F]
   * dedup rebuild-index <hist> <idx> [--k K --bands B] [--lock-file F]
+  * dedup rebuild-bloom <hist> --expected-items N [--fpp F] [--lock-file F]
   * dedup recover <hist> <idx> [--lock-file F]
   * dedup purge-retired <hist> <idx> --older-than <dur> [--lock-file F]
   * dedup compact-ledger <hist> [--lock-file F]
@@ -421,6 +422,20 @@ object Main {
             s"${Dedup.rebuildMinhashIndex(spark, hist, idx, geometry)}"
         case _ =>
           sys.error("dedup rebuild-index needs <historyPath> <indexPath>")
+      }
+      case "rebuild-bloom" => pos match {
+        case hist :: Nil =>
+          val expected = flag("--expected-items").map(_.toLong)
+            .getOrElse(sys.error(
+              "dedup rebuild-bloom needs --expected-items (size the " +
+                "sketch for the corpus the epoch loop will GROW to)"))
+          val fpp = flag("--fpp").map(_.toDouble).getOrElse(0.01)
+          val (history, _) = Dedup.openHistoryBucketed(spark, hist)
+          val bloom = Dedup.digestBloom(history, expected, fpp)
+          Dedup.writeBloomSidecar(spark, hist, bloom)
+          s"sidecar_fresh=${Dedup.readBloomSidecar(spark, hist).isDefined}"
+        case _ =>
+          sys.error("dedup rebuild-bloom needs <historyPath>")
       }
       case otherSub =>
         sys.error(s"unknown dedup subcommand '$otherSub' " +

@@ -225,6 +225,13 @@ class MainSpec extends AnyFunSuite {
       List("--max-files", "100"))
     assert(m.startsWith("actions=none (healthy)") &&
       m.contains("maxFilesPerBucket="), m)
+    // rebuild-bloom writes a FRESH sidecar from the at-rest history
+    // (the pre-stream warm-up for a restored layout); --expected-items
+    // is required (sketch geometry is a deliberate choice)
+    intercept[RuntimeException] { run("rebuild-bloom", List(hist)) }
+    assert(run("rebuild-bloom", List(hist),
+      List("--expected-items", "1000")) == "sidecar_fresh=true")
+    assert(graft.operators.Dedup.readBloomSidecar(spark, hist).isDefined)
     intercept[RuntimeException] { run("stats", Nil) }
     intercept[RuntimeException] { run("bogus", List(hist)) }
   }
