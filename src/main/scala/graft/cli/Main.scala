@@ -439,8 +439,8 @@ object Main {
       }
       case otherSub =>
         sys.error(s"unknown dedup subcommand '$otherSub' " +
-          "(stats|maintain|compact-history|rebuild-index|recover|" +
-          "purge-retired|compact-ledger)")
+          "(stats|maintain|compact-history|rebuild-index|rebuild-bloom|" +
+          "recover|purge-retired|compact-ledger)")
     }
   }
 

@@ -455,28 +455,46 @@ object Dedup {
     clone
   }
 
-  /** Freshness token of the history layout's bloom sidecar: an MD5
-    * over the SORTED ledgered ids of the protocols that CHANGE THE
-    * DOC SET — epoch rotations (kind "epoch", plus legacy untagged
-    * entries). Partition compactions are pure file coalescing (same
-    * rows, fewer files), so their ledger entries are EXCLUDED: a
-    * maintain tick that compacts right after a rotation must not
-    * invalidate the sidecar that rotation just wrote (the guard
-    * depends only on the doc set). A [[compactLedger]] roll-up
-    * preserves both ids and kind tags, so ledger maintenance never
-    * invalidates a fresh sidecar either.
+  /** Freshness tokens of the history layout's bloom sidecar — the
+    * guard depends only on the DOC SET, so validity means "no epoch
+    * applied since the write". Two tokens make the common read cheap:
+    *
+    *   - `all`: MD5 over ALL sorted ledgered ids — ONE listing (plus
+    *     at most one roll-up read). Matches ⇒ nothing at all was
+    *     ledgered since the write ⇒ fresh, no kind reads needed (the
+    *     steady-state hit).
+    *   - `epochs`: MD5 over only the DOC-SET-changing ids (kind
+    *     "epoch" + legacy untagged; partition compactions are pure
+    *     file coalescing and EXCLUDED). Consulted only when `all`
+    *     mismatches — exactly the case where maintenance (a
+    *     compaction, whose ledger entry must not invalidate the
+    *     sidecar its rotation just wrote) or a foreign epoch ran.
+    *     Costs one small-file read per ledger-tail entry, bounded by
+    *     the roll-up cadence (`ledgerTailMax`).
+    *
+    * A [[compactLedger]] roll-up preserves ids and kind tags, so it
+    * flips `all` but never `epochs` — ledger maintenance costs one
+    * kind sweep on the next read, never a rebuild.
     */
-  private def bloomToken(
-      f: org.apache.hadoop.fs.FileSystem,
-      historyPath: String): String = {
-    val ids = EpochLedger.ledgeredKinds(f, historyPath)
-      .collect { case (id, kind) if kind != "partition-compaction" => id }
-      .toSeq.sorted
+  private def tokenOf(ids: Seq[String]): String = {
+    val sorted = ids.sorted
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(ids.mkString("\n")
+    md.update(sorted.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    s"${ids.size}-${md.digest().map("%02x".format(_)).mkString}"
+    s"${sorted.size}-${md.digest().map("%02x".format(_)).mkString}"
   }
+
+  private def allToken(
+      f: org.apache.hadoop.fs.FileSystem,
+      historyPath: String): String =
+    tokenOf(EpochLedger.ledgeredIds(f, historyPath).toSeq)
+
+  private def epochsToken(
+      f: org.apache.hadoop.fs.FileSystem,
+      historyPath: String): String =
+    tokenOf(EpochLedger.ledgeredKinds(f, historyPath)
+      .collect { case (id, kind) if kind != "partition-compaction" => id }
+      .toSeq)
 
   /** Persist `bloom` as the history layout's `_bloom` sidecar so a
     * stream restart pays a two-file read instead of the O(corpus)
@@ -499,8 +517,10 @@ object Dedup {
     val out = f.create(new org.apache.hadoop.fs.Path(tmp, "filter"), true)
     try bloom.writeTo(out) finally out.close()
     val tok = f.create(new org.apache.hadoop.fs.Path(tmp, "token"), true)
-    try tok.write(bloomToken(f, historyPath)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try tok.write(
+      (s"all:${allToken(f, historyPath)}\n" +
+        s"epochs:${epochsToken(f, historyPath)}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally tok.close()
     val dst = new org.apache.hadoop.fs.Path(s"$historyPath/_bloom")
     f.delete(dst, true)
@@ -528,12 +548,23 @@ object Dedup {
       val tokP = new org.apache.hadoop.fs.Path(dir, "token")
       val filtP = new org.apache.hadoop.fs.Path(dir, "filter")
       if (!f.exists(tokP) || !f.exists(filtP)) None
-      else if (EpochLedger.readSmallFile(f, tokP) !=
-          bloomToken(f, historyPath)) None
       else {
-        val in = f.open(filtP)
-        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-        finally in.close()
+        val stored = EpochLedger.readSmallFile(f, tokP).split('\n')
+          .flatMap { line =>
+            val i = line.indexOf(':')
+            if (i < 0) None else Some(line.take(i) -> line.drop(i + 1))
+          }.toMap
+        // `all` match = nothing ledgered since the write (one listing,
+        // the steady-state hit); only a mismatch pays the kind sweep
+        val fresh =
+          stored.get("all").contains(allToken(f, historyPath)) ||
+            stored.get("epochs").contains(epochsToken(f, historyPath))
+        if (!fresh) None
+        else {
+          val in = f.open(filtP)
+          try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+          finally in.close()
+        }
       }
     } catch {
       case _: java.io.IOException => None
@@ -648,19 +679,9 @@ object Dedup {
       epochId: String,
       failpoint: String => Unit): org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter] = {
-    // a plain path SEGMENT only: '/' would nest, '.'/'..' would escape
-    // _rotate and stage straight into the live layout, a leading
-    // '.'/'_' would collide with the hidden-file conventions, and '='
-    // is the epoch-footprint separator in moved file names (an id
-    // containing it would make one epoch's footprint prefix match
-    // another's)
-    require(
-      epochId.nonEmpty && !epochId.exists(c =>
-        c == '/' || c == '\\' || c == '=') &&
-        epochId != "." && epochId != ".." &&
-        !epochId.startsWith(".") && !epochId.startsWith("_"),
-      s"epochId must be a plain path segment (no separators, no '=', " +
-        s"not '.'/'..', no leading '.'/'_'), got '$epochId'")
+    // the ONE definition of id validity, shared with every other
+    // entry (a second inline copy here used to risk silent divergence)
+    EpochLedger.requireEpochId(epochId)
     val spark = novel.sparkSession
     // the two-arg recovery also quarantines unledgered `<id>=`
     // footprints from the live layouts — without it, re-staging this

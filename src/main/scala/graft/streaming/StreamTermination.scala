@@ -30,10 +30,12 @@ private[graft] object StreamTermination {
     org.slf4j.LoggerFactory.getLogger(StreamTermination.getClass)
 
   /** Register the clean-termination `body` for `query`. Call right
-    * after `start()`; the termination event cannot have fired before
-    * registration in practice (the caller holds the only handle and
-    * has not stopped it), and a missed registration would only skip
-    * the drain — the spool survives for restart healing by contract.
+    * after `start()`. A query CAN terminate before registration — an
+    * instantly-failing source errors before the next statement runs —
+    * and listener-bus events are not replayed; that path is an ERROR
+    * termination (the caller cannot have stopped a handle it does not
+    * hold yet), where the contract skips the drain anyway, so the
+    * post-registration liveness check below just releases the latch.
     */
   private[streaming] def onCleanTermination(
       spark: SparkSession,
@@ -65,16 +67,27 @@ private[graft] object StreamTermination {
         }
     }
     spark.streams.addListener(listener)
+    // the query may have ERROR-terminated before addListener (missed
+    // event, never replayed): the drain is skipped on errors anyway,
+    // so just release any still-pending latch — if the event DID
+    // arrive late, the listener's own Option-guarded remove no-ops
+    if (!query.isActive)
+      Option(latches.remove(queryId)).foreach(_.countDown())
   }
 
   /** Block until `query`'s registered drain has COMPLETED (or the
     * query was never registered / already drained — immediate true).
     * Call after `query.stop()` and before any other maintenance on
-    * the drained layouts. Returns false on timeout.
+    * the drained layouts. Returns false on timeout — and drops the
+    * latch then, so a missed listener event cannot leak it (the
+    * spool survives for restart healing either way).
     */
   def awaitDrain(query: StreamingQuery, timeoutMs: Long = 60000): Boolean =
     Option(latches.get(query.id)) match {
       case None => true
-      case Some(l) => l.await(timeoutMs, TimeUnit.MILLISECONDS)
+      case Some(l) =>
+        val done = l.await(timeoutMs, TimeUnit.MILLISECONDS)
+        if (!done) Option(latches.remove(query.id)).foreach(_.countDown())
+        done
     }
 }

@@ -382,13 +382,23 @@ object StreamingDedup {
           case Some(novel) =>
             // the bloom only advances HERE, so a doc novel in batch N
             // and repeated in batch N+1 of the same epoch reaches the
-            // spool twice — dedupe the union exactly (digest → min-id
-            // keeper, the q20 operator) before it becomes history, or
-            // the duplicate is permanent corpus state
-            val keepers = Dedup.exact(novel, textCol)
-              .select(org.apache.spark.sql.functions.col("keeper_id")
-                .as("doc_id"))
-            val next = Dedup.rotateEpochBucketed(novel.join(keepers, "doc_id"),
+            // spool twice — keep exactly ONE row per content digest
+            // (deterministic min-(id, text) keeper; a keeper-id join
+            // would let same-id redeliveries through) before it
+            // becomes history, or the duplicate is permanent corpus
+            // state. Checkpoint the result: the rotation evaluates its
+            // input three times (history stage, index stage, bloom
+            // merge) and must not re-run the dedupe shuffle each time.
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("__digest")
+              .orderBy(col("doc_id"), col(textCol))
+            val distinctNovel = novel
+              .withColumn("__digest", md5(col(textCol).cast("binary")))
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1)
+              .drop("__digest", "__rn")
+              .localCheckpoint(eager = true)
+            val next = Dedup.rotateEpochBucketed(distinctNovel,
               historyPath, indexPath, state.get.bloom, expectedItems, fpp,
               textCol, epochId = prev)
             clearSpool(spark, s"$spoolRoot/$prev")

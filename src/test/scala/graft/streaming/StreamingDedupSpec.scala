@@ -373,10 +373,15 @@ class StreamingDedupSpec extends AnyFunSuite {
     stream.addData((1000L, text("e1", 0)), (1001L, text("e1", 1)),
       (1002L, text("h", 5)))
     query.processAllAvailable()
-    // ep0, batch 1: one more fresh + a WITHIN-EPOCH repeat of batch
-    // 0's novel 1000 (the bloom can't see it yet — reported novel, but
-    // the rotation's exact dedupe keeps it out of the corpus)
-    stream.addData((1003L, text("e1", 2)), (1004L, text("e1", 0)))
+    // ep0, batch 1: one more fresh + TWO repeats of batch 0's novel
+    // 1000. The 1004 copy is collapsed IN-BATCH by filterNovel's own
+    // exact dedup (min-id keeper 1000 survives); the surviving
+    // (1000, same text) row is the CROSS-batch redelivery the
+    // epoch-cadence bloom cannot see — reported novel again, spooled
+    // again, and only the rotation's exact dedupe keeps it from
+    // becoming duplicate corpus state
+    stream.addData((1003L, text("e1", 2)), (1004L, text("e1", 0)),
+      (1000L, text("e1", 0)))
     query.processAllAvailable()
     // layouts untouched mid-epoch
     assert(!Dedup.epochApplied(spark, histPath, "ep0"))
@@ -394,10 +399,11 @@ class StreamingDedupSpec extends AnyFunSuite {
     // the maintain tick ran at the same boundary: the rotation's
     // fresh bucket files compacted (threshold 1), the ledger rolled
     assert(EpochLedger.applied(spark, histPath, "maintain-ep0-compact"))
-    // 1004 (the within-epoch repeat) is REPORTED novel — the bloom
-    // advances at rotation, the documented window
+    // the cross-batch redelivery is REPORTED novel again (1000 twice;
+    // 1004 was collapsed in-batch) — the bloom advances at rotation,
+    // the documented window
     assert(synchronized(novels.sorted.toSeq) ==
-      Seq(1000L, 1001L, 1003L, 1004L, 2001L, 2002L))
+      Seq(1000L, 1000L, 1001L, 1003L, 2001L, 2002L))
     assert(synchronized(flags.toSet) == Set((2001L, 1001L)))
 
     // clean stop: drainOnStop rotates the FINAL epoch, no manual call;
@@ -407,10 +413,13 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(Dedup.epochApplied(spark, histPath, "ep1"))
     assert(StreamingSimilarity.listSpooledEpochs(spark, s"$root/spool").isEmpty)
     val (atRest, _) = Dedup.openHistoryBucketed(spark, histPath)
-    // ...but it never became corpus state: the rotation's exact dedupe
-    // kept only the min-id keeper 1000
-    assert(atRest.select("doc_id").collect().map(_.getLong(0)).toSet ==
+    // ...but neither repeat became corpus state: the rotation's exact
+    // dedupe kept only the min-(id, text) keeper — ONE row for 1000
+    val atRestIds = atRest.select("doc_id").collect().map(_.getLong(0))
+    assert(atRestIds.toSet ==
       ((0L until 30L) ++ Seq(1000L, 1001L, 1003L, 2001L, 2002L)).toSet)
+    // the redelivered row collapsed to ONE copy
+    assert(atRestIds.count(_ == 1000L) == 1)
 
     // next session: the guard loads from the sidecar (no corpus scan)
     // and already knows the DRAINED epoch's novels
