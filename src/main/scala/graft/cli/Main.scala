@@ -430,6 +430,11 @@ object Main {
               "dedup rebuild-bloom needs --expected-items (size the " +
                 "sketch for the corpus the epoch loop will GROW to)"))
           val fpp = flag("--fpp").map(_.toDouble).getOrElse(0.01)
+          // heal FIRST, like every other rebuild entry: digesting a
+          // torn layout would stamp a poisoned guard with tokens the
+          // later recovery can never invalidate (quarantine writes no
+          // ledger entry)
+          Dedup.recoverRotations(spark, hist)
           val (history, _) = Dedup.openHistoryBucketed(spark, hist)
           val bloom = Dedup.digestBloom(history, expected, fpp)
           Dedup.writeBloomSidecar(spark, hist, bloom)

@@ -352,9 +352,27 @@ object EpochLedger {
       requireKind(f, path, id, "partition-compaction")
       return 0
     }
-    val targets = partitionFileStats(f, dataRoot, s"$partitionCol=")
+    val overThreshold = partitionFileStats(f, dataRoot, s"$partitionCol=")
       .filter(_._2 > maxFilesPerPartition)
       .map(_._1)
+    // a dir that is EXACTLY one prior compaction's output — every
+    // parquet file sharing one '<id>=' footprint prefix — is already
+    // as compact as its row count and maxRecordsPerFile allow:
+    // rewriting it cannot reduce the count, and re-targeting it every
+    // maintenance tick would loop forever (a full rewrite plus another
+    // retired copy per tick). Skip it until NEW files (a different
+    // prefix: an epoch append or the initial un-prefixed write) land
+    // in it. One listStatus per over-threshold dir, bounded by the
+    // fragmented set.
+    val targets = overThreshold.filter { d =>
+      val prefixes = f.listStatus(new Path(s"$dataRoot/$d"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        .map { n =>
+          val i = n.indexOf('=')
+          if (i < 0) "" else n.take(i)
+        }.distinct
+      !(prefixes.length == 1 && prefixes.head.nonEmpty)
+    }
     if (targets.isEmpty) return 0
     f.mkdirs(new Path(s"$path/_epochs"))
     val stageRoot = new Path(s"$path/_retrain/$id")

@@ -1370,6 +1370,15 @@ object Similarity {
       s"filesPerPartition=$filesPerPartition must be in " +
         s"[1, maxFilesPerPartition=$maxFilesPerPartition] — above the " +
         "threshold the policy would re-compact its own output forever")
+    // a floor with no probe configured would silently never judge
+    // recall (h.recall = None ⇒ recallHit = false): the operator
+    // believes the floor is enforced while a degraded layout is
+    // reported healthy forever
+    require(recallFloor.isEmpty || recallSampleN >= 1 ||
+        queryVectors.isDefined,
+      "recallFloor is set but no probe is configured: pass " +
+        "recallSampleN >= 1 (stored-sample mode) or queryVectors " +
+        "(serving mode)")
     // heal-at-entry: the policy is the cron'd one-call — a torn
     // epoch/rotation/compaction must resolve even when every
     // threshold then reads healthy (the sub-operations heal again at

@@ -69,25 +69,27 @@ private[graft] object StreamTermination {
     spark.streams.addListener(listener)
     // the query may have ERROR-terminated before addListener (missed
     // event, never replayed): the drain is skipped on errors anyway,
-    // so just release any still-pending latch — if the event DID
-    // arrive late, the listener's own Option-guarded remove no-ops
-    if (!query.isActive)
+    // so release any still-pending latch AND drop the listener — a
+    // dead query's listener would otherwise sit on the session-wide
+    // bus forever, holding the drain closure. If the event DID arrive
+    // late, the listener's own Option-guarded remove no-ops.
+    if (!query.isActive) {
       Option(latches.remove(queryId)).foreach(_.countDown())
+      spark.streams.removeListener(listener)
+    }
   }
 
   /** Block until `query`'s registered drain has COMPLETED (or the
     * query was never registered / already drained — immediate true).
     * Call after `query.stop()` and before any other maintenance on
-    * the drained layouts. Returns false on timeout — and drops the
-    * latch then, so a missed listener event cannot leak it (the
-    * spool survives for restart healing either way).
+    * the drained layouts. Returns false on timeout — and the latch
+    * STAYS, so a retry keeps waiting for the still-running drain
+    * instead of reporting it complete (releasing here would hand a
+    * second maintenance writer to layouts the drain still owns).
     */
   def awaitDrain(query: StreamingQuery, timeoutMs: Long = 60000): Boolean =
     Option(latches.get(query.id)) match {
       case None => true
-      case Some(l) =>
-        val done = l.await(timeoutMs, TimeUnit.MILLISECONDS)
-        if (!done) Option(latches.remove(query.id)).foreach(_.countDown())
-        done
+      case Some(l) => l.await(timeoutMs, TimeUnit.MILLISECONDS)
     }
 }

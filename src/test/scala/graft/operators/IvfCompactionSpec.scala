@@ -369,6 +369,36 @@ class IvfCompactionSpec extends AnyFunSuite {
     assert(probe(path) == probeBefore)
   }
 
+  test("a dir that is exactly one compaction's output is never " +
+    "re-targeted: maxRecordsPerFile keeping it over threshold cannot " +
+    "loop the maintenance, and a new epoch re-arms it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-noloop").toString
+    val (path, hotDir) = lopsided(root)
+    // re-splits keep the hot dir over the threshold after compaction
+    assert(Similarity.compactIvfPartitions(spark, path, "nl1",
+      maxFilesPerPartition = 1, maxRecordsPerFile = 2L) == 1)
+    val filesAfter = fileNames(path)(hotDir)
+    assert(filesAfter.size > 1 && filesAfter.forall(_.startsWith("nl1=")),
+      filesAfter)
+    // still over threshold but already maximally compacted: a fresh id
+    // must NOT rewrite it again (no endless rewrite-and-retire loop);
+    // nothing staged, nothing ledgered
+    assert(Similarity.compactIvfPartitions(spark, path, "nl2",
+      maxFilesPerPartition = 1, maxRecordsPerFile = 2L) == 0)
+    assert(!EpochLedger.applied(spark, path, "nl2"))
+    assert(fileNames(path)(hotDir) == filesAfter)
+    // a NEW epoch's file in the dir re-arms the compaction
+    val hotVec = rows(path).collect {
+      case (id, cid) if s"centroid_id=$cid" == hotDir => id
+    }.head
+    val dup = (1 to 3).map(i => (9000L + i, vec(hotVec)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.appendIvfEpoch(dup, path, "nle"))
+    assert(Similarity.compactIvfPartitions(spark, path, "nl3",
+      maxFilesPerPartition = 1, maxRecordsPerFile = 2L) == 1)
+    assert(fileNames(path)(hotDir).forall(_.startsWith("nl3=")))
+  }
+
   test("compactIvfPartitions on a flat (never-rotated) layout stays " +
     "flat and keeps ledger evidence via footprints") {
     val root = java.nio.file.Files.createTempDirectory("graft-pcmpf").toString
