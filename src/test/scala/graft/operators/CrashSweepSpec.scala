@@ -192,7 +192,7 @@ class CrashSweepSpec extends AnyFunSuite {
     * crashes. Row target FIXED (the stored assignment is reused), and
     * the reader's view at any instant must never hold doubled rows.
     */
-  private def pcmpTrial(plan: Seq[String]): Unit = {
+  private def pcmpTrial(plan: Seq[String], salt: Int = 1): Unit = {
     val root = java.nio.file.Files.createTempDirectory("graft-sweep-pcm").toString
     val path = s"$root/ivf"
     Similarity.writeIvfPartitioned(ivfBase, path, centroidK = 2)
@@ -204,13 +204,15 @@ class CrashSweepSpec extends AnyFunSuite {
       // mid-swap dir — NEVER doubled, never a foreign row
       val view = ivfRows(path)
       assert(view.subsetOf(want), s"plan=$plan view=$view")
-      Similarity.compactIvfPartitionsStaged(spark, path, "pc1", 1, 0L, fail)
+      Similarity.compactIvfPartitionsStaged(spark, path, "pc1", 1, 0L, fail,
+        filesPerPartition = salt)
       ()
     }
-    val ctx = s"plan=$plan"
+    val ctx = s"plan=$plan salt=$salt"
     assert(ivfRows(path) == want, ctx)
     assert(EpochLedger.applied(spark, path, "pc1"), ctx)
-    assert(Similarity.ivfPartitionStats(spark, path).forall(_._2 == 1), ctx)
+    assert(Similarity.ivfPartitionStats(spark, path)
+      .forall(_._2 <= salt), ctx)
     // blind replay: no-op; recovery: no-op; staging reclaimed
     assert(Similarity.compactIvfPartitions(spark, path, "pc1") == 0, ctx)
     Similarity.recoverIvfEpochs(spark, path)
@@ -440,7 +442,11 @@ class CrashSweepSpec extends AnyFunSuite {
               case "ivf" => ivfTrial(plan)
               case "dedup" => dedupTrial(plan)
               case "rotation" => rotTrial(plan)
-              case "partition-compaction" => pcmpTrial(plan)
+              case "partition-compaction" =>
+                // the write-parallelism salt rides the sweep too: the
+                // per-dir swap discipline must hold for multi-file
+                // compacted dirs exactly as for single-file ones
+                pcmpTrial(plan, salt = 1 + rnd.nextInt(2))
               case _ => compactTrial(plan)
             }
           }
