@@ -528,6 +528,32 @@ object Dedup {
       s"bloom sidecar publish $tmp -> $dst failed")
   }
 
+  /** Is a `_bloom` sidecar present with a token matching the ledger's
+    * current applied-id set? Freshness only — never deserializes the
+    * filter. Any read failure counts as NOT fresh (the advisory
+    * contract: when in doubt, rebuild).
+    */
+  private[operators] def sidecarFresh(
+      f: org.apache.hadoop.fs.FileSystem,
+      historyPath: String): Boolean =
+    try {
+      val dir = new org.apache.hadoop.fs.Path(s"$historyPath/_bloom")
+      val tokP = new org.apache.hadoop.fs.Path(dir, "token")
+      f.exists(tokP) &&
+        f.exists(new org.apache.hadoop.fs.Path(dir, "filter")) && {
+          val stored = EpochLedger.readSmallFile(f, tokP).split('\n')
+            .flatMap { line =>
+              val i = line.indexOf(':')
+              if (i < 0) None else Some(line.take(i) -> line.drop(i + 1))
+            }.toMap
+          // `all` match = nothing ledgered since the write (one
+          // listing, the steady-state hit); only a mismatch pays the
+          // kind sweep
+          stored.get("all").contains(allToken(f, historyPath)) ||
+            stored.get("epochs").contains(epochsToken(f, historyPath))
+        }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** The persisted `_bloom` sidecar, if present AND fresh (its token
     * matches the ledger's current applied-id set) — None means rebuild
     * with [[digestBloom]] over the at-rest history. Never trusts a
@@ -538,36 +564,25 @@ object Dedup {
   def readBloomSidecar(
       spark: org.apache.spark.sql.SparkSession,
       historyPath: String): Option[org.apache.spark.util.sketch.BloomFilter] =
-    // any read failure — including the TOCTOU window where a concurrent
+    // any read failure — the TOCTOU window where a concurrent
     // writeBloomSidecar deleted `_bloom` between our exists() and
-    // open() — reads as ABSENT, per the sidecar's advisory contract;
-    // the caller rebuilds
+    // open(), but also a truncated/garbage filter file, whose
+    // BloomFilter.readFrom throws non-IO exceptions
+    // (NegativeArraySizeException, IllegalArgumentException from bad
+    // version/size bytes) — reads as ABSENT, per the sidecar's
+    // advisory contract; the caller rebuilds
     try {
       val f = fsFor(spark, historyPath)
       val dir = new org.apache.hadoop.fs.Path(s"$historyPath/_bloom")
-      val tokP = new org.apache.hadoop.fs.Path(dir, "token")
       val filtP = new org.apache.hadoop.fs.Path(dir, "filter")
-      if (!f.exists(tokP) || !f.exists(filtP)) None
+      if (!sidecarFresh(f, historyPath)) None
       else {
-        val stored = EpochLedger.readSmallFile(f, tokP).split('\n')
-          .flatMap { line =>
-            val i = line.indexOf(':')
-            if (i < 0) None else Some(line.take(i) -> line.drop(i + 1))
-          }.toMap
-        // `all` match = nothing ledgered since the write (one listing,
-        // the steady-state hit); only a mismatch pays the kind sweep
-        val fresh =
-          stored.get("all").contains(allToken(f, historyPath)) ||
-            stored.get("epochs").contains(epochsToken(f, historyPath))
-        if (!fresh) None
-        else {
-          val in = f.open(filtP)
-          try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-          finally in.close()
-        }
+        val in = f.open(filtP)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
       }
     } catch {
-      case _: java.io.IOException => None
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Rotate an incremental-dedup epoch over the persisted layouts: the
@@ -747,8 +762,15 @@ object Dedup {
     // corpus. Token derives from the ledger AFTER this epoch's entry,
     // so a replay rewrites the identical state (idempotent) and a
     // crash right here leaves the PREVIOUS sidecar stale — which the
-    // token check turns into a rebuild, never a wrong guard.
-    writeBloomSidecar(spark, historyPath, merged)
+    // token check turns into a rebuild, never a wrong guard. On the
+    // already-applied REPLAY path the write only fills a missing/stale
+    // sidecar (a crash between ledger and sidecar): a fresh persisted
+    // guard is never replaced, so contract misuse — replaying with an
+    // oldBloom that is not the live guard — can corrupt the returned
+    // broadcast but never the at-rest sidecar future sessions trust.
+    if (!alreadyApplied || !sidecarFresh(fsFor(spark, historyPath),
+        historyPath))
+      writeBloomSidecar(spark, historyPath, merged)
     val next = spark.sparkContext.broadcast(merged)
     oldBloom.unpersist(blocking = false)
     next

@@ -354,25 +354,33 @@ object EpochLedger {
     }
     val overThreshold = partitionFileStats(f, dataRoot, s"$partitionCol=")
       .filter(_._2 > maxFilesPerPartition)
-      .map(_._1)
     // a dir that is EXACTLY one prior compaction's output — every
-    // parquet file sharing one '<id>=' footprint prefix — is already
-    // as compact as its row count and maxRecordsPerFile allow:
-    // rewriting it cannot reduce the count, and re-targeting it every
-    // maintenance tick would loop forever (a full rewrite plus another
-    // retired copy per tick). Skip it until NEW files (a different
-    // prefix: an epoch append or the initial un-prefixed write) land
-    // in it. One listStatus per over-threshold dir, bounded by the
+    // parquet file sharing one '<id>=' footprint prefix — is skipped
+    // UNLESS this call's settings could provably shrink it: with
+    // maxRecordsPerFile unbounded a rewrite yields exactly
+    // `filesPerPartition` files, so a uniform dir holding MORE than
+    // that (a prior run's larger salt) is legally shrinkable and gets
+    // re-targeted once; otherwise re-targeting every maintenance tick
+    // would loop forever (a full rewrite plus another retired copy per
+    // tick, with the count unchanged — the maxRecordsPerFile re-breach
+    // pathology). With maxRecordsPerFile > 0 the rewrite's count is
+    // row-bound and unknowable from the listing, so a uniform dir
+    // stays skipped until NEW files (a different prefix: an epoch
+    // append or the initial un-prefixed write) land in it — the
+    // documented dormant-dir limitation of record-capped compaction.
+    // One listStatus per over-threshold dir, bounded by the
     // fragmented set.
-    val targets = overThreshold.filter { d =>
+    val targets = overThreshold.filter { case (d, fileCount, _) =>
       val prefixes = f.listStatus(new Path(s"$dataRoot/$d"))
         .map(_.getPath.getName).filter(_.endsWith(".parquet"))
         .map { n =>
           val i = n.indexOf('=')
           if (i < 0) "" else n.take(i)
         }.distinct
-      !(prefixes.length == 1 && prefixes.head.nonEmpty)
-    }
+      val uniform = prefixes.length == 1 && prefixes.head.nonEmpty
+      val shrinkable = maxRecordsPerFile <= 0L && fileCount > filesPerPartition
+      !(uniform && !shrinkable)
+    }.map(_._1)
     if (targets.isEmpty) return 0
     f.mkdirs(new Path(s"$path/_epochs"))
     val stageRoot = new Path(s"$path/_retrain/$id")

@@ -994,4 +994,71 @@ class EpochRotationSpec extends AnyFunSuite {
     assert(Dedup.readBloomSidecar(spark, histPath).isDefined)
     bloom1.unpersist(blocking = false)
   }
+
+  test("bloom sidecar: a garbage filter file under a fresh token reads " +
+    "as ABSENT (rebuild), never crashes stream start") {
+    val h0 = (0L until 10L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-bgarb").toString
+    val histPath = s"$root/hist"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 2)
+    val b0 = Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001)
+    Dedup.writeBloomSidecar(spark, histPath, b0)
+    assert(Dedup.readBloomSidecar(spark, histPath).isDefined)
+    // corrupt ONLY the filter bytes, keeping the fresh token:
+    // BloomFilter.readFrom on garbage version/size bytes throws
+    // non-IO exceptions — the advisory contract still reads as absent
+    val f = Dedup.fsFor(spark, histPath)
+    val filtP = new org.apache.hadoop.fs.Path(s"$histPath/_bloom/filter")
+    val out = f.create(filtP, true)
+    try out.write(Array[Byte](1, -1, -1, -1, -1, 7, 7, 7))
+    finally out.close()
+    assert(Dedup.readBloomSidecar(spark, histPath).isEmpty)
+  }
+
+  test("bloom sidecar: an already-applied REPLAY never replaces a " +
+    "fresh persisted guard (contract misuse stays in-memory), but " +
+    "still fills a missing one after a ledger-then-crash") {
+    val h0 = (0L until 20L).map(i => (i, histText(i))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-brepl").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    Dedup.writeHistoryBucketed(h0, histPath, nBuckets = 4)
+    Dedup.writeMinhashIndex(h0, idxPath)
+    val b0 = Dedup.digestBloom(h0, expectedItems = 1000, fpp = 0.001)
+    val n1 = (100L until 104L).map(i => (i, novelText(i))).toDF("doc_id", "text")
+    val live = Dedup.rotateEpochBucketed(n1, histPath, idxPath,
+      spark.sparkContext.broadcast(b0),
+      expectedItems = 1000, fpp = 0.001, epochId = "re1")
+    // fresh sidecar knows BOTH history and e1's novels
+    def sidecarDrops(id: Long, text: String): Boolean = {
+      val side = Dedup.readBloomSidecar(spark, histPath)
+      assert(side.isDefined)
+      val b = spark.sparkContext.broadcast(side.get)
+      val kept = Dedup.filterNovel(Seq((id, text)).toDF("doc_id", "text"), b)
+        .count()
+      b.unpersist(blocking = false)
+      kept == 0L
+    }
+    assert(sidecarDrops(1L, histText(0)))
+    assert(sidecarDrops(2L, novelText(101)))
+    // REPLAY re1 with a WRONG oldBloom (misuse: not the live guard) —
+    // the appends are ledger-skipped, and the fresh persisted guard
+    // must survive untouched
+    val wrong = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.001)
+    Dedup.rotateEpochBucketed(n1, histPath, idxPath,
+      spark.sparkContext.broadcast(wrong),
+      expectedItems = 1000, fpp = 0.001, epochId = "re1")
+      .unpersist(blocking = false)
+    assert(sidecarDrops(3L, histText(0)), "replay replaced the guard")
+    // crash between ledger and sidecar write = sidecar missing; a
+    // replay with the CORRECT live bloom restores it
+    Dedup.fsFor(spark, histPath)
+      .delete(new org.apache.hadoop.fs.Path(s"$histPath/_bloom"), true)
+    assert(Dedup.readBloomSidecar(spark, histPath).isEmpty)
+    Dedup.rotateEpochBucketed(n1, histPath, idxPath, live,
+      expectedItems = 1000, fpp = 0.001, epochId = "re1")
+      .unpersist(blocking = false)
+    assert(sidecarDrops(4L, histText(0)))
+    assert(sidecarDrops(5L, novelText(101)))
+  }
 }

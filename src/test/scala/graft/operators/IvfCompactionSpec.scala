@@ -399,6 +399,50 @@ class IvfCompactionSpec extends AnyFunSuite {
     assert(fileNames(path)(hotDir).forall(_.startsWith("nl3=")))
   }
 
+  test("a uniformly-compacted dir IS re-targeted when the current " +
+    "settings provably shrink it: a prior run's larger salt heals " +
+    "under an unbounded-records compaction; a record-capped call " +
+    "leaves it dormant (no loop either way)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-shrink").toString
+    val (path, hotDir) = lopsided(root)
+    val before = rows(path)
+    val probeBefore = probe(path)
+    // one-shot compaction with a write-parallelism salt leaves the hot
+    // dir uniform at several files (AQE coalescing off so the salt
+    // spreading is observable at fixture scale, as in the salt case)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val n0 =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        Similarity.compactIvfPartitions(spark, path, "sh1",
+          maxFilesPerPartition = 1, filesPerPartition = 4)
+      } finally spark.conf.set(coalesceKey, prev)
+    assert(n0 == 1)
+    val uniform = fileNames(path)(hotDir)
+    assert(uniform.size >= 2 && uniform.size <= 4 &&
+      uniform.forall(_.startsWith("sh1=")), uniform)
+    // same-or-larger salt cannot shrink it: skipped, nothing ledgered
+    assert(Similarity.compactIvfPartitions(spark, path, "sh2",
+      maxFilesPerPartition = 1, filesPerPartition = uniform.size) == 0)
+    assert(!EpochLedger.applied(spark, path, "sh2"))
+    assert(fileNames(path)(hotDir) == uniform)
+    // a record-capped call cannot PROVE a reduction from the listing
+    // (the count is row-bound): dormant by documented contract
+    assert(Similarity.compactIvfPartitions(spark, path, "sh3",
+      maxFilesPerPartition = 1, maxRecordsPerFile = 1000L) == 0)
+    assert(fileNames(path)(hotDir) == uniform)
+    // an unbounded-records call with the default salt of 1 provably
+    // shrinks N -> 1: the dormant dir heals in one tick, rows and
+    // probes identical
+    assert(Similarity.compactIvfPartitions(spark, path, "sh4",
+      maxFilesPerPartition = 1) == 1)
+    val healed = fileNames(path)(hotDir)
+    assert(healed.size == 1 && healed.forall(_.startsWith("sh4=")), healed)
+    assert(rows(path) == before)
+    assert(probe(path) == probeBefore)
+  }
+
   test("compactIvfPartitions on a flat (never-rotated) layout stays " +
     "flat and keeps ledger evidence via footprints") {
     val root = java.nio.file.Files.createTempDirectory("graft-pcmpf").toString
