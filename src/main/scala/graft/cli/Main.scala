@@ -438,7 +438,9 @@ object Main {
           val (history, _) = Dedup.openHistoryBucketed(spark, hist)
           val bloom = Dedup.digestBloom(history, expected, fpp)
           Dedup.writeBloomSidecar(spark, hist, bloom)
-          s"sidecar_fresh=${Dedup.readBloomSidecar(spark, hist).isDefined}"
+          // token-only check: re-deserializing the corpus-sized filter
+          // just written, only to print a boolean, is pure waste
+          s"sidecar_fresh=${Dedup.bloomSidecarFresh(spark, hist)}"
         case _ =>
           sys.error("dedup rebuild-bloom needs <historyPath>")
       }

@@ -528,6 +528,18 @@ object Dedup {
       s"bloom sidecar publish $tmp -> $dst failed")
   }
 
+  /** Is the `_bloom` sidecar present with a token matching the
+    * ledger's current applied-id set? Freshness only — never
+    * deserializes the filter (the observability twin of
+    * [[readBloomSidecar]] for runbook/CLI checks where loading a
+    * corpus-sized filter onto the driver just to print a boolean would
+    * be wasteful).
+    */
+  def bloomSidecarFresh(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String): Boolean =
+    sidecarFresh(fsFor(spark, historyPath), historyPath)
+
   /** Is a `_bloom` sidecar present with a token matching the ledger's
     * current applied-id set? Freshness only — never deserializes the
     * filter. Any read failure counts as NOT fresh (the advisory
@@ -763,13 +775,16 @@ object Dedup {
     // so a replay rewrites the identical state (idempotent) and a
     // crash right here leaves the PREVIOUS sidecar stale — which the
     // token check turns into a rebuild, never a wrong guard. On the
-    // already-applied REPLAY path the write only fills a missing/stale
-    // sidecar (a crash between ledger and sidecar): a fresh persisted
-    // guard is never replaced, so contract misuse — replaying with an
-    // oldBloom that is not the live guard — can corrupt the returned
-    // broadcast but never the at-rest sidecar future sessions trust.
-    if (!alreadyApplied || !sidecarFresh(fsFor(spark, historyPath),
-        historyPath))
+    // already-applied REPLAY path the sidecar is NEVER written: the
+    // caller-supplied oldBloom is unverifiable here, and persisting a
+    // merge of a wrong one (contract misuse) under a fresh token would
+    // hand future sessions a guard that passes stored docs as novel.
+    // The crash-between-ledger-and-sidecar window this write would
+    // have filled self-heals instead: the stale sidecar reads as
+    // absent and the next stream start (or `dedup rebuild-bloom`)
+    // digest-rebuilds and re-persists. Misuse can corrupt the returned
+    // broadcast but never the at-rest sidecar.
+    if (!alreadyApplied)
       writeBloomSidecar(spark, historyPath, merged)
     val next = spark.sparkContext.broadcast(merged)
     oldBloom.unpersist(blocking = false)

@@ -357,10 +357,15 @@ object EpochLedger {
     // a dir that is EXACTLY one prior compaction's output — every
     // parquet file sharing one '<id>=' footprint prefix — is skipped
     // UNLESS this call's settings could provably shrink it: with
-    // maxRecordsPerFile unbounded a rewrite yields exactly
-    // `filesPerPartition` files, so a uniform dir holding MORE than
-    // that (a prior run's larger salt) is legally shrinkable and gets
-    // re-targeted once; otherwise re-targeting every maintenance tick
+    // maxRecordsPerFile unbounded a rewrite yields AT MOST
+    // `filesPerPartition` files (salt-hash collisions and AQE
+    // coalescing can produce fewer), so a uniform dir holding strictly
+    // MORE than that (a prior run's larger salt) is legally shrinkable
+    // and gets re-targeted once. The strict `>` is load-bearing: at
+    // equality a rewrite could only churn (same count, full rewrite
+    // plus a retired copy per tick) — relaxing it to `>=` reintroduces
+    // the loop this guard exists to prevent. Otherwise re-targeting
+    // every maintenance tick
     // would loop forever (a full rewrite plus another retired copy per
     // tick, with the count unchanged — the maxRecordsPerFile re-breach
     // pathology). With maxRecordsPerFile > 0 the rewrite's count is

@@ -1015,9 +1015,9 @@ class EpochRotationSpec extends AnyFunSuite {
     assert(Dedup.readBloomSidecar(spark, histPath).isEmpty)
   }
 
-  test("bloom sidecar: an already-applied REPLAY never replaces a " +
-    "fresh persisted guard (contract misuse stays in-memory), but " +
-    "still fills a missing one after a ledger-then-crash") {
+  test("bloom sidecar: an already-applied REPLAY never writes the " +
+    "sidecar — a fresh guard survives contract misuse, and a missing " +
+    "one is left for the digest-rebuild heal path") {
     val h0 = (0L until 20L).map(i => (i, histText(i))).toDF("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft-brepl").toString
     val histPath = s"$root/hist"
@@ -1051,13 +1051,24 @@ class EpochRotationSpec extends AnyFunSuite {
       .unpersist(blocking = false)
     assert(sidecarDrops(3L, histText(0)), "replay replaced the guard")
     // crash between ledger and sidecar write = sidecar missing; a
-    // replay with the CORRECT live bloom restores it
+    // replay NEVER fills it (the caller's bloom is unverifiable here —
+    // even this correct-bloom replay), because a wrong one under a
+    // fresh token would poison every future session. The heal path is
+    // the next stream start's digestBloom + persist (StreamingDedup)
+    // or `dedup rebuild-bloom`.
     Dedup.fsFor(spark, histPath)
       .delete(new org.apache.hadoop.fs.Path(s"$histPath/_bloom"), true)
     assert(Dedup.readBloomSidecar(spark, histPath).isEmpty)
+    assert(!Dedup.bloomSidecarFresh(spark, histPath))
     Dedup.rotateEpochBucketed(n1, histPath, idxPath, live,
       expectedItems = 1000, fpp = 0.001, epochId = "re1")
       .unpersist(blocking = false)
+    assert(Dedup.readBloomSidecar(spark, histPath).isEmpty)
+    // the documented heal: digest-rebuild + persist, now fresh again
+    val (history, _) = Dedup.openHistoryBucketed(spark, histPath)
+    Dedup.writeBloomSidecar(spark, histPath,
+      Dedup.digestBloom(history, expectedItems = 1000, fpp = 0.001))
+    assert(Dedup.bloomSidecarFresh(spark, histPath))
     assert(sidecarDrops(4L, histText(0)))
     assert(sidecarDrops(5L, novelText(101)))
   }
