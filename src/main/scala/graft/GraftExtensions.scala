@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MarkerCount, MinHashes, PolyHash, ShingleHashes, SimHash, SrpKey, TokenStats, TokenSuccessors}
+import graft.functions.{DotProduct, Int8Dot, MarkerCount, MinHashes, PackInt8, PolyHash, ShingleHashes, SimHash, SrpKey, TokenStats, TokenSuccessors}
 
 /** Session extension registering the engine's custom codegen expressions
   * as SQL functions, so `spark.sql` users get them too:
@@ -62,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "marker_count(text, array('w', ...)) - whitespace tokens that are members of the constant word set",
       2, es => MarkerCount(es(0),
         GraftExtensions.litStrings(es(1), "marker_count words"))))
+    ext.injectFunction(fn("pack_int8",
+      "pack_int8(array<int>) - pack int8-range ints into a binary, failing loudly on overflow",
+      1, es => PackInt8(es.head)))
+    ext.injectFunction(fn("int8_dot",
+      "int8_dot(a, b) - exact integer dot product of two binary int8 vectors, as bigint",
+      2, es => Int8Dot(es(0), es(1))))
   }
 }
 
@@ -135,5 +141,9 @@ object GraftExtensions {
     org.apache.spark.sql.graftglue.Glue.registerFunction(
       spark, "marker_count",
       es => MarkerCount(es(0), litStrings(es(1), "marker_count words")))
+    org.apache.spark.sql.graftglue.Glue.registerFunction(
+      spark, "pack_int8", es => PackInt8(es.head))
+    org.apache.spark.sql.graftglue.Glue.registerFunction(
+      spark, "int8_dot", es => Int8Dot(es(0), es(1)))
   }
 }

@@ -55,6 +55,23 @@ object Similarity {
   def cosine(a: String, b: String): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Add the IVF-SQ8 storage columns to layout rows carrying `vec`:
+    * `qscale` (the per-vector int8 scale, [[quantizeInt8]]'s exact
+    * oracle-proven algebra) and `q8` (the rounded ints packed to ONE
+    * BYTE per dimension by [[graft.functions.PackInt8]] — pure
+    * narrowing, no second rounding to drift). At rest the q8 column is
+    * ~1/8th the width of the `array<double>` vec column, which is what
+    * the quantized probe's candidate scan reads instead of vec — the
+    * 100 TB scan-width lever ([[ivfKnnQuantized]]).
+    */
+  private def withQuantizedCols(df: DataFrame): DataFrame =
+    df.withColumn("qscale",
+        expr("aggregate(vec, 0D, (m, x) -> greatest(m, abs(x)))") / 127.0)
+      .withColumn("q8",
+        graft.functions.PackInt8(expr(
+          "CASE WHEN qscale = 0D THEN transform(vec, x -> 0) " +
+            "ELSE transform(vec, x -> CAST(round(x / qscale, 0) AS INT)) END")))
+
   /** Brute-force cosine top-k: every query (by id) against the whole
     * corpus, excluding self. Deterministic tie-break on neighbor id.
     */
@@ -328,9 +345,9 @@ object Similarity {
         "not a flat writeIvfPartitioned overwrite")
     val all = asDouble(emb, idCol = idCol)
     val centroids = trainedCentroids.getOrElse(ivfCentroids(all, centroidK, idCol))
-    val assigned = rankCentroids(all, centroids, 1, idCol)
+    val assigned = withQuantizedCols(rankCentroids(all, centroids, 1, idCol)
       .select(col(idCol), col("vec"), col("nrm"),
-        concat(lit("c"), col("centroid_id")).as("centroid_id"))
+        concat(lit("c"), col("centroid_id")).as("centroid_id")))
     // hash-exchange on the partition key so the layout is born SETTLED
     // (the append/compaction idiom): without it a partitioned write
     // emits one file per TASK per dir — O(tasks × k) files a
@@ -448,9 +465,17 @@ object Similarity {
       .select(expr("CAST(substring(centroid_id, 2) AS BIGINT)")
           .as("centroid_id"),
         col("cvec"), col("cnrm"))
-    rankCentroids(asDouble(novel, idCol = idCol), cent, 1, idCol)
+    val assigned = rankCentroids(asDouble(novel, idCol = idCol), cent, 1, idCol)
       .select(col(idCol), col("vec"), col("nrm"),
         concat(lit("c"), col("centroid_id")).as("centroid_id"))
+    // match the LAYOUT's schema, not this build's: appending q8 files
+    // into a pre-quantization layout would leave a mixed-schema dir
+    // where a plain read resolves columns from an arbitrary file (the
+    // upgrade path for an old layout is rotateIvf, which rebuilds with
+    // the quantized columns)
+    if (spark.read.parquet(dataRoot).schema.fieldNames.contains("q8"))
+      withQuantizedCols(assigned)
+    else assigned
   }
 
   /** Append novel vectors to an existing [[writeIvfPartitioned]] layout
@@ -1571,6 +1596,125 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** IVF-SQ8 ANN top-k over a quantized [[writeIvfPartitioned]]
+    * layout: the same routing as [[ivfKnnPartitioned]], but the probed
+    * partitions are scored in TWO stages —
+    *
+    *   1. CANDIDATE scan: reads `(id, q8, qscale, nrm)` — the packed
+    *      int8 vectors at ONE byte per dimension instead of the
+    *      8-byte-per-dimension `vec` column, an ~8× scan-width
+    *      reduction on exactly the column that dominates probe IO at
+    *      corpus scale. Approximate cosine from the EXACT integer dot
+    *      ([[graft.functions.Int8Dot]], order-insensitive long
+    *      arithmetic) times the two scales; top `rerank` per query
+    *      survive (tie-break on neighbor id, so the shortlist is
+    *      deterministic and engine-portable).
+    *   2. RERANK scan: the float `vec` column is read back ONLY for
+    *      the shortlist ids — pushed down as an `IN` filter so parquet
+    *      row-group stats / column-index pruning skip the pages that
+    *      hold no candidate — and the final top-k ranks by the same
+    *      rounded exact cosine as every other scorer here.
+    *
+    * With `rerank` >= the probed partitions' population the result is
+    * row-identical to [[ivfKnnPartitioned]] (the shortlist keeps
+    * everything and the exact cosine decides); at serving settings
+    * (`rerank` a small multiple of k) the quantization error only
+    * costs recall when a true top-k neighbor's approx rank falls below
+    * `rerank` — the standard SQ8 trade.
+    *
+    * The shortlist (|queries| × rerank pairs) is collected to the
+    * driver to become the stage-2 pushdown filter — bounded by the
+    * QUERY batch, never the corpus. For huge offline batches where
+    * that bound bites, use [[ivfKnnPartitioned]].
+    *
+    * Requires a quantized layout (built/rotated since the q8 columns
+    * landed); a pre-SQ8 layout fails loudly — [[rotateIvf]] rebuilds
+    * with the quantized columns.
+    */
+  def ivfKnnQuantized(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queryIds: Seq[Long],
+      k: Int,
+      nprobe: Int = 1,
+      rerank: Int = 0,
+      idCol: String = "vec_id"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val m = if (rerank <= 0) 4 * k else rerank
+    require(m >= k, s"rerank must be >= k, got rerank=$m k=$k")
+    val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
+    val corpus = spark.read.parquet(dataRoot)
+    require(
+      corpus.schema("centroid_id").dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"$path is not a current IVF layout (centroid_id must be the " +
+        "prefixed-string partition column) — rewrite it with writeIvfPartitioned")
+    require(corpus.schema.fieldNames.contains("q8"),
+      s"$path has no quantized columns (built before SQ8) — rotateIvf " +
+        "rebuilds the layout with q8/qscale")
+    val queries = corpus.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col("centroid_id"),
+        col("q8").as("q8_q"), col("qscale").as("qscale_q"),
+        col("vec").as("vec_q"), col("nrm").as("nrm_q"))
+    val probes =
+      if (nprobe == 1) queries
+      else {
+        val cent = spark.read.parquet(s"$dataRoot/_centroids")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("csim").desc,
+            expr("CAST(substring(centroid_id, 2) AS BIGINT)"))
+        queries.drop("centroid_id")
+          .join(broadcast(cent))
+          .withColumn("csim", dot("vec_q", "cvec") / (col("nrm_q") * col("cnrm")))
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= nprobe)
+          .select("query_id", "centroid_id", "q8_q", "qscale_q",
+            "vec_q", "nrm_q")
+      }
+    val probed: Seq[String] = probes.select("centroid_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    // STAGE 1: int8 candidate scoring — NO vec column in this scan
+    val qsim = (graft.functions.Int8Dot(col("q8_q"), col("q8_n"))
+        .cast("double") * col("qscale_q") * col("qscale_n")) /
+      (col("nrm_q") * col("nrm_n"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    val shortlist = corpus
+      .filter(col("centroid_id").isInCollection(probed)) // partition prune
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col("q8").as("q8_n"), col("qscale").as("qscale_n"),
+        col("nrm").as("nrm_n"))
+      .join(broadcast(probes.select("query_id", "centroid_id", "q8_q",
+        "qscale_q", "nrm_q")), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qsim", round(qsim, 6))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= m)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // STAGE 2: exact rerank — the vec column is read ONLY under an
+    // id IN (...) pushdown over the probed partitions (an empty
+    // shortlist flows through as an empty, correctly-schemed result)
+    import spark.implicits._
+    val pairs = shortlist.toIndexedSeq.toDF("query_id", "neighbor_id")
+    val candIds = shortlist.map(_._2).distinct.toIndexedSeq
+    val exact = corpus
+      .filter(col("centroid_id").isInCollection(probed))
+      .filter(col(idCol).isInCollection(candIds)) // parquet IN pushdown
+      .select(col(idCol).as("neighbor_id"), col("vec").as("vec_n"),
+        col("nrm").as("nrm_n"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.join(broadcast(pairs), Seq("neighbor_id"))
+      .join(broadcast(probes
+        .select("query_id", "vec_q", "nrm_q").distinct()), Seq("query_id"))
+      .withColumn("sim",
+        round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Brute-force cosine top-k for EXTERNAL query vectors: every row of
     * `queries` (`queryIdCol` + `embedding`) against the whole corpus.
     * The external twin of [[bruteForceKnn]] — no self-exclusion,
@@ -1646,6 +1790,87 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** [[ivfKnnQuantized]] for EXTERNAL query vectors — the serving
+    * route over the SQ8 layout: queries (`queryIdCol` + `embedding`)
+    * are quantized on the fly with the layout's own per-vector
+    * algebra, routed by centroid RANKING against the sidecar (external
+    * vectors have no stored assignment), int8-scored against the
+    * probed partitions' one-byte-per-dimension q8 column, and the
+    * shortlist reranked by exact cosine under an id IN pushdown. No
+    * self-exclusion, like [[ivfKnnPartitionedWith]]: external ids are
+    * their own namespace. Same driver-side bound as the stored-query
+    * form: the shortlist collect is |queries| × rerank.
+    */
+  def ivfKnnQuantizedWith(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 1,
+      rerank: Int = 0,
+      queryIdCol: String = "query_id",
+      idCol: String = "vec_id"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val m = if (rerank <= 0) 4 * k else rerank
+    require(m >= k, s"rerank must be >= k, got rerank=$m k=$k")
+    val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
+    val corpus = spark.read.parquet(dataRoot)
+    require(corpus.schema.fieldNames.contains("q8"),
+      s"$path has no quantized columns (built before SQ8) — rotateIvf " +
+        "rebuilds the layout with q8/qscale")
+    val cent = spark.read.parquet(s"$dataRoot/_centroids")
+    val q = withQuantizedCols(asDouble(queries, idCol = queryIdCol))
+      .select(col(queryIdCol).as("query_id"), col("vec").as("vec_q"),
+        col("nrm").as("nrm_q"), col("q8").as("q8_q"),
+        col("qscale").as("qscale_q"))
+    val w0 = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc,
+        expr("CAST(substring(centroid_id, 2) AS BIGINT)"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("csim", dot("vec_q", "cvec") / (col("nrm_q") * col("cnrm")))
+      .withColumn("crank", row_number().over(w0))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "centroid_id", "q8_q", "qscale_q", "vec_q",
+        "nrm_q")
+    val probed: Seq[String] = probes.select("centroid_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val qsim = (graft.functions.Int8Dot(col("q8_q"), col("q8_n"))
+        .cast("double") * col("qscale_q") * col("qscale_n")) /
+      (col("nrm_q") * col("nrm_n"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    val shortlist = corpus
+      .filter(col("centroid_id").isInCollection(probed))
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col("q8").as("q8_n"), col("qscale").as("qscale_n"),
+        col("nrm").as("nrm_n"))
+      .join(broadcast(probes.select("query_id", "centroid_id", "q8_q",
+        "qscale_q", "nrm_q")), Seq("centroid_id"))
+      .withColumn("qsim", round(qsim, 6))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= m)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    import spark.implicits._
+    val pairs = shortlist.toIndexedSeq.toDF("query_id", "neighbor_id")
+    val candIds = shortlist.map(_._2).distinct.toIndexedSeq
+    val exact = corpus
+      .filter(col("centroid_id").isInCollection(probed))
+      .filter(col(idCol).isInCollection(candIds))
+      .select(col(idCol).as("neighbor_id"), col("vec").as("vec_n"),
+        col("nrm").as("nrm_n"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.join(broadcast(pairs), Seq("neighbor_id"))
+      .join(broadcast(probes
+        .select("query_id", "vec_q", "nrm_q").distinct()), Seq("query_id"))
+      .withColumn("sim",
+        round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }

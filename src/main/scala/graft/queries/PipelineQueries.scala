@@ -826,6 +826,93 @@ object PipelineQueries {
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin))
 
+  /** The IVF-SQ8 two-stage probe under hash verification —
+    * [[Similarity.ivfKnnQuantized]] over the same pre-built memoized
+    * layout q61 probes, with a TIGHT rerank (8 candidates for k = 5):
+    * the final rows depend on which candidates the int8 stage keeps,
+    * so the row hashes pin the whole quantized path — the stored
+    * per-vector scale, the packed-byte integer dot
+    * ([[graft.functions.Int8Dot]]), the rounded approximate ranking
+    * that selects the shortlist, and the exact rerank. The oracle
+    * recomputes q41's quantization algebra, the approximate top-8 and
+    * the exact top-5 verbatim in SQL (the integer dot is exact in
+    * DuckDB's double arithmetic: |dot| <= dim * 127^2 << 2^53).
+    */
+  private val qIvfSq8Probe = QueryDef(
+    "q68_ivf_sq8_probe",
+    (s, dir) => {
+      val path = memoLayout("q59", dir)(buildAppendedLayout(s, dir))
+      Similarity.ivfKnnQuantized(s, path, knnQueryIds, k = 5, nprobe = 2,
+          rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |ea AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, vec AS cvec FROM ea
+         |  ORDER BY ((vec_id % ${DuckSql.P}) * 2654435761) % ${DuckSql.P}, vec_id
+         |  LIMIT ${Similarity.DefaultCentroidK}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, vec FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.vec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c)
+         |  WHERE crank = 1),
+         |qq AS (
+         |  SELECT vec_id, vec, qscale,
+         |         CASE WHEN qscale = 0
+         |              THEN list_transform(vec, x -> CAST(0 AS DOUBLE))
+         |              ELSE list_transform(vec, x ->
+         |                CAST(CAST(round(x / qscale) AS INT) AS DOUBLE))
+         |         END AS qvec,
+         |         sqrt(list_dot_product(vec, vec)) AS nrm
+         |  FROM (
+         |    SELECT vec_id, vec,
+         |           list_max(list_transform(vec, x -> abs(x))) / 127 AS qscale
+         |    FROM e)),
+         |qp AS (
+         |  SELECT vec_id AS query_id, centroid_id FROM (
+         |    SELECT v.vec_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c
+         |    WHERE v.vec_id < 8)
+         |  WHERE crank <= 2),
+         |cand AS (
+         |  SELECT qp.query_id, n.vec_id AS neighbor_id,
+         |         round((list_dot_product(a.qvec, b.qvec)
+         |                  * a.qscale * b.qscale)
+         |               / (a.nrm * b.nrm), 6) AS qsim
+         |  FROM assigned n
+         |  JOIN qp ON n.centroid_id = qp.centroid_id
+         |  JOIN qq a ON a.vec_id = qp.query_id
+         |  JOIN qq b ON b.vec_id = n.vec_id
+         |  WHERE n.vec_id <> qp.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY qsim DESC, neighbor_id) AS qrank
+         |    FROM cand)
+         |  WHERE qrank <= 8),
+         |scored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |         round(${DuckSql.cosine("a.vec", "b.vec")}, 6) AS sim
+         |  FROM short sh
+         |  JOIN e a ON a.vec_id = sh.query_id
+         |  JOIN e b ON b.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin))
+
   /** Partition-scoped compaction under hash verification — q60's
     * counterpart for [[Similarity.compactIvfPartitions]]: the q59
     * layout shape (even-half centroids, odd-half ledgered epoch —
@@ -1892,7 +1979,7 @@ object PipelineQueries {
     qSimhash, qSimhash64, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe, qIvfRotatedProbe,
     qIvfProbePrebuilt, qIvfPCompactedProbe, qIvfMaintainedProbe,
-    qIvfServingProbe, qKnnBruteExternal,
+    qIvfServingProbe, qKnnBruteExternal, qIvfSq8Probe,
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,

@@ -102,4 +102,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
          |)""".stripMargin).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("pack_int8 and int8_dot are callable from spark.sql and agree " +
+    "with the interpreted integer fold") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT int8_dot(pack_int8(a), pack_int8(b)) AS fast,
+        |       aggregate(zip_with(a, b,
+        |         (x, y) -> CAST(x AS BIGINT) * y), 0L, (s, v) -> s + v)
+        |         AS slow
+        |FROM (SELECT array(127, -128, 3, 0) AS a,
+        |             array(-1, 2, 100, 127) AS b)""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    // overflow refuses instead of wrapping
+    val e = intercept[Exception] {
+      spark.sql("SELECT pack_int8(array(128))").collect()
+    }
+    assert(e.getMessage.contains("int8") ||
+      (e.getCause != null && e.getCause.getMessage.contains("int8")))
+  }
 }

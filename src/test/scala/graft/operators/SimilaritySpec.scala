@@ -134,6 +134,133 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got2 == expected2)
   }
 
+  test("PackInt8 + Int8Dot: packing is pure narrowing of the builtin " +
+    "round algebra, the integer dot matches the unpacked fold exactly, " +
+    "and out-of-range packing fails loudly") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(64)
+    val q = Similarity.quantizeInt8(emb) // oracle-proven ints
+      .select(col("vec_id"), col("qvec"),
+        graft.functions.PackInt8(col("qvec")).as("q8"))
+    // round-trip: unpacking the binary gives back the exact ints
+    val bad = q.select("qvec", "q8").collect().count { r =>
+      val ints = r.getSeq[Int](0)
+      val bytes = r.getAs[Array[Byte]](1)
+      bytes.length != ints.length ||
+        bytes.toSeq.map(_.toInt) != ints
+    }
+    assert(bad == 0)
+    // integer dot over packed bytes == the interpreted fold over ints
+    val pairs = q.select(col("vec_id").as("id_a"), col("qvec").as("va"),
+        col("q8").as("qa"))
+      .crossJoin(q.limit(8).select(col("vec_id").as("id_b"),
+        col("qvec").as("vb"), col("q8").as("qb")))
+    val mism = pairs.filter(
+      graft.functions.Int8Dot(col("qa"), col("qb")) =!=
+        expr("aggregate(zip_with(va, vb, (x, y) -> CAST(x AS BIGINT) * y), " +
+          "0L, (s, v) -> s + v)")).count()
+    assert(mism == 0L)
+    // overflow refuses instead of wrapping
+    val e = intercept[Exception] {
+      spark.range(1).select(graft.functions.PackInt8(
+        expr("array(200)")).as("b")).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
+  test("ivfKnnQuantized: with an exhaustive rerank the SQ8 probe is " +
+    "row-identical to the exact partitioned probe; serving-sized " +
+    "rerank keeps high recall; stage-1 scans no vec column") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    Similarity.writeIvfPartitioned(emb, root)
+    val queryIds = Seq(0L, 1L, 2L, 3L)
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+    for (np <- Seq(1, 2)) {
+      val exact = rows(Similarity.ivfKnnPartitioned(spark, root, queryIds,
+        k = 5, nprobe = np))
+      val full = rows(Similarity.ivfKnnQuantized(spark, root, queryIds,
+        k = 5, nprobe = np, rerank = n))
+      assert(full == exact, s"nprobe=$np")
+      // serving-sized shortlist: recall vs the exact probe stays high
+      val small = rows(Similarity.ivfKnnQuantized(spark, root, queryIds,
+        k = 5, nprobe = np))
+      val recall = small.map(t => (t._1, t._2)).toSet
+        .intersect(exact.map(t => (t._1, t._2)).toSet).size.toDouble /
+        exact.size
+      assert(recall >= 0.8, s"nprobe=$np recall=$recall")
+    }
+    // the candidate stage's scan must NOT read the double vec column:
+    // its ReadSchema carries q8 but no vec (the rerank scan does read
+    // vec, under an id IN pushdown)
+    val corpus = spark.read.parquet(root)
+    val stage1 = corpus
+      .select(col("vec_id"), col("centroid_id"), col("q8"),
+        col("qscale"), col("nrm"))
+    val schemaLine = stage1.queryExecution.executedPlan.toString
+    assert(schemaLine.contains("q8") &&
+      !schemaLine.contains("vec:array"), schemaLine)
+  }
+
+  test("ivfKnnQuantizedWith: external queries through the SQ8 route " +
+    "match the exact external probe under an exhaustive rerank") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-sq8w").toString
+    Similarity.writeIvfPartitioned(emb, root)
+    // deterministic off-corpus queries: stored-pair midpoints (the
+    // q65 construction)
+    val ext = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .grouped(2).collect { case Array((ia, va), (ib, vb)) =>
+        (ia * 1000 + ib, va.zip(vb).map { case (x, y) => (x + y) / 2 })
+      }.toSeq.toDF("query_id", "embedding")
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+    val exact = rows(Similarity.ivfKnnPartitionedWith(spark, root, ext,
+      k = 5, nprobe = 2))
+    val full = rows(Similarity.ivfKnnQuantizedWith(spark, root, ext,
+      k = 5, nprobe = 2, rerank = n))
+    assert(full == exact)
+  }
+
+  test("ivfKnnQuantized refuses a pre-SQ8 layout loudly") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-oldivf").toString
+    Similarity.writeIvfPartitioned(emb, s"$root/new")
+    // reconstruct the PRE-quantization at-rest shape: same layout
+    // minus the q8/qscale columns
+    val old = spark.read.option("basePath", s"$root/new")
+      .parquet(s"$root/new")
+      .select("vec_id", "vec", "nrm", "centroid_id")
+    old.repartition(col("centroid_id")).write.partitionBy("centroid_id")
+      .parquet(s"$root/old")
+    val f = Dedup.fsFor(spark, s"$root/old")
+    org.apache.hadoop.fs.FileUtil.copy(f,
+      new org.apache.hadoop.fs.Path(s"$root/new/_centroids"), f,
+      new org.apache.hadoop.fs.Path(s"$root/old/_centroids"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfKnnQuantized(spark, s"$root/old", Seq(0L), k = 3)
+    }
+    assert(e.getMessage.contains("no quantized columns"))
+    // the exact probe still serves the old layout
+    assert(Similarity.ivfKnnPartitioned(spark, s"$root/old", Seq(0L), k = 3)
+      .count() == 3)
+    // and an epoch append into it keeps the schema uniform (no q8)
+    val novel = emb.filter(col("vec_id") >= 50 && col("vec_id") < 55)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    assert(Similarity.appendIvfEpoch(novel, s"$root/old", "old-e1"))
+    assert(!spark.read.parquet(s"$root/old").schema.fieldNames
+      .contains("q8"))
+  }
+
   test("appendIvfPartitioned: appending novels equals a full rebuild over " +
     "the union with the SAME centroids, and the probe path agrees") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
