@@ -37,6 +37,7 @@ case class PackInt8(child: Expression) extends UnaryExpression {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i)) PackInt8.nullElement()
       out(i) = PackInt8.toByteExact(x.getInt(i))
       i += 1
     }
@@ -52,6 +53,7 @@ case class PackInt8(child: Expression) extends UnaryExpression {
          |final int $n = $a.numElements();
          |final byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) graft.functions.PackInt8.nullElement();
          |  $out[$i] = graft.functions.PackInt8.toByteExact($a.getInt($i));
          |}
          |${ev.value} = $out;
@@ -72,6 +74,15 @@ object PackInt8 {
         s"pack_int8: $v outside int8 range — quantize before packing")
     v.toByte
   }
+
+  /** A null array element would pack as a silent 0 (ArrayData.getInt
+    * on a null slot) — exactly the corrupt-every-distance hazard the
+    * overflow check refuses, so nulls refuse too.
+    */
+  def nullElement(): Nothing =
+    throw new ArithmeticException(
+      "pack_int8: null array element — a null would pack as 0, " +
+        "silently corrupting every downstream int8 distance")
 }
 
 /** Codegen'd integer dot product of two BINARY int8 vectors (the

@@ -473,9 +473,28 @@ object Similarity {
     // where a plain read resolves columns from an arbitrary file (the
     // upgrade path for an old layout is rotateIvf, which rebuilds with
     // the quantized columns)
-    if (spark.read.parquet(dataRoot).schema.fieldNames.contains("q8"))
-      withQuantizedCols(assigned)
+    if (layoutHasQ8(spark, dataRoot)) withQuantizedCols(assigned)
     else assigned
+  }
+
+  /** Does the layout at `dataRoot` carry the SQ8 columns? Answered
+    * from ONE partition dir's first parquet footer — O(root children)
+    * + O(one dir) listings — never a full-layout file index (an
+    * every-epoch append must not pay the O(total files) listing the
+    * compaction machinery exists to bound). An empty layout reads as
+    * quantized: its first files define the (modern) schema.
+    */
+  private def layoutHasQ8(
+      spark: org.apache.spark.sql.SparkSession,
+      dataRoot: String): Boolean = {
+    val f = Dedup.fsFor(spark, dataRoot)
+    f.listStatus(new org.apache.hadoop.fs.Path(dataRoot))
+      .find(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id="))
+      .flatMap(d => f.listStatus(d.getPath)
+        .find(_.getPath.getName.endsWith(".parquet")))
+      .forall(pf => spark.read.parquet(pf.getPath.toString)
+        .schema.fieldNames.contains("q8"))
   }
 
   /** Append novel vectors to an existing [[writeIvfPartitioned]] layout
@@ -1671,26 +1690,63 @@ object Similarity {
           .select("query_id", "centroid_id", "q8_q", "qscale_q",
             "vec_q", "nrm_q")
       }
-    val probed: Seq[String] = probes.select("centroid_id").distinct()
-      .collect().map(_.getString(0)).toSeq
-    // STAGE 1: int8 candidate scoring — NO vec column in this scan
+    sq8TopK(spark, corpus, probes, k, m, idCol, excludeSelf = true)
+  }
+
+  /** STAGE 1 of the SQ8 probe: the int8 candidate frame over the
+    * probed partitions — the scan whose ReadSchema must carry `q8` and
+    * NOT the 8-byte-per-dimension `vec` column (that pruning IS the
+    * feature; the spec asserts it on this exact frame). Package-
+    * private so both probe variants and the spec share one
+    * definition.
+    */
+  private[operators] def sq8Candidates(
+      corpus: DataFrame,
+      probes: DataFrame,
+      probed: Seq[String],
+      idCol: String,
+      excludeSelf: Boolean): DataFrame = {
     val qsim = (graft.functions.Int8Dot(col("q8_q"), col("q8_n"))
         .cast("double") * col("qscale_q") * col("qscale_n")) /
       (col("nrm_q") * col("nrm_n"))
-    val wq = Window.partitionBy("query_id")
-      .orderBy(col("qsim").desc, col("neighbor_id"))
-    val shortlist = corpus
+    val cand = corpus
       .filter(col("centroid_id").isInCollection(probed)) // partition prune
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
         col("q8").as("q8_n"), col("qscale").as("qscale_n"),
         col("nrm").as("nrm_n"))
       .join(broadcast(probes.select("query_id", "centroid_id", "q8_q",
         "qscale_q", "nrm_q")), Seq("centroid_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+    (if (excludeSelf) cand.filter(col("neighbor_id") =!= col("query_id"))
+     else cand)
       .withColumn("qsim", round(qsim, 6))
+  }
+
+  /** The shared two-stage SQ8 scoring behind [[ivfKnnQuantized]] and
+    * [[ivfKnnQuantizedWith]]: int8 shortlist (top `m` per query by
+    * rounded approximate cosine, tie-break on neighbor id), then exact
+    * rerank with the float column read only under an id IN pushdown.
+    * `probes` carries one row per (query, probed centroid):
+    * `query_id, centroid_id, q8_q, qscale_q, vec_q, nrm_q`.
+    */
+  private def sq8TopK(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      m: Int,
+      idCol: String,
+      excludeSelf: Boolean): DataFrame = {
+    val probed: Seq[String] = probes.select("centroid_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    // cast at the driver edge: an int32 id column (pandas-written
+    // parquet) would otherwise throw ClassCastException out of getLong
+    val shortlist = sq8Candidates(corpus, probes, probed, idCol,
+        excludeSelf)
       .withColumn("qrank", row_number().over(wq))
       .filter(col("qrank") <= m)
-      .select("query_id", "neighbor_id")
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // STAGE 2: exact rerank — the vec column is read ONLY under an
     // id IN (...) pushdown over the probed partitions (an empty
@@ -1701,13 +1757,14 @@ object Similarity {
     val exact = corpus
       .filter(col("centroid_id").isInCollection(probed))
       .filter(col(idCol).isInCollection(candIds)) // parquet IN pushdown
-      .select(col(idCol).as("neighbor_id"), col("vec").as("vec_n"),
-        col("nrm").as("nrm_n"))
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col("vec").as("vec_n"), col("nrm").as("nrm_n"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     exact.join(broadcast(pairs), Seq("neighbor_id"))
       .join(broadcast(probes
-        .select("query_id", "vec_q", "nrm_q").distinct()), Seq("query_id"))
+        .select(col("query_id").cast("long").as("query_id"),
+          col("vec_q"), col("nrm_q")).distinct()), Seq("query_id"))
       .withColumn("sim",
         round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
       .withColumn("rank", row_number().over(w))
@@ -1836,43 +1893,8 @@ object Similarity {
       .filter(col("crank") <= nprobe)
       .select("query_id", "centroid_id", "q8_q", "qscale_q", "vec_q",
         "nrm_q")
-    val probed: Seq[String] = probes.select("centroid_id").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val qsim = (graft.functions.Int8Dot(col("q8_q"), col("q8_n"))
-        .cast("double") * col("qscale_q") * col("qscale_n")) /
-      (col("nrm_q") * col("nrm_n"))
-    val wq = Window.partitionBy("query_id")
-      .orderBy(col("qsim").desc, col("neighbor_id"))
-    val shortlist = corpus
-      .filter(col("centroid_id").isInCollection(probed))
-      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
-        col("q8").as("q8_n"), col("qscale").as("qscale_n"),
-        col("nrm").as("nrm_n"))
-      .join(broadcast(probes.select("query_id", "centroid_id", "q8_q",
-        "qscale_q", "nrm_q")), Seq("centroid_id"))
-      .withColumn("qsim", round(qsim, 6))
-      .withColumn("qrank", row_number().over(wq))
-      .filter(col("qrank") <= m)
-      .select("query_id", "neighbor_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    import spark.implicits._
-    val pairs = shortlist.toIndexedSeq.toDF("query_id", "neighbor_id")
-    val candIds = shortlist.map(_._2).distinct.toIndexedSeq
-    val exact = corpus
-      .filter(col("centroid_id").isInCollection(probed))
-      .filter(col(idCol).isInCollection(candIds))
-      .select(col(idCol).as("neighbor_id"), col("vec").as("vec_n"),
-        col("nrm").as("nrm_n"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    exact.join(broadcast(pairs), Seq("neighbor_id"))
-      .join(broadcast(probes
-        .select("query_id", "vec_q", "nrm_q").distinct()), Seq("query_id"))
-      .withColumn("sim",
-        round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    // no self-exclusion: external ids are their own namespace
+    sq8TopK(spark, corpus, probes, k, m, idCol, excludeSelf = false)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold.

@@ -159,12 +159,23 @@ class SimilaritySpec extends AnyFunSuite {
         expr("aggregate(zip_with(va, vb, (x, y) -> CAST(x AS BIGINT) * y), " +
           "0L, (s, v) -> s + v)")).count()
     assert(mism == 0L)
-    // overflow refuses instead of wrapping
+    // overflow refuses instead of wrapping — the failure must be the
+    // int8 range refusal, not some unrelated error
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
     val e = intercept[Exception] {
       spark.range(1).select(graft.functions.PackInt8(
         expr("array(200)")).as("b")).collect()
     }
-    assert(e.getMessage != null || e.getCause != null)
+    assert(messages(e).exists(_.contains("int8 range")), messages(e))
+    // a null element refuses too (it would pack as a silent 0)
+    val en = intercept[Exception] {
+      spark.range(1).select(graft.functions.PackInt8(
+        expr("array(1, CAST(NULL AS INT))")).as("b")).collect()
+    }
+    assert(messages(en).exists(_.contains("null array element")),
+      messages(en))
   }
 
   test("ivfKnnQuantized: with an exhaustive rerank the SQ8 probe is " +
@@ -193,16 +204,26 @@ class SimilaritySpec extends AnyFunSuite {
         exact.size
       assert(recall >= 0.8, s"nprobe=$np recall=$recall")
     }
-    // the candidate stage's scan must NOT read the double vec column:
-    // its ReadSchema carries q8 but no vec (the rerank scan does read
-    // vec, under an id IN pushdown)
+    // the ACTUAL candidate stage's scan must NOT read the double vec
+    // column: sq8Candidates is the exact frame the probe collects its
+    // shortlist from, so its ReadSchema carries q8 but no vec (the
+    // rerank scan does read vec, under an id IN pushdown)
     val corpus = spark.read.parquet(root)
-    val stage1 = corpus
-      .select(col("vec_id"), col("centroid_id"), col("q8"),
-        col("qscale"), col("nrm"))
-    val schemaLine = stage1.queryExecution.executedPlan.toString
-    assert(schemaLine.contains("q8") &&
-      !schemaLine.contains("vec:array"), schemaLine)
+    val probes = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("centroid_id"),
+        col("q8").as("q8_q"), col("qscale").as("qscale_q"),
+        col("vec").as("vec_q"), col("nrm").as("nrm_q"))
+    val probed = probes.select("centroid_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val stage1 = Similarity.sq8Candidates(corpus, probes, probed,
+      "vec_id", excludeSelf = true)
+    val scans = stage1.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty)
+    // the corpus-side scan (the q8 one) must not read vec; the tiny
+    // query-resolution scan legitimately reads vec_q
+    val corpusScan = scans.filter(_.contains("q8"))
+    assert(corpusScan.exists(l => !l.contains("vec:array")), scans)
   }
 
   test("ivfKnnQuantizedWith: external queries through the SQ8 route " +
