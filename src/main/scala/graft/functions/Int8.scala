@@ -31,13 +31,22 @@ case class PackInt8(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = BinaryType
 
+  // the null-element refusal only exists where the type system allows
+  // null slots — containsNull=false arrays keep the pack loop
+  // branch-free
+  private def mayHaveNulls: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     val out = new Array[Byte](n)
+    val checkNulls = mayHaveNulls
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i)) PackInt8.nullElement()
+      if (checkNulls && x.isNullAt(i)) PackInt8.nullElement()
       out(i) = PackInt8.toByteExact(x.getInt(i))
       i += 1
     }
@@ -49,11 +58,15 @@ case class PackInt8(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
+      val nullCheck =
+        if (mayHaveNulls)
+          s"if ($a.isNullAt($i)) graft.functions.PackInt8.nullElement();"
+        else ""
       s"""
          |final int $n = $a.numElements();
          |final byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) graft.functions.PackInt8.nullElement();
+         |  $nullCheck
          |  $out[$i] = graft.functions.PackInt8.toByteExact($a.getInt($i));
          |}
          |${ev.value} = $out;

@@ -478,21 +478,27 @@ object Similarity {
   }
 
   /** Does the layout at `dataRoot` carry the SQ8 columns? Answered
-    * from ONE partition dir's first parquet footer — O(root children)
-    * + O(one dir) listings — never a full-layout file index (an
-    * every-epoch append must not pay the O(total files) listing the
-    * compaction machinery exists to bound). An empty layout reads as
+    * from the FIRST parquet footer found across the partition dirs —
+    * O(root children) listings plus one dir listing in the common case
+    * (more only while leading dirs are file-less) — never a
+    * full-layout file index (an every-epoch append must not pay the
+    * O(total files) listing the compaction machinery exists to
+    * bound). Scanning dirs until a file is found matters: judging
+    * only the first-listed dir would mistake a legacy layout whose
+    * first dir happens to be empty for a quantized one and append
+    * mixed-schema files. A layout with no data files at all reads as
     * quantized: its first files define the (modern) schema.
     */
   private def layoutHasQ8(
       spark: org.apache.spark.sql.SparkSession,
       dataRoot: String): Boolean = {
     val f = Dedup.fsFor(spark, dataRoot)
-    f.listStatus(new org.apache.hadoop.fs.Path(dataRoot))
-      .find(st => st.isDirectory &&
+    f.listStatus(new org.apache.hadoop.fs.Path(dataRoot)).iterator
+      .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("centroid_id="))
       .flatMap(d => f.listStatus(d.getPath)
         .find(_.getPath.getName.endsWith(".parquet")))
+      .nextOption()
       .forall(pf => spark.read.parquet(pf.getPath.toString)
         .schema.fieldNames.contains("q8"))
   }
@@ -1736,6 +1742,24 @@ object Similarity {
       m: Int,
       idCol: String,
       excludeSelf: Boolean): DataFrame = {
+    // the SQ8 probes collect a (query, neighbor) id shortlist to the
+    // driver, so ids must be integral: an int32 (pandas parquet)
+    // upcasts losslessly, but a double/string id would silently merge
+    // or null under a blind cast — refuse those loudly instead (the
+    // exact probes, which never collect ids, keep arbitrary types)
+    def requireIntegral(dt: org.apache.spark.sql.types.DataType,
+        what: String): Unit = dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"$what must be an integral id column for the SQ8 probe, " +
+          s"got ${t.simpleString} — use the exact probe for " +
+          "non-integral ids")
+    }
+    requireIntegral(probes.schema("query_id").dataType, "query_id")
+    requireIntegral(corpus.schema(idCol).dataType, idCol)
     val probed: Seq[String] = probes.select("centroid_id").distinct()
       .collect().map(_.getString(0)).toSeq
     val wq = Window.partitionBy("query_id")
