@@ -229,6 +229,15 @@ object Main {
     def recallK: Int = flag("--recall-k").map(_.toInt).getOrElse(10)
     def recallNprobe: Int = flag("--nprobe").map(_.toInt).getOrElse(1)
     sub match {
+      case "fsck" =>
+        // READ-ONLY: no lock required — fsck is the safe first command
+        // against a layout another writer may own
+        val findings = Similarity.ivfFsck(spark, layout,
+          deepSchema = flags.contains("--deep-schema"))
+        if (findings.isEmpty) "clean"
+        else findings.map(fd =>
+          s"${fd.severity.toUpperCase} ${fd.code} ${fd.subject}: " +
+            fd.detail).mkString("\n")
       case "health" =>
         val h = Similarity.ivfHealth(spark, layout,
           recallSampleN = flag("--recall").map(_.toInt).getOrElse(0),
@@ -350,6 +359,16 @@ object Main {
           s"buckets=${st.size} files=${st.map(_._2.toLong).sum} " +
             s"bytes=${st.map(_._3).sum} maxFilesPerBucket=$maxF"
         case _ => sys.error("dedup stats needs <historyPath>")
+      }
+      case "fsck" => pos match {
+        case hist :: idx :: Nil =>
+          // READ-ONLY: no lock required
+          val findings = Dedup.dedupFsck(spark, hist, idx)
+          if (findings.isEmpty) "clean"
+          else findings.map(fd =>
+            s"${fd.severity.toUpperCase} ${fd.code} ${fd.subject}: " +
+              fd.detail).mkString("\n")
+        case _ => sys.error("dedup fsck needs <historyPath> <indexPath>")
       }
       case "maintain" => pos match {
         case hist :: idx :: id :: Nil =>

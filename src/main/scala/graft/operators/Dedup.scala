@@ -833,6 +833,124 @@ object Dedup {
       "id_bucket=")
       .map { case (d, n, b) => (d.stripPrefix("id_bucket="), n, b) }
 
+  /** READ-ONLY diagnosis of the dedup layout pair —
+    * [[EpochLedger.fsck]]'s generic protocol checks on the history
+    * side (torn stages, unledgered footprints, the ledger-loss valve,
+    * quarantined/retired bytes) plus the pair's own invariants: INDEX-
+    * side footprints judged against the same history ledger (an
+    * index-only torn state — an empty-novel epoch that crashed
+    * mid-index-move — has no history footprint at all), the `_meta`
+    * geometry sidecars both layouts' append primitives derive from,
+    * the index-side quarantine, and the bloom sidecar's
+    * absent/stale/fresh state. Mutates NOTHING — safe against layouts
+    * another writer owns, unlike [[recoverRotations]]. Empty = clean.
+    */
+  def dedupFsck(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      indexPath: String): Seq[EpochLedger.FsckFinding] = {
+    val f = fsFor(spark, historyPath)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[EpochLedger.FsckFinding]
+    out ++= EpochLedger.fsck(spark, historyPath, "id_bucket=")
+    // index-side footprints (the recoverRotations idOf variant: one
+    // leading '.' marks the in-flight copy temp, which follows its
+    // visible sibling)
+    def idOf(name: String): Option[String] = {
+      val n = if (name.startsWith(".")) name.drop(1) else name
+      val i = n.indexOf('=')
+      if (i > 0 && !n.startsWith(".") && !n.startsWith("_"))
+        Some(n.substring(0, i))
+      else None
+    }
+    val ip = new org.apache.hadoop.fs.Path(indexPath)
+    val idxFs = ip.getFileSystem(f.getConf)
+    val idxIds: Seq[String] =
+      if (!idxFs.exists(ip)) Seq.empty
+      else idxFs.listStatus(ip).filter(_.isFile).toSeq
+        .flatMap(st => idOf(st.getPath.getName))
+    val ledgerDirExists =
+      f.exists(new org.apache.hadoop.fs.Path(s"$historyPath/_epochs"))
+    val ledgered: Set[String] =
+      if (ledgerDirExists) EpochLedger.ledgeredIds(f, historyPath)
+      else Set.empty
+    val pendingCommitted: Set[String] =
+      Seq(s"$historyPath/_rotate", s"$historyPath/_retrain").flatMap { r =>
+        val rp = new org.apache.hadoop.fs.Path(r)
+        if (f.exists(rp))
+          f.listStatus(rp)
+            .filter(st => f.exists(
+              new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST")))
+            .map(_.getPath.getName)
+        else Seq.empty
+      }.toSet
+    val tornIdx = idxIds.distinct.sorted
+      .filterNot(id => ledgered(id) || pendingCommitted(id))
+    if (tornIdx.nonEmpty && !ledgerDirExists) {
+      // the generic pass only judges the valve from HISTORY-side
+      // evidence; an index-only torn state must trip it too
+      if (!out.exists(_.code == "ledger-missing"))
+        out += EpochLedger.FsckFinding("ledger-missing", "fatal",
+          s"$historyPath/_epochs",
+          "index-side '<id>=' footprints exist but the _epochs ledger " +
+            "dir does not — recovery will REFUSE until the ledger " +
+            "travels back with the layouts")
+    } else tornIdx.foreach { id =>
+      out += EpochLedger.FsckFinding("footprint-unledgered", "warn",
+        s"$indexPath <$id>",
+        s"index file(s) carry epoch footprint '$id=' with no ledger " +
+          "entry and no committed stage — a stage-lost partial move; " +
+          "recovery will QUARANTINE them under " +
+          s"$indexPath/_quarantine/$id")
+    }
+    scanHiddenRoot(idxFs, indexPath, "_quarantine").sortBy(_._1)
+      .foreach { case (id, files, bytes) =>
+        out += EpochLedger.FsckFinding("quarantine-present", "info",
+          s"$indexPath/_quarantine/$id",
+          s"$files file(s), $bytes bytes quarantined on the index side")
+      }
+    // geometry sidecars: the append primitives derive their modulus /
+    // band geometry from these — a layout without one cannot grow
+    def hasData(p: org.apache.hadoop.fs.FileSystem, d: String,
+        dirPrefix: Option[String]): Boolean = {
+      val dp = new org.apache.hadoop.fs.Path(d)
+      p.exists(dp) && p.listStatus(dp).exists(st => dirPrefix match {
+        case Some(pre) =>
+          st.isDirectory && st.getPath.getName.startsWith(pre)
+        case None =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")
+      })
+    }
+    if (hasData(f, historyPath, Some("id_bucket=")) &&
+        !f.exists(new org.apache.hadoop.fs.Path(s"$historyPath/_meta")))
+      out += EpochLedger.FsckFinding("meta-missing", "warn",
+        s"$historyPath/_meta",
+        "bucketed history without its _meta geometry sidecar — epoch " +
+          "appends cannot derive the bucket modulus; rewrite with " +
+          "writeHistoryBucketed or restore the sidecar")
+    if (hasData(idxFs, indexPath, None) &&
+        !idxFs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_meta")))
+      out += EpochLedger.FsckFinding("meta-missing", "warn",
+        s"$indexPath/_meta",
+        "minhash index without its _meta geometry sidecar — appends " +
+          "cannot derive the band geometry; rebuildMinhashIndex " +
+          "re-derives both from the at-rest history")
+    // bloom sidecar: advisory, so absent/stale are info (the next
+    // stream start digest-rebuilds), never warnings
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$historyPath/_bloom")))
+      out += EpochLedger.FsckFinding("sidecar-absent", "info",
+        s"$historyPath/_bloom",
+        "no persisted bloom guard — the next stream start pays one " +
+          "O(corpus) digest rebuild; `dedup rebuild-bloom` pre-warms")
+    else if (!sidecarFresh(f, historyPath))
+      out += EpochLedger.FsckFinding("sidecar-stale", "info",
+        s"$historyPath/_bloom",
+        "the persisted bloom guard's token no longer matches the " +
+          "ledger's applied-id set — it reads as absent; the next " +
+          "stream start digest-rebuilds and re-persists")
+    out.toSeq
+  }
+
   /** Compact ONLY the fragmented buckets of a [[writeHistoryBucketed]]
     * layout, in place — the history twin of
     * [[Similarity.compactIvfPartitions]], through the same generic

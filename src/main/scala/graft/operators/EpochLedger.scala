@@ -807,6 +807,117 @@ object EpochLedger {
     Dedup.scanHiddenRoot(Dedup.fsFor(spark, path), path, "_quarantine")
       .sortBy(_._1)
 
+  /** One read-only diagnosis finding from [[fsck]]. `severity` is
+    * `fatal` (a refuse-to-operate condition — the ledger-loss valve),
+    * `warn` (recovery has pending work: a torn protocol to resume,
+    * residue to discard, footprints to quarantine), or `info` (bytes
+    * awaiting an operator decision: quarantined/retired dirs).
+    */
+  final case class FsckFinding(
+      code: String,
+      severity: String,
+      subject: String,
+      detail: String)
+
+  /** READ-ONLY layout diagnosis: every condition [[recover]] would act
+    * on, REPORTED instead of repaired — the safe first command of an
+    * incident runbook (recovery mutates under the single-writer
+    * contract; fsck can run against a layout someone else owns).
+    * Listing-only, never reads data files; same cost shape as the
+    * recovery sweep it mirrors. An empty result means a clean layout:
+    * recovery at next entry would be a no-op.
+    */
+  def fsck(
+      spark: SparkSession,
+      path: String,
+      partPrefix: String,
+      dataRoot: Option[String] = None): Seq[FsckFinding] = {
+    val f = Dedup.fsFor(spark, path)
+    val dr = dataRoot.getOrElse(path)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckFinding]
+    def idOf(name: String): Option[String] = {
+      val i = name.indexOf('=')
+      if (i > 0 && !name.startsWith(".") && !name.startsWith("_"))
+        Some(name.substring(0, i))
+      else None
+    }
+    // live-dir footprints, same walk as the recovery sweep
+    val residue = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Path)]
+    val root = new Path(dr)
+    if (f.exists(root))
+      f.listStatus(root)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(partPrefix)).foreach { pd =>
+          f.listStatus(pd.getPath).foreach { nf =>
+            idOf(nf.getPath.getName)
+              .foreach(id => residue += ((id, nf.getPath)))
+          }
+        }
+    val ledgerDirExists = f.exists(new Path(s"$path/_epochs"))
+    val ledgered: Set[String] =
+      if (ledgerDirExists) ledgeredIds(f, path) else Set.empty
+    def stagesUnder(sub: String): Seq[(String, Boolean)] = {
+      val r = new Path(s"$path/$sub")
+      if (!f.exists(r)) Seq.empty
+      else f.listStatus(r).toSeq.map(st => (st.getPath.getName,
+        f.exists(new Path(st.getPath, "_MANIFEST"))))
+    }
+    val rotateStages = stagesUnder("_rotate")
+    val retrainStages = stagesUnder("_retrain")
+    val pendingCommitted: Set[String] =
+      (rotateStages ++ retrainStages).collect {
+        case (id, true) => id
+      }.toSet
+    (rotateStages.map(("_rotate", _)) ++ retrainStages.map(("_retrain", _)))
+      .foreach { case (sub, (id, committed)) =>
+        if (committed)
+          out += FsckFinding("stage-committed", "warn", s"$path/$sub/$id",
+            "committed stage awaiting completion — the protocol tore " +
+              "after its atomic commit; recovery at next entry resumes " +
+              "the idempotent moves")
+        else
+          out += FsckFinding("stage-uncommitted", "warn", s"$path/$sub/$id",
+            "uncommitted stage residue — the protocol tore before its " +
+              "commit point; recovery discards it (the live layout was " +
+              "never touched)")
+      }
+    val torn = residue.filterNot { case (id, _) =>
+      ledgered(id) || pendingCommitted(id) }
+    // the ledger-loss valve, verbatim judgment, report-only
+    if ((residue.nonEmpty || f.exists(new Path(s"$path/_current"))) &&
+        !ledgerDirExists)
+      out += FsckFinding("ledger-missing", "fatal", s"$path/_epochs",
+        "'<id>=' footprints (or a published generation pointer) exist " +
+          "but the _epochs ledger dir does not — recovery will REFUSE " +
+          "to touch this layout until the ledger travels back with it " +
+          "(an underscore-blind copy/restore is the usual cause)")
+    else
+      torn.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (id, fs) =>
+        out += FsckFinding("footprint-unledgered", "warn",
+          s"$dr <$id>",
+          s"${fs.size} live file(s) carry epoch footprint '$id=' with " +
+            "no ledger entry and no committed stage — a stage-lost " +
+            "partial move; recovery will QUARANTINE them under " +
+            s"$path/_quarantine/$id/")
+      }
+    Dedup.scanHiddenRoot(f, path, "_quarantine").sortBy(_._1)
+      .foreach { case (id, files, bytes) =>
+        out += FsckFinding("quarantine-present", "info",
+          s"$path/_quarantine/$id",
+          s"$files file(s), $bytes bytes quarantined — re-ingest under " +
+            "a fresh id or purge deliberately")
+      }
+    Dedup.scanHiddenRoot(f, path, "_retired").sortBy(_._1)
+      .foreach { case (id, files, bytes) =>
+        out += FsckFinding("retired-present", "info",
+          s"$path/_retired/$id",
+          s"$files file(s), $bytes bytes retired — purge once no " +
+            "in-flight reader can hold the superseded root")
+      }
+    out.toSeq
+  }
+
   /** One `(name, files, bytes)` row per `path/_retired/<epochId>[.n]`
     * dir — the single-layout twin of [[Dedup.listRetired]]: quarantines
     * a later completed epoch of the same id superseded (each `.n`

@@ -1293,6 +1293,77 @@ object Similarity {
       retired = Dedup.countHiddenDirs(f, path, "_retired"))
   }
 
+  /** READ-ONLY diagnosis of an IVF layout — [[EpochLedger.fsck]]'s
+    * generic protocol checks (torn stages, unledgered footprints, the
+    * ledger-loss valve, quarantined/retired bytes) plus the layout's
+    * own invariants: generation-pointer integrity (a `_current` entry
+    * must resolve to an existing `_gen-<N>` dir), the `_centroids`
+    * routing sidecar's presence, and — with `deepSchema` — SQ8 schema
+    * uniformity (one parquet footer per partition dir: a layout where
+    * some dirs carry `q8` and others don't would resolve columns from
+    * an arbitrary file on a plain read). Mutates NOTHING: safe against
+    * a layout another writer owns, unlike the recovery entries. Empty
+    * result = clean.
+    */
+  def ivfFsck(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      deepSchema: Boolean = false): Seq[EpochLedger.FsckFinding] = {
+    val f = Dedup.fsFor(spark, path)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[EpochLedger.FsckFinding]
+    val gen = currentGenName(f, path)
+    val cur = new org.apache.hadoop.fs.Path(s"$path/_current")
+    if (f.exists(cur) && gen.isEmpty)
+      out += EpochLedger.FsckFinding("pointer-empty", "fatal",
+        s"$path/_current",
+        "a _current pointer dir exists but holds no _gen-<N> entry — " +
+          "readers fall back to the flat root; restore the pointer " +
+          "entry or the layout's generation dirs")
+    gen.foreach { g =>
+      if (!f.exists(new org.apache.hadoop.fs.Path(s"$path/$g")))
+        out += EpochLedger.FsckFinding("pointer-dangling", "fatal",
+          s"$path/_current -> $g",
+          "the published generation pointer names a _gen dir that " +
+            "does not exist — every probe of this layout fails; " +
+            "restore the generation dir (it travels WITH the layout)")
+    }
+    val dataRoot = ivfDataRoot(f, path)
+    val dataRootP = new org.apache.hadoop.fs.Path(dataRoot)
+    val partDirs =
+      if (!f.exists(dataRootP)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(dataRootP).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id="))
+    if (partDirs.nonEmpty &&
+        !f.exists(new org.apache.hadoop.fs.Path(s"$dataRoot/_centroids")))
+      out += EpochLedger.FsckFinding("centroids-missing", "fatal",
+        s"$dataRoot/_centroids",
+        "partition dirs exist but the centroid routing sidecar is " +
+          "missing — multi-probe routing and epoch appends fail; " +
+          "rebuild with rotateIvf/writeIvfPartitioned")
+    if (deepSchema && partDirs.nonEmpty) {
+      val byDir = partDirs.toSeq.flatMap { d =>
+        f.listStatus(d.getPath)
+          .find(_.getPath.getName.endsWith(".parquet"))
+          .map { pf =>
+            d.getPath.getName ->
+              spark.read.parquet(pf.getPath.toString)
+                .schema.fieldNames.contains("q8")
+          }
+      }
+      val (q8dirs, legacy) = byDir.partition(_._2)
+      if (q8dirs.nonEmpty && legacy.nonEmpty)
+        out += EpochLedger.FsckFinding("schema-mixed", "warn", dataRoot,
+          s"${q8dirs.size} partition dir(s) carry the SQ8 columns and " +
+            s"${legacy.size} do not (first of each: " +
+            s"${q8dirs.head._1} vs ${legacy.head._1}) — a plain read " +
+            "resolves columns from an arbitrary file; rotateIvf " +
+            "rebuilds the layout uniform")
+    }
+    out.toSeq ++ EpochLedger.fsck(spark, path, "centroid_id=",
+      Some(dataRoot))
+  }
+
   /** What [[ivfMaintain]] did and why: the action strings in execution
     * order (empty for a healthy layout) and the pre-decision health
     * snapshot the policy judged.

@@ -913,6 +913,102 @@ object PipelineQueries {
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin))
 
+  /** The SERVING-shaped SQ8 route under hash verification —
+    * [[Similarity.ivfKnnQuantizedWith]] over the same held-out
+    * off-corpus midpoint queries as q65/q67, tight rerank: pins what
+    * q68's stored-id row cannot — the ON-THE-FLY query quantization
+    * (scale + rounded ints from a vector the layout has never seen),
+    * centroid ranking for an unassigned vector, the int8 scoring of
+    * external-vs-stored packed bytes, and the no-self-exclusion
+    * contract, all through the quantized route.
+    */
+  private val qIvfSq8ServingProbe = QueryDef(
+    "q69_ivf_sq8_serving_probe",
+    (s, dir) => {
+      val path = memoLayout("q59", dir)(buildAppendedLayout(s, dir))
+      Similarity.ivfKnnQuantizedWith(s, path, heldOutQueries(s, dir),
+          k = 5, nprobe = 2, rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |ea AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, vec AS cvec FROM ea
+         |  ORDER BY ((vec_id % ${DuckSql.P}) * 2654435761) % ${DuckSql.P}, vec_id
+         |  LIMIT ${Similarity.DefaultCentroidK}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, vec FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.vec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c)
+         |  WHERE crank = 1),
+         |$heldOutCte,
+         |qq AS (
+         |  SELECT vec_id, qscale,
+         |         CASE WHEN qscale = 0
+         |              THEN list_transform(vec, x -> CAST(0 AS DOUBLE))
+         |              ELSE list_transform(vec, x ->
+         |                CAST(CAST(round(x / qscale) AS INT) AS DOUBLE))
+         |         END AS qvec,
+         |         sqrt(list_dot_product(vec, vec)) AS nrm
+         |  FROM (
+         |    SELECT vec_id, vec,
+         |           list_max(list_transform(vec, x -> abs(x))) / 127 AS qscale
+         |    FROM e)),
+         |kq AS (
+         |  SELECT query_id, qscale,
+         |         CASE WHEN qscale = 0
+         |              THEN list_transform(vec_q, x -> CAST(0 AS DOUBLE))
+         |              ELSE list_transform(vec_q, x ->
+         |                CAST(CAST(round(x / qscale) AS INT) AS DOUBLE))
+         |         END AS qvec,
+         |         sqrt(list_dot_product(vec_q, vec_q)) AS nrm
+         |  FROM (
+         |    SELECT query_id, vec_q,
+         |           list_max(list_transform(vec_q, x -> abs(x))) / 127
+         |             AS qscale
+         |    FROM q)),
+         |qp AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${DuckSql.cosine("q.vec_q", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM q, cent c)
+         |  WHERE crank <= 2),
+         |cand AS (
+         |  SELECT qp.query_id, n.vec_id AS neighbor_id,
+         |         round((list_dot_product(a.qvec, b.qvec)
+         |                  * a.qscale * b.qscale)
+         |               / (a.nrm * b.nrm), 6) AS qsim
+         |  FROM assigned n
+         |  JOIN qp ON n.centroid_id = qp.centroid_id
+         |  JOIN kq a ON a.query_id = qp.query_id
+         |  JOIN qq b ON b.vec_id = n.vec_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY qsim DESC, neighbor_id) AS qrank
+         |    FROM cand)
+         |  WHERE qrank <= 8),
+         |scored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |         round(${DuckSql.cosine("qv.vec_q", "b.vec")}, 6) AS sim
+         |  FROM short sh
+         |  JOIN q qv ON qv.query_id = sh.query_id
+         |  JOIN e b ON b.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin))
+
   /** Partition-scoped compaction under hash verification — q60's
     * counterpart for [[Similarity.compactIvfPartitions]]: the q59
     * layout shape (even-half centroids, odd-half ledgered epoch —
@@ -1979,7 +2075,7 @@ object PipelineQueries {
     qSimhash, qSimhash64, qEmbDup,
     qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe, qIvfRotatedProbe,
     qIvfProbePrebuilt, qIvfPCompactedProbe, qIvfMaintainedProbe,
-    qIvfServingProbe, qKnnBruteExternal, qIvfSq8Probe,
+    qIvfServingProbe, qKnnBruteExternal, qIvfSq8Probe, qIvfSq8ServingProbe,
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,

@@ -65,6 +65,9 @@ class MainSpec extends AnyFunSuite {
     assert(h0.contains("generation=-") && h0.contains("quarantined=0"))
     assert(h0.contains("recall=") && !h0.contains("recall=-"), h0)
 
+    // the read-only doctor: clean before maintenance
+    assert(run("fsck", flags = List("--deep-schema")) == "clean")
+
     assert(run("compact", Some("c1")) == "applied=true")
     assert(run("compact", Some("c1")) == "applied=false") // replay
     assert(run("health").contains("generation=_gen-1"))
@@ -75,6 +78,9 @@ class MainSpec extends AnyFunSuite {
     assert(run("health").contains("generation=_gen-2"))
     val swept = run("retire-superseded", Some("sweep1"))
     assert(swept == "retired=1", swept) // _gen-1 (flat root already retired by c1)
+    // the doctor reports the retired bytes awaiting purge, info-grade
+    val fk = run("fsck")
+    assert(fk.contains("INFO retired-present"), fk)
 
     assert(run("compact-ledger") == "rolled=3") // e1, c1, r1
     assert(run("compact-ledger") == "rolled=0")
@@ -232,6 +238,11 @@ class MainSpec extends AnyFunSuite {
     assert(run("rebuild-bloom", List(hist),
       List("--expected-items", "1000")) == "sidecar_fresh=true")
     assert(graft.operators.Dedup.readBloomSidecar(spark, hist).isDefined)
+    // the read-only doctor on the pair: the compaction's retired
+    // buckets are the only finding, info-grade
+    val fk = run("fsck", List(hist, idx))
+    assert(fk.contains("INFO retired-present") &&
+      !fk.contains("WARN") && !fk.contains("FATAL"), fk)
     intercept[RuntimeException] { run("stats", Nil) }
     intercept[RuntimeException] { run("bogus", List(hist)) }
   }

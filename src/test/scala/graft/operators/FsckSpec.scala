@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The read-only layout doctors ([[Similarity.ivfFsck]],
+  * [[Dedup.dedupFsck]], [[EpochLedger.fsck]]): every condition the
+  * recovery entries ACT on must be REPORTED without a single mutation
+  * — fsck is the safe first command of an incident runbook, runnable
+  * against a layout another writer owns.
+  */
+class FsckSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb() = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Recursive (path, length) listing — the mutates-nothing witness. */
+  private def snapshot(root: String): Set[(String, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .toSeq.flatMap(walk) :+ f
+      else Seq(f)
+    walk(new java.io.File(root))
+      .map(f => (f.getPath, if (f.isFile) f.length else -1L)).toSet
+  }
+
+  private def codes(fs: Seq[EpochLedger.FsckFinding]): Seq[String] =
+    fs.map(_.code)
+
+  test("ivfFsck: clean flat and generational layouts report nothing, " +
+    "and fsck never mutates") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fsck1").toString
+    val path = s"$root/ivf"
+    val e = emb()
+    Similarity.writeIvfPartitioned(e.filter(col("vec_id") % 2 === 0), path)
+    assert(Similarity.appendIvfEpoch(
+      e.filter(col("vec_id") % 2 =!= 0), path, "e1"))
+    val before = snapshot(path)
+    assert(Similarity.ivfFsck(spark, path, deepSchema = true).isEmpty)
+    assert(snapshot(path) == before)
+    // rotate to a generational layout: still clean except the retired
+    // prior root (info), still unmutated by fsck
+    assert(Similarity.rotateIvf(spark, path, "r1"))
+    val afterRotate = snapshot(path)
+    val f2 = Similarity.ivfFsck(spark, path, deepSchema = true)
+    assert(codes(f2) == Seq("retired-present"), f2)
+    assert(f2.head.severity == "info")
+    assert(snapshot(path) == afterRotate)
+  }
+
+  test("ivfFsck: a torn epoch append is reported as its stage state, " +
+    "unledgered footprints as quarantinable, and recovery clears it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fsck2").toString
+    val path = s"$root/ivf"
+    val e = emb()
+    Similarity.writeIvfPartitioned(e.filter(col("vec_id") < 32), path)
+    val novel = e.filter(col("vec_id") >= 32 && col("vec_id") < 40)
+    // crash BEFORE the commit point: uncommitted stage residue
+    intercept[RuntimeException] {
+      Similarity.appendIvfEpochStaged(novel, path, "te1", "vec_id",
+        fp => if (fp == "staged") throw new RuntimeException("boom"))
+    }
+    val f1 = Similarity.ivfFsck(spark, path)
+    assert(codes(f1) == Seq("stage-uncommitted"), f1)
+    Similarity.recoverIvfEpochs(spark, path)
+    assert(Similarity.ivfFsck(spark, path).isEmpty)
+    // crash AFTER the commit point: committed stage awaiting completion
+    intercept[RuntimeException] {
+      Similarity.appendIvfEpochStaged(novel, path, "te2", "vec_id",
+        fp => if (fp == "committed") throw new RuntimeException("boom"))
+    }
+    val f2 = Similarity.ivfFsck(spark, path)
+    assert(codes(f2) == Seq("stage-committed"), f2)
+    Similarity.recoverIvfEpochs(spark, path)
+    assert(Similarity.ivfFsck(spark, path).isEmpty)
+    // a foreign unledgered footprint file: quarantinable, reported
+    // (and NOT quarantined by fsck itself)
+    val f = Dedup.fsFor(spark, path)
+    val pd = f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id=")).head.getPath
+    val stray = new org.apache.hadoop.fs.Path(pd, "lost1=stray.parquet")
+    f.create(stray, true).close()
+    val f3 = Similarity.ivfFsck(spark, path)
+    assert(codes(f3) == Seq("footprint-unledgered"), f3)
+    assert(f.exists(stray), "fsck must not quarantine")
+    f.delete(stray, false)
+  }
+
+  test("ivfFsck: the ledger-loss valve, a dangling generation pointer " +
+    "and a missing centroid sidecar are fatal findings") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fsck3").toString
+    val path = s"$root/ivf"
+    val e = emb()
+    Similarity.writeIvfPartitioned(e.filter(col("vec_id") < 32), path)
+    assert(Similarity.appendIvfEpoch(
+      e.filter(col("vec_id") >= 32 && col("vec_id") < 40), path, "e1"))
+    val f = Dedup.fsFor(spark, path)
+    // ledger loss: footprints without _epochs
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/_epochs"), true)
+    val f1 = Similarity.ivfFsck(spark, path)
+    assert(codes(f1) == Seq("ledger-missing"), f1)
+    assert(f1.head.severity == "fatal")
+    // centroid sidecar loss (ledger restored first — writeLedgerEntry
+    // recreates the dir)
+    EpochLedger.writeLedgerEntry(f, path, "e1", "epoch")
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/_centroids"), true)
+    val f2 = Similarity.ivfFsck(spark, path)
+    assert(codes(f2).contains("centroids-missing"), f2)
+    // dangling pointer on a generational layout
+    val path2 = s"$root/ivf2"
+    Similarity.writeIvfPartitioned(e.filter(col("vec_id") < 32), path2)
+    assert(Similarity.rotateIvf(spark, path2, "r1"))
+    val gen = Similarity.ivfDataRoot(spark, path2)
+    assert(gen != path2)
+    f.delete(new org.apache.hadoop.fs.Path(gen), true)
+    val f3 = Similarity.ivfFsck(spark, path2)
+    assert(codes(f3).contains("pointer-dangling"), f3)
+    assert(f3.find(_.code == "pointer-dangling").get.severity == "fatal")
+  }
+
+  test("ivfFsck deepSchema: a mixed SQ8/legacy layout is reported") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fsck4").toString
+    val path = s"$root/ivf"
+    val e = emb()
+    Similarity.writeIvfPartitioned(e.filter(col("vec_id") < 32), path)
+    // strip the SQ8 columns from ONE partition dir's file — the
+    // at-rest shape of a legacy epoch surviving into a quantized
+    // layout
+    val f = Dedup.fsFor(spark, path)
+    val pd = f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id=")).head.getPath
+    val legacy = spark.read.option("basePath", path)
+      .parquet(pd.toString).select("vec_id", "vec", "nrm")
+    val tmp = s"$root/legacy"
+    legacy.coalesce(1).write.parquet(tmp)
+    f.listStatus(new org.apache.hadoop.fs.Path(pd.toString))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(st => f.delete(st.getPath, false))
+    val lf = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(f.rename(lf, new org.apache.hadoop.fs.Path(pd, lf.getName)))
+    val fs = Similarity.ivfFsck(spark, path, deepSchema = true)
+    assert(codes(fs) == Seq("schema-mixed"), fs)
+    // shallow mode deliberately skips the per-dir footer reads
+    assert(Similarity.ivfFsck(spark, path).isEmpty)
+  }
+
+  test("dedupFsck: clean pair, sidecar lifecycle, index-side " +
+    "footprints and missing _meta are all reported read-only") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fsck5").toString
+    val hist = s"$root/hist"
+    val idx = s"$root/idx"
+    val docs = (0L until 16L)
+      .map(i => (i, s"doc number $i with shared words " + ("x " * 12)))
+      .toDF("doc_id", "text")
+    Dedup.writeHistoryBucketed(docs, hist, nBuckets = 4)
+    Dedup.writeMinhashIndex(docs, idx)
+    // advisory sidecar missing: info, not warn
+    val f1 = Dedup.dedupFsck(spark, hist, idx)
+    assert(codes(f1) == Seq("sidecar-absent"), f1)
+    assert(f1.head.severity == "info")
+    val b = Dedup.digestBloom(docs, expectedItems = 1000, fpp = 0.001)
+    Dedup.writeBloomSidecar(spark, hist, b)
+    val before = (snapshot(hist), snapshot(idx))
+    assert(Dedup.dedupFsck(spark, hist, idx).isEmpty)
+    assert((snapshot(hist), snapshot(idx)) == before)
+    // out-of-band ledger drift: the sidecar reads stale
+    val f = Dedup.fsFor(spark, hist)
+    EpochLedger.writeLedgerEntry(f, hist, "oob", "epoch")
+    val f2 = Dedup.dedupFsck(spark, hist, idx)
+    assert(codes(f2) == Seq("sidecar-stale"), f2)
+    // index-side unledgered footprint
+    val stray = new org.apache.hadoop.fs.Path(idx, "lostx=stray.parquet")
+    f.create(stray, true).close()
+    val f3 = Dedup.dedupFsck(spark, hist, idx)
+    assert(codes(f3).contains("footprint-unledgered"), f3)
+    assert(f.exists(stray), "fsck must not quarantine")
+    f.delete(stray, false)
+    // missing index _meta: appends cannot derive the band geometry
+    f.delete(new org.apache.hadoop.fs.Path(s"$idx/_meta"), true)
+    val f4 = Dedup.dedupFsck(spark, hist, idx)
+    assert(codes(f4).contains("meta-missing"), f4)
+  }
+}
