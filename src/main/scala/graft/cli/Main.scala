@@ -24,6 +24,7 @@ import graft.streaming.Ingest
   * The `ivf` group is the SCALING.md runbook as ops commands (no
   * reference analogue — the reference has no ANN layout):
   * {{{
+  * ivf fsck    <layout> [--deep-schema]   # READ-ONLY doctor, no lock
   * ivf health  <layout> [--recall N] [--recall-queries PARQUET]
   *             [--recall-k K] [--nprobe P]
   * ivf maintain <layout> <id> [--max-files N] [--skew X] [--recall N]
@@ -42,6 +43,7 @@ import graft.streaming.Ingest
   * The `dedup` group is the incremental-dedup layout PAIR's
   * maintenance (engine addition, like `ivf`):
   * {{{
+  * dedup fsck <hist> <idx>                # READ-ONLY doctor, no lock
   * dedup stats <hist>
   * dedup maintain <hist> <idx> <id> [--max-files N] [--ledger-tail N]
   *       [--purge-older-than <dur>] [--lock-file F]
@@ -74,6 +76,17 @@ object Main {
     .config("spark.buffer.pageSize", "4m")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** One line per fsck finding, `clean` when the doctor found nothing
+    * — shared by `ivf fsck` and `dedup fsck` so the two outputs can
+    * never drift.
+    */
+  private def formatFindings(
+      findings: Seq[graft.operators.EpochLedger.FsckFinding]): String =
+    if (findings.isEmpty) "clean"
+    else findings.map(fd =>
+      s"${fd.severity.toUpperCase} ${fd.code} ${fd.subject}: " +
+        fd.detail).mkString("\n")
 
   private[cli] def withLock[T](path: Option[String])(f: => T): T = path match {
     case None => f
@@ -232,12 +245,8 @@ object Main {
       case "fsck" =>
         // READ-ONLY: no lock required — fsck is the safe first command
         // against a layout another writer may own
-        val findings = Similarity.ivfFsck(spark, layout,
-          deepSchema = flags.contains("--deep-schema"))
-        if (findings.isEmpty) "clean"
-        else findings.map(fd =>
-          s"${fd.severity.toUpperCase} ${fd.code} ${fd.subject}: " +
-            fd.detail).mkString("\n")
+        formatFindings(Similarity.ivfFsck(spark, layout,
+          deepSchema = flags.contains("--deep-schema")))
       case "health" =>
         val h = Similarity.ivfHealth(spark, layout,
           recallSampleN = flag("--recall").map(_.toInt).getOrElse(0),
@@ -318,7 +327,7 @@ object Main {
           s"${Similarity.listIvfQuarantined(spark, layout).size}"
       case otherSub =>
         sys.error(s"unknown ivf subcommand '$otherSub' " +
-          "(health|maintain|rotate|compact|compact-partitions|" +
+          "(fsck|health|maintain|rotate|compact|compact-partitions|" +
           "retire-superseded|purge-retired|compact-ledger|recover)")
     }
   }
@@ -363,11 +372,7 @@ object Main {
       case "fsck" => pos match {
         case hist :: idx :: Nil =>
           // READ-ONLY: no lock required
-          val findings = Dedup.dedupFsck(spark, hist, idx)
-          if (findings.isEmpty) "clean"
-          else findings.map(fd =>
-            s"${fd.severity.toUpperCase} ${fd.code} ${fd.subject}: " +
-              fd.detail).mkString("\n")
+          formatFindings(Dedup.dedupFsck(spark, hist, idx))
         case _ => sys.error("dedup fsck needs <historyPath> <indexPath>")
       }
       case "maintain" => pos match {
@@ -465,7 +470,7 @@ object Main {
       }
       case otherSub =>
         sys.error(s"unknown dedup subcommand '$otherSub' " +
-          "(stats|maintain|compact-history|rebuild-index|rebuild-bloom|" +
+          "(fsck|stats|maintain|compact-history|rebuild-index|rebuild-bloom|" +
           "recover|purge-retired|compact-ledger)")
     }
   }

@@ -865,10 +865,14 @@ object Dedup {
     }
     val ip = new org.apache.hadoop.fs.Path(indexPath)
     val idxFs = ip.getFileSystem(f.getConf)
-    val idxIds: Seq[String] =
+    // (id, wasInflightTemp) per index-root footprint file
+    val idxFoot: Seq[(String, Boolean)] =
       if (!idxFs.exists(ip)) Seq.empty
       else idxFs.listStatus(ip).filter(_.isFile).toSeq
-        .flatMap(st => idOf(st.getPath.getName))
+        .flatMap { st =>
+          val n = st.getPath.getName
+          idOf(n).map(_ -> n.startsWith("."))
+        }
     val ledgerDirExists =
       f.exists(new org.apache.hadoop.fs.Path(s"$historyPath/_epochs"))
     val ledgered: Set[String] =
@@ -884,30 +888,49 @@ object Dedup {
             .map(_.getPath.getName)
         else Seq.empty
       }.toSet
-    val tornIdx = idxIds.distinct.sorted
-      .filterNot(id => ledgered(id) || pendingCommitted(id))
-    if (tornIdx.nonEmpty && !ledgerDirExists) {
+    if (idxFoot.nonEmpty && !ledgerDirExists) {
       // the generic pass only judges the valve from HISTORY-side
-      // evidence; an index-only torn state must trip it too
+      // evidence; recovery refuses on ANY index footprint when the
+      // ledger is gone — including one a committed stage fences (an
+      // empty-novel epoch torn mid-index-move leaves no history
+      // footprint at all), so fsck must report the same fatal, not a
+      // benign resumable-stage warning
       if (!out.exists(_.code == "ledger-missing"))
         out += EpochLedger.FsckFinding("ledger-missing", "fatal",
           s"$historyPath/_epochs",
           "index-side '<id>=' footprints exist but the _epochs ledger " +
             "dir does not — recovery will REFUSE until the ledger " +
             "travels back with the layouts")
-    } else tornIdx.foreach { id =>
-      out += EpochLedger.FsckFinding("footprint-unledgered", "warn",
-        s"$indexPath <$id>",
-        s"index file(s) carry epoch footprint '$id=' with no ledger " +
-          "entry and no committed stage — a stage-lost partial move; " +
-          "recovery will QUARANTINE them under " +
-          s"$indexPath/_quarantine/$id")
-    }
+    } else idxFoot
+      .filterNot { case (id, _) => ledgered(id) || pendingCommitted(id) }
+      .groupBy(_._1).toSeq.sortBy(_._1).foreach { case (id, fs) =>
+        val (temps, visible) = fs.partition(_._2)
+        if (visible.nonEmpty)
+          out += EpochLedger.FsckFinding("footprint-unledgered", "warn",
+            s"$indexPath <$id>",
+            s"index file(s) carry epoch footprint '$id=' with no " +
+              "ledger entry and no committed stage — a stage-lost " +
+              "partial move; recovery will QUARANTINE them under " +
+              s"$indexPath/_quarantine/$id")
+        if (temps.nonEmpty)
+          out += EpochLedger.FsckFinding("inflight-residue", "warn",
+            s"$indexPath <.$id>",
+            "in-flight cross-FS copy temp(s) for an unledgered epoch " +
+              "— recovery DELETES these (the visible sibling is the " +
+              "durable copy); nothing is quarantined")
+      }
     scanHiddenRoot(idxFs, indexPath, "_quarantine").sortBy(_._1)
       .foreach { case (id, files, bytes) =>
         out += EpochLedger.FsckFinding("quarantine-present", "info",
           s"$indexPath/_quarantine/$id",
           s"$files file(s), $bytes bytes quarantined on the index side")
+      }
+    scanHiddenRoot(idxFs, indexPath, "_retired").sortBy(_._1)
+      .foreach { case (id, files, bytes) =>
+        out += EpochLedger.FsckFinding("retired-present", "info",
+          s"$indexPath/_retired/$id",
+          s"$files file(s), $bytes bytes retired on the index side — " +
+            "purge once no in-flight reader can hold them")
       }
     // geometry sidecars: the append primitives derive their modulus /
     // band geometry from these — a layout without one cannot grow

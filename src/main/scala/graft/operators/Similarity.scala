@@ -1342,16 +1342,29 @@ object Similarity {
           "missing — multi-probe routing and epoch appends fail; " +
           "rebuild with rotateIvf/writeIvfPartitioned")
     if (deepSchema && partDirs.nonEmpty) {
-      val byDir = partDirs.toSeq.flatMap { d =>
-        f.listStatus(d.getPath)
-          .find(_.getPath.getName.endsWith(".parquet"))
-          .map { pf =>
-            d.getPath.getName ->
-              spark.read.parquet(pf.getPath.toString)
-                .schema.fieldNames.contains("q8")
-          }
+      // EVERY file's footer, not one per dir: an intra-dir mix (a
+      // restored pre-SQ8 file beside quantized ones) is exactly the
+      // hazard this mode exists to catch, and one-sample-per-dir
+      // detection would depend on listing order. Deep mode is the
+      // opt-in incident tool — O(files) footer reads by design.
+      val byDir: Seq[(String, Set[Boolean])] = partDirs.toSeq.map { d =>
+        d.getPath.getName ->
+          f.listStatus(d.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(pf => spark.read.parquet(pf.getPath.toString)
+              .schema.fieldNames.contains("q8")).toSet
+      }.filter(_._2.nonEmpty)
+      byDir.filter(_._2.size > 1).foreach { case (d, _) =>
+        out += EpochLedger.FsckFinding("schema-mixed", "warn",
+          s"$dataRoot/$d",
+          "SQ8 and legacy files INSIDE one partition dir — a plain " +
+            "read resolves columns from an arbitrary file and the " +
+            "quantized probe reads null q8 for the legacy rows; " +
+            "rotateIvf rebuilds the layout uniform")
       }
-      val (q8dirs, legacy) = byDir.partition(_._2)
+      val uniform = byDir.filter(_._2.size == 1)
+        .map { case (d, s) => (d, s.head) }
+      val (q8dirs, legacy) = uniform.partition(_._2)
       if (q8dirs.nonEmpty && legacy.nonEmpty)
         out += EpochLedger.FsckFinding("schema-mixed", "warn", dataRoot,
           s"${q8dirs.size} partition dir(s) carry the SQ8 columns and " +

@@ -151,6 +151,58 @@ class FsckSpec extends AnyFunSuite {
     assert(codes(fs) == Seq("schema-mixed"), fs)
     // shallow mode deliberately skips the per-dir footer reads
     assert(Similarity.ivfFsck(spark, path).isEmpty)
+    // INTRA-dir mix: a legacy file restored BESIDE quantized files in
+    // one dir must be caught regardless of listing order
+    val pd2 = f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id=")).last.getPath
+    val lf2 = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    if (lf2.isEmpty) {
+      // the first rename consumed the only legacy file: re-write one
+      spark.read.option("basePath", path).parquet(pd2.toString)
+        .select("vec_id", "vec", "nrm").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val lfile = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(f.rename(lfile,
+      new org.apache.hadoop.fs.Path(pd2, s"zz-${lfile.getName}")))
+    val fs2 = Similarity.ivfFsck(spark, path, deepSchema = true)
+    assert(fs2.exists(fd => fd.code == "schema-mixed" &&
+      fd.subject.endsWith(pd2.getName)), fs2)
+  }
+
+  test("dedupFsck: an index-only footprint with the ledger gone is the " +
+    "FATAL ledger-loss state, even when a committed stage fences its " +
+    "id — never a benign resumable-stage warning") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fsck6").toString
+    val hist = s"$root/hist"
+    val idx = s"$root/idx"
+    val docs = (0L until 12L)
+      .map(i => (i, s"unique document body number $i"))
+      .toDF("doc_id", "text")
+    Dedup.writeHistoryBucketed(docs, hist, nBuckets = 4)
+    Dedup.writeMinhashIndex(docs, idx)
+    val f = Dedup.fsFor(spark, hist)
+    // an index-root footprint file with NO history footprint (the
+    // empty-novel-epoch torn-mid-index-move shape)
+    val stray = new org.apache.hadoop.fs.Path(idx, "et1=stray.parquet")
+    f.create(stray, true).close()
+    // no ledger dir at all
+    f.delete(new org.apache.hadoop.fs.Path(s"$hist/_epochs"), true)
+    val f1 = Dedup.dedupFsck(spark, hist, idx)
+    assert(codes(f1).contains("ledger-missing"), f1)
+    // a committed stage fencing the id must NOT downgrade the fatal:
+    // recovery refuses on any index footprint once the ledger is gone
+    val stage = new org.apache.hadoop.fs.Path(s"$hist/_rotate/et1")
+    f.mkdirs(stage)
+    val mf = f.create(
+      new org.apache.hadoop.fs.Path(stage, "_MANIFEST"), true)
+    try mf.write(idx.getBytes("UTF-8")) finally mf.close()
+    val f2 = Dedup.dedupFsck(spark, hist, idx)
+    assert(codes(f2).contains("ledger-missing"), f2)
+    assert(f2.find(_.code == "ledger-missing").get.severity == "fatal")
   }
 
   test("dedupFsck: clean pair, sidecar lifecycle, index-side " +
