@@ -26,10 +26,10 @@ import graft.streaming.Ingest
   * {{{
   * ivf fsck    <layout> [--deep-schema]   # READ-ONLY doctor, no lock
   * ivf health  <layout> [--recall N] [--recall-queries PARQUET]
-  *             [--recall-k K] [--nprobe P]
+  *             [--recall-k K] [--nprobe P] [--rerank M]
   * ivf maintain <layout> <id> [--max-files N] [--skew X] [--recall N]
   *              [--recall-queries PARQUET] [--recall-floor F]
-  *              [--recall-k K] [--nprobe P]
+  *              [--recall-k K] [--nprobe P] [--rerank M]
   *              [--ledger-tail N] [--purge-older-than <dur>] [--k K]
   *              [--sample-frac F] [--defer-retire] [--lock-file F]
   * ivf rotate  <layout> <id> [--k K] [--sample-frac F] [--defer-retire] [--lock-file F]
@@ -241,6 +241,9 @@ object Main {
     // re-train rotations ("--k" is taken by the rotation's centroidK)
     def recallK: Int = flag("--recall-k").map(_.toInt).getOrElse(10)
     def recallNprobe: Int = flag("--nprobe").map(_.toInt).getOrElse(1)
+    // > 0 judges the SQ8 quantized route's recall with this shortlist
+    // size — measure the route being served, not just the exact one
+    def recallRerank: Int = flag("--rerank").map(_.toInt).getOrElse(0)
     sub match {
       case "fsck" =>
         // READ-ONLY: no lock required — fsck is the safe first command
@@ -251,9 +254,12 @@ object Main {
         val h = Similarity.ivfHealth(spark, layout,
           recallSampleN = flag("--recall").map(_.toInt).getOrElse(0),
           k = recallK, nprobe = recallNprobe,
-          queryVectors = recallQueries)
+          queryVectors = recallQueries, recallRerank = recallRerank)
         val recallStr = h.recall
-          .map(r => f"${r.recallAtK}%.4f(k=${r.k},nprobe=${r.nprobe})")
+          .map { r =>
+            val route = if (r.rerank > 0) s",rerank=${r.rerank}" else ""
+            f"${r.recallAtK}%.4f(k=${r.k},nprobe=${r.nprobe}$route)"
+          }
           .getOrElse("-")
         s"dataRoot=${h.dataRoot} generation=${h.generation.getOrElse("-")} " +
           s"partitions=${h.partitions} files=${h.files} bytes=${h.bytes} " +
@@ -300,7 +306,8 @@ object Main {
           purgeRetiredOlderThanMs =
             flag("--purge-older-than").map(parseDuration),
           filesPerPartition =
-            flag("--files-per-partition").map(_.toInt).getOrElse(1))
+            flag("--files-per-partition").map(_.toInt).getOrElse(1),
+          recallRerank = recallRerank)
         val acts =
           if (m.actions.isEmpty) "none (healthy)" else m.actions.mkString("; ")
         s"actions=$acts " +

@@ -1233,7 +1233,10 @@ object Similarity {
       recallAtK: Double,
       queries: Int,
       k: Int,
-      nprobe: Int)
+      nprobe: Int,
+      // 0 = the exact partitioned route; > 0 = the SQ8 quantized route
+      // with this shortlist size (measure the route you SERVE)
+      rerank: Int = 0)
 
   /** One-call layout health snapshot — see [[ivfHealth]]. */
   final case class IvfHealth(
@@ -1268,7 +1271,8 @@ object Similarity {
       recallSampleN: Int = 0,
       k: Int = 10,
       nprobe: Int = 1,
-      queryVectors: Option[DataFrame] = None): IvfHealth = {
+      queryVectors: Option[DataFrame] = None,
+      recallRerank: Int = 0): IvfHealth = {
     val f = Dedup.fsFor(spark, path)
     val stats = ivfPartitionStats(spark, path)
     IvfHealth(
@@ -1282,7 +1286,7 @@ object Similarity {
       recall =
         if (recallSampleN > 0 || queryVectors.isDefined)
           Some(ivfRecallProbe(spark, path, recallSampleN.max(1), k, nprobe,
-            queryVectors = queryVectors))
+            queryVectors = queryVectors, rerank = recallRerank))
         else None,
       // dir COUNTS via one listStatus each — the full per-dir
       // file/byte scans (listIvfQuarantined/listIvfRetired) enumerate
@@ -1404,7 +1408,10 @@ object Similarity {
       deferRetire: Boolean = false,
       queryVectors: Option[DataFrame] = None,
       purgeRetiredOlderThanMs: Option[Long] = None,
-      filesPerPartition: Int = 1)
+      filesPerPartition: Int = 1,
+      // 0 = judge the exact route's recall; > 0 = judge the SQ8
+      // quantized route with this shortlist (the route being served)
+      recallRerank: Int = 0)
 
   /** [[ivfMaintain]] with the thresholds packed in an
     * [[IvfMaintainPolicy]] — same semantics, config-shaped call site.
@@ -1427,7 +1434,8 @@ object Similarity {
       deferRetire = policy.deferRetire,
       queryVectors = policy.queryVectors,
       purgeRetiredOlderThanMs = policy.purgeRetiredOlderThanMs,
-      filesPerPartition = policy.filesPerPartition)
+      filesPerPartition = policy.filesPerPartition,
+      recallRerank = policy.recallRerank)
 
   /** The closed-loop maintenance policy step: read [[ivfHealth]] ONCE,
     * judge it against explicit thresholds, and run the prescribed
@@ -1487,7 +1495,8 @@ object Similarity {
       deferRetire: Boolean = false,
       queryVectors: Option[DataFrame] = None,
       purgeRetiredOlderThanMs: Option[Long] = None,
-      filesPerPartition: Int = 1): IvfMaintenance = {
+      filesPerPartition: Int = 1,
+      recallRerank: Int = 0): IvfMaintenance = {
     EpochLedger.requireEpochId(id)
     require(maxFilesPerPartition >= 1 && skewThreshold > 1.0 &&
         ledgerTailMax >= 1,
@@ -1521,7 +1530,8 @@ object Similarity {
     val h = ivfHealth(spark, path,
       recallSampleN = if (recallFloor.isDefined) recallSampleN else 0,
       k = k, nprobe = nprobe,
-      queryVectors = if (recallFloor.isDefined) queryVectors else None)
+      queryVectors = if (recallFloor.isDefined) queryVectors else None,
+      recallRerank = recallRerank)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     val skewHit = h.skewRatio > skewThreshold
     val recallHit = recallFloor.exists(fl =>
@@ -1585,6 +1595,15 @@ object Similarity {
     * with a representative held-out query set should monitor this mode
     * next to the stored one. `sampleN` is ignored in this mode — every
     * supplied vector is probed.
+    *
+    * `rerank > 0` switches the APPROXIMATE side to the SQ8 quantized
+    * route ([[ivfKnnQuantized]]/[[ivfKnnQuantizedWith]] with that
+    * shortlist size) — measure the route you actually SERVE: quantized
+    * serving adds a second recall dimension (a true neighbor whose
+    * int8 rank falls below `rerank` is lost even when routing finds
+    * its partition), and an exact-route recall floor would miss that
+    * decay entirely. The exact brute-force side stays the denominator
+    * either way.
     */
   def ivfRecallProbe(
       spark: org.apache.spark.sql.SparkSession,
@@ -1593,7 +1612,8 @@ object Similarity {
       k: Int = 10,
       nprobe: Int = 1,
       idCol: String = "vec_id",
-      queryVectors: Option[DataFrame] = None): IvfRecall = {
+      queryVectors: Option[DataFrame] = None,
+      rerank: Int = 0): IvfRecall = {
     require(sampleN >= 1, s"sampleN must be >= 1, got $sampleN")
     require(k >= 1, s"k must be >= 1, got $k")
     val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
@@ -1603,8 +1623,11 @@ object Similarity {
       // cast the USER-supplied query id to long at the driver edge: an
       // int32 query_id column (pandas-written parquet) would otherwise
       // throw ClassCastException out of getLong inside a health read
-      val approx = ivfKnnPartitionedWith(spark, path, qv, k, nprobe,
-          idCol = idCol)
+      val approx = (if (rerank > 0)
+          ivfKnnQuantizedWith(spark, path, qv, k, nprobe, rerank,
+            idCol = idCol)
+        else ivfKnnPartitionedWith(spark, path, qv, k, nprobe,
+          idCol = idCol))
         .select(col("query_id").cast("long"), col("neighbor_id"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1618,7 +1641,7 @@ object Similarity {
         if (exact.isEmpty) 1.0
         else approx.intersect(exact).size.toDouble / exact.size
       return IvfRecall(recall,
-        exact.map(_._1).union(approx.map(_._1)).size, k, nprobe)
+        exact.map(_._1).union(approx.map(_._1)).size, k, nprobe, rerank)
     }
     // the ivfCentroids sampling hash, reused: deterministic, id-order
     // decorrelated, and a TakeOrdered (never a global sort)
@@ -1629,8 +1652,10 @@ object Similarity {
       .orderBy(col("chash"), col(idCol))
       .limit(sampleN)
       .collect().map(_.getLong(0)).toSeq
-    if (qids.isEmpty) return IvfRecall(1.0, 0, k, nprobe)
-    val approx = ivfKnnPartitioned(spark, path, qids, k, nprobe, idCol)
+    if (qids.isEmpty) return IvfRecall(1.0, 0, k, nprobe, rerank)
+    val approx = (if (rerank > 0)
+        ivfKnnQuantized(spark, path, qids, k, nprobe, rerank, idCol)
+      else ivfKnnPartitioned(spark, path, qids, k, nprobe, idCol))
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = bruteForceKnn(
@@ -1640,7 +1665,7 @@ object Similarity {
     val recall =
       if (exact.isEmpty) 1.0
       else approx.intersect(exact).size.toDouble / exact.size
-    IvfRecall(recall, qids.size, k, nprobe)
+    IvfRecall(recall, qids.size, k, nprobe, rerank)
   }
 
   /** ANN top-k over an [[writeIvfPartitioned]] layout: resolve each

@@ -68,6 +68,10 @@ class MainSpec extends AnyFunSuite {
     // the read-only doctor: clean before maintenance
     assert(run("fsck", flags = List("--deep-schema")) == "clean")
 
+    // --rerank judges the SQ8 route's recall and reports the route
+    val hq = run("health", flags = List("--recall", "4", "--rerank", "64"))
+    assert(hq.contains("rerank=64"), hq)
+
     assert(run("compact", Some("c1")) == "applied=true")
     assert(run("compact", Some("c1")) == "applied=false") // replay
     assert(run("health").contains("generation=_gen-1"))

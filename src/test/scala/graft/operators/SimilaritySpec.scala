@@ -251,6 +251,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("ivfRecallProbe rerank mode judges the SQ8 route: exhaustive " +
+    "rerank matches the exact route's recall, the result records the " +
+    "route, and held-out mode routes through the quantized serving " +
+    "probe") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-sq8r").toString
+    Similarity.writeIvfPartitioned(emb, root)
+    val n = emb.count().toInt
+    val exactRoute = Similarity.ivfRecallProbe(spark, root, sampleN = 8,
+      k = 5, nprobe = 2)
+    assert(exactRoute.rerank == 0)
+    val sq8Full = Similarity.ivfRecallProbe(spark, root, sampleN = 8,
+      k = 5, nprobe = 2, rerank = n)
+    assert(sq8Full.rerank == n)
+    // exhaustive shortlist = the exact probe's answer = same recall
+    assert(sq8Full.recallAtK == exactRoute.recallAtK)
+    // a k-sized shortlist is a legal serving setting; the probe still
+    // answers (decay, if any, is exactly what the mode measures)
+    val starved = Similarity.ivfRecallProbe(spark, root, sampleN = 8,
+      k = 5, nprobe = 2, rerank = 5)
+    assert(starved.rerank == 5 && starved.recallAtK >= 0.0 &&
+      starved.recallAtK <= 1.0)
+    // held-out serving-shaped mode through the quantized route
+    val ext = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val served = Similarity.ivfRecallProbe(spark, root, k = 5, nprobe = 2,
+      queryVectors = Some(ext), rerank = n)
+    val servedExact = Similarity.ivfRecallProbe(spark, root, k = 5,
+      nprobe = 2, queryVectors = Some(ext))
+    assert(served.rerank == n && served.recallAtK == servedExact.recallAtK)
+  }
+
   test("ivfKnnQuantized refuses a pre-SQ8 layout loudly") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val root = java.nio.file.Files.createTempDirectory("graft-oldivf").toString
