@@ -313,7 +313,10 @@ object Main {
         s"actions=$acts " +
           f"skewRatio=${m.health.skewRatio}%.2f " +
           s"maxFilesPerPartition=${m.health.maxFilesPerPartition}" +
-          m.health.recall.map(r => f" recall=${r.recallAtK}%.4f").getOrElse("")
+          m.health.recall.map { r =>
+            val route = if (r.rerank > 0) s",rerank=${r.rerank}" else ""
+            f" recall=${r.recallAtK}%.4f(k=${r.k},nprobe=${r.nprobe}$route)"
+          }.getOrElse("")
       case "retire-superseded" =>
         val n = Similarity.retireSupersededGenerations(spark, layout,
           id("name"))

@@ -1503,6 +1503,12 @@ object Similarity {
       s"thresholds out of range: maxFilesPerPartition=" +
         s"$maxFilesPerPartition skewThreshold=$skewThreshold " +
         s"ledgerTailMax=$ledgerTailMax")
+    // judged BEFORE any healing/maintenance work: a bad rerank must
+    // not abort the tick deep inside the health read after recovery
+    // already ran (the compaction/ledger/purge arms never depend on it)
+    require(recallRerank == 0 || recallRerank >= k,
+      s"recallRerank must be 0 (exact route) or >= recall k, got " +
+        s"recallRerank=$recallRerank k=$k")
     // a salt above the file-count threshold would make every tick
     // re-detect its own compaction output as fragmented: an endless
     // rewrite-and-retire loop at maintenance cadence. A one-shot call
@@ -1549,6 +1555,23 @@ object Similarity {
         deferRetire = deferRetire, filesPerPartition = filesPerPartition)
       actions += s"rotate(${reason.mkString(", ")})" +
         (if (applied) "" else " [already applied]")
+      // a recall-triggered rotation must prove it helped: rotation
+      // repairs ROUTING-drift recall, but a floor the route cannot
+      // reach at this nprobe/rerank (SQ8 shortlist starvation,
+      // quantization error) would otherwise fire a full corpus
+      // rewrite EVERY tick forever — the endless-rewrite pathology
+      // the filesPerPartition guard refuses for compaction. Re-probe
+      // once after rotating and say so loudly when the floor is still
+      // unmet, so a cron'd policy's logs carry the diagnosis.
+      if (recallHit) {
+        val after = ivfRecallProbe(spark, path, recallSampleN.max(1), k,
+          nprobe, queryVectors = queryVectors, rerank = recallRerank)
+        if (after.recallAtK < recallFloor.get)
+          actions += f"WARNING recall-floor-unmet-after-rotation(" +
+            f"${after.recallAtK}%.4f<${recallFloor.get}%.4f) — the " +
+            "floor may be unachievable at this nprobe/rerank; raise " +
+            "them or lower the floor, or every tick will rotate"
+      }
     } else if (h.maxFilesPerPartition > maxFilesPerPartition) {
       val n = compactIvfPartitions(spark, path, s"$id-compact",
         maxFilesPerPartition = maxFilesPerPartition,
@@ -1616,6 +1639,11 @@ object Similarity {
       rerank: Int = 0): IvfRecall = {
     require(sampleN >= 1, s"sampleN must be >= 1, got $sampleN")
     require(k >= 1, s"k must be >= 1, got $k")
+    // fail fast, like every other knob: 0 = exact route; a positive
+    // rerank below k cannot produce a top-k, and a negative one would
+    // silently run the exact route while recording a quantized one
+    require(rerank == 0 || rerank >= k,
+      s"rerank must be 0 (exact route) or >= k, got rerank=$rerank k=$k")
     val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
     val corpus = spark.read.parquet(dataRoot)
     if (queryVectors.isDefined) {

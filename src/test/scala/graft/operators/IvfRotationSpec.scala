@@ -324,6 +324,36 @@ class IvfRotationSpec extends AnyFunSuite {
     assert(m2.actions.isEmpty, m2.actions)
   }
 
+  test("ivfMaintain: a recall floor the route cannot reach is " +
+    "diagnosed loudly after the rotation instead of silently looping, " +
+    "and a sub-k recallRerank refuses before any work") {
+    val root = java.nio.file.Files.createTempDirectory("graft-maintfl").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(clusterA, path, centroidK = 2)
+    // floor 1.01 is unreachable by construction: the rotation fires
+    // (recall < floor), the post-rotation re-probe still misses, and
+    // the policy must SAY so instead of leaving a cron to rewrite the
+    // corpus every tick
+    val m = Similarity.ivfMaintain(spark, path, "mfl",
+      maxFilesPerPartition = 1000, skewThreshold = 1e9,
+      recallFloor = Some(1.01), recallSampleN = 16, k = 3, nprobe = 1,
+      centroidK = 2)
+    assert(m.actions.exists(_.startsWith("rotate(")), m.actions)
+    assert(m.actions.exists(
+      _.contains("recall-floor-unmet-after-rotation")), m.actions)
+    // fail fast on a rerank that cannot produce a top-k — BEFORE any
+    // healing or maintenance arm runs
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfMaintain(spark, path, "mfl2",
+        recallFloor = Some(0.9), k = 5, recallRerank = 2)
+    }
+    assert(e.getMessage.contains("recallRerank"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfRecallProbe(spark, path, k = 5, rerank = 2)
+    }
+    assert(e2.getMessage.contains("rerank"))
+  }
+
   test("reader atomicity: a probe at EVERY rotation point sees either " +
     "the old layout or the new one COMPLETE, and flips exactly at the " +
     "pointer publish — for the flat->gen migration AND a gen->gen " +
