@@ -471,8 +471,8 @@ object Similarity {
     // match the LAYOUT's schema, not this build's: appending q8 files
     // into a pre-quantization layout would leave a mixed-schema dir
     // where a plain read resolves columns from an arbitrary file (the
-    // upgrade path for an old layout is rotateIvf, which rebuilds with
-    // the quantized columns)
+    // upgrade path for an old layout is compactIvf, which re-derives
+    // the quantized columns in place with probe answers row-identical)
     if (layoutHasQ8(spark, dataRoot)) withQuantizedCols(assigned)
     else assigned
   }
@@ -800,7 +800,16 @@ object Similarity {
       deferRetire: Boolean = false): Boolean =
     stageGeneration(spark, path, compactionId, "compaction",
       failpoint, deferRetire) { (dataRoot, stageData) =>
-      val corpus = spark.read.parquet(dataRoot)
+      val raw = spark.read.parquet(dataRoot)
+      // compaction doubles as the in-place SQ8 UPGRADE: the rewrite
+      // re-derives q8/qscale from the stored vec for every row (the
+      // algebra is deterministic, so an already-quantized row gets
+      // bit-identical columns back), which turns a pre-quantization
+      // layout — or a MIXED one fsck flagged, whose legacy rows read
+      // q8 as null — uniformly quantized. The assignment is untouched,
+      // so unlike rotateIvf (which re-trains) every probe answer is
+      // row-identical before and after.
+      val corpus = withQuantizedCols(raw.drop("q8", "qscale"))
       val writer = corpus
         // hash-exchange on the partition key: every centroid's rows
         // land in exactly one task, so each partition dir gets one
@@ -1364,7 +1373,7 @@ object Similarity {
           "SQ8 and legacy files INSIDE one partition dir — a plain " +
             "read resolves columns from an arbitrary file and the " +
             "quantized probe reads null q8 for the legacy rows; " +
-            "rotateIvf rebuilds the layout uniform")
+            "compactIvf upgrades it in place, row-identical")
       }
       val uniform = byDir.filter(_._2.size == 1)
         .map { case (d, s) => (d, s.head) }
@@ -1374,8 +1383,8 @@ object Similarity {
           s"${q8dirs.size} partition dir(s) carry the SQ8 columns and " +
             s"${legacy.size} do not (first of each: " +
             s"${q8dirs.head._1} vs ${legacy.head._1}) — a plain read " +
-            "resolves columns from an arbitrary file; rotateIvf " +
-            "rebuilds the layout uniform")
+            "resolves columns from an arbitrary file; compactIvf " +
+            "upgrades it in place, row-identical")
     }
     out.toSeq ++ EpochLedger.fsck(spark, path, "centroid_id=",
       Some(dataRoot))
@@ -1812,8 +1821,9 @@ object Similarity {
       s"$path is not a current IVF layout (centroid_id must be the " +
         "prefixed-string partition column) — rewrite it with writeIvfPartitioned")
     require(corpus.schema.fieldNames.contains("q8"),
-      s"$path has no quantized columns (built before SQ8) — rotateIvf " +
-        "rebuilds the layout with q8/qscale")
+      s"$path has no quantized columns (built before SQ8) — compactIvf " +
+        "upgrades it in place (row-identical probes); rotateIvf also " +
+        "rebuilds but re-trains")
     val queries = corpus.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col("centroid_id"),
         col("q8").as("q8_q"), col("qscale").as("qscale_q"),
@@ -2038,8 +2048,9 @@ object Similarity {
     val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
     val corpus = spark.read.parquet(dataRoot)
     require(corpus.schema.fieldNames.contains("q8"),
-      s"$path has no quantized columns (built before SQ8) — rotateIvf " +
-        "rebuilds the layout with q8/qscale")
+      s"$path has no quantized columns (built before SQ8) — compactIvf " +
+        "upgrades it in place (row-identical probes); rotateIvf also " +
+        "rebuilds but re-trains")
     val cent = spark.read.parquet(s"$dataRoot/_centroids")
     val q = withQuantizedCols(asDouble(queries, idCol = queryIdCol))
       .select(col(queryIdCol).as("query_id"), col("vec").as("vec_q"),

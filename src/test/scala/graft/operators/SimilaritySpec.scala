@@ -312,6 +312,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.appendIvfEpoch(novel, s"$root/old", "old-e1"))
     assert(!spark.read.parquet(s"$root/old").schema.fieldNames
       .contains("q8"))
+    // compactIvf IS the in-place upgrade: same assignment, probe rows
+    // identical to the pre-upgrade exact probe, and the quantized
+    // probe now serves
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+    val preUpgrade = rows(Similarity.ivfKnnPartitioned(spark,
+      s"$root/old", Seq(0L, 1L), k = 4, nprobe = 2))
+    assert(Similarity.compactIvf(spark, s"$root/old", "upg1"))
+    val upgraded = spark.read.parquet(
+      Similarity.ivfDataRoot(spark, s"$root/old"))
+    assert(upgraded.schema.fieldNames.contains("q8"))
+    assert(upgraded.filter(col("q8").isNull).count() == 0)
+    assert(rows(Similarity.ivfKnnPartitioned(spark, s"$root/old",
+      Seq(0L, 1L), k = 4, nprobe = 2)) == preUpgrade)
+    val n = upgraded.count().toInt
+    assert(rows(Similarity.ivfKnnQuantized(spark, s"$root/old",
+      Seq(0L, 1L), k = 4, nprobe = 2, rerank = n)) == preUpgrade)
+    // ...and fsck deep-schema reads the upgraded layout uniform (the
+    // only finding left is the retired pre-upgrade root, info-grade)
+    assert(Similarity.ivfFsck(spark, s"$root/old", deepSchema = true)
+      .forall(_.code == "retired-present"))
   }
 
   test("appendIvfPartitioned: appending novels equals a full rebuild over " +
