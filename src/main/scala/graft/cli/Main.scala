@@ -77,6 +77,16 @@ object Main {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** The recall observable with its route marker — one definition for
+    * `ivf health` and `ivf maintain`, so an operator can always tell
+    * an exact-route number from an SQ8-route one.
+    */
+  private def formatRecall(
+      r: graft.operators.Similarity.IvfRecall): String = {
+    val route = if (r.rerank > 0) s",rerank=${r.rerank}" else ""
+    f"${r.recallAtK}%.4f(k=${r.k},nprobe=${r.nprobe}$route)"
+  }
+
   /** One line per fsck finding, `clean` when the doctor found nothing
     * — shared by `ivf fsck` and `dedup fsck` so the two outputs can
     * never drift.
@@ -255,12 +265,7 @@ object Main {
           recallSampleN = flag("--recall").map(_.toInt).getOrElse(0),
           k = recallK, nprobe = recallNprobe,
           queryVectors = recallQueries, recallRerank = recallRerank)
-        val recallStr = h.recall
-          .map { r =>
-            val route = if (r.rerank > 0) s",rerank=${r.rerank}" else ""
-            f"${r.recallAtK}%.4f(k=${r.k},nprobe=${r.nprobe}$route)"
-          }
-          .getOrElse("-")
+        val recallStr = h.recall.map(formatRecall).getOrElse("-")
         s"dataRoot=${h.dataRoot} generation=${h.generation.getOrElse("-")} " +
           s"partitions=${h.partitions} files=${h.files} bytes=${h.bytes} " +
           s"maxFilesPerPartition=${h.maxFilesPerPartition} " +
@@ -313,10 +318,8 @@ object Main {
         s"actions=$acts " +
           f"skewRatio=${m.health.skewRatio}%.2f " +
           s"maxFilesPerPartition=${m.health.maxFilesPerPartition}" +
-          m.health.recall.map { r =>
-            val route = if (r.rerank > 0) s",rerank=${r.rerank}" else ""
-            f" recall=${r.recallAtK}%.4f(k=${r.k},nprobe=${r.nprobe}$route)"
-          }.getOrElse("")
+          m.health.recall.map(r => s" recall=${formatRecall(r)}")
+            .getOrElse("")
       case "retire-superseded" =>
         val n = Similarity.retireSupersededGenerations(spark, layout,
           id("name"))

@@ -1282,6 +1282,11 @@ object Similarity {
       nprobe: Int = 1,
       queryVectors: Option[DataFrame] = None,
       recallRerank: Int = 0): IvfHealth = {
+    // fail fast, before any listing work (the probe would refuse the
+    // same way, but only after the stats read)
+    require(recallRerank == 0 || recallRerank >= k,
+      s"recallRerank must be 0 (exact route) or >= k, got " +
+        s"recallRerank=$recallRerank k=$k")
     val f = Dedup.fsFor(spark, path)
     val stats = ivfPartitionStats(spark, path)
     IvfHealth(
@@ -1388,6 +1393,26 @@ object Similarity {
     }
     out.toSeq ++ EpochLedger.fsck(spark, path, "centroid_id=",
       Some(dataRoot))
+  }
+
+  /** A token of the layout's DATA state: the current generation name
+    * (or `flat`) plus an MD5 of the sorted ledgered applied-id set.
+    * Identical token ⇒ no append/rotation/compaction protocol has
+    * changed the layout since — what arms and re-arms
+    * [[ivfMaintain]]'s recall circuit breaker.
+    */
+  private def layoutStateToken(
+      f: org.apache.hadoop.fs.FileSystem,
+      path: String): String = {
+    val gen = currentGenName(f, path).getOrElse("flat")
+    val ids =
+      if (f.exists(new org.apache.hadoop.fs.Path(s"$path/_epochs")))
+        EpochLedger.ledgeredIds(f, path).toSeq.sorted.mkString(",")
+      else ""
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(ids.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"$gen|$md5"
   }
 
   /** What [[ivfMaintain]] did and why: the action strings in execution
@@ -1548,10 +1573,53 @@ object Similarity {
       queryVectors = if (recallFloor.isDefined) queryVectors else None,
       recallRerank = recallRerank)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fsys = Dedup.fsFor(spark, path)
     val skewHit = h.skewRatio > skewThreshold
     val recallHit = recallFloor.exists(fl =>
       h.recall.exists(_.recallAtK < fl))
-    if (skewHit || recallHit) {
+    // the recall CIRCUIT BREAKER: a rotation repairs ROUTING-drift
+    // recall, but a floor the route cannot reach at this nprobe/rerank
+    // (SQ8 shortlist starvation, quantization error) would fire a full
+    // corpus rewrite EVERY tick forever — the endless-rewrite
+    // pathology the filesPerPartition guard refuses for compaction.
+    // After a recall-rotation that still misses the floor, the policy
+    // records the attempt keyed to the layout's exact DATA state
+    // (generation + ledgered-id set) and the recall config; as long as
+    // neither changes, re-rotating is provably futile and the rotate
+    // arm is SKIPPED with a loud action. Any append/rotation re-arms
+    // it (the state token moves), as does changing the floor/knobs.
+    // Advisory state under the single maintenance writer: a torn or
+    // garbage breaker file reads as absent and only costs one more
+    // measured attempt.
+    val breakerP = new org.apache.hadoop.fs.Path(
+      s"$path/_maintain/recall-breaker")
+    def breakerArmed: Option[String] =
+      try {
+        if (!fsys.exists(breakerP)) None
+        else {
+          val m = EpochLedger.readSmallFile(fsys, breakerP).split('\n')
+            .flatMap { line =>
+              val i = line.indexOf(':')
+              if (i < 0) None else Some(line.take(i) -> line.drop(i + 1))
+            }.toMap
+          val matches =
+            m.get("floor").contains(recallFloor.get.toString) &&
+              m.get("k").contains(k.toString) &&
+              m.get("nprobe").contains(nprobe.toString) &&
+              m.get("rerank").contains(recallRerank.toString) &&
+              m.get("state").contains(layoutStateToken(fsys, path))
+          if (matches) m.get("recall") else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val recallBroken = recallHit && !skewHit && breakerArmed.isDefined
+    if (recallBroken)
+      actions += f"rotate-skipped(recall " +
+        f"${h.recall.get.recallAtK}%.4f<${recallFloor.get}%.4f, but a " +
+        s"rotation on this exact layout state already measured " +
+        s"${breakerArmed.get} — the floor is unreachable at this " +
+        "nprobe/rerank; raise them or lower the floor. Appends and " +
+        "rotations re-arm the breaker)"
+    if (skewHit || (recallHit && !recallBroken)) {
       val reason =
         (if (skewHit) Seq(f"skew ${h.skewRatio}%.2f>$skewThreshold%.2f")
          else Seq.empty) ++
@@ -1564,22 +1632,32 @@ object Similarity {
         deferRetire = deferRetire, filesPerPartition = filesPerPartition)
       actions += s"rotate(${reason.mkString(", ")})" +
         (if (applied) "" else " [already applied]")
-      // a recall-triggered rotation must prove it helped: rotation
-      // repairs ROUTING-drift recall, but a floor the route cannot
-      // reach at this nprobe/rerank (SQ8 shortlist starvation,
-      // quantization error) would otherwise fire a full corpus
-      // rewrite EVERY tick forever — the endless-rewrite pathology
-      // the filesPerPartition guard refuses for compaction. Re-probe
-      // once after rotating and say so loudly when the floor is still
-      // unmet, so a cron'd policy's logs carry the diagnosis.
+      // a recall-triggered rotation must prove it helped. On a ledger
+      // REPLAY (applied=false) the layout did not change this tick, so
+      // the health probe's own number IS the post-rotation recall — no
+      // second corpus scan.
       if (recallHit) {
-        val after = ivfRecallProbe(spark, path, recallSampleN.max(1), k,
-          nprobe, queryVectors = queryVectors, rerank = recallRerank)
-        if (after.recallAtK < recallFloor.get)
+        val after =
+          if (applied)
+            ivfRecallProbe(spark, path, recallSampleN.max(1), k, nprobe,
+              queryVectors = queryVectors, rerank = recallRerank)
+              .recallAtK
+          else h.recall.get.recallAtK
+        if (after < recallFloor.get) {
           actions += f"WARNING recall-floor-unmet-after-rotation(" +
-            f"${after.recallAtK}%.4f<${recallFloor.get}%.4f) — the " +
-            "floor may be unachievable at this nprobe/rerank; raise " +
-            "them or lower the floor, or every tick will rotate"
+            f"$after%.4f<${recallFloor.get}%.4f) — breaker armed: the " +
+            "rotate arm will not fire again until the layout's data " +
+            "or the recall config changes"
+          fsys.mkdirs(breakerP.getParent)
+          val out = fsys.create(breakerP, true)
+          try out.write(
+            (s"floor:${recallFloor.get}\nk:$k\nnprobe:$nprobe\n" +
+              s"rerank:$recallRerank\n" +
+              s"state:${layoutStateToken(fsys, path)}\n" +
+              f"recall:$after%.4f")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } else if (fsys.exists(breakerP)) fsys.delete(breakerP, false)
       }
     } else if (h.maxFilesPerPartition > maxFilesPerPartition) {
       val n = compactIvfPartitions(spark, path, s"$id-compact",

@@ -341,6 +341,33 @@ class IvfRotationSpec extends AnyFunSuite {
     assert(m.actions.exists(_.startsWith("rotate(")), m.actions)
     assert(m.actions.exists(
       _.contains("recall-floor-unmet-after-rotation")), m.actions)
+    // ...and the CIRCUIT BREAKER is armed: the next tick must NOT
+    // rewrite the corpus again for the same floor on the same data
+    val m2 = Similarity.ivfMaintain(spark, path, "mflb",
+      maxFilesPerPartition = 1000, skewThreshold = 1e9,
+      recallFloor = Some(1.01), recallSampleN = 16, k = 3, nprobe = 1,
+      centroidK = 2)
+    assert(m2.actions.exists(_.startsWith("rotate-skipped(")), m2.actions)
+    assert(!m2.actions.exists(_.startsWith("rotate(")), m2.actions)
+    assert(!EpochLedger.applied(spark, path, "mflb-rotate"))
+    // new DATA re-arms the breaker: an epoch append moves the state
+    // token, so the policy measures a rotation once more
+    assert(Similarity.appendIvfEpoch(
+      clusterB.limit(4), path, epochId = "mfl-e1"))
+    val m3 = Similarity.ivfMaintain(spark, path, "mflc",
+      maxFilesPerPartition = 1000, skewThreshold = 1e9,
+      recallFloor = Some(1.01), recallSampleN = 16, k = 3, nprobe = 1,
+      centroidK = 2)
+    assert(m3.actions.exists(_.startsWith("rotate(")), m3.actions)
+    assert(m3.actions.exists(
+      _.contains("recall-floor-unmet-after-rotation")), m3.actions)
+    // a floor the layout already meets is healthy — the armed breaker
+    // (keyed to the 1.01 config) never misfires for other configs
+    val m4 = Similarity.ivfMaintain(spark, path, "mfld",
+      maxFilesPerPartition = 1000, skewThreshold = 1e9,
+      recallFloor = Some(0.01), recallSampleN = 16, k = 3, nprobe = 1,
+      centroidK = 2)
+    assert(m4.actions.isEmpty, m4.actions)
     // fail fast on a rerank that cannot produce a top-k — BEFORE any
     // healing or maintenance arm runs
     val e = intercept[IllegalArgumentException] {
