@@ -1602,23 +1602,33 @@ object Similarity {
               val i = line.indexOf(':')
               if (i < 0) None else Some(line.take(i) -> line.drop(i + 1))
             }.toMap
+          // the key carries the recall config AND the rotation's
+          // training knobs: a different centroidK/sampleFrac trains a
+          // different index, which was never measured — it must re-arm
           val matches =
             m.get("floor").contains(recallFloor.get.toString) &&
               m.get("k").contains(k.toString) &&
               m.get("nprobe").contains(nprobe.toString) &&
               m.get("rerank").contains(recallRerank.toString) &&
+              m.get("centroidK").contains(centroidK.toString) &&
+              m.get("sampleFrac").contains(sampleFrac.toString) &&
               m.get("state").contains(layoutStateToken(fsys, path))
           if (matches) m.get("recall") else None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    val recallBroken = recallHit && !skewHit && breakerArmed.isDefined
+    // evaluate the effectful read ONCE: a second evaluation could hit
+    // a transient read error, read as absent, and turn a .get into a
+    // crash mid-tick
+    val armedRecall: Option[String] =
+      if (recallHit && !skewHit) breakerArmed else None
+    val recallBroken = armedRecall.isDefined
     if (recallBroken)
       actions += f"rotate-skipped(recall " +
         f"${h.recall.get.recallAtK}%.4f<${recallFloor.get}%.4f, but a " +
         s"rotation on this exact layout state already measured " +
-        s"${breakerArmed.get} — the floor is unreachable at this " +
-        "nprobe/rerank; raise them or lower the floor. Appends and " +
-        "rotations re-arm the breaker)"
+        s"${armedRecall.get} — the floor is unreachable at this " +
+        "nprobe/rerank/training config; raise them or lower the " +
+        "floor. Appends, rotations and knob changes re-arm the breaker)"
     if (skewHit || (recallHit && !recallBroken)) {
       val reason =
         (if (skewHit) Seq(f"skew ${h.skewRatio}%.2f>$skewThreshold%.2f")
@@ -1644,19 +1654,30 @@ object Similarity {
               .recallAtK
           else h.recall.get.recallAtK
         if (after < recallFloor.get) {
-          actions += f"WARNING recall-floor-unmet-after-rotation(" +
-            f"$after%.4f<${recallFloor.get}%.4f) — breaker armed: the " +
-            "rotate arm will not fire again until the layout's data " +
-            "or the recall config changes"
-          fsys.mkdirs(breakerP.getParent)
-          val out = fsys.create(breakerP, true)
-          try out.write(
-            (s"floor:${recallFloor.get}\nk:$k\nnprobe:$nprobe\n" +
-              s"rerank:$recallRerank\n" +
-              s"state:${layoutStateToken(fsys, path)}\n" +
-              f"recall:$after%.4f")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
+          // only an ACTUAL rotation this tick may arm the breaker: on
+          // a ledger replay (a reused maintenance id) no training ran
+          // on the CURRENT data state, so recording "already measured"
+          // would wrongly fence a rotation that might repair it
+          if (applied) {
+            actions += f"WARNING recall-floor-unmet-after-rotation(" +
+              f"$after%.4f<${recallFloor.get}%.4f) — breaker armed: " +
+              "the rotate arm will not fire again until the layout's " +
+              "data or the recall/training config changes"
+            fsys.mkdirs(breakerP.getParent)
+            val out = fsys.create(breakerP, true)
+            try out.write(
+              (s"floor:${recallFloor.get}\nk:$k\nnprobe:$nprobe\n" +
+                s"rerank:$recallRerank\ncentroidK:$centroidK\n" +
+                s"sampleFrac:$sampleFrac\n" +
+                s"state:${layoutStateToken(fsys, path)}\n" +
+                f"recall:$after%.4f")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          } else
+            actions += f"WARNING recall-floor-unmet(" +
+              f"$after%.4f<${recallFloor.get}%.4f) after a REPLAYED " +
+              "rotation id — no new training ran this tick; re-run " +
+              "with a fresh maintenance id to measure a real rotation"
         } else if (fsys.exists(breakerP)) fsys.delete(breakerP, false)
       }
     } else if (h.maxFilesPerPartition > maxFilesPerPartition) {
@@ -1666,7 +1687,7 @@ object Similarity {
       actions += s"compact-partitions(maxFiles=" +
         s"${h.maxFilesPerPartition}>$maxFilesPerPartition, dirs=$n)"
     }
-    val tail = EpochLedger.ledgerTail(Dedup.fsFor(spark, path), path)
+    val tail = EpochLedger.ledgerTail(fsys, path)
     if (tail > ledgerTailMax) {
       val rolled = EpochLedger.compactLedger(spark, path)
       actions += s"compact-ledger(tail=$tail>$ledgerTailMax, " +

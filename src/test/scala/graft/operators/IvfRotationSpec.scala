@@ -350,6 +350,13 @@ class IvfRotationSpec extends AnyFunSuite {
     assert(m2.actions.exists(_.startsWith("rotate-skipped(")), m2.actions)
     assert(!m2.actions.exists(_.startsWith("rotate(")), m2.actions)
     assert(!EpochLedger.applied(spark, path, "mflb-rotate"))
+    // a different TRAINING config was never measured: the breaker key
+    // mismatches and the rotation runs (and re-arms under that config)
+    val m2b = Similarity.ivfMaintain(spark, path, "mflk",
+      maxFilesPerPartition = 1000, skewThreshold = 1e9,
+      recallFloor = Some(1.01), recallSampleN = 16, k = 3, nprobe = 1,
+      centroidK = 3)
+    assert(m2b.actions.exists(_.startsWith("rotate(")), m2b.actions)
     // new DATA re-arms the breaker: an epoch append moves the state
     // token, so the policy measures a rotation once more
     assert(Similarity.appendIvfEpoch(
