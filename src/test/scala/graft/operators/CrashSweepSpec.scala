@@ -70,10 +70,19 @@ class CrashSweepSpec extends AnyFunSuite {
   private lazy val ivfNovel =
     (100L until 106L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
 
-  private def ivfRows(p: String): Set[(Long, String)] =
-    spark.read.parquet(Similarity.ivfDataRoot(spark, p))
-      .select("vec_id", "centroid_id").collect()
+  private def ivfRows(p: String): Set[(Long, String)] = {
+    val layout = spark.read.parquet(Similarity.ivfDataRoot(spark, p))
+    // every converged IVF layout must also hold the SQ8 columns intact
+    // for every row — a crash-retry cycle that dropped or nulled a q8
+    // would silently break the quantized probe while the exact rows
+    // still look right
+    assert(layout.schema.fieldNames.contains("q8"))
+    assert(layout.filter(org.apache.spark.sql.functions.col("q8").isNull
+      .or(org.apache.spark.sql.functions.col("qscale").isNull))
+      .count() == 0L)
+    layout.select("vec_id", "centroid_id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
+  }
 
   /** The rebuild target: centroid sampling is deterministic (id-hash),
     * so the grown layout's rows are the same in every trial — computed
