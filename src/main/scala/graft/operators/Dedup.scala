@@ -856,13 +856,8 @@ object Dedup {
     // index-side footprints (the recoverRotations idOf variant: one
     // leading '.' marks the in-flight copy temp, which follows its
     // visible sibling)
-    def idOf(name: String): Option[String] = {
-      val n = if (name.startsWith(".")) name.drop(1) else name
-      val i = n.indexOf('=')
-      if (i > 0 && !n.startsWith(".") && !n.startsWith("_"))
-        Some(n.substring(0, i))
-      else None
-    }
+    def idOf(name: String): Option[String] =
+      EpochLedger.footprintId(name, allowLeadingDot = true)
     val ip = new org.apache.hadoop.fs.Path(indexPath)
     val idxFs = ip.getFileSystem(f.getConf)
     // (id, wasInflightTemp) per index-root footprint file
@@ -1332,13 +1327,8 @@ object Dedup {
     // leading '.' marks the index's in-flight copy temps. Deeper-hidden
     // names (checksum '.crc' siblings) resolve to ids starting with
     // '.' and are rejected — they follow their visible sibling's move.
-    def idOf(name: String): Option[String] = {
-      val n = if (name.startsWith(".")) name.drop(1) else name
-      val i = n.indexOf('=')
-      if (i > 0 && !n.startsWith(".") && !n.startsWith("_"))
-        Some(n.substring(0, i))
-      else None
-    }
+    def idOf(name: String): Option[String] =
+      EpochLedger.footprintId(name, allowLeadingDot = true)
     val residue = scala.collection.mutable.ArrayBuffer
       .empty[(String, org.apache.hadoop.fs.FileSystem,
         org.apache.hadoop.fs.Path, String)]

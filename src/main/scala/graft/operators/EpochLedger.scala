@@ -340,7 +340,16 @@ object EpochLedger {
       maxFilesPerPartition: Int,
       maxRecordsPerFile: Long,
       failpoint: String => Unit,
-      filesPerPartition: Int = 1): Int = {
+      filesPerPartition: Int = 1,
+      // caller-supplied ROW healer applied to the rewrite's input —
+      // the IVF caller re-derives the SQ8 columns here so a
+      // mixed-schema dir (a restored legacy file beside quantized
+      // ones) compacts to uniformly-quantized rows instead of baking
+      // the legacy rows' q8 as persisted nulls the quantized probe
+      // silently drops. Must be row-preserving (same ids, same
+      // partition values); the dedup history passes identity.
+      heal: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = identity): Int = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     requireEpochId(id)
     require(maxFilesPerPartition >= 1,
@@ -400,8 +409,8 @@ object EpochLedger {
     // over-threshold dir is tens of GB — at the cost of that many
     // files per compacted dir (keep it <= maxFilesPerPartition or the
     // dir re-triggers next tick).
-    val src = spark.read.option("basePath", dataRoot)
-      .parquet(targets.map(d => s"$dataRoot/$d"): _*)
+    val src = heal(spark.read.option("basePath", dataRoot)
+      .parquet(targets.map(d => s"$dataRoot/$d"): _*))
     val exchanged =
       if (filesPerPartition <= 1) src.repartition(col(partitionCol))
       else src.repartition(col(partitionCol),
@@ -564,6 +573,28 @@ object EpochLedger {
       else None
     }.toMap
 
+  /** The epoch footprint id of a live-layout file NAME — the ONE
+    * definition recovery and the fsck doctors share, so a doctor can
+    * never report a different torn set than recovery acts on. A
+    * leading '.' marks hidden temps/checksums: with
+    * `allowLeadingDot = false` (the single-layout protocol) they
+    * resolve to None and follow their visible sibling; with `true`
+    * (the dedup index side) ONE leading dot is stripped — the
+    * cross-FS in-flight copy temp — while deeper-hidden names
+    * ('..foo', checksum '.crc' siblings resolving to dotted ids)
+    * still reject.
+    */
+  private[operators] def footprintId(
+      name: String,
+      allowLeadingDot: Boolean = false): Option[String] = {
+    val n =
+      if (allowLeadingDot && name.startsWith(".")) name.drop(1) else name
+    val i = n.indexOf('=')
+    if (i > 0 && !n.startsWith(".") && !n.startsWith("_"))
+      Some(n.substring(0, i))
+    else None
+  }
+
   /** Any live `<id>=` footprint file under the layout's `partPrefix`
     * partition dirs? The listing the ledger-loss valve judges — shared
     * with the rotation recovery, which must refuse completion over a
@@ -705,14 +736,7 @@ object EpochLedger {
       dataRoot: Option[String] = None): Unit = {
     val f = Dedup.fsFor(spark, path)
     val dr = dataRoot.getOrElse(path)
-    // footprint id of a live-layout file name; a leading '.' marks
-    // hidden temps/checksums, which follow their visible sibling
-    def idOf(name: String): Option[String] = {
-      val i = name.indexOf('=')
-      if (i > 0 && !name.startsWith(".") && !name.startsWith("_"))
-        Some(name.substring(0, i))
-      else None
-    }
+    def idOf(name: String): Option[String] = footprintId(name)
     val residue = scala.collection.mutable.ArrayBuffer
       .empty[(String, Path, String)]
     val root = new Path(dr)
@@ -835,12 +859,7 @@ object EpochLedger {
     val f = Dedup.fsFor(spark, path)
     val dr = dataRoot.getOrElse(path)
     val out = scala.collection.mutable.ArrayBuffer.empty[FsckFinding]
-    def idOf(name: String): Option[String] = {
-      val i = name.indexOf('=')
-      if (i > 0 && !name.startsWith(".") && !name.startsWith("_"))
-        Some(name.substring(0, i))
-      else None
-    }
+    def idOf(name: String): Option[String] = footprintId(name)
     // live-dir footprints, same walk as the recovery sweep
     val residue = scala.collection.mutable.ArrayBuffer
       .empty[(String, Path)]

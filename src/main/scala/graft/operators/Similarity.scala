@@ -65,12 +65,21 @@ object Similarity {
     * 100 TB scan-width lever ([[ivfKnnQuantized]]).
     */
   private def withQuantizedCols(df: DataFrame): DataFrame =
-    df.withColumn("qscale",
-        expr("aggregate(vec, 0D, (m, x) -> greatest(m, abs(x)))") / 127.0)
-      .withColumn("q8",
-        graft.functions.PackInt8(expr(
-          "CASE WHEN qscale = 0D THEN transform(vec, x -> 0) " +
-            "ELSE transform(vec, x -> CAST(round(x / qscale, 0) AS INT)) END")))
+    df.withColumn("qscale", int8Scale)
+      .withColumn("q8", graft.functions.PackInt8(int8Ints("qscale")))
+
+  /** The int8 quantization algebra — ONE definition shared by
+    * [[quantizeInt8]] (the q41 oracle-proven function) and the
+    * layout's stored columns ([[withQuantizedCols]]), so the at-rest
+    * q8 can never silently drift from the oracle-verified rounding.
+    */
+  private def int8Scale: Column =
+    expr("aggregate(vec, 0D, (m, x) -> greatest(m, abs(x)))") / 127.0
+
+  private def int8Ints(scaleCol: String): Column =
+    expr(s"CASE WHEN $scaleCol = 0D THEN transform(vec, x -> 0) " +
+      s"ELSE transform(vec, x -> CAST(round(x / $scaleCol, 0) AS INT)) " +
+      "END")
 
   /** Brute-force cosine top-k: every query (by id) against the whole
     * corpus, excluding self. Deterministic tie-break on neighbor id.
@@ -896,12 +905,30 @@ object Similarity {
       failpoint: String => Unit,
       filesPerPartition: Int = 1): Int = {
     recoverIvfEpochs(spark, path)
+    val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
+    // heal the SQ8 columns through the rewrite, but ONLY on a layout
+    // that carries them: re-deriving q8/qscale from vec turns a
+    // mixed-schema dir (a restored legacy file beside quantized ones,
+    // whose rows would otherwise bake q8 as persisted nulls the
+    // quantized probe silently drops) uniformly quantized — while a
+    // fully LEGACY layout must stay legacy, or compacting one dir
+    // would CREATE the mixed layout this guard exists to prevent
+    // judged from the layout's first footer OR the rewrite input's own
+    // resolved schema: in a mixed layout either probe alone can land
+    // on the legacy side, but quantized files anywhere mean the layout
+    // is (meant to be) quantized
+    val layoutQ8 = layoutHasQ8(spark, dataRoot)
+    val heal: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = df =>
+      if (layoutQ8 || df.schema.fieldNames.contains("q8"))
+        withQuantizedCols(df.drop("q8", "qscale"))
+      else df
     EpochLedger.compactPartitionsStaged(spark, path,
-      dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path),
+      dataRoot = dataRoot,
       partitionCol = "centroid_id", id = compactionId,
       maxFilesPerPartition = maxFilesPerPartition,
       maxRecordsPerFile = maxRecordsPerFile, failpoint = failpoint,
-      filesPerPartition = filesPerPartition)
+      filesPerPartition = filesPerPartition, heal = heal)
   }
 
   /** Shared staged-generation runner behind [[rotateIvf]] and
@@ -1390,6 +1417,22 @@ object Similarity {
             s"${q8dirs.head._1} vs ${legacy.head._1}) — a plain read " +
             "resolves columns from an arbitrary file; compactIvf " +
             "upgrades it in place, row-identical")
+      // VALUE-level: per-file field presence cannot see nulls a prior
+      // rewrite of a then-mixed dir baked into real q8 columns — rows
+      // the quantized probe silently drops (null qsim never enters
+      // the shortlist). One narrow (q8, qscale) scan; deep mode is
+      // the opt-in incident tool, so the data read is by design.
+      val layout = spark.read.parquet(dataRoot)
+      if (layout.schema.fieldNames.contains("q8")) {
+        val nulls = layout
+          .filter(col("q8").isNull.or(col("qscale").isNull)).count()
+        if (nulls > 0)
+          out += EpochLedger.FsckFinding("schema-null-q8", "warn",
+            dataRoot,
+            s"$nulls row(s) carry null q8/qscale — invisible to the " +
+              "quantized probe; compactIvf re-derives them in place, " +
+              "row-identical")
+      }
     }
     out.toSeq ++ EpochLedger.fsck(spark, path, "centroid_id=",
       Some(dataRoot))
@@ -1597,11 +1640,7 @@ object Similarity {
       try {
         if (!fsys.exists(breakerP)) None
         else {
-          val m = EpochLedger.readSmallFile(fsys, breakerP).split('\n')
-            .flatMap { line =>
-              val i = line.indexOf(':')
-              if (i < 0) None else Some(line.take(i) -> line.drop(i + 1))
-            }.toMap
+          val m = EpochLedger.readManifest(fsys, breakerP)
           // the key carries the recall config AND the rotation's
           // training knobs: a different centroidK/sampleFrac trains a
           // different index, which was never measured — it must re-arm
@@ -1804,6 +1843,31 @@ object Similarity {
     IvfRecall(recall, qids.size, k, nprobe, rerank)
   }
 
+  /** Rank `queries` (carrying `vec_q`/`nrm_q` plus any extra columns)
+    * against the layout's `_centroids` sidecar and keep each query's
+    * top-`nprobe` centroids — THE routing tie-break every probe shares
+    * (cosine desc, then the NUMERIC centroid id), the property the
+    * q43/q61/q65/q68/q69 oracles hash-pin. One definition so the
+    * quantized route's probed partitions can never silently diverge
+    * from the exact route's. `keep` is the output column list.
+    */
+  private def rankRoutes(
+      spark: org.apache.spark.sql.SparkSession,
+      dataRoot: String,
+      queries: DataFrame,
+      nprobe: Int,
+      keep: Seq[String]): DataFrame = {
+    val cent = spark.read.parquet(s"$dataRoot/_centroids")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc,
+        expr("CAST(substring(centroid_id, 2) AS BIGINT)"))
+    queries.join(broadcast(cent))
+      .withColumn("csim", dot("vec_q", "cvec") / (col("nrm_q") * col("cnrm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select(keep.map(col): _*)
+  }
+
   /** ANN top-k over an [[writeIvfPartitioned]] layout: resolve each
     * query's `nprobe` centroid directories (a tiny driver-side list — the
     * price of turning the probe into LITERAL partition predicates), then
@@ -1837,18 +1901,8 @@ object Similarity {
         col("vec").as("vec_q"), col("nrm").as("nrm_q"))
     val probes =
       if (nprobe == 1) queries
-      else {
-        val cent = spark.read.parquet(s"$dataRoot/_centroids")
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("csim").desc,
-            expr("CAST(substring(centroid_id, 2) AS BIGINT)"))
-        queries.drop("centroid_id")
-          .join(broadcast(cent))
-          .withColumn("csim", dot("vec_q", "cvec") / (col("nrm_q") * col("cnrm")))
-          .withColumn("crank", row_number().over(w))
-          .filter(col("crank") <= nprobe)
-          .select("query_id", "centroid_id", "vec_q", "nrm_q")
-      }
+      else rankRoutes(spark, dataRoot, queries.drop("centroid_id"),
+        nprobe, Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
     val probed: Seq[String] = probes.select("centroid_id").distinct()
       .collect().map(_.getString(0)).toSeq
     val scored = corpus
@@ -1929,19 +1983,9 @@ object Similarity {
         col("vec").as("vec_q"), col("nrm").as("nrm_q"))
     val probes =
       if (nprobe == 1) queries
-      else {
-        val cent = spark.read.parquet(s"$dataRoot/_centroids")
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("csim").desc,
-            expr("CAST(substring(centroid_id, 2) AS BIGINT)"))
-        queries.drop("centroid_id")
-          .join(broadcast(cent))
-          .withColumn("csim", dot("vec_q", "cvec") / (col("nrm_q") * col("cnrm")))
-          .withColumn("crank", row_number().over(w))
-          .filter(col("crank") <= nprobe)
-          .select("query_id", "centroid_id", "q8_q", "qscale_q",
-            "vec_q", "nrm_q")
-      }
+      else rankRoutes(spark, dataRoot, queries.drop("centroid_id"),
+        nprobe, Seq("query_id", "centroid_id", "q8_q", "qscale_q",
+          "vec_q", "nrm_q"))
     sq8TopK(spark, corpus, probes, k, m, idCol, excludeSelf = true)
   }
 
@@ -2093,18 +2137,11 @@ object Similarity {
     // from the same generation
     val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
     val corpus = spark.read.parquet(dataRoot)
-    val cent = spark.read.parquet(s"$dataRoot/_centroids")
     val q = asDouble(queries, idCol = queryIdCol)
       .select(col(queryIdCol).as("query_id"), col("vec").as("vec_q"),
         col("nrm").as("nrm_q"))
-    val w0 = Window.partitionBy("query_id")
-      .orderBy(col("csim").desc,
-        expr("CAST(substring(centroid_id, 2) AS BIGINT)"))
-    val probes = q.join(broadcast(cent))
-      .withColumn("csim", dot("vec_q", "cvec") / (col("nrm_q") * col("cnrm")))
-      .withColumn("crank", row_number().over(w0))
-      .filter(col("crank") <= nprobe)
-      .select("query_id", "centroid_id", "vec_q", "nrm_q")
+    val probes = rankRoutes(spark, dataRoot, q, nprobe,
+      Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
     val probed: Seq[String] = probes.select("centroid_id").distinct()
       .collect().map(_.getString(0)).toSeq
     val scored = corpus
@@ -2150,20 +2187,13 @@ object Similarity {
       s"$path has no quantized columns (built before SQ8) — compactIvf " +
         "upgrades it in place (row-identical probes); rotateIvf also " +
         "rebuilds but re-trains")
-    val cent = spark.read.parquet(s"$dataRoot/_centroids")
     val q = withQuantizedCols(asDouble(queries, idCol = queryIdCol))
       .select(col(queryIdCol).as("query_id"), col("vec").as("vec_q"),
         col("nrm").as("nrm_q"), col("q8").as("q8_q"),
         col("qscale").as("qscale_q"))
-    val w0 = Window.partitionBy("query_id")
-      .orderBy(col("csim").desc,
-        expr("CAST(substring(centroid_id, 2) AS BIGINT)"))
-    val probes = q.join(broadcast(cent))
-      .withColumn("csim", dot("vec_q", "cvec") / (col("nrm_q") * col("cnrm")))
-      .withColumn("crank", row_number().over(w0))
-      .filter(col("crank") <= nprobe)
-      .select("query_id", "centroid_id", "q8_q", "qscale_q", "vec_q",
-        "nrm_q")
+    val probes = rankRoutes(spark, dataRoot, q, nprobe,
+      Seq("query_id", "centroid_id", "q8_q", "qscale_q", "vec_q",
+        "nrm_q"))
     // no self-exclusion: external ids are their own namespace
     sq8TopK(spark, corpus, probes, k, m, idCol, excludeSelf = false)
   }
@@ -2562,11 +2592,8 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame =
     asDouble(emb, vecCol, idCol)
-      .withColumn("scale",
-        expr("aggregate(vec, 0D, (m, x) -> greatest(m, abs(x)))") / 127.0)
-      .withColumn("qvec",
-        expr("CASE WHEN scale = 0D THEN transform(vec, x -> 0) " +
-          "ELSE transform(vec, x -> CAST(round(x / scale, 0) AS INT)) END"))
+      .withColumn("scale", int8Scale)
+      .withColumn("qvec", int8Ints("scale"))
       .select(
         col(idCol),
         col("scale"),

@@ -148,7 +148,10 @@ class FsckSpec extends AnyFunSuite {
       .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
     assert(f.rename(lf, new org.apache.hadoop.fs.Path(pd, lf.getName)))
     val fs = Similarity.ivfFsck(spark, path, deepSchema = true)
-    assert(codes(fs) == Seq("schema-mixed"), fs)
+    // BOTH findings: the dir-level mix, and — since the layout's
+    // resolved schema carries q8 — the legacy dir's rows reading as
+    // value-level nulls
+    assert(codes(fs).sorted == Seq("schema-mixed", "schema-null-q8"), fs)
     // shallow mode deliberately skips the per-dir footer reads
     assert(Similarity.ivfFsck(spark, path).isEmpty)
     // INTRA-dir mix: a legacy file restored BESIDE quantized files in
@@ -171,6 +174,36 @@ class FsckSpec extends AnyFunSuite {
     val fs2 = Similarity.ivfFsck(spark, path, deepSchema = true)
     assert(fs2.exists(fd => fd.code == "schema-mixed" &&
       fd.subject.endsWith(pd2.getName)), fs2)
+  }
+
+  test("ivfFsck deepSchema: PERSISTED null q8 rows — invisible to " +
+    "per-file field presence — are reported at value level") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fsck7").toString
+    val path = s"$root/ivf"
+    val e = emb()
+    Similarity.writeIvfPartitioned(e.filter(col("vec_id") < 32), path)
+    val f = Dedup.fsFor(spark, path)
+    val pd = f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id=")).head.getPath
+    // a file whose q8 FIELD exists but holds nulls (what a pre-heal
+    // rewrite of a mixed dir used to bake in)
+    val nulled = spark.read.option("basePath", path).parquet(pd.toString)
+      .select("vec_id", "vec", "nrm")
+      .withColumn("q8", org.apache.spark.sql.functions.lit(null)
+        .cast("binary"))
+      .withColumn("qscale", org.apache.spark.sql.functions.lit(null)
+        .cast("double"))
+    val tmp = s"$root/nulled"
+    nulled.coalesce(1).write.parquet(tmp)
+    val nf = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(f.rename(nf, new org.apache.hadoop.fs.Path(pd, nf.getName)))
+    val fs = Similarity.ivfFsck(spark, path, deepSchema = true)
+    assert(fs.exists(_.code == "schema-null-q8"), fs)
+    assert(!fs.exists(_.code == "schema-mixed"), fs) // field-uniform
+    // shallow mode deliberately skips the data read
+    assert(Similarity.ivfFsck(spark, path).isEmpty)
   }
 
   test("dedupFsck: an index-only footprint with the ledger gone is the " +

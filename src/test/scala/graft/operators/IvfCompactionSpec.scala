@@ -443,6 +443,48 @@ class IvfCompactionSpec extends AnyFunSuite {
     assert(probe(path) == probeBefore)
   }
 
+  test("partition compaction HEALS a mixed-schema dir: legacy rows " +
+    "re-gain real q8 instead of baking persisted nulls the quantized " +
+    "probe would silently drop") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pheal").toString
+    val (path, hotDir) = lopsided(root)
+    val before = rows(path)
+    val dataRoot = Similarity.ivfDataRoot(spark, path)
+    // strip the SQ8 columns from ONE of the hot dir's files — the
+    // restored-legacy-file incident shape
+    val f = Dedup.fsFor(spark, path)
+    val pd = new org.apache.hadoop.fs.Path(s"$dataRoot/$hotDir")
+    val victim = f.listStatus(pd)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val legacy = spark.read.option("basePath", dataRoot)
+      .parquet(victim.toString).select("vec_id", "vec", "nrm")
+    val tmp = s"$root/legacy"
+    legacy.coalesce(1).write.parquet(tmp)
+    f.delete(victim, false)
+    val lf = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(f.rename(lf, new org.apache.hadoop.fs.Path(pd, lf.getName)))
+    // the rewrite must re-derive, not propagate nulls
+    assert(Similarity.compactIvfPartitions(spark, path, "ph1",
+      maxFilesPerPartition = 1) >= 1)
+    val healed = spark.read.parquet(dataRoot)
+    assert(healed.schema.fieldNames.contains("q8"))
+    assert(healed.filter(col("q8").isNull.or(col("qscale").isNull))
+      .count() == 0L)
+    assert(rows(path) == before)
+    // the quantized probe serves every row again: exhaustive rerank
+    // equals the exact probe over the healed layout
+    val n = healed.count().toInt
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+    assert(collect(Similarity.ivfKnnQuantized(spark, path, Seq(0L, 3L),
+        k = 3, nprobe = 2, rerank = n)) ==
+      collect(Similarity.ivfKnnPartitioned(spark, path, Seq(0L, 3L),
+        k = 3, nprobe = 2)))
+  }
+
   test("compactIvfPartitions on a flat (never-rotated) layout stays " +
     "flat and keeps ledger evidence via footprints") {
     val root = java.nio.file.Files.createTempDirectory("graft-pcmpf").toString
