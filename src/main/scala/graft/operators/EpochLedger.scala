@@ -409,7 +409,14 @@ object EpochLedger {
     // over-threshold dir is tens of GB — at the cost of that many
     // files per compacted dir (keep it <= maxFilesPerPartition or the
     // dir re-triggers next tick).
+    // mergeSchema: the rewrite input's schema must be the UNION over
+    // the target files, not an arbitrary first footer — a mixed-schema
+    // dir (e.g. a restored legacy file beside SQ8-quantized ones)
+    // would otherwise nondeterministically DROP the wider columns from
+    // every other file in the rewrite. Footer cost is bounded by the
+    // fragmented set this call is about to rewrite anyway.
     val src = heal(spark.read.option("basePath", dataRoot)
+      .option("mergeSchema", "true")
       .parquet(targets.map(d => s"$dataRoot/$d"): _*))
     val exchanged =
       if (filesPerPartition <= 1) src.repartition(col(partitionCol))

@@ -486,30 +486,38 @@ object Similarity {
     else assigned
   }
 
-  /** Does the layout at `dataRoot` carry the SQ8 columns? Answered
-    * from the FIRST parquet footer found across the partition dirs —
-    * O(root children) listings plus one dir listing in the common case
-    * (more only while leading dirs are file-less) — never a
-    * full-layout file index (an every-epoch append must not pay the
-    * O(total files) listing the compaction machinery exists to
-    * bound). Scanning dirs until a file is found matters: judging
-    * only the first-listed dir would mistake a legacy layout whose
-    * first dir happens to be empty for a quantized one and append
-    * mixed-schema files. A layout with no data files at all reads as
-    * quantized: its first files define the (modern) schema.
+  /** Does the layout at `dataRoot` carry the SQ8 columns ANYWHERE?
+    * One footer per partition dir, SHORT-CIRCUITING at the first
+    * q8-bearing file — a quantized layout answers after ONE footer
+    * read; only a fully legacy layout walks all dirs (a transitional
+    * state). Judging a single arbitrary footer would nondeterministically
+    * read a quantized layout as legacy when a restored legacy file
+    * happens to list first. Never a full-layout file index (an
+    * every-epoch append must not pay the O(total files) listing the
+    * compaction machinery exists to bound); the residual corner — a
+    * mixed layout where EVERY dir's first-listed file is legacy —
+    * is caught by `ivfFsck --deep-schema`'s per-file walk. A layout
+    * with no data files at all reads as quantized: its first files
+    * define the (modern) schema.
     */
   private def layoutHasQ8(
       spark: org.apache.spark.sql.SparkSession,
       dataRoot: String): Boolean = {
     val f = Dedup.fsFor(spark, dataRoot)
-    f.listStatus(new org.apache.hadoop.fs.Path(dataRoot)).iterator
+    val firstFiles = f
+      .listStatus(new org.apache.hadoop.fs.Path(dataRoot)).iterator
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("centroid_id="))
       .flatMap(d => f.listStatus(d.getPath)
         .find(_.getPath.getName.endsWith(".parquet")))
-      .nextOption()
-      .forall(pf => spark.read.parquet(pf.getPath.toString)
-        .schema.fieldNames.contains("q8"))
+    var sawAny = false
+    while (firstFiles.hasNext) {
+      sawAny = true
+      if (spark.read.parquet(firstFiles.next().getPath.toString)
+          .schema.fieldNames.contains("q8"))
+        return true
+    }
+    !sawAny
   }
 
   /** Append novel vectors to an existing [[writeIvfPartitioned]] layout
@@ -917,10 +925,16 @@ object Similarity {
     // resolved schema: in a mixed layout either probe alone can land
     // on the legacy side, but quantized files anywhere mean the layout
     // is (meant to be) quantized
-    val layoutQ8 = layoutHasQ8(spark, dataRoot)
+    // lazy: the listing/footer walk runs only on ticks that actually
+    // rewrite (the heal closure is never invoked on replay or
+    // nothing-over-threshold no-ops). The rewrite input is read with
+    // mergeSchema, so df.schema alone deterministically detects a
+    // mixed TARGET; layoutQ8 covers compacting a pure-legacy dir
+    // inside an otherwise quantized layout.
+    lazy val layoutQ8 = layoutHasQ8(spark, dataRoot)
     val heal: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame = df =>
-      if (layoutQ8 || df.schema.fieldNames.contains("q8"))
+      if (df.schema.fieldNames.contains("q8") || layoutQ8)
         withQuantizedCols(df.drop("q8", "qscale"))
       else df
     EpochLedger.compactPartitionsStaged(spark, path,
@@ -1420,10 +1434,15 @@ object Similarity {
       // VALUE-level: per-file field presence cannot see nulls a prior
       // rewrite of a then-mixed dir baked into real q8 columns — rows
       // the quantized probe silently drops (null qsim never enters
-      // the shortlist). One narrow (q8, qscale) scan; deep mode is
-      // the opt-in incident tool, so the data read is by design.
-      val layout = spark.read.parquet(dataRoot)
-      if (layout.schema.fieldNames.contains("q8")) {
+      // the shortlist). Gate on the per-dir footer results already in
+      // hand (NOT an arbitrarily-resolved schema, which would skip
+      // nondeterministically in a mixed layout), read with mergeSchema
+      // for the same reason, and only when data files exist at all.
+      // One narrow (q8, qscale) scan; deep mode is the opt-in
+      // incident tool, so the data read is by design.
+      if (byDir.exists(_._2.contains(true))) {
+        val layout = spark.read.option("mergeSchema", "true")
+          .parquet(dataRoot)
         val nulls = layout
           .filter(col("q8").isNull.or(col("qscale").isNull)).count()
         if (nulls > 0)
