@@ -106,6 +106,12 @@ object PackInt8 {
   * double fold). A tight primitive byte loop inside whole-stage
   * codegen; the composable alternative would first have to unpack to
   * arrays and pay interpreted lambda plumbing per element.
+  *
+  * Mismatched lengths fail loudly ([[PackInt8]]'s overflow/null
+  * philosophy): two same-layout q8 columns always agree on dimension,
+  * so a mismatch can only mean corruption or a cross-generation dim
+  * change — scoring a silent prefix would return a plausible wrong
+  * shortlist, the exact hazard the pack side refuses.
   */
 case class Int8Dot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -122,7 +128,7 @@ case class Int8Dot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    val n = Int8Dot.sameDim(x.length, y.length)
     var s = 0L
     var i = 0
     while (i < n) { s += x(i) * y(i); i += 1 }
@@ -135,7 +141,8 @@ case class Int8Dot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.length, $b.length);
+         |final int $n =
+         |  graft.functions.Int8Dot.sameDim($a.length, $b.length);
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a[$i] * $b[$i];
@@ -152,4 +159,16 @@ case class Int8Dot(left: Expression, right: Expression)
 object Int8Dot {
   def apply(a: Column, b: Column): Column =
     Glue.column(Int8Dot(Glue.expression(a), Glue.expression(b)))
+
+  /** Shared by eval and generated code: the common dimension, with a
+    * loud refusal on mismatch — one comparison per row.
+    */
+  def sameDim(xlen: Int, ylen: Int): Int = {
+    if (xlen != ylen)
+      throw new ArithmeticException(
+        s"int8_dot: dimension mismatch ($xlen vs $ylen) — scoring a " +
+          "prefix would silently corrupt the shortlist; the operands " +
+          "must come from the same layout/dimension")
+    xlen
+  }
 }

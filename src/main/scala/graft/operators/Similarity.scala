@@ -385,6 +385,10 @@ object Similarity {
       .select(concat(lit("c"), col("centroid_id")).as("centroid_id"),
         col("cvec"), col("cnrm"))
       .write.mode("overwrite").parquet(s"$path/_centroids")
+    // every writeIvfPartitioned root is quantized (withQuantizedCols
+    // above) — persist the O(1) schema-version marker the append path
+    // reads instead of walking footers
+    writeSq8Marker(Dedup.fsFor(emb.sparkSession, path), path)
   }
 
   /** The live DATA ROOT of the IVF layout at `path`: `path` itself for
@@ -486,24 +490,60 @@ object Similarity {
     else assigned
   }
 
+  /** The `_sq8` schema-version MARKER of a quantized data root: one
+    * empty-ish underscore-prefixed file (invisible to Spark reads,
+    * like `_centroids`) written by every path that produces a
+    * quantized root — [[writeIvfPartitioned]] (which also builds
+    * rotation stages) and [[compactIvf]]'s upgrade rewrite — so
+    * append-time schema detection is ONE exists() probe instead of a
+    * footer walk whose answer could depend on listing order.
+    */
+  private def sq8MarkerPath(dataRoot: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dataRoot/_sq8")
+
+  /** Persist the `_sq8` marker (tmp + rename; idempotent — an already
+    * present marker wins). `loud` on the build paths, best-effort from
+    * [[layoutHasQ8]]'s self-heal.
+    */
+  private def writeSq8Marker(
+      f: org.apache.hadoop.fs.FileSystem,
+      dataRoot: String): Unit = {
+    val p = sq8MarkerPath(dataRoot)
+    if (f.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$dataRoot/._sq8.tmp")
+    val out = f.create(tmp, true)
+    try out.write("sq8\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      require(f.exists(p),
+        s"sq8 marker rename failed under $dataRoot")
+    }
+  }
+
   /** Does the layout at `dataRoot` carry the SQ8 columns ANYWHERE?
-    * One footer per partition dir, SHORT-CIRCUITING at the first
-    * q8-bearing file — a quantized layout answers after ONE footer
-    * read; only a fully legacy layout walks all dirs (a transitional
-    * state). Judging a single arbitrary footer would nondeterministically
-    * read a quantized layout as legacy when a restored legacy file
-    * happens to list first. Never a full-layout file index (an
-    * every-epoch append must not pay the O(total files) listing the
-    * compaction machinery exists to bound); the residual corner — a
-    * mixed layout where EVERY dir's first-listed file is legacy —
-    * is caught by `ivfFsck --deep-schema`'s per-file walk. A layout
-    * with no data files at all reads as quantized: its first files
-    * define the (modern) schema.
+    * O(1) fast path: the `_sq8` marker every quantized build since it
+    * landed persists — one exists() probe, listing-order-INDEPENDENT,
+    * the append-hot-path answer. Marker-less roots (built before the
+    * marker, or hand-restored) fall back to one footer per partition
+    * dir, SHORT-CIRCUITING at the first q8-bearing file, and on a YES
+    * the marker is self-healed (best-effort) so the next append is
+    * O(1) again. Judging a single arbitrary footer would
+    * nondeterministically read a quantized layout as legacy when a
+    * restored legacy file happens to list first. Never a full-layout
+    * file index (an every-epoch append must not pay the O(total
+    * files) listing the compaction machinery exists to bound); the
+    * residual corner — a marker-less MIXED layout where EVERY dir's
+    * first-listed file is legacy — is caught by `ivfFsck
+    * --deep-schema`'s per-file walk. A layout with no data files at
+    * all reads as quantized: its first files define the (modern)
+    * schema.
     */
   private def layoutHasQ8(
       spark: org.apache.spark.sql.SparkSession,
       dataRoot: String): Boolean = {
     val f = Dedup.fsFor(spark, dataRoot)
+    if (f.exists(sq8MarkerPath(dataRoot))) return true
     val firstFiles = f
       .listStatus(new org.apache.hadoop.fs.Path(dataRoot)).iterator
       .filter(st => st.isDirectory &&
@@ -511,13 +551,20 @@ object Similarity {
       .flatMap(d => f.listStatus(d.getPath)
         .find(_.getPath.getName.endsWith(".parquet")))
     var sawAny = false
-    while (firstFiles.hasNext) {
+    var hasQ8 = false
+    while (!hasQ8 && firstFiles.hasNext) {
       sawAny = true
-      if (spark.read.parquet(firstFiles.next().getPath.toString)
-          .schema.fieldNames.contains("q8"))
-        return true
+      hasQ8 = spark.read.parquet(firstFiles.next().getPath.toString)
+        .schema.fieldNames.contains("q8")
     }
-    !sawAny
+    val result = hasQ8 || !sawAny
+    // self-heal the marker — but only onto a root that HAS data files
+    // (an empty root reads quantized by convention, yet marking it
+    // would bake that answer in before the first real file defines it)
+    if (hasQ8)
+      try writeSq8Marker(f, dataRoot)
+      catch { case scala.util.control.NonFatal(_) => () }
+    result
   }
 
   /** Append novel vectors to an existing [[writeIvfPartitioned]] layout
@@ -844,6 +891,9 @@ object Similarity {
       // the sidecar travels unchanged: same centroid set, same ids
       spark.read.parquet(s"$dataRoot/_centroids")
         .write.parquet(s"$stageData/_centroids")
+      // the rewrite quantized every row — mark the new root so the
+      // upgraded generation answers schema detection in O(1)
+      writeSq8Marker(Dedup.fsFor(spark, stageData), stageData)
     }
 
   /** Compact ONLY the fragmented partitions of the IVF layout at
@@ -1424,6 +1474,20 @@ object Similarity {
       val uniform = byDir.filter(_._2.size == 1)
         .map { case (d, s) => (d, s.head) }
       val (q8dirs, legacy) = uniform.partition(_._2)
+      // the _sq8 marker is what the append hot path trusts for O(1)
+      // schema detection — a STALE one (marker present, no quantized
+      // file anywhere: a restore from a pre-SQ8 backup under a marked
+      // root) would make every append write quantized files into a
+      // legacy layout, CREATING the mixed state; flag it before that
+      if (f.exists(sq8MarkerPath(dataRoot)) &&
+          !byDir.exists(_._2.contains(true)))
+        out += EpochLedger.FsckFinding("marker-stale", "warn",
+          s"$dataRoot/_sq8",
+          "the _sq8 schema marker is present but NO data file carries " +
+            "the quantized columns — appends would write quantized " +
+            "files into this legacy layout, creating the mixed state; " +
+            "delete the marker (and let the footer walk re-judge) or " +
+            "upgrade the layout with compactIvf")
       if (q8dirs.nonEmpty && legacy.nonEmpty)
         out += EpochLedger.FsckFinding("schema-mixed", "warn", dataRoot,
           s"${q8dirs.size} partition dir(s) carry the SQ8 columns and " +
@@ -1655,6 +1719,23 @@ object Similarity {
     // measured attempt.
     val breakerP = new org.apache.hadoop.fs.Path(
       s"$path/_maintain/recall-breaker")
+    // the breaker key must cover the recall WORKLOAD, not just the
+    // knobs: swapping the held-out query set (same path with new
+    // contents, or a different frame entirely) changes what "the floor
+    // is unreachable" was measured against, so it must re-arm the
+    // rotate arm. One content-sensitive digest — row count plus an
+    // order-insensitive XOR of per-row hashes over ALL query columns —
+    // computed distributed with O(1) driver state; lazy, so only
+    // recall-unhealthy ticks (the only ones that consult or arm the
+    // breaker) pay the extra action.
+    lazy val queryDigest: String = queryVectors match {
+      case None => "stored"
+      case Some(q) =>
+        val r = q.select(xxhash64(q.columns.toIndexedSeq.map(c => col(c)): _*).as("h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+          .collect()(0)
+        s"${r.getLong(0)}|${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    }
     def breakerArmed: Option[String] =
       try {
         if (!fsys.exists(breakerP)) None
@@ -1670,6 +1751,7 @@ object Similarity {
               m.get("rerank").contains(recallRerank.toString) &&
               m.get("centroidK").contains(centroidK.toString) &&
               m.get("sampleFrac").contains(sampleFrac.toString) &&
+              m.get("queries").contains(queryDigest) &&
               m.get("state").contains(layoutStateToken(fsys, path))
           if (matches) m.get("recall") else None
         }
@@ -1721,16 +1803,28 @@ object Similarity {
               f"$after%.4f<${recallFloor.get}%.4f) — breaker armed: " +
               "the rotate arm will not fire again until the layout's " +
               "data or the recall/training config changes"
+            // tmp + rename, the manifest discipline every other
+            // metadata write on these layouts uses: the contract is
+            // advisory either way (torn state reads as absent), but
+            // there is no reason for this one file to be the
+            // exception. The delete→rename hop can only expose
+            // "absent", never a torn file.
             fsys.mkdirs(breakerP.getParent)
-            val out = fsys.create(breakerP, true)
+            val tmp = new org.apache.hadoop.fs.Path(
+              breakerP.getParent, ".recall-breaker.tmp")
+            val out = fsys.create(tmp, true)
             try out.write(
               (s"floor:${recallFloor.get}\nk:$k\nnprobe:$nprobe\n" +
                 s"rerank:$recallRerank\ncentroidK:$centroidK\n" +
                 s"sampleFrac:$sampleFrac\n" +
+                s"queries:$queryDigest\n" +
                 s"state:${layoutStateToken(fsys, path)}\n" +
                 f"recall:$after%.4f")
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             finally out.close()
+            if (fsys.exists(breakerP)) fsys.delete(breakerP, false)
+            require(fsys.rename(tmp, breakerP),
+              s"ivf-maintain: breaker rename failed under $breakerP")
           } else
             actions += f"WARNING recall-floor-unmet(" +
               f"$after%.4f<${recallFloor.get}%.4f) after a REPLAYED " +
@@ -1965,10 +2059,16 @@ object Similarity {
     * costs recall when a true top-k neighbor's approx rank falls below
     * `rerank` — the standard SQ8 trade.
     *
-    * The shortlist (|queries| × rerank pairs) is collected to the
-    * driver to become the stage-2 pushdown filter — bounded by the
-    * QUERY batch, never the corpus. For huge offline batches where
-    * that bound bites, use [[ivfKnnPartitioned]].
+    * With the default `collectShortlist = true` the shortlist
+    * (|queries| × rerank pairs) is collected to the driver to become
+    * the stage-2 pushdown filter — bounded by the QUERY batch, never
+    * the corpus: the serving trade. For offline batches where that
+    * bound bites (a k-NN-graph build, a 10M-query dedup sweep), pass
+    * `collectShortlist = false`: the shortlist stays a DataFrame and
+    * stage 2 reranks via joins — no driver-side state proportional to
+    * the batch anywhere, and the int8 candidate-scan reduction applies
+    * at ANY batch size (see [[sq8TopK]]). Both modes are
+    * row-identical.
     *
     * Requires a quantized layout (built/rotated since the q8 columns
     * landed); a pre-SQ8 layout fails loudly — [[rotateIvf]] rebuilds
@@ -1981,10 +2081,16 @@ object Similarity {
       k: Int,
       nprobe: Int = 1,
       rerank: Int = 0,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      collectShortlist: Boolean = true): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val m = if (rerank <= 0) 4 * k else rerank
-    require(m >= k, s"rerank must be >= k, got rerank=$m k=$k")
+    // 0 is RESERVED for the default; a negative rerank (typo, bad
+    // config plumb-through) refuses instead of silently becoming the
+    // default — the same validation ivfRecallProbe/ivfHealth apply to
+    // this knob
+    require(rerank == 0 || rerank >= k,
+      s"rerank must be 0 (the 4*k default) or >= k, got rerank=$rerank k=$k")
+    val m = if (rerank == 0) 4 * k else rerank
     val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
     val corpus = spark.read.parquet(dataRoot)
     require(
@@ -2005,7 +2111,8 @@ object Similarity {
       else rankRoutes(spark, dataRoot, queries.drop("centroid_id"),
         nprobe, Seq("query_id", "centroid_id", "q8_q", "qscale_q",
           "vec_q", "nrm_q"))
-    sq8TopK(spark, corpus, probes, k, m, idCol, excludeSelf = true)
+    sq8TopK(spark, corpus, probes, k, m, idCol, excludeSelf = true,
+      collectShortlist = collectShortlist)
   }
 
   /** STAGE 1 of the SQ8 probe: the int8 candidate frame over the
@@ -2020,17 +2127,25 @@ object Similarity {
       probes: DataFrame,
       probed: Seq[String],
       idCol: String,
-      excludeSelf: Boolean): DataFrame = {
+      excludeSelf: Boolean,
+      broadcastProbes: Boolean = true): DataFrame = {
     val qsim = (graft.functions.Int8Dot(col("q8_q"), col("q8_n"))
         .cast("double") * col("qscale_q") * col("qscale_n")) /
       (col("nrm_q") * col("nrm_n"))
+    // the collected mode pins the broadcast (a query batch small
+    // enough to collect a shortlist for is small enough to ship); the
+    // distributed mode leaves the strategy to AQE — a 10M-query
+    // offline batch must shuffle-join on the centroid key instead of
+    // materializing every query's q8 on the driver
+    val probesNarrow = probes.select("query_id", "centroid_id", "q8_q",
+      "qscale_q", "nrm_q")
     val cand = corpus
       .filter(col("centroid_id").isInCollection(probed)) // partition prune
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
         col("q8").as("q8_n"), col("qscale").as("qscale_n"),
         col("nrm").as("nrm_n"))
-      .join(broadcast(probes.select("query_id", "centroid_id", "q8_q",
-        "qscale_q", "nrm_q")), Seq("centroid_id"))
+      .join(if (broadcastProbes) broadcast(probesNarrow) else probesNarrow,
+        Seq("centroid_id"))
     (if (excludeSelf) cand.filter(col("neighbor_id") =!= col("query_id"))
      else cand)
       .withColumn("qsim", round(qsim, 6))
@@ -2039,9 +2154,29 @@ object Similarity {
   /** The shared two-stage SQ8 scoring behind [[ivfKnnQuantized]] and
     * [[ivfKnnQuantizedWith]]: int8 shortlist (top `m` per query by
     * rounded approximate cosine, tie-break on neighbor id), then exact
-    * rerank with the float column read only under an id IN pushdown.
-    * `probes` carries one row per (query, probed centroid):
+    * rerank. `probes` carries one row per (query, probed centroid):
     * `query_id, centroid_id, q8_q, qscale_q, vec_q, nrm_q`.
+    *
+    * Two ROW-IDENTICAL rerank modes — same stage-1 algebra, same
+    * shortlist, same final ranking; they differ only in WHERE the
+    * shortlist lives:
+    *
+    *   - `collectShortlist = true` (serving): the (query, neighbor)
+    *     id pairs are collected to the driver and become a literal
+    *     `IN` pushdown for the stage-2 `vec` read — parquet row-group
+    *     stats / column-index pruning skip the pages holding no
+    *     candidate. Driver state is |queries| × m pairs: the right
+    *     trade for interactive batches, wrong for offline fan-out.
+    *   - `collectShortlist = false` (offline batch): the shortlist
+    *     STAYS a DataFrame; stage 2 joins it against the probed
+    *     partitions' `vec` column and the query vectors — no driver
+    *     collect anywhere, so a 10M-query batch keeps stage 1's
+    *     ~8× candidate-scan-width reduction instead of falling back
+    *     to the float-wide exact probe. Stage 2 scans the probed
+    *     partitions' `vec` once (O(probed rows), query-count-
+    *     independent) but computes exact dots ONLY for the
+    *     |queries| × m joined pairs — at corpus scale the per-query
+    *     cost term stays int8.
     */
   private def sq8TopK(
       spark: org.apache.spark.sql.SparkSession,
@@ -2050,12 +2185,15 @@ object Similarity {
       k: Int,
       m: Int,
       idCol: String,
-      excludeSelf: Boolean): DataFrame = {
-    // the SQ8 probes collect a (query, neighbor) id shortlist to the
-    // driver, so ids must be integral: an int32 (pandas parquet)
-    // upcasts losslessly, but a double/string id would silently merge
-    // or null under a blind cast — refuse those loudly instead (the
-    // exact probes, which never collect ids, keep arbitrary types)
+      excludeSelf: Boolean,
+      collectShortlist: Boolean): DataFrame = {
+    // both SQ8 modes cast ids to long (the collected mode to build the
+    // driver-side pushdown, the distributed mode for output-schema
+    // parity with it), so ids must be integral: an int32 (pandas
+    // parquet) upcasts losslessly, but a double/string id would
+    // silently merge or null under a blind cast — refuse those loudly
+    // instead (the exact probes, which never cast ids, keep arbitrary
+    // types)
     def requireIntegral(dt: org.apache.spark.sql.types.DataType,
         what: String): Unit = dt match {
       case org.apache.spark.sql.types.ByteType |
@@ -2069,40 +2207,73 @@ object Similarity {
     }
     requireIntegral(probes.schema("query_id").dataType, "query_id")
     requireIntegral(corpus.schema(idCol).dataType, idCol)
+    // the probed-partition literal stays driver-side in BOTH modes:
+    // it is bounded by the layout's centroid count (the layout
+    // config), never by the query batch
     val probed: Seq[String] = probes.select("centroid_id").distinct()
       .collect().map(_.getString(0)).toSeq
     val wq = Window.partitionBy("query_id")
       .orderBy(col("qsim").desc, col("neighbor_id"))
-    // cast at the driver edge: an int32 id column (pandas-written
-    // parquet) would otherwise throw ClassCastException out of getLong
-    val shortlist = sq8Candidates(corpus, probes, probed, idCol,
-        excludeSelf)
+    val ranked = sq8Candidates(corpus, probes, probed, idCol,
+        excludeSelf, broadcastProbes = collectShortlist)
       .withColumn("qrank", row_number().over(wq))
       .filter(col("qrank") <= m)
-      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // STAGE 2: exact rerank — the vec column is read ONLY under an
-    // id IN (...) pushdown over the probed partitions (an empty
-    // shortlist flows through as an empty, correctly-schemed result)
-    import spark.implicits._
-    val pairs = shortlist.toIndexedSeq.toDF("query_id", "neighbor_id")
-    val candIds = shortlist.map(_._2).distinct.toIndexedSeq
-    val exact = corpus
-      .filter(col("centroid_id").isInCollection(probed))
-      .filter(col(idCol).isInCollection(candIds)) // parquet IN pushdown
-      .select(col(idCol).cast("long").as("neighbor_id"),
-        col("vec").as("vec_n"), col("nrm").as("nrm_n"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    exact.join(broadcast(pairs), Seq("neighbor_id"))
-      .join(broadcast(probes
+    if (collectShortlist) {
+      // cast at the driver edge: an int32 id column (pandas-written
+      // parquet) would otherwise throw ClassCastException out of
+      // getLong
+      val shortlist = ranked
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // STAGE 2: exact rerank — the vec column is read ONLY under an
+      // id IN (...) pushdown over the probed partitions (an empty
+      // shortlist flows through as an empty, correctly-schemed result)
+      import spark.implicits._
+      val pairs = shortlist.toIndexedSeq.toDF("query_id", "neighbor_id")
+      val candIds = shortlist.map(_._2).distinct.toIndexedSeq
+      val exact = corpus
+        .filter(col("centroid_id").isInCollection(probed))
+        .filter(col(idCol).isInCollection(candIds)) // parquet IN pushdown
+        .select(col(idCol).cast("long").as("neighbor_id"),
+          col("vec").as("vec_n"), col("nrm").as("nrm_n"))
+      exact.join(broadcast(pairs), Seq("neighbor_id"))
+        .join(broadcast(probes
+          .select(col("query_id").cast("long").as("query_id"),
+            col("vec_q"), col("nrm_q")).distinct()), Seq("query_id"))
+        .withColumn("sim",
+          round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    } else {
+      // STAGE 2, DISTRIBUTED: the shortlist stays a DataFrame and the
+      // probed partitions' vec column joins against it — no id
+      // literal, no driver collect; AQE picks broadcast vs shuffle per
+      // side at runtime (and a tiny shortlist still broadcasts). The
+      // vec scan covers the probed partitions once regardless of the
+      // query count — the exact dots are only computed for the joined
+      // shortlist pairs.
+      val shortlist = ranked.select(
+        col("query_id").cast("long").as("query_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      val vecs = corpus
+        .filter(col("centroid_id").isInCollection(probed))
+        .select(col(idCol).cast("long").as("neighbor_id"),
+          col("vec").as("vec_n"), col("nrm").as("nrm_n"))
+      val qv = probes
         .select(col("query_id").cast("long").as("query_id"),
-          col("vec_q"), col("nrm_q")).distinct()), Seq("query_id"))
-      .withColumn("sim",
-        round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+          col("vec_q"), col("nrm_q"))
+        .distinct() // nprobe > 1 carries one probe row per centroid
+      vecs.join(shortlist, Seq("neighbor_id"))
+        .join(qv, Seq("query_id"))
+        .withColumn("sim",
+          round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    }
   }
 
   /** Brute-force cosine top-k for EXTERNAL query vectors: every row of
@@ -2186,7 +2357,10 @@ object Similarity {
     * shortlist reranked by exact cosine under an id IN pushdown. No
     * self-exclusion, like [[ivfKnnPartitionedWith]]: external ids are
     * their own namespace. Same driver-side bound as the stored-query
-    * form: the shortlist collect is |queries| × rerank.
+    * form: the shortlist collect is |queries| × rerank — and the same
+    * `collectShortlist = false` escape for offline batches (the
+    * shortlist stays a DataFrame, stage 2 reranks via joins,
+    * row-identical — see [[sq8TopK]]).
     */
   def ivfKnnQuantizedWith(
       spark: org.apache.spark.sql.SparkSession,
@@ -2196,10 +2370,13 @@ object Similarity {
       nprobe: Int = 1,
       rerank: Int = 0,
       queryIdCol: String = "query_id",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      collectShortlist: Boolean = true): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val m = if (rerank <= 0) 4 * k else rerank
-    require(m >= k, s"rerank must be >= k, got rerank=$m k=$k")
+    // same knob, same validation as the stored-id form / recall probe
+    require(rerank == 0 || rerank >= k,
+      s"rerank must be 0 (the 4*k default) or >= k, got rerank=$rerank k=$k")
+    val m = if (rerank == 0) 4 * k else rerank
     val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
     val corpus = spark.read.parquet(dataRoot)
     require(corpus.schema.fieldNames.contains("q8"),
@@ -2214,7 +2391,8 @@ object Similarity {
       Seq("query_id", "centroid_id", "q8_q", "qscale_q", "vec_q",
         "nrm_q"))
     // no self-exclusion: external ids are their own namespace
-    sq8TopK(spark, corpus, probes, k, m, idCol, excludeSelf = false)
+    sq8TopK(spark, corpus, probes, k, m, idCol, excludeSelf = false,
+      collectShortlist = collectShortlist)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold.

@@ -176,6 +176,40 @@ class FsckSpec extends AnyFunSuite {
       fd.subject.endsWith(pd2.getName)), fs2)
   }
 
+  test("ivfFsck deepSchema: a STALE _sq8 marker over an all-legacy " +
+    "layout is reported (appends would quantize into it), and a " +
+    "healthy quantized layout's marker is silent") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fsck8").toString
+    val path = s"$root/ivf"
+    val e = emb()
+    Similarity.writeIvfPartitioned(e.filter(col("vec_id") < 32), path)
+    // a healthy quantized layout: marker present, no finding
+    assert(Similarity.ivfFsck(spark, path, deepSchema = true).isEmpty)
+    // restore-from-pre-SQ8-backup shape: every data file loses the
+    // quantized columns while the marker survives
+    val f = Dedup.fsFor(spark, path)
+    f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id="))
+      .foreach { d =>
+        val legacy = spark.read.option("basePath", path)
+          .parquet(d.getPath.toString).select("vec_id", "vec", "nrm")
+        val tmp = s"$root/legacy-${d.getPath.getName}"
+        legacy.coalesce(1).write.parquet(tmp)
+        f.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach(st => f.delete(st.getPath, false))
+        val lf = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+        assert(f.rename(lf,
+          new org.apache.hadoop.fs.Path(d.getPath, lf.getName)))
+      }
+    val fs = Similarity.ivfFsck(spark, path, deepSchema = true)
+    assert(codes(fs) == Seq("marker-stale"), fs)
+    // shallow mode stays listing-only (no footer walk, no finding)
+    assert(Similarity.ivfFsck(spark, path).isEmpty)
+  }
+
   test("ivfFsck deepSchema: PERSISTED null q8 rows — invisible to " +
     "per-file field presence — are reported at value level") {
     val root = java.nio.file.Files.createTempDirectory("graft-fsck7").toString

@@ -633,6 +633,62 @@ class IvfRotationSpec extends AnyFunSuite {
     assert(!Similarity.rotateIvf(spark, path, "r1", centroidK = 2))
   }
 
+  test("recall breaker: a torn/garbage breaker file reads as absent " +
+    "(one more measured rotation, then re-armed atomically), and a " +
+    "swapped held-out query set re-arms while the measured set stays " +
+    "fenced") {
+    val root = java.nio.file.Files.createTempDirectory("graft-brk").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(clusterA, path, centroidK = 2)
+    def tick(id: String, qv: Option[DataFrame]) =
+      Similarity.ivfMaintain(spark, path, id,
+        maxFilesPerPartition = 1000, skewThreshold = 1e9,
+        recallFloor = Some(1.01), recallSampleN = 16, k = 3, nprobe = 1,
+        centroidK = 2, queryVectors = qv)
+    // arm it (floor 1.01 is unreachable by construction)
+    val m1 = tick("brk1", None)
+    assert(m1.actions.exists(
+      _.contains("recall-floor-unmet-after-rotation")), m1.actions)
+    assert(tick("brk2", None).actions.exists(_.startsWith("rotate-skipped(")))
+    // tear the breaker file: truncated mid-line content must read as
+    // ABSENT (one more measured rotation), never as armed or a crash
+    val fsys = Dedup.fsFor(spark, path)
+    val brk = new org.apache.hadoop.fs.Path(
+      s"$path/_maintain/recall-breaker")
+    val out = fsys.create(brk, true)
+    try out.write("floor:1.01\nk".getBytes("UTF-8")) finally out.close()
+    val m3 = tick("brk3", None)
+    assert(m3.actions.exists(_.startsWith("rotate(")), m3.actions)
+    assert(m3.actions.exists(
+      _.contains("recall-floor-unmet-after-rotation")), m3.actions)
+    // ...and the re-arm rewrote a PARSEABLE breaker: fenced again
+    assert(tick("brk4", None).actions.exists(_.startsWith("rotate-skipped(")))
+
+    // a held-out query set is part of the breaker key: arming under
+    // qsA fences qsA only — swapping to qsB (same shape, different
+    // contents) was never measured and must rotate again
+    val qsA = aIds.take(8)
+      .map(i => (i + 5000L, jittered(i, dirB, 0.1f)))
+      .toDF("query_id", "embedding")
+    val qsB = aIds.take(8)
+      .map(i => (i + 6000L, jittered(i + 77, dirB, 0.1f)))
+      .toDF("query_id", "embedding")
+    val ma = tick("brkq1", Some(qsA))
+    assert(ma.actions.exists(
+      _.contains("recall-floor-unmet-after-rotation")), ma.actions)
+    assert(tick("brkq2", Some(qsA)).actions
+      .exists(_.startsWith("rotate-skipped(")))
+    // a RE-CREATED frame with the same contents is the same workload —
+    // the digest is content-based, not object-identity-based
+    val qsA2 = aIds.take(8)
+      .map(i => (i + 5000L, jittered(i, dirB, 0.1f)))
+      .toDF("query_id", "embedding")
+    assert(tick("brkq3", Some(qsA2)).actions
+      .exists(_.startsWith("rotate-skipped(")))
+    val mb = tick("brkq4", Some(qsB))
+    assert(mb.actions.exists(_.startsWith("rotate(")), mb.actions)
+  }
+
   test("rotation id and sampleFrac are validated before any work") {
     intercept[IllegalArgumentException] {
       Similarity.rotateIvf(spark, "/nonexistent", "a/b")

@@ -176,6 +176,16 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(messages(en).exists(_.contains("null array element")),
       messages(en))
+    // mismatched dimensions refuse instead of scoring a prefix — the
+    // same loud-refusal contract as the pack side (a mismatch can only
+    // mean corruption or a cross-generation dim change)
+    val em = intercept[Exception] {
+      spark.range(1).select(graft.functions.Int8Dot(
+        graft.functions.PackInt8(expr("array(1, 2, 3)")),
+        graft.functions.PackInt8(expr("array(1, 2)"))).as("d")).collect()
+    }
+    assert(messages(em).exists(_.contains("dimension mismatch")),
+      messages(em))
   }
 
   test("ivfKnnQuantized: with an exhaustive rerank the SQ8 probe is " +
@@ -335,6 +345,39 @@ class SimilaritySpec extends AnyFunSuite {
     // only finding left is the retired pre-upgrade root, info-grade)
     assert(Similarity.ivfFsck(spark, s"$root/old", deepSchema = true)
       .forall(_.code == "retired-present"))
+  }
+
+  test("the _sq8 schema marker: every build path persists it (O(1), " +
+    "listing-order-independent append detection), a marker-less " +
+    "quantized root self-heals it on the next append, and generations " +
+    "carry their own") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-sq8mk").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(emb.filter(col("vec_id") < 48), path)
+    val f = Dedup.fsFor(spark, path)
+    def marker(p: String) = new org.apache.hadoop.fs.Path(s"$p/_sq8")
+    assert(f.exists(marker(path)))
+    // a hand-restored root without the marker: the footer-walk
+    // fallback still reads the layout as quantized, the append writes
+    // quantized files, and the marker is SELF-HEALED for the next one
+    f.delete(marker(path), false)
+    val novel = emb.filter(col("vec_id") >= 48 && col("vec_id") < 56)
+      .withColumn("vec_id", col("vec_id") + 20000)
+    assert(Similarity.appendIvfEpoch(novel, path, "mk-e1"))
+    assert(f.exists(marker(path)))
+    val appended = spark.read.parquet(path).filter(col("vec_id") >= 20000)
+    assert(appended.count() == 8 &&
+      appended.filter(col("q8").isNull).count() == 0)
+    // a rotation's staged rebuild marks the new generation (the stage
+    // travels into _gen-<N> by rename, marker and all)
+    assert(Similarity.rotateIvf(spark, path, "mk-r1"))
+    val gen = Similarity.ivfDataRoot(spark, path)
+    assert(gen != path && f.exists(marker(gen)))
+    // compactIvf — the in-place SQ8 upgrade — marks its generation too
+    assert(Similarity.compactIvf(spark, path, "mk-c1"))
+    val gen2 = Similarity.ivfDataRoot(spark, path)
+    assert(gen2 != gen && f.exists(marker(gen2)))
   }
 
   test("appendIvfPartitioned: appending novels equals a full rebuild over " +
