@@ -838,16 +838,13 @@ object PipelineQueries {
     * the exact top-5 verbatim in SQL (the integer dot is exact in
     * DuckDB's double arithmetic: |dot| <= dim * 127^2 << 2^53).
     */
-  private val qIvfSq8Probe = QueryDef(
-    "q68_ivf_sq8_probe",
-    (s, dir) => {
-      val path = memoLayout("q59", dir)(buildAppendedLayout(s, dir))
-      Similarity.ivfKnnQuantized(s, path, knnQueryIds, k = 5, nprobe = 2,
-          rerank = 8)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
-    },
-    Some(
+  /** q68's oracle — shared VERBATIM with q70: the two queries differ
+    * only in where the stage-1 shortlist lives (driver literal vs
+    * DataFrame join), a placement choice the docstring claims is
+    * row-identical, so one SQL text pinning both IS the claim's
+    * cross-engine proof.
+    */
+  private val sq8ProbeOracleSql: String =
       s"""WITH ${DuckSql.embCte},
          |ea AS (SELECT * FROM e WHERE vec_id % 2 = 0),
          |cent AS (
@@ -911,7 +908,50 @@ object PipelineQueries {
          |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin))
+         |ORDER BY query_id, rank""".stripMargin
+
+  /** The IVF-SQ8 two-stage probe under hash verification —
+    * [[Similarity.ivfKnnQuantized]] over the same pre-built memoized
+    * layout q61 probes, with a TIGHT rerank (8 candidates for k = 5):
+    * the final rows depend on which candidates the int8 stage keeps,
+    * so the row hashes pin the whole quantized path — the stored
+    * per-vector scale, the packed-byte integer dot
+    * ([[graft.functions.Int8Dot]]), the rounded approximate ranking
+    * that selects the shortlist, and the exact rerank. The oracle
+    * recomputes q41's quantization algebra, the approximate top-8 and
+    * the exact top-5 verbatim in SQL (the integer dot is exact in
+    * DuckDB's double arithmetic: |dot| <= dim * 127^2 << 2^53).
+    */
+  private val qIvfSq8Probe = QueryDef(
+    "q68_ivf_sq8_probe",
+    (s, dir) => {
+      val path = memoLayout("q59", dir)(buildAppendedLayout(s, dir))
+      Similarity.ivfKnnQuantized(s, path, knnQueryIds, k = 5, nprobe = 2,
+          rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(sq8ProbeOracleSql))
+
+  /** The DISTRIBUTED SQ8 rerank under hash verification — q68's exact
+    * probe with `collectShortlist = false`, so the stage-1 shortlist
+    * stays a DataFrame and stage 2 reranks via joins instead of a
+    * driver-collected `IN` pushdown (the offline-batch mode where
+    * driver state must not grow with the query count). The oracle is
+    * q68's VERBATIM: same tight rerank-8 shortlist, same exact top-5 —
+    * the hashes prove the two rerank placements are row-identical on a
+    * LIVE layout, which is precisely the mode's contract.
+    */
+  private val qIvfSq8DistributedRerank = QueryDef(
+    "q70_ivf_sq8_distributed_rerank",
+    (s, dir) => {
+      val path = memoLayout("q59", dir)(buildAppendedLayout(s, dir))
+      Similarity.ivfKnnQuantized(s, path, knnQueryIds, k = 5, nprobe = 2,
+          rerank = 8, collectShortlist = false)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(sq8ProbeOracleSql))
 
   /** The SERVING-shaped SQ8 route under hash verification —
     * [[Similarity.ivfKnnQuantizedWith]] over the same held-out
@@ -2076,6 +2116,7 @@ object PipelineQueries {
     qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe, qIvfRotatedProbe,
     qIvfProbePrebuilt, qIvfPCompactedProbe, qIvfMaintainedProbe,
     qIvfServingProbe, qKnnBruteExternal, qIvfSq8Probe, qIvfSq8ServingProbe,
+    qIvfSq8DistributedRerank,
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,

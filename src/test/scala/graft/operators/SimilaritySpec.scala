@@ -261,6 +261,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("SQ8 distributed rerank (collectShortlist = false) is " +
+    "row-identical to the collected mode: tight and exhaustive " +
+    "shortlists, nprobe 1 and 2, external queries, and the " +
+    "empty-shortlist edge") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-sq8d").toString
+    Similarity.writeIvfPartitioned(emb, root)
+    val queryIds = Seq(0L, 1L, 2L, 3L)
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+    // a TIGHT rerank (8 for k=5) makes the shortlist decide the output,
+    // so any divergence in the distributed stage-1 (shuffle join vs
+    // pinned broadcast) or stage-2 (join topology vs id IN pushdown)
+    // shows up as a row difference; the exhaustive rerank covers the
+    // degenerate keep-everything shortlist
+    for (np <- Seq(1, 2); m <- Seq(8, n)) {
+      val collected = rows(Similarity.ivfKnnQuantized(spark, root,
+        queryIds, k = 5, nprobe = np, rerank = m))
+      val distributed = rows(Similarity.ivfKnnQuantized(spark, root,
+        queryIds, k = 5, nprobe = np, rerank = m,
+        collectShortlist = false))
+      assert(distributed == collected, s"nprobe=$np rerank=$m")
+      assert(collected.nonEmpty, s"vacuous: nprobe=$np rerank=$m")
+    }
+    // external-query route: both modes through ivfKnnQuantizedWith
+    val ext = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .grouped(2).collect { case Array((ia, va), (ib, vb)) =>
+        (ia * 1000 + ib, va.zip(vb).map { case (x, y) => (x + y) / 2 })
+      }.toSeq.toDF("query_id", "embedding")
+    val extCollected = rows(Similarity.ivfKnnQuantizedWith(spark, root,
+      ext, k = 5, nprobe = 2, rerank = 8))
+    val extDistributed = rows(Similarity.ivfKnnQuantizedWith(spark, root,
+      ext, k = 5, nprobe = 2, rerank = 8, collectShortlist = false))
+    assert(extDistributed == extCollected)
+    assert(extCollected.nonEmpty)
+    // empty shortlist: query ids absent from the corpus yield an empty,
+    // correctly-schemed result in BOTH modes (the distributed joins and
+    // the collected driver edge must both flow emptiness through)
+    // compare (name, type) — nullability legitimately differs: the
+    // collected mode's query_id flows through a driver-built local
+    // relation of primitive longs (provably non-null), the distributed
+    // mode's through a parquet-sourced cast (nullable); unionByName
+    // reconciles the flags, and the driver's oracle compare is
+    // name+type+value
+    val schemas = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, org.apache.spark.sql.types.DataType)]]
+    for (mode <- Seq(true, false)) {
+      val empty = Similarity.ivfKnnQuantized(spark, root,
+        Seq(999999999L), k = 5, nprobe = 2, rerank = 8,
+        collectShortlist = mode)
+      assert(empty.count() == 0, s"collectShortlist=$mode")
+      schemas += empty.schema.map(f => (f.name, f.dataType)).toSeq
+    }
+    assert(schemas(0) == schemas(1))
+  }
+
   test("ivfRecallProbe rerank mode judges the SQ8 route: exhaustive " +
     "rerank matches the exact route's recall, the result records the " +
     "route, and held-out mode routes through the quantized serving " +
