@@ -24,7 +24,7 @@ import graft.streaming.Ingest
   * The `ivf` group is the SCALING.md runbook as ops commands (no
   * reference analogue — the reference has no ANN layout):
   * {{{
-  * ivf fsck    <layout> [--deep-schema]   # READ-ONLY doctor, no lock
+  * ivf fsck    <layout> [--deep-schema] [--json]  # READ-ONLY doctor, no lock
   * ivf health  <layout> [--recall N] [--recall-queries PARQUET]
   *             [--recall-k K] [--nprobe P] [--rerank M]
   * ivf maintain <layout> <id> [--max-files N] [--skew X] [--recall N]
@@ -43,7 +43,7 @@ import graft.streaming.Ingest
   * The `dedup` group is the incremental-dedup layout PAIR's
   * maintenance (engine addition, like `ivf`):
   * {{{
-  * dedup fsck <hist> <idx>                # READ-ONLY doctor, no lock
+  * dedup fsck <hist> <idx> [--json]       # READ-ONLY doctor, no lock
   * dedup stats <hist>
   * dedup maintain <hist> <idx> <id> [--max-files N] [--ledger-tail N]
   *       [--purge-older-than <dur>] [--lock-file F]
@@ -97,6 +97,38 @@ object Main {
     else findings.map(fd =>
       s"${fd.severity.toUpperCase} ${fd.code} ${fd.subject}: " +
         fd.detail).mkString("\n")
+
+  /** `--json` fsck output: ONE line holding a JSON array of findings
+    * (`[]` when clean) so a monitoring agent can parse the doctor's
+    * report without scraping the human lines — same findings, same
+    * order, as [[formatFindings]]. Escapes quote/backslash/control
+    * chars; paths and details are free-form.
+    */
+  private def formatFindingsJson(
+      findings: Seq[graft.operators.EpochLedger.FsckFinding]): String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    findings.map(fd =>
+      s"""{"code":${q(fd.code)},"severity":${q(fd.severity)},""" +
+        s""""subject":${q(fd.subject)},"detail":${q(fd.detail)}}""")
+      .mkString("[", ",", "]")
+  }
+
+  /** The shared fsck output switch: text by default, one-line JSON
+    * array under `--json`.
+    */
+  private def renderFindings(
+      findings: Seq[graft.operators.EpochLedger.FsckFinding],
+      flags: List[String]): String =
+    if (flags.contains("--json")) formatFindingsJson(findings)
+    else formatFindings(findings)
 
   private[cli] def withLock[T](path: Option[String])(f: => T): T = path match {
     case None => f
@@ -258,8 +290,8 @@ object Main {
       case "fsck" =>
         // READ-ONLY: no lock required — fsck is the safe first command
         // against a layout another writer may own
-        formatFindings(Similarity.ivfFsck(spark, layout,
-          deepSchema = flags.contains("--deep-schema")))
+        renderFindings(Similarity.ivfFsck(spark, layout,
+          deepSchema = flags.contains("--deep-schema")), flags)
       case "health" =>
         val h = Similarity.ivfHealth(spark, layout,
           recallSampleN = flag("--recall").map(_.toInt).getOrElse(0),
@@ -385,7 +417,7 @@ object Main {
       case "fsck" => pos match {
         case hist :: idx :: Nil =>
           // READ-ONLY: no lock required
-          formatFindings(Dedup.dedupFsck(spark, hist, idx))
+          renderFindings(Dedup.dedupFsck(spark, hist, idx), flags)
         case _ => sys.error("dedup fsck needs <historyPath> <indexPath>")
       }
       case "maintain" => pos match {

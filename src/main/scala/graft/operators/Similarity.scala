@@ -490,6 +490,61 @@ object Similarity {
     else assigned
   }
 
+  /** One footer probed under a marked root, or None when the marker is
+    * absent or the root holds no READABLE data file — shared by the
+    * append tripwire and shallow fsck's `marker-stale` heuristic.
+    * Unreadable files (a zero-byte stray, a torn write) are SKIPPED,
+    * not crashed on — fsck is a doctor for damaged layouts and must
+    * survive them, and garbage is reported by its own finding
+    * (`footprint-unledgered` / the stage findings); attempts are
+    * bounded so a fully-corrupt layout never costs O(files). Returns
+    * (probed file, carries q8).
+    */
+  private def sq8MarkerProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      dataRoot: String): Option[(org.apache.hadoop.fs.Path, Boolean)] = {
+    val f = Dedup.fsFor(spark, dataRoot)
+    if (!f.exists(sq8MarkerPath(dataRoot))) return None
+    f.listStatus(new org.apache.hadoop.fs.Path(dataRoot)).iterator
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id="))
+      .flatMap(d => f.listStatus(d.getPath).iterator
+        .filter(_.getPath.getName.endsWith(".parquet")))
+      .take(3)
+      .map(pf => pf.getPath -> scala.util.Try(
+        spark.read.parquet(pf.getPath.toString)
+          .schema.fieldNames.contains("q8")))
+      .collectFirst { case (p, scala.util.Success(h)) => (p, h) }
+  }
+
+  /** Append-side tripwire for a STALE `_sq8` marker: [[layoutHasQ8]]
+    * trusts the marker unconditionally (the O(1) hot path), so a
+    * pre-SQ8 restore under a marked root would make every append write
+    * quantized files into a legacy layout — CREATING the mixed state
+    * the doctors exist to detect. Before an append commits to the
+    * quantized schema, probe ONE data footer: a legacy footer under a
+    * marked root proves the marker lies (full restore) or the layout
+    * is already mixed; either way growing the quantized side silently
+    * is wrong, so refuse loudly. One listing + one footer read per
+    * epoch append — noise next to the append's own shuffle+write; a
+    * consistent quantized layout never trips. Detection inside an
+    * already-mixed layout is best-effort (listing-order) — `ivfFsck
+    * --deep-schema`'s per-file walk is the guarantee; this keeps the
+    * append path from CAUSING the state it can cheaply see coming.
+    */
+  private def sq8AppendTripwire(
+      spark: org.apache.spark.sql.SparkSession,
+      dataRoot: String): Unit =
+    sq8MarkerProbe(spark, dataRoot).foreach { case (pf, hasQ8) =>
+      require(hasQ8,
+        s"the _sq8 marker under $dataRoot is contradicted by a legacy " +
+          s"data footer (${pf.getName}): a pre-SQ8 restore under a " +
+          "marked root, or an already-mixed layout — appending " +
+          "quantized files would grow the damage. Run `ivf fsck " +
+          "--deep-schema`; then delete the stale marker (legacy " +
+          "layout) or upgrade in place with compactIvf")
+    }
+
   /** The `_sq8` schema-version MARKER of a quantized data root: one
     * empty-ish underscore-prefixed file (invisible to Spark reads,
     * like `_centroids`) written by every path that produces a
@@ -498,7 +553,8 @@ object Similarity {
     * append-time schema detection is ONE exists() probe instead of a
     * footer walk whose answer could depend on listing order.
     */
-  private def sq8MarkerPath(dataRoot: String): org.apache.hadoop.fs.Path =
+  private[operators] def sq8MarkerPath(
+      dataRoot: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$dataRoot/_sq8")
 
   /** Persist the `_sq8` marker (tmp + rename; idempotent — an already
@@ -591,6 +647,7 @@ object Similarity {
       path: String,
       idCol: String = "vec_id"): Unit = {
     val dataRoot = ivfDataRoot(Dedup.fsFor(novel.sparkSession, path), path)
+    sq8AppendTripwire(novel.sparkSession, dataRoot)
     assignToLayout(novel, dataRoot, idCol)
       // hash-exchange on the partition key before the partitioned
       // write (the compaction paths' idiom): each touched dir gets ONE
@@ -640,6 +697,10 @@ object Similarity {
     recoverIvfRotations(novel.sparkSession, path)
     val dataRoot =
       ivfDataRoot(Dedup.fsFor(novel.sparkSession, path), path)
+    // refuse a stale-marker/mixed layout BEFORE entering the staged
+    // protocol — a tripwire inside the stage write would fire after
+    // the stage dir exists and leave crash-shaped residue to heal
+    sq8AppendTripwire(novel.sparkSession, dataRoot)
     EpochLedger.commitEpoch(novel.sparkSession, path, epochId,
       partPrefix = "centroid_id=",
       stageWrite = stageDir =>
@@ -1450,6 +1511,24 @@ object Similarity {
         "partition dirs exist but the centroid routing sidecar is " +
           "missing — multi-probe routing and epoch appends fail; " +
           "rebuild with rotateIvf/writeIvfPartitioned")
+    // shallow-mode marker-stale HEURISTIC: the same one-footer probe
+    // the append tripwire pays — a legacy footer under a marked root
+    // is proof of a stale marker (pre-SQ8 restore) or an existing mix,
+    // so the default doctor surfaces it without the deep walk. Deep
+    // mode replaces this with the definitive every-footer judgment
+    // (and can additionally distinguish stale from mixed).
+    if (!deepSchema && partDirs.nonEmpty)
+      sq8MarkerProbe(spark, dataRoot).foreach { case (pf, hasQ8) =>
+        if (!hasQ8)
+          out += EpochLedger.FsckFinding("marker-stale", "warn",
+            s"$dataRoot/_sq8",
+            s"the _sq8 schema marker is contradicted by a legacy data " +
+              s"footer (${pf.getName}) — a pre-SQ8 restore under a " +
+              "marked root, or a mixed layout; appends REFUSE on this " +
+              "state. Run --deep-schema for the definitive per-file " +
+              "judgment; delete the stale marker or upgrade with " +
+              "compactIvf")
+      }
     if (deepSchema && partDirs.nonEmpty) {
       // EVERY file's footer, not one per dir: an intra-dir mix (a
       // restored pre-SQ8 file beside quantized ones) is exactly the
@@ -1724,17 +1803,28 @@ object Similarity {
     // contents, or a different frame entirely) changes what "the floor
     // is unreachable" was measured against, so it must re-arm the
     // rotate arm. One content-sensitive digest — row count plus an
-    // order-insensitive XOR of per-row hashes over ALL query columns —
+    // order-insensitive wrapping SUM of per-row hashes over ALL query
+    // columns (sum, not XOR: xor cancels rows duplicated an even
+    // number of times, so {A,A,B} and {C,C,B} would share a digest) —
     // computed distributed with O(1) driver state; lazy, so only
     // recall-unhealthy ticks (the only ones that consult or arm the
     // breaker) pay the extra action.
     lazy val queryDigest: String = queryVectors match {
       case None => "stored"
       case Some(q) =>
+        // the sum runs in decimal(38,0) — ANSI mode makes a long sum
+        // THROW on overflow, and per-row xxhash64 values span the full
+        // long range; 38 digits absorbs ~2^63 rows before decimal
+        // overflow. The driver wraps back to 64 bits (BigInteger
+        // low-bits), keeping the digest a fixed-width token.
         val r = q.select(xxhash64(q.columns.toIndexedSeq.map(c => col(c)): _*).as("h"))
-          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("h").cast("decimal(38,0)")).as("x"))
           .collect()(0)
-        s"${r.getLong(0)}|${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+        val wrapped =
+          if (r.isNullAt(1)) 0L
+          else r.getDecimal(1).toBigInteger.longValue
+        s"${r.getLong(0)}|$wrapped"
     }
     def breakerArmed: Option[String] =
       try {
@@ -2039,9 +2129,10 @@ object Similarity {
     *
     *   1. CANDIDATE scan: reads `(id, q8, qscale, nrm)` — the packed
     *      int8 vectors at ONE byte per dimension instead of the
-    *      8-byte-per-dimension `vec` column, an ~8× scan-width
-    *      reduction on exactly the column that dominates probe IO at
-    *      corpus scale. Approximate cosine from the EXACT integer dot
+    *      8-byte-per-dimension `vec` column — 8× the raw-width bound,
+    *      5.7× measured compressed at rest (69 vs 396 B/row on the
+    *      spec fixture) — on exactly the column that dominates probe
+    *      IO at corpus scale. Approximate cosine from the EXACT integer dot
     *      ([[graft.functions.Int8Dot]], order-insensitive long
     *      arithmetic) times the two scales; top `rerank` per query
     *      survive (tie-break on neighbor id, so the shortlist is
@@ -2171,7 +2262,8 @@ object Similarity {
     *     STAYS a DataFrame; stage 2 joins it against the probed
     *     partitions' `vec` column and the query vectors — no driver
     *     collect anywhere, so a 10M-query batch keeps stage 1's
-    *     ~8× candidate-scan-width reduction instead of falling back
+    *     candidate-scan-width reduction (8× raw, 5.7× measured
+    *     compressed) instead of falling back
     *     to the float-wide exact probe. Stage 2 scans the probed
     *     partitions' `vec` once (O(probed rows), query-count-
     *     independent) but computes exact dots ONLY for the
@@ -2666,29 +2758,24 @@ object Similarity {
       maxClusterSize, idCol)
   }
 
-  /** Within-cluster exact-cosine pairing over an assignment frame
-    * `(idCol, centroid_id, vec, nrm)` — the shared back half of
-    * [[semanticDupPairs]] and [[semanticDupPairsPartitioned]], with the
-    * cluster-size cap / anchor-pairing machinery.
+  /** The heavy/light cluster-size-cap skeleton shared by the float and
+    * SQ8 pairing strategies: per-cluster population + anchor in one
+    * map-side-combinable agg, heavy-cluster ids as literal predicates,
+    * anchor/star pairing for over-cap clusters. `allPairsF` produces
+    * the verified `(vec_a, vec_b, cos_sim)` pairs within a (sub)set of
+    * clusters; `starPairsF` receives the heavy rows TAGGED with their
+    * own cluster's anchor id and produces the verified anchor/star
+    * pairs.
     */
-  private def clusterPairs(
+  private def clusterPairsCore(
       assigned: DataFrame,
-      threshold: Double,
       maxClusterSize: Option[Int],
-      idCol: String): DataFrame = {
-
-    def allPairs(a: DataFrame): DataFrame =
-      a.as("a").join(a.as("b"),
-          col("a.centroid_id") === col("b.centroid_id") &&
-            col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
-          round(dot("a.vec", "b.vec") / (col("a.nrm") * col("b.nrm")), 6)
-            .as("cos_sim"))
-        .filter(col("cos_sim") >= threshold)
-
+      idCol: String,
+      allPairsF: DataFrame => DataFrame,
+      starPairsF: DataFrame => DataFrame): DataFrame =
     Caching.withCached(assigned) {
       maxClusterSize match {
-        case None => allPairs(assigned)
+        case None => allPairsF(assigned)
         case Some(cap) =>
           require(cap >= 2, s"maxClusterSize must be >= 2, got $cap")
           // per-cluster population + anchor: one map-side-combinable agg
@@ -2707,7 +2794,7 @@ object Similarity {
           // centroid_id is long from rankCentroids but STRING ("c<id>")
           // from the partitioned layout — keep it untyped
           val heavyIds: Seq[Any] = heavyRows.map(_.get(0)).toSeq
-          if (heavyIds.isEmpty) allPairs(assigned)
+          if (heavyIds.isEmpty) allPairsF(assigned)
           else {
             val spark = assigned.sparkSession
             // the collected heavy rows as a LOCAL relation (no recompute,
@@ -2719,26 +2806,132 @@ object Similarity {
             val heavyAnchors = broadcast(spark.createDataFrame(
               java.util.Arrays.asList(heavyRows: _*), csFrame.schema)
               .select(col("centroid_id"), col("anchor")))
-            val light = allPairs(
+            val light = allPairsF(
               assigned.filter(!col("centroid_id").isInCollection(heavyIds)))
             // every heavy row carries its cluster's anchor id after the
             // broadcast join; anchor = cluster min id, so vec_a < vec_b
             val tagged = assigned
               .filter(col("centroid_id").isInCollection(heavyIds))
               .join(heavyAnchors, Seq("centroid_id"))
-            val anchors = tagged.filter(col(idCol) === col("anchor"))
-              .select(col("centroid_id"), col("vec").as("avec"),
-                col("nrm").as("anrm"))
-            val star = tagged.filter(col(idCol) =!= col("anchor"))
-              .join(broadcast(anchors), Seq("centroid_id"))
-              .select(col("anchor").as("vec_a"), col(idCol).as("vec_b"),
-                round(dot("avec", "vec") / (col("anrm") * col("nrm")), 6)
-                  .as("cos_sim"))
-              .filter(col("cos_sim") >= threshold)
-            light.unionByName(star)
+            light.unionByName(starPairsF(tagged))
           }
       }
     }
+
+  /** Within-cluster exact-cosine pairing over an assignment frame
+    * `(idCol, centroid_id, vec, nrm)` — the shared back half of
+    * [[semanticDupPairs]] and [[semanticDupPairsPartitioned]]'s float
+    * route, with the cluster-size cap / anchor-pairing machinery.
+    */
+  private def clusterPairs(
+      assigned: DataFrame,
+      threshold: Double,
+      maxClusterSize: Option[Int],
+      idCol: String): DataFrame = {
+
+    def allPairs(a: DataFrame): DataFrame =
+      a.as("a").join(a.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
+          round(dot("a.vec", "b.vec") / (col("a.nrm") * col("b.nrm")), 6)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+
+    def star(tagged: DataFrame): DataFrame = {
+      val anchors = tagged.filter(col(idCol) === col("anchor"))
+        .select(col("centroid_id"), col("vec").as("avec"),
+          col("nrm").as("anrm"))
+      tagged.filter(col(idCol) =!= col("anchor"))
+        .join(broadcast(anchors), Seq("centroid_id"))
+        .select(col("anchor").as("vec_a"), col(idCol).as("vec_b"),
+          round(dot("avec", "vec") / (col("anrm") * col("nrm")), 6)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+    }
+
+    clusterPairsCore(assigned, maxClusterSize, idCol, allPairs, star)
+  }
+
+  /** [[clusterPairs]] with SQ8 CANDIDATE GENERATION — the 100 TB move
+    * for the semantic-dedup quadratic term: the within-cluster pair
+    * join (the only O(cluster²) work in SemDeDup) runs over the packed
+    * int8 `q8` column at ONE byte per dimension instead of the
+    * 8-byte-per-dimension `vec`, and the float `vec` is joined back
+    * ONLY for the candidate pairs that survive a provably LOSSLESS
+    * prefilter. Soundness: with â = q8·qscale the per-element
+    * quantization error is ≤ qscale/2, so ‖a − â‖₂ ≤ eps_a =
+    * qscale_a·√d/2 and
+    *
+    *   |qsim − cos| = |dot(â,b̂) − dot(a,b)| / (nrm_a·nrm_b)
+    *               ≤ (eps_a·(nrm_b + eps_b) + nrm_a·eps_b)
+    *                 / (nrm_a·nrm_b)  =  slack(a, b).
+    *
+    * Any pair the float route keeps (round(cos, 6) ≥ threshold, i.e.
+    * cos ≥ threshold − 5e-7) therefore has qsim ≥ threshold − slack −
+    * 5e-7; the prefilter keeps qsim ≥ threshold − slack − 1e-6, so the
+    * verified output is ROW-IDENTICAL to [[clusterPairs]] — the exact
+    * verify recomputes the float route's rounded cosine verbatim. The
+    * slack is per-PAIR from stored scalars only (qscale, nrm, the q8
+    * byte length); for well-spread embeddings eps/nrm ≈ 1e-2, so a
+    * dedup threshold prunes the overwhelming non-dup mass before any
+    * vec byte moves.
+    */
+  private def clusterPairsSq8(
+      corpus: DataFrame,
+      threshold: Double,
+      maxClusterSize: Option[Int],
+      idCol: String): DataFrame = {
+    val narrow = corpus.select(col(idCol), col("centroid_id"),
+      col("q8"), col("qscale"), col("nrm"))
+    val vecs = corpus.select(col(idCol), col("vec"), col("nrm"))
+
+    def slack(sa: Column, na: Column, sb: Column, nb: Column,
+        d: Column): Column = {
+      val epsA = sa * sqrt(d.cast("double")) / 2
+      val epsB = sb * sqrt(d.cast("double")) / 2
+      (epsA * (nb + epsB) + na * epsB) / (na * nb)
+    }
+
+    def verify(cand: DataFrame): DataFrame =
+      cand.join(vecs.select(col(idCol).as("vec_a"), col("vec").as("va"),
+          col("nrm").as("na")), Seq("vec_a"))
+        .join(vecs.select(col(idCol).as("vec_b"), col("vec").as("vb"),
+          col("nrm").as("nb")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(dot("va", "vb") / (col("na") * col("nb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+
+    def candAllPairs(a: DataFrame): DataFrame = {
+      val qsim = (graft.functions.Int8Dot(col("a.q8"), col("b.q8"))
+          .cast("double") * col("a.qscale") * col("b.qscale")) /
+        (col("a.nrm") * col("b.nrm"))
+      a.as("a").join(a.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .filter(qsim + slack(col("a.qscale"), col("a.nrm"),
+          col("b.qscale"), col("b.nrm"),
+          expr("octet_length(a.q8)")) >= threshold - 1e-6)
+        .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
+    }
+
+    def candStar(tagged: DataFrame): DataFrame = {
+      val anchors = tagged.filter(col(idCol) === col("anchor"))
+        .select(col("centroid_id"), col("q8").as("aq8"),
+          col("qscale").as("aqscale"), col("nrm").as("anrm"))
+      val qsim = (graft.functions.Int8Dot(col("aq8"), col("q8"))
+          .cast("double") * col("aqscale") * col("qscale")) /
+        (col("anrm") * col("nrm"))
+      tagged.filter(col(idCol) =!= col("anchor"))
+        .join(broadcast(anchors), Seq("centroid_id"))
+        .filter(qsim + slack(col("aqscale"), col("anrm"),
+          col("qscale"), col("nrm"),
+          expr("octet_length(q8)")) >= threshold - 1e-6)
+        .select(col("anchor").as("vec_a"), col(idCol).as("vec_b"))
+    }
+
+    clusterPairsCore(narrow, maxClusterSize, idCol,
+      a => verify(candAllPairs(a)), t => verify(candStar(t)))
   }
 
   /** [[semanticDupPairs]] over a [[writeIvfPartitioned]] layout: the
@@ -2751,13 +2944,25 @@ object Similarity {
     * partitioning as a `Partitioning` guarantee, so the exchange cannot
     * be elided outright without bucketed-table metadata). Identical
     * results to [[semanticDupPairs]] with the layout's centroid set.
+    *
+    * On a quantized layout the quadratic candidate join runs over the
+    * int8 `q8` column through a provably lossless prefilter
+    * ([[clusterPairsSq8]] — row-identical by the quantization error
+    * bound; vec is joined back only for surviving candidates); pass
+    * `quantizedCandidates = false` to force the float-wide join.
+    * Pre-SQ8 layouts run the float join either way. Caveat (shared
+    * with [[ivfKnnQuantized]]): rows whose `q8` is null — a MIXED
+    * layout where legacy files were restored beside quantized ones —
+    * are invisible to the quantized candidate stage; `ivfFsck
+    * --deep-schema` detects that state, `compactIvf` heals it.
     */
   def semanticDupPairsPartitioned(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       threshold: Double,
       maxClusterSize: Option[Int] = Some(DefaultMaxClusterSize),
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      quantizedCandidates: Boolean = true): DataFrame = {
     val corpus =
       spark.read.parquet(ivfDataRoot(Dedup.fsFor(spark, path), path))
     require(
@@ -2766,9 +2971,12 @@ object Similarity {
           org.apache.spark.sql.types.StringType,
       s"$path is not a current IVF layout (centroid_id must be the " +
         "prefixed-string partition column) — rewrite it with writeIvfPartitioned")
-    clusterPairs(
-      corpus.select(col(idCol), col("centroid_id"), col("vec"), col("nrm")),
-      threshold, maxClusterSize, idCol)
+    if (quantizedCandidates && corpus.schema.fieldNames.contains("q8"))
+      clusterPairsSq8(corpus, threshold, maxClusterSize, idCol)
+    else
+      clusterPairs(
+        corpus.select(col(idCol), col("centroid_id"), col("vec"), col("nrm")),
+        threshold, maxClusterSize, idCol)
   }
 
   /** Symmetric per-vector int8 scalar quantization — the serving-side

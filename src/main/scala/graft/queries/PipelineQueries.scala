@@ -348,39 +348,56 @@ object PipelineQueries {
     * duplicated by the rotation or the compaction swaps breaks the
     * hashes — the dedup-side counterpart of q59/q60/q62.
     */
+  /** The q63/q66 shared front half: bucketed history + index written
+    * from the low-id non-batch docs, the high-id non-batch docs landed
+    * as a ledgered epoch rotation. The split is by id RANGE, not
+    * parity: id_bucket is doc_id mod nBuckets, so a parity split would
+    * land the epoch in disjoint buckets and the "fragmented dirs" the
+    * maintenance targets would never exist — a range split puts base +
+    * epoch files in EVERY bucket.
+    */
+  private def buildFragmentedDedupPair(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      hist: String, idx: String): Unit = {
+    val d = docs(s, dir)
+    val part1 = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250)
+    val part2 = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250)
+    Dedup.writeHistoryBucketed(part1, hist, nBuckets = 8)
+    Dedup.writeMinhashIndex(part1, idx)
+    val bloom = s.sparkContext.broadcast(
+      Dedup.digestBloom(part1, expectedItems = 10000, fpp = 0.01))
+    Dedup.rotateEpochBucketed(part2, hist, idx, bloom,
+      expectedItems = 10000, fpp = 0.01, epochId = "ep1")
+      .unpersist(blocking = false)
+  }
+
+  /** The q63/q66 shared back half: the q52 batch probed through the
+    * bucketed partition-pruned path over a maintained pair.
+    */
+  private def probeDedupPair(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      hist: String, idx: String): org.apache.spark.sql.DataFrame = {
+    val batch = docs(s, dir).filter(col("doc_id") % 5 === 0)
+    val (ix, k, bands) = Dedup.openMinhashIndex(s, idx)
+    val (h, nb) = Dedup.openHistoryBucketed(s, hist)
+    Dedup.minhashProbeBucketedOn(batch, ix, h, nb, threshold = 0.8,
+        k = k, bands = bands, maxBandPop = None)
+      .orderBy("batch_id", "hist_id")
+  }
+
   private val qHistCompactedProbe = QueryDef(
     "q63_dedup_hcompacted_probe",
     (s, dir) => {
-      val d = docs(s, dir)
-      // split by id RANGE, not parity: id_bucket is doc_id mod nBuckets,
-      // so a parity split would land the epoch in disjoint buckets and
-      // the "fragmented dirs" the compaction targets would never exist —
-      // a range split puts base + epoch files in EVERY bucket
-      val part1 =
-        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250)
-      val part2 =
-        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250)
-      val batch = d.filter(col("doc_id") % 5 === 0)
       val root = scratchDir("graft-q63")
       val hist = s"$root/hist"
       val idx = s"$root/idx"
-      Dedup.writeHistoryBucketed(part1, hist, nBuckets = 8)
-      Dedup.writeMinhashIndex(part1, idx)
-      val bloom = s.sparkContext.broadcast(
-        Dedup.digestBloom(part1, expectedItems = 10000, fpp = 0.01))
-      Dedup.rotateEpochBucketed(part2, hist, idx, bloom,
-        expectedItems = 10000, fpp = 0.01, epochId = "ep1")
-        .unpersist(blocking = false)
+      buildFragmentedDedupPair(s, dir, hist, idx)
       val n = Dedup.compactHistoryPartitions(s, hist, idx, "hc1",
         maxFilesPerPartition = 1)
       require(n > 0,
         s"q63 expects the rotation to fragment buckets the compaction " +
           s"then rewrites, got $n compacted dirs")
-      val (ix, k, bands) = Dedup.openMinhashIndex(s, idx)
-      val (h, nb) = Dedup.openHistoryBucketed(s, hist)
-      Dedup.minhashProbeBucketedOn(batch, ix, h, nb, threshold = 0.8,
-          k = k, bands = bands, maxBandPop = None)
-        .orderBy("batch_id", "hist_id")
+      probeDedupPair(s, dir, hist, idx)
     },
     Some(incrementalProbeOracleSql))
 
@@ -400,35 +417,17 @@ object PipelineQueries {
   private val qDedupMaintainedProbe = QueryDef(
     "q66_dedup_maintained_probe",
     (s, dir) => {
-      val d = docs(s, dir)
-      // range split, as in q63: parity would dodge the fragmentation
-      // the policy's thresholds are pinned to detect
-      val part1 =
-        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250)
-      val part2 =
-        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250)
-      val batch = d.filter(col("doc_id") % 5 === 0)
       val root = scratchDir("graft-q66")
       val hist = s"$root/hist"
       val idx = s"$root/idx"
-      Dedup.writeHistoryBucketed(part1, hist, nBuckets = 8)
-      Dedup.writeMinhashIndex(part1, idx)
-      val bloom = s.sparkContext.broadcast(
-        Dedup.digestBloom(part1, expectedItems = 10000, fpp = 0.01))
-      Dedup.rotateEpochBucketed(part2, hist, idx, bloom,
-        expectedItems = 10000, fpp = 0.01, epochId = "ep1")
-        .unpersist(blocking = false)
+      buildFragmentedDedupPair(s, dir, hist, idx)
       val m = Dedup.dedupMaintain(s, hist, idx, "m1",
         maxFilesPerPartition = 1, ledgerTailMax = 1)
       require(m.actions.exists(_.startsWith("compact-history(")) &&
           m.actions.exists(_.startsWith("compact-ledger(")),
         s"q66 expects the policy to compact buckets AND roll the ledger, " +
           s"got ${m.actions}")
-      val (ix, k, bands) = Dedup.openMinhashIndex(s, idx)
-      val (h, nb) = Dedup.openHistoryBucketed(s, hist)
-      Dedup.minhashProbeBucketedOn(batch, ix, h, nb, threshold = 0.8,
-          k = k, bands = bands, maxBandPop = None)
-        .orderBy("batch_id", "hist_id")
+      probeDedupPair(s, dir, hist, idx)
     },
     Some(incrementalProbeOracleSql))
 
@@ -1201,13 +1200,14 @@ object PipelineQueries {
     * are built from), so a fixture regenerated in place under the same
     * path invalidates the memo instead of serving stale data.
     */
-  private[graft] def probeLayoutKey(name: String, dir: String): String = {
+  private[graft] def probeLayoutKey(name: String, dir: String,
+      table: String = "embeddings.parquet"): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
           .toSeq.flatMap(walk)
       else Seq(f)
-    val fs = walk(new java.io.File(s"$dir/embeddings.parquet"))
+    val fs = walk(new java.io.File(s"$dir/$table"))
     val fp = s"${fs.size}-${fs.map(_.length).sum}-" +
       s"${if (fs.isEmpty) 0L else fs.map(_.lastModified).max}"
     s"$name|${new java.io.File(dir).getCanonicalPath}|$fp"
@@ -1220,6 +1220,22 @@ object PipelineQueries {
       build(path)
       path
     })
+
+  /** [[memoLayout]] for the dedup PAIR (bucketed history + minhash
+    * index under one root, built from `documents.parquet`) — the
+    * q63/q66 probe-only bench rows build their maintained pair once
+    * and time only the probe. Returns (historyPath, indexPath).
+    */
+  private def memoDedupPair(name: String, dir: String)(
+      build: (String, String) => Unit): (String, String) = {
+    val root = probeLayouts.computeIfAbsent(
+      probeLayoutKey(name, dir, table = "documents.parquet"), _ => {
+        val r = persistentScratchDir(s"graft-$name-probe")
+        build(s"$r/hist", s"$r/idx")
+        r
+      })
+    (s"$root/hist", s"$root/idx")
+  }
 
   /** The q59-shaped layout build (even-id flat write + odd-id ledgered
     * epoch append) — shared by the q59 probe-only bench variant and the
@@ -1265,6 +1281,30 @@ object PipelineQueries {
       Similarity.ivfKnnPartitioned(s, path, knnQueryIds, k = 5, nprobe = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+    // the dedup serving cost, window-independent: the q63/q66 suite
+    // rows are ~80% build+maintain rehearsal by design, so their
+    // totals swing with the sandbox's bimodal window — these twins
+    // time ONLY the bucketed partition-pruned probe over the same
+    // maintained pair (built once, memoized)
+    "q63_probe_only" -> { (s, dir) =>
+      val (hist, idx) = memoDedupPair("q63", dir) { (h, i) =>
+        buildFragmentedDedupPair(s, dir, h, i)
+        require(Dedup.compactHistoryPartitions(s, h, i, "hc1",
+          maxFilesPerPartition = 1) > 0,
+          "q63_probe_only expects fragmented buckets to compact")
+      }
+      probeDedupPair(s, dir, hist, idx)
+    },
+    "q66_probe_only" -> { (s, dir) =>
+      val (hist, idx) = memoDedupPair("q66", dir) { (h, i) =>
+        buildFragmentedDedupPair(s, dir, h, i)
+        val m = Dedup.dedupMaintain(s, h, i, "m1",
+          maxFilesPerPartition = 1, ledgerTailMax = 1)
+        require(m.actions.exists(_.startsWith("compact-history(")),
+          s"q66_probe_only expects the policy to compact, got ${m.actions}")
+      }
+      probeDedupPair(s, dir, hist, idx)
     })
 
   // ----------------------------------------------------------------- text
@@ -1896,6 +1936,48 @@ object PipelineQueries {
            |ORDER BY vec_a, vec_b""".stripMargin))
   }
 
+  /** SemDeDup over a QUANTIZED at-rest layout, hash-verified — the
+    * SQ8-candidate route of [[Similarity.semanticDupPairsPartitioned]]
+    * (the default on a q8-bearing layout): the quadratic within-cluster
+    * candidate join runs over the packed int8 column through the
+    * lossless error-bound prefilter, and only surviving candidates are
+    * exact-verified against the float vectors. The oracle recomputes
+    * the layout's assignment (q68's centroid construction: the even-id
+    * training sample) and then the PLAIN exact pair join — the hashes
+    * prove the prefilter is lossless on a live layout: one pair pruned
+    * that the float route keeps, or one kept that it prunes, breaks
+    * them.
+    */
+  private val qSemDedupSq8 = QueryDef(
+    "q71_semantic_dedup_sq8",
+    (s, dir) => {
+      val path = memoLayout("q59", dir)(buildAppendedLayout(s, dir))
+      Similarity.semanticDupPairsPartitioned(s, path, threshold = 0.40,
+          maxClusterSize = None)
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |ea AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, vec AS cvec FROM ea
+         |  ORDER BY ((vec_id % ${DuckSql.P}) * 2654435761) % ${DuckSql.P}, vec_id
+         |  LIMIT ${Similarity.DefaultCentroidK}),
+         |a AS (
+         |  SELECT vec_id, centroid_id, vec FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.vec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c)
+         |  WHERE crank = 1)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |       round(${DuckSql.cosine("x.vec", "y.vec")}, 6) AS cos_sim
+         |FROM a x JOIN a y
+         |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |WHERE round(${DuckSql.cosine("x.vec", "y.vec")}, 6) >= 0.40
+         |ORDER BY vec_a, vec_b""".stripMargin))
+
   /** Sequence packing: the corpus as one token stream cut into 2048-token
     * context windows (distributed two-pass prefix sum on the Spark side;
     * a plain cumulative window in the oracle — same arithmetic).
@@ -2121,7 +2203,8 @@ object PipelineQueries {
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
-    qSrp, qSrpDup, qSemDedup, qSemDedupCapped, qIvfAssign, qComponents,
+    qSrp, qSrpDup, qSemDedup, qSemDedupCapped, qSemDedupSq8, qIvfAssign,
+    qComponents,
     qKeepers, qContamination,
     qSample, qQuantize, qPack, qPipelineE2e, qPipelineRag)
 }

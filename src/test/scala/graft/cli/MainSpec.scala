@@ -65,8 +65,10 @@ class MainSpec extends AnyFunSuite {
     assert(h0.contains("generation=-") && h0.contains("quarantined=0"))
     assert(h0.contains("recall=") && !h0.contains("recall=-"), h0)
 
-    // the read-only doctor: clean before maintenance
+    // the read-only doctor: clean before maintenance; --json is the
+    // machine-readable twin (empty array when clean)
     assert(run("fsck", flags = List("--deep-schema")) == "clean")
+    assert(run("fsck", flags = List("--deep-schema", "--json")) == "[]")
 
     // --rerank judges the SQ8 route's recall and reports the route
     val hq = run("health", flags = List("--recall", "4", "--rerank", "64"))
@@ -85,6 +87,17 @@ class MainSpec extends AnyFunSuite {
     // the doctor reports the retired bytes awaiting purge, info-grade
     val fk = run("fsck")
     assert(fk.contains("INFO retired-present"), fk)
+    // --json carries the SAME findings as parseable one-line JSON —
+    // a monitoring agent never scrapes the human lines
+    val fkj = run("fsck", flags = List("--json"))
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(fkj)
+    assert(tree.isArray && tree.size() == fk.linesIterator.size, fkj)
+    val nodes = (0 until tree.size()).map(tree.get)
+    assert(nodes.forall(n =>
+      Seq("code", "severity", "subject", "detail").forall(n.has)), fkj)
+    assert(nodes.exists(n => n.get("code").asText() == "retired-present"
+      && n.get("severity").asText() == "info"), fkj)
 
     assert(run("compact-ledger") == "rolled=3") // e1, c1, r1
     assert(run("compact-ledger") == "rolled=0")
@@ -247,6 +260,14 @@ class MainSpec extends AnyFunSuite {
     val fk = run("fsck", List(hist, idx))
     assert(fk.contains("INFO retired-present") &&
       !fk.contains("WARN") && !fk.contains("FATAL"), fk)
+    // --json: same findings, machine-parseable (shared renderer with
+    // ivf fsck — this pins the dedup wiring)
+    val fkj = run("fsck", List(hist, idx), List("--json"))
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(fkj)
+    assert(tree.isArray && tree.size() == fk.linesIterator.size, fkj)
+    assert((0 until tree.size()).map(tree.get).forall(n =>
+      n.get("severity").asText() == "info"), fkj)
     intercept[RuntimeException] { run("stats", Nil) }
     intercept[RuntimeException] { run("bogus", List(hist)) }
   }

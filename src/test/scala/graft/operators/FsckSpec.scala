@@ -152,8 +152,11 @@ class FsckSpec extends AnyFunSuite {
     // resolved schema carries q8 — the legacy dir's rows reading as
     // value-level nulls
     assert(codes(fs).sorted == Seq("schema-mixed", "schema-null-q8"), fs)
-    // shallow mode deliberately skips the per-dir footer reads
-    assert(Similarity.ivfFsck(spark, path).isEmpty)
+    // shallow mode's one-footer heuristic is best-effort by listing
+    // order — here the first-listed dir IS the legacy one, so the
+    // default doctor already warns (as marker-stale: one footer can't
+    // distinguish a stale marker from a mix; deep mode above can)
+    assert(codes(Similarity.ivfFsck(spark, path)) == Seq("marker-stale"))
     // INTRA-dir mix: a legacy file restored BESIDE quantized files in
     // one dir must be caught regardless of listing order
     val pd2 = f.listStatus(new org.apache.hadoop.fs.Path(path))
@@ -206,8 +209,28 @@ class FsckSpec extends AnyFunSuite {
       }
     val fs = Similarity.ivfFsck(spark, path, deepSchema = true)
     assert(codes(fs) == Seq("marker-stale"), fs)
-    // shallow mode stays listing-only (no footer walk, no finding)
-    assert(Similarity.ivfFsck(spark, path).isEmpty)
+    // shallow mode surfaces it too via the one-footer heuristic (the
+    // same probe the append tripwire pays) — the DEFAULT doctor warns
+    // before any append can grow the damage
+    val shallow = Similarity.ivfFsck(spark, path)
+    assert(codes(shallow) == Seq("marker-stale"), shallow)
+    // and the append itself REFUSES instead of writing quantized files
+    // into the legacy layout (the damage the stale marker would cause)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendIvfEpoch(
+        e.filter(col("vec_id") >= 32 && col("vec_id") < 40), path, "eX")
+    }
+    assert(ex.getMessage.contains("_sq8 marker") &&
+      ex.getMessage.contains("contradicted"), ex.getMessage)
+    // nothing was ledgered or written by the refused append
+    assert(Similarity.ivfFsck(spark, path, deepSchema = true)
+      .forall(_.code == "marker-stale"))
+    // deleting the stale marker heals: the footer walk re-judges the
+    // layout as legacy and the SAME append now lands legacy-schema
+    f.delete(Similarity.sq8MarkerPath(path), false)
+    assert(Similarity.appendIvfEpoch(
+      e.filter(col("vec_id") >= 32 && col("vec_id") < 40), path, "eX"))
+    assert(Similarity.ivfFsck(spark, path, deepSchema = true).isEmpty)
   }
 
   test("ivfFsck deepSchema: PERSISTED null q8 rows — invisible to " +

@@ -687,6 +687,25 @@ class IvfRotationSpec extends AnyFunSuite {
       .exists(_.startsWith("rotate-skipped(")))
     val mb = tick("brkq4", Some(qsB))
     assert(mb.actions.exists(_.startsWith("rotate(")), mb.actions)
+
+    // DUPLICATE-sensitivity: under an order-insensitive XOR the
+    // digests of {X,X,B} and {Y,Y,B} collapse (even-multiplicity rows
+    // cancel, leaving count=3|hash(B) for both), so swapping to a
+    // never-measured workload of the same size could stay fenced; the
+    // wrapping-SUM digest keeps the multiplicities and must re-arm
+    val rowB = Seq((9000L, jittered(1, dirB, 0.1f)))
+    def dup(x: Long) = Seq(
+      (x, jittered(x.toInt, dirB, 0.1f)),
+      (x, jittered(x.toInt, dirB, 0.1f)))
+    val qsXXB = (dup(9100L) ++ rowB).toDF("query_id", "embedding")
+    val qsYYB = (dup(9200L) ++ rowB).toDF("query_id", "embedding")
+    val md = tick("brkd1", Some(qsXXB))
+    assert(md.actions.exists(
+      _.contains("recall-floor-unmet-after-rotation")), md.actions)
+    assert(tick("brkd2", Some(qsXXB)).actions
+      .exists(_.startsWith("rotate-skipped(")))
+    val md2 = tick("brkd3", Some(qsYYB))
+    assert(md2.actions.exists(_.startsWith("rotate(")), md2.actions)
   }
 
   test("rotation id and sampleFrac are validated before any work") {

@@ -559,18 +559,54 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("semanticDupPairsPartitioned: the stored IVF assignment replaces " +
-    "coarse quantization, identical pairs") {
+    "coarse quantization, identical pairs; the SQ8 candidate route is " +
+    "row-identical to the float route (light and heavy paths) and its " +
+    "quadratic scan reads q8, not vec") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-sem").toString
     Similarity.writeIvfPartitioned(emb, root)
-    val fromLayout = Similarity.semanticDupPairsPartitioned(spark, root,
-        threshold = 0.45)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // default = the quantized candidate route (the layout carries q8)
+    val fromLayout = pairs(Similarity.semanticDupPairsPartitioned(spark, root,
+      threshold = 0.45))
     // the layout was written around the default id-hash centroid sample,
     // so the in-memory operator with the same derived centroids agrees
-    val inMemory = Similarity.semanticDupPairs(emb, threshold = 0.45)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMemory = pairs(Similarity.semanticDupPairs(emb, threshold = 0.45))
     assert(fromLayout == inMemory)
+    assert(fromLayout.nonEmpty) // vacuous-premise guard
+    // the float-forced route agrees too (lossless prefilter, light path)
+    val floatRoute = pairs(Similarity.semanticDupPairsPartitioned(spark,
+      root, threshold = 0.45, quantizedCandidates = false))
+    assert(floatRoute == fromLayout)
+    // HEAVY path: a cap below the largest cluster engages anchor/star
+    // pairing in both routes — they must still agree row-for-row
+    val sizes = spark.read.parquet(root).groupBy("centroid_id").count()
+      .collect().map(_.getLong(1))
+    val cap = 4
+    assert(sizes.exists(_ > cap), "fixture must have an over-cap cluster")
+    // threshold 0.05: anchor/star pairs at sf0.001 don't reach 0.45,
+    // which would make the comparison vacuously empty == empty
+    val heavyQ = pairs(Similarity.semanticDupPairsPartitioned(spark, root,
+      threshold = 0.05, maxClusterSize = Some(cap)))
+    val heavyF = pairs(Similarity.semanticDupPairsPartitioned(spark, root,
+      threshold = 0.05, maxClusterSize = Some(cap),
+      quantizedCandidates = false))
+    assert(heavyQ == heavyF)
+    assert(heavyQ.nonEmpty)
+    // the quadratic candidate join's corpus scan must read the packed
+    // q8 (1 B/dim), NOT the 8 B/dim vec column — vec appears only in
+    // the verify joins (passthrough exposes the interior plan; the
+    // checkpointed form explains as one Scan ExistingRDD)
+    Caching.passthrough = true
+    try {
+      val plan = Similarity.semanticDupPairsPartitioned(spark, root,
+          threshold = 0.45)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(scans.exists(l => l.contains("q8") && !l.contains("vec:array")),
+        scans)
+    } finally Caching.passthrough = false
   }
 
   test("kmeansFit: separates direction clusters, feeds the cosine stack") {
@@ -780,5 +816,89 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.writeIvfPartitioned(emb, s"$root/bad",
         filesPerPartition = 0)
     }
+  }
+
+  test("SQ8 distributed rerank under one HOT centroid: AQE splits the " +
+    "skewed stage-1 shuffle join (skew=true in the final plan) and " +
+    "rows stay identical to the collected mode") {
+    // the distributed mode's stage-1 join shuffles on centroid_id, so
+    // it inherits centroid skew; the designed mitigation is AQE's
+    // skew-join split. This exercises it: one centroid holds 90% of
+    // the corpus, the skew thresholds are scaled to the fixture, and
+    // the final adaptive plan must show the split — while the output
+    // stays row-identical to the collected mode (which broadcasts the
+    // probes and never shuffles on the skewed key)
+    def vec(i: Long, hot: Boolean): Array[Float] = {
+      val h = scala.util.hashing.byteswap64(i)
+      Array.tabulate(8) { j =>
+        val noise = ((h >> (4 * j)) & 15).toFloat / 64f
+        if (hot && j == 0) 100f else if (!hot && j == 1) 100f else noise
+      }
+    }
+    val emb = ((0L until 360L).map(i => (i, vec(i, hot = true))) ++
+      (360L until 400L).map(i => (i, vec(i, hot = false))))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sq8skew").toString
+    // the salt spreads the hot dir across FILES (coalescing disabled
+    // for the write, as in the filesPerPartition spec): AQE's skew
+    // split works at map-output granularity, so a one-file hot
+    // partition — one mapper — would be unsplittable no matter the
+    // thresholds; at corpus scale the hot dir is many files and many
+    // scan tasks by size alone
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      Similarity.writeIvfPartitioned(emb, root, centroidK = 2,
+        filesPerPartition = 8)
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+    // the skew premise: one partition dir really is hot, and spread
+    // across several files
+    val sizes = spark.read.parquet(root).groupBy("centroid_id").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.max >= 300, sizes.toSeq)
+    assert(Similarity.ivfPartitionStats(spark, root).exists(_._2 > 1))
+    val queryIds = (0L until 8L).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+    val skewKeys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      // one scan task per file, so the hot key's shuffle blocks come
+      // from several mappers (the granularity the split needs)
+      "spark.sql.files.maxPartitionBytes" -> "2KB",
+      "spark.sql.files.openCostInBytes" -> "1KB")
+    val saved = skewKeys.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    val got =
+      try {
+        skewKeys.foreach { case (k, v) => spark.conf.set(k, v) }
+        Caching.passthrough = true
+        val dist = Similarity.ivfKnnQuantized(spark, root, queryIds,
+          k = 5, nprobe = 1, rerank = 8, collectShortlist = false)
+        dist.collect() // materialize THIS dataset: its adaptive plan finalizes
+        val plan = dist.queryExecution.executedPlan.toString
+        assert(plan.contains("isFinalPlan=true"), plan.take(500))
+        assert(plan.contains("skew=true"),
+          "expected an AQE skew-split join in:\n" + plan.take(9000))
+        rows(dist)
+      } finally {
+        Caching.passthrough = false
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+    // row-identity with the collected mode under DEFAULT confs: the
+    // skew split changed the schedule, never the answer
+    val collected = rows(Similarity.ivfKnnQuantized(spark, root,
+      queryIds, k = 5, nprobe = 1, rerank = 8))
+    assert(got == collected)
+    assert(got.nonEmpty)
   }
 }

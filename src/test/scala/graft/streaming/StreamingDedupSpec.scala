@@ -399,6 +399,18 @@ class StreamingDedupSpec extends AnyFunSuite {
     // the maintain tick ran at the same boundary: the rotation's
     // fresh bucket files compacted (threshold 1), the ledger rolled
     assert(EpochLedger.applied(spark, histPath, "maintain-ep0-compact"))
+    // ...and the OBSERVABLES the policy judges are actually bounded —
+    // a long-running stream's fragmentation and ledger growth repair
+    // at the cadence that creates them, no operator action: every
+    // bucket is back to one file, and the visible `_epochs` tail is
+    // the rolled applied-set file plus at most the entries ledgered
+    // SINCE the roll (the compaction's own id lands after it)
+    assert(Dedup.historyPartitionStats(spark, histPath).forall(_._2 == 1))
+    val visibleTail = Dedup.fsFor(spark, histPath)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$histPath/_epochs"))
+      .map(_.getPath.getName)
+      .count(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(visibleTail <= 1, s"ledger tail unbounded: $visibleTail")
     // the cross-batch redelivery is REPORTED novel again (1000 twice;
     // 1004 was collapsed in-batch) — the bloom advances at rotation,
     // the documented window
