@@ -2765,17 +2765,20 @@ object Similarity {
     * the verified `(vec_a, vec_b, cos_sim)` pairs within a (sub)set of
     * clusters; `starPairsF` receives the heavy rows TAGGED with their
     * own cluster's anchor id and produces the verified anchor/star
-    * pairs.
+    * pairs. Each F also receives the LITERAL `centroid_id` predicate
+    * its frame was restricted by (None = all clusters), so a strategy
+    * whose verify stage re-reads the layout can partition-prune that
+    * read to the clusters actually in play.
     */
   private def clusterPairsCore(
       assigned: DataFrame,
       maxClusterSize: Option[Int],
       idCol: String,
-      allPairsF: DataFrame => DataFrame,
-      starPairsF: DataFrame => DataFrame): DataFrame =
+      allPairsF: (DataFrame, Option[Column]) => DataFrame,
+      starPairsF: (DataFrame, Option[Column]) => DataFrame): DataFrame =
     Caching.withCached(assigned) {
       maxClusterSize match {
-        case None => allPairsF(assigned)
+        case None => allPairsF(assigned, None)
         case Some(cap) =>
           require(cap >= 2, s"maxClusterSize must be >= 2, got $cap")
           // per-cluster population + anchor: one map-side-combinable agg
@@ -2794,7 +2797,7 @@ object Similarity {
           // centroid_id is long from rankCentroids but STRING ("c<id>")
           // from the partitioned layout — keep it untyped
           val heavyIds: Seq[Any] = heavyRows.map(_.get(0)).toSeq
-          if (heavyIds.isEmpty) allPairsF(assigned)
+          if (heavyIds.isEmpty) allPairsF(assigned, None)
           else {
             val spark = assigned.sparkSession
             // the collected heavy rows as a LOCAL relation (no recompute,
@@ -2806,14 +2809,20 @@ object Similarity {
             val heavyAnchors = broadcast(spark.createDataFrame(
               java.util.Arrays.asList(heavyRows: _*), csFrame.schema)
               .select(col("centroid_id"), col("anchor")))
+            // the F's receive the LITERAL cluster predicate their
+            // frame was filtered by, so a strategy that re-reads the
+            // layout (the SQ8 route's exact-verify joins) can prune
+            // the same partitions instead of scanning the corpus
             val light = allPairsF(
-              assigned.filter(!col("centroid_id").isInCollection(heavyIds)))
+              assigned.filter(!col("centroid_id").isInCollection(heavyIds)),
+              Some(!col("centroid_id").isInCollection(heavyIds)))
             // every heavy row carries its cluster's anchor id after the
             // broadcast join; anchor = cluster min id, so vec_a < vec_b
             val tagged = assigned
               .filter(col("centroid_id").isInCollection(heavyIds))
               .join(heavyAnchors, Seq("centroid_id"))
-            light.unionByName(starPairsF(tagged))
+            light.unionByName(starPairsF(tagged,
+              Some(col("centroid_id").isInCollection(heavyIds))))
           }
       }
     }
@@ -2850,7 +2859,10 @@ object Similarity {
         .filter(col("cos_sim") >= threshold)
     }
 
-    clusterPairsCore(assigned, maxClusterSize, idCol, allPairs, star)
+    // the float route computes cosines from the columns already in the
+    // frame — no layout re-read, so the cluster predicate is unused
+    clusterPairsCore(assigned, maxClusterSize, idCol,
+      (a, _) => allPairs(a), (t, _) => star(t))
   }
 
   /** [[clusterPairs]] with SQ8 CANDIDATE GENERATION — the 100 TB move
@@ -2876,6 +2888,22 @@ object Similarity {
     * byte length); for well-spread embeddings eps/nrm ≈ 1e-2, so a
     * dedup threshold prunes the overwhelming non-dup mass before any
     * vec byte moves.
+    *
+    * Two hardening properties beyond the bound:
+    *   - rows whose `q8` is NULL (a MIXED layout — legacy files
+    *     restored beside quantized ones) SKIP the prefilter and go
+    *     straight to exact verify, so the route stays lossless on a
+    *     damaged layout instead of silently dropping its pairs (cost
+    *     degrades toward the float route for exactly the legacy rows);
+    *   - the verify joins are keyed on (id, centroid_id), not bare id,
+    *     so an unrelated row whose id collides with a candidate's in
+    *     ANOTHER cluster can never supply the verification vector (the
+    *     same impostor hazard [[clusterPairsCore]]'s anchor join
+    *     defends), and the cluster predicate from the heavy/light
+    *     split partition-prunes the verify scans to the clusters in
+    *     play. Duplicate ids WITHIN one cluster remain out of contract
+    *     (the float route's own a.id < b.id pair join cannot
+    *     distinguish the copies either).
     */
   private def clusterPairsSq8(
       corpus: DataFrame,
@@ -2884,7 +2912,8 @@ object Similarity {
       idCol: String): DataFrame = {
     val narrow = corpus.select(col(idCol), col("centroid_id"),
       col("q8"), col("qscale"), col("nrm"))
-    val vecs = corpus.select(col(idCol), col("vec"), col("nrm"))
+    val vecs = corpus.select(col(idCol), col("centroid_id"), col("vec"),
+      col("nrm"))
 
     def slack(sa: Column, na: Column, sb: Column, nb: Column,
         d: Column): Column = {
@@ -2893,14 +2922,25 @@ object Similarity {
       (epsA * (nb + epsB) + na * epsB) / (na * nb)
     }
 
-    def verify(cand: DataFrame): DataFrame =
-      cand.join(vecs.select(col(idCol).as("vec_a"), col("vec").as("va"),
-          col("nrm").as("na")), Seq("vec_a"))
-        .join(vecs.select(col(idCol).as("vec_b"), col("vec").as("vb"),
-          col("nrm").as("nb")), Seq("vec_b"))
+    // null q8 on either side (mixed layout) keeps the pair — the exact
+    // verify is the judge; a null qsim would otherwise three-valued-
+    // logic the pair out of existence
+    def keep(aQ8: Column, bQ8: Column, prefilter: Column): Column =
+      aQ8.isNull || bQ8.isNull || prefilter
+
+    def verify(cand: DataFrame, clusters: Option[Column]): DataFrame = {
+      val v = clusters.map(vecs.filter).getOrElse(vecs)
+      cand
+        .join(v.select(col(idCol).as("vec_a"), col("centroid_id"),
+          col("vec").as("va"), col("nrm").as("na")),
+          Seq("vec_a", "centroid_id"))
+        .join(v.select(col(idCol).as("vec_b"), col("centroid_id"),
+          col("vec").as("vb"), col("nrm").as("nb")),
+          Seq("vec_b", "centroid_id"))
         .select(col("vec_a"), col("vec_b"),
           round(dot("va", "vb") / (col("na") * col("nb")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= threshold)
+    }
 
     def candAllPairs(a: DataFrame): DataFrame = {
       val qsim = (graft.functions.Int8Dot(col("a.q8"), col("b.q8"))
@@ -2909,10 +2949,12 @@ object Similarity {
       a.as("a").join(a.as("b"),
           col("a.centroid_id") === col("b.centroid_id") &&
             col(s"a.$idCol") < col(s"b.$idCol"))
-        .filter(qsim + slack(col("a.qscale"), col("a.nrm"),
-          col("b.qscale"), col("b.nrm"),
-          expr("octet_length(a.q8)")) >= threshold - 1e-6)
-        .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
+        .filter(keep(col("a.q8"), col("b.q8"),
+          qsim + slack(col("a.qscale"), col("a.nrm"),
+            col("b.qscale"), col("b.nrm"),
+            expr("octet_length(a.q8)")) >= threshold - 1e-6))
+        .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
+          col("a.centroid_id").as("centroid_id"))
     }
 
     def candStar(tagged: DataFrame): DataFrame = {
@@ -2924,14 +2966,17 @@ object Similarity {
         (col("anrm") * col("nrm"))
       tagged.filter(col(idCol) =!= col("anchor"))
         .join(broadcast(anchors), Seq("centroid_id"))
-        .filter(qsim + slack(col("aqscale"), col("anrm"),
-          col("qscale"), col("nrm"),
-          expr("octet_length(q8)")) >= threshold - 1e-6)
-        .select(col("anchor").as("vec_a"), col(idCol).as("vec_b"))
+        .filter(keep(col("aq8"), col("q8"),
+          qsim + slack(col("aqscale"), col("anrm"),
+            col("qscale"), col("nrm"),
+            expr("octet_length(q8)")) >= threshold - 1e-6))
+        .select(col("anchor").as("vec_a"), col(idCol).as("vec_b"),
+          col("centroid_id"))
     }
 
     clusterPairsCore(narrow, maxClusterSize, idCol,
-      a => verify(candAllPairs(a)), t => verify(candStar(t)))
+      (a, p) => verify(candAllPairs(a), p),
+      (t, p) => verify(candStar(t), p))
   }
 
   /** [[semanticDupPairs]] over a [[writeIvfPartitioned]] layout: the
@@ -2950,11 +2995,14 @@ object Similarity {
     * ([[clusterPairsSq8]] — row-identical by the quantization error
     * bound; vec is joined back only for surviving candidates); pass
     * `quantizedCandidates = false` to force the float-wide join.
-    * Pre-SQ8 layouts run the float join either way. Caveat (shared
-    * with [[ivfKnnQuantized]]): rows whose `q8` is null — a MIXED
-    * layout where legacy files were restored beside quantized ones —
-    * are invisible to the quantized candidate stage; `ivfFsck
-    * --deep-schema` detects that state, `compactIvf` heals it.
+    * Pre-SQ8 layouts run the float join either way. Unlike
+    * [[ivfKnnQuantized]]'s probe, a MIXED layout (legacy files
+    * restored beside quantized ones) loses nothing here: null-q8 rows
+    * bypass the prefilter into the exact verify, and the route choice
+    * consults the layout's own judgment ([[layoutHasQ8]] +
+    * mergeSchema) rather than an arbitrary footer's schema resolution
+    * — `ivfFsck --deep-schema` still reports the state, `compactIvf`
+    * still heals it (and restores the prefilter's cost win).
     */
   def semanticDupPairsPartitioned(
       spark: org.apache.spark.sql.SparkSession,
@@ -2963,16 +3011,28 @@ object Similarity {
       maxClusterSize: Option[Int] = Some(DefaultMaxClusterSize),
       idCol: String = "vec_id",
       quantizedCandidates: Boolean = true): DataFrame = {
-    val corpus =
-      spark.read.parquet(ivfDataRoot(Dedup.fsFor(spark, path), path))
+    val dataRoot = ivfDataRoot(Dedup.fsFor(spark, path), path)
+    val corpus = spark.read.parquet(dataRoot)
     require(
       corpus.schema.fieldNames.contains("centroid_id") &&
         corpus.schema("centroid_id").dataType ==
           org.apache.spark.sql.types.StringType,
       s"$path is not a current IVF layout (centroid_id must be the " +
         "prefixed-string partition column) — rewrite it with writeIvfPartitioned")
-    if (quantizedCandidates && corpus.schema.fieldNames.contains("q8"))
-      clusterPairsSq8(corpus, threshold, maxClusterSize, idCol)
+    // route choice is DETERMINISTIC, never an arbitrary footer's
+    // schema resolution: a uniform quantized layout resolves q8 from
+    // any footer; a MIXED one (legacy files restored beside quantized)
+    // may or may not, so the marker/footer-walk judgment breaks the
+    // tie, and when resolution missed q8 the read is retried with
+    // mergeSchema so the quantized columns are visible — the legacy
+    // rows then carry null q8 and [[clusterPairsSq8]] exact-verifies
+    // them, keeping the route lossless on the damaged state
+    val resolvedQ8 = corpus.schema.fieldNames.contains("q8")
+    if (quantizedCandidates && (resolvedQ8 || layoutHasQ8(spark, dataRoot)))
+      clusterPairsSq8(
+        if (resolvedQ8) corpus
+        else spark.read.option("mergeSchema", "true").parquet(dataRoot),
+        threshold, maxClusterSize, idCol)
     else
       clusterPairs(
         corpus.select(col(idCol), col("centroid_id"), col("vec"), col("nrm")),

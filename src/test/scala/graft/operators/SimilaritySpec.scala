@@ -606,7 +606,100 @@ class SimilaritySpec extends AnyFunSuite {
       val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
       assert(scans.exists(l => l.contains("q8") && !l.contains("vec:array")),
         scans)
+      // the HEAVY route's verify re-reads of the layout must be
+      // partition-pruned by the literal heavy/light cluster sets —
+      // at least one vec-reading scan carries an IN partition filter
+      // (the light side's NOT-IN twin prunes too; this pins the
+      // mechanism)
+      val cappedPlan = Similarity.semanticDupPairsPartitioned(spark, root,
+          threshold = 0.05, maxClusterSize = Some(cap))
+        .queryExecution.executedPlan.toString
+      assert(cappedPlan.linesIterator.exists(l =>
+        l.contains("vec:array") && l.contains("INSET")),
+        cappedPlan.take(4000))
     } finally Caching.passthrough = false
+  }
+
+  test("semanticDupPairsPartitioned SQ8 route survives damage: a MIXED " +
+    "layout (legacy files beside quantized) stays row-identical to the " +
+    "float route via the null-q8 exact-verify escape, and a duplicate " +
+    "id ACROSS clusters never supplies an impostor verify vector") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sem-mixed").toString
+    Similarity.writeIvfPartitioned(emb, root)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // strip the SQ8 columns from the TWO most-populated partition
+    // dirs' files — the restore-from-pre-SQ8-backup shape (FsckSpec's
+    // construction); most-populated guarantees in-cluster pairs exist
+    // for the escape-hatch assertion below
+    val f = Dedup.fsFor(spark, root)
+    val damaged = spark.read.parquet(root).groupBy("centroid_id").count()
+      .orderBy(col("count").desc, col("centroid_id")).limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val legacyTmp = java.nio.file.Files
+      .createTempDirectory("graft-sem-legacy").toString
+    damaged.foreach { c =>
+      val d = new org.apache.hadoop.fs.Path(s"$root/centroid_id=$c")
+      val legacy = spark.read.option("basePath", root)
+        .parquet(d.toString).select("vec_id", "vec", "nrm")
+      val tmp = s"$legacyTmp/$c"
+      legacy.coalesce(1).write.mode("overwrite").parquet(tmp)
+      f.listStatus(d)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(st => f.delete(st.getPath, false))
+      val lf = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      assert(f.rename(lf, new org.apache.hadoop.fs.Path(d, lf.getName)))
+    }
+    // the mixed layout's pairs: default (SQ8) == float-forced, at a
+    // threshold where legacy-side pairs exist (0.05 reaches across
+    // the damaged clusters' pairs; nonEmpty guards the premise)
+    val q = pairs(Similarity.semanticDupPairsPartitioned(spark, root,
+      threshold = 0.05, maxClusterSize = None))
+    val fl = pairs(Similarity.semanticDupPairsPartitioned(spark, root,
+      threshold = 0.05, maxClusterSize = None,
+      quantizedCandidates = false))
+    assert(q == fl)
+    assert(q.nonEmpty)
+    // pairs INSIDE a damaged (all-legacy) cluster made it through the
+    // SQ8 route — the null-q8 escape, not just the healthy clusters
+    val inDamaged = spark.read.parquet(root)
+      .filter(col("centroid_id").isin(damaged: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(q.exists(p => inDamaged(p._1) && inDamaged(p._2)),
+      s"no pair inside damaged clusters $damaged — vacuous escape test")
+
+    // duplicate id ACROSS clusters: the same id with two DIFFERENT
+    // vectors landing in different clusters; the verify join keyed on
+    // (id, centroid_id) must score each pair with its own cluster's
+    // vector — bare-id joins would cross-pollinate (and double rows)
+    import spark.implicits._
+    def dvec(seed: Long, axis: Int): Array[Float] = {
+      val h = scala.util.hashing.byteswap64(seed)
+      Array.tabulate(8)(j =>
+        if (j == axis) 50f else ((h >> (4 * j)) & 15).toFloat / 32f)
+    }
+    val dup = ((0L until 20L).map(i => (i, dvec(i, 0))) ++
+      (20L until 40L).map(i => (i, dvec(i, 1))) ++
+      // id 7 again, far from its first copy: lands in the OTHER cluster
+      Seq((7L, dvec(777L, 1)))).toDF("vec_id", "embedding")
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-sem-dup").toString
+    Similarity.writeIvfPartitioned(dup, root2, centroidK = 2)
+    // premise: both copies of id 7 exist, in different clusters
+    val sevens = spark.read.parquet(root2).filter(col("vec_id") === 7L)
+      .select("centroid_id").collect().map(_.getString(0)).toSet
+    assert(sevens.size == 2, s"dup id landed in one cluster: $sevens")
+    val q2 = pairs(Similarity.semanticDupPairsPartitioned(spark, root2,
+      threshold = 0.05, maxClusterSize = None))
+    val fl2 = pairs(Similarity.semanticDupPairsPartitioned(spark, root2,
+      threshold = 0.05, maxClusterSize = None,
+      quantizedCandidates = false))
+    assert(q2 == fl2)
+    assert(q2.exists(p => p._1 == 7L || p._2 == 7L),
+      "no pair touches the duplicated id — vacuous impostor test")
   }
 
   test("kmeansFit: separates direction clusters, feeds the cosine stack") {
