@@ -26,7 +26,7 @@ import graft.streaming.Ingest
   * {{{
   * ivf fsck    <layout> [--deep-schema] [--json]  # READ-ONLY doctor, no lock
   * ivf health  <layout> [--recall N] [--recall-queries PARQUET]
-  *             [--recall-k K] [--nprobe P] [--rerank M]
+  *             [--recall-k K] [--nprobe P] [--rerank M] [--json]
   * ivf maintain <layout> <id> [--max-files N] [--skew X] [--recall N]
   *              [--recall-queries PARQUET] [--recall-floor F]
   *              [--recall-k K] [--nprobe P] [--rerank M]
@@ -44,7 +44,7 @@ import graft.streaming.Ingest
   * maintenance (engine addition, like `ivf`):
   * {{{
   * dedup fsck <hist> <idx> [--json]       # READ-ONLY doctor, no lock
-  * dedup stats <hist>
+  * dedup stats <hist> [--json]
   * dedup maintain <hist> <idx> <id> [--max-files N] [--ledger-tail N]
   *       [--purge-older-than <dur>] [--lock-file F]
   * dedup compact-history <hist> <idx> <id> [--max-files N]
@@ -104,21 +104,45 @@ object Main {
     * order, as [[formatFindings]]. Escapes quote/backslash/control
     * chars; paths and details are free-form.
     */
+  /** JSON string literal with quote/backslash/control-char escaping —
+    * shared by every `--json` ops output.
+    */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private def formatFindingsJson(
-      findings: Seq[graft.operators.EpochLedger.FsckFinding]): String = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+      findings: Seq[graft.operators.EpochLedger.FsckFinding]): String =
     findings.map(fd =>
-      s"""{"code":${q(fd.code)},"severity":${q(fd.severity)},""" +
-        s""""subject":${q(fd.subject)},"detail":${q(fd.detail)}}""")
+      s"""{"code":${jsonStr(fd.code)},"severity":${jsonStr(fd.severity)},""" +
+        s""""subject":${jsonStr(fd.subject)},"detail":${jsonStr(fd.detail)}}""")
       .mkString("[", ",", "]")
+
+  /** `--json` for `ivf health`: the same observables as the one-line
+    * text form, typed for a monitoring agent (recall null when not
+    * probed; generation null on a flat layout).
+    */
+  private def formatHealthJson(
+      h: graft.operators.Similarity.IvfHealth): String = {
+    val recall = h.recall.map(r =>
+      s"""{"recallAtK":${r.recallAtK},"queries":${r.queries},""" +
+        s""""k":${r.k},"nprobe":${r.nprobe},"rerank":${r.rerank}}""")
+      .getOrElse("null")
+    s"""{"dataRoot":${jsonStr(h.dataRoot)},""" +
+      s""""generation":${h.generation.map(jsonStr).getOrElse("null")},""" +
+      s""""partitions":${h.partitions},"files":${h.files},""" +
+      s""""bytes":${h.bytes},""" +
+      s""""maxFilesPerPartition":${h.maxFilesPerPartition},""" +
+      s""""skewRatio":${
+        if (h.skewRatio.isNaN || h.skewRatio.isInfinite) "null"
+        else h.skewRatio.toString},"recall":$recall,""" +
+      s""""quarantined":${h.quarantined},"retired":${h.retired}}"""
   }
 
   /** The shared fsck output switch: text by default, one-line JSON
@@ -297,12 +321,15 @@ object Main {
           recallSampleN = flag("--recall").map(_.toInt).getOrElse(0),
           k = recallK, nprobe = recallNprobe,
           queryVectors = recallQueries, recallRerank = recallRerank)
-        val recallStr = h.recall.map(formatRecall).getOrElse("-")
-        s"dataRoot=${h.dataRoot} generation=${h.generation.getOrElse("-")} " +
-          s"partitions=${h.partitions} files=${h.files} bytes=${h.bytes} " +
-          s"maxFilesPerPartition=${h.maxFilesPerPartition} " +
-          f"skewRatio=${h.skewRatio}%.2f recall=$recallStr " +
-          s"quarantined=${h.quarantined} retired=${h.retired}"
+        if (flags.contains("--json")) formatHealthJson(h)
+        else {
+          val recallStr = h.recall.map(formatRecall).getOrElse("-")
+          s"dataRoot=${h.dataRoot} generation=${h.generation.getOrElse("-")} " +
+            s"partitions=${h.partitions} files=${h.files} bytes=${h.bytes} " +
+            s"maxFilesPerPartition=${h.maxFilesPerPartition} " +
+            f"skewRatio=${h.skewRatio}%.2f recall=$recallStr " +
+            s"quarantined=${h.quarantined} retired=${h.retired}"
+        }
       case "rotate" =>
         val applied = Similarity.rotateIvf(spark, layout, id("rotationId"),
           centroidK = flag("--k").map(_.toInt)
@@ -410,8 +437,12 @@ object Main {
         case hist :: Nil =>
           val st = Dedup.historyPartitionStats(spark, hist)
           val maxF = if (st.isEmpty) 0 else st.map(_._2).max
-          s"buckets=${st.size} files=${st.map(_._2.toLong).sum} " +
-            s"bytes=${st.map(_._3).sum} maxFilesPerBucket=$maxF"
+          if (flags.contains("--json"))
+            s"""{"buckets":${st.size},"files":${st.map(_._2.toLong).sum},""" +
+              s""""bytes":${st.map(_._3).sum},"maxFilesPerBucket":$maxF}"""
+          else
+            s"buckets=${st.size} files=${st.map(_._2.toLong).sum} " +
+              s"bytes=${st.map(_._3).sum} maxFilesPerBucket=$maxF"
         case _ => sys.error("dedup stats needs <historyPath>")
       }
       case "fsck" => pos match {

@@ -1305,7 +1305,44 @@ object PipelineQueries {
           s"q66_probe_only expects the policy to compact, got ${m.actions}")
       }
       probeDedupPair(s, dir, hist, idx)
+    },
+    // the SQ8 SemDeDup candidate stage vs the float route, measured at
+    // a corpus size where the quadratic term dominates: the fixture
+    // embeddings replicated 8x with disjoint id ranges (deterministic,
+    // derived from testdata — identical vectors land in one cluster,
+    // so every cluster is 8x denser and the within-cluster pair join
+    // does 64x the fixture's work). Same memoized layout for both
+    // rows; the delta IS the int8-prefilter win the q71 row's scale
+    // claim rests on.
+    "q71_sq8_probe_only" -> { (s, dir) =>
+      Similarity.semanticDupPairsPartitioned(s,
+        memoLayout("q71rep", dir)(buildReplicatedLayout(s, dir)),
+        threshold = 0.45, maxClusterSize = None)
+    },
+    "q71_float_probe_only" -> { (s, dir) =>
+      Similarity.semanticDupPairsPartitioned(s,
+        memoLayout("q71rep", dir)(buildReplicatedLayout(s, dir)),
+        threshold = 0.45, maxClusterSize = None,
+        quantizedCandidates = false)
     })
+
+  /** 8x-replicated embeddings layout for the q71 route-comparison
+    * bench rows: copies carry disjoint id ranges so the pair algebra
+    * is well-defined; vectors are bit-identical, which is the WORST
+    * case for the SQ8 prefilter's pruning claim (every replica pair is
+    * a true dup at cos 1.0) and still the candidate join's scan-width
+    * win stands — exactly what the rows measure.
+    */
+  private def buildReplicatedLayout(
+      s: org.apache.spark.sql.SparkSession, dir: String)(p: String): Unit = {
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val rep = (0 until 8).map(r =>
+      e.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        col("embedding")))
+      .reduce(_ unionByName _)
+    Similarity.writeIvfPartitioned(rep, p)
+    ()
+  }
 
   // ----------------------------------------------------------------- text
 

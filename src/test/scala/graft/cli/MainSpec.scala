@@ -73,6 +73,14 @@ class MainSpec extends AnyFunSuite {
     // --rerank judges the SQ8 route's recall and reports the route
     val hq = run("health", flags = List("--recall", "4", "--rerank", "64"))
     assert(hq.contains("rerank=64"), hq)
+    // health --json: same observables, typed and parseable
+    val hj = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      run("health", flags = List("--recall", "4", "--rerank", "64",
+        "--json")))
+    assert(hj.get("quarantined").asInt() == 0, hj)
+    assert(hj.get("generation").isNull, hj) // flat layout pre-compact
+    assert(hj.get("recall").get("rerank").asInt() == 64, hj)
+    assert(hj.get("files").asLong() > 0, hj)
 
     assert(run("compact", Some("c1")) == "applied=true")
     assert(run("compact", Some("c1")) == "applied=false") // replay
@@ -229,6 +237,11 @@ class MainSpec extends AnyFunSuite {
     val st = run("stats", List(hist))
     assert(st.contains("buckets=") && !st.contains("maxFilesPerBucket=1"),
       st)
+    // stats --json mirrors the text observables
+    val stj = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      run("stats", List(hist), List("--json")))
+    assert(stj.get("buckets").asInt() > 0 &&
+      stj.get("maxFilesPerBucket").asInt() > 1, stj)
     val c = run("compact-history", List(hist, idx, "hc1"))
     assert(c.stripPrefix("compacted_buckets=").toInt >= 1, c)
     assert(run("stats", List(hist)).contains("maxFilesPerBucket=1"))
