@@ -2054,7 +2054,7 @@ object Similarity {
     * quantized route's probed partitions can never silently diverge
     * from the exact route's. `keep` is the output column list.
     */
-  private def rankRoutes(
+  private[operators] def rankRoutes(
       spark: org.apache.spark.sql.SparkSession,
       dataRoot: String,
       queries: DataFrame,

@@ -1048,6 +1048,112 @@ object PipelineQueries {
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin))
 
+  /** The IVF-PQ two-stage probe under hash verification —
+    * [[graft.operators.Pq.pqKnn]] over a memoized [[graft.operators.Pq.writePqIndex]]
+    * index (m = 8 subspaces, k = 16 codewords, the deterministic
+    * id-hash sample codebook) with the q68 TIGHT-rerank discipline
+    * (8 candidates for k = 5): the final rows depend on which
+    * candidates the ADC stage keeps, so the hashes pin the whole PQ
+    * path — the codebook sample order, the per-subspace argmin
+    * encoding ([[graft.functions.PqEncode]], ties to the smaller
+    * codeword), the LUT construction, the per-subspace-grouped ADC
+    * fold ([[graft.functions.PqAdc]]), the rounded approximate
+    * ranking, and the exact rerank against the SOURCE corpus. The
+    * oracle re-derives every stage in SQL: the same window-sample
+    * codebook, `row_number()`-argmin encoding over ordered
+    * squared-distance folds, and ADC as `list_reduce` over
+    * per-subspace `list_dot_product` slices — the identical partials
+    * added in the identical order.
+    */
+  private val qIvfPqProbe = QueryDef(
+    "q72_ivfpq_probe",
+    (s, dir) => {
+      val idx = memoLayout("q72pq", dir)(p =>
+        graft.operators.Pq.writePqIndex(emb(s, dir), p))
+      graft.operators.Pq.pqKnn(s, idx, emb(s, dir), knnQueryIds, k = 5,
+          nprobe = 2, rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |${DuckSql.ivfCentCte(graft.operators.Similarity.DefaultCentroidK)},
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT v.vec_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c)
+         |  WHERE crank = 1),
+         |cb AS (
+         |  SELECT c, vec AS cbv FROM (
+         |    SELECT vec, row_number() OVER (
+         |      ORDER BY ((vec_id % ${DuckSql.P}) * 2654435761) % ${DuckSql.P},
+         |               vec_id) AS c
+         |    FROM e)
+         |  WHERE c <= 16),
+         |js AS (SELECT unnest(range(0, 8)) AS j),
+         |enc AS (
+         |  SELECT vec_id, j, cbv FROM (
+         |    SELECT v.vec_id, js.j, b.cbv,
+         |           row_number() OVER (PARTITION BY v.vec_id, js.j ORDER BY
+         |             list_reduce(list_transform(range(0, 8), i ->
+         |               (v.vec[js.j*8 + i + 1] - b.cbv[js.j*8 + i + 1])
+         |               * (v.vec[js.j*8 + i + 1] - b.cbv[js.j*8 + i + 1])),
+         |               (a, b2) -> a + b2) ASC, b.c ASC) AS r
+         |    FROM e v, js, cb b)
+         |  WHERE r = 1),
+         |rec AS (
+         |  SELECT vec_id, list(cbv ORDER BY j) AS cws FROM enc
+         |  GROUP BY vec_id),
+         |nrmt AS (
+         |  SELECT vec_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+         |qp AS (
+         |  SELECT vec_id AS query_id, centroid_id FROM (
+         |    SELECT v.vec_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c
+         |    WHERE v.vec_id < 8)
+         |  WHERE crank <= 2),
+         |cand AS (
+         |  SELECT qp.query_id, n.vec_id AS neighbor_id,
+         |         round(
+         |           list_reduce(list_transform(range(0, 8), j ->
+         |             list_dot_product(
+         |               list_slice(q.vec, j*8 + 1, j*8 + 8),
+         |               list_slice(r.cws[j + 1], j*8 + 1, j*8 + 8))),
+         |             (a, b2) -> a + b2)
+         |           / (qn.nrm * nn.nrm), 6) AS qsim
+         |  FROM assigned n
+         |  JOIN qp ON n.centroid_id = qp.centroid_id
+         |  JOIN e q ON q.vec_id = qp.query_id
+         |  JOIN rec r ON r.vec_id = n.vec_id
+         |  JOIN nrmt qn ON qn.vec_id = qp.query_id
+         |  JOIN nrmt nn ON nn.vec_id = n.vec_id
+         |  WHERE n.vec_id <> qp.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY qsim DESC, neighbor_id) AS qrank
+         |    FROM cand)
+         |  WHERE qrank <= 8),
+         |scored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |         round(${DuckSql.cosine("a.vec", "b.vec")}, 6) AS sim
+         |  FROM short sh
+         |  JOIN e a ON a.vec_id = sh.query_id
+         |  JOIN e b ON b.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin))
+
   /** Partition-scoped compaction under hash verification — q60's
     * counterpart for [[Similarity.compactIvfPartitions]]: the q59
     * layout shape (even-half centroids, odd-half ledgered epoch —
@@ -2235,7 +2341,7 @@ object PipelineQueries {
     qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe, qIvfRotatedProbe,
     qIvfProbePrebuilt, qIvfPCompactedProbe, qIvfMaintainedProbe,
     qIvfServingProbe, qKnnBruteExternal, qIvfSq8Probe, qIvfSq8ServingProbe,
-    qIvfSq8DistributedRerank,
+    qIvfSq8DistributedRerank, qIvfPqProbe,
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** IVF-PQ index + ADC probe ([[Pq]], [[graft.functions.PqEncode]]/
+  * [[graft.functions.PqLut]]/[[graft.functions.PqAdc]]).
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSeq
+
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+  test("pqKnn at exhaustive settings is row-identical to bruteForceKnn; " +
+    "serving settings keep useful recall") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Pq.writePqIndex(emb, root)
+    val queryIds = Seq(0L, 1L, 2L, 3L)
+    val n = emb.count().toInt
+    val brute = rows(Similarity.bruteForceKnn(emb, queryIds, k = 5))
+    // full probe + rerank covering the corpus: the ADC stage keeps
+    // everything, the exact rerank decides — identical rows
+    val full = rows(Pq.pqKnn(spark, root, emb, queryIds, k = 5,
+      nprobe = Similarity.DefaultCentroidK, rerank = n))
+    assert(full == brute)
+    // serving-sized probes: PQ at m=8/k=16 on RANDOM near-orthogonal
+    // vectors is the quantizer's worst case, so the bounds are the
+    // structural properties plus measured-with-margin floors (the
+    // fixture and the algorithm are deterministic). Measured: exact
+    // IVF routing at nprobe=2 caps recall at 0.6; PQ at rerank=50
+    // recovers exactly that cap (0.6), rerank=20 reaches 0.4.
+    def recall(rs: Seq[(Long, Long, Int, Double)]) =
+      rs.map(t => (t._1, t._2)).toSet
+        .intersect(brute.map(t => (t._1, t._2)).toSet).size.toDouble /
+        brute.size
+    val r20 = recall(rows(Pq.pqKnn(spark, root, emb, queryIds, k = 5,
+      nprobe = 2, rerank = 20)))
+    val r50 = recall(rows(Pq.pqKnn(spark, root, emb, queryIds, k = 5,
+      nprobe = 2, rerank = 50)))
+    assert(r50 >= r20, s"rerank must be recall-monotone: $r20 -> $r50")
+    assert(r50 >= 0.55, s"recall@rerank50=$r50 (measured 0.6)")
+    assert(r20 >= 0.3, s"recall@rerank20=$r20 (measured 0.4)")
+  }
+
+  test("collected and distributed rerank modes are row-identical, " +
+    "stored and external queries, nprobe 1 and 2, tight rerank") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-pq2").toString
+    Pq.writePqIndex(emb, root)
+    val queryIds = Seq(0L, 1L, 2L, 3L)
+    for (np <- Seq(1, 2)) {
+      val collected = rows(Pq.pqKnn(spark, root, emb, queryIds, k = 5,
+        nprobe = np, rerank = 8))
+      val distributed = rows(Pq.pqKnn(spark, root, emb, queryIds, k = 5,
+        nprobe = np, rerank = 8, collectShortlist = false))
+      assert(collected == distributed, s"nprobe=$np")
+      assert(collected.size == queryIds.size * 5)
+    }
+    // external midpoint queries (the q65 construction): no
+    // self-exclusion, LUTs built on the fly
+    val ext = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .grouped(2).collect { case Array((ia, va), (ib, vb)) =>
+        (ia * 1000 + ib, va.zip(vb).map { case (x, y) => (x + y) / 2 })
+      }.toSeq.toDF("query_id", "embedding")
+    val wc = rows(Pq.pqKnnWith(spark, root, emb, ext, k = 5, nprobe = 2,
+      rerank = 8))
+    val wd = rows(Pq.pqKnnWith(spark, root, emb, ext, k = 5, nprobe = 2,
+      rerank = 8, collectShortlist = false))
+    assert(wc == wd)
+    assert(wc.size == 3 * 5)
+    // an external query EQUAL to a stored vector legitimately finds
+    // that row at sim 1.0 under an exhaustive rerank
+    val n = emb.count().toInt
+    val self = emb.filter(col("vec_id") === 0)
+      .select(lit(9000L).as("query_id"), col("embedding"))
+    val hit = rows(Pq.pqKnnWith(spark, root, emb, self, k = 1,
+      nprobe = Similarity.DefaultCentroidK, rerank = n))
+    assert(hit == Seq((9000L, 0L, 1, 1.0)))
+  }
+
+  test("PqEncode matches a driver-side model; ties break to the " +
+    "smaller codeword index") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-pq3").toString
+    Pq.writePqIndex(emb, root)
+    val meta = Pq.readPqMeta(spark, root)
+    assert(meta.m == 8 && meta.k == 16 && meta.dim == 64)
+    assert(meta.codebook.length == meta.k * meta.dim)
+    val dsub = meta.dim / meta.m
+    // driver-side reference encoding of a few vectors
+    val got = spark.read.parquet(root)
+      .filter(col("vec_id") < 20)
+      .select("vec_id", "pq").as[(Long, Array[Byte])].collect().toMap
+    val vecs = Similarity.asDouble(emb).filter(col("vec_id") < 20)
+      .select("vec_id", "vec").as[(Long, Array[Double])].collect()
+    assert(vecs.nonEmpty)
+    for ((id, v) <- vecs) {
+      val expect = (0 until meta.m).map { j =>
+        val dists = (0 until meta.k).map { c =>
+          (0 until dsub).map { i =>
+            val t = v(j * dsub + i) - meta.codebook(c * meta.dim + j * dsub + i)
+            t * t
+          }.sum
+        }
+        dists.indexOf(dists.min).toByte // indexOf: FIRST minimum
+      }.toArray
+      assert(got(id).sameElements(expect), s"vec $id")
+    }
+    // tie-break: two identical codewords -> the smaller index wins
+    val tied = spark.range(1).select(graft.functions.PqEncode(
+      typedLit(Seq(0.5, 0.5)),
+      typedLit(Seq(1.0, 1.0, 1.0, 1.0)), // k=2 IDENTICAL codewords
+      1, 2).as("pq")).head().getAs[Array[Byte]](0)
+    assert(tied.sameElements(Array[Byte](0)))
+  }
+
+  test("stage-1 candidate scan reads codes only; the rerank vec read " +
+    "is an id IN pushdown in collected mode") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-pq4").toString
+    Pq.writePqIndex(emb, root)
+    val meta = Pq.readPqMeta(spark, root)
+    val index = spark.read.parquet(root)
+    val all = Similarity.asDouble(emb)
+    val queries = all.filter(col("vec_id").isInCollection(Seq(0L, 1L)))
+      .select(col("vec_id").as("query_id"), col("vec").as("vec_q"),
+        col("nrm").as("nrm_q"))
+    val probes = Similarity.rankRoutes(spark, root, queries, 2,
+      Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
+    val probed = probes.select("centroid_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val stage1 = Pq.pqCandidates(index, probes, meta, probed, "vec_id",
+      excludeSelf = true, broadcastProbes = true)
+    val scans = stage1.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    // the index-side scan reads the m-byte codes + norm, and cannot
+    // read any vector column (the index doesn't store one); the tiny
+    // probe-resolution scan legitimately reads vec_q
+    val indexScan = scans.filter(_.contains("pq:binary"))
+    assert(indexScan.nonEmpty, scans)
+    assert(indexScan.forall(l => !l.contains("vec:array")), scans)
+    // collected-mode rerank: the corpus vec read carries the id IN
+    // pushdown (row-group stats skip candidate-free pages)
+    val served = Pq.pqKnn(spark, root, emb, Seq(0L, 1L), k = 5, nprobe = 2,
+      rerank = 8)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("In(vec_id")), plan)
+  }
+
+  test("geometry refusals are loud; empty query set flows through " +
+    "with the right schema") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // m must divide dim
+    val e1 = intercept[Exception] {
+      Pq.writePqIndex(emb,
+        java.nio.file.Files.createTempDirectory("graft-pq5").toString, m = 7)
+    }
+    assert(messages(e1).exists(_.contains("not divisible")), messages(e1))
+    // a codebook larger than the corpus refuses (degenerate)
+    val e2 = intercept[Exception] {
+      Pq.writePqIndex(emb.limit(3),
+        java.nio.file.Files.createTempDirectory("graft-pq6").toString)
+    }
+    assert(messages(e2).exists(_.contains("codebook")), messages(e2))
+    // ADC refuses a lut/codes geometry mismatch and an out-of-range code
+    val e3 = intercept[Exception] {
+      spark.range(1).select(graft.functions.PqAdc(
+        typedLit(Array[Byte](0, 0)),
+        typedLit(Seq(1.0, 2.0, 3.0)), 2).as("s")).collect()
+    }
+    assert(messages(e3).exists(_.contains("disagree on geometry")),
+      messages(e3))
+    val e4 = intercept[Exception] {
+      spark.range(1).select(graft.functions.PqAdc(
+        typedLit(Array[Byte](3)),
+        typedLit(Seq(1.0, 2.0)), 2).as("s")).collect()
+    }
+    assert(messages(e4).exists(_.contains("codebook geometry")), messages(e4))
+    // empty query set: empty result, correct schema, BOTH rerank modes
+    val root = java.nio.file.Files.createTempDirectory("graft-pq7").toString
+    Pq.writePqIndex(emb, root)
+    for (mode <- Seq(true, false)) {
+      val empty = Pq.pqKnn(spark, root, emb, Seq(99999L), k = 5,
+        collectShortlist = mode)
+      assert(empty.columns.toSeq ==
+        Seq("query_id", "neighbor_id", "rank", "sim"))
+      assert(empty.count() == 0, s"mode=$mode")
+    }
+  }
+}
