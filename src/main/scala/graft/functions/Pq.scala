@@ -49,6 +49,21 @@ object PqShared {
     throw new ArithmeticException(
       s"pq: null $what element — a null would score as garbage, " +
         "silently corrupting every downstream distance")
+
+  /** One up-front null sweep over the vector — the per-codeword inner
+    * loops visit each vector element k times, so checking there would
+    * re-ask the same answer k times on the hot kernel path. (Codebook
+    * elements are each visited once per row, so their checks stay
+    * inline.)
+    */
+  def requireNoNulls(v: ArrayData, what: String): Unit = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) nullElement(what)
+      i += 1
+    }
+  }
 }
 
 /** Encode a double vector to its `m` PQ codes (BINARY, one unsigned
@@ -99,6 +114,7 @@ object PqEncode {
   def encode(v: ArrayData, cb: ArrayData, m: Int, k: Int): Array[Byte] = {
     val dim = v.numElements()
     val dsub = PqShared.geometry(dim, cb.numElements(), m, k)
+    PqShared.requireNoNulls(v, "vector")
     val out = new Array[Byte](m)
     var j = 0
     while (j < m) {
@@ -111,7 +127,6 @@ object PqEncode {
         var d = 0.0
         var i = 0
         while (i < dsub) {
-          if (v.isNullAt(off + i)) PqShared.nullElement("vector")
           if (cb.isNullAt(cOff + i)) PqShared.nullElement("codebook")
           val t = v.getDouble(off + i) - cb.getDouble(cOff + i)
           d += t * t
@@ -173,6 +188,7 @@ object PqLut {
   def lut(v: ArrayData, cb: ArrayData, m: Int, k: Int): Array[Double] = {
     val dim = v.numElements()
     val dsub = PqShared.geometry(dim, cb.numElements(), m, k)
+    PqShared.requireNoNulls(v, "vector")
     val out = new Array[Double](m * k)
     var j = 0
     while (j < m) {
@@ -183,7 +199,6 @@ object PqLut {
         var s = 0.0
         var i = 0
         while (i < dsub) {
-          if (v.isNullAt(off + i)) PqShared.nullElement("vector")
           if (cb.isNullAt(cOff + i)) PqShared.nullElement("codebook")
           s += v.getDouble(off + i) * cb.getDouble(cOff + i)
           i += 1

@@ -65,25 +65,33 @@ object Pq {
 
   final case class PqMeta(m: Int, k: Int, dim: Int, codebook: Array[Double])
 
-  /** The deterministic flat codebook: the `k` corpus vectors with the
-    * smallest multiplicative id-hash (tie-break on id — EXACTLY the
-    * [[Similarity.ivfCentroids]] order), flattened sample-major
-    * (`cb[c*dim + e]`). Codeword order is pinned by a driver-side
-    * re-sort on the same (hash, id) key, so `c` is stable regardless
-    * of collect order. Driver state is O(k·dim) — the centroid-sample
-    * budget the IVF paths already spend.
+  /** The deterministic flat codebook AND the coarse-centroid frame,
+    * from ONE corpus pass: both samples are prefixes of the same
+    * (multiplicative id-hash, id) order — EXACTLY the
+    * [[Similarity.ivfCentroids]] algebra — so a single
+    * `TakeOrderedAndProject` over `max(k, centroidK)` rows yields the
+    * codebook (first `k`, flattened sample-major `cb[c*dim + e]`) and
+    * the centroid set (first `centroidK`) without a second corpus
+    * scan. Codeword/centroid order is pinned by a driver-side re-sort
+    * on the same (hash, id) key, so `c` is stable regardless of
+    * collect order; the returned centroid frame is a driver-LOCAL
+    * relation (O(centroidK·dim) — the budget the IVF paths already
+    * spend), so assignment and the sidecar write never re-derive the
+    * sample from the corpus.
     */
-  private def sampleCodebook(
-      all: DataFrame, k: Int, idCol: String): Array[Double] = {
+  private def codebookAndCentroids(
+      all: DataFrame, k: Int, centroidK: Int, idCol: String)
+      : (Array[Double], DataFrame) = {
     val p = graft.functions.TextHash.P
+    val lim = math.max(k, centroidK)
     val rows = all
-      .select(col(idCol).cast("long").as("sid"), col("vec"))
+      .select(col(idCol).cast("long").as("sid"), col("vec"), col("nrm"))
       .withColumn("chash", (col("sid") % p) * lit(2654435761L) % p)
       .orderBy(col("chash"), col("sid"))
-      .limit(k)
-      .select("sid", "chash", "vec")
+      .limit(lim)
+      .select("sid", "chash", "vec", "nrm")
       .collect()
-    require(rows.length == k,
+    require(rows.length >= k,
       s"pq codebook needs k=$k sample vectors, corpus has only " +
         s"${rows.length} — a codebook larger than the corpus is " +
         "degenerate; lower k")
@@ -99,15 +107,25 @@ object Pq {
       while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
       c += 1
     }
-    flat
+    val spark = all.sparkSession
+    import spark.implicits._
+    val cents = sorted.take(centroidK).toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](2), r.getDouble(3)))
+      .toDF("centroid_id", "cvec", "cnrm")
+    (flat, cents)
   }
 
   /** Build the index at `path` (overwrite): encode every corpus vector
     * and lay the codes out IVF-partitioned with the routing + geometry
-    * sidecars. One pass over the corpus; the write exchanges on the
-    * partition key so the index is born settled (one file per dir —
-    * `filesPerPartition` is the write-parallelism salt, the
-    * [[Similarity.writeIvfPartitioned]] knob).
+    * sidecars. One sample pass + one encode/write pass over the
+    * corpus; the write exchanges on the partition key so the index is
+    * born settled (one file per dir — `filesPerPartition` is the
+    * write-parallelism salt, the [[Similarity.writeIvfPartitioned]]
+    * knob). Refuses to overwrite an existing IVF CORPUS layout at
+    * `path` — the overwrite is destructive (codes replace vectors,
+    * unrecoverable without the corpus), and a layout root is
+    * recognizable by its own sidecars; rebuilding a previous PQ index
+    * in place stays allowed.
     */
   def writePqIndex(
       emb: DataFrame,
@@ -120,13 +138,29 @@ object Pq {
     require(filesPerPartition >= 1,
       s"filesPerPartition must be >= 1, got $filesPerPartition")
     val spark = emb.sparkSession
+    val fs = Dedup.fsFor(spark, path)
+    def existsAt(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    // the same guard discipline as writeIvfPartitioned, plus the
+    // flat-layout case: an IVF layout holds the corpus VECTORS; a
+    // static overwrite here would replace them with 8-byte codes.
+    // A PQ index is the one layout that carries BOTH sidecars
+    // (_centroids + _meta) — that one may be rebuilt in place.
+    require(!existsAt("_current"),
+      s"$path is a generational IVF layout (a rotation/compaction " +
+        "published a _current pointer) — writePqIndex would destroy " +
+        "it; build the index at its own path")
+    require(!(existsAt("_centroids") && !existsAt("_meta")),
+      s"$path is an IVF corpus layout (_centroids sidecar, no PQ " +
+        "_meta) — writePqIndex would replace its vectors with codes; " +
+        "build the index at its own path")
     val all = Similarity.asDouble(emb, idCol = idCol)
-    val flat = sampleCodebook(all, k, idCol)
+    val (flat, centroids) = codebookAndCentroids(all, k, centroidK, idCol)
     val dim = flat.length / k
     require(dim % m == 0,
       s"pq: dim=$dim not divisible into m=$m subspaces — pick m | dim")
     val cbLit = typedLit(flat.toSeq)
-    val rows = Similarity.ivfAssign(emb, centroidK, idCol)
+    val rows = Similarity.rankCentroids(all, centroids, 1, idCol)
       .select(col(idCol),
         PqEncode(col("vec"), cbLit, m, k).as("pq"),
         col("nrm"),
@@ -138,9 +172,9 @@ object Pq {
       .option("partitionOverwriteMode", "static")
       .parquet(path)
     // sidecars AFTER the main overwrite (which clears the directory);
-    // the centroid derivation is deterministic, so re-deriving it here
-    // matches the assignment above exactly
-    Similarity.ivfCentroids(all, centroidK, idCol)
+    // the centroid frame is the driver-local relation the assignment
+    // above used, so sidecar and assignment agree by construction
+    centroids
       .select(concat(lit("c"), col("centroid_id")).as("centroid_id"),
         col("cvec"), col("cnrm"))
       .write.mode("overwrite").parquet(s"$path/_centroids")
@@ -180,7 +214,7 @@ object Pq {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(rerank == 0 || rerank >= k,
       s"rerank must be 0 (the 4*k default) or >= k, got rerank=$rerank k=$k")
-    val m = if (rerank == 0) 4 * k else rerank
+    val rerankM = if (rerank == 0) 4 * k else rerank
     val meta = readPqMeta(spark, indexPath)
     val all = Similarity.asDouble(emb, idCol = idCol)
     val queries = all.filter(col(idCol).isInCollection(queryIds))
@@ -188,7 +222,7 @@ object Pq {
         col("nrm").as("nrm_q"))
     val probes = Similarity.rankRoutes(spark, indexPath, queries, nprobe,
       Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
-    pqTopK(spark, indexPath, all, probes, meta, k, m, idCol,
+    pqTopK(spark, indexPath, all, probes, meta, k, rerankM, idCol,
       excludeSelf = true, collectShortlist = collectShortlist)
   }
 
@@ -212,7 +246,7 @@ object Pq {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(rerank == 0 || rerank >= k,
       s"rerank must be 0 (the 4*k default) or >= k, got rerank=$rerank k=$k")
-    val m = if (rerank == 0) 4 * k else rerank
+    val rerankM = if (rerank == 0) 4 * k else rerank
     val meta = readPqMeta(spark, indexPath)
     val all = Similarity.asDouble(emb, idCol = idCol)
     val q = Similarity.asDouble(queries, idCol = queryIdCol)
@@ -220,7 +254,7 @@ object Pq {
         col("nrm").as("nrm_q"))
     val probes = Similarity.rankRoutes(spark, indexPath, q, nprobe,
       Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
-    pqTopK(spark, indexPath, all, probes, meta, k, m, idCol,
+    pqTopK(spark, indexPath, all, probes, meta, k, rerankM, idCol,
       excludeSelf = false, collectShortlist = collectShortlist)
   }
 
@@ -240,10 +274,16 @@ object Pq {
       broadcastProbes: Boolean): DataFrame = {
     val cbLit = typedLit(meta.codebook.toSeq)
     // the LUT is computed on the (tiny) probe side — k*dim multiplies
-    // per query — and rides into the join; each candidate row then
-    // costs m lookups + adds (PqAdc), not a dot product
-    val probesLut = probes
+    // per query, built on the DISTINCT query set and joined back onto
+    // the per-(query, centroid) probe rows so nprobe > 1 neither
+    // recomputes nor ships nprobe copies of a query's m*k-double
+    // table — and rides into the candidate join; each candidate row
+    // then costs m lookups + adds (PqAdc), not a dot product
+    val qluts = probes.select("query_id", "vec_q", "nrm_q").distinct()
       .withColumn("lut", PqLut(col("vec_q"), cbLit, meta.m, meta.k))
+      .select("query_id", "lut", "nrm_q")
+    val probesLut = probes.select("query_id", "centroid_id")
+      .join(qluts, Seq("query_id"))
       .select("query_id", "centroid_id", "lut", "nrm_q")
     val cand = index
       .filter(col("centroid_id").isInCollection(probed)) // partition prune
@@ -260,7 +300,16 @@ object Pq {
 
   /** Shared two-stage scoring behind [[pqKnn]]/[[pqKnnWith]] — the
     * [[Similarity]] sq8TopK shape with the index supplying stage 1 and
-    * the SOURCE CORPUS supplying the stage-2 exact rerank.
+    * the SOURCE CORPUS supplying the stage-2 exact rerank (the index
+    * carries no vectors, so unlike SQ8 the exact read crosses back to
+    * the corpus frame — unfiltered by centroid, filtered by candidate
+    * ids in collected mode). Stage 2 itself is
+    * [[Similarity.rerankExact]] — one definition with the SQ8 probes.
+    *
+    * `topK`/`rerankM` are the RANKING knobs (final k, shortlist
+    * budget); the PQ GEOMETRY m/k (subspaces, codewords) lives only in
+    * `meta` — the names differ on purpose, the four quantities coexist
+    * here.
     */
   private def pqTopK(
       spark: SparkSession,
@@ -268,26 +317,17 @@ object Pq {
       corpus: DataFrame,
       probes: DataFrame,
       meta: PqMeta,
-      k: Int,
-      m: Int,
+      topK: Int,
+      rerankM: Int,
       idCol: String,
       excludeSelf: Boolean,
       collectShortlist: Boolean): DataFrame = {
-    def requireIntegral(dt: org.apache.spark.sql.types.DataType,
-        what: String): Unit = dt match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => ()
-      case t => throw new IllegalArgumentException(
-        s"$what must be an integral id column for the PQ probe, " +
-          s"got ${t.simpleString} — use the exact probes for " +
-          "non-integral ids")
-    }
-    requireIntegral(probes.schema("query_id").dataType, "query_id")
-    requireIntegral(corpus.schema(idCol).dataType, idCol)
+    Similarity.requireIntegralId(
+      probes.schema("query_id").dataType, "query_id", "PQ")
+    Similarity.requireIntegralId(corpus.schema(idCol).dataType, idCol, "PQ")
     val index = spark.read.parquet(indexPath)
-    requireIntegral(index.schema(idCol).dataType, s"index $idCol")
+    Similarity.requireIntegralId(
+      index.schema(idCol).dataType, s"index $idCol", "PQ")
     // bounded by the index's centroid count in BOTH modes, never by
     // the query batch
     val probed: Seq[String] = probes.select("centroid_id").distinct()
@@ -297,55 +337,11 @@ object Pq {
     val ranked = pqCandidates(index, probes, meta, probed, idCol,
         excludeSelf, broadcastProbes = collectShortlist)
       .withColumn("qrank", row_number().over(wq))
-      .filter(col("qrank") <= m)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    if (collectShortlist) {
-      val shortlist = ranked
-        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      import spark.implicits._
-      val pairs = shortlist.toIndexedSeq.toDF("query_id", "neighbor_id")
-      val candIds = shortlist.map(_._2).distinct.toIndexedSeq
-      // the corpus vec read happens ONLY under the id IN pushdown —
-      // parquet row-group stats / column-index pruning skip the pages
-      // holding no candidate (an empty shortlist flows through as an
-      // empty, correctly-schemed result)
-      val exact = corpus
-        .filter(col(idCol).isInCollection(candIds))
+      .filter(col("qrank") <= rerankM)
+    Similarity.rerankExact(spark, ranked, probes, topK, collectShortlist,
+      candIds => candIds.fold(corpus)(ids =>
+          corpus.filter(col(idCol).isInCollection(ids)))
         .select(col(idCol).cast("long").as("neighbor_id"),
-          col("vec").as("vec_n"), col("nrm").as("nrm_n"))
-      exact.join(broadcast(pairs), Seq("neighbor_id"))
-        .join(broadcast(probes
-          .select(col("query_id").cast("long").as("query_id"),
-            col("vec_q"), col("nrm_q")).distinct()), Seq("query_id"))
-        .withColumn("sim",
-          round(Similarity.dot("vec_q", "vec_n") /
-            (col("nrm_q") * col("nrm_n")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    } else {
-      // offline-batch mode: the shortlist stays a DataFrame, the
-      // corpus joins against it (AQE picks broadcast vs shuffle), no
-      // driver state proportional to the query batch anywhere
-      val shortlist = ranked.select(
-        col("query_id").cast("long").as("query_id"),
-        col("neighbor_id").cast("long").as("neighbor_id"))
-      val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-        col("vec").as("vec_n"), col("nrm").as("nrm_n"))
-      val qv = probes
-        .select(col("query_id").cast("long").as("query_id"),
-          col("vec_q"), col("nrm_q"))
-        .distinct() // nprobe > 1 carries one probe row per centroid
-      vecs.join(shortlist, Seq("neighbor_id"))
-        .join(qv, Seq("query_id"))
-        .withColumn("sim",
-          round(Similarity.dot("vec_q", "vec_n") /
-            (col("nrm_q") * col("nrm_n")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    }
+          col("vec").as("vec_n"), col("nrm").as("nrm_n")))
   }
 }

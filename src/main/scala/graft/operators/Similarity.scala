@@ -159,7 +159,7 @@ object Similarity {
     */
   private[operators] val LiteralAssignMaxK: Int = 256
 
-  private def rankCentroids(
+  private[operators] def rankCentroids(
       v: DataFrame,
       centroids: DataFrame,
       nprobe: Int,
@@ -2279,26 +2279,8 @@ object Similarity {
       idCol: String,
       excludeSelf: Boolean,
       collectShortlist: Boolean): DataFrame = {
-    // both SQ8 modes cast ids to long (the collected mode to build the
-    // driver-side pushdown, the distributed mode for output-schema
-    // parity with it), so ids must be integral: an int32 (pandas
-    // parquet) upcasts losslessly, but a double/string id would
-    // silently merge or null under a blind cast — refuse those loudly
-    // instead (the exact probes, which never cast ids, keep arbitrary
-    // types)
-    def requireIntegral(dt: org.apache.spark.sql.types.DataType,
-        what: String): Unit = dt match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => ()
-      case t => throw new IllegalArgumentException(
-        s"$what must be an integral id column for the SQ8 probe, " +
-          s"got ${t.simpleString} — use the exact probe for " +
-          "non-integral ids")
-    }
-    requireIntegral(probes.schema("query_id").dataType, "query_id")
-    requireIntegral(corpus.schema(idCol).dataType, idCol)
+    requireIntegralId(probes.schema("query_id").dataType, "query_id", "SQ8")
+    requireIntegralId(corpus.schema(idCol).dataType, idCol, "SQ8")
     // the probed-partition literal stays driver-side in BOTH modes:
     // it is bounded by the layout's centroid count (the layout
     // config), never by the query batch
@@ -2310,6 +2292,64 @@ object Similarity {
         excludeSelf, broadcastProbes = collectShortlist)
       .withColumn("qrank", row_number().over(wq))
       .filter(col("qrank") <= m)
+    rerankExact(spark, ranked, probes, k, collectShortlist,
+      // the stage-2 exact source: probed partitions of the SAME
+      // quantized layout (it still carries vec); the collected mode's
+      // candidate-id filter lands on the raw id column so it reaches
+      // the parquet scan as an IN pushdown
+      candIds => {
+        val base = corpus.filter(col("centroid_id").isInCollection(probed))
+        candIds.fold(base)(ids => base.filter(col(idCol).isInCollection(ids)))
+          .select(col(idCol).cast("long").as("neighbor_id"),
+            col("vec").as("vec_n"), col("nrm").as("nrm_n"))
+      })
+  }
+
+  /** Refuse non-integral id columns on the quantized probe paths. Both
+    * rerank modes cast ids to long (the collected mode to build the
+    * driver-side pushdown, the distributed mode for output-schema
+    * parity with it): an int32 (pandas parquet) upcasts losslessly,
+    * but a double/string id would silently merge or null under a
+    * blind cast — refuse those loudly instead (the exact probes,
+    * which never cast ids, keep arbitrary types).
+    */
+  private[operators] def requireIntegralId(
+      dt: org.apache.spark.sql.types.DataType,
+      what: String,
+      probe: String): Unit = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => ()
+    case t => throw new IllegalArgumentException(
+      s"$what must be an integral id column for the $probe probe, " +
+        s"got ${t.simpleString} — use the exact probe for " +
+        "non-integral ids")
+  }
+
+  /** STAGE 2 of every two-stage quantized probe (SQ8 and PQ): exact
+    * rerank of a stage-1 shortlist, in the two ROW-IDENTICAL modes the
+    * probes document. ONE definition, so a fix to the shortlist/rerank
+    * contract (the id-cast rule, the tie-break, the empty-shortlist
+    * degenerate) cannot drift between quantizers.
+    *
+    * `ranked` is the stage-1 frame already cut to the rerank budget
+    * (`query_id`, `neighbor_id` + scoring columns); `probes` carries
+    * `query_id, vec_q, nrm_q` (one row per probed centroid — deduped
+    * here); `exactVecs` supplies the exact-vector source projected to
+    * `(neighbor_id long, vec_n, nrm_n)` — given `Some(candIds)` in
+    * collected mode it must apply the id filter on its RAW id column
+    * so the predicate reaches the parquet scan as an IN pushdown,
+    * given `None` (distributed mode) it returns the unfiltered source
+    * for the shortlist join.
+    */
+  private[operators] def rerankExact(
+      spark: org.apache.spark.sql.SparkSession,
+      ranked: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      collectShortlist: Boolean,
+      exactVecs: Option[Seq[Long]] => DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     if (collectShortlist) {
@@ -2319,18 +2359,14 @@ object Similarity {
       val shortlist = ranked
         .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      // STAGE 2: exact rerank — the vec column is read ONLY under an
-      // id IN (...) pushdown over the probed partitions (an empty
-      // shortlist flows through as an empty, correctly-schemed result)
+      // the exact-vector read happens ONLY under the id IN (...)
+      // pushdown — parquet row-group stats / column-index pruning skip
+      // the pages holding no candidate (an empty shortlist flows
+      // through as an empty, correctly-schemed result)
       import spark.implicits._
       val pairs = shortlist.toIndexedSeq.toDF("query_id", "neighbor_id")
       val candIds = shortlist.map(_._2).distinct.toIndexedSeq
-      val exact = corpus
-        .filter(col("centroid_id").isInCollection(probed))
-        .filter(col(idCol).isInCollection(candIds)) // parquet IN pushdown
-        .select(col(idCol).cast("long").as("neighbor_id"),
-          col("vec").as("vec_n"), col("nrm").as("nrm_n"))
-      exact.join(broadcast(pairs), Seq("neighbor_id"))
+      exactVecs(Some(candIds)).join(broadcast(pairs), Seq("neighbor_id"))
         .join(broadcast(probes
           .select(col("query_id").cast("long").as("query_id"),
             col("vec_q"), col("nrm_q")).distinct()), Seq("query_id"))
@@ -2340,25 +2376,20 @@ object Similarity {
         .filter(col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     } else {
-      // STAGE 2, DISTRIBUTED: the shortlist stays a DataFrame and the
-      // probed partitions' vec column joins against it — no id
-      // literal, no driver collect; AQE picks broadcast vs shuffle per
-      // side at runtime (and a tiny shortlist still broadcasts). The
-      // vec scan covers the probed partitions once regardless of the
-      // query count — the exact dots are only computed for the joined
-      // shortlist pairs.
+      // DISTRIBUTED: the shortlist stays a DataFrame and the exact
+      // vectors join against it — no id literal, no driver collect;
+      // AQE picks broadcast vs shuffle per side at runtime (and a tiny
+      // shortlist still broadcasts). The exact-vector scan covers its
+      // source once regardless of the query count — the exact dots are
+      // only computed for the joined shortlist pairs.
       val shortlist = ranked.select(
         col("query_id").cast("long").as("query_id"),
         col("neighbor_id").cast("long").as("neighbor_id"))
-      val vecs = corpus
-        .filter(col("centroid_id").isInCollection(probed))
-        .select(col(idCol).cast("long").as("neighbor_id"),
-          col("vec").as("vec_n"), col("nrm").as("nrm_n"))
       val qv = probes
         .select(col("query_id").cast("long").as("query_id"),
           col("vec_q"), col("nrm_q"))
         .distinct() // nprobe > 1 carries one probe row per centroid
-      vecs.join(shortlist, Seq("neighbor_id"))
+      exactVecs(None).join(shortlist, Seq("neighbor_id"))
         .join(qv, Seq("query_id"))
         .withColumn("sim",
           round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))

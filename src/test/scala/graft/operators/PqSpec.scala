@@ -204,4 +204,35 @@ class PqSpec extends AnyFunSuite {
       assert(empty.count() == 0, s"mode=$mode")
     }
   }
+
+  test("writePqIndex refuses to destroy an IVF corpus layout (flat or " +
+    "generational) but rebuilds a previous PQ index in place") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // flat IVF layout: _centroids sidecar, no _meta — the overwrite
+    // would replace the corpus vectors with 8-byte codes
+    val ivfRoot = java.nio.file.Files.createTempDirectory("graft-pq8").toString
+    Similarity.writeIvfPartitioned(emb, ivfRoot)
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.writePqIndex(emb, ivfRoot)
+    }
+    assert(e1.getMessage.contains("IVF corpus layout"), e1.getMessage)
+    // generational layout: the _current pointer marks live data under
+    // a gen dir — same refusal as writeIvfPartitioned's own guard
+    assert(Similarity.rotateIvf(spark, ivfRoot, rotationId = "pq-guard"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.writePqIndex(emb, ivfRoot)
+    }
+    assert(e2.getMessage.contains("generational IVF layout"), e2.getMessage)
+    // a PQ index (BOTH sidecars) is derived data — rebuild in place is
+    // the supported refresh path and yields an identical probe result
+    val pqRoot = java.nio.file.Files.createTempDirectory("graft-pq9").toString
+    Pq.writePqIndex(emb, pqRoot)
+    val before = rows(Pq.pqKnn(spark, pqRoot, emb, Seq(0L, 1L), k = 5,
+      nprobe = 2, rerank = 8))
+    Pq.writePqIndex(emb, pqRoot)
+    val after = rows(Pq.pqKnn(spark, pqRoot, emb, Seq(0L, 1L), k = 5,
+      nprobe = 2, rerank = 8))
+    assert(before == after)
+    assert(before.nonEmpty)
+  }
 }
