@@ -1430,6 +1430,19 @@ object PipelineQueries {
         memoLayout("q71rep", dir)(buildReplicatedLayout(s, dir)),
         threshold = 0.45, maxClusterSize = None,
         quantizedCandidates = false)
+    },
+    // the PQ serving cost over a memoized index (build excluded, like
+    // q59/q60's twins): the ADC candidate stage scans the ~24 B/row
+    // codes instead of the float corpus, so this row sits next to
+    // q59/q60 (float probe) and q68 (SQ8 probe) as the third point on
+    // the same scan-width-vs-recall curve — same queries, k, nprobe
+    "q72_probe_only" -> { (s, dir) =>
+      val idx = memoLayout("q72pq", dir)(p =>
+        graft.operators.Pq.writePqIndex(emb(s, dir), p))
+      graft.operators.Pq.pqKnn(s, idx, emb(s, dir), knnQueryIds, k = 5,
+          nprobe = 2, rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     })
 
   /** 8x-replicated embeddings layout for the q71 route-comparison
