@@ -135,8 +135,6 @@ object Pq {
       centroidK: Int = Similarity.DefaultCentroidK,
       idCol: String = "vec_id",
       filesPerPartition: Int = 1): Unit = {
-    require(filesPerPartition >= 1,
-      s"filesPerPartition must be >= 1, got $filesPerPartition")
     val spark = emb.sparkSession
     val fs = Dedup.fsFor(spark, path)
     def existsAt(sub: String) =
@@ -147,13 +145,35 @@ object Pq {
     // A PQ index is the one layout that carries BOTH sidecars
     // (_centroids + _meta) — that one may be rebuilt in place.
     require(!existsAt("_current"),
-      s"$path is a generational IVF layout (a rotation/compaction " +
-        "published a _current pointer) — writePqIndex would destroy " +
-        "it; build the index at its own path")
+      s"$path is a generational layout (a rotation/compaction " +
+        "published a _current pointer) — a flat writePqIndex " +
+        "overwrite would write BESIDE its live generation, invisible " +
+        "to every pointer-resolving reader (and destroy an IVF " +
+        "corpus); re-train a generational PQ index with rotatePq, " +
+        "and build over a corpus layout at the index's own path")
     require(!(existsAt("_centroids") && !existsAt("_meta")),
       s"$path is an IVF corpus layout (_centroids sidecar, no PQ " +
         "_meta) — writePqIndex would replace its vectors with codes; " +
         "build the index at its own path")
+    buildPqInto(emb, path, m, k, centroidK, idCol, filesPerPartition)
+  }
+
+  /** The build itself — encode + settled partitioned write + sidecars
+    * into `path`, no overwrite guard: [[writePqIndex]] guards the flat
+    * build, [[rotatePq]] stages into a fresh generation dir where the
+    * guard is meaningless. One sample pass + one encode/write pass.
+    */
+  private def buildPqInto(
+      emb: DataFrame,
+      path: String,
+      m: Int,
+      k: Int,
+      centroidK: Int,
+      idCol: String,
+      filesPerPartition: Int): Unit = {
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1, got $filesPerPartition")
+    val spark = emb.sparkSession
     val all = Similarity.asDouble(emb, idCol = idCol)
     val (flat, centroids) = codebookAndCentroids(all, k, centroidK, idCol)
     val dim = flat.length / k
@@ -183,9 +203,21 @@ object Pq {
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
-  /** The index's geometry + codebook, from its `_meta` sidecar. */
-  def readPqMeta(spark: SparkSession, path: String): PqMeta = {
-    val r = spark.read.parquet(s"$path/_meta").head()
+  /** The index's geometry + codebook, from its `_meta` sidecar —
+    * resolved through the generation pointer ([[Similarity.ivfDataRoot]]),
+    * so a rotated index reads the CURRENT generation's codebook.
+    */
+  def readPqMeta(spark: SparkSession, path: String): PqMeta =
+    readPqMetaAt(spark,
+      Similarity.ivfDataRoot(Dedup.fsFor(spark, path), path))
+
+  /** [[readPqMeta]] against an already-RESOLVED data root — the probes
+    * resolve the pointer ONCE and read meta, sidecar and codes from
+    * the same generation, so a concurrent rotation can never mix one
+    * generation's codebook with another's codes.
+    */
+  private def readPqMetaAt(spark: SparkSession, dataRoot: String): PqMeta = {
+    val r = spark.read.parquet(s"$dataRoot/_meta").head()
     PqMeta(r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("dim"),
       r.getAs[Seq[Double]]("codebook").toArray)
   }
@@ -215,14 +247,18 @@ object Pq {
     require(rerank == 0 || rerank >= k,
       s"rerank must be 0 (the 4*k default) or >= k, got rerank=$rerank k=$k")
     val rerankM = if (rerank == 0) 4 * k else rerank
-    val meta = readPqMeta(spark, indexPath)
+    // one pointer resolution per probe: meta, routing sidecar and the
+    // codes scan all come from the SAME generation
+    val dataRoot =
+      Similarity.ivfDataRoot(Dedup.fsFor(spark, indexPath), indexPath)
+    val meta = readPqMetaAt(spark, dataRoot)
     val all = Similarity.asDouble(emb, idCol = idCol)
     val queries = all.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col("vec").as("vec_q"),
         col("nrm").as("nrm_q"))
-    val probes = Similarity.rankRoutes(spark, indexPath, queries, nprobe,
+    val probes = Similarity.rankRoutes(spark, dataRoot, queries, nprobe,
       Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
-    pqTopK(spark, indexPath, all, probes, meta, k, rerankM, idCol,
+    pqTopK(spark, dataRoot, all, probes, meta, k, rerankM, idCol,
       excludeSelf = true, collectShortlist = collectShortlist)
   }
 
@@ -247,14 +283,16 @@ object Pq {
     require(rerank == 0 || rerank >= k,
       s"rerank must be 0 (the 4*k default) or >= k, got rerank=$rerank k=$k")
     val rerankM = if (rerank == 0) 4 * k else rerank
-    val meta = readPqMeta(spark, indexPath)
+    val dataRoot =
+      Similarity.ivfDataRoot(Dedup.fsFor(spark, indexPath), indexPath)
+    val meta = readPqMetaAt(spark, dataRoot)
     val all = Similarity.asDouble(emb, idCol = idCol)
     val q = Similarity.asDouble(queries, idCol = queryIdCol)
       .select(col(queryIdCol).as("query_id"), col("vec").as("vec_q"),
         col("nrm").as("nrm_q"))
-    val probes = Similarity.rankRoutes(spark, indexPath, q, nprobe,
+    val probes = Similarity.rankRoutes(spark, dataRoot, q, nprobe,
       Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
-    pqTopK(spark, indexPath, all, probes, meta, k, rerankM, idCol,
+    pqTopK(spark, dataRoot, all, probes, meta, k, rerankM, idCol,
       excludeSelf = false, collectShortlist = collectShortlist)
   }
 
@@ -313,7 +351,7 @@ object Pq {
     */
   private def pqTopK(
       spark: SparkSession,
-      indexPath: String,
+      dataRoot: String,
       corpus: DataFrame,
       probes: DataFrame,
       meta: PqMeta,
@@ -325,7 +363,7 @@ object Pq {
     Similarity.requireIntegralId(
       probes.schema("query_id").dataType, "query_id", "PQ")
     Similarity.requireIntegralId(corpus.schema(idCol).dataType, idCol, "PQ")
-    val index = spark.read.parquet(indexPath)
+    val index = spark.read.parquet(dataRoot)
     Similarity.requireIntegralId(
       index.schema(idCol).dataType, s"index $idCol", "PQ")
     // bounded by the index's centroid count in BOTH modes, never by
@@ -343,5 +381,609 @@ object Pq {
           corpus.filter(col(idCol).isInCollection(ids)))
         .select(col(idCol).cast("long").as("neighbor_id"),
           col("vec").as("vec_n"), col("nrm").as("nrm_n")))
+  }
+
+  // ------------------------------------------------------------------
+  // Lifecycle: the PQ index is DERIVED data (lose it, rebuild it from
+  // the corpus) — but at 25B vectors "rebuild it" is a full corpus
+  // encode pass, so the index gets the same maintenance surface as the
+  // corpus layouts, on the same EpochLedger protocols: O(novel) epoch
+  // APPENDS (new corpus rows encoded with the CURRENT codebook — no
+  // retrain), reader-atomic ROTATION (retrain codebook + coarse
+  // centroids from the source corpus, published as a _gen-<N>
+  // generation via one atomic _current pointer-entry create),
+  // partition-scoped COMPACTION of append fragmentation, a CLOSED-LOOP
+  // pqMaintain policy with the shared recall circuit breaker, and a
+  // READ-ONLY pqFsck doctor. One structural difference from the IVF
+  // corpus layouts: rotation takes the SOURCE corpus as input (the
+  // index stores no vectors to re-train from).
+  // ------------------------------------------------------------------
+
+  /** O(novel) crash-safe epoch append: encode `novel` corpus rows with
+    * the index's CURRENT generation's codebook, route them against its
+    * `_centroids` sidecar (the identical assignment algebra the build
+    * used), and land one file per touched `centroid_id=` dir through
+    * the [[EpochLedger]] stage→manifest→footprint→ledger protocol —
+    * same guarantees as [[Similarity.appendIvfEpoch]]: same-`epochId`
+    * retry idempotent (returns false on a replay), torn states heal at
+    * the next entry, stage-lost partials quarantine. The codebook is
+    * NEVER retrained here — append keeps the generation's geometry, so
+    * appended codes and built codes score identically under one LUT;
+    * drift from a stale codebook is [[pqRecallProbe]]'s observable and
+    * [[rotatePq]]'s job. Appending a vector of the wrong dimension
+    * refuses loudly (the codegen kernels check geometry per row).
+    */
+  def appendPqEpoch(
+      novel: DataFrame,
+      indexPath: String,
+      epochId: String,
+      idCol: String = "vec_id"): Boolean =
+    appendPqEpochStaged(novel, indexPath, epochId, idCol, _ => ())
+
+  /** [[appendPqEpoch]] with the crash-injection hook exposed for
+    * specs — fired at "staged", "committed", "move-file", "moved".
+    */
+  private[operators] def appendPqEpochStaged(
+      novel: DataFrame,
+      indexPath: String,
+      epochId: String,
+      idCol: String,
+      failpoint: String => Unit): Boolean = {
+    val spark = novel.sparkSession
+    // heal a torn rotation first (an unfinished generation publish
+    // would leave resolution on the superseded root), then resolve —
+    // the append must land in the settled current generation
+    Similarity.recoverIvfRotations(spark, indexPath)
+    val dataRoot =
+      Similarity.ivfDataRoot(Dedup.fsFor(spark, indexPath), indexPath)
+    val meta = readPqMetaAt(spark, dataRoot)
+    EpochLedger.commitEpoch(spark, indexPath, epochId,
+      partPrefix = "centroid_id=",
+      stageWrite = stageDir =>
+        encodeForLayout(novel, dataRoot, meta, idCol)
+          .repartition(col("centroid_id"))
+          .write.partitionBy("centroid_id").parquet(stageDir),
+      failpoint = failpoint,
+      dataRoot = Some(dataRoot))
+  }
+
+  /** `novel` encoded into the layout's schema with its OWN stored
+    * codebook and routed against its `_centroids` sidecar — the
+    * sidecar IS the layout's identity; missing means `dataRoot` is not
+    * a PQ index, and the read fails loudly before any write.
+    */
+  private[operators] def encodeForLayout(
+      novel: DataFrame,
+      dataRoot: String,
+      meta: PqMeta,
+      idCol: String): DataFrame = {
+    val spark = novel.sparkSession
+    val cent = spark.read.parquet(s"$dataRoot/_centroids")
+      .select(expr("CAST(substring(centroid_id, 2) AS BIGINT)")
+          .as("centroid_id"),
+        col("cvec"), col("cnrm"))
+    val all = Similarity.asDouble(novel, idCol = idCol)
+    val cbLit = typedLit(meta.codebook.toSeq)
+    Similarity.rankCentroids(all, cent, 1, idCol)
+      .select(col(idCol),
+        PqEncode(col("vec"), cbLit, meta.m, meta.k).as("pq"),
+        col("nrm"),
+        concat(lit("c"), col("centroid_id")).as("centroid_id"))
+  }
+
+  /** Resolve any crashed [[appendPqEpoch]]/[[rotatePq]]/
+    * [[compactPqPartitions]] on the index at `indexPath` — the
+    * restart-path entry, [[Similarity.recoverIvfEpochs]]'s twin:
+    * torn rotations heal first, then epochs (uncommitted discarded,
+    * committed completed, stage-lost partials quarantined, the
+    * ledger-loss valve refusing rather than truncating). Single
+    * maintenance writer.
+    */
+  def recoverPqEpochs(
+      spark: SparkSession,
+      indexPath: String): Unit = {
+    Similarity.recoverIvfRotations(spark, indexPath)
+    EpochLedger.recover(spark, indexPath, partPrefix = "centroid_id=",
+      dataRoot =
+        Some(Similarity.ivfDataRoot(Dedup.fsFor(spark, indexPath),
+          indexPath)))
+  }
+
+  /** Has `epochId` been fully applied to the index at `indexPath`? */
+  def pqEpochApplied(
+      spark: SparkSession,
+      indexPath: String,
+      epochId: String): Boolean =
+    EpochLedger.applied(spark, indexPath, epochId)
+
+  /** Re-train and rebuild the PQ index at `indexPath` IN PLACE as one
+    * crash-safe, READER-ATOMIC generation publish — the
+    * [[Similarity.rotateIvf]] protocol verbatim (staged build →
+    * `_MANIFEST` commit → `_gen-<N>` move → one atomic `_current`
+    * pointer-entry create → retire), with the PQ build as the staged
+    * work: a fresh deterministic codebook + coarse-centroid sample
+    * over `emb` — the SOURCE corpus, which must be passed in because
+    * the index stores no vectors — encoded and written settled with
+    * both sidecars. A probe concurrent with any point of the rotation
+    * reads old-codebook-with-old-codes or new-with-new, never a mix
+    * (each probe resolves the pointer once). The first rotation of a
+    * flat [[writePqIndex]] index migrates it to generational; prior
+    * epoch ids REMAIN ledgered (their rows are inside the rebuilt
+    * index), so a replayed old epoch still refuses after rotation.
+    * `deferRetire` as in [[Similarity.rotateIvf]] — the
+    * retention-window variant for always-on probe traffic, swept by
+    * [[Similarity.retireSupersededGenerations]]. Cost: one corpus
+    * sample pass + one corpus encode pass, O(corpus READ) but only
+    * O(index) write — the cost [[appendPqEpoch]] amortizes away
+    * between re-trains. Returns true when applied now.
+    */
+  def rotatePq(
+      spark: SparkSession,
+      indexPath: String,
+      rotationId: String,
+      emb: DataFrame,
+      m: Int = DefaultM,
+      k: Int = DefaultK,
+      centroidK: Int = Similarity.DefaultCentroidK,
+      idCol: String = "vec_id",
+      filesPerPartition: Int = 1,
+      deferRetire: Boolean = false): Boolean =
+    rotatePqStaged(spark, indexPath, rotationId, emb, m, k, centroidK,
+      idCol, filesPerPartition, deferRetire, _ => ())
+
+  /** [[rotatePq]] with the crash-injection hook exposed for specs —
+    * [[Similarity.stageGeneration]]'s failpoints ("staged",
+    * "committed", "gen-move", "gen-moved", "published", "retire-dir",
+    * "retired").
+    */
+  private[operators] def rotatePqStaged(
+      spark: SparkSession,
+      indexPath: String,
+      rotationId: String,
+      emb: DataFrame,
+      m: Int,
+      k: Int,
+      centroidK: Int,
+      idCol: String,
+      filesPerPartition: Int,
+      deferRetire: Boolean,
+      failpoint: String => Unit): Boolean =
+    Similarity.stageGeneration(spark, indexPath, rotationId, "pq-rotate",
+      failpoint, deferRetire) { (_, stageData) =>
+      buildPqInto(emb, stageData, m, k, centroidK, idCol,
+        filesPerPartition)
+    }
+
+  /** Partition-scoped compaction of append fragmentation: rewrite ONLY
+    * the over-threshold `centroid_id=` dirs of the CURRENT generation
+    * in place — [[EpochLedger.compactPartitionsStaged]] with an
+    * identity row healer (codes are the data; there is nothing to
+    * re-derive), so it is pure file coalescing: O(fragmented), per-dir
+    * idempotent swaps, probe answers row-identical. Returns the number
+    * of dirs rewritten.
+    */
+  def compactPqPartitions(
+      spark: SparkSession,
+      indexPath: String,
+      compactionId: String,
+      maxFilesPerPartition: Int = 1,
+      maxRecordsPerFile: Long = 0L,
+      filesPerPartition: Int = 1): Int =
+    compactPqPartitionsStaged(spark, indexPath, compactionId,
+      maxFilesPerPartition, maxRecordsPerFile, _ => (),
+      filesPerPartition)
+
+  /** [[compactPqPartitions]] with the crash-injection hook exposed for
+    * specs — [[EpochLedger.compactPartitionsStaged]]'s failpoints.
+    */
+  private[operators] def compactPqPartitionsStaged(
+      spark: SparkSession,
+      indexPath: String,
+      compactionId: String,
+      maxFilesPerPartition: Int,
+      maxRecordsPerFile: Long,
+      failpoint: String => Unit,
+      filesPerPartition: Int = 1): Int = {
+    recoverPqEpochs(spark, indexPath)
+    EpochLedger.compactPartitionsStaged(spark, indexPath,
+      dataRoot =
+        Similarity.ivfDataRoot(Dedup.fsFor(spark, indexPath), indexPath),
+      partitionCol = "centroid_id", id = compactionId,
+      maxFilesPerPartition = maxFilesPerPartition,
+      maxRecordsPerFile = maxRecordsPerFile, failpoint = failpoint,
+      filesPerPartition = filesPerPartition)
+  }
+
+  /** One `(centroid_id, files, bytes)` row per partition dir of the
+    * index's current generation — the constant-round-trip listing
+    * ([[EpochLedger.partitionFileStats]]).
+    */
+  def pqPartitionStats(
+      spark: SparkSession,
+      indexPath: String): Seq[(String, Int, Long)] = {
+    val f = Dedup.fsFor(spark, indexPath)
+    EpochLedger
+      .partitionFileStats(f, Similarity.ivfDataRoot(f, indexPath),
+        "centroid_id=")
+      .map { case (d, n, b) => (d.stripPrefix("centroid_id="), n, b) }
+  }
+
+  /** max/median partition-bytes skew over [[pqPartitionStats]] — ~1
+    * balanced; past ~4×, [[rotatePq]] re-trains the coarse centroids
+    * and re-balances.
+    */
+  def pqSkewRatio(spark: SparkSession, indexPath: String): Double =
+    Similarity.skewFromStats(pqPartitionStats(spark, indexPath))
+
+  /** Measured recall@k of the PQ probe against brute-force exact
+    * top-k — [[Similarity.ivfRecallProbe]]'s twin for the quantized
+    * index, with `emb` (the source corpus) supplying both the query
+    * vectors and the exact side. Stored mode samples `sampleN` corpus
+    * ids by the deterministic id-hash order; `queryVectors` switches
+    * to SERVING-shaped held-out recall ([[pqKnnWith]] vs
+    * [[Similarity.bruteForceKnnWith]], no self-exclusion either side).
+    * `rerank` is the PQ shortlist budget (0 = the probe's 4·k
+    * default) — recall decays BOTH when routing misses a partition
+    * (nprobe) and when the ADC shortlist starves out a true neighbor
+    * (rerank); this measures the served combination. Cost: one corpus
+    * scan scoring the sample both ways, O(sampleN·k) driver state.
+    */
+  def pqRecallProbe(
+      spark: SparkSession,
+      indexPath: String,
+      emb: DataFrame,
+      sampleN: Int = 64,
+      k: Int = 10,
+      nprobe: Int = 1,
+      rerank: Int = 0,
+      idCol: String = "vec_id",
+      queryVectors: Option[DataFrame] = None): Similarity.IvfRecall = {
+    require(sampleN >= 1, s"sampleN must be >= 1, got $sampleN")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank == 0 || rerank >= k,
+      s"rerank must be 0 (the 4*k default) or >= k, got rerank=$rerank k=$k")
+    if (queryVectors.isDefined) {
+      val qv = queryVectors.get
+      val approx = pqKnnWith(spark, indexPath, emb, qv, k, nprobe,
+          rerank, idCol = idCol)
+        .select(col("query_id").cast("long"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.bruteForceKnnWith(emb, qv, k, idCol = idCol)
+        .select(col("query_id").cast("long"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall =
+        if (exact.isEmpty) 1.0
+        else approx.intersect(exact).size.toDouble / exact.size
+      return Similarity.IvfRecall(recall,
+        exact.map(_._1).union(approx.map(_._1)).size, k, nprobe, rerank)
+    }
+    // the ivfCentroids sampling hash, reused: deterministic, id-order
+    // decorrelated, and a TakeOrdered (never a global sort)
+    val p = graft.functions.TextHash.P
+    val qids = Similarity.asDouble(emb, idCol = idCol)
+      .select(col(idCol),
+        ((col(idCol) % p) * lit(2654435761L) % p).as("chash"))
+      .orderBy(col("chash"), col(idCol))
+      .limit(sampleN)
+      .collect().map(_.getLong(0)).toSeq
+    if (qids.isEmpty)
+      return Similarity.IvfRecall(1.0, 0, k, nprobe, rerank)
+    val approx = pqKnn(spark, indexPath, emb, qids, k, nprobe, rerank,
+        idCol)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceKnn(emb, qids, k, idCol)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall =
+      if (exact.isEmpty) 1.0
+      else approx.intersect(exact).size.toDouble / exact.size
+    Similarity.IvfRecall(recall, qids.size, k, nprobe, rerank)
+  }
+
+  /** One-call health snapshot of the index — LISTING-ONLY by default
+    * ([[Similarity.ivfHealth]]'s twin: partition stats, skew,
+    * generation, quarantine/retired dir counts); `recallSampleN > 0`
+    * or `queryVectors` adds the corpus-scan [[pqRecallProbe]], which
+    * needs `emb` (the source corpus).
+    */
+  def pqHealth(
+      spark: SparkSession,
+      indexPath: String,
+      emb: DataFrame,
+      recallSampleN: Int = 0,
+      k: Int = 10,
+      nprobe: Int = 1,
+      rerank: Int = 0,
+      idCol: String = "vec_id",
+      queryVectors: Option[DataFrame] = None): Similarity.IvfHealth = {
+    require(rerank == 0 || rerank >= k,
+      s"rerank must be 0 (the 4*k default) or >= k, got rerank=$rerank k=$k")
+    val f = Dedup.fsFor(spark, indexPath)
+    val stats = pqPartitionStats(spark, indexPath)
+    Similarity.IvfHealth(
+      dataRoot = Similarity.ivfDataRoot(f, indexPath),
+      generation = Similarity.currentGenName(f, indexPath),
+      partitions = stats.size,
+      files = stats.map(_._2.toLong).sum,
+      bytes = stats.map(_._3).sum,
+      maxFilesPerPartition = if (stats.isEmpty) 0 else stats.map(_._2).max,
+      skewRatio = Similarity.skewFromStats(stats),
+      recall =
+        if (recallSampleN > 0 || queryVectors.isDefined)
+          Some(pqRecallProbe(spark, indexPath, emb,
+            recallSampleN.max(1), k, nprobe, rerank, idCol,
+            queryVectors))
+        else None,
+      quarantined = Dedup.countHiddenDirs(f, indexPath, "_quarantine"),
+      retired = Dedup.countHiddenDirs(f, indexPath, "_retired"))
+  }
+
+  /** [[pqMaintain]]'s thresholds as one value — field meanings are its
+    * parameters of the same names ([[Similarity.IvfMaintainPolicy]]'s
+    * shape with the PQ training knobs `m`/`codebookK` in place of
+    * `sampleFrac`).
+    */
+  final case class PqMaintainPolicy(
+      maxFilesPerPartition: Int = 64,
+      skewThreshold: Double = 4.0,
+      recallFloor: Option[Double] = None,
+      recallSampleN: Int = 64,
+      k: Int = 10,
+      nprobe: Int = 1,
+      rerank: Int = 0,
+      ledgerTailMax: Int = 256,
+      m: Int = DefaultM,
+      codebookK: Int = DefaultK,
+      centroidK: Int = Similarity.DefaultCentroidK,
+      deferRetire: Boolean = false,
+      queryVectors: Option[DataFrame] = None,
+      purgeRetiredOlderThanMs: Option[Long] = None,
+      filesPerPartition: Int = 1)
+
+  /** What [[pqMaintain]] did and why — action strings in execution
+    * order (empty for a healthy index) and the pre-decision health
+    * snapshot.
+    */
+  final case class PqMaintenance(
+      actions: Seq[String], health: Similarity.IvfHealth)
+
+  /** The closed-loop maintenance policy for the PQ index —
+    * [[Similarity.ivfMaintain]]'s runbook sentence with [[rotatePq]]
+    * as the re-train arm (which needs `emb`, the source corpus) and
+    * the SAME shared recall circuit breaker ([[RecallBreaker]] —
+    * keyed here to the PQ training knobs m/codebookK/centroidK plus
+    * the recall config and the layout's data-state token): skew past
+    * `skewThreshold` or measured recall below `recallFloor` →
+    * [[rotatePq]]; otherwise files past `maxFilesPerPartition` →
+    * [[compactPqPartitions]]; ledger tail past `ledgerTailMax` →
+    * [[EpochLedger.compactLedger]]; retired dirs older than an
+    * EXPLICIT `purgeRetiredOlderThanMs` window → purge (the only
+    * deleting arm). A recall-triggered rotation must prove it helped;
+    * one that still misses the floor arms the breaker — the rotate
+    * arm is then skipped with a loud action until the index's data or
+    * the recall/training config changes (a PQ re-train is an O(corpus
+    * read) encode pass; re-running it every tick against an
+    * unreachable floor is the same pathology the IVF breaker
+    * refuses). A healthy index is a LISTING-only no-op after the
+    * entry healing pass. Single maintenance writer.
+    */
+  def pqMaintain(
+      spark: SparkSession,
+      indexPath: String,
+      id: String,
+      emb: DataFrame,
+      policy: PqMaintainPolicy = PqMaintainPolicy(),
+      idCol: String = "vec_id"): PqMaintenance = {
+    import policy._
+    EpochLedger.requireEpochId(id)
+    require(maxFilesPerPartition >= 1 && skewThreshold > 1.0 &&
+        ledgerTailMax >= 1,
+      s"thresholds out of range: maxFilesPerPartition=" +
+        s"$maxFilesPerPartition skewThreshold=$skewThreshold " +
+        s"ledgerTailMax=$ledgerTailMax")
+    require(rerank == 0 || rerank >= k,
+      s"rerank must be 0 (the 4*k default) or >= recall k, got " +
+        s"rerank=$rerank k=$k")
+    // a salt above the file-count threshold would make every tick
+    // re-detect its own compaction output as fragmented (see
+    // ivfMaintain); the cron'd policy must not
+    require(filesPerPartition >= 1 &&
+        filesPerPartition <= maxFilesPerPartition,
+      s"filesPerPartition=$filesPerPartition must be in " +
+        s"[1, maxFilesPerPartition=$maxFilesPerPartition] — above the " +
+        "threshold the policy would re-compact its own output forever")
+    require(recallFloor.isEmpty || recallSampleN >= 1 ||
+        queryVectors.isDefined,
+      "recallFloor is set but no probe is configured: pass " +
+        "recallSampleN >= 1 (stored-sample mode) or queryVectors " +
+        "(serving mode)")
+    recoverPqEpochs(spark, indexPath)
+    val h = pqHealth(spark, indexPath, emb,
+      recallSampleN = if (recallFloor.isDefined) recallSampleN else 0,
+      k = k, nprobe = nprobe, rerank = rerank, idCol = idCol,
+      queryVectors = if (recallFloor.isDefined) queryVectors else None)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fsys = Dedup.fsFor(spark, indexPath)
+    val skewHit = h.skewRatio > skewThreshold
+    val recallHit = recallFloor.exists(fl =>
+      h.recall.exists(_.recallAtK < fl))
+    lazy val queryDigest: String =
+      RecallBreaker.queryWorkloadDigest(queryVectors)
+    def breakerConfig: Seq[(String, () => String)] = Seq(
+      "floor" -> (() => recallFloor.get.toString),
+      "k" -> (() => k.toString),
+      "nprobe" -> (() => nprobe.toString),
+      "rerank" -> (() => rerank.toString),
+      "m" -> (() => m.toString),
+      "codebookK" -> (() => codebookK.toString),
+      "centroidK" -> (() => centroidK.toString),
+      "queries" -> (() => queryDigest))
+    val armedRecall: Option[String] =
+      if (recallHit && !skewHit)
+        RecallBreaker.armed(fsys, indexPath, breakerConfig,
+          Similarity.layoutStateToken(fsys, indexPath))
+      else None
+    val recallBroken = armedRecall.isDefined
+    if (recallBroken)
+      actions += f"rotate-skipped(recall " +
+        f"${h.recall.get.recallAtK}%.4f<${recallFloor.get}%.4f, but a " +
+        s"rotation on this exact layout state already measured " +
+        s"${armedRecall.get} — the floor is unreachable at this " +
+        "nprobe/rerank/training config; raise them or lower the " +
+        "floor. Appends, rotations and knob changes re-arm the breaker)"
+    if (skewHit || (recallHit && !recallBroken)) {
+      val reason =
+        (if (skewHit) Seq(f"skew ${h.skewRatio}%.2f>$skewThreshold%.2f")
+         else Seq.empty) ++
+          (if (recallHit)
+             Seq(f"recall ${h.recall.get.recallAtK}%.4f<" +
+               f"${recallFloor.get}%.4f")
+           else Seq.empty)
+      val applied = rotatePq(spark, indexPath, s"$id-rotate", emb,
+        m = m, k = codebookK, centroidK = centroidK, idCol = idCol,
+        filesPerPartition = filesPerPartition,
+        deferRetire = deferRetire)
+      actions += s"rotate(${reason.mkString(", ")})" +
+        (if (applied) "" else " [already applied]")
+      if (recallHit) {
+        // on a ledger REPLAY (applied=false) the index did not change
+        // this tick: the health probe's own number IS the
+        // post-rotation recall — no second corpus scan
+        val after =
+          if (applied)
+            pqRecallProbe(spark, indexPath, emb, recallSampleN.max(1),
+              k, nprobe, rerank, idCol, queryVectors).recallAtK
+          else h.recall.get.recallAtK
+        if (after < recallFloor.get) {
+          // only an ACTUAL rotation this tick may arm the breaker: on
+          // a replay no training ran on the CURRENT data state
+          if (applied) {
+            actions += f"WARNING recall-floor-unmet-after-rotation(" +
+              f"$after%.4f<${recallFloor.get}%.4f) — breaker armed: " +
+              "the rotate arm will not fire again until the index's " +
+              "data or the recall/training config changes"
+            RecallBreaker.arm(fsys, indexPath, breakerConfig,
+              Similarity.layoutStateToken(fsys, indexPath), after)
+          } else
+            actions += f"WARNING recall-floor-unmet(" +
+              f"$after%.4f<${recallFloor.get}%.4f) after a REPLAYED " +
+              "rotation id — no new training ran this tick; re-run " +
+              "with a fresh maintenance id to measure a real rotation"
+        } else RecallBreaker.disarm(fsys, indexPath)
+      }
+    } else if (h.maxFilesPerPartition > maxFilesPerPartition) {
+      val n = compactPqPartitions(spark, indexPath, s"$id-compact",
+        maxFilesPerPartition = maxFilesPerPartition,
+        filesPerPartition = filesPerPartition)
+      actions += s"compact-partitions(maxFiles=" +
+        s"${h.maxFilesPerPartition}>$maxFilesPerPartition, dirs=$n)"
+    }
+    val tail = EpochLedger.ledgerTail(fsys, indexPath)
+    if (tail > ledgerTailMax) {
+      val rolled = EpochLedger.compactLedger(spark, indexPath)
+      actions += s"compact-ledger(tail=$tail>$ledgerTailMax, " +
+        s"rolled=$rolled)"
+    }
+    purgeRetiredOlderThanMs.foreach { window =>
+      val purged = EpochLedger.purgeRetiredOlderThan(spark, indexPath,
+        window)
+      if (purged.nonEmpty)
+        actions += s"purge-retired(olderThanMs=$window, " +
+          s"purged=${purged.size})"
+    }
+    PqMaintenance(actions.toSeq, h)
+  }
+
+  /** READ-ONLY diagnosis of the PQ index — [[EpochLedger.fsck]]'s
+    * generic protocol checks plus the index's own invariants:
+    * generation-pointer integrity (shared with [[Similarity.ivfFsck]]),
+    * both sidecars' presence, and the `_meta` GEOMETRY (m | dim,
+    * codebook length = k·dim — a hand-restored meta that disagrees
+    * with the codes makes every probe score garbage). `deepCodes`
+    * adds the value-level scan: rows whose `pq` byte length differs
+    * from `_meta`'s m, or null codes/norms — the states a
+    * wrong-generation file restore produces. Mutates NOTHING; safe
+    * as the first command against an index another writer owns.
+    * Empty result = clean.
+    */
+  def pqFsck(
+      spark: SparkSession,
+      indexPath: String,
+      deepCodes: Boolean = false): Seq[EpochLedger.FsckFinding] = {
+    val f = Dedup.fsFor(spark, indexPath)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[EpochLedger.FsckFinding]
+    out ++= Similarity.pointerFindings(f, indexPath)
+    val dataRoot = Similarity.ivfDataRoot(f, indexPath)
+    val dataRootP = new org.apache.hadoop.fs.Path(dataRoot)
+    val partDirs =
+      if (!f.exists(dataRootP)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(dataRootP).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id="))
+    if (partDirs.nonEmpty &&
+        !f.exists(new org.apache.hadoop.fs.Path(s"$dataRoot/_centroids")))
+      out += EpochLedger.FsckFinding("centroids-missing", "fatal",
+        s"$dataRoot/_centroids",
+        "partition dirs exist but the centroid routing sidecar is " +
+          "missing — routing and epoch appends fail; rebuild with " +
+          "rotatePq/writePqIndex")
+    val metaP = new org.apache.hadoop.fs.Path(s"$dataRoot/_meta")
+    if (partDirs.nonEmpty && !f.exists(metaP))
+      out += EpochLedger.FsckFinding("meta-missing", "fatal",
+        s"$dataRoot/_meta",
+        "partition dirs exist but the _meta geometry/codebook sidecar " +
+          "is missing — every probe and append fails; rebuild with " +
+          "rotatePq/writePqIndex (the index is derived data)")
+    val meta: Option[PqMeta] =
+      if (!f.exists(metaP)) None
+      else
+        try Some(readPqMetaAt(spark, dataRoot))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            out += EpochLedger.FsckFinding("meta-unreadable", "fatal",
+              s"$dataRoot/_meta",
+              s"the _meta sidecar exists but cannot be read " +
+                s"(${e.getClass.getSimpleName}) — rebuild with " +
+                "rotatePq/writePqIndex")
+            None
+        }
+    meta.foreach { mt =>
+      if (mt.m < 1 || mt.k < 1 || mt.dim < 1 || mt.dim % mt.m != 0 ||
+          mt.codebook.length != mt.k * mt.dim)
+        out += EpochLedger.FsckFinding("meta-geometry", "fatal",
+          s"$dataRoot/_meta",
+          s"inconsistent geometry: m=${mt.m} k=${mt.k} dim=${mt.dim} " +
+            s"codebook=${mt.codebook.length} doubles (want k*dim=" +
+            s"${mt.k.toLong * mt.dim}, m | dim) — a probe would score " +
+            "garbage or refuse; restore the matching _meta or rebuild " +
+            "with rotatePq")
+    }
+    if (deepCodes && partDirs.nonEmpty) meta.foreach { mt =>
+      // value-level, opt-in: one narrow (pq, nrm) scan — the damage a
+      // wrong-generation or foreign-index file restore produces is
+      // per-ROW (code width from a different m), invisible to any
+      // footer check because the schema is binary either way
+      val idx = spark.read.parquet(dataRoot)
+      val bad = idx.select(
+          sum(when(col("pq").isNull.or(length(col("pq")) =!= mt.m), 1L)
+            .otherwise(0L)).as("badpq"),
+          sum(when(col("nrm").isNull, 1L).otherwise(0L)).as("badnrm"))
+        .head()
+      val badPq = if (bad.isNullAt(0)) 0L else bad.getLong(0)
+      val badNrm = if (bad.isNullAt(1)) 0L else bad.getLong(1)
+      if (badPq > 0)
+        out += EpochLedger.FsckFinding("code-width", "fatal", dataRoot,
+          s"$badPq row(s) carry a null pq or a code width != m=${mt.m} " +
+            "bytes — a restore from a different geometry's index; ADC " +
+            "refuses these loudly at probe time. Rebuild with rotatePq")
+      if (badNrm > 0)
+        out += EpochLedger.FsckFinding("null-nrm", "warn", dataRoot,
+          s"$badNrm row(s) carry a null nrm — their qsim reads null " +
+            "and the row silently never enters a shortlist; rebuild " +
+            "with rotatePq")
+    }
+    out.toSeq ++ EpochLedger.fsck(spark, indexPath, "centroid_id=",
+      Some(dataRoot))
   }
 }

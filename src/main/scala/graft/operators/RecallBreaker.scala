@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+
+/** The recall CIRCUIT BREAKER shared by [[Similarity.ivfMaintain]] and
+  * [[Pq.pqMaintain]] — ONE definition of the arm/disarm/match rules so
+  * the two policies cannot drift.
+  *
+  * A rotation repairs ROUTING-drift recall, but a floor the route
+  * cannot reach at the configured nprobe/rerank (shortlist starvation,
+  * quantization error) would fire a full corpus-scale rewrite EVERY
+  * maintenance tick forever. After a recall-rotation that still misses
+  * the floor, the policy records the attempt keyed to the layout's
+  * exact DATA state (generation + ledgered-id set —
+  * [[Similarity.layoutStateToken]]) and the FULL recall + training
+  * config; while neither changes, re-rotating is provably futile and
+  * the rotate arm is skipped with a loud action. Appends, rotations
+  * and knob changes re-arm it (the state token or a config value
+  * moves). Advisory state under the single maintenance writer: a torn
+  * or garbage breaker file reads as absent and only costs one more
+  * measured attempt.
+  *
+  * `config` is an ORDERED key list; values are thunks so a mismatch on
+  * an early knob short-circuits before later (possibly effectful)
+  * values — the query-workload digest — are computed.
+  */
+private[operators] object RecallBreaker {
+
+  def breakerPath(layoutPath: String): Path =
+    new Path(s"$layoutPath/_maintain/recall-breaker")
+
+  /** Content-sensitive digest of the recall WORKLOAD: swapping the
+    * held-out query set (same path with new contents, or a different
+    * frame entirely) changes what "the floor is unreachable" was
+    * measured against, so it must re-arm the rotate arm. Row count
+    * plus an order-insensitive wrapping SUM of per-row hashes over ALL
+    * query columns (sum, not XOR: xor cancels rows duplicated an even
+    * number of times, so {A,A,B} and {C,C,B} would share a digest) —
+    * computed distributed with O(1) driver state. The sum runs in
+    * decimal(38,0): ANSI mode makes a long sum THROW on overflow, and
+    * per-row xxhash64 values span the full long range; 38 digits
+    * absorbs ~2^63 rows before decimal overflow. The driver wraps back
+    * to 64 bits (BigInteger low-bits), keeping the digest fixed-width.
+    */
+  def queryWorkloadDigest(queryVectors: Option[DataFrame]): String =
+    queryVectors match {
+      case None => "stored"
+      case Some(q) =>
+        val r = q
+          .select(xxhash64(q.columns.toIndexedSeq.map(c => col(c)): _*)
+            .as("h"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("h").cast("decimal(38,0)")).as("x"))
+          .collect()(0)
+        val wrapped =
+          if (r.isNullAt(1)) 0L
+          else r.getDecimal(1).toBigInteger.longValue
+        s"${r.getLong(0)}|$wrapped"
+    }
+
+  /** The recorded post-rotation recall, when the stored attempt
+    * matches this exact config AND layout data state — `None` is
+    * "not armed, the rotate arm may fire". Any read error reads as
+    * absent (advisory state; see the class doc).
+    */
+  def armed(
+      fsys: FileSystem,
+      layoutPath: String,
+      config: Seq[(String, () => String)],
+      state: => String): Option[String] =
+    try {
+      val p = breakerPath(layoutPath)
+      if (!fsys.exists(p)) None
+      else {
+        val m = EpochLedger.readManifest(fsys, p)
+        val matches =
+          config.forall { case (key, v) => m.get(key).contains(v()) } &&
+            m.get("state").contains(state)
+        if (matches) m.get("recall") else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Record a measured-and-missed rotation attempt — tmp + rename, the
+    * manifest discipline every other metadata write on these layouts
+    * uses: the contract is advisory either way (torn state reads as
+    * absent), but there is no reason for this one file to be the
+    * exception. The delete→rename hop can only expose "absent", never
+    * a torn file.
+    */
+  def arm(
+      fsys: FileSystem,
+      layoutPath: String,
+      config: Seq[(String, () => String)],
+      state: String,
+      after: Double): Unit = {
+    val p = breakerPath(layoutPath)
+    fsys.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, ".recall-breaker.tmp")
+    val out = fsys.create(tmp, true)
+    try out.write(
+      (config.map { case (key, v) => s"$key:${v()}" }.mkString("\n") +
+        s"\nstate:$state\n" + f"recall:$after%.4f")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fsys.exists(p)) fsys.delete(p, false)
+    require(fsys.rename(tmp, p),
+      s"recall-breaker: rename failed under $p")
+  }
+
+  /** Drop the breaker (the floor was met again, or a measured
+    * rotation is about to re-judge).
+    */
+  def disarm(fsys: FileSystem, layoutPath: String): Unit = {
+    val p = breakerPath(layoutPath)
+    if (fsys.exists(p)) fsys.delete(p, false)
+  }
+}

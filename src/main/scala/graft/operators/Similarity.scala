@@ -1061,9 +1061,11 @@ object Similarity {
     * layout via `buildStage(dataRoot, stageDataDir)`, commit a
     * manifest recording the target generation and the superseded root,
     * and publish through [[completeIvfGeneration]]. Returns true when
-    * applied now.
+    * applied now. `private[operators]` so the same protocol publishes
+    * [[Pq]] index generations ([[Pq.rotatePq]]) — the manifest/
+    * pointer/retire machinery is layout-agnostic.
     */
-  private def stageGeneration(
+  private[operators] def stageGeneration(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       id: String,
@@ -1143,7 +1145,7 @@ object Similarity {
     val oldRel = mf("old")
     val kind = mf.getOrElse("kind", "rotation")
     def isLayoutDir(n: String): Boolean =
-      n.startsWith("centroid_id=") || n == "_centroids"
+      n.startsWith("centroid_id=") || n == "_centroids" || n == "_meta"
     val genDst = new Path(path, newGen)
     val dataStage = new Path(stageRoot, "data")
     if (f.exists(dataStage)) {
@@ -1266,7 +1268,7 @@ object Similarity {
       .filter { p =>
         val n = p.getName
         genNumber(n).exists(_ < curN) ||
-          n.startsWith("centroid_id=") || n == "_centroids"
+          n.startsWith("centroid_id=") || n == "_centroids" || n == "_meta"
       }
     if (superseded.isEmpty) return 0
     val dst = new Path(s"$path/_retired/$name.superseded")
@@ -1375,7 +1377,7 @@ object Similarity {
     * file-count and the skew observables ([[ivfHealth]] reads stats
     * ONCE and derives both).
     */
-  private def skewFromStats(stats: Seq[(String, Int, Long)]): Double = {
+  private[operators] def skewFromStats(stats: Seq[(String, Int, Long)]): Double = {
     val bytes = stats.map(_._3).sorted
     if (bytes.isEmpty || bytes.last == 0L) 1.0 // no data anywhere: nothing skewed
     else {
@@ -1475,11 +1477,13 @@ object Similarity {
     * a layout another writer owns, unlike the recovery entries. Empty
     * result = clean.
     */
-  def ivfFsck(
-      spark: org.apache.spark.sql.SparkSession,
-      path: String,
-      deepSchema: Boolean = false): Seq[EpochLedger.FsckFinding] = {
-    val f = Dedup.fsFor(spark, path)
+  /** Generation-POINTER integrity findings of the layout at `path` —
+    * shared by [[ivfFsck]] and [[Pq.pqFsck]] (the pointer protocol is
+    * the same [[stageGeneration]] machinery for both).
+    */
+  private[operators] def pointerFindings(
+      f: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[EpochLedger.FsckFinding] = {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[EpochLedger.FsckFinding]
     val gen = currentGenName(f, path)
@@ -1498,6 +1502,17 @@ object Similarity {
             "does not exist — every probe of this layout fails; " +
             "restore the generation dir (it travels WITH the layout)")
     }
+    out.toSeq
+  }
+
+  def ivfFsck(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      deepSchema: Boolean = false): Seq[EpochLedger.FsckFinding] = {
+    val f = Dedup.fsFor(spark, path)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[EpochLedger.FsckFinding]
+    out ++= pointerFindings(f, path)
     val dataRoot = ivfDataRoot(f, path)
     val dataRootP = new org.apache.hadoop.fs.Path(dataRoot)
     val partDirs =
@@ -1606,7 +1621,7 @@ object Similarity {
     * changed the layout since — what arms and re-arms
     * [[ivfMaintain]]'s recall circuit breaker.
     */
-  private def layoutStateToken(
+  private[operators] def layoutStateToken(
       f: org.apache.hadoop.fs.FileSystem,
       path: String): String = {
     val gen = currentGenName(f, path).getOrElse("flat")
@@ -1782,70 +1797,27 @@ object Similarity {
     val skewHit = h.skewRatio > skewThreshold
     val recallHit = recallFloor.exists(fl =>
       h.recall.exists(_.recallAtK < fl))
-    // the recall CIRCUIT BREAKER: a rotation repairs ROUTING-drift
-    // recall, but a floor the route cannot reach at this nprobe/rerank
-    // (SQ8 shortlist starvation, quantization error) would fire a full
-    // corpus rewrite EVERY tick forever — the endless-rewrite
-    // pathology the filesPerPartition guard refuses for compaction.
-    // After a recall-rotation that still misses the floor, the policy
-    // records the attempt keyed to the layout's exact DATA state
-    // (generation + ledgered-id set) and the recall config; as long as
-    // neither changes, re-rotating is provably futile and the rotate
-    // arm is SKIPPED with a loud action. Any append/rotation re-arms
-    // it (the state token moves), as does changing the floor/knobs.
-    // Advisory state under the single maintenance writer: a torn or
-    // garbage breaker file reads as absent and only costs one more
-    // measured attempt.
-    val breakerP = new org.apache.hadoop.fs.Path(
-      s"$path/_maintain/recall-breaker")
-    // the breaker key must cover the recall WORKLOAD, not just the
-    // knobs: swapping the held-out query set (same path with new
-    // contents, or a different frame entirely) changes what "the floor
-    // is unreachable" was measured against, so it must re-arm the
-    // rotate arm. One content-sensitive digest — row count plus an
-    // order-insensitive wrapping SUM of per-row hashes over ALL query
-    // columns (sum, not XOR: xor cancels rows duplicated an even
-    // number of times, so {A,A,B} and {C,C,B} would share a digest) —
-    // computed distributed with O(1) driver state; lazy, so only
-    // recall-unhealthy ticks (the only ones that consult or arm the
-    // breaker) pay the extra action.
-    lazy val queryDigest: String = queryVectors match {
-      case None => "stored"
-      case Some(q) =>
-        // the sum runs in decimal(38,0) — ANSI mode makes a long sum
-        // THROW on overflow, and per-row xxhash64 values span the full
-        // long range; 38 digits absorbs ~2^63 rows before decimal
-        // overflow. The driver wraps back to 64 bits (BigInteger
-        // low-bits), keeping the digest a fixed-width token.
-        val r = q.select(xxhash64(q.columns.toIndexedSeq.map(c => col(c)): _*).as("h"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("h").cast("decimal(38,0)")).as("x"))
-          .collect()(0)
-        val wrapped =
-          if (r.isNullAt(1)) 0L
-          else r.getDecimal(1).toBigInteger.longValue
-        s"${r.getLong(0)}|$wrapped"
-    }
+    // the recall CIRCUIT BREAKER — see [[RecallBreaker]] (one
+    // definition with [[Pq.pqMaintain]]). The key carries the recall
+    // config AND the rotation's training knobs: a different
+    // centroidK/sampleFrac trains a different index, which was never
+    // measured — it must re-arm. Thunked values keep the
+    // query-workload digest lazy: only recall-unhealthy ticks (the
+    // only ones that consult or arm the breaker, and only after the
+    // cheap knobs match) pay the extra action.
+    lazy val queryDigest: String =
+      RecallBreaker.queryWorkloadDigest(queryVectors)
+    def breakerConfig: Seq[(String, () => String)] = Seq(
+      "floor" -> (() => recallFloor.get.toString),
+      "k" -> (() => k.toString),
+      "nprobe" -> (() => nprobe.toString),
+      "rerank" -> (() => recallRerank.toString),
+      "centroidK" -> (() => centroidK.toString),
+      "sampleFrac" -> (() => sampleFrac.toString),
+      "queries" -> (() => queryDigest))
     def breakerArmed: Option[String] =
-      try {
-        if (!fsys.exists(breakerP)) None
-        else {
-          val m = EpochLedger.readManifest(fsys, breakerP)
-          // the key carries the recall config AND the rotation's
-          // training knobs: a different centroidK/sampleFrac trains a
-          // different index, which was never measured — it must re-arm
-          val matches =
-            m.get("floor").contains(recallFloor.get.toString) &&
-              m.get("k").contains(k.toString) &&
-              m.get("nprobe").contains(nprobe.toString) &&
-              m.get("rerank").contains(recallRerank.toString) &&
-              m.get("centroidK").contains(centroidK.toString) &&
-              m.get("sampleFrac").contains(sampleFrac.toString) &&
-              m.get("queries").contains(queryDigest) &&
-              m.get("state").contains(layoutStateToken(fsys, path))
-          if (matches) m.get("recall") else None
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
+      RecallBreaker.armed(fsys, path, breakerConfig,
+        layoutStateToken(fsys, path))
     // evaluate the effectful read ONCE: a second evaluation could hit
     // a transient read error, read as absent, and turn a .get into a
     // crash mid-tick
@@ -1893,34 +1865,14 @@ object Similarity {
               f"$after%.4f<${recallFloor.get}%.4f) — breaker armed: " +
               "the rotate arm will not fire again until the layout's " +
               "data or the recall/training config changes"
-            // tmp + rename, the manifest discipline every other
-            // metadata write on these layouts uses: the contract is
-            // advisory either way (torn state reads as absent), but
-            // there is no reason for this one file to be the
-            // exception. The delete→rename hop can only expose
-            // "absent", never a torn file.
-            fsys.mkdirs(breakerP.getParent)
-            val tmp = new org.apache.hadoop.fs.Path(
-              breakerP.getParent, ".recall-breaker.tmp")
-            val out = fsys.create(tmp, true)
-            try out.write(
-              (s"floor:${recallFloor.get}\nk:$k\nnprobe:$nprobe\n" +
-                s"rerank:$recallRerank\ncentroidK:$centroidK\n" +
-                s"sampleFrac:$sampleFrac\n" +
-                s"queries:$queryDigest\n" +
-                s"state:${layoutStateToken(fsys, path)}\n" +
-                f"recall:$after%.4f")
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-            if (fsys.exists(breakerP)) fsys.delete(breakerP, false)
-            require(fsys.rename(tmp, breakerP),
-              s"ivf-maintain: breaker rename failed under $breakerP")
+            RecallBreaker.arm(fsys, path, breakerConfig,
+              layoutStateToken(fsys, path), after)
           } else
             actions += f"WARNING recall-floor-unmet(" +
               f"$after%.4f<${recallFloor.get}%.4f) after a REPLAYED " +
               "rotation id — no new training ran this tick; re-run " +
               "with a fresh maintenance id to measure a real rotation"
-        } else if (fsys.exists(breakerP)) fsys.delete(breakerP, false)
+        } else RecallBreaker.disarm(fsys, path)
       }
     } else if (h.maxFilesPerPartition > maxFilesPerPartition) {
       val n = compactIvfPartitions(spark, path, s"$id-compact",

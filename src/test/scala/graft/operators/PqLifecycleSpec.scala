@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The PQ index's maintenance lifecycle ([[Pq]] over the
+  * [[EpochLedger]]/generation protocols): O(novel) epoch appends that
+  * converge to exactly the encode-with-the-same-codebook state under
+  * crash/retry, reader-atomic re-train rotation (with flat→generational
+  * migration that retires BOTH sidecars), partition-scoped compaction
+  * that is pure file coalescing, the closed-loop [[Pq.pqMaintain]]
+  * policy with the shared recall breaker, and the read-only
+  * [[Pq.pqFsck]] doctor's PQ-specific findings.
+  */
+class PqLifecycleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus() = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ids = emb.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val splitAt = ids(ids.length / 2)
+    (emb, emb.filter(col("vec_id") < splitAt),
+      emb.filter(col("vec_id") >= splitAt), ids, splitAt)
+  }
+
+  /** Stored index rows, code bytes included — the append/compaction
+    * identity is at the byte level, not just ids.
+    */
+  private def rows(p: String): Set[(Long, String, Seq[Byte], Double)] =
+    spark.read.parquet(p)
+      .select("vec_id", "centroid_id", "pq", "nrm").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Array[Byte]](2).toSeq, r.getDouble(3))).toSet
+
+  private def knn(idxPath: String,
+      emb: org.apache.spark.sql.DataFrame,
+      queryIds: Seq[Long], np: Int = 2): Set[(Long, Long, Int, Double)] =
+    Pq.pqKnn(spark, idxPath, emb, queryIds, k = 5, nprobe = np,
+        rerank = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+
+  test("appendPqEpoch encodes with the STORED codebook — grown index == " +
+    "base rows + same-codebook-encoded novel rows; replay returns false " +
+    "and mutates nothing; probes resolve the grown index") {
+    val (emb, epoch0, novel, ids, splitAt) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-pqep").toString
+    Pq.writePqIndex(epoch0, s"$root/grown")
+    val baseRows = rows(s"$root/grown")
+    val meta = Pq.readPqMeta(spark, s"$root/grown")
+
+    assert(Pq.appendPqEpoch(novel, s"$root/grown", epochId = "e1"))
+    assert(Pq.pqEpochApplied(spark, s"$root/grown", "e1"))
+
+    // the append's codes come from the BASE index's codebook (never a
+    // retrain): grown == base ∪ encodeForLayout(novel, base meta)
+    val expectedNovel = Pq.encodeForLayout(novel, s"$root/grown", meta,
+        "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(3),
+        r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toSet
+    assert(rows(s"$root/grown") == baseRows ++ expectedNovel)
+
+    // replay: ledger hit, no mutation, returns false
+    assert(!Pq.appendPqEpoch(novel, s"$root/grown", epochId = "e1"))
+    assert(rows(s"$root/grown") == baseRows ++ expectedNovel)
+
+    // probes see the appended rows: a novel-id query answers, and at
+    // exhaustive settings the grown index's probe is row-identical to
+    // brute force over the full corpus
+    val queryIds = Seq(ids.head, splitAt, ids.last)
+    val n = emb.count().toInt
+    val exhaustive = Pq.pqKnn(spark, s"$root/grown", emb, queryIds,
+        k = 5, nprobe = Similarity.DefaultCentroidK, rerank = n)
+      .select("query_id", "neighbor_id", "rank", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val brute = Similarity.bruteForceKnn(emb, queryIds, k = 5)
+      .select("query_id", "neighbor_id", "rank", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(exhaustive == brute)
+  }
+
+  test("append crash injection at every protocol point: same-epochId " +
+    "retry converges, with no duplicates") {
+    val (_, epoch0, novel, _, _) = corpus()
+    for (fp <- Seq("staged", "committed", "move-file", "moved")) {
+      val root = java.nio.file.Files.createTempDirectory("graft-pqcr").toString
+      Pq.writePqIndex(epoch0, s"$root/grown")
+      val preRows = rows(s"$root/grown")
+      val meta = Pq.readPqMeta(spark, s"$root/grown")
+      val expectedNovel = Pq.encodeForLayout(novel, s"$root/grown", meta,
+          "vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(3),
+          r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toSet
+
+      val ex = intercept[RuntimeException] {
+        Pq.appendPqEpochStaged(novel, s"$root/grown", "e1", "vec_id",
+          failpoint = p =>
+            if (p == fp) throw new RuntimeException(s"injected at $p"))
+      }
+      assert(ex.getMessage.contains("injected"), fp)
+      assert(!Pq.pqEpochApplied(spark, s"$root/grown", "e1"), fp)
+      if (fp == "staged") assert(rows(s"$root/grown") == preRows, fp)
+
+      val appliedNow = Pq.appendPqEpoch(novel, s"$root/grown", "e1")
+      assert(appliedNow == (fp == "staged"), fp)
+      assert(rows(s"$root/grown") == preRows ++ expectedNovel, fp)
+
+      assert(!Pq.appendPqEpoch(novel, s"$root/grown", "e1"), fp)
+      assert(rows(s"$root/grown") == preRows ++ expectedNovel, fp)
+      val f = Dedup.fsFor(spark, s"$root/grown")
+      assert(!f.exists(
+        new org.apache.hadoop.fs.Path(s"$root/grown/_rotate/e1")), fp)
+    }
+  }
+
+  test("rotatePq: reader-atomic re-train — flat index migrates to " +
+    "generational with BOTH sidecars retired, probes answer through the " +
+    "pointer with the new codebook, replay refuses, appends land in the " +
+    "current generation") {
+    val (emb, epoch0, novel, ids, splitAt) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-pqrot").toString
+    val idx = s"$root/idx"
+    Pq.writePqIndex(epoch0, idx)
+    assert(Pq.readPqMeta(spark, idx).k == Pq.DefaultK)
+
+    // re-train over the FULL corpus with a different codebook size —
+    // the rotation must be observable through readPqMeta
+    assert(Pq.rotatePq(spark, idx, "rot1", emb, k = 24))
+    val f = Dedup.fsFor(spark, idx)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$idx/_current")))
+    assert(Pq.readPqMeta(spark, idx).k == 24)
+    // the flat era is fully retired: data dirs AND both sidecars moved
+    // under _retired (a stale root-level _meta would shadow nothing —
+    // readers resolve the pointer — but fsck hygiene wants it gone)
+    for (n <- Seq("_centroids", "_meta"))
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$idx/$n")), n)
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .forall(st => !st.getPath.getName.startsWith("centroid_id=")))
+    assert(f.exists(
+      new org.apache.hadoop.fs.Path(s"$idx/_retired/rot1.pre-rotate/_meta")))
+
+    // the rotated index answers exactly like a fresh deterministic
+    // build of the same geometry at its own path
+    Pq.writePqIndex(emb, s"$root/fresh", k = 24)
+    val queryIds = Seq(ids.head, splitAt, ids.last)
+    assert(knn(idx, emb, queryIds) == knn(s"$root/fresh", emb, queryIds))
+
+    // replay refuses; an epoch append lands INSIDE the generation
+    assert(!Pq.rotatePq(spark, idx, "rot1", emb, k = 24))
+    assert(Pq.appendPqEpoch(
+      novel.withColumn("vec_id", col("vec_id") + 1000000L), idx, "e2"))
+    val gen = Similarity.ivfDataRoot(f, idx)
+    assert(gen != idx && gen.contains("_gen-"))
+    assert(spark.read.parquet(gen)
+      .filter(col("vec_id") >= 1000000L).count() > 0)
+  }
+
+  test("compactPqPartitions is pure file coalescing: fragmented dirs " +
+    "rewrite to one file, rows and probes byte-identical, O(fragmented) " +
+    "only") {
+    val (emb, epoch0, novel, ids, splitAt) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-pqpc").toString
+    val idx = s"$root/idx"
+    Pq.writePqIndex(epoch0, idx)
+    assert(Pq.appendPqEpoch(novel, idx, "e1"))
+    val pre = rows(idx)
+    val preKnn = knn(idx, emb, Seq(ids.head, splitAt, ids.last))
+    val statsPre = Pq.pqPartitionStats(spark, idx)
+    assert(statsPre.exists(_._2 > 1),
+      "the epoch append should fragment at least one partition")
+
+    val n = Pq.compactPqPartitions(spark, idx, "pc1",
+      maxFilesPerPartition = 1)
+    assert(n == statsPre.count(_._2 > 1),
+      "compaction must rewrite exactly the over-threshold dirs")
+    assert(Pq.pqPartitionStats(spark, idx).forall(_._2 == 1))
+    assert(rows(idx) == pre)
+    assert(knn(idx, emb, Seq(ids.head, splitAt, ids.last)) == preKnn)
+    // replay: ledger hit, zero dirs
+    assert(Pq.compactPqPartitions(spark, idx, "pc1",
+      maxFilesPerPartition = 1) == 0)
+  }
+
+  test("pqMaintain: compact + ledger arms fire on a fragmented index " +
+    "and converge (second tick is a listing-only no-op); probes " +
+    "unchanged") {
+    val (emb, epoch0, novel, ids, splitAt) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-pqmt").toString
+    val idx = s"$root/idx"
+    Pq.writePqIndex(epoch0, idx)
+    assert(Pq.appendPqEpoch(novel, idx, "e1"))
+    val preKnn = knn(idx, emb, Seq(ids.head, splitAt, ids.last))
+
+    val m1 = Pq.pqMaintain(spark, idx, "m1", emb,
+      Pq.PqMaintainPolicy(maxFilesPerPartition = 1, ledgerTailMax = 1))
+    assert(m1.actions.exists(_.startsWith("compact-partitions(")),
+      m1.actions.mkString("; "))
+    assert(m1.actions.exists(_.startsWith("compact-ledger(")),
+      m1.actions.mkString("; "))
+    assert(knn(idx, emb, Seq(ids.head, splitAt, ids.last)) == preKnn)
+
+    val m2 = Pq.pqMaintain(spark, idx, "m2", emb,
+      Pq.PqMaintainPolicy(maxFilesPerPartition = 1, ledgerTailMax = 1))
+    assert(m2.actions.isEmpty, m2.actions.mkString("; "))
+  }
+
+  test("pqMaintain recall breaker: an unreachable floor rotates ONCE, " +
+    "arms, and is skipped on the next tick; an append re-arms it") {
+    val (emb, epoch0, _, _, _) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-pqbrk").toString
+    val idx = s"$root/idx"
+    Pq.writePqIndex(epoch0, idx)
+    // recall@k can never exceed 1.0 < 1.01: the floor is structurally
+    // unreachable, so the rotate arm must fire exactly once and fence
+    val policy = Pq.PqMaintainPolicy(recallFloor = Some(1.01),
+      recallSampleN = 4, k = 3, nprobe = 1)
+
+    val t1 = Pq.pqMaintain(spark, idx, "t1", emb, policy)
+    assert(t1.actions.exists(_.startsWith("rotate(recall")),
+      t1.actions.mkString("; "))
+    assert(t1.actions.exists(
+      _.contains("recall-floor-unmet-after-rotation")),
+      t1.actions.mkString("; "))
+
+    val t2 = Pq.pqMaintain(spark, idx, "t2", emb, policy)
+    assert(t2.actions.exists(_.startsWith("rotate-skipped(")),
+      t2.actions.mkString("; "))
+    assert(!t2.actions.exists(_.startsWith("rotate(")),
+      t2.actions.mkString("; "))
+
+    // new data moves the state token: the breaker re-arms the rotate
+    // arm (one more measured attempt)
+    assert(Pq.appendPqEpoch(
+      emb.filter(col("vec_id") % 7 === 0)
+        .withColumn("vec_id", col("vec_id") + 2000000L), idx, "e-rearm"))
+    val t3 = Pq.pqMaintain(spark, idx, "t3", emb, policy)
+    assert(t3.actions.exists(_.startsWith("rotate(recall")),
+      t3.actions.mkString("; "))
+  }
+
+  test("pqFsck: clean index reports nothing; missing _meta is fatal; a " +
+    "geometry-inconsistent _meta is fatal; deepCodes flags a " +
+    "wrong-width restore") {
+    val (emb, _, _, _, _) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-pqfsck").toString
+    val idx = s"$root/idx"
+    Pq.writePqIndex(emb, idx)
+    assert(Pq.pqFsck(spark, idx, deepCodes = true).isEmpty)
+
+    // a restore from a DIFFERENT geometry's index: one stray file
+    // whose pq is 4 bytes where _meta says 8 — footer-invisible
+    // (binary either way), caught only by the value-level deep scan
+    val someDir = Dedup.fsFor(spark, idx)
+      .listStatus(new org.apache.hadoop.fs.Path(idx))
+      .filter(_.getPath.getName.startsWith("centroid_id="))
+      .head.getPath
+    Seq((999999L, Array[Byte](1, 2, 3, 4), 1.0))
+      .toDF("vec_id", "pq", "nrm")
+      .write.mode("append").parquet(someDir.toString)
+    val deep = Pq.pqFsck(spark, idx, deepCodes = true)
+    assert(deep.exists(fk => fk.code == "code-width" &&
+      fk.severity == "fatal"), deep.mkString("; "))
+    // shallow mode stays quiet about it (the scan is opt-in), but the
+    // stray unledgered file itself is the generic footprint finding's
+    // job only when footprinted — a plain parquet file is invisible;
+    // that is exactly why deepCodes exists
+    assert(!Pq.pqFsck(spark, idx).exists(_.code == "code-width"))
+
+    // geometry-inconsistent _meta (hand-restored from the wrong index)
+    val metaP = s"$idx/_meta"
+    val mt = Pq.readPqMeta(spark, idx)
+    Seq((3, mt.k, mt.dim, mt.codebook.toSeq))
+      .toDF("m", "k", "dim", "codebook")
+      .write.mode("overwrite").parquet(metaP)
+    val geo = Pq.pqFsck(spark, idx)
+    assert(geo.exists(fk => fk.code == "meta-geometry" &&
+      fk.severity == "fatal"), geo.mkString("; "))
+
+    // missing _meta entirely
+    Dedup.fsFor(spark, idx)
+      .delete(new org.apache.hadoop.fs.Path(metaP), true)
+    val miss = Pq.pqFsck(spark, idx)
+    assert(miss.exists(fk => fk.code == "meta-missing" &&
+      fk.severity == "fatal"), miss.mkString("; "))
+  }
+}
