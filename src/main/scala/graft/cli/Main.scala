@@ -264,6 +264,20 @@ object Main {
       })
       finally spark.stop()
 
+    case "pq" :: sub :: index :: rest =>
+      val needsId = Set("rotate", "compact-partitions", "maintain",
+        "retire-superseded")
+      val (posArg, flags) = rest match {
+        case id :: tl if needsId(sub) && !id.startsWith("--") => (Some(id), tl)
+        case _ => (None, rest)
+      }
+      val lockFile = flagValue(flags, "--lock-file", s"pq $sub")
+      val spark = session()
+      try println(withLock(lockFile) {
+        pqCommand(spark, sub, index, posArg, flags)
+      })
+      finally spark.stop()
+
     // the reference's web entry point (wsgi.py:1-18 / `flask run`): a
     // read-only server over the same root the sync job maintains
     case "serve" :: root :: hostPort :: Nil =>
@@ -278,7 +292,7 @@ object Main {
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: sync|daemon|compact|show|metric|serve|ivf|dedup ...")
+        "usage: sync|daemon|compact|show|metric|serve|ivf|dedup|pq ...")
       sys.exit(2)
   }
 
@@ -400,6 +414,133 @@ object Main {
       case otherSub =>
         sys.error(s"unknown ivf subcommand '$otherSub' " +
           "(fsck|health|maintain|rotate|compact|compact-partitions|" +
+          "retire-superseded|purge-retired|compact-ledger|recover)")
+    }
+  }
+
+  /** The `pq` subcommand bodies — the PQ ANN index's maintenance as
+    * ops commands, [[ivfCommand]]'s twin for the [[graft.operators.Pq]]
+    * lifecycle. One structural difference: the rotate/maintain/recall
+    * arms need the SOURCE corpus (`--emb <parquet>`) — the index
+    * stores codes, not vectors, so there is nothing to re-train or
+    * exact-rerank from in the layout itself. Listing-only commands
+    * (fsck, health without a recall probe) never need it.
+    */
+  private[cli] def pqCommand(
+      spark: SparkSession,
+      sub: String,
+      index: String,
+      posArg: Option[String],
+      flags: List[String]): String = {
+    import graft.operators.{EpochLedger, Pq, Similarity}
+    def flag(name: String): Option[String] =
+      flagValue(flags, name, s"pq $sub")
+    def id(what: String): String =
+      posArg.getOrElse(sys.error(s"pq $sub needs a positional <$what>"))
+    // a maintain/rotate without the corpus must ERROR up front, not
+    // re-train against an empty frame and publish a gutted generation
+    def emb(why: String): org.apache.spark.sql.DataFrame =
+      flag("--emb").map(spark.read.parquet(_)).getOrElse(sys.error(
+        s"pq $sub $why needs the SOURCE corpus: pass --emb <parquet> " +
+          "(the index stores codes, not vectors)"))
+    def recallQueries: Option[org.apache.spark.sql.DataFrame] =
+      flag("--recall-queries").map(spark.read.parquet(_))
+    def recallK: Int = flag("--recall-k").map(_.toInt).getOrElse(10)
+    def recallNprobe: Int = flag("--nprobe").map(_.toInt).getOrElse(1)
+    def recallRerank: Int = flag("--rerank").map(_.toInt).getOrElse(0)
+    sub match {
+      case "fsck" =>
+        // READ-ONLY: no lock required — safe first command against an
+        // index another writer may own
+        renderFindings(Pq.pqFsck(spark, index,
+          deepCodes = flags.contains("--deep-codes")), flags)
+      case "health" =>
+        val sampleN = flag("--recall").map(_.toInt).getOrElse(0)
+        val qv = recallQueries
+        val h = Pq.pqHealth(spark, index,
+          emb =
+            if (sampleN > 0 || qv.isDefined) emb("with a recall probe")
+            else spark.emptyDataFrame,
+          recallSampleN = sampleN, k = recallK, nprobe = recallNprobe,
+          rerank = recallRerank, queryVectors = qv)
+        if (flags.contains("--json")) formatHealthJson(h)
+        else {
+          val recallStr = h.recall.map(formatRecall).getOrElse("-")
+          s"dataRoot=${h.dataRoot} generation=${h.generation.getOrElse("-")} " +
+            s"partitions=${h.partitions} files=${h.files} bytes=${h.bytes} " +
+            s"maxFilesPerPartition=${h.maxFilesPerPartition} " +
+            f"skewRatio=${h.skewRatio}%.2f recall=$recallStr " +
+            s"quarantined=${h.quarantined} retired=${h.retired}"
+        }
+      case "rotate" =>
+        val applied = Pq.rotatePq(spark, index, id("rotationId"),
+          emb("(a re-train)"),
+          m = flag("--m").map(_.toInt).getOrElse(Pq.DefaultM),
+          k = flag("--codebook-k").map(_.toInt).getOrElse(Pq.DefaultK),
+          centroidK = flag("--k").map(_.toInt)
+            .getOrElse(Similarity.DefaultCentroidK),
+          filesPerPartition =
+            flag("--files-per-partition").map(_.toInt).getOrElse(1),
+          deferRetire = flags.contains("--defer-retire"))
+        s"applied=$applied"
+      case "compact-partitions" =>
+        val n = Pq.compactPqPartitions(spark, index, id("compactionId"),
+          maxFilesPerPartition = flag("--max-files").map(_.toInt)
+            .getOrElse(1),
+          filesPerPartition =
+            flag("--files-per-partition").map(_.toInt).getOrElse(1))
+        s"compacted_dirs=$n"
+      case "maintain" =>
+        val m = Pq.pqMaintain(spark, index, id("maintenanceId"),
+          emb("(its rotate arm re-trains)"),
+          Pq.PqMaintainPolicy(
+            maxFilesPerPartition = flag("--max-files").map(_.toInt)
+              .getOrElse(64),
+            skewThreshold = flag("--skew").map(_.toDouble).getOrElse(4.0),
+            recallFloor = flag("--recall-floor").map(_.toDouble),
+            recallSampleN = flag("--recall").map(_.toInt).getOrElse(64),
+            k = recallK, nprobe = recallNprobe, rerank = recallRerank,
+            ledgerTailMax =
+              flag("--ledger-tail").map(_.toInt).getOrElse(256),
+            m = flag("--m").map(_.toInt).getOrElse(Pq.DefaultM),
+            codebookK =
+              flag("--codebook-k").map(_.toInt).getOrElse(Pq.DefaultK),
+            centroidK = flag("--k").map(_.toInt)
+              .getOrElse(Similarity.DefaultCentroidK),
+            deferRetire = flags.contains("--defer-retire"),
+            queryVectors = recallQueries,
+            purgeRetiredOlderThanMs =
+              flag("--purge-older-than").map(parseDuration),
+            filesPerPartition =
+              flag("--files-per-partition").map(_.toInt).getOrElse(1)))
+        val acts =
+          if (m.actions.isEmpty) "none (healthy)" else m.actions.mkString("; ")
+        s"actions=$acts " +
+          f"skewRatio=${m.health.skewRatio}%.2f " +
+          s"maxFilesPerPartition=${m.health.maxFilesPerPartition}" +
+          m.health.recall.map(r => s" recall=${formatRecall(r)}")
+            .getOrElse("")
+      case "retire-superseded" =>
+        val n = Similarity.retireSupersededGenerations(spark, index,
+          id("name"))
+        s"retired=$n"
+      case "purge-retired" =>
+        val dur = flag("--older-than").getOrElse(sys.error(
+          "pq purge-retired refuses to run without an explicit " +
+            "--older-than retention window"))
+        val purged = Similarity.purgeIvfRetiredOlderThan(spark, index,
+          parseDuration(dur))
+        s"purged=${purged.size}${
+          if (purged.isEmpty) "" else purged.mkString(" [", ", ", "]")}"
+      case "compact-ledger" =>
+        s"rolled=${EpochLedger.compactLedger(spark, index)}"
+      case "recover" =>
+        Pq.recoverPqEpochs(spark, index)
+        s"recovered quarantined=" +
+          s"${Similarity.listIvfQuarantined(spark, index).size}"
+      case otherSub =>
+        sys.error(s"unknown pq subcommand '$otherSub' " +
+          "(fsck|health|maintain|rotate|compact-partitions|" +
           "retire-superseded|purge-retired|compact-ledger|recover)")
     }
   }

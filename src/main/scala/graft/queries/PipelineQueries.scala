@@ -1075,9 +1075,24 @@ object PipelineQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
-    Some(
+    Some(pqProbeOracle("e")))
+
+  /** The q72/q73 PQ-probe re-derivation, parameterized on where the
+    * GEOMETRY (codebook + coarse centroids) is sampled from: `"e"` —
+    * the full corpus — for the one-shot q72 build; `"ea"`, the even-id
+    * build half, for the q73 lifecycle row whose appended rows must
+    * reuse the STORED geometry. Everything downstream (assignment,
+    * encoding, ADC, rerank) always runs over the full corpus — that
+    * asymmetry IS the append contract under test in q73.
+    */
+  private def pqProbeOracle(src: String): String =
       s"""WITH ${DuckSql.embCte},
-         |${DuckSql.ivfCentCte(graft.operators.Similarity.DefaultCentroidK)},
+         |ea AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, vec AS cvec FROM $src
+         |  ORDER BY ((vec_id % ${DuckSql.P}) * 2654435761) % ${DuckSql.P},
+         |           vec_id
+         |  LIMIT ${graft.operators.Similarity.DefaultCentroidK}),
          |assigned AS (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT v.vec_id, c.centroid_id,
@@ -1091,7 +1106,7 @@ object PipelineQueries {
          |    SELECT vec, row_number() OVER (
          |      ORDER BY ((vec_id % ${DuckSql.P}) * 2654435761) % ${DuckSql.P},
          |               vec_id) AS c
-         |    FROM e)
+         |    FROM $src)
          |  WHERE c <= 16),
          |js AS (SELECT unnest(range(0, 8)) AS j),
          |enc AS (
@@ -1152,7 +1167,52 @@ object PipelineQueries {
          |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin))
+         |ORDER BY query_id, rank""".stripMargin
+
+  /** The PQ index LIFECYCLE under hash verification — q64's policy
+    * row for the [[graft.operators.Pq]] lifecycle: the index is built
+    * over the even-id half only (codebook + coarse centroids sampled
+    * from that half — the frozen-era geometry), the odd half arrives
+    * as a ledgered [[graft.operators.Pq.appendPqEpoch]] encoded with
+    * the STORED codebook (no retrain — the append contract), and the
+    * fragmented index is handed to [[graft.operators.Pq.pqMaintain]]
+    * with thresholds forcing the compact-partitions and ledger
+    * roll-up arms (skew pinned effectively-infinite: the rotate arm
+    * would re-train the codebook over the full corpus and change
+    * every encoding the oracle derives — q72 pins the one-shot build,
+    * this row pins everything else). The probe then runs over the
+    * maintained index, so one row pins the whole arc live:
+    * build-half sampling, stored-codebook encoding of appended rows,
+    * their sidecar routing, heal-at-entry, the policy's selective
+    * compaction + ledger roll, and the two-stage ADC probe. The
+    * oracle is q72's re-derivation with the geometry sampled from the
+    * build half only — an appended row encoded with the wrong
+    * codebook, routed to the wrong partition, lost or duplicated by
+    * the maintenance rewrites breaks the row hashes.
+    */
+  private val qPqMaintainedProbe = QueryDef(
+    "q73_pq_maintained_probe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val root = scratchDir("graft-q73")
+      val path = s"$root/pq"
+      graft.operators.Pq.writePqIndex(
+        e.filter(col("vec_id") % 2 === 0), path)
+      graft.operators.Pq.appendPqEpoch(
+        e.filter(col("vec_id") % 2 =!= 0), path, epochId = "epoch1")
+      val m = graft.operators.Pq.pqMaintain(s, path, "m1", e,
+        graft.operators.Pq.PqMaintainPolicy(maxFilesPerPartition = 1,
+          skewThreshold = Double.MaxValue, ledgerTailMax = 1))
+      require(m.actions.exists(_.startsWith("compact-partitions(")) &&
+          m.actions.exists(_.startsWith("compact-ledger(")),
+        s"q73 expects the policy to compact files AND roll the " +
+          s"ledger, got ${m.actions}")
+      graft.operators.Pq.pqKnn(s, path, e, knnQueryIds, k = 5,
+          nprobe = 2, rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(pqProbeOracle("ea")))
 
   /** Partition-scoped compaction under hash verification — q60's
     * counterpart for [[Similarity.compactIvfPartitions]]: the q59
@@ -1439,6 +1499,30 @@ object PipelineQueries {
     "q72_probe_only" -> { (s, dir) =>
       val idx = memoLayout("q72pq", dir)(p =>
         graft.operators.Pq.writePqIndex(emb(s, dir), p))
+      graft.operators.Pq.pqKnn(s, idx, emb(s, dir), knnQueryIds, k = 5,
+          nprobe = 2, rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    // the PQ lifecycle serving cost: q72's twin over the APPENDED +
+    // maintained index (built once, memoized) — measures whether
+    // append-era codes probe at the same cost as built-era ones
+    // (they must: the maintain tick coalesced every partition back
+    // to the built one-file-per-dir shape)
+    "q73_probe_only" -> { (s, dir) =>
+      val idx = memoLayout("q73pq", dir) { p =>
+        val e = emb(s, dir)
+        graft.operators.Pq.writePqIndex(
+          e.filter(col("vec_id") % 2 === 0), p)
+        graft.operators.Pq.appendPqEpoch(
+          e.filter(col("vec_id") % 2 =!= 0), p, epochId = "epoch1")
+        val m = graft.operators.Pq.pqMaintain(s, p, "m1", e,
+          graft.operators.Pq.PqMaintainPolicy(maxFilesPerPartition = 1,
+            skewThreshold = Double.MaxValue, ledgerTailMax = 1))
+        require(m.actions.exists(_.startsWith("compact-partitions(")),
+          s"q73_probe_only expects the policy to compact, got ${m.actions}")
+        ()
+      }
       graft.operators.Pq.pqKnn(s, idx, emb(s, dir), knnQueryIds, k = 5,
           nprobe = 2, rerank = 8)
         .withColumn("rank", col("rank").cast("long"))
@@ -2354,7 +2438,7 @@ object PipelineQueries {
     qKnnBrute, qKnnIvf, qKnnIvfMulti, qIvfAppendedProbe, qIvfRotatedProbe,
     qIvfProbePrebuilt, qIvfPCompactedProbe, qIvfMaintainedProbe,
     qIvfServingProbe, qKnnBruteExternal, qIvfSq8Probe, qIvfSq8ServingProbe,
-    qIvfSq8DistributedRerank, qIvfPqProbe,
+    qIvfSq8DistributedRerank, qIvfPqProbe, qPqMaintainedProbe,
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,

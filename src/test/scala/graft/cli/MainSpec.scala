@@ -209,6 +209,90 @@ class MainSpec extends AnyFunSuite {
       flags = List("--older-than", "1h")) == "purged=0")
   }
 
+  test("pq command group: health/fsck are listing-only without the " +
+    "corpus; rotate/maintain/recall need --emb and refuse loudly " +
+    "without it; the lifecycle runs end to end") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(8) { j =>
+        val h = scala.util.hashing.byteswap64(id * 8 + j)
+        (Math.floorMod(h, 1001L) - 500L).toFloat / 500f
+      }
+    val root = Files.createTempDirectory("graft-cli-pq").toString
+    val index = s"$root/pq"
+    val built = (0L until 16L).map(i => (i, vec(i)))
+    val appended = (100L until 108L).map(i => (i, vec(i)))
+    graft.operators.Pq.writePqIndex(
+      built.toDF("vec_id", "embedding"), index, m = 4, k = 8,
+      centroidK = 2)
+    assert(graft.operators.Pq.appendPqEpoch(
+      appended.toDF("vec_id", "embedding"), index, "e1"))
+    // the source corpus, as a deployment would hold it: a parquet the
+    // commands reference by path
+    val embPath = s"$root/emb"
+    (built ++ appended).toDF("vec_id", "embedding").write.parquet(embPath)
+
+    def run(sub: String, posArg: Option[String] = None,
+        flags: List[String] = Nil): String =
+      Main.pqCommand(spark, sub, index, posArg, flags)
+
+    // listing-only health: no corpus needed
+    val h0 = run("health")
+    assert(h0.contains("generation=-") && h0.contains("recall=-") &&
+      h0.contains("quarantined=0"), h0)
+    // the read-only doctor, text + json twins, geometry checked
+    assert(run("fsck", flags = List("--deep-codes")) == "clean")
+    assert(run("fsck", flags = List("--deep-codes", "--json")) == "[]")
+
+    // a recall probe needs the corpus: loud refusal, not an empty scan
+    val exEmb = intercept[RuntimeException] {
+      run("health", flags = List("--recall", "4"))
+    }
+    assert(exEmb.getMessage.contains("--emb"), exEmb.getMessage)
+    // ...and with it, the measured-route observable appears (json too)
+    val hr = run("health",
+      flags = List("--recall", "4", "--emb", embPath))
+    assert(hr.contains("recall=") && !hr.contains("recall=-"), hr)
+    val hj = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      run("health", flags = List("--recall", "4", "--emb", embPath,
+        "--rerank", "16", "--json")))
+    assert(hj.get("recall").get("rerank").asInt() == 16, hj)
+    assert(hj.get("files").asLong() > 0, hj)
+
+    // the append fragmented its dirs: the policy compacts and reports
+    val m1 = run("maintain", Some("m1"),
+      List("--emb", embPath, "--max-files", "1", "--skew", "1000000",
+        "--ledger-tail", "1"))
+    assert(m1.contains("compact-partitions("), m1)
+    assert(m1.contains("compact-ledger("), m1)
+    assert(run("health").contains("maxFilesPerPartition=1"))
+    assert(run("compact-partitions", Some("pc9"),
+      List("--max-files", "1")) == "compacted_dirs=0")
+
+    // maintain without the corpus refuses up front — its rotate arm
+    // would otherwise re-train against nothing
+    val exM = intercept[RuntimeException] { run("maintain", Some("m2")) }
+    assert(exM.getMessage.contains("--emb"), exM.getMessage)
+
+    // re-train: flat index migrates to a generational one
+    assert(run("rotate", Some("r1"),
+      List("--emb", embPath, "--m", "4", "--codebook-k", "8", "--k", "2",
+        "--defer-retire")) == "applied=true")
+    assert(run("health").contains("generation=_gen-"))
+    val swept = run("retire-superseded", Some("sweep1"))
+    assert(swept.startsWith("retired="), swept)
+    assert(run("purge-retired",
+      flags = List("--older-than", "1h")) == "purged=0")
+    assert(run("recover") == "recovered quarantined=0")
+    // every row probes through the rotated index
+    assert(spark.read.parquet(graft.operators.Similarity.ivfDataRoot(
+      spark, index)).count() == 24)
+
+    intercept[RuntimeException] { run("rotate") } // missing id
+    intercept[RuntimeException] { run("bogus") }
+  }
+
   test("dedup command group: stats -> compact-history -> recover -> " +
     "purge-retired, with the retention window required") {
     val spark = graft.TestSpark.spark
