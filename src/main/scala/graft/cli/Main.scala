@@ -502,11 +502,12 @@ object Main {
             k = recallK, nprobe = recallNprobe, rerank = recallRerank,
             ledgerTailMax =
               flag("--ledger-tail").map(_.toInt).getOrElse(256),
-            m = flag("--m").map(_.toInt).getOrElse(Pq.DefaultM),
-            codebookK =
-              flag("--codebook-k").map(_.toInt).getOrElse(Pq.DefaultK),
-            centroidK = flag("--k").map(_.toInt)
-              .getOrElse(Similarity.DefaultCentroidK),
+            // geometry flags default to INHERIT the index's stored
+            // geometry (PqMaintainPolicy doc) — a cron'd maintain must
+            // not rewrite the deployment to the compile-time defaults
+            m = flag("--m").map(_.toInt),
+            codebookK = flag("--codebook-k").map(_.toInt),
+            centroidK = flag("--k").map(_.toInt),
             deferRetire = flags.contains("--defer-retire"),
             queryVectors = recallQueries,
             purgeRetiredOlderThanMs =

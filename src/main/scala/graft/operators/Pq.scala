@@ -155,6 +155,16 @@ object Pq {
       s"$path is an IVF corpus layout (_centroids sidecar, no PQ " +
         "_meta) — writePqIndex would replace its vectors with codes; " +
         "build the index at its own path")
+    // an in-place rebuild of a never-appended PQ index is fine (the
+    // index is derived data), but the static overwrite clears the
+    // WHOLE path — including an `_epochs` ledger, whose loss would let
+    // a replayed appendPqEpoch id re-apply and double-append rows.
+    // rotatePq preserves the ledger (and its replay refusals) across
+    // re-trains; this path must not silently drop it.
+    require(!existsAt("_epochs"),
+      s"$path carries an _epochs ledger (appended epochs) — an " +
+        "in-place writePqIndex rebuild would destroy the ledger and " +
+        "let a replayed epoch id double-append; re-train with rotatePq")
     buildPqInto(emb, path, m, k, centroidK, idCol, filesPerPartition)
   }
 
@@ -609,8 +619,11 @@ object Pq {
   }
 
   /** max/median partition-bytes skew over [[pqPartitionStats]] — ~1
-    * balanced; past ~4×, [[rotatePq]] re-trains the coarse centroids
-    * and re-balances.
+    * balanced; past ~4×, [[rotatePq]] re-samples the coarse centroids.
+    * NOTE the sample is a deterministic function of the corpus ID SET:
+    * a re-train re-balances only if the corpus grew/changed since the
+    * last one — on identical ids it reproduces identical centroids,
+    * which is why [[pqMaintain]]'s skew arm carries a circuit breaker.
     */
   def pqSkewRatio(spark: SparkSession, indexPath: String): Double =
     Similarity.skewFromStats(pqPartitionStats(spark, indexPath))
@@ -646,10 +659,12 @@ object Pq {
       val qv = queryVectors.get
       val approx = pqKnnWith(spark, indexPath, emb, qv, k, nprobe,
           rerank, idCol = idCol)
-        .select(col("query_id").cast("long"), col("neighbor_id"))
+        .select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val exact = Similarity.bruteForceKnnWith(emb, qv, k, idCol = idCol)
-        .select(col("query_id").cast("long"), col("neighbor_id"))
+        .select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall =
         if (exact.isEmpty) 1.0
@@ -657,23 +672,37 @@ object Pq {
       return Similarity.IvfRecall(recall,
         exact.map(_._1).union(approx.map(_._1)).size, k, nprobe, rerank)
     }
-    // the ivfCentroids sampling hash, reused: deterministic, id-order
-    // decorrelated, and a TakeOrdered (never a global sort)
+    // a deterministic id-hash sample like ivfCentroids', but under a
+    // DIFFERENT odd multiplier: the codebook and coarse centroids are
+    // the PREFIX of the 2654435761-hash order, so sampling the probe
+    // queries from that same order would measure recall on the
+    // training vectors themselves — codewords encode to themselves
+    // with ~zero quantization error and route to their own partition,
+    // scoring near-perfect recall regardless of drift. The decorrelated
+    // multiplier keeps the probe a TakeOrdered (never a global sort)
+    // while sampling vectors the geometry was NOT built from.
+    // The user-supplied id column is cast to long at the driver edge
+    // (int32 corpus ids are admitted everywhere else in the PQ path).
     val p = graft.functions.TextHash.P
     val qids = Similarity.asDouble(emb, idCol = idCol)
-      .select(col(idCol),
-        ((col(idCol) % p) * lit(2654435761L) % p).as("chash"))
-      .orderBy(col("chash"), col(idCol))
+      .select(col(idCol).cast("long").as("qid"),
+        ((col(idCol).cast("long") % p) * lit(2246822519L) % p)
+          .as("chash"))
+      .orderBy(col("chash"), col("qid"))
       .limit(sampleN)
       .collect().map(_.getLong(0)).toSeq
     if (qids.isEmpty)
       return Similarity.IvfRecall(1.0, 0, k, nprobe, rerank)
     val approx = pqKnn(spark, indexPath, emb, qids, k, nprobe, rerank,
         idCol)
-      .select("query_id", "neighbor_id").collect()
+      .select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long"))
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Similarity.bruteForceKnn(emb, qids, k, idCol)
-      .select("query_id", "neighbor_id").collect()
+      .select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long"))
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall =
       if (exact.isEmpty) 1.0
@@ -722,7 +751,13 @@ object Pq {
   /** [[pqMaintain]]'s thresholds as one value — field meanings are its
     * parameters of the same names ([[Similarity.IvfMaintainPolicy]]'s
     * shape with the PQ training knobs `m`/`codebookK` in place of
-    * `sampleFrac`).
+    * `sampleFrac`). The training knobs are `Option`s defaulting to
+    * INHERIT: a rotate arm firing from a cron'd default policy must
+    * keep the index's own stored geometry (`_meta`'s m/k, the sidecar's
+    * centroid count), not silently rewrite an m=4/k=8 deployment to
+    * the compile-time defaults — every code byte, the codebook, and
+    * the partition count would change out from under the operator.
+    * Set them explicitly to MIGRATE the geometry through maintenance.
     */
   final case class PqMaintainPolicy(
       maxFilesPerPartition: Int = 64,
@@ -733,9 +768,9 @@ object Pq {
       nprobe: Int = 1,
       rerank: Int = 0,
       ledgerTailMax: Int = 256,
-      m: Int = DefaultM,
-      codebookK: Int = DefaultK,
-      centroidK: Int = Similarity.DefaultCentroidK,
+      m: Option[Int] = None,
+      codebookK: Option[Int] = None,
+      centroidK: Option[Int] = None,
       deferRetire: Boolean = false,
       queryVectors: Option[DataFrame] = None,
       purgeRetiredOlderThanMs: Option[Long] = None,
@@ -751,22 +786,25 @@ object Pq {
   /** The closed-loop maintenance policy for the PQ index —
     * [[Similarity.ivfMaintain]]'s runbook sentence with [[rotatePq]]
     * as the re-train arm (which needs `emb`, the source corpus) and
-    * the SAME shared recall circuit breaker ([[RecallBreaker]] —
-    * keyed here to the PQ training knobs m/codebookK/centroidK plus
-    * the recall config and the layout's data-state token): skew past
+    * the shared circuit breakers ([[RecallBreaker]] — keyed to the
+    * effective training knobs m/codebookK/centroidK, the arm's own
+    * config and the layout's data-state token): skew past
     * `skewThreshold` or measured recall below `recallFloor` →
     * [[rotatePq]]; otherwise files past `maxFilesPerPartition` →
     * [[compactPqPartitions]]; ledger tail past `ledgerTailMax` →
     * [[EpochLedger.compactLedger]]; retired dirs older than an
     * EXPLICIT `purgeRetiredOlderThanMs` window → purge (the only
-    * deleting arm). A recall-triggered rotation must prove it helped;
-    * one that still misses the floor arms the breaker — the rotate
-    * arm is then skipped with a loud action until the index's data or
-    * the recall/training config changes (a PQ re-train is an O(corpus
-    * read) encode pass; re-running it every tick against an
-    * unreachable floor is the same pathology the IVF breaker
-    * refuses). A healthy index is a LISTING-only no-op after the
-    * entry healing pass. Single maintenance writer.
+    * deleting arm). The rotation INHERITS the index's stored geometry
+    * unless the policy overrides it (see [[PqMaintainPolicy]]).
+    * EITHER rotation trigger must prove it helped: a rotation that
+    * still misses its threshold arms that arm's breaker — skipped
+    * with a loud action until the index's data or the config changes.
+    * The skew fence matters doubly here: rotatePq's deterministic
+    * id-hash centroid sample reproduces the identical centroid set on
+    * an unchanged corpus id set, so an unfixable skew would otherwise
+    * re-fire an O(corpus) encode EVERY tick forever. A healthy index
+    * is a LISTING-only no-op after the entry healing pass. Single
+    * maintenance writer.
     */
   def pqMaintain(
       spark: SparkSession,
@@ -808,19 +846,54 @@ object Pq {
     val skewHit = h.skewRatio > skewThreshold
     val recallHit = recallFloor.exists(fl =>
       h.recall.exists(_.recallAtK < fl))
+    // the rotate arm's training geometry: inherit the index's own
+    // stored geometry unless the policy overrides (see the policy
+    // doc). Lazy — healthy ticks never pay the meta/sidecar read.
+    lazy val mEff: Int = m.getOrElse(readPqMeta(spark, indexPath).m)
+    lazy val codebookKEff: Int =
+      codebookK.getOrElse(readPqMeta(spark, indexPath).k)
+    lazy val centroidKEff: Int = centroidK.getOrElse {
+      val dr = Similarity.ivfDataRoot(fsys, indexPath)
+      spark.read.parquet(s"$dr/_centroids").count().toInt
+    }
     lazy val queryDigest: String =
       RecallBreaker.queryWorkloadDigest(queryVectors)
+    def trainingConfig: Seq[(String, () => String)] = Seq(
+      "m" -> (() => mEff.toString),
+      "codebookK" -> (() => codebookKEff.toString),
+      "centroidK" -> (() => centroidKEff.toString))
     def breakerConfig: Seq[(String, () => String)] = Seq(
       "floor" -> (() => recallFloor.get.toString),
       "k" -> (() => k.toString),
       "nprobe" -> (() => nprobe.toString),
-      "rerank" -> (() => rerank.toString),
-      "m" -> (() => m.toString),
-      "codebookK" -> (() => codebookK.toString),
-      "centroidK" -> (() => centroidK.toString),
+      "rerank" -> (() => rerank.toString)) ++ trainingConfig ++ Seq(
       "queries" -> (() => queryDigest))
+    // the SKEW breaker — PQ-critical: rotatePq's deterministic id-hash
+    // centroid sample reproduces the IDENTICAL centroid set on an
+    // unchanged corpus id set, so a skew-triggered re-train that did
+    // not move the ratio provably never will until the data changes —
+    // without the fence a skewed index would pay a full corpus encode
+    // EVERY tick forever (and retire a complete index copy each time).
+    def skewBreakerConfig: Seq[(String, () => String)] =
+      Seq("skewThreshold" -> (() => skewThreshold.toString)) ++
+        trainingConfig
+    val armedSkew: Option[String] =
+      if (skewHit)
+        RecallBreaker.armed(fsys, indexPath, skewBreakerConfig,
+          Similarity.layoutStateToken(fsys, indexPath),
+          file = "skew-breaker", valueKey = "skew")
+      else None
+    val skewBroken = armedSkew.isDefined
+    if (skewBroken)
+      actions += f"rotate-skipped(skew " +
+        f"${h.skewRatio}%.2f>$skewThreshold%.2f, but a rotation on " +
+        s"this exact layout state already measured ${armedSkew.get} — " +
+        "the deterministic re-train cannot re-balance this corpus; " +
+        "raise the threshold or change the training knobs. Appends, " +
+        "rotations and knob changes re-arm the breaker)"
+    val skewWillRotate = skewHit && !skewBroken
     val armedRecall: Option[String] =
-      if (recallHit && !skewHit)
+      if (recallHit && !skewWillRotate)
         RecallBreaker.armed(fsys, indexPath, breakerConfig,
           Similarity.layoutStateToken(fsys, indexPath))
       else None
@@ -832,7 +905,7 @@ object Pq {
         s"${armedRecall.get} — the floor is unreachable at this " +
         "nprobe/rerank/training config; raise them or lower the " +
         "floor. Appends, rotations and knob changes re-arm the breaker)"
-    if (skewHit || (recallHit && !recallBroken)) {
+    if (skewWillRotate || (recallHit && !recallBroken)) {
       val reason =
         (if (skewHit) Seq(f"skew ${h.skewRatio}%.2f>$skewThreshold%.2f")
          else Seq.empty) ++
@@ -841,11 +914,32 @@ object Pq {
                f"${recallFloor.get}%.4f")
            else Seq.empty)
       val applied = rotatePq(spark, indexPath, s"$id-rotate", emb,
-        m = m, k = codebookK, centroidK = centroidK, idCol = idCol,
+        m = mEff, k = codebookKEff, centroidK = centroidKEff,
+        idCol = idCol,
         filesPerPartition = filesPerPartition,
         deferRetire = deferRetire)
       actions += s"rotate(${reason.mkString(", ")})" +
         (if (applied) "" else " [already applied]")
+      if (skewHit) {
+        // a rotation happened (whichever arm fired): re-judge skew
+        // from ONE fresh stats listing and fence a provably-futile
+        // re-rotation; only an ACTUAL rotation may arm (on a replay
+        // no training ran on the current data state)
+        val skewAfter =
+          if (applied) pqSkewRatio(spark, indexPath) else h.skewRatio
+        if (skewAfter > skewThreshold) {
+          if (applied) {
+            actions += f"WARNING skew-unmet-after-rotation(" +
+              f"$skewAfter%.2f>$skewThreshold%.2f) — skew breaker " +
+              "armed: the rotate arm will not re-fire for skew until " +
+              "the index's data or the training config changes"
+            RecallBreaker.arm(fsys, indexPath, skewBreakerConfig,
+              Similarity.layoutStateToken(fsys, indexPath), skewAfter,
+              file = "skew-breaker", valueKey = "skew")
+          }
+        } else RecallBreaker.disarm(fsys, indexPath,
+          file = "skew-breaker")
+      }
       if (recallHit) {
         // on a ledger REPLAY (applied=false) the index did not change
         // this tick: the health probe's own number IS the
@@ -963,25 +1057,40 @@ object Pq {
       // value-level, opt-in: one narrow (pq, nrm) scan — the damage a
       // wrong-generation or foreign-index file restore produces is
       // per-ROW (code width from a different m), invisible to any
-      // footer check because the schema is binary either way
-      val idx = spark.read.parquet(dataRoot)
-      val bad = idx.select(
-          sum(when(col("pq").isNull.or(length(col("pq")) =!= mt.m), 1L)
-            .otherwise(0L)).as("badpq"),
-          sum(when(col("nrm").isNull, 1L).otherwise(0L)).as("badnrm"))
-        .head()
-      val badPq = if (bad.isNullAt(0)) 0L else bad.getLong(0)
-      val badNrm = if (bad.isNullAt(1)) 0L else bad.getLong(1)
-      if (badPq > 0)
-        out += EpochLedger.FsckFinding("code-width", "fatal", dataRoot,
-          s"$badPq row(s) carry a null pq or a code width != m=${mt.m} " +
-            "bytes — a restore from a different geometry's index; ADC " +
-            "refuses these loudly at probe time. Rebuild with rotatePq")
-      if (badNrm > 0)
-        out += EpochLedger.FsckFinding("null-nrm", "warn", dataRoot,
-          s"$badNrm row(s) carry a null nrm — their qsim reads null " +
-            "and the row silently never enters a shortlist; rebuild " +
-            "with rotatePq")
+      // footer check because the schema is binary either way. The
+      // doctor must REPORT, never throw: a restored file with a
+      // conflicting column TYPE (pq as string from a foreign layout,
+      // a missing column) makes the scan itself fail — exactly the
+      // damage class this mode diagnoses, so it lands as a finding.
+      try {
+        val idx = spark.read.option("mergeSchema", "true")
+          .parquet(dataRoot)
+        val bad = idx.select(
+            sum(when(col("pq").isNull.or(length(col("pq")) =!= mt.m), 1L)
+              .otherwise(0L)).as("badpq"),
+            sum(when(col("nrm").isNull, 1L).otherwise(0L)).as("badnrm"))
+          .head()
+        val badPq = if (bad.isNullAt(0)) 0L else bad.getLong(0)
+        val badNrm = if (bad.isNullAt(1)) 0L else bad.getLong(1)
+        if (badPq > 0)
+          out += EpochLedger.FsckFinding("code-width", "fatal", dataRoot,
+            s"$badPq row(s) carry a null pq or a code width != m=${mt.m} " +
+              "bytes — a restore from a different geometry's index; ADC " +
+              "refuses these loudly at probe time. Rebuild with rotatePq")
+        if (badNrm > 0)
+          out += EpochLedger.FsckFinding("null-nrm", "warn", dataRoot,
+            s"$badNrm row(s) carry a null nrm — their qsim reads null " +
+              "and the row silently never enters a shortlist; rebuild " +
+              "with rotatePq")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          out += EpochLedger.FsckFinding("codes-unreadable", "fatal",
+            dataRoot,
+            s"the value-level code scan itself failed " +
+              s"(${e.getClass.getSimpleName}) — a restored file with a " +
+              "conflicting schema or corrupt pages; every probe fails " +
+              "the same way. Rebuild with rotatePq")
+      }
     }
     out.toSeq ++ EpochLedger.fsck(spark, indexPath, "centroid_id=",
       Some(dataRoot))

@@ -4,23 +4,31 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
 
-/** The recall CIRCUIT BREAKER shared by [[Similarity.ivfMaintain]] and
-  * [[Pq.pqMaintain]] — ONE definition of the arm/disarm/match rules so
-  * the two policies cannot drift.
+/** The rotate-arm CIRCUIT BREAKERS shared by [[Similarity.ivfMaintain]]
+  * and [[Pq.pqMaintain]] — ONE definition of the arm/disarm/match
+  * rules so the policies cannot drift. Two instances of the same
+  * machinery, distinguished by `file`/`valueKey`:
   *
-  * A rotation repairs ROUTING-drift recall, but a floor the route
-  * cannot reach at the configured nprobe/rerank (shortlist starvation,
-  * quantization error) would fire a full corpus-scale rewrite EVERY
-  * maintenance tick forever. After a recall-rotation that still misses
-  * the floor, the policy records the attempt keyed to the layout's
-  * exact DATA state (generation + ledgered-id set —
-  * [[Similarity.layoutStateToken]]) and the FULL recall + training
-  * config; while neither changes, re-rotating is provably futile and
-  * the rotate arm is skipped with a loud action. Appends, rotations
-  * and knob changes re-arm it (the state token or a config value
-  * moves). Advisory state under the single maintenance writer: a torn
-  * or garbage breaker file reads as absent and only costs one more
-  * measured attempt.
+  *  - `recall-breaker` (the default): a rotation repairs ROUTING-drift
+  *    recall, but a floor the route cannot reach at the configured
+  *    nprobe/rerank (shortlist starvation, quantization error) would
+  *    fire a full corpus-scale rewrite EVERY maintenance tick forever.
+  *  - `skew-breaker`: a rotation re-trains the coarse centroids, but a
+  *    corpus whose re-train reproduces the same hot partition (PQ's
+  *    deterministic id-hash sample on an unchanged id set ALWAYS does;
+  *    IVF's k-means may, when a semantic cluster is genuinely hot)
+  *    would likewise rewrite the corpus every tick without moving the
+  *    observable.
+  *
+  * After a rotation that still misses its arm's threshold, the policy
+  * records the attempt keyed to the layout's exact DATA state
+  * (generation + ledgered-id set — [[Similarity.layoutStateToken]])
+  * and the FULL relevant config; while neither changes, re-rotating is
+  * provably futile and that rotate arm is skipped with a loud action.
+  * Appends, rotations and knob changes re-arm it (the state token or a
+  * config value moves). Advisory state under the single maintenance
+  * writer: a torn or garbage breaker file reads as absent and only
+  * costs one more measured attempt.
   *
   * `config` is an ORDERED key list; values are thunks so a mismatch on
   * an early knob short-circuits before later (possibly effectful)
@@ -28,8 +36,10 @@ import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
   */
 private[operators] object RecallBreaker {
 
-  def breakerPath(layoutPath: String): Path =
-    new Path(s"$layoutPath/_maintain/recall-breaker")
+  def breakerPath(
+      layoutPath: String,
+      file: String = "recall-breaker"): Path =
+    new Path(s"$layoutPath/_maintain/$file")
 
   /** Content-sensitive digest of the recall WORKLOAD: swapping the
     * held-out query set (same path with new contents, or a different
@@ -60,7 +70,7 @@ private[operators] object RecallBreaker {
         s"${r.getLong(0)}|$wrapped"
     }
 
-  /** The recorded post-rotation recall, when the stored attempt
+  /** The recorded post-rotation observable, when the stored attempt
     * matches this exact config AND layout data state — `None` is
     * "not armed, the rotate arm may fire". Any read error reads as
     * absent (advisory state; see the class doc).
@@ -69,16 +79,18 @@ private[operators] object RecallBreaker {
       fsys: FileSystem,
       layoutPath: String,
       config: Seq[(String, () => String)],
-      state: => String): Option[String] =
+      state: => String,
+      file: String = "recall-breaker",
+      valueKey: String = "recall"): Option[String] =
     try {
-      val p = breakerPath(layoutPath)
+      val p = breakerPath(layoutPath, file)
       if (!fsys.exists(p)) None
       else {
         val m = EpochLedger.readManifest(fsys, p)
         val matches =
           config.forall { case (key, v) => m.get(key).contains(v()) } &&
             m.get("state").contains(state)
-        if (matches) m.get("recall") else None
+        if (matches) m.get(valueKey) else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -94,26 +106,31 @@ private[operators] object RecallBreaker {
       layoutPath: String,
       config: Seq[(String, () => String)],
       state: String,
-      after: Double): Unit = {
-    val p = breakerPath(layoutPath)
+      after: Double,
+      file: String = "recall-breaker",
+      valueKey: String = "recall"): Unit = {
+    val p = breakerPath(layoutPath, file)
     fsys.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, ".recall-breaker.tmp")
+    val tmp = new Path(p.getParent, s".$file.tmp")
     val out = fsys.create(tmp, true)
     try out.write(
       (config.map { case (key, v) => s"$key:${v()}" }.mkString("\n") +
-        s"\nstate:$state\n" + f"recall:$after%.4f")
+        s"\nstate:$state\n" + f"$valueKey:$after%.4f")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (fsys.exists(p)) fsys.delete(p, false)
     require(fsys.rename(tmp, p),
-      s"recall-breaker: rename failed under $p")
+      s"$file: rename failed under $p")
   }
 
-  /** Drop the breaker (the floor was met again, or a measured
+  /** Drop the breaker (its threshold was met again, or a measured
     * rotation is about to re-judge).
     */
-  def disarm(fsys: FileSystem, layoutPath: String): Unit = {
-    val p = breakerPath(layoutPath)
+  def disarm(
+      fsys: FileSystem,
+      layoutPath: String,
+      file: String = "recall-breaker"): Unit = {
+    val p = breakerPath(layoutPath, file)
     if (fsys.exists(p)) fsys.delete(p, false)
   }
 }

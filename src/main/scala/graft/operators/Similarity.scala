@@ -1702,7 +1702,10 @@ object Similarity {
     *     measured recall@k (probed with `recallSampleN`) is below it →
     *     [[rotateIvf]] under id `<id>-rotate` (a re-train re-balances
     *     AND rewrites every partition, so no compaction is needed on
-    *     top);
+    *     top). EITHER trigger must prove the rotation helped: one that
+    *     still misses its threshold arms that arm's circuit breaker
+    *     ([[RecallBreaker]]) and is skipped with a loud action until
+    *     the layout's data or the config changes;
     *   - otherwise `maxFilesPerPartition` exceeded →
     *     [[compactIvfPartitions]] under id `<id>-compact` with the
     *     same threshold (O(fragmented), in-generation);
@@ -1818,11 +1821,37 @@ object Similarity {
     def breakerArmed: Option[String] =
       RecallBreaker.armed(fsys, path, breakerConfig,
         layoutStateToken(fsys, path))
+    // the SKEW breaker (see [[RecallBreaker]]): kmeansFit is
+    // deterministic on the same corpus (farthest-point init), so a
+    // byte skew the re-train cannot pull under the threshold — a
+    // genuinely hot semantic cluster — would re-fire the O(corpus)
+    // rotation EVERY tick forever, retiring a complete layout copy
+    // each time. Same fence as the recall arm, keyed to the training
+    // knobs + the data-state token.
+    def skewBreakerConfig: Seq[(String, () => String)] = Seq(
+      "skewThreshold" -> (() => skewThreshold.toString),
+      "centroidK" -> (() => centroidK.toString),
+      "sampleFrac" -> (() => sampleFrac.toString))
+    val armedSkew: Option[String] =
+      if (skewHit)
+        RecallBreaker.armed(fsys, path, skewBreakerConfig,
+          layoutStateToken(fsys, path),
+          file = "skew-breaker", valueKey = "skew")
+      else None
+    val skewBroken = armedSkew.isDefined
+    if (skewBroken)
+      actions += f"rotate-skipped(skew " +
+        f"${h.skewRatio}%.2f>$skewThreshold%.2f, but a rotation on " +
+        s"this exact layout state already measured ${armedSkew.get} — " +
+        "the re-train cannot re-balance this corpus; raise the " +
+        "threshold or change the training knobs. Appends, rotations " +
+        "and knob changes re-arm the breaker)"
+    val skewWillRotate = skewHit && !skewBroken
     // evaluate the effectful read ONCE: a second evaluation could hit
     // a transient read error, read as absent, and turn a .get into a
     // crash mid-tick
     val armedRecall: Option[String] =
-      if (recallHit && !skewHit) breakerArmed else None
+      if (recallHit && !skewWillRotate) breakerArmed else None
     val recallBroken = armedRecall.isDefined
     if (recallBroken)
       actions += f"rotate-skipped(recall " +
@@ -1831,7 +1860,7 @@ object Similarity {
         s"${armedRecall.get} — the floor is unreachable at this " +
         "nprobe/rerank/training config; raise them or lower the " +
         "floor. Appends, rotations and knob changes re-arm the breaker)"
-    if (skewHit || (recallHit && !recallBroken)) {
+    if (skewWillRotate || (recallHit && !recallBroken)) {
       val reason =
         (if (skewHit) Seq(f"skew ${h.skewRatio}%.2f>$skewThreshold%.2f")
          else Seq.empty) ++
@@ -1844,6 +1873,24 @@ object Similarity {
         deferRetire = deferRetire, filesPerPartition = filesPerPartition)
       actions += s"rotate(${reason.mkString(", ")})" +
         (if (applied) "" else " [already applied]")
+      if (skewHit) {
+        // a skew-triggered rotation must prove it helped — one fresh
+        // stats listing; only an ACTUAL rotation may arm (on a ledger
+        // replay no training ran on the current data state)
+        val skewAfter =
+          if (applied) ivfSkewRatio(spark, path) else h.skewRatio
+        if (skewAfter > skewThreshold) {
+          if (applied) {
+            actions += f"WARNING skew-unmet-after-rotation(" +
+              f"$skewAfter%.2f>$skewThreshold%.2f) — skew breaker " +
+              "armed: the rotate arm will not re-fire for skew until " +
+              "the layout's data or the training config changes"
+            RecallBreaker.arm(fsys, path, skewBreakerConfig,
+              layoutStateToken(fsys, path), skewAfter,
+              file = "skew-breaker", valueKey = "skew")
+          }
+        } else RecallBreaker.disarm(fsys, path, file = "skew-breaker")
+      }
       // a recall-triggered rotation must prove it helped. On a ledger
       // REPLAY (applied=false) the layout did not change this tick, so
       // the health probe's own number IS the post-rotation recall — no

@@ -719,4 +719,64 @@ class IvfRotationSpec extends AnyFunSuite {
       Similarity.rotateIvf(spark, "/nonexistent", "rot1", sampleFrac = 1.5)
     }
   }
+
+  test("ivfMaintain skew breaker: a hot semantic cluster the re-train " +
+    "reproduces rotates ONCE, arms, and is skipped on the next tick; " +
+    "new data re-arms the rotate arm") {
+    val root = java.nio.file.Files.createTempDirectory("graft-skwbrk").toString
+    val path = s"$root/ivf"
+    // a genuinely hot cluster: 240 points on dirA vs three 4-point
+    // clusters on orthogonal directions. K-means at k=4 recovers
+    // exactly this structure (farthest-point init picks the three
+    // orthogonal islands), so a skew-triggered re-train reproduces the
+    // same [hot, cold, cold, cold] layout — the unfixable-skew shape.
+    def dirAt(j: Int) = Array.tabulate(dim)(i => if (i == j) 1f else 0f)
+    val hot = (2000L until 2240L).map(i => (i, jittered(i, dirA, 0.1f)))
+    val cold = Seq(4, 6, 8).zipWithIndex.flatMap { case (j, ci) =>
+      (3000L + ci * 10 until 3000L + ci * 10 + 4)
+        .map(i => (i, jittered(i, dirAt(j), 0.1f)))
+    }
+    val corpus = (hot ++ cold).toDF("vec_id", "embedding")
+    // frozen at the true structure so the BUILD is skewed from the
+    // start (the deterministic id-hash sample would pick 4 hot-cluster
+    // centroids and spread everything evenly — no scenario)
+    def cent(id: Long, j: Int) = {
+      val v = Array.tabulate(dim)(i => if (i == j) 1.0 else 0.0)
+      (id, v.toSeq, 1.0)
+    }
+    val frozen = Seq(cent(0L, 0), cent(1L, 4), cent(2L, 6), cent(3L, 8))
+      .toDF("centroid_id", "cvec", "cnrm")
+    Similarity.writeIvfPartitioned(corpus, path,
+      trainedCentroids = Some(frozen))
+    val skew0 = Similarity.ivfSkewRatio(spark, path)
+    assert(skew0 > 4.0, s"construction should skew past 4x, got $skew0")
+
+    val t1 = Similarity.ivfMaintain(spark, path, "sb1", centroidK = 4)
+    assert(t1.actions.exists(_.startsWith("rotate(skew")),
+      t1.actions.mkString("; "))
+    assert(t1.actions.exists(_.contains("skew-unmet-after-rotation")),
+      t1.actions.mkString("; "))
+
+    val t2 = Similarity.ivfMaintain(spark, path, "sb2", centroidK = 4)
+    assert(t2.actions.exists(_.startsWith("rotate-skipped(skew")),
+      t2.actions.mkString("; "))
+    assert(!t2.actions.exists(_.startsWith("rotate(")),
+      t2.actions.mkString("; "))
+    // (config-key sensitivity — a different centroidK re-judges — is
+    // pinned by the recall-breaker cases; re-running it here would
+    // rotate at k=8 and re-balance, dissolving the scenario)
+
+    // new data moves the state token: the breaker no longer fences —
+    // whether the arm then fires depends on the post-append skew
+    assert(Similarity.appendIvfEpoch(
+      (4000L until 4100L).map(i => (i, jittered(i, dirAt(4), 0.1f)))
+        .toDF("vec_id", "embedding"), path, "sb-e1"))
+    val skew2 = Similarity.ivfSkewRatio(spark, path)
+    val t3 = Similarity.ivfMaintain(spark, path, "sb3", centroidK = 4)
+    assert(!t3.actions.exists(_.startsWith("rotate-skipped(skew")),
+      t3.actions.mkString("; "))
+    if (skew2 > 4.0)
+      assert(t3.actions.exists(_.startsWith("rotate(skew")),
+        s"skew2=$skew2 " + t3.actions.mkString("; "))
+  }
 }

@@ -249,6 +249,130 @@ class PqLifecycleSpec extends AnyFunSuite {
       t3.actions.mkString("; "))
   }
 
+  test("pqMaintain skew breaker: a skew the deterministic re-train " +
+    "cannot move rotates ONCE with the INHERITED geometry, arms, and " +
+    "is skipped on the next tick; an append re-arms it") {
+    val (emb, _, _, _, _) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-pqskw").toString
+    val idx = s"$root/idx"
+    // NON-default geometry: the rotate arm must inherit it, not
+    // rewrite the deployment to the compile-time defaults
+    Pq.writePqIndex(emb, idx, m = 4, k = 8, centroidK = 4)
+    val skew0 = Pq.pqSkewRatio(spark, idx)
+    assert(skew0 > 1.001,
+      s"fixture produced a perfectly balanced index (skew=$skew0) — " +
+        "the scenario needs SOME imbalance")
+    // a threshold strictly between 1 and the measured skew: the arm
+    // fires, and — same corpus, same deterministic sample — the
+    // re-train provably reproduces the identical index, so the
+    // post-rotation skew still misses and the breaker must arm
+    val policy = Pq.PqMaintainPolicy(
+      skewThreshold = (1.0 + skew0) / 2.0)
+
+    val t1 = Pq.pqMaintain(spark, idx, "s1", emb, policy)
+    assert(t1.actions.exists(_.startsWith("rotate(skew")),
+      t1.actions.mkString("; "))
+    assert(t1.actions.exists(_.contains("skew-unmet-after-rotation")),
+      t1.actions.mkString("; "))
+    // the rotation kept the index's own geometry
+    val mt = Pq.readPqMeta(spark, idx)
+    assert(mt.m == 4 && mt.k == 8, s"geometry rewritten: $mt")
+    assert(spark.read.parquet(s"${Similarity.ivfDataRoot(
+      Dedup.fsFor(spark, idx), idx)}/_centroids").count() == 4)
+
+    val t2 = Pq.pqMaintain(spark, idx, "s2", emb, policy)
+    assert(t2.actions.exists(_.startsWith("rotate-skipped(skew")),
+      t2.actions.mkString("; "))
+    assert(!t2.actions.exists(_.startsWith("rotate(")),
+      t2.actions.mkString("; "))
+
+    // new data moves the state token: the breaker no longer FENCES —
+    // whether the arm then fires depends on the post-append skew (the
+    // append itself moves partition bytes), so assert the re-arm
+    // property directly: never "rotate-skipped", and if the threshold
+    // still trips, the rotation runs again
+    assert(Pq.appendPqEpoch(
+      emb.filter(col("vec_id") % 7 === 0)
+        .withColumn("vec_id", col("vec_id") + 3000000L), idx, "e-skw"))
+    val skew2 = Pq.pqSkewRatio(spark, idx)
+    val t3 = Pq.pqMaintain(spark, idx, "s3", emb, policy)
+    assert(!t3.actions.exists(_.startsWith("rotate-skipped(skew")),
+      t3.actions.mkString("; "))
+    if (skew2 > policy.skewThreshold)
+      assert(t3.actions.exists(_.startsWith("rotate(skew")),
+        s"skew2=$skew2 " + t3.actions.mkString("; "))
+  }
+
+  test("writePqIndex refuses an in-place rebuild over a ledgered index " +
+    "(the static overwrite would destroy _epochs and let a replayed " +
+    "epoch double-append); rotatePq is the sanctioned re-train") {
+    val (emb, epoch0, epoch1, _, _) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-pqow").toString
+    val idx = s"$root/idx"
+    Pq.writePqIndex(epoch0, idx)
+    // never-appended: the in-place rebuild is allowed (derived data)
+    Pq.writePqIndex(epoch0, idx)
+    assert(Pq.appendPqEpoch(epoch1, idx, "e1"))
+    val ex = intercept[IllegalArgumentException] {
+      Pq.writePqIndex(emb, idx)
+    }
+    assert(ex.getMessage.contains("_epochs") &&
+      ex.getMessage.contains("rotatePq"), ex.getMessage)
+    // the sanctioned path preserves the ledger: the replayed epoch
+    // still refuses after the re-train
+    assert(Pq.rotatePq(spark, idx, "r1", emb))
+    assert(!Pq.appendPqEpoch(epoch1, idx, "e1"))
+  }
+
+  test("pqRecallProbe stored mode works over an int32 id corpus and " +
+    "samples OUTSIDE the codebook prefix") {
+    val (emb, _, _, _, _) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-pqint").toString
+    val idx = s"$root/idx"
+    val intCorpus = emb.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"))
+    Pq.writePqIndex(intCorpus, idx)
+    // int32 ids must not crash the driver-edge collects
+    val r = Pq.pqRecallProbe(spark, idx, intCorpus, sampleN = 4, k = 3)
+    assert(r.queries == 4 && r.recallAtK >= 0.0 && r.recallAtK <= 1.0)
+    // the probe sample must NOT be the (2654435761-hash, id) prefix
+    // the codebook/centroids were trained from — codewords encode to
+    // themselves with ~zero error and would bias recall upward. With
+    // k=16 codewords the first 16 of that order ARE the codebook.
+    val p = graft.functions.TextHash.P
+    val trainPrefix = emb
+      .select(col("vec_id"),
+        ((col("vec_id") % p) * lit(2654435761L) % p).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(16)
+      .collect().map(_.getLong(0)).toSet
+    val probeSample = emb
+      .select(col("vec_id"),
+        ((col("vec_id") % p) * lit(2246822519L) % p).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(16)
+      .collect().map(_.getLong(0)).toSet
+    assert(probeSample != trainPrefix,
+      "probe sampling still correlates with the training prefix")
+  }
+
+  test("pqFsck --deep-codes REPORTS a schema-conflicting restored file " +
+    "as codes-unreadable instead of throwing (read-only doctor " +
+    "contract)") {
+    val (emb, _, _, _, _) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-pqbad").toString
+    val idx = s"$root/idx"
+    Pq.writePqIndex(emb, idx)
+    val someDir = Dedup.fsFor(spark, idx)
+      .listStatus(new org.apache.hadoop.fs.Path(idx))
+      .filter(_.getPath.getName.startsWith("centroid_id="))
+      .head.getPath
+    // a foreign layout's file: pq as STRING — the scan itself fails
+    Seq((888888L, "not-codes", 1.0)).toDF("vec_id", "pq", "nrm")
+      .write.mode("append").parquet(someDir.toString)
+    val deep = Pq.pqFsck(spark, idx, deepCodes = true)
+    assert(deep.exists(fk => fk.code == "codes-unreadable" &&
+      fk.severity == "fatal"), deep.mkString("; "))
+  }
+
   test("pqFsck: clean index reports nothing; missing _meta is fatal; a " +
     "geometry-inconsistent _meta is fatal; deepCodes flags a " +
     "wrong-width restore") {
