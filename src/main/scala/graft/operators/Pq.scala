@@ -849,9 +849,9 @@ object Pq {
     // the rotate arm's training geometry: inherit the index's own
     // stored geometry unless the policy overrides (see the policy
     // doc). Lazy — healthy ticks never pay the meta/sidecar read.
-    lazy val mEff: Int = m.getOrElse(readPqMeta(spark, indexPath).m)
-    lazy val codebookKEff: Int =
-      codebookK.getOrElse(readPqMeta(spark, indexPath).k)
+    lazy val storedMeta: PqMeta = readPqMeta(spark, indexPath)
+    lazy val mEff: Int = m.getOrElse(storedMeta.m)
+    lazy val codebookKEff: Int = codebookK.getOrElse(storedMeta.k)
     lazy val centroidKEff: Int = centroidK.getOrElse {
       val dr = Similarity.ivfDataRoot(fsys, indexPath)
       spark.read.parquet(s"$dr/_centroids").count().toInt

@@ -684,7 +684,12 @@ class IvfCompactionSpec extends AnyFunSuite {
     assert(Similarity.ivfSkewRatio(spark, path) > 2.0)
     val m = Similarity.ivfMaintain(spark, path, "m1",
       skewThreshold = 2.0, maxFilesPerPartition = 1000, centroidK = 4)
-    assert(m.actions.size == 1 && m.actions.head.startsWith("rotate(skew"),
+    assert(m.actions.head.startsWith("rotate(skew"), m.actions)
+    // on this near-duplicate fixture the re-train may land above the
+    // tight 2.0 threshold — then the skew breaker's WARNING is the
+    // only other legitimate action; a compact alongside a rotation
+    // would still be a bug
+    assert(m.actions.tail.forall(_.contains("skew-unmet-after-rotation")),
       m.actions)
     assert(EpochLedger.applied(spark, path, "m1-rotate"))
     val gotIds = spark.read

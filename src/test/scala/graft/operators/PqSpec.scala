@@ -222,7 +222,8 @@ class PqSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException] {
       Pq.writePqIndex(emb, ivfRoot)
     }
-    assert(e2.getMessage.contains("generational IVF layout"), e2.getMessage)
+    assert(e2.getMessage.contains("generational layout") &&
+      e2.getMessage.contains("rotatePq"), e2.getMessage)
     // a PQ index (BOTH sidecars) is derived data — rebuild in place is
     // the supported refresh path and yields an identical probe result
     val pqRoot = java.nio.file.Files.createTempDirectory("graft-pq9").toString
