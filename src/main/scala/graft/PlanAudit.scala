@@ -29,7 +29,8 @@ object PlanAudit {
       "q46_text_repetition", "q48_mix_to_target", "q49_dedup_semantic",
       "q52_dedup_incremental_probe", "q54_text_perplexity",
       "q55_text_perplexity_bigram", "q65_ivf_serving_probe",
-      "q71_semantic_dedup_sq8")
+      "q71_semantic_dedup_sq8", "q72_ivfpq_probe",
+      "q73_pq_maintained_probe")
     for (name <- interesting) {
       println(s"\n======== $name ========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
