@@ -1077,17 +1077,17 @@ object PipelineQueries {
     },
     Some(pqProbeOracle("e")))
 
-  /** The q72/q73 PQ-probe re-derivation, parameterized on where the
-    * GEOMETRY (codebook + coarse centroids) is sampled from: `"e"` —
-    * the full corpus — for the one-shot q72 build; `"ea"`, the even-id
-    * build half, for the q73 lifecycle row whose appended rows must
-    * reuse the STORED geometry. Everything downstream (assignment,
-    * encoding, ADC, rerank) always runs over the full corpus — that
-    * asymmetry IS the append contract under test in q73.
+  /** The shared CTE block of every PQ oracle: the deterministic
+    * geometry (codebook + coarse centroids) sampled from `src` —
+    * `"e"` (full corpus) for the one-shot q72/q74 build, `"ea"` (the
+    * even-id build half) for the q73 lifecycle row whose appended
+    * rows must reuse the STORED geometry — plus the assignment,
+    * per-subspace argmin encoding, codeword reconstruction and corpus
+    * norms, always over the FULL corpus (that asymmetry IS the append
+    * contract q73 tests).
     */
-  private def pqProbeOracle(src: String): String =
-      s"""WITH ${DuckSql.embCte},
-         |ea AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+  private def pqEncodeCtes(src: String): String =
+      s"""ea AS (SELECT * FROM e WHERE vec_id % 2 = 0),
          |cent AS (
          |  SELECT vec_id AS centroid_id, vec AS cvec FROM $src
          |  ORDER BY ((vec_id % ${DuckSql.P}) * 2654435761) % ${DuckSql.P},
@@ -1123,7 +1123,17 @@ object PipelineQueries {
          |  SELECT vec_id, list(cbv ORDER BY j) AS cws FROM enc
          |  GROUP BY vec_id),
          |nrmt AS (
-         |  SELECT vec_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+         |  SELECT vec_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM e)"""
+        .stripMargin
+
+  /** The q72/q73 stored-id PQ-probe re-derivation over
+    * [[pqEncodeCtes]]: route the stored query ids, ADC-score the
+    * probed partitions' codes with self-exclusion, shortlist ≤ 8,
+    * exact-rerank top-5 against the corpus.
+    */
+  private def pqProbeOracle(src: String): String =
+      s"""WITH ${DuckSql.embCte},
+         |${pqEncodeCtes(src)},
          |qp AS (
          |  SELECT vec_id AS query_id, centroid_id FROM (
          |    SELECT v.vec_id, c.centroid_id,
@@ -1168,6 +1178,79 @@ object PipelineQueries {
          |  FROM scored)
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
+
+  /** The PQ SERVING route under hash verification — q65/q69's
+    * counterpart for [[graft.operators.Pq.pqKnnWith]]: the same
+    * held-out off-corpus query vectors (stored-pair midpoints,
+    * all-double arithmetic on both engines) routed by centroid
+    * RANKING against the sidecar, their ADC LUTs built on the fly
+    * from vectors the index has never seen, the probed partitions'
+    * codes scored with NO self-exclusion (external ids are their own
+    * namespace), and the shortlist exact-reranked against the source
+    * corpus. With q65 (float) and q69 (SQ8) this completes the
+    * serving triple — all three routes pinned on the identical query
+    * set, so a tie-break or rounding divergence in any one quantizer
+    * shows up as a hash mismatch against its own oracle.
+    */
+  private val qPqServingProbe = QueryDef(
+    "q74_pq_serving_probe",
+    (s, dir) => {
+      val idx = memoLayout("q72pq", dir)(p =>
+        graft.operators.Pq.writePqIndex(emb(s, dir), p))
+      graft.operators.Pq.pqKnnWith(s, idx, emb(s, dir),
+          heldOutQueries(s, dir), k = 5, nprobe = 2, rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |${pqEncodeCtes("e")},
+         |$heldOutCte,
+         |qnrm AS (
+         |  SELECT query_id, sqrt(list_dot_product(vec_q, vec_q)) AS nrm
+         |  FROM q),
+         |qp AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${DuckSql.cosine("q.vec_q", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM q, cent c)
+         |  WHERE crank <= 2),
+         |cand AS (
+         |  SELECT qp.query_id, n.vec_id AS neighbor_id,
+         |         round(
+         |           list_reduce(list_transform(range(0, 8), j ->
+         |             list_dot_product(
+         |               list_slice(qv.vec_q, j*8 + 1, j*8 + 8),
+         |               list_slice(r.cws[j + 1], j*8 + 1, j*8 + 8))),
+         |             (a, b2) -> a + b2)
+         |           / (qn.nrm * nn.nrm), 6) AS qsim
+         |  FROM assigned n
+         |  JOIN qp ON n.centroid_id = qp.centroid_id
+         |  JOIN q qv ON qv.query_id = qp.query_id
+         |  JOIN rec r ON r.vec_id = n.vec_id
+         |  JOIN qnrm qn ON qn.query_id = qp.query_id
+         |  JOIN nrmt nn ON nn.vec_id = n.vec_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY qsim DESC, neighbor_id) AS qrank
+         |    FROM cand)
+         |  WHERE qrank <= 8),
+         |scored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |         round(${DuckSql.cosine("qv.vec_q", "b.vec")}, 6) AS sim
+         |  FROM short sh
+         |  JOIN q qv ON qv.query_id = sh.query_id
+         |  JOIN e b ON b.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin))
 
   /** The PQ index LIFECYCLE under hash verification — q64's policy
     * row for the [[graft.operators.Pq]] lifecycle: the index is built
@@ -2439,6 +2522,7 @@ object PipelineQueries {
     qIvfProbePrebuilt, qIvfPCompactedProbe, qIvfMaintainedProbe,
     qIvfServingProbe, qKnnBruteExternal, qIvfSq8Probe, qIvfSq8ServingProbe,
     qIvfSq8DistributedRerank, qIvfPqProbe, qPqMaintainedProbe,
+    qPqServingProbe,
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,
