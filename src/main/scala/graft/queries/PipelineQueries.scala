@@ -1190,7 +1190,11 @@ object PipelineQueries {
     * corpus. With q65 (float) and q69 (SQ8) this completes the
     * serving triple — all three routes pinned on the identical query
     * set, so a tie-break or rounding divergence in any one quantizer
-    * shows up as a hash mismatch against its own oracle.
+    * shows up as a hash mismatch against its own oracle. The
+    * cand/short/rank stages deliberately repeat [[pqProbeOracle]]'s
+    * shape rather than parameterize it further: each row's oracle
+    * stays readable as ONE explicit SQL derivation (the file's
+    * discipline), and both copies are independently hash-verified.
     */
   private val qPqServingProbe = QueryDef(
     "q74_pq_serving_probe",

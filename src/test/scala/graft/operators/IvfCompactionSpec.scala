@@ -684,7 +684,8 @@ class IvfCompactionSpec extends AnyFunSuite {
     assert(Similarity.ivfSkewRatio(spark, path) > 2.0)
     val m = Similarity.ivfMaintain(spark, path, "m1",
       skewThreshold = 2.0, maxFilesPerPartition = 1000, centroidK = 4)
-    assert(m.actions.head.startsWith("rotate(skew"), m.actions)
+    assert(m.actions.nonEmpty &&
+      m.actions.head.startsWith("rotate(skew"), m.actions)
     // on this near-duplicate fixture the re-train may land above the
     // tight 2.0 threshold — then the skew breaker's WARNING is the
     // only other legitimate action; a compact alongside a rotation
