@@ -95,6 +95,14 @@ object Pq {
       s"pq codebook needs k=$k sample vectors, corpus has only " +
         s"${rows.length} — a codebook larger than the corpus is " +
         "degenerate; lower k")
+    // the same discipline for the coarse side: silently taking fewer
+    // centroids than requested would change the partition count (and
+    // the probe's nprobe semantics) out from under the caller — the
+    // geometry drift the rest of this file loudly refuses
+    require(rows.length >= centroidK,
+      s"pq coarse routing needs centroidK=$centroidK sample vectors, " +
+        s"corpus has only ${rows.length} — building fewer partitions " +
+        "than requested is silent geometry drift; lower centroidK")
     val sorted = rows.sortBy(r => (r.getLong(1), r.getLong(0)))
     val dim = sorted(0).getSeq[Double](2).length
     val flat = new Array[Double](k * dim)
@@ -165,6 +173,25 @@ object Pq {
       s"$path carries an _epochs ledger (appended epochs) — an " +
         "in-place writePqIndex rebuild would destroy the ledger and " +
         "let a replayed epoch id double-append; re-train with rotatePq")
+    // the catch-all: a non-empty directory that is NEITHER a PQ index
+    // (_meta) NOR a torn PQ build (centroid_id= partition dirs, crash
+    // before the sidecars landed) is someone else's data — most
+    // dangerously the raw corpus itself on a typo'd path — and the
+    // static overwrite below would replace it with 8-byte codes,
+    // unrecoverable. Refuse; the caller deletes the directory
+    // explicitly if the overwrite really is intended.
+    val pathP = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(pathP) && !existsAt("_meta")) {
+      val entries = fs.listStatus(pathP)
+      require(entries.isEmpty || entries.exists(st => st.isDirectory &&
+          st.getPath.getName.startsWith("centroid_id=")),
+        s"$path exists, is non-empty, and carries neither a PQ _meta " +
+          "sidecar nor centroid_id= partition dirs — it looks like a " +
+          "plain dataset (possibly the source corpus itself), which " +
+          "this overwrite would destroy and replace with codes; build " +
+          "the index at its own empty path, or delete the directory " +
+          "explicitly first")
+    }
     buildPqInto(emb, path, m, k, centroidK, idCol, filesPerPartition)
   }
 
@@ -906,8 +933,12 @@ object Pq {
         "nprobe/rerank/training config; raise them or lower the " +
         "floor. Appends, rotations and knob changes re-arm the breaker)"
     if (skewWillRotate || (recallHit && !recallBroken)) {
+      // the reason reports which arm FIRED — a skew observation whose
+      // breaker skipped it must not be claimed by a recall-fired
+      // rotation's action string
       val reason =
-        (if (skewHit) Seq(f"skew ${h.skewRatio}%.2f>$skewThreshold%.2f")
+        (if (skewWillRotate)
+           Seq(f"skew ${h.skewRatio}%.2f>$skewThreshold%.2f")
          else Seq.empty) ++
           (if (recallHit)
              Seq(f"recall ${h.recall.get.recallAtK}%.4f<" +

@@ -1861,8 +1861,12 @@ object Similarity {
         "nprobe/rerank/training config; raise them or lower the " +
         "floor. Appends, rotations and knob changes re-arm the breaker)"
     if (skewWillRotate || (recallHit && !recallBroken)) {
+      // the reason reports which arm FIRED — a skew observation whose
+      // breaker skipped it must not be claimed by a recall-fired
+      // rotation's action string
       val reason =
-        (if (skewHit) Seq(f"skew ${h.skewRatio}%.2f>$skewThreshold%.2f")
+        (if (skewWillRotate)
+           Seq(f"skew ${h.skewRatio}%.2f>$skewThreshold%.2f")
          else Seq.empty) ++
           (if (recallHit)
              Seq(f"recall ${h.recall.get.recallAtK}%.4f<" +

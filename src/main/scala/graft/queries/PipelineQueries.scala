@@ -1301,6 +1301,53 @@ object PipelineQueries {
     },
     Some(pqProbeOracle("ea")))
 
+  /** The STREAMING ingest path of the PQ index under hash
+    * verification — q73's lifecycle driven through
+    * [[graft.streaming.StreamingSimilarity]]'s spool → boundary-apply
+    * machinery instead of a manual [[graft.operators.Pq.appendPqEpoch]]
+    * call: the odd-id half arrives as TWO spooled micro-batches of one
+    * epoch, and the epoch-boundary apply lands it in the corpus layout
+    * AND the derived PQ index (the `applyToPqIndex` contract), which
+    * the policy then compacts and the probe serves. The oracle is
+    * q73's VERBATIM (geometry sampled from the even-id build half,
+    * encoding over the full corpus) — one oracle text pinning both the
+    * manual-append and the streamed-spool placements IS the proof the
+    * streaming path appends exactly the same index state: a row the
+    * spool union drops or double-applies, a batch routed against the
+    * wrong sidecar, or a boundary that re-encodes with a retrained
+    * codebook breaks these hashes.
+    */
+  private val qPqStreamedProbe = QueryDef(
+    "q75_pq_streamed_probe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val root = scratchDir("graft-q75")
+      val layout = s"$root/ivf"
+      val idx = s"$root/pq"
+      val spool = s"$root/spool"
+      val build = e.filter(col("vec_id") % 2 === 0)
+      Similarity.writeIvfPartitioned(build, layout)
+      graft.operators.Pq.writePqIndex(build, idx)
+      graft.streaming.StreamingDedup.spoolBatch(
+        e.filter(col("vec_id") % 4 === 1), s"$spool/epoch1", batchId = 0L)
+      graft.streaming.StreamingDedup.spoolBatch(
+        e.filter(col("vec_id") % 4 === 3), s"$spool/epoch1", batchId = 1L)
+      require(graft.streaming.StreamingSimilarity.applySpooledEpoch(
+          s, spool, "epoch1", layout, "vec_id", Some(idx)),
+        "q75 expects the spooled epoch to apply NOW (fresh scratch)")
+      val m = graft.operators.Pq.pqMaintain(s, idx, "m1", e,
+        graft.operators.Pq.PqMaintainPolicy(maxFilesPerPartition = 1,
+          skewThreshold = Double.MaxValue, ledgerTailMax = 1))
+      require(m.actions.exists(_.startsWith("compact-partitions(")),
+        s"q75 expects the policy to compact the epoch fragmentation, " +
+          s"got ${m.actions}")
+      graft.operators.Pq.pqKnn(s, idx, e, knnQueryIds, k = 5,
+          nprobe = 2, rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(pqProbeOracle("ea")))
+
   /** Partition-scoped compaction under hash verification — q60's
     * counterpart for [[Similarity.compactIvfPartitions]]: the q59
     * layout shape (even-half centroids, odd-half ledgered epoch —
@@ -2526,7 +2573,7 @@ object PipelineQueries {
     qIvfProbePrebuilt, qIvfPCompactedProbe, qIvfMaintainedProbe,
     qIvfServingProbe, qKnnBruteExternal, qIvfSq8Probe, qIvfSq8ServingProbe,
     qIvfSq8DistributedRerank, qIvfPqProbe, qPqMaintainedProbe,
-    qPqServingProbe,
+    qPqServingProbe, qPqStreamedProbe,
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,

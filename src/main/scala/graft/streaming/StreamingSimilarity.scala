@@ -1,9 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Pq, Similarity}
 
 /** Streaming embedding ingest for the IVF layout — the similarity-side
   * twin of [[StreamingDedup]]'s spool → rotate lifecycle, built from
@@ -93,6 +94,26 @@ object StreamingSimilarity {
     * the drained ids), exactly as the manual-drain contract already
     * required.
     *
+    * `applyToPqIndex` (requires `applyToLayout`) keeps a DERIVED
+    * [[Pq]] serving index fresh at the same cadence: each finished
+    * epoch's rows also [[Pq.appendPqEpoch]] into the index — encoded
+    * with its STORED codebook and routed against its own sidecar, the
+    * append contract — under the SAME epoch id, before the spool
+    * clears. The two appends are independently ledgered, so a crash
+    * between them replays as a corpus-side ledger hit that completes
+    * only the index side; without this target a streamed corpus
+    * leaves its PQ index stale until an operator hand-runs the
+    * append. The index must exist (build it once with
+    * [[Pq.writePqIndex]]/[[Pq.rotatePq]] over the corpus so far); the
+    * stream is then its single maintenance writer too.
+    *
+    * `pqMaintainAtBoundary` (requires `applyToPqIndex`) is
+    * `maintainAtBoundary`'s twin for the index: one
+    * [[Pq.pqMaintain]] tick after the boundary's appends land, with
+    * the SOURCE CORPUS read back from the layout's current generation
+    * (the rotate/recall arms need vectors the index does not store).
+    * Same cadence-not-correctness contract as the layout tick below.
+    *
     * `maintainAtBoundary` (requires `applyToLayout`) closes the
     * maintenance loop for the steady state: after a boundary's
     * finished epochs land, ONE [[Similarity.ivfMaintain]] runs with
@@ -121,12 +142,21 @@ object StreamingSimilarity {
       applyToLayout: Option[String] = None,
       idCol: String = "vec_id",
       drainOnStop: Boolean = false,
-      maintainAtBoundary: Option[Similarity.IvfMaintainPolicy] = None):
+      maintainAtBoundary: Option[Similarity.IvfMaintainPolicy] = None,
+      applyToPqIndex: Option[String] = None,
+      pqMaintainAtBoundary: Option[Pq.PqMaintainPolicy] = None):
       StreamingQuery = {
     require(!drainOnStop || applyToLayout.isDefined,
       "drainOnStop without applyToLayout has no layout to drain into")
     require(maintainAtBoundary.isEmpty || applyToLayout.isDefined,
       "maintainAtBoundary without applyToLayout has no layout to maintain")
+    require(applyToPqIndex.isEmpty || applyToLayout.isDefined,
+      "applyToPqIndex without applyToLayout: the PQ index is DERIVED " +
+        "from the corpus layout — appending to the index alone would " +
+        "desynchronize it from a corpus its epochs never reached")
+    require(pqMaintainAtBoundary.isEmpty || applyToPqIndex.isDefined,
+      "pqMaintainAtBoundary without applyToPqIndex has no index to " +
+        "maintain")
     if (checkpointLocation.isEmpty)
       log.warn(
         "startSpool without a checkpointLocation: a restart resets " +
@@ -148,7 +178,7 @@ object StreamingSimilarity {
             .filterNot(_ == epochId)
           finished.foreach { prev =>
             applySpooledEpoch(batch.sparkSession, spoolRoot, prev,
-              layout, idCol)
+              layout, idCol, applyToPqIndex)
           }
           // the maintenance tick rides the SAME boundary the applies
           // do: one policy run after the finished epochs land, under a
@@ -168,6 +198,23 @@ object StreamingSimilarity {
                   m.actions.mkString("; "))
             }
           }
+          // the index's own tick, after ITS appends landed: the
+          // rotate/recall arms read the source corpus back from the
+          // layout's current generation (resolved at the tick — a
+          // layout rotation between boundaries is transparent). Runs
+          // AFTER the layout tick so a layout compaction/rotation this
+          // boundary is what the index's recall probe measures against.
+          pqMaintainAtBoundary.foreach { policy =>
+            if (finished.nonEmpty) applyToPqIndex.foreach { idx =>
+              val m = Pq.pqMaintain(batch.sparkSession, idx,
+                s"maintain-${newestEpochId(finished)}",
+                layoutCorpus(batch.sparkSession, layout, idCol), policy,
+                idCol = idCol)
+              if (m.actions.nonEmpty)
+                log.info(s"boundary pq-maintain of $idx: " +
+                  m.actions.mkString("; "))
+            }
+          }
         }
         StreamingDedup.spoolBatch(batch, s"$spoolRoot/$epochId", batchId)
         ()
@@ -181,7 +228,8 @@ object StreamingSimilarity {
       // handshake through StreamTermination.awaitDrain
       StreamTermination.onCleanTermination(emb.sparkSession, query,
         s"drainOnStop of $spoolRoot -> $layout") {
-        drainSpool(emb.sparkSession, spoolRoot, layout, idCol)
+        drainSpool(emb.sparkSession, spoolRoot, layout, idCol,
+          applyToPqIndex)
         ()
       }
     }
@@ -214,9 +262,11 @@ object StreamingSimilarity {
       spark: SparkSession,
       spoolRoot: String,
       layoutPath: String,
-      idCol: String = "vec_id"): Seq[String] =
+      idCol: String = "vec_id",
+      pqIndexPath: Option[String] = None): Seq[String] =
     listSpooledEpochs(spark, spoolRoot).filter(e =>
-      applySpooledEpoch(spark, spoolRoot, e, layoutPath, idCol))
+      applySpooledEpoch(spark, spoolRoot, e, layoutPath, idCol,
+        pqIndexPath))
 
   /** Epoch-boundary step: append `spoolRoot/<epochId>`'s accumulated
     * rows to the layout under `epochId` (crash-safe, retry-idempotent —
@@ -236,10 +286,12 @@ object StreamingSimilarity {
       spoolRoot: String,
       epochId: String,
       layoutPath: String,
-      idCol: String = "vec_id"): Boolean = {
+      idCol: String = "vec_id",
+      pqIndexPath: Option[String] = None): Boolean = {
     // an empty spool otherwise skips appendIvfEpoch's own healing —
     // the restart that lost its spool must still resolve torn state
     Similarity.recoverIvfEpochs(spark, layoutPath)
+    pqIndexPath.foreach(Pq.recoverPqEpochs(spark, _))
     val sp = s"$spoolRoot/$epochId"
     StreamingDedup.readSpool(spark, sp) match {
       case None =>
@@ -256,9 +308,32 @@ object StreamingSimilarity {
       case Some(novel) =>
         val applied =
           Similarity.appendIvfEpoch(novel, layoutPath, epochId, idCol)
+        // the derived index's append rides the SAME epoch id on its
+        // OWN ledger, after the corpus append and before the clear: a
+        // crash between the two replays as a corpus-side ledger hit
+        // (applied=false) that still completes the index side, and a
+        // crash before the clear ledger-hits both. The rows are
+        // encoded with the index's STORED codebook (the appendPqEpoch
+        // contract); drift is pqMaintainAtBoundary's observable.
+        pqIndexPath.foreach { idx =>
+          Pq.appendPqEpoch(novel, idx, epochId, idCol)
+        }
         StreamingDedup.clearSpool(spark, sp)
         applied
     }
+  }
+
+  /** The SOURCE corpus read back from the layout's current generation,
+    * shaped for the PQ maintenance arms (`idCol` + `embedding`) — the
+    * boundary tick's rotate/recall input; resolved per call, so a
+    * layout rotation between boundaries is transparent.
+    */
+  private[streaming] def layoutCorpus(
+      spark: SparkSession,
+      layoutPath: String,
+      idCol: String): DataFrame = {
+    val dataRoot = Similarity.ivfDataRoot(spark, layoutPath)
+    spark.read.parquet(dataRoot).select(col(idCol), col("vec").as("embedding"))
   }
 
   /** The newest epoch id of a batch of spool ids — (length, value)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Pq, Similarity}
 
 /** The streaming embedding ingest ([[StreamingSimilarity]]): spooled
   * micro-batches epoch-append into the IVF layout exactly once — under
@@ -408,5 +408,99 @@ class StreamingSimilaritySpec extends AnyFunSuite {
       "100")
     assert(StreamingSimilarity.newestEpochId(Seq("e007", "e010")) ==
       "e010")
+  }
+
+  test("applyToPqIndex keeps a DERIVED PQ serving index fresh across " +
+    "two live epoch boundaries: the probe sees streamed rows, the " +
+    "boundary pqMaintain tick compacts the append fragmentation, the " +
+    "pq-aware drain covers the final epoch, and a replayed epoch is a " +
+    "ledger-hit no-op on BOTH the corpus layout and the index") {
+    implicit val sqlCtx = spark.sqlContext
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-ssimpq").toString
+    val path = s"$root/ivf"
+    val idx = s"$root/pq"
+    val spoolRoot = s"$root/spool"
+    val base = (0L until 12L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfPartitioned(base, path, centroidK = 2)
+    // dim-4 fixture vectors: m=2 subspaces of 2; k=8 codewords
+    Pq.writePqIndex(base, idx, m = 2, k = 8, centroidK = 2)
+
+    def probeRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+    // exhaustive probe == brute force is the row-level proof the
+    // streamed vectors are IN the index, encoded with the stored
+    // codebook and routed to the right partition — a missing or
+    // misrouted row can never enter the shortlist and breaks this
+    def assertFresh(corpus: org.apache.spark.sql.DataFrame,
+        qids: Seq[Long]): Unit = {
+      val n = corpus.count().toInt
+      assert(probeRows(Pq.pqKnn(spark, idx, corpus, qids, k = 3,
+          nprobe = 2, rerank = n)) ==
+        probeRows(Similarity.bruteForceKnn(corpus, qids, k = 3)))
+    }
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val query = StreamingSimilarity.startSpool(
+      stream.toDF().toDF("vec_id", "embedding"), spoolRoot,
+      epochIdFor = b => s"e${b / 2}", intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt"),
+      applyToLayout = Some(path),
+      applyToPqIndex = Some(idx),
+      pqMaintainAtBoundary = Some(Pq.PqMaintainPolicy(
+        maxFilesPerPartition = 1, skewThreshold = Double.MaxValue,
+        ledgerTailMax = 100)))
+    def feed(id: Long): Unit = {
+      stream.addData((id, vec(id)))
+      query.processAllAvailable()
+    }
+    // e0 = batches 0,1 — open: neither the layout nor the index moves
+    feed(100L)
+    feed(101L)
+    assert(!Pq.pqEpochApplied(spark, idx, "e0"))
+    // batch 2 opens e1: e0 applies to the layout AND the index, then
+    // the index's own maintain tick compacts the epoch fragmentation
+    feed(102L)
+    assert(Similarity.ivfEpochApplied(spark, path, "e0"))
+    assert(Pq.pqEpochApplied(spark, idx, "e0"))
+    assert(Pq.pqPartitionStats(spark, idx).forall(_._2 <= 1),
+      s"boundary pqMaintain must have compacted: " +
+        s"${Pq.pqPartitionStats(spark, idx)}")
+    val grown1 = base.unionByName(Seq(100L, 101L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding"))
+    assertFresh(grown1, Seq(100L, 0L))
+    // second boundary: e1 (batches 2,3) applies when batch 4 opens e2
+    feed(103L)
+    feed(104L)
+    assert(Pq.pqEpochApplied(spark, idx, "e1"))
+    query.stop()
+    // the final, still-open epoch drains through the pq-aware drain
+    assert(StreamingSimilarity.drainSpool(spark, spoolRoot, path,
+      "vec_id", Some(idx)) == Seq("e2"))
+    assert(Pq.pqEpochApplied(spark, idx, "e2"))
+    val all = base.unionByName((100L to 104L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding"))
+    assertFresh(all, Seq(104L, 3L))
+    // replay after a crash-between-append-and-clear: the spool
+    // survives with e0's rows — the retry is a ledger hit on BOTH
+    // sides, never a double append into either artifact
+    StreamingDedup.spoolBatch(
+      Seq(100L, 101L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      s"$spoolRoot/e0", batchId = 0L)
+    val idxRows = spark.read.parquet(Similarity.ivfDataRoot(spark, idx))
+      .count()
+    assert(!StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e0",
+      path, "vec_id", Some(idx)))
+    assert(spark.read.parquet(Similarity.ivfDataRoot(spark, idx))
+      .count() == idxRows)
+    assertFresh(all, Seq(104L, 3L))
+    // only the info-level retired-dir residue of the compaction ticks
+    // may remain (a purge-window concern, not damage)
+    assert(Pq.pqFsck(spark, idx, deepCodes = true)
+      .forall(f => f.severity == "info" && f.code == "retired-present"))
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty)
   }
 }
