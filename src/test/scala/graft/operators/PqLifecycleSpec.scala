@@ -303,6 +303,57 @@ class PqLifecycleSpec extends AnyFunSuite {
         s"skew2=$skew2 " + t3.actions.mkString("; "))
   }
 
+  test("pqMaintain geometry MIGRATION: explicit m/codebookK/centroidK " +
+    "overrides migrate the stored geometry through a policy rotation " +
+    "and RE-ARM the breaker on the config change") {
+    val (emb, epoch0, _, _, _) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-pqmig").toString
+    val idx = s"$root/idx"
+    Pq.writePqIndex(epoch0, idx, m = 4, k = 8, centroidK = 4)
+    // an unreachable floor: the rotate arm fires once and arms the
+    // breaker under the index's ORIGINAL (inherited) geometry
+    val inherit = Pq.PqMaintainPolicy(recallFloor = Some(1.01),
+      recallSampleN = 4, k = 3, nprobe = 1)
+    val t1 = Pq.pqMaintain(spark, idx, "g1", emb, inherit)
+    assert(t1.actions.exists(_.startsWith("rotate(recall")),
+      t1.actions.mkString("; "))
+    val mt1 = Pq.readPqMeta(spark, idx)
+    assert(mt1.m == 4 && mt1.k == 8, s"inherit rotation drifted: $mt1")
+    val t2 = Pq.pqMaintain(spark, idx, "g2", emb, inherit)
+    assert(t2.actions.exists(_.startsWith("rotate-skipped(")),
+      t2.actions.mkString("; "))
+    // the documented override path: explicit training knobs MIGRATE
+    // the geometry — and because the breaker is keyed to the effective
+    // training config, the config change alone re-arms the rotate arm
+    // (no data change needed): the fence must never block a human
+    // trying a DIFFERENT geometry to fix the very recall it measured
+    val migrate = inherit.copy(m = Some(8), codebookK = Some(16),
+      centroidK = Some(8))
+    val t3 = Pq.pqMaintain(spark, idx, "g3", emb, migrate)
+    assert(t3.actions.exists(_.startsWith("rotate(recall")),
+      t3.actions.mkString("; "))
+    val mt3 = Pq.readPqMeta(spark, idx)
+    assert(mt3.m == 8 && mt3.k == 16, s"migration did not land: $mt3")
+    assert(spark.read.parquet(s"${Similarity.ivfDataRoot(
+      Dedup.fsFor(spark, idx), idx)}/_centroids").count() == 8)
+    // the migrated index serves correctly: exhaustive == brute force
+    val qids = Seq(0L, 1L)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceKnn(emb, qids, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = Pq.pqKnn(spark, idx, emb, qids, k = 3,
+        nprobe = 8, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe == brute)
+    // the floor is still unreachable at the NEW geometry, so t3 armed
+    // the breaker under the MIGRATED config: the same policy now skips
+    val t4 = Pq.pqMaintain(spark, idx, "g4", emb, migrate)
+    assert(t4.actions.exists(_.startsWith("rotate-skipped(")),
+      t4.actions.mkString("; "))
+    assert(!t4.actions.exists(_.startsWith("rotate(")),
+      t4.actions.mkString("; "))
+  }
+
   test("writePqIndex refuses an in-place rebuild over a ledgered index " +
     "(the static overwrite would destroy _epochs and let a replayed " +
     "epoch double-append); rotatePq is the sanctioned re-train") {

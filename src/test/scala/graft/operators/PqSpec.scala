@@ -205,6 +205,32 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("codes >= 128 survive the signed-byte store and unsigned " +
+    "read-back (k=200): exhaustive probe row-identical to brute force") {
+    // every other PQ case uses k=16, so no stored code ever exceeds
+    // 127 and PqEncode's `toByte` narrowing / PqAdc's `& 0xFF` widening
+    // never actually wrap — this is the one case that drives them
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-pqu").toString
+    Pq.writePqIndex(emb, root, k = 200)
+    // self-validating: the index must really hold wrapped codes (a
+    // signed byte < 0 IS a code >= 128)
+    val wrapped = spark.read
+      .parquet(Similarity.ivfDataRoot(spark, root))
+      .select("pq").collect()
+      .exists(_.getAs[Array[Byte]](0).exists(_ < 0))
+    assert(wrapped, "fixture produced no code >= 128 — the sign-wrap " +
+      "path is still unexercised; raise k")
+    val queryIds = Seq(0L, 1L, 2L, 3L)
+    val n = emb.count().toInt
+    val brute = rows(Similarity.bruteForceKnn(emb, queryIds, k = 5))
+    // a wrap bug reads code 128+ as negative, indexes the LUT/codebook
+    // out of range or at the wrong codeword, and breaks row identity
+    val full = rows(Pq.pqKnn(spark, root, emb, queryIds, k = 5,
+      nprobe = Similarity.DefaultCentroidK, rerank = n))
+    assert(full == brute)
+  }
+
   test("writePqIndex refuses to destroy an IVF corpus layout (flat or " +
     "generational) but rebuilds a previous PQ index in place") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -235,5 +261,37 @@ class PqSpec extends AnyFunSuite {
       nprobe = 2, rerank = 8))
     assert(before == after)
     assert(before.nonEmpty)
+  }
+
+  test("writePqIndex refuses an UNMARKED non-empty directory — a plain " +
+    "dataset (e.g. the raw corpus on a typo'd path) survives untouched; " +
+    "an empty directory and a torn build remain buildable") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // the raw corpus itself: no sidecars, no partition dirs — the one
+    // destructive case the older guards (generational / IVF corpus /
+    // ledgered index) never caught
+    val raw = java.nio.file.Files.createTempDirectory("graft-pqg1").toString
+    emb.write.mode("overwrite").parquet(raw)
+    val n = emb.count()
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.writePqIndex(emb, raw)
+    }
+    assert(e1.getMessage.contains("plain dataset"), e1.getMessage)
+    assert(spark.read.parquet(raw).count() == n,
+      "the refused overwrite must leave the data intact")
+    // an EMPTY existing directory is a fine build target
+    val empty = java.nio.file.Files.createTempDirectory("graft-pqg2").toString
+    Pq.writePqIndex(emb, empty)
+    assert(rows(Pq.pqKnn(spark, empty, emb, Seq(0L), k = 3,
+      nprobe = 2, rerank = 8)).nonEmpty)
+    // a TORN build (partition dirs landed, crash before the sidecars)
+    // must stay rebuildable — that retry is the reason the guard keys
+    // on centroid_id= dirs rather than refusing everything unmarked
+    val f = Dedup.fsFor(spark, empty)
+    f.delete(new org.apache.hadoop.fs.Path(s"$empty/_meta"), true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$empty/_centroids"), true)
+    Pq.writePqIndex(emb, empty)
+    assert(rows(Pq.pqKnn(spark, empty, emb, Seq(0L), k = 3,
+      nprobe = 2, rerank = 8)).nonEmpty)
   }
 }
