@@ -29,10 +29,12 @@ import graft.functions.{PqAdc, PqEncode, PqLut}
   * The codebook is `k` SAMPLE VECTORS chosen by the same deterministic
   * multiplicative-id-hash order as [[Similarity.ivfCentroids]] (so a
   * DuckDB oracle re-derives it with a window sample); subspace j's
-  * codeword c is sample c's own slice. A trained (k-means-per-subspace)
-  * codebook would edge out the sample on recall, but determinism is
-  * what makes the whole path hash-verifiable cross-engine, and the
-  * recall knobs (`nprobe`, `rerank`) dominate the difference.
+  * codeword c is sample c's own slice. The sample is the
+  * hash-verifiable default; `trainIters > 0` refines it with a
+  * per-subspace Lloyd pass ([[trainCodebook]] — still deterministic,
+  * recall-spec'd, inherited through maintenance rotations) for
+  * production deployments where the recall knobs (`nprobe`, `rerank`)
+  * shouldn't carry the whole quantization-error budget alone.
   *
   * Probe = the q68 two-stage shape ([[Similarity.ivfKnnQuantized]]):
   * route queries against the sidecar, scan ONLY the probed partitions'
@@ -63,7 +65,8 @@ object Pq {
     */
   val DefaultK: Int = 16
 
-  final case class PqMeta(m: Int, k: Int, dim: Int, codebook: Array[Double])
+  final case class PqMeta(m: Int, k: Int, dim: Int, codebook: Array[Double],
+      trainIters: Int = 0)
 
   /** The deterministic flat codebook AND the coarse-centroid frame,
     * from ONE corpus pass: both samples are prefixes of the same
@@ -123,6 +126,65 @@ object Pq {
     (flat, cents)
   }
 
+  /** Per-subspace Lloyd refinement of the sampled codebook — the
+    * production-recall option [[writePqIndex]]/[[rotatePq]] expose as
+    * `trainIters`: `iters` assign/update rounds over the corpus,
+    * initialized from the deterministic sample (so iters = 0 IS the
+    * oracle-proven sampled codebook — the hash-verified default).
+    * Fully DETERMINISTIC, the [[Similarity.kmeansFit]] discipline:
+    * assignment is [[graft.functions.PqEncode]]'s own argmin (ties to
+    * the lowest codeword — the exact kernel the build then encodes
+    * with), and the update step averages each codeword element in
+    * DECIMAL, whose exact, associative addition makes the mean
+    * independent of partition/merge order — two trainings of the same
+    * corpus produce bit-identical codebooks, which is what lets a
+    * maintenance rotation inherit `trainIters` and reproduce the
+    * serving codebook instead of silently reverting to the sample.
+    * An empty codeword keeps its previous value (never NaN, never a
+    * collapse). Cost: `iters` corpus passes, each exploding to
+    * corpus×dim `(subspace, code, element, value)` rows for one
+    * map-side-combinable average — the shape of any distributed
+    * k-means update, O(corpus) with no driver state beyond the
+    * k×dim codebook itself.
+    */
+  private def trainCodebook(
+      all: DataFrame,
+      init: Array[Double],
+      m: Int,
+      k: Int,
+      iters: Int): Array[Double] = {
+    val dim = init.length / k
+    val dsub = dim / m
+    var cb = init
+    var it = 0
+    while (it < iters) {
+      val cbLit = typedLit(cb.toSeq)
+      // byte j of the code word = subspace j's assignment; hex/conv
+      // keeps the extraction in builtin (codegen'd) expressions
+      val assigned = all
+        .select(col("vec"),
+          hex(PqEncode(col("vec"), cbLit, m, k)).as("hx"))
+        .select(col("vec"), posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), " +
+            "j -> CAST(conv(substring(hx, j*2+1, 2), 16, 10) AS INT))"))
+          .as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(expr(s"slice(vec, j * $dsub + 1, $dsub)"))
+            .as(Seq("e", "v")))
+      val means = assigned.groupBy("j", "code", "e")
+        .agg(avg(col("v").cast("decimal(38,18)")).cast("double").as("mu"))
+        .collect()
+      val next = cb.clone()
+      means.foreach { r =>
+        next(r.getInt(1) * dim + r.getInt(0) * dsub + r.getInt(2)) =
+          r.getDouble(3)
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
   /** Build the index at `path` (overwrite): encode every corpus vector
     * and lay the codes out IVF-partitioned with the routing + geometry
     * sidecars. One sample pass + one encode/write pass over the
@@ -142,7 +204,8 @@ object Pq {
       k: Int = DefaultK,
       centroidK: Int = Similarity.DefaultCentroidK,
       idCol: String = "vec_id",
-      filesPerPartition: Int = 1): Unit = {
+      filesPerPartition: Int = 1,
+      trainIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     val fs = Dedup.fsFor(spark, path)
     def existsAt(sub: String) =
@@ -192,13 +255,15 @@ object Pq {
           "the index at its own empty path, or delete the directory " +
           "explicitly first")
     }
-    buildPqInto(emb, path, m, k, centroidK, idCol, filesPerPartition)
+    buildPqInto(emb, path, m, k, centroidK, idCol, filesPerPartition,
+      trainIters)
   }
 
   /** The build itself — encode + settled partitioned write + sidecars
     * into `path`, no overwrite guard: [[writePqIndex]] guards the flat
     * build, [[rotatePq]] stages into a fresh generation dir where the
-    * guard is meaningless. One sample pass + one encode/write pass.
+    * guard is meaningless. One sample pass (+ `trainIters` refinement
+    * passes, [[trainCodebook]]) + one encode/write pass.
     */
   private def buildPqInto(
       emb: DataFrame,
@@ -207,15 +272,24 @@ object Pq {
       k: Int,
       centroidK: Int,
       idCol: String,
-      filesPerPartition: Int): Unit = {
+      filesPerPartition: Int,
+      trainIters: Int = 0): Unit = {
     require(filesPerPartition >= 1,
       s"filesPerPartition must be >= 1, got $filesPerPartition")
+    require(trainIters >= 0,
+      s"trainIters must be >= 0, got $trainIters")
     val spark = emb.sparkSession
     val all = Similarity.asDouble(emb, idCol = idCol)
-    val (flat, centroids) = codebookAndCentroids(all, k, centroidK, idCol)
-    val dim = flat.length / k
+    val (sampled, centroids) = codebookAndCentroids(all, k, centroidK, idCol)
+    val dim = sampled.length / k
     require(dim % m == 0,
       s"pq: dim=$dim not divisible into m=$m subspaces — pick m | dim")
+    // the coarse ROUTING stays the deterministic sample either way:
+    // training refines only the product codebook (ADC quality); the
+    // partition geometry is the probes' oracle-proven contract
+    val flat =
+      if (trainIters == 0) sampled
+      else trainCodebook(all, sampled, m, k, trainIters)
     val cbLit = typedLit(flat.toSeq)
     val rows = Similarity.rankCentroids(all, centroids, 1, idCol)
       .select(col(idCol),
@@ -236,7 +310,8 @@ object Pq {
         col("cvec"), col("cnrm"))
       .write.mode("overwrite").parquet(s"$path/_centroids")
     import spark.implicits._
-    Seq((m, k, dim, flat.toSeq)).toDF("m", "k", "dim", "codebook")
+    Seq((m, k, dim, flat.toSeq, trainIters))
+      .toDF("m", "k", "dim", "codebook", "train_iters")
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
@@ -254,9 +329,15 @@ object Pq {
     * generation's codebook with another's codes.
     */
   private def readPqMetaAt(spark: SparkSession, dataRoot: String): PqMeta = {
-    val r = spark.read.parquet(s"$dataRoot/_meta").head()
+    val df = spark.read.parquet(s"$dataRoot/_meta")
+    val r = df.head()
     PqMeta(r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("dim"),
-      r.getAs[Seq[Double]]("codebook").toArray)
+      r.getAs[Seq[Double]]("codebook").toArray,
+      // pre-trainIters sidecars lack the column: those builds were
+      // sampled-codebook by definition
+      trainIters =
+        if (df.columns.contains("train_iters")) r.getAs[Int]("train_iters")
+        else 0)
   }
 
   /** ANN top-k for STORED query ids over a [[writePqIndex]] index +
@@ -564,9 +645,10 @@ object Pq {
       centroidK: Int = Similarity.DefaultCentroidK,
       idCol: String = "vec_id",
       filesPerPartition: Int = 1,
-      deferRetire: Boolean = false): Boolean =
+      deferRetire: Boolean = false,
+      trainIters: Int = 0): Boolean =
     rotatePqStaged(spark, indexPath, rotationId, emb, m, k, centroidK,
-      idCol, filesPerPartition, deferRetire, _ => ())
+      idCol, filesPerPartition, deferRetire, _ => (), trainIters)
 
   /** [[rotatePq]] with the crash-injection hook exposed for specs —
     * [[Similarity.stageGeneration]]'s failpoints ("staged",
@@ -584,11 +666,12 @@ object Pq {
       idCol: String,
       filesPerPartition: Int,
       deferRetire: Boolean,
-      failpoint: String => Unit): Boolean =
+      failpoint: String => Unit,
+      trainIters: Int = 0): Boolean =
     Similarity.stageGeneration(spark, indexPath, rotationId, "pq-rotate",
       failpoint, deferRetire) { (_, stageData) =>
       buildPqInto(emb, stageData, m, k, centroidK, idCol,
-        filesPerPartition)
+        filesPerPartition, trainIters)
     }
 
   /** Partition-scoped compaction of append fragmentation: rewrite ONLY
@@ -777,14 +860,16 @@ object Pq {
 
   /** [[pqMaintain]]'s thresholds as one value — field meanings are its
     * parameters of the same names ([[Similarity.IvfMaintainPolicy]]'s
-    * shape with the PQ training knobs `m`/`codebookK` in place of
-    * `sampleFrac`). The training knobs are `Option`s defaulting to
-    * INHERIT: a rotate arm firing from a cron'd default policy must
-    * keep the index's own stored geometry (`_meta`'s m/k, the sidecar's
-    * centroid count), not silently rewrite an m=4/k=8 deployment to
-    * the compile-time defaults — every code byte, the codebook, and
-    * the partition count would change out from under the operator.
-    * Set them explicitly to MIGRATE the geometry through maintenance.
+    * shape with the PQ training knobs `m`/`codebookK`/`trainIters` in
+    * place of `sampleFrac`). The training knobs are `Option`s
+    * defaulting to INHERIT: a rotate arm firing from a cron'd default
+    * policy must keep the index's own stored geometry (`_meta`'s
+    * m/k/train_iters, the sidecar's centroid count), not silently
+    * rewrite an m=4/k=8 deployment to the compile-time defaults or
+    * revert a Lloyd-trained codebook to the sample — every code byte,
+    * the codebook, and the partition count would change out from under
+    * the operator. Set them explicitly to MIGRATE the geometry through
+    * maintenance.
     */
   final case class PqMaintainPolicy(
       maxFilesPerPartition: Int = 64,
@@ -798,6 +883,7 @@ object Pq {
       m: Option[Int] = None,
       codebookK: Option[Int] = None,
       centroidK: Option[Int] = None,
+      trainIters: Option[Int] = None,
       deferRetire: Boolean = false,
       queryVectors: Option[DataFrame] = None,
       purgeRetiredOlderThanMs: Option[Long] = None,
@@ -883,12 +969,18 @@ object Pq {
       val dr = Similarity.ivfDataRoot(fsys, indexPath)
       spark.read.parquet(s"$dr/_centroids").count().toInt
     }
+    // trainIters inherits like the rest of the geometry: a cron'd
+    // default policy rotating a Lloyd-trained deployment must
+    // reproduce the trained codebook (deterministic — see
+    // trainCodebook), not silently revert it to the sample
+    lazy val trainItersEff: Int = trainIters.getOrElse(storedMeta.trainIters)
     lazy val queryDigest: String =
       RecallBreaker.queryWorkloadDigest(queryVectors)
     def trainingConfig: Seq[(String, () => String)] = Seq(
       "m" -> (() => mEff.toString),
       "codebookK" -> (() => codebookKEff.toString),
-      "centroidK" -> (() => centroidKEff.toString))
+      "centroidK" -> (() => centroidKEff.toString),
+      "trainIters" -> (() => trainItersEff.toString))
     def breakerConfig: Seq[(String, () => String)] = Seq(
       "floor" -> (() => recallFloor.get.toString),
       "k" -> (() => k.toString),
@@ -948,7 +1040,8 @@ object Pq {
         m = mEff, k = codebookKEff, centroidK = centroidKEff,
         idCol = idCol,
         filesPerPartition = filesPerPartition,
-        deferRetire = deferRetire)
+        deferRetire = deferRetire,
+        trainIters = trainItersEff)
       actions += s"rotate(${reason.mkString(", ")})" +
         (if (applied) "" else " [already applied]")
       if (skewHit) {
