@@ -360,7 +360,8 @@ object Pq {
       nprobe: Int = 1,
       rerank: Int = 0,
       idCol: String = "vec_id",
-      collectShortlist: Boolean = true): DataFrame = {
+      collectShortlist: Boolean = true,
+      shortlistBloomFpp: Double = 0.0): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(rerank == 0 || rerank >= k,
       s"rerank must be 0 (the 4*k default) or >= k, got rerank=$rerank k=$k")
@@ -377,7 +378,8 @@ object Pq {
     val probes = Similarity.rankRoutes(spark, dataRoot, queries, nprobe,
       Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
     pqTopK(spark, dataRoot, all, probes, meta, k, rerankM, idCol,
-      excludeSelf = true, collectShortlist = collectShortlist)
+      excludeSelf = true, collectShortlist = collectShortlist,
+      shortlistBloomFpp = shortlistBloomFpp)
   }
 
   /** The serving twin for EXTERNAL query vectors (`queryIdCol` +
@@ -396,7 +398,8 @@ object Pq {
       rerank: Int = 0,
       idCol: String = "vec_id",
       queryIdCol: String = "query_id",
-      collectShortlist: Boolean = true): DataFrame = {
+      collectShortlist: Boolean = true,
+      shortlistBloomFpp: Double = 0.0): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(rerank == 0 || rerank >= k,
       s"rerank must be 0 (the 4*k default) or >= k, got rerank=$rerank k=$k")
@@ -411,7 +414,8 @@ object Pq {
     val probes = Similarity.rankRoutes(spark, dataRoot, q, nprobe,
       Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
     pqTopK(spark, dataRoot, all, probes, meta, k, rerankM, idCol,
-      excludeSelf = false, collectShortlist = collectShortlist)
+      excludeSelf = false, collectShortlist = collectShortlist,
+      shortlistBloomFpp = shortlistBloomFpp)
   }
 
   /** STAGE 1 of the PQ probe: the codes-only candidate frame over the
@@ -477,7 +481,8 @@ object Pq {
       rerankM: Int,
       idCol: String,
       excludeSelf: Boolean,
-      collectShortlist: Boolean): DataFrame = {
+      collectShortlist: Boolean,
+      shortlistBloomFpp: Double = 0.0): DataFrame = {
     Similarity.requireIntegralId(
       probes.schema("query_id").dataType, "query_id", "PQ")
     Similarity.requireIntegralId(corpus.schema(idCol).dataType, idCol, "PQ")
@@ -498,7 +503,8 @@ object Pq {
       candIds => candIds.fold(corpus)(ids =>
           corpus.filter(col(idCol).isInCollection(ids)))
         .select(col(idCol).cast("long").as("neighbor_id"),
-          col("vec").as("vec_n"), col("nrm").as("nrm_n")))
+          col("vec").as("vec_n"), col("nrm").as("nrm_n")),
+      shortlistBloomFpp)
   }
 
   // ------------------------------------------------------------------

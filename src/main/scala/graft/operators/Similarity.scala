@@ -2176,7 +2176,8 @@ object Similarity {
       nprobe: Int = 1,
       rerank: Int = 0,
       idCol: String = "vec_id",
-      collectShortlist: Boolean = true): DataFrame = {
+      collectShortlist: Boolean = true,
+      shortlistBloomFpp: Double = 0.0): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     // 0 is RESERVED for the default; a negative rerank (typo, bad
     // config plumb-through) refuses instead of silently becoming the
@@ -2206,7 +2207,8 @@ object Similarity {
         nprobe, Seq("query_id", "centroid_id", "q8_q", "qscale_q",
           "vec_q", "nrm_q"))
     sq8TopK(spark, corpus, probes, k, m, idCol, excludeSelf = true,
-      collectShortlist = collectShortlist)
+      collectShortlist = collectShortlist,
+      shortlistBloomFpp = shortlistBloomFpp)
   }
 
   /** STAGE 1 of the SQ8 probe: the int8 candidate frame over the
@@ -2281,7 +2283,8 @@ object Similarity {
       m: Int,
       idCol: String,
       excludeSelf: Boolean,
-      collectShortlist: Boolean): DataFrame = {
+      collectShortlist: Boolean,
+      shortlistBloomFpp: Double = 0.0): DataFrame = {
     requireIntegralId(probes.schema("query_id").dataType, "query_id", "SQ8")
     requireIntegralId(corpus.schema(idCol).dataType, idCol, "SQ8")
     // the probed-partition literal stays driver-side in BOTH modes:
@@ -2305,7 +2308,7 @@ object Similarity {
         candIds.fold(base)(ids => base.filter(col(idCol).isInCollection(ids)))
           .select(col(idCol).cast("long").as("neighbor_id"),
             col("vec").as("vec_n"), col("nrm").as("nrm_n"))
-      })
+      }, shortlistBloomFpp)
   }
 
   /** Refuse non-integral id columns on the quantized probe paths. Both
@@ -2345,6 +2348,27 @@ object Similarity {
     * so the predicate reaches the parquet scan as an IN pushdown,
     * given `None` (distributed mode) it returns the unfiltered source
     * for the shortlist join.
+    *
+    * `shortlistBloomFpp > 0` (distributed mode only) pre-filters that
+    * unfiltered exact-vector source with a BROADCAST Bloom filter
+    * built over the shortlist's neighbor ids — the [[Dedup]]
+    * broadcast-Bloom discipline applied to the one unpruned scan on a
+    * declared scale path. Measured behavior this codebase pins: at a
+    * small shortlist AQE broadcasts it and the corpus never shuffles,
+    * so the bloom only adds overhead — but Spark's own runtime
+    * bloom-filter rule NEVER fires on this join (the creation side is
+    * a window-ranked frame, not the selective-scan shape
+    * InjectRuntimeFilter requires; verified empirically with every
+    * threshold forced), so once the query batch outgrows the broadcast
+    * threshold the join degrades to sort-merge and the ENTIRE corpus,
+    * wide vec column included, shuffles. The bloom drops non-candidate
+    * rows right above the scan, before that shuffle — O(bits) driver
+    * and broadcast state (sized by the shortlist count, capped by the
+    * caller's fpp choice), results row-identical by construction (a
+    * Bloom false positive only re-admits a row the join then drops).
+    * Costs one materialization of the stage-1 shortlist
+    * (localCheckpoint) + one count + one bloom aggregation over it —
+    * the narrow frame, never the corpus.
     */
   private[operators] def rerankExact(
       spark: org.apache.spark.sql.SparkSession,
@@ -2352,7 +2376,14 @@ object Similarity {
       probes: DataFrame,
       k: Int,
       collectShortlist: Boolean,
-      exactVecs: Option[Seq[Long]] => DataFrame): DataFrame = {
+      exactVecs: Option[Seq[Long]] => DataFrame,
+      shortlistBloomFpp: Double = 0.0): DataFrame = {
+    require(shortlistBloomFpp >= 0.0 && shortlistBloomFpp < 0.5,
+      s"shortlistBloomFpp must be in [0, 0.5), got $shortlistBloomFpp")
+    require(shortlistBloomFpp == 0.0 || !collectShortlist,
+      "shortlistBloomFpp applies to the DISTRIBUTED rerank only — " +
+        "collected mode already prunes the exact read with an id IN " +
+        "pushdown, a bloom there is pure overhead")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     if (collectShortlist) {
@@ -2385,14 +2416,33 @@ object Similarity {
       // shortlist still broadcasts). The exact-vector scan covers its
       // source once regardless of the query count — the exact dots are
       // only computed for the joined shortlist pairs.
-      val shortlist = ranked.select(
+      val shortlist0 = ranked.select(
         col("query_id").cast("long").as("query_id"),
         col("neighbor_id").cast("long").as("neighbor_id"))
+      // with the bloom on, materialize the narrow shortlist ONCE
+      // (lineage-truncated) so the count, the bloom aggregation and
+      // the join all read the same computed frame instead of
+      // re-running stage 1 three times
+      val shortlist =
+        if (shortlistBloomFpp > 0.0) shortlist0.localCheckpoint()
+        else shortlist0
       val qv = probes
         .select(col("query_id").cast("long").as("query_id"),
           col("vec_q"), col("nrm_q"))
         .distinct() // nprobe > 1 carries one probe row per centroid
-      exactVecs(None).join(shortlist, Seq("neighbor_id"))
+      val exact =
+        if (shortlistBloomFpp == 0.0) exactVecs(None)
+        else {
+          val n = math.max(1L, shortlist.count())
+          val bf = shortlist.stat
+            .bloomFilter("neighbor_id", n, shortlistBloomFpp)
+          val bfB = spark.sparkContext.broadcast(bf)
+          val mightContain =
+            org.apache.spark.sql.functions.udf((id: Long) =>
+              bfB.value.mightContainLong(id))
+          exactVecs(None).filter(mightContain(col("neighbor_id")))
+        }
+      exact.join(shortlist, Seq("neighbor_id"))
         .join(qv, Seq("query_id"))
         .withColumn("sim",
           round(dot("vec_q", "vec_n") / (col("nrm_q") * col("nrm_n")), 6))
@@ -2497,7 +2547,8 @@ object Similarity {
       rerank: Int = 0,
       queryIdCol: String = "query_id",
       idCol: String = "vec_id",
-      collectShortlist: Boolean = true): DataFrame = {
+      collectShortlist: Boolean = true,
+      shortlistBloomFpp: Double = 0.0): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     // same knob, same validation as the stored-id form / recall probe
     require(rerank == 0 || rerank >= k,
@@ -2518,7 +2569,8 @@ object Similarity {
         "nrm_q"))
     // no self-exclusion: external ids are their own namespace
     sq8TopK(spark, corpus, probes, k, m, idCol, excludeSelf = false,
-      collectShortlist = collectShortlist)
+      collectShortlist = collectShortlist,
+      shortlistBloomFpp = shortlistBloomFpp)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold.

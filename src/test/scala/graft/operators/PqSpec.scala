@@ -263,6 +263,65 @@ class PqSpec extends AnyFunSuite {
     assert(before.nonEmpty)
   }
 
+  test("shortlistBloomFpp pre-filters the distributed stage-2 corpus " +
+    "read with a broadcast Bloom: row-identical to the plain " +
+    "distributed and collected modes, under AQE's broadcast pick AND " +
+    "under a forced sort-merge join (the regime the bloom exists for)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-pqbf").toString
+    Pq.writePqIndex(emb, root)
+    val queryIds = Seq(0L, 1L, 2L, 3L)
+    val collected = rows(Pq.pqKnn(spark, root, emb, queryIds, k = 5,
+      nprobe = 2, rerank = 8))
+    val bloomed = Pq.pqKnn(spark, root, emb, queryIds, k = 5,
+      nprobe = 2, rerank = 8, collectShortlist = false,
+      shortlistBloomFpp = 0.03)
+    // the bloom probe sits in the plan (the UDF filter above the
+    // corpus side); a false positive only re-admits a row the join
+    // drops, so the rows stay identical
+    assert(bloomed.queryExecution.executedPlan.toString.contains("UDF"),
+      "no bloom filter in the distributed plan")
+    assert(rows(bloomed) == collected)
+    // the regime the knob exists for: a shortlist past the broadcast
+    // threshold joins sort-merge and the whole corpus (vec included)
+    // would shuffle — force that shape and prove the bloom keeps rows
+    // identical there too
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeThresh = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val smj = rows(Pq.pqKnn(spark, root, emb, queryIds, k = 5,
+        nprobe = 2, rerank = 8, collectShortlist = false,
+        shortlistBloomFpp = 0.03))
+      assert(smj == collected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      aqeThresh.fold(spark.conf
+        .unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(v =>
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
+    }
+    // SQ8's distributed rerank shares the same rerankExact bloom arm
+    val ivfRoot = java.nio.file.Files.createTempDirectory("graft-pqbf2")
+      .toString
+    Similarity.writeIvfPartitioned(emb, ivfRoot)
+    val sq8c = Similarity.ivfKnnQuantized(spark, ivfRoot, queryIds,
+      k = 5, nprobe = 2, rerank = 8)
+    val sq8b = Similarity.ivfKnnQuantized(spark, ivfRoot, queryIds,
+      k = 5, nprobe = 2, rerank = 8, collectShortlist = false,
+      shortlistBloomFpp = 0.03)
+    assert(rows(sq8b) == rows(sq8c))
+    // collected mode + bloom refuses loudly (the IN pushdown already
+    // prunes there — a bloom would be silent pure overhead)
+    val e = intercept[IllegalArgumentException] {
+      Pq.pqKnn(spark, root, emb, queryIds, k = 5, nprobe = 2,
+        rerank = 8, collectShortlist = true, shortlistBloomFpp = 0.03)
+        .collect()
+    }
+    assert(e.getMessage.contains("DISTRIBUTED rerank only"), e.getMessage)
+  }
+
   test("writePqIndex refuses an UNMARKED non-empty directory — a plain " +
     "dataset (e.g. the raw corpus on a typo'd path) survives untouched; " +
     "an empty directory and a torn build remain buildable") {
