@@ -473,6 +473,11 @@ object Main {
             s"quarantined=${h.quarantined} retired=${h.retired}"
         }
       case "rotate" =>
+        // an EXPLICIT re-train, like the library call: every training
+        // knob (m/codebook-k/k/train-iters) defaults to the build
+        // defaults, NOT the index's stored values — a deployment that
+        // must keep its geometry/trainedness rotates through
+        // `pq maintain` (which inherits) or passes the knobs here
         val applied = Pq.rotatePq(spark, index, id("rotationId"),
           emb("(a re-train)"),
           m = flag("--m").map(_.toInt).getOrElse(Pq.DefaultM),
@@ -481,7 +486,8 @@ object Main {
             .getOrElse(Similarity.DefaultCentroidK),
           filesPerPartition =
             flag("--files-per-partition").map(_.toInt).getOrElse(1),
-          deferRetire = flags.contains("--defer-retire"))
+          deferRetire = flags.contains("--defer-retire"),
+          trainIters = flag("--train-iters").map(_.toInt).getOrElse(0))
         s"applied=$applied"
       case "compact-partitions" =>
         val n = Pq.compactPqPartitions(spark, index, id("compactionId"),
@@ -508,6 +514,7 @@ object Main {
             m = flag("--m").map(_.toInt),
             codebookK = flag("--codebook-k").map(_.toInt),
             centroidK = flag("--k").map(_.toInt),
+            trainIters = flag("--train-iters").map(_.toInt),
             deferRetire = flags.contains("--defer-retire"),
             queryVectors = recallQueries,
             purgeRetiredOlderThanMs =

@@ -236,17 +236,25 @@ object Pq {
       s"$path carries an _epochs ledger (appended epochs) — an " +
         "in-place writePqIndex rebuild would destroy the ledger and " +
         "let a replayed epoch id double-append; re-train with rotatePq")
-    // the catch-all: a non-empty directory that is NEITHER a PQ index
-    // (_meta) NOR a torn PQ build (centroid_id= partition dirs, crash
-    // before the sidecars landed) is someone else's data — most
-    // dangerously the raw corpus itself on a typo'd path — and the
-    // static overwrite below would replace it with 8-byte codes,
+    // the catch-all: a directory with VISIBLE entries that is NEITHER
+    // a PQ index (_meta) NOR a torn PQ build (centroid_id= partition
+    // dirs, crash before the sidecars landed) is someone else's data —
+    // most dangerously the raw corpus itself on a typo'd path — and
+    // the static overwrite below would replace it with 8-byte codes,
     // unrecoverable. Refuse; the caller deletes the directory
-    // explicitly if the overwrite really is intended.
+    // explicitly if the overwrite really is intended. Hidden-only
+    // residue stays buildable: a build that crashed DURING the
+    // partitioned write leaves just the committer's _temporary dir
+    // (no data anyone could still need), and refusing that would
+    // break the guard's own torn-build-retry contract.
     val pathP = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(pathP) && !existsAt("_meta")) {
       val entries = fs.listStatus(pathP)
-      require(entries.isEmpty || entries.exists(st => st.isDirectory &&
+      val visible = entries.filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      require(visible.isEmpty || entries.exists(st => st.isDirectory &&
           st.getPath.getName.startsWith("centroid_id=")),
         s"$path exists, is non-empty, and carries neither a PQ _meta " +
           "sidecar nor centroid_id= partition dirs — it looks like a " +
@@ -1002,11 +1010,16 @@ object Pq {
     def skewBreakerConfig: Seq[(String, () => String)] =
       Seq("skewThreshold" -> (() => skewThreshold.toString)) ++
         trainingConfig
+    // manifests armed before the trainIters knob existed lack its key:
+    // treat absent as the 0 those builds ran with, so deployed fences
+    // survive the upgrade (and re-arm the moment the knob is set)
+    val legacy = Map("trainIters" -> "0")
     val armedSkew: Option[String] =
       if (skewHit)
         RecallBreaker.armed(fsys, indexPath, skewBreakerConfig,
           Similarity.layoutStateToken(fsys, indexPath),
-          file = "skew-breaker", valueKey = "skew")
+          file = "skew-breaker", valueKey = "skew",
+          legacyDefaults = legacy)
       else None
     val skewBroken = armedSkew.isDefined
     if (skewBroken)
@@ -1020,7 +1033,8 @@ object Pq {
     val armedRecall: Option[String] =
       if (recallHit && !skewWillRotate)
         RecallBreaker.armed(fsys, indexPath, breakerConfig,
-          Similarity.layoutStateToken(fsys, indexPath))
+          Similarity.layoutStateToken(fsys, indexPath),
+          legacyDefaults = legacy)
       else None
     val recallBroken = armedRecall.isDefined
     if (recallBroken)

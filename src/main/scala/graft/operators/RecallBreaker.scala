@@ -74,6 +74,17 @@ private[operators] object RecallBreaker {
     * matches this exact config AND layout data state — `None` is
     * "not armed, the rotate arm may fire". Any read error reads as
     * absent (advisory state; see the class doc).
+    *
+    * `legacyDefaults`: when a NEW config key is added to a policy, a
+    * manifest armed by an older build lacks it — without a declared
+    * default every deployed fence would read as disarmed on upgrade
+    * and re-fire one provably-futile corpus-scale rotation per armed
+    * index. A key listed here treats "absent in the stored manifest"
+    * as that default value: the fence survives the upgrade exactly
+    * when the new knob still sits at the behavior the old build had
+    * (and re-arms the moment it is set to anything else). `arm`
+    * always writes the full current key set, so the map only ever
+    * matters for pre-upgrade manifests.
     */
   def armed(
       fsys: FileSystem,
@@ -81,15 +92,17 @@ private[operators] object RecallBreaker {
       config: Seq[(String, () => String)],
       state: => String,
       file: String = "recall-breaker",
-      valueKey: String = "recall"): Option[String] =
+      valueKey: String = "recall",
+      legacyDefaults: Map[String, String] = Map.empty): Option[String] =
     try {
       val p = breakerPath(layoutPath, file)
       if (!fsys.exists(p)) None
       else {
         val m = EpochLedger.readManifest(fsys, p)
         val matches =
-          config.forall { case (key, v) => m.get(key).contains(v()) } &&
-            m.get("state").contains(state)
+          config.forall { case (key, v) =>
+            m.get(key).orElse(legacyDefaults.get(key)).contains(v())
+          } && m.get("state").contains(state)
         if (matches) m.get(valueKey) else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -2422,9 +2422,11 @@ object Similarity {
       // with the bloom on, materialize the narrow shortlist ONCE
       // (lineage-truncated) so the count, the bloom aggregation and
       // the join all read the same computed frame instead of
-      // re-running stage 1 three times
+      // re-running stage 1 three times — through Caching.materialize,
+      // so a job scoped with Caching.withReliable gets the
+      // executor-loss-safe parquet spill instead of local blocks
       val shortlist =
-        if (shortlistBloomFpp > 0.0) shortlist0.localCheckpoint()
+        if (shortlistBloomFpp > 0.0) Caching.materialize(shortlist0)
         else shortlist0
       val qv = probes
         .select(col("query_id").cast("long").as("query_id"),

@@ -352,5 +352,13 @@ class PqSpec extends AnyFunSuite {
     Pq.writePqIndex(emb, empty)
     assert(rows(Pq.pqKnn(spark, empty, emb, Seq(0L), k = 3,
       nprobe = 2, rerank = 8)).nonEmpty)
+    // the EARLIER tear: a first build that died DURING the partitioned
+    // write leaves only the committer's hidden _temporary residue —
+    // no visible data, so the retry must build, not demand a manual rm
+    val torn = java.nio.file.Files.createTempDirectory("graft-pqg3").toString
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$torn/_temporary/0"))
+    Pq.writePqIndex(emb, torn)
+    assert(rows(Pq.pqKnn(spark, torn, emb, Seq(0L), k = 3,
+      nprobe = 2, rerank = 8)).nonEmpty)
   }
 }
