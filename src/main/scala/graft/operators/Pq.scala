@@ -164,6 +164,11 @@ object Pq {
       val assigned = all
         .select(col("vec"),
           hex(PqEncode(col("vec"), cbLit, m, k)).as("hx"))
+        // a null embedding encodes to a null code (PqEncode's
+        // null-tolerant contract, same as the untrained build which
+        // stores that row with null pq) — it carries no training
+        // signal, so it must not reach the update as a null group key
+        .filter(col("hx").isNotNull)
         .select(col("vec"), posexplode(expr(
           s"transform(sequence(0, ${m - 1}), " +
             "j -> CAST(conv(substring(hx, j*2+1, 2), 16, 10) AS INT))"))
@@ -176,8 +181,12 @@ object Pq {
         .collect()
       val next = cb.clone()
       means.foreach { r =>
-        next(r.getInt(1) * dim + r.getInt(0) * dsub + r.getInt(2)) =
-          r.getDouble(3)
+        // a null mean (a subspace whose values all overflowed the
+        // decimal cast — degenerate input) keeps the previous
+        // codeword, like an empty cluster; never NaN, never a crash
+        if (!r.isNullAt(3))
+          next(r.getInt(1) * dim + r.getInt(0) * dsub + r.getInt(2)) =
+            r.getDouble(3)
       }
       cb = next
       it += 1

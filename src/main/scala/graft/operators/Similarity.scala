@@ -352,6 +352,38 @@ object Similarity {
       s"$path is a generational IVF layout (a rotation/compaction " +
         "published a _current pointer) — rebuild it with rotateIvf, " +
         "not a flat writeIvfPartitioned overwrite")
+    // the same guard family as writePqIndex's flat build (one shared
+    // discipline for the destructive static overwrite): a flat layout
+    // that has LEDGERED epochs must not lose its ledger to a rebuild
+    // (a replayed epoch id would double-append), and a non-empty
+    // directory with VISIBLE entries that is not a recognizable IVF
+    // layout — most dangerously a plain dataset on a typo'd path — is
+    // someone else's data. Hidden-only residue (a build that died
+    // during the partitioned write leaves just _temporary) stays
+    // retryable, and rebuilding a previous never-appended layout in
+    // place stays the supported refresh.
+    val fsG = Dedup.fsFor(emb.sparkSession, path)
+    require(!fsG.exists(new org.apache.hadoop.fs.Path(s"$path/_epochs")),
+      s"$path carries an _epochs ledger (appended epochs) — a flat " +
+        "writeIvfPartitioned rebuild would destroy the ledger and let " +
+        "a replayed epoch id double-append; re-train with rotateIvf")
+    val pathG = new org.apache.hadoop.fs.Path(path)
+    if (fsG.exists(pathG) &&
+        !fsG.exists(new org.apache.hadoop.fs.Path(s"$path/_centroids"))) {
+      val entries = fsG.listStatus(pathG)
+      val visible = entries.filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      require(visible.isEmpty || entries.exists(st => st.isDirectory &&
+          st.getPath.getName.startsWith("centroid_id=")),
+        s"$path exists, is non-empty, and carries neither a " +
+          "_centroids sidecar nor centroid_id= partition dirs — it " +
+          "looks like a plain dataset (possibly the source corpus " +
+          "itself), which this overwrite would destroy; build the " +
+          "layout at its own empty path, or delete the directory " +
+          "explicitly first")
+    }
     val all = asDouble(emb, idCol = idCol)
     val centroids = trainedCentroids.getOrElse(ivfCentroids(all, centroidK, idCol))
     val assigned = withQuantizedCols(rankCentroids(all, centroids, 1, idCol)
@@ -2435,8 +2467,13 @@ object Similarity {
       val exact =
         if (shortlistBloomFpp == 0.0) exactVecs(None)
         else {
-          val n = math.max(1L, shortlist.count())
-          val bf = shortlist.stat
+          // size and build the bloom on the DISTINCT neighbor ids: a
+          // popular neighbor shortlisted by many queries would
+          // otherwise inflate expectedNumItems by the per-query
+          // multiplicity and oversize the broadcast for nothing
+          val nids = shortlist.select("neighbor_id").distinct()
+          val n = math.max(1L, nids.count())
+          val bf = nids.stat
             .bloomFilter("neighbor_id", n, shortlistBloomFpp)
           val bfB = spark.sparkContext.broadcast(bf)
           val mightContain =

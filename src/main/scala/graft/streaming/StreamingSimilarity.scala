@@ -316,7 +316,30 @@ object StreamingSimilarity {
         // encoded with the index's STORED codebook (the appendPqEpoch
         // contract); drift is pqMaintainAtBoundary's observable.
         pqIndexPath.foreach { idx =>
-          Pq.appendPqEpoch(novel, idx, epochId, idCol)
+          // one corpus-replay ambiguity to resolve first: an epoch the
+          // layout ledgered in an earlier run could be (a) the
+          // crash-between-the-two-appends retry — the index still
+          // needs it — or (b) the ADOPTION case: the index was built
+          // (writePqIndex over the corpus so far) AFTER the epoch
+          // landed in the layout, so its rows are already encoded
+          // inside the index under a fresh ledger that has no entry
+          // for them, and appending would serve every row twice. The
+          // cases are distinguishable because epoch ids are never
+          // reused and corpus ids are unique: in (a) the index holds
+          // NONE of the epoch's ids, in (b) ALL of them — one
+          // left-semi probe of the index's id column (narrow, and
+          // only on the rare corpus-replay path) decides.
+          val needsIndexAppend = applied || {
+            val dataRoot = Similarity.ivfDataRoot(spark, idx)
+            spark.read.parquet(dataRoot).select(col(idCol))
+              .join(novel.select(col(idCol)), Seq(idCol), "left_semi")
+              .isEmpty
+          }
+          if (needsIndexAppend) Pq.appendPqEpoch(novel, idx, epochId, idCol)
+          else if (!Pq.pqEpochApplied(spark, idx, epochId))
+            log.info(s"epoch $epochId already inside $idx (index built " +
+              "after the epoch landed in the layout) — skipping the " +
+              "index append on this corpus-replay retry")
         }
         StreamingDedup.clearSpool(spark, sp)
         applied

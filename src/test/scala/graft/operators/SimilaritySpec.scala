@@ -994,4 +994,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == collected)
     assert(got.nonEmpty)
   }
+
+  test("writeIvfPartitioned refuses a plain dataset (a typo'd path " +
+    "cannot destroy the corpus) and a LEDGERED flat layout (the " +
+    "rebuild would drop _epochs); in-place rebuild and _temporary " +
+    "residue stay allowed") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // the raw corpus on a typo'd path: refuse, data intact
+    val raw = java.nio.file.Files.createTempDirectory("graft-ivfg1").toString
+    emb.write.mode("overwrite").parquet(raw)
+    val n = emb.count()
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.writeIvfPartitioned(emb, raw)
+    }
+    assert(e1.getMessage.contains("plain dataset"), e1.getMessage)
+    assert(spark.read.parquet(raw).count() == n)
+    // a flat layout with a ledgered epoch: the static overwrite would
+    // destroy _epochs and let a replayed epoch id double-append
+    val led = java.nio.file.Files.createTempDirectory("graft-ivfg2").toString
+    Similarity.writeIvfPartitioned(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0),
+      led)
+    assert(Similarity.appendIvfEpoch(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 =!= 0),
+      led, "e1"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.writeIvfPartitioned(emb, led)
+    }
+    assert(e2.getMessage.contains("_epochs ledger"), e2.getMessage)
+    // a NEVER-appended layout rebuilds in place (the supported refresh)
+    val ok = java.nio.file.Files.createTempDirectory("graft-ivfg3").toString
+    Similarity.writeIvfPartitioned(emb, ok)
+    Similarity.writeIvfPartitioned(emb, ok)
+    assert(Similarity.ivfKnn(emb, Seq(0L), k = 3).count() == 3)
+    // hidden-only residue of a build that died mid-write stays buildable
+    val torn = java.nio.file.Files.createTempDirectory("graft-ivfg4").toString
+    val f = Dedup.fsFor(spark, torn)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$torn/_temporary/0"))
+    Similarity.writeIvfPartitioned(emb, torn)
+    assert(spark.read.parquet(torn).count() == n)
+  }
 }

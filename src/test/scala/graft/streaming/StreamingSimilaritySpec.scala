@@ -503,4 +503,59 @@ class StreamingSimilaritySpec extends AnyFunSuite {
       .forall(f => f.severity == "info" && f.code == "retired-present"))
     assert(Similarity.listIvfQuarantined(spark, path).isEmpty)
   }
+
+  test("ADOPTION vs crash-retry on the pq-aware apply: an index built " +
+    "AFTER an epoch landed in the layout is not double-appended by " +
+    "that epoch's crash-replay, while a genuine crash between the two " +
+    "appends still completes the index side") {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-ssimad").toString
+    val path = s"$root/ivf"
+    val idx = s"$root/pq"
+    val spoolRoot = s"$root/spool"
+    val base = (0L until 12L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfPartitioned(base, path, centroidK = 2)
+    // epoch e1 lands in the LAYOUT ONLY (no index exists yet), and a
+    // crash before the clear leaves its spool behind
+    val novel1 = Seq(100L, 101L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    StreamingDedup.spoolBatch(novel1, s"$spoolRoot/e1", batchId = 0L)
+    assert(StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e1",
+      path))
+    StreamingDedup.spoolBatch(novel1, s"$spoolRoot/e1", batchId = 0L)
+    // NOW the operator builds the derived index over the corpus so far
+    // (base + e1's rows are already inside) and enables the pq target
+    val corpusSoFar = base.unionByName(novel1)
+    Pq.writePqIndex(corpusSoFar, idx, m = 2, k = 8, centroidK = 2)
+    val before = spark.read.parquet(Similarity.ivfDataRoot(spark, idx))
+      .count()
+    assert(before == 14)
+    // the replay is a corpus-side ledger hit; the index must RECOGNIZE
+    // it already holds e1's rows and skip — not serve every row twice
+    assert(!StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e1",
+      path, "vec_id", Some(idx)))
+    assert(spark.read.parquet(Similarity.ivfDataRoot(spark, idx))
+      .count() == before)
+    val n1 = corpusSoFar.count().toInt
+    assert(Pq.pqKnn(spark, idx, corpusSoFar, Seq(100L), k = 3,
+        nprobe = 2, rerank = n1).count() == 3)
+    // the OTHER corpus-replay shape — a crash between the corpus
+    // append and the index append — must still complete the index
+    // side: e2 is layout-ledgered, its spool survives, the index has
+    // none of its rows
+    val novel2 = Seq((200L, vec(200L))).toDF("vec_id", "embedding")
+    assert(Similarity.appendIvfEpoch(novel2, path, "e2"))
+    StreamingDedup.spoolBatch(novel2, s"$spoolRoot/e2", batchId = 0L)
+    assert(!StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e2",
+      path, "vec_id", Some(idx)))
+    assert(Pq.pqEpochApplied(spark, idx, "e2"))
+    val all = corpusSoFar.unionByName(novel2)
+    val probe = Pq.pqKnn(spark, idx, all, Seq(0L), k = 3,
+        nprobe = 2, rerank = all.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val brute = Similarity.bruteForceKnn(all, Seq(0L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(probe.toSeq == brute.toSeq)
+  }
 }
