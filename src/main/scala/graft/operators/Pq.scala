@@ -101,7 +101,13 @@ object Pq {
     // the same discipline for the coarse side: silently taking fewer
     // centroids than requested would change the partition count (and
     // the probe's nprobe semantics) out from under the caller — the
-    // geometry drift the rest of this file loudly refuses
+    // geometry drift the rest of this file loudly refuses. This is
+    // DELIBERATELY stricter than writeIvfPartitioned's own sample
+    // (which adapts silently): the PQ sample IS the stored geometry
+    // the oracle re-derives and appends encode against, while the IVF
+    // corpus layout's centroid count is re-trainable state its sidecar
+    // records as actuals — and the IVF path would pay an extra corpus
+    // count on its hot build path just to warn.
     require(rows.length >= centroidK,
       s"pq coarse routing needs centroidK=$centroidK sample vectors, " +
         s"corpus has only ${rows.length} — building fewer partitions " +
@@ -181,9 +187,11 @@ object Pq {
         .collect()
       val next = cb.clone()
       means.foreach { r =>
-        // a null mean (a subspace whose values all overflowed the
-        // decimal cast — degenerate input) keeps the previous
-        // codeword, like an empty cluster; never NaN, never a crash
+        // under this library's ANSI sessions a value past the decimal
+        // range THROWS in the cast (loud, the right outcome for
+        // degenerate input); in a non-ANSI session it nulls instead —
+        // an all-null group keeps the previous codeword here, like an
+        // empty cluster, never NaN, never a crash
         if (!r.isNullAt(3))
           next(r.getInt(1) * dim + r.getInt(0) * dsub + r.getInt(2)) =
             r.getDouble(3)
@@ -245,33 +253,15 @@ object Pq {
       s"$path carries an _epochs ledger (appended epochs) — an " +
         "in-place writePqIndex rebuild would destroy the ledger and " +
         "let a replayed epoch id double-append; re-train with rotatePq")
-    // the catch-all: a directory with VISIBLE entries that is NEITHER
-    // a PQ index (_meta) NOR a torn PQ build (centroid_id= partition
-    // dirs, crash before the sidecars landed) is someone else's data —
-    // most dangerously the raw corpus itself on a typo'd path — and
-    // the static overwrite below would replace it with 8-byte codes,
-    // unrecoverable. Refuse; the caller deletes the directory
-    // explicitly if the overwrite really is intended. Hidden-only
-    // residue stays buildable: a build that crashed DURING the
-    // partitioned write leaves just the committer's _temporary dir
-    // (no data anyone could still need), and refusing that would
-    // break the guard's own torn-build-retry contract.
-    val pathP = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(pathP) && !existsAt("_meta")) {
-      val entries = fs.listStatus(pathP)
-      val visible = entries.filter { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      require(visible.isEmpty || entries.exists(st => st.isDirectory &&
-          st.getPath.getName.startsWith("centroid_id=")),
-        s"$path exists, is non-empty, and carries neither a PQ _meta " +
-          "sidecar nor centroid_id= partition dirs — it looks like a " +
-          "plain dataset (possibly the source corpus itself), which " +
-          "this overwrite would destroy and replace with codes; build " +
-          "the index at its own empty path, or delete the directory " +
-          "explicitly first")
-    }
+    // the catch-all (shared definition — see
+    // [[Similarity.refusePlainDatasetOverwrite]]): a directory with
+    // VISIBLE entries that is NEITHER a PQ index (_meta, checked
+    // here) NOR a torn PQ build (centroid_id= dirs, crash before the
+    // sidecars landed) is someone else's data — most dangerously the
+    // raw corpus itself on a typo'd path — and the static overwrite
+    // below would replace it with 8-byte codes, unrecoverable.
+    if (!existsAt("_meta"))
+      Similarity.refusePlainDatasetOverwrite(fs, path, "writePqIndex")
     buildPqInto(emb, path, m, k, centroidK, idCol, filesPerPartition,
       trainIters)
   }

@@ -355,35 +355,29 @@ object Similarity {
     // the same guard family as writePqIndex's flat build (one shared
     // discipline for the destructive static overwrite): a flat layout
     // that has LEDGERED epochs must not lose its ledger to a rebuild
-    // (a replayed epoch id would double-append), and a non-empty
-    // directory with VISIBLE entries that is not a recognizable IVF
-    // layout — most dangerously a plain dataset on a typo'd path — is
-    // someone else's data. Hidden-only residue (a build that died
-    // during the partitioned write leaves just _temporary) stays
-    // retryable, and rebuilding a previous never-appended layout in
-    // place stays the supported refresh.
+    // (a replayed epoch id would double-append); a PQ INDEX (both
+    // sidecars) is a different artifact — replacing its codes with
+    // corpus vectors on a swapped-paths call is writePqIndex's
+    // IVF-corpus refusal mirrored; and a directory with VISIBLE
+    // entries that is no recognizable layout — most dangerously a
+    // plain dataset on a typo'd path — is someone else's data.
+    // Hidden-only residue (a build that died during the partitioned
+    // write leaves just _temporary) stays retryable, and rebuilding a
+    // previous never-appended layout in place stays the supported
+    // refresh.
     val fsG = Dedup.fsFor(emb.sparkSession, path)
-    require(!fsG.exists(new org.apache.hadoop.fs.Path(s"$path/_epochs")),
+    def existsG(sub: String) =
+      fsG.exists(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    require(!existsG("_epochs"),
       s"$path carries an _epochs ledger (appended epochs) — a flat " +
         "writeIvfPartitioned rebuild would destroy the ledger and let " +
         "a replayed epoch id double-append; re-train with rotateIvf")
-    val pathG = new org.apache.hadoop.fs.Path(path)
-    if (fsG.exists(pathG) &&
-        !fsG.exists(new org.apache.hadoop.fs.Path(s"$path/_centroids"))) {
-      val entries = fsG.listStatus(pathG)
-      val visible = entries.filter { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      require(visible.isEmpty || entries.exists(st => st.isDirectory &&
-          st.getPath.getName.startsWith("centroid_id=")),
-        s"$path exists, is non-empty, and carries neither a " +
-          "_centroids sidecar nor centroid_id= partition dirs — it " +
-          "looks like a plain dataset (possibly the source corpus " +
-          "itself), which this overwrite would destroy; build the " +
-          "layout at its own empty path, or delete the directory " +
-          "explicitly first")
-    }
+    require(!(existsG("_centroids") && existsG("_meta")),
+      s"$path is a PQ index (_centroids + _meta sidecars) — " +
+        "writeIvfPartitioned would destroy its codes; build the " +
+        "corpus layout at its own path")
+    if (!existsG("_centroids"))
+      refusePlainDatasetOverwrite(fsG, path, "writeIvfPartitioned")
     val all = asDouble(emb, idCol = idCol)
     val centroids = trainedCentroids.getOrElse(ivfCentroids(all, centroidK, idCol))
     val assigned = withQuantizedCols(rankCentroids(all, centroids, 1, idCol)
@@ -443,6 +437,38 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): String =
     ivfDataRoot(Dedup.fsFor(spark, path), path)
+
+  /** The shared plain-dataset catch-all for the flat layout builders'
+    * destructive static overwrite ([[writeIvfPartitioned]] and
+    * [[Pq.writePqIndex]] — ONE definition so the guard family cannot
+    * drift): refuse when `path` has VISIBLE entries but no
+    * `centroid_id=` partition dirs — that is someone else's data, most
+    * dangerously the raw corpus itself on a typo'd path, and the
+    * static overwrite would destroy it. Hidden-only residue (the
+    * committer's `_temporary` of a build that died mid-write) stays
+    * retryable. Callers check their OWN sidecars first — a path
+    * recognized as the caller's own layout never reaches this.
+    */
+  private[operators] def refusePlainDatasetOverwrite(
+      f: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      what: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (f.exists(p)) {
+      val entries = f.listStatus(p)
+      val visible = entries.filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      require(visible.isEmpty || entries.exists(st => st.isDirectory &&
+          st.getPath.getName.startsWith("centroid_id=")),
+        s"$path exists, is non-empty, and carries neither a recognized " +
+          "layout sidecar nor centroid_id= partition dirs — it looks " +
+          "like a plain dataset (possibly the source corpus itself), " +
+          s"which this $what overwrite would destroy; build at an " +
+          "empty path, or delete the directory explicitly first")
+    }
+  }
 
   private[operators] def ivfDataRoot(
       f: org.apache.hadoop.fs.FileSystem,
@@ -2475,6 +2501,9 @@ object Similarity {
           val n = math.max(1L, nids.count())
           val bf = nids.stat
             .bloomFilter("neighbor_id", n, shortlistBloomFpp)
+          // the broadcast must outlive this (lazy) frame's execution,
+          // so it cannot be destroyed here; Spark's ContextCleaner
+          // reclaims it once the returned plan is unreachable
           val bfB = spark.sparkContext.broadcast(bf)
           val mightContain =
             org.apache.spark.sql.functions.udf((id: Long) =>

@@ -327,13 +327,30 @@ object StreamingSimilarity {
           // cases are distinguishable because epoch ids are never
           // reused and corpus ids are unique: in (a) the index holds
           // NONE of the epoch's ids, in (b) ALL of them — one
-          // left-semi probe of the index's id column (narrow, and
-          // only on the rare corpus-replay path) decides.
+          // anti-join count over the index's id column (narrow, and
+          // only on the rare corpus-replay path) decides. A PARTIAL
+          // overlap fits neither protocol state (an index built from
+          // a snapshot missing some of the epoch's rows): appending
+          // would double-serve the held rows, skipping would drop the
+          // missing ones — refuse loudly, per the ledger-loss valve's
+          // refuse-over-guess discipline.
           val needsIndexAppend = applied || {
             val dataRoot = Similarity.ivfDataRoot(spark, idx)
-            spark.read.parquet(dataRoot).select(col(idCol))
-              .join(novel.select(col(idCol)), Seq(idCol), "left_semi")
-              .isEmpty
+            val novelIds = novel.select(col(idCol)).distinct()
+            val total = novelIds.count()
+            val missing = novelIds.join(
+              spark.read.parquet(dataRoot).select(col(idCol)),
+              Seq(idCol), "left_anti").count()
+            require(missing == 0L || missing == total,
+              s"epoch $epochId holds $total distinct ids but the PQ " +
+                s"index at $idx already contains ${total - missing} of " +
+                "them — a partial overlap matches neither the " +
+                "crash-retry (none present) nor the adoption (all " +
+                "present) protocol state; the index was likely built " +
+                "from a snapshot missing part of this epoch. Rebuild " +
+                "it from the layout's current generation (rotatePq/" +
+                "writePqIndex over the corpus layout), then retry")
+            missing == total
           }
           if (needsIndexAppend) Pq.appendPqEpoch(novel, idx, epochId, idCol)
           else if (!Pq.pqEpochApplied(spark, idx, epochId))

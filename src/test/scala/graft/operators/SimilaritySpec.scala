@@ -1022,6 +1022,16 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.writeIvfPartitioned(emb, led)
     }
     assert(e2.getMessage.contains("_epochs ledger"), e2.getMessage)
+    // a PQ INDEX (both sidecars) is a different artifact — the
+    // converse of writePqIndex's IVF-corpus refusal: swapped paths
+    // must not replace 8-byte codes with corpus vectors
+    val pqIdx = java.nio.file.Files.createTempDirectory("graft-ivfg5")
+      .toString
+    Pq.writePqIndex(emb, pqIdx)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.writeIvfPartitioned(emb, pqIdx)
+    }
+    assert(e3.getMessage.contains("PQ index"), e3.getMessage)
     // a NEVER-appended layout rebuilds in place (the supported refresh)
     val ok = java.nio.file.Files.createTempDirectory("graft-ivfg3").toString
     Similarity.writeIvfPartitioned(emb, ok)

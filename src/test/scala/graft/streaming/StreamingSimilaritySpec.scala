@@ -557,5 +557,25 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     val brute = Similarity.bruteForceKnn(all, Seq(0L), k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(probe.toSeq == brute.toSeq)
+    // a PARTIAL overlap — an index built from a snapshot missing part
+    // of a layout-ledgered epoch — fits neither protocol state:
+    // appending double-serves the held rows, skipping drops the
+    // missing ones, so the apply must refuse loudly
+    val novel3 = Seq(300L, 301L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.appendIvfEpoch(novel3, path, "e3"))
+    StreamingDedup.spoolBatch(novel3, s"$spoolRoot/e3", batchId = 0L)
+    val idx2 = s"$root/pq2"
+    Pq.writePqIndex(
+      all.unionByName(Seq((300L, vec(300L))).toDF("vec_id", "embedding")),
+      idx2, m = 2, k = 8, centroidK = 2)
+    val e = intercept[IllegalArgumentException] {
+      StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e3",
+        path, "vec_id", Some(idx2))
+    }
+    assert(e.getMessage.contains("partial overlap"), e.getMessage)
+    // and the refusal left the spool in place for the retry after the
+    // operator rebuilds the index
+    assert(StreamingDedup.readSpool(spark, s"$spoolRoot/e3").isDefined)
   }
 }
