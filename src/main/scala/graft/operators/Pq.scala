@@ -255,12 +255,16 @@ object Pq {
         "let a replayed epoch id double-append; re-train with rotatePq")
     // the catch-all (shared definition — see
     // [[Similarity.refusePlainDatasetOverwrite]]): a directory with
-    // VISIBLE entries that is NEITHER a PQ index (_meta, checked
-    // here) NOR a torn PQ build (centroid_id= dirs, crash before the
-    // sidecars landed) is someone else's data — most dangerously the
-    // raw corpus itself on a typo'd path — and the static overwrite
-    // below would replace it with 8-byte codes, unrecoverable.
-    if (!existsAt("_meta"))
+    // VISIBLE entries that is NEITHER a PQ index (BOTH sidecars —
+    // `_meta` alone also marks the dedup-history/MinHash layouts,
+    // which a bare-_meta gate would have let the overwrite destroy;
+    // a real PQ build writes _centroids before _meta, so a torn build
+    // never has _meta without _centroids) NOR a torn PQ build
+    // (centroid_id= dirs, crash before the sidecars landed) is
+    // someone else's data — most dangerously the raw corpus itself on
+    // a typo'd path — and the static overwrite below would replace it
+    // with 8-byte codes, unrecoverable.
+    if (!(existsAt("_meta") && existsAt("_centroids")))
       Similarity.refusePlainDatasetOverwrite(fs, path, "writePqIndex")
     buildPqInto(emb, path, m, k, centroidK, idCol, filesPerPartition,
       trainIters)
@@ -626,6 +630,29 @@ object Pq {
       indexPath: String,
       epochId: String): Boolean =
     EpochLedger.applied(spark, indexPath, epochId)
+
+  /** Record `epochId` on the index's OWN ledger WITHOUT appending any
+    * rows — the ADOPTION case of
+    * [[graft.streaming.StreamingSimilarity.applySpooledEpoch]]: the
+    * epoch's rows are already encoded inside the index because it was
+    * built from a corpus state that contained them, so the ledger must
+    * say "applied" (the same way [[rotatePq]] keeps prior epoch ids
+    * ledgered across a rebuild). Without the entry the on-disk state is
+    * indistinguishable from a crash between the corpus append and the
+    * index append, and a runbook-following operator would hand-run
+    * [[appendPqEpoch]] and double-serve every one of the epoch's rows;
+    * with it, that replay is a ledger hit (returns false, appends
+    * nothing). Kind-tagged "epoch" to match [[appendPqEpoch]]'s own
+    * entries, so the cross-protocol collision check keeps working.
+    */
+  private[graft] def adoptPqEpoch(
+      spark: SparkSession,
+      indexPath: String,
+      epochId: String): Unit = {
+    EpochLedger.requireEpochId(epochId)
+    EpochLedger.writeLedgerEntry(Dedup.fsFor(spark, indexPath), indexPath,
+      epochId, "epoch")
+  }
 
   /** Re-train and rebuild the PQ index at `indexPath` IN PLACE as one
     * crash-safe, READER-ATOMIC generation publish — the

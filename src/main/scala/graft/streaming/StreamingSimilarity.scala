@@ -346,17 +346,27 @@ object StreamingSimilarity {
                 s"index at $idx already contains ${total - missing} of " +
                 "them — a partial overlap matches neither the " +
                 "crash-retry (none present) nor the adoption (all " +
-                "present) protocol state; the index was likely built " +
-                "from a snapshot missing part of this epoch. Rebuild " +
-                "it from the layout's current generation (rotatePq/" +
-                "writePqIndex over the corpus layout), then retry")
+                "present) protocol state. Either the index was built " +
+                "from a snapshot missing part of this epoch (rebuild " +
+                "it from the layout's current generation — rotatePq/" +
+                "writePqIndex over the corpus layout — then retry), or " +
+                "the epoch carries ids that already existed in the " +
+                "corpus, violating the spool's novel-rows contract " +
+                "(those ids double-serve in the corpus layout itself; " +
+                "fix the upstream novelty filter)")
             missing == total
           }
           if (needsIndexAppend) Pq.appendPqEpoch(novel, idx, epochId, idCol)
-          else if (!Pq.pqEpochApplied(spark, idx, epochId))
+          else if (!Pq.pqEpochApplied(spark, idx, epochId)) {
+            // adoption: ledger the epoch on the index WITHOUT appending
+            // — otherwise this state is indistinguishable from a crash
+            // between the two appends, and a runbook-following operator
+            // would hand-run appendPqEpoch and double-serve every row
+            Pq.adoptPqEpoch(spark, idx, epochId)
             log.info(s"epoch $epochId already inside $idx (index built " +
-              "after the epoch landed in the layout) — skipping the " +
-              "index append on this corpus-replay retry")
+              "after the epoch landed in the layout) — ledgered as " +
+              "adopted without an append on this corpus-replay retry")
+          }
         }
         StreamingDedup.clearSpool(spark, sp)
         applied

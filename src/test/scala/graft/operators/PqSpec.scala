@@ -352,6 +352,21 @@ class PqSpec extends AnyFunSuite {
     Pq.writePqIndex(emb, empty)
     assert(rows(Pq.pqKnn(spark, empty, emb, Seq(0L), k = 3,
       nprobe = 2, rerank = 8)).nonEmpty)
+    // a `_meta`-carrying NON-PQ layout (the MinHash index and the
+    // bucketed dedup history also use a `_meta` geometry sidecar) must
+    // fall through to the catch-all, not be mistaken for a rebuildable
+    // PQ index — the PQ gate keys on BOTH sidecars because a real PQ
+    // build writes _centroids before _meta
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mh = java.nio.file.Files.createTempDirectory("graft-pqg4").toString
+    Dedup.writeMinhashIndex(docs, mh)
+    val mhRows = spark.read.parquet(mh).count()
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.writePqIndex(emb, mh)
+    }
+    assert(e2.getMessage.contains("plain dataset"), e2.getMessage)
+    assert(spark.read.parquet(mh).count() == mhRows,
+      "the refused overwrite must leave the minhash index intact")
     // the EARLIER tear: a first build that died DURING the partitioned
     // write leaves only the committer's hidden _temporary residue —
     // no visible data, so the retry must build, not demand a manual rm

@@ -537,6 +537,14 @@ class StreamingSimilaritySpec extends AnyFunSuite {
       path, "vec_id", Some(idx)))
     assert(spark.read.parquet(Similarity.ivfDataRoot(spark, idx))
       .count() == before)
+    // and the adoption is LEDGERED on the index — without the entry the
+    // on-disk state looks exactly like a crash between the two appends,
+    // so a runbook-following operator's hand-run appendPqEpoch would
+    // double-serve e1's rows; with it, that replay is a no-op
+    assert(Pq.pqEpochApplied(spark, idx, "e1"))
+    assert(!Pq.appendPqEpoch(novel1, idx, "e1"))
+    assert(spark.read.parquet(Similarity.ivfDataRoot(spark, idx))
+      .count() == before)
     val n1 = corpusSoFar.count().toInt
     assert(Pq.pqKnn(spark, idx, corpusSoFar, Seq(100L), k = 3,
         nprobe = 2, rerank = n1).count() == 3)
