@@ -487,7 +487,8 @@ object Main {
           filesPerPartition =
             flag("--files-per-partition").map(_.toInt).getOrElse(1),
           deferRetire = flags.contains("--defer-retire"),
-          trainIters = flag("--train-iters").map(_.toInt).getOrElse(0))
+          trainIters = flag("--train-iters").map(_.toInt).getOrElse(0),
+          residual = flags.contains("--residual"))
         s"applied=$applied"
       case "compact-partitions" =>
         val n = Pq.compactPqPartitions(spark, index, id("compactionId"),
@@ -515,6 +516,10 @@ object Main {
             codebookK = flag("--codebook-k").map(_.toInt),
             centroidK = flag("--k").map(_.toInt),
             trainIters = flag("--train-iters").map(_.toInt),
+            // value-taking (not bare) ON PURPOSE: the bare form could
+            // only ever turn residual ON, but the migration knob must
+            // express both directions (and absent = inherit)
+            residual = flag("--residual").map(_.toBoolean),
             deferRetire = flags.contains("--defer-retire"),
             queryVectors = recallQueries,
             purgeRetiredOlderThanMs =

@@ -35,6 +35,18 @@ import graft.functions.{PqAdc, PqEncode, PqLut}
   * recall-spec'd, inherited through maintenance rotations) for
   * production deployments where the recall knobs (`nprobe`, `rerank`)
   * shouldn't carry the whole quantization-error budget alone.
+  * `residual = true` is the other quality knob on the same budget
+  * (classic IVFADC): the codes quantize `vec - coarse_centroid`
+  * instead of the raw vector — residuals are smaller in magnitude, so
+  * the same m*k codewords cover a tighter cloud and the ADC shortlist
+  * ranks closer to exact. The probe recovers exactness of the coarse
+  * part by adding the per-(query, probed-centroid) `dot(q, c)` term
+  * back (dot(q, v) = dot(q, c) + dot(q, v - c)): the LUT stays
+  * per-QUERY (it approximates dot(q, v - c) against the residual
+  * codebook), the correction is one full-dim dot per probe ROW — on
+  * the tiny routing side, never per candidate. Both knobs compose;
+  * both are stored in `_meta`, inherited by appends/rotations, and
+  * hash-verified (q76 pins the residual arc end-to-end).
   *
   * Probe = the q68 two-stage shape ([[Similarity.ivfKnnQuantized]]):
   * route queries against the sidecar, scan ONLY the probed partitions'
@@ -66,7 +78,7 @@ object Pq {
   val DefaultK: Int = 16
 
   final case class PqMeta(m: Int, k: Int, dim: Int, codebook: Array[Double],
-      trainIters: Int = 0)
+      trainIters: Int = 0, residual: Boolean = false)
 
   /** The deterministic flat codebook AND the coarse-centroid frame,
     * from ONE corpus pass: both samples are prefixes of the same
@@ -84,7 +96,7 @@ object Pq {
     */
   private def codebookAndCentroids(
       all: DataFrame, k: Int, centroidK: Int, idCol: String)
-      : (Array[Double], DataFrame) = {
+      : (Array[Double], DataFrame, Seq[Long]) = {
     val p = graft.functions.TextHash.P
     val lim = math.max(k, centroidK)
     val rows = all
@@ -129,7 +141,10 @@ object Pq {
     val cents = sorted.take(centroidK).toIndexedSeq
       .map(r => (r.getLong(0), r.getSeq[Double](2), r.getDouble(3)))
       .toDF("centroid_id", "cvec", "cnrm")
-    (flat, cents)
+    // the sample ids in CODEWORD order — the residual build re-reads
+    // these rows' residuals as its codebook init (same rows, same
+    // order, post-assignment)
+    (flat, cents, sorted.take(k).map(_.getLong(0)).toSeq)
   }
 
   /** Per-subspace Lloyd refinement of the sampled codebook — the
@@ -222,7 +237,8 @@ object Pq {
       centroidK: Int = Similarity.DefaultCentroidK,
       idCol: String = "vec_id",
       filesPerPartition: Int = 1,
-      trainIters: Int = 0): Unit = {
+      trainIters: Int = 0,
+      residual: Boolean = false): Unit = {
     val spark = emb.sparkSession
     val fs = Dedup.fsFor(spark, path)
     def existsAt(sub: String) =
@@ -267,7 +283,7 @@ object Pq {
     if (!(existsAt("_meta") && existsAt("_centroids")))
       Similarity.refusePlainDatasetOverwrite(fs, path, "writePqIndex")
     buildPqInto(emb, path, m, k, centroidK, idCol, filesPerPartition,
-      trainIters)
+      trainIters, residual)
   }
 
   /** The build itself — encode + settled partitioned write + sidecars
@@ -284,27 +300,70 @@ object Pq {
       centroidK: Int,
       idCol: String,
       filesPerPartition: Int,
-      trainIters: Int = 0): Unit = {
+      trainIters: Int = 0,
+      residual: Boolean = false): Unit = {
     require(filesPerPartition >= 1,
       s"filesPerPartition must be >= 1, got $filesPerPartition")
     require(trainIters >= 0,
       s"trainIters must be >= 0, got $trainIters")
     val spark = emb.sparkSession
     val all = Similarity.asDouble(emb, idCol = idCol)
-    val (sampled, centroids) = codebookAndCentroids(all, k, centroidK, idCol)
+    val (sampled, centroids, sampleIds) =
+      codebookAndCentroids(all, k, centroidK, idCol)
     val dim = sampled.length / k
     require(dim % m == 0,
       s"pq: dim=$dim not divisible into m=$m subspaces — pick m | dim")
+    val assigned = Similarity.rankCentroids(all, centroids, 1, idCol)
+    // residual mode (classic IVFADC, Jegou et al.): quantize
+    // `vec - coarse_centroid` instead of the raw vector — residuals
+    // are smaller in magnitude than the vectors themselves, so the
+    // same m*k code budget spends its codewords on a tighter cloud
+    // and the ADC shortlist ranks closer to the exact order. The
+    // probe adds the exact per-(query, probed-centroid) term
+    // `dot(q, c)` back (dot(q, v) = dot(q, c) + dot(q, v - c)), so
+    // the LUT machinery is unchanged. The coarse ROUTING geometry is
+    // identical either way — only what the codes encode changes.
+    val enc =
+      if (!residual) assigned.withColumn("encv", col("vec"))
+      else assigned
+        .join(broadcast(centroids.select(col("centroid_id"), col("cvec"))),
+          Seq("centroid_id"))
+        .withColumn("encv",
+          zip_with(col("vec"), col("cvec"), (a, b) => a - b))
+    // residual codebook init: the SAME deterministic sample rows, but
+    // their residuals (each vs its own assigned centroid) — re-read
+    // post-assignment so the subtraction is the one the encode pass
+    // computes (and the one a SQL oracle re-derives)
+    val init =
+      if (!residual) sampled
+      else {
+        val byId = enc
+          .filter(col(idCol).cast("long").isInCollection(sampleIds))
+          .select(col(idCol).cast("long").as("sid"), col("encv"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        val flatR = new Array[Double](k * dim)
+        var c = 0
+        while (c < k) {
+          val v = byId(sampleIds(c))
+          var i = 0
+          while (i < dim) { flatR(c * dim + i) = v(i); i += 1 }
+          c += 1
+        }
+        flatR
+      }
     // the coarse ROUTING stays the deterministic sample either way:
     // training refines only the product codebook (ADC quality); the
     // partition geometry is the probes' oracle-proven contract
     val flat =
-      if (trainIters == 0) sampled
-      else trainCodebook(all, sampled, m, k, trainIters)
+      if (trainIters == 0) init
+      else trainCodebook(
+        if (residual) enc.select(col("encv").as("vec")) else all,
+        init, m, k, trainIters)
     val cbLit = typedLit(flat.toSeq)
-    val rows = Similarity.rankCentroids(all, centroids, 1, idCol)
+    val rows = enc
       .select(col(idCol),
-        PqEncode(col("vec"), cbLit, m, k).as("pq"),
+        PqEncode(col("encv"), cbLit, m, k).as("pq"),
         col("nrm"),
         concat(lit("c"), col("centroid_id")).as("centroid_id"))
     (if (filesPerPartition <= 1) rows.repartition(col("centroid_id"))
@@ -321,8 +380,8 @@ object Pq {
         col("cvec"), col("cnrm"))
       .write.mode("overwrite").parquet(s"$path/_centroids")
     import spark.implicits._
-    Seq((m, k, dim, flat.toSeq, trainIters))
-      .toDF("m", "k", "dim", "codebook", "train_iters")
+    Seq((m, k, dim, flat.toSeq, trainIters, residual))
+      .toDF("m", "k", "dim", "codebook", "train_iters", "residual")
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
@@ -348,7 +407,11 @@ object Pq {
       // sampled-codebook by definition
       trainIters =
         if (df.columns.contains("train_iters")) r.getAs[Int]("train_iters")
-        else 0)
+        else 0,
+      // pre-residual sidecars encoded raw vectors by definition
+      residual =
+        if (df.columns.contains("residual")) r.getAs[Boolean]("residual")
+        else false)
   }
 
   /** ANN top-k for STORED query ids over a [[writePqIndex]] index +
@@ -387,7 +450,8 @@ object Pq {
       .select(col(idCol).as("query_id"), col("vec").as("vec_q"),
         col("nrm").as("nrm_q"))
     val probes = Similarity.rankRoutes(spark, dataRoot, queries, nprobe,
-      Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
+      Seq("query_id", "centroid_id", "vec_q", "nrm_q") ++
+        (if (meta.residual) Seq("cvec") else Nil))
     pqTopK(spark, dataRoot, all, probes, meta, k, rerankM, idCol,
       excludeSelf = true, collectShortlist = collectShortlist,
       shortlistBloomFpp = shortlistBloomFpp)
@@ -423,7 +487,8 @@ object Pq {
       .select(col(queryIdCol).as("query_id"), col("vec").as("vec_q"),
         col("nrm").as("nrm_q"))
     val probes = Similarity.rankRoutes(spark, dataRoot, q, nprobe,
-      Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
+      Seq("query_id", "centroid_id", "vec_q", "nrm_q") ++
+        (if (meta.residual) Seq("cvec") else Nil))
     pqTopK(spark, dataRoot, all, probes, meta, k, rerankM, idCol,
       excludeSelf = false, collectShortlist = collectShortlist,
       shortlistBloomFpp = shortlistBloomFpp)
@@ -453,20 +518,34 @@ object Pq {
     val qluts = probes.select("query_id", "vec_q", "nrm_q").distinct()
       .withColumn("lut", PqLut(col("vec_q"), cbLit, meta.m, meta.k))
       .select("query_id", "lut", "nrm_q")
-    val probesLut = probes.select("query_id", "centroid_id")
+    // residual indexes: the codes encode `v - c`, so ADC approximates
+    // dot(q, v - c) and the probe adds the EXACT per-(query, probed
+    // centroid) term dot(q, c) back — computed here on the tiny probe
+    // side (one full-dim dot per probe row) before vec_q is dropped,
+    // and it rides the same join the LUT does
+    val probesKeyed =
+      if (meta.residual)
+        probes.select(col("query_id"), col("centroid_id"),
+          graft.functions.DotProduct(col("vec_q"), col("cvec")).as("qc"))
+      else probes.select(col("query_id"), col("centroid_id"))
+    val probesLut = probesKeyed
       .join(qluts, Seq("query_id"))
-      .select("query_id", "centroid_id", "lut", "nrm_q")
+      .select(Seq(col("query_id"), col("centroid_id"), col("lut"),
+        col("nrm_q")) ++
+        (if (meta.residual) Seq(col("qc")) else Nil): _*)
     val cand = index
       .filter(col("centroid_id").isInCollection(probed)) // partition prune
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
         col("pq"), col("nrm").as("nrm_n"))
       .join(if (broadcastProbes) broadcast(probesLut) else probesLut,
         Seq("centroid_id"))
+    val adc = PqAdc(col("pq"), col("lut"), meta.k)
     (if (excludeSelf) cand.filter(col("neighbor_id") =!= col("query_id"))
      else cand)
       .withColumn("qsim",
-        round(PqAdc(col("pq"), col("lut"), meta.k) /
-          (col("nrm_q") * col("nrm_n")), 6))
+        if (meta.residual)
+          round((col("qc") + adc) / (col("nrm_q") * col("nrm_n")), 6)
+        else round(adc / (col("nrm_q") * col("nrm_n")), 6))
   }
 
   /** Shared two-stage scoring behind [[pqKnn]]/[[pqKnnWith]] — the
@@ -599,9 +678,20 @@ object Pq {
         col("cvec"), col("cnrm"))
     val all = Similarity.asDouble(novel, idCol = idCol)
     val cbLit = typedLit(meta.codebook.toSeq)
-    Similarity.rankCentroids(all, cent, 1, idCol)
-      .select(col(idCol),
-        PqEncode(col("vec"), cbLit, meta.m, meta.k).as("pq"),
+    val ranked = Similarity.rankCentroids(all, cent, 1, idCol)
+    // a residual index's appends must encode the SAME quantity the
+    // build did — the row's residual vs its assigned centroid (from
+    // the sidecar, the stored geometry), never the raw vector: a raw
+    // encode would score garbage under the generation's residual LUT
+    val enc =
+      if (!meta.residual) ranked.withColumn("encv", col("vec"))
+      else ranked
+        .join(broadcast(cent.select(col("centroid_id"), col("cvec"))),
+          Seq("centroid_id"))
+        .withColumn("encv",
+          zip_with(col("vec"), col("cvec"), (a, b) => a - b))
+    enc.select(col(idCol),
+        PqEncode(col("encv"), cbLit, meta.m, meta.k).as("pq"),
         col("nrm"),
         concat(lit("c"), col("centroid_id")).as("centroid_id"))
   }
@@ -686,9 +776,11 @@ object Pq {
       idCol: String = "vec_id",
       filesPerPartition: Int = 1,
       deferRetire: Boolean = false,
-      trainIters: Int = 0): Boolean =
+      trainIters: Int = 0,
+      residual: Boolean = false): Boolean =
     rotatePqStaged(spark, indexPath, rotationId, emb, m, k, centroidK,
-      idCol, filesPerPartition, deferRetire, _ => (), trainIters)
+      idCol, filesPerPartition, deferRetire, _ => (), trainIters,
+      residual)
 
   /** [[rotatePq]] with the crash-injection hook exposed for specs —
     * [[Similarity.stageGeneration]]'s failpoints ("staged",
@@ -707,11 +799,12 @@ object Pq {
       filesPerPartition: Int,
       deferRetire: Boolean,
       failpoint: String => Unit,
-      trainIters: Int = 0): Boolean =
+      trainIters: Int = 0,
+      residual: Boolean = false): Boolean =
     Similarity.stageGeneration(spark, indexPath, rotationId, "pq-rotate",
       failpoint, deferRetire) { (_, stageData) =>
       buildPqInto(emb, stageData, m, k, centroidK, idCol,
-        filesPerPartition, trainIters)
+        filesPerPartition, trainIters, residual)
     }
 
   /** Partition-scoped compaction of append fragmentation: rewrite ONLY
@@ -900,8 +993,8 @@ object Pq {
 
   /** [[pqMaintain]]'s thresholds as one value — field meanings are its
     * parameters of the same names ([[Similarity.IvfMaintainPolicy]]'s
-    * shape with the PQ training knobs `m`/`codebookK`/`trainIters` in
-    * place of `sampleFrac`). The training knobs are `Option`s
+    * shape with the PQ training knobs `m`/`codebookK`/`trainIters`/
+    * `residual` in place of `sampleFrac`). The training knobs are `Option`s
     * defaulting to INHERIT: a rotate arm firing from a cron'd default
     * policy must keep the index's own stored geometry (`_meta`'s
     * m/k/train_iters, the sidecar's centroid count), not silently
@@ -924,6 +1017,7 @@ object Pq {
       codebookK: Option[Int] = None,
       centroidK: Option[Int] = None,
       trainIters: Option[Int] = None,
+      residual: Option[Boolean] = None,
       deferRetire: Boolean = false,
       queryVectors: Option[DataFrame] = None,
       purgeRetiredOlderThanMs: Option[Long] = None,
@@ -1014,13 +1108,19 @@ object Pq {
     // reproduce the trained codebook (deterministic — see
     // trainCodebook), not silently revert it to the sample
     lazy val trainItersEff: Int = trainIters.getOrElse(storedMeta.trainIters)
+    // residual inherits like the rest of the geometry: a cron'd
+    // default policy rotating a residual deployment must keep encoding
+    // residuals, not silently revert every code byte to raw-vector
+    // quantization
+    lazy val residualEff: Boolean = residual.getOrElse(storedMeta.residual)
     lazy val queryDigest: String =
       RecallBreaker.queryWorkloadDigest(queryVectors)
     def trainingConfig: Seq[(String, () => String)] = Seq(
       "m" -> (() => mEff.toString),
       "codebookK" -> (() => codebookKEff.toString),
       "centroidK" -> (() => centroidKEff.toString),
-      "trainIters" -> (() => trainItersEff.toString))
+      "trainIters" -> (() => trainItersEff.toString),
+      "residual" -> (() => residualEff.toString))
     def breakerConfig: Seq[(String, () => String)] = Seq(
       "floor" -> (() => recallFloor.get.toString),
       "k" -> (() => k.toString),
@@ -1036,10 +1136,11 @@ object Pq {
     def skewBreakerConfig: Seq[(String, () => String)] =
       Seq("skewThreshold" -> (() => skewThreshold.toString)) ++
         trainingConfig
-    // manifests armed before the trainIters knob existed lack its key:
-    // treat absent as the 0 those builds ran with, so deployed fences
-    // survive the upgrade (and re-arm the moment the knob is set)
-    val legacy = Map("trainIters" -> "0")
+    // manifests armed before the trainIters/residual knobs existed
+    // lack their keys: treat absent as the values those builds ran
+    // with, so deployed fences survive the upgrade (and re-arm the
+    // moment a knob is set)
+    val legacy = Map("trainIters" -> "0", "residual" -> "false")
     val armedSkew: Option[String] =
       if (skewHit)
         RecallBreaker.armed(fsys, indexPath, skewBreakerConfig,
@@ -1087,7 +1188,8 @@ object Pq {
         idCol = idCol,
         filesPerPartition = filesPerPartition,
         deferRetire = deferRetire,
-        trainIters = trainItersEff)
+        trainIters = trainItersEff,
+        residual = residualEff)
       actions += s"rotate(${reason.mkString(", ")})" +
         (if (applied) "" else " [already applied]")
       if (skewHit) {

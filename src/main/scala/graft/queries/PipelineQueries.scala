@@ -1348,6 +1348,127 @@ object PipelineQueries {
     },
     Some(pqProbeOracle("ea")))
 
+  /** The RESIDUAL-encoded PQ index (classic IVFADC) under hash
+    * verification — q73's lifecycle shape (build over the even-id
+    * half, odd half as a ledgered stored-geometry append, tight
+    * rerank-8 probe) with `residual = true`: the codes quantize
+    * `vec - coarse_centroid` and the probe adds the exact
+    * `dot(q, c)` term back per (query, probed centroid). One row
+    * pins the whole residual arc — the residual CODEBOOK (the same
+    * deterministic sample rows, but their residuals vs their own
+    * assigned centroids), the residual encoding of both the built
+    * and the APPENDED half (an append that encoded raw vectors, or
+    * subtracted the wrong centroid, scores garbage under the
+    * generation's LUT and breaks the shortlist hashes), the
+    * per-probe-row correction term, and the unchanged exact rerank.
+    * The oracle re-derives the subtraction, the residual argmin
+    * encode, and the corrected ADC fold verbatim in SQL.
+    */
+  private val qPqResidualProbe = QueryDef(
+    "q76_pq_residual_probe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val root = scratchDir("graft-q76")
+      val path = s"$root/pq"
+      graft.operators.Pq.writePqIndex(
+        e.filter(col("vec_id") % 2 === 0), path, residual = true)
+      graft.operators.Pq.appendPqEpoch(
+        e.filter(col("vec_id") % 2 =!= 0), path, epochId = "epoch1")
+      graft.operators.Pq.pqKnn(s, path, e, knnQueryIds, k = 5,
+          nprobe = 2, rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH ${DuckSql.embCte},
+         |ea AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, vec AS cvec FROM ea
+         |  ORDER BY ((vec_id % ${DuckSql.P}) * 2654435761) % ${DuckSql.P},
+         |           vec_id
+         |  LIMIT ${graft.operators.Similarity.DefaultCentroidK}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, cvec FROM (
+         |    SELECT v.vec_id, c.centroid_id, c.cvec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c)
+         |  WHERE crank = 1),
+         |rv AS (
+         |  SELECT a.vec_id, a.centroid_id,
+         |         list_transform(range(0, 64), i ->
+         |           v.vec[i + 1] - a.cvec[i + 1]) AS res
+         |  FROM assigned a JOIN e v ON v.vec_id = a.vec_id),
+         |cb AS (
+         |  SELECT s.c, r.res AS cbv FROM (
+         |    SELECT vec_id, row_number() OVER (
+         |      ORDER BY ((vec_id % ${DuckSql.P}) * 2654435761) % ${DuckSql.P},
+         |               vec_id) AS c
+         |    FROM ea) s
+         |  JOIN rv r ON r.vec_id = s.vec_id
+         |  WHERE s.c <= 16),
+         |js AS (SELECT unnest(range(0, 8)) AS j),
+         |enc AS (
+         |  SELECT vec_id, j, cbv FROM (
+         |    SELECT v.vec_id, js.j, b.cbv,
+         |           row_number() OVER (PARTITION BY v.vec_id, js.j ORDER BY
+         |             list_reduce(list_transform(range(0, 8), i ->
+         |               (v.res[js.j*8 + i + 1] - b.cbv[js.j*8 + i + 1])
+         |               * (v.res[js.j*8 + i + 1] - b.cbv[js.j*8 + i + 1])),
+         |               (a, b2) -> a + b2) ASC, b.c ASC) AS r
+         |    FROM rv v, js, cb b)
+         |  WHERE r = 1),
+         |rec AS (
+         |  SELECT vec_id, list(cbv ORDER BY j) AS cws FROM enc
+         |  GROUP BY vec_id),
+         |nrmt AS (
+         |  SELECT vec_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+         |qp AS (
+         |  SELECT vec_id AS query_id, centroid_id, cvec FROM (
+         |    SELECT v.vec_id, c.centroid_id, c.cvec,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${DuckSql.cosine("v.vec", "c.cvec")} DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM e v, cent c
+         |    WHERE v.vec_id < 8)
+         |  WHERE crank <= 2),
+         |cand AS (
+         |  SELECT qp.query_id, n.vec_id AS neighbor_id,
+         |         round((list_dot_product(q.vec, qp.cvec)
+         |                + list_reduce(list_transform(range(0, 8), j ->
+         |                    list_dot_product(
+         |                      list_slice(q.vec, j*8 + 1, j*8 + 8),
+         |                      list_slice(r.cws[j + 1], j*8 + 1, j*8 + 8))),
+         |                    (a, b2) -> a + b2))
+         |               / (qn.nrm * nn.nrm), 6) AS qsim
+         |  FROM assigned n
+         |  JOIN qp ON n.centroid_id = qp.centroid_id
+         |  JOIN e q ON q.vec_id = qp.query_id
+         |  JOIN rec r ON r.vec_id = n.vec_id
+         |  JOIN nrmt qn ON qn.vec_id = qp.query_id
+         |  JOIN nrmt nn ON nn.vec_id = n.vec_id
+         |  WHERE n.vec_id <> qp.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY qsim DESC, neighbor_id) AS qrank
+         |    FROM cand)
+         |  WHERE qrank <= 8),
+         |scored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |         round(${DuckSql.cosine("a.vec", "b.vec")}, 6) AS sim
+         |  FROM short sh
+         |  JOIN e a ON a.vec_id = sh.query_id
+         |  JOIN e b ON b.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin))
+
   /** Partition-scoped compaction under hash verification — q60's
     * counterpart for [[Similarity.compactIvfPartitions]]: the q59
     * layout shape (even-half centroids, odd-half ledgered epoch —
@@ -1655,6 +1776,59 @@ object PipelineQueries {
             skewThreshold = Double.MaxValue, ledgerTailMax = 1))
         require(m.actions.exists(_.startsWith("compact-partitions(")),
           s"q73_probe_only expects the policy to compact, got ${m.actions}")
+        ()
+      }
+      graft.operators.Pq.pqKnn(s, idx, emb(s, dir), knnQueryIds, k = 5,
+          nprobe = 2, rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    // the STREAMED index's serving cost: q75's twin over a memoized
+    // copy of its spool → boundary-apply → maintain arc — the claim
+    // the twin keeps true is that an index fed by the streaming path
+    // probes at the same cost as one fed by manual appends (q73's
+    // twin), i.e. the spool machinery leaves no probe-visible residue
+    "q75_probe_only" -> { (s, dir) =>
+      val idx = memoLayout("q75pq", dir) { p =>
+        val e = emb(s, dir)
+        val root = new java.io.File(p).getParent
+        val layout = s"$root/ivfsrc"
+        val spool = s"$root/spool"
+        val build = e.filter(col("vec_id") % 2 === 0)
+        Similarity.writeIvfPartitioned(build, layout)
+        graft.operators.Pq.writePqIndex(build, p)
+        graft.streaming.StreamingDedup.spoolBatch(
+          e.filter(col("vec_id") % 4 === 1), s"$spool/epoch1", batchId = 0L)
+        graft.streaming.StreamingDedup.spoolBatch(
+          e.filter(col("vec_id") % 4 === 3), s"$spool/epoch1", batchId = 1L)
+        require(graft.streaming.StreamingSimilarity.applySpooledEpoch(
+            s, spool, "epoch1", layout, "vec_id", Some(p)),
+          "q75_probe_only expects the spooled epoch to apply NOW")
+        val m = graft.operators.Pq.pqMaintain(s, p, "m1", e,
+          graft.operators.Pq.PqMaintainPolicy(maxFilesPerPartition = 1,
+            skewThreshold = Double.MaxValue, ledgerTailMax = 1))
+        require(m.actions.exists(_.startsWith("compact-partitions(")),
+          s"q75_probe_only expects the policy to compact, got ${m.actions}")
+        ()
+      }
+      graft.operators.Pq.pqKnn(s, idx, emb(s, dir), knnQueryIds, k = 5,
+          nprobe = 2, rerank = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    // the RESIDUAL index's serving cost next to q72's raw twin at the
+    // same knobs: the candidate scan is the identical ~24 B/row codes
+    // width; the residual delta is one extra full-dim dot per probe
+    // ROW (|queries|·nprobe of them) — this row keeps that claim
+    // honest (a residual probe that paid per CANDIDATE would show up
+    // here as a q72 regression)
+    "q76_probe_only" -> { (s, dir) =>
+      val idx = memoLayout("q76pq", dir) { p =>
+        val e = emb(s, dir)
+        graft.operators.Pq.writePqIndex(
+          e.filter(col("vec_id") % 2 === 0), p, residual = true)
+        graft.operators.Pq.appendPqEpoch(
+          e.filter(col("vec_id") % 2 =!= 0), p, epochId = "epoch1")
         ()
       }
       graft.operators.Pq.pqKnn(s, idx, emb(s, dir), knnQueryIds, k = 5,
@@ -2573,7 +2747,7 @@ object PipelineQueries {
     qIvfProbePrebuilt, qIvfPCompactedProbe, qIvfMaintainedProbe,
     qIvfServingProbe, qKnnBruteExternal, qIvfSq8Probe, qIvfSq8ServingProbe,
     qIvfSq8DistributedRerank, qIvfPqProbe, qPqMaintainedProbe,
-    qPqServingProbe, qPqStreamedProbe,
+    qPqServingProbe, qPqStreamedProbe, qPqResidualProbe,
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qPerplexity, qPerplexityBigram,

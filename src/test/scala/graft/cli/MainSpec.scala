@@ -280,6 +280,15 @@ class MainSpec extends AnyFunSuite {
       List("--emb", embPath, "--m", "4", "--codebook-k", "8", "--k", "2",
         "--defer-retire")) == "applied=true")
     assert(run("health").contains("generation=_gen-"))
+    // residual migration through the CLI: rotate is an explicit
+    // re-train, so the bare flag flips the stored encoding — and the
+    // listing/maintenance commands below all run over the residual
+    // generation
+    assert(!graft.operators.Pq.readPqMeta(spark, index).residual)
+    assert(run("rotate", Some("r2"),
+      List("--emb", embPath, "--m", "4", "--codebook-k", "8", "--k", "2",
+        "--residual")) == "applied=true")
+    assert(graft.operators.Pq.readPqMeta(spark, index).residual)
     val swept = run("retire-superseded", Some("sweep1"))
     assert(swept.startsWith("retired="), swept)
     assert(run("purge-retired",

@@ -377,6 +377,116 @@ class PqLifecycleSpec extends AnyFunSuite {
       "the inherited rotation did not reproduce the trained codebook")
   }
 
+  test("residual encoding (IVFADC): exhaustive probe exact over built + " +
+    "appended halves, both shortlist modes row-identical, codes actually " +
+    "differ from raw, recall beats raw in the clusters>codewords regime, " +
+    "residual INHERITED through a pqMaintain rotation and MIGRATED by " +
+    "override") {
+    val (emb, epoch0, epoch1, _, _) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-pqres").toString
+    val idx = s"$root/res"
+    Pq.writePqIndex(epoch0, idx, residual = true)
+    assert(Pq.readPqMeta(spark, idx).residual)
+    assert(Pq.appendPqEpoch(epoch1, idx, "e1"))
+    // exhaustive settings are exact over BOTH halves: the correction
+    // term + ADC stage may reorder the shortlist, the exact rerank
+    // decides — residual cannot break correctness
+    val qids = Seq(0L, 1L, 2L, 3L)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceKnn(emb, qids, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val exact = Pq.pqKnn(spark, idx, emb, qids, k = 5,
+        nprobe = Similarity.DefaultCentroidK, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(exact.sorted == brute.sorted)
+    // the serving modes agree through the residual path too (the
+    // correction term rides the probe rows into BOTH rerank placements)
+    for (np <- Seq(1, 2)) {
+      val collected = knn(idx, emb, qids, np)
+      val distributed = Pq.pqKnn(spark, idx, emb, qids, k = 5,
+          nprobe = np, rerank = 8, collectShortlist = false)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+      assert(collected == distributed, s"nprobe=$np")
+    }
+    // the codes are NOT the raw encoding under a raw codebook — the
+    // flag engaged the subtraction on both the build and append paths
+    // (a silent raw fallback would still pass every assertion above:
+    // exhaustive rerank hides it)
+    val rawIdx = s"$root/raw"
+    Pq.writePqIndex(epoch0, rawIdx)
+    Pq.appendPqEpoch(epoch1, rawIdx, "e1")
+    val rawCodes = rows(rawIdx).map(t => (t._1, t._3))
+    val resCodes = rows(idx).map(t => (t._1, t._3))
+    assert(rawCodes.map(_._1) == resCodes.map(_._1),
+      "same ids either way")
+    assert(rawCodes != resCodes,
+      "residual build produced byte-identical codes to the raw build — " +
+        "the flag did not engage")
+    // recall, measured in the regime the knob EXISTS for (the IVFADC
+    // claim): MORE clusters than codewords, with the coarse geometry
+    // resolving the clusters — 16 tight clusters, one coarse centroid
+    // per cluster (centroidK=16), but only k=4 codewords per subspace.
+    // Raw codes must describe 16 base directions with 4 codewords and
+    // fail; residuals are the small within-cluster offsets the coarse
+    // quantizer already removed the bases from, and 4 codewords cover
+    // them fine. Measured (both deterministic): raw 0.5125, residual
+    // 0.8875. The inverse regime — codeword budget >= cluster count —
+    // favors raw (codewords ARE cluster members there; measured 0.8375
+    // vs 0.6625 at 8 clusters / k=8 / centroidK=4), which is why
+    // residual is a KNOB, not the default, and why the knob is stored,
+    // inherited, and migrated like the rest of the geometry.
+    val cdim = 16
+    def cvec(id: Long): Array[Float] = Array.tabulate(cdim) { e =>
+      val ctr = (Math.floorMod(
+        scala.util.hashing.byteswap64((id % 16) * cdim + e), 1001L) -
+        500L) / 500.0
+      val jit = (Math.floorMod(
+        scala.util.hashing.byteswap64(id * cdim + e + 7777L), 1001L) -
+        500L) / 2000.0
+      (ctr + jit).toFloat
+    }
+    val clustered = (0L until 304L).map(i => (i, cvec(i)))
+      .toDF("vec_id", "embedding")
+    Pq.writePqIndex(clustered, s"$root/craw", m = 4, k = 4,
+      centroidK = 16)
+    Pq.writePqIndex(clustered, s"$root/cres", m = 4, k = 4,
+      centroidK = 16, residual = true)
+    def recallC(p: String) = Pq.pqRecallProbe(spark, p, clustered,
+      sampleN = 16, k = 5, nprobe = 16, rerank = 19).recallAtK
+    val (rr, rs) = (recallC(s"$root/craw"), recallC(s"$root/cres"))
+    assert(rs > rr,
+      s"residual encoding must IMPROVE recall in the " +
+        s"clusters>codewords regime (measured 0.5125 -> 0.8875, both " +
+        s"deterministic), got raw=$rr residual=$rs")
+    // a policy rotation with DEFAULT knobs inherits residual=true —
+    // a cron'd maintain must not silently revert every code byte to
+    // raw-vector quantization
+    val m1 = Pq.pqMaintain(spark, idx, "r1", emb,
+      Pq.PqMaintainPolicy(recallFloor = Some(1.01), recallSampleN = 4,
+        k = 3, nprobe = 1))
+    assert(m1.actions.exists(_.startsWith("rotate(recall")),
+      m1.actions.mkString("; "))
+    assert(Pq.readPqMeta(spark, idx).residual,
+      "the inherited rotation reverted residual to raw")
+    // breaker armed under residual=true; the residual=Some(false)
+    // override is a config change, so it re-arms the rotate arm AND
+    // migrates the encoding back to raw
+    val m2 = Pq.pqMaintain(spark, idx, "r2", emb,
+      Pq.PqMaintainPolicy(recallFloor = Some(1.01), recallSampleN = 4,
+        k = 3, nprobe = 1))
+    assert(m2.actions.exists(_.startsWith("rotate-skipped(")),
+      m2.actions.mkString("; "))
+    val m3 = Pq.pqMaintain(spark, idx, "r3", emb,
+      Pq.PqMaintainPolicy(recallFloor = Some(1.01), recallSampleN = 4,
+        k = 3, nprobe = 1, residual = Some(false)))
+    assert(m3.actions.exists(_.startsWith("rotate(recall")),
+      m3.actions.mkString("; "))
+    assert(!Pq.readPqMeta(spark, idx).residual,
+      "the residual=Some(false) migration did not land")
+  }
+
   test("pqMaintain geometry MIGRATION: explicit m/codebookK/centroidK " +
     "overrides migrate the stored geometry through a policy rotation " +
     "and RE-ARM the breaker on the config change") {
