@@ -33,6 +33,15 @@ import graft.TestSpark
   * 50 seeded trials (~17 per protocol): the point is the CROSS PRODUCT
   * of crash points × retry-crash points the enumerated specs don't
   * cover, under a fixed seed so any failure replays exactly.
+  *
+  * A second sweep covers the PQ index's protocol family the same way
+  * ([[Pq.appendPqEpoch]] / [[Pq.rotatePq]] /
+  * [[Pq.compactPqPartitions]] / [[Pq.pqMaintain]] as converger) with
+  * a stronger invariant: the codebook sample and encode are
+  * deterministic, so every trial converges to a BYTE-exact row
+  * target — a retry that re-encoded under a drifted codebook would
+  * keep the id set yet corrupt every ADC score, which id-level
+  * checks cannot see.
   */
 class CrashSweepSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -404,6 +413,182 @@ class CrashSweepSpec extends AnyFunSuite {
         s"$ctx leftover $d")
   }
 
+  // ------------------------------------------------------------- pq side
+
+  // tiny synthetic PQ geometry: 4-dim hashed vectors, m=2 subspaces,
+  // k=4 codewords, 2 coarse partitions — the smallest shape on which
+  // every protocol arm (append fragmentation, re-train, per-dir swap)
+  // is actually exercised
+  private val pqM = 2
+  private val pqK = 4
+  private val pqCent = 2
+
+  private lazy val pqBase =
+    (0L until 8L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+  private lazy val pqNovel =
+    (100L until 106L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+  private lazy val pqNovel2 =
+    (200L until 206L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+  private lazy val pqUnion = pqBase.unionByName(pqNovel)
+
+  /** Stored PQ rows at the BYTE level — the protocols' identity is
+    * the code bytes, not just ids: a retry that re-encoded under a
+    * drifted codebook would keep the id set and break every probe.
+    */
+  private def pqRows(p: String): Set[(Long, String, Seq[Byte], Double)] =
+    spark.read.parquet(Similarity.ivfDataRoot(spark, p))
+      .select("vec_id", "centroid_id", "pq", "nrm").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Array[Byte]](2).toSeq, r.getDouble(3))).toSet
+
+  private def buildPqBase(path: String): Unit =
+    Pq.writePqIndex(pqBase, path, m = pqM, k = pqK, centroidK = pqCent)
+
+  /** Rebuild targets, computed once: the codebook/centroid sample and
+    * the encode are deterministic functions of (corpus id set,
+    * geometry), so both the grown and the rotated state are exact
+    * byte-level row targets in every trial.
+    */
+  private lazy val (pqWantGrown, pqWantRotated) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-pqw").toString
+    buildPqBase(s"$root/g")
+    assert(Pq.appendPqEpoch(pqNovel, s"$root/g", "e1"))
+    Pq.writePqIndex(pqUnion, s"$root/r", m = pqM, k = pqK,
+      centroidK = pqCent)
+    (pqRows(s"$root/g"), pqRows(s"$root/r"))
+  }
+
+  private def pqStagingGone(path: String, ids: Seq[String]): Unit = {
+    val f = Dedup.fsFor(spark, path)
+    for (id <- ids; sub <- Seq("_rotate", "_retrain"))
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/$sub/$id")),
+        s"leftover $sub/$id")
+  }
+
+  /** Epoch-append trial: crash plan, retry under the SAME epochId,
+    * converge to base ∪ encode-with-the-STORED-codebook(novel).
+    */
+  private def pqEpochTrial(plan: Seq[String]): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-pqe").toString
+    val path = s"$root/pq"
+    buildPqBase(path)
+    driveWithCrashes(plan) { fail =>
+      Pq.appendPqEpochStaged(pqNovel, path, "e1", "vec_id", fail)
+      ()
+    }
+    val ctx = s"plan=$plan"
+    assert(pqRows(path) == pqWantGrown, ctx)
+    assert(Pq.pqEpochApplied(spark, path, "e1"), ctx)
+    assert(!Pq.appendPqEpoch(pqNovel, path, "e1"), ctx) // blind replay
+    Pq.recoverPqEpochs(spark, path)
+    assert(pqRows(path) == pqWantGrown, ctx)
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty, ctx)
+    pqStagingGone(path, Seq("e1"))
+  }
+
+  /** Rotation trial: a grown index is re-trained under crashes; the
+    * deterministic sample makes the rotated state an exact byte
+    * target, not just a structural one.
+    */
+  private def pqRotTrial(plan: Seq[String]): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-pqr").toString
+    val path = s"$root/pq"
+    buildPqBase(path)
+    assert(Pq.appendPqEpoch(pqNovel, path, "e1"))
+    driveWithCrashes(plan) { fail =>
+      Pq.rotatePqStaged(spark, path, "rot1", pqUnion, pqM, pqK, pqCent,
+        "vec_id", 1, false, fail)
+      ()
+    }
+    val ctx = s"plan=$plan"
+    assert(pqRows(path) == pqWantRotated, ctx)
+    assert(EpochLedger.applied(spark, path, "rot1"), ctx)
+    assert(!Pq.rotatePq(spark, path, "rot1", pqUnion, pqM, pqK, pqCent),
+      ctx)
+    Pq.recoverPqEpochs(spark, path)
+    assert(pqRows(path) == pqWantRotated, ctx)
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty, ctx)
+    pqStagingGone(path, Seq("rot1"))
+    assert(Similarity.listIvfRetired(spark, path).map(_._1)
+      .forall(_.startsWith("rot1.pre-rotate")), ctx)
+  }
+
+  /** Partition-compaction trial: pure file coalescing under crashes —
+    * fixed byte target (the codes are the data; nothing re-derives),
+    * and the reader's view at any crash instant is never doubled.
+    */
+  private def pqPcmpTrial(plan: Seq[String], salt: Int = 1): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-pqc").toString
+    val path = s"$root/pq"
+    buildPqBase(path)
+    assert(Pq.appendPqEpoch(pqNovel, path, "e1"))
+    driveWithCrashes(plan) { fail =>
+      val view = pqRows(path)
+      assert(view.subsetOf(pqWantGrown), s"plan=$plan view=$view")
+      Pq.compactPqPartitionsStaged(spark, path, "pc1", 1, 0L, fail,
+        filesPerPartition = salt)
+      ()
+    }
+    val ctx = s"plan=$plan salt=$salt"
+    assert(pqRows(path) == pqWantGrown, ctx)
+    assert(EpochLedger.applied(spark, path, "pc1"), ctx)
+    assert(Pq.pqPartitionStats(spark, path).forall(_._2 <= salt), ctx)
+    assert(Pq.compactPqPartitions(spark, path, "pc1") == 0, ctx)
+    Pq.recoverPqEpochs(spark, path)
+    assert(pqRows(path) == pqWantGrown, ctx)
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty, ctx)
+    pqStagingGone(path, Seq("pc1"))
+  }
+
+  /** Maintain-policy trial: a random sub-protocol torn at a random
+    * failpoint, then ONE clean [[Pq.pqMaintain]] call converges the
+    * index — heal-at-entry resolves the torn op by its commit point,
+    * the compact arm restores the file-count invariant, a second
+    * maintain is listing-only.
+    */
+  private def pqMaintainTrial(sub: String, fp: String): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-pqm").toString
+    val path = s"$root/pq"
+    buildPqBase(path)
+    assert(Pq.appendPqEpoch(pqNovel, path, "e1"))
+    val crash: String => Unit = p => if (p == fp) throw Boom
+    // the grown index's stored meta — the e2 branch's expected novel
+    // codes must come from THIS codebook, read before the tear
+    val meta = Pq.readPqMeta(spark, path)
+    try {
+      sub match {
+        case "epoch" =>
+          Pq.appendPqEpochStaged(pqNovel2, path, "e2", "vec_id", crash)
+        case "rotation" =>
+          Pq.rotatePqStaged(spark, path, "r2", pqUnion, pqM, pqK, pqCent,
+            "vec_id", 1, false, crash)
+        case "partition-compaction" =>
+          Pq.compactPqPartitionsStaged(spark, path, "pc2", 1, 0L, crash)
+      }
+      ()
+    } catch { case Boom => () }
+    val policy = Pq.PqMaintainPolicy(maxFilesPerPartition = 1,
+      skewThreshold = Double.MaxValue)
+    val m1 = Pq.pqMaintain(spark, path, "mnt1", pqUnion, policy)
+    val ctx = s"sub=$sub fp=$fp actions=${m1.actions}"
+    val want =
+      if (sub == "rotation" && EpochLedger.applied(spark, path, "r2"))
+        pqWantRotated
+      else if (sub == "epoch" && Pq.pqEpochApplied(spark, path, "e2"))
+        pqWantGrown ++ Pq.encodeForLayout(pqNovel2, path, meta, "vec_id")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(3),
+            r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toSet
+      else pqWantGrown
+    assert(pqRows(path) == want, ctx)
+    assert(Pq.pqPartitionStats(spark, path).forall(_._2 == 1), ctx)
+    assert(Similarity.listIvfQuarantined(spark, path).isEmpty, ctx)
+    val m2 = Pq.pqMaintain(spark, path, "mnt2", pqUnion, policy)
+    assert(m2.actions.isEmpty, s"$ctx m2=${m2.actions}")
+    pqStagingGone(path, Seq("e2", "r2", "pc2", "mnt1-compact",
+      "mnt2-compact", "mnt1-rotate", "mnt2-rotate"))
+  }
+
   // ---------------------------------------------------------------- sweep
 
   test("105 seeded randomized crash trials across five protocols and " +
@@ -464,5 +649,50 @@ class CrashSweepSpec extends AnyFunSuite {
     }
     // the seed must actually exercise every arm
     assert(counts.values.forall(_ >= 8), counts.toString)
+  }
+
+  test("45 seeded randomized crash trials across the PQ protocols and " +
+    "the pqMaintain policy: retry-until-complete (or one maintain call) " +
+    "always converges to the byte-exact rebuild state") {
+    val rnd = new scala.util.Random(0xBADC0DE5L)
+    val protos = Seq("pq-epoch", "pq-rotation", "pq-partition-compaction",
+      "pq-maintain")
+    val counts =
+      scala.collection.mutable.Map(protos.map(_ -> 0): _*)
+    for (trial <- 1 to 45) {
+      val proto = protos(rnd.nextInt(protos.size))
+      proto match {
+        case "pq-maintain" =>
+          val sub = Seq("epoch", "rotation", "partition-compaction")(
+            rnd.nextInt(3))
+          val fps = sub match {
+            case "epoch" => ivfFps
+            case "partition-compaction" => pcmpFps
+            case _ => rotFps
+          }
+          val fp = fps(rnd.nextInt(fps.size))
+          withClue(s"trial $trial (pq-maintain, $sub@$fp): ") {
+            pqMaintainTrial(sub, fp)
+          }
+        case _ =>
+          val fps = proto match {
+            case "pq-epoch" => ivfFps
+            case "pq-partition-compaction" => pcmpFps
+            case _ => rotFps
+          }
+          val plan = Seq.fill(1 + rnd.nextInt(2))(fps(rnd.nextInt(fps.size)))
+          withClue(s"trial $trial ($proto, $plan): ") {
+            proto match {
+              case "pq-epoch" => pqEpochTrial(plan)
+              case "pq-rotation" => pqRotTrial(plan)
+              case _ => pqPcmpTrial(plan, salt = 1 + rnd.nextInt(2))
+            }
+          }
+      }
+      counts(proto) += 1
+    }
+    // the seed must actually exercise every arm (this seed's draw:
+    // 11/13/6/15)
+    assert(counts.values.forall(_ >= 6), counts.toString)
   }
 }
