@@ -488,7 +488,18 @@ object Main {
             flag("--files-per-partition").map(_.toInt).getOrElse(1),
           deferRetire = flags.contains("--defer-retire"),
           trainIters = flag("--train-iters").map(_.toInt).getOrElse(0),
-          residual = flags.contains("--residual"))
+          // value-OPTIONAL: bare `--residual` enables, but an explicit
+          // `--residual false` (the maintain arm's documented
+          // both-directions syntax) must mean raw — silently dropping
+          // the value would build the exact opposite of what was asked
+          residual = {
+            val i = flags.indexOf("--residual")
+            if (i < 0) false
+            else if (i + 1 < flags.length &&
+                Seq("true", "false").contains(flags(i + 1)))
+              flags(i + 1).toBoolean
+            else true
+          })
         s"applied=$applied"
       case "compact-partitions" =>
         val n = Pq.compactPqPartitions(spark, index, id("compactionId"),

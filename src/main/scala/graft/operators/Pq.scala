@@ -44,7 +44,12 @@ import graft.functions.{PqAdc, PqEncode, PqLut}
   * back (dot(q, v) = dot(q, c) + dot(q, v - c)): the LUT stays
   * per-QUERY (it approximates dot(q, v - c) against the residual
   * codebook), the correction is one full-dim dot per probe ROW — on
-  * the tiny routing side, never per candidate. Both knobs compose;
+  * the tiny routing side, never per candidate. The residual CODEBOOK
+  * samples the k rows AFTER the centroid prefix of the shared
+  * (hash, id) order: a sample row that is itself a coarse centroid
+  * assigns to itself, so its residual is the zero vector — an
+  * overlapping sample would degenerate the whole codebook to zero
+  * codewords and the ADC term to a constant. Both knobs compose;
   * both are stored in `_meta`, inherited by appends/rotations, and
   * hash-verified (q76 pins the residual arc end-to-end).
   *
@@ -95,10 +100,17 @@ object Pq {
     * sample from the corpus.
     */
   private def codebookAndCentroids(
-      all: DataFrame, k: Int, centroidK: Int, idCol: String)
-      : (Array[Double], DataFrame, Seq[Long]) = {
+      all: DataFrame, k: Int, centroidK: Int, idCol: String,
+      residual: Boolean)
+      : (Array[Double], DataFrame) = {
     val p = graft.functions.TextHash.P
-    val lim = math.max(k, centroidK)
+    // residual mode samples its k codebook rows AFTER the centroid
+    // prefix: both prefixes share the (hash, id) order, so a sample
+    // row that IS a coarse centroid assigns to itself and its
+    // residual is exactly the ZERO vector — an overlapping sample
+    // would fill the codebook with identical zero codewords and the
+    // ADC term would carry no neighbor signal at all
+    val lim = if (residual) centroidK + k else math.max(k, centroidK)
     val rows = all
       .select(col(idCol).cast("long").as("sid"), col("vec"), col("nrm"))
       .withColumn("chash", (col("sid") % p) * lit(2654435761L) % p)
@@ -106,10 +118,17 @@ object Pq {
       .limit(lim)
       .select("sid", "chash", "vec", "nrm")
       .collect()
-    require(rows.length >= k,
-      s"pq codebook needs k=$k sample vectors, corpus has only " +
-        s"${rows.length} — a codebook larger than the corpus is " +
-        "degenerate; lower k")
+    require(rows.length >= (if (residual) centroidK + k else k),
+      if (residual)
+        s"pq residual codebook needs centroidK+k=${centroidK + k} " +
+          s"sample vectors (the k codebook rows come AFTER the " +
+          s"centroid prefix — a centroid's own residual is the zero " +
+          s"vector), corpus has only ${rows.length}; lower k or " +
+          "centroidK"
+      else
+        s"pq codebook needs k=$k sample vectors, corpus has only " +
+          s"${rows.length} — a codebook larger than the corpus is " +
+          "degenerate; lower k")
     // the same discipline for the coarse side: silently taking fewer
     // centroids than requested would change the partition count (and
     // the probe's nprobe semantics) out from under the caller — the
@@ -127,25 +146,83 @@ object Pq {
     val sorted = rows.sortBy(r => (r.getLong(1), r.getLong(0)))
     val dim = sorted(0).getSeq[Double](2).length
     val flat = new Array[Double](k * dim)
-    var c = 0
-    while (c < k) {
-      val v = sorted(c).getSeq[Double](2)
-      require(v.length == dim,
-        s"pq codebook: mixed dimensions in corpus ($dim vs ${v.length})")
-      var i = 0
-      while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
-      c += 1
+    if (!residual) {
+      var c = 0
+      while (c < k) {
+        val v = sorted(c).getSeq[Double](2)
+        require(v.length == dim,
+          s"pq codebook: mixed dimensions in corpus ($dim vs ${v.length})")
+        var i = 0
+        while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
+        c += 1
+      }
+    } else {
+      // the init codewords are the sample rows' residuals vs their
+      // own assigned centroid, computed DRIVER-side from the rows
+      // already collected above (no second corpus pass), replicating
+      // [[Similarity.rankCentroids]]'s decision rule exactly: max
+      // cosine, tie -> min centroid_id, strictly left-to-right dot
+      // ([[graft.functions.DotProduct]]'s summation order) — so the
+      // init equals what the distributed encode pass subtracts, and
+      // what a SQL oracle re-derives
+      val centArr = sorted.take(centroidK)
+        .map(r => (r.getLong(0), r.getSeq[Double](2), r.getDouble(3)))
+        .sortBy(_._1)
+      var c = 0
+      while (c < k) {
+        val row = sorted(centroidK + c)
+        val v = row.getSeq[Double](2)
+        require(v.length == dim,
+          s"pq codebook: mixed dimensions in corpus ($dim vs ${v.length})")
+        val nrm = row.getDouble(3)
+        var best = Double.NegativeInfinity
+        var bv: Seq[Double] = null
+        for ((_, cv, cn) <- centArr) {
+          var s = 0.0
+          var i = 0
+          while (i < dim) { s += v(i) * cv(i); i += 1 }
+          val cos = s / (nrm * cn)
+          if (cos > best) { best = cos; bv = cv }
+        }
+        var i = 0
+        while (i < dim) { flat(c * dim + i) = v(i) - bv(i); i += 1 }
+        c += 1
+      }
     }
     val spark = all.sparkSession
     import spark.implicits._
     val cents = sorted.take(centroidK).toIndexedSeq
       .map(r => (r.getLong(0), r.getSeq[Double](2), r.getDouble(3)))
       .toDF("centroid_id", "cvec", "cnrm")
-    // the sample ids in CODEWORD order — the residual build re-reads
-    // these rows' residuals as its codebook init (same rows, same
-    // order, post-assignment)
-    (flat, cents, sorted.take(k).map(_.getLong(0)).toSeq)
+    (flat, cents)
   }
+
+  /** `ranked` ([[Similarity.rankCentroids]] output) extended with the
+    * `encv` column the PQ kernels encode: the raw vector, or in
+    * residual mode the row's residual vs its ASSIGNED centroid from
+    * `cent` (`centroid_id`, `cvec`, driver-local, broadcast). ONE
+    * definition shared by the build and the append — the two sides
+    * must subtract the identical quantity or append-era codes score
+    * garbage under the generation's LUT. A dimension mismatch refuses
+    * loudly HERE: `zip_with` would silently null-pad the shorter side
+    * and surface as a misleading null-element error from the encode
+    * kernel, sending an operator hunting for null embeddings instead
+    * of the wrong-dimension append.
+    */
+  private def residualEncode(
+      ranked: DataFrame, cent: DataFrame, residual: Boolean): DataFrame =
+    if (!residual) ranked.withColumn("encv", col("vec"))
+    else ranked
+      .join(broadcast(cent.select(col("centroid_id"), col("cvec"))),
+        Seq("centroid_id"))
+      .withColumn("encv",
+        when(size(col("vec")) === size(col("cvec")),
+          zip_with(col("vec"), col("cvec"), (a, b) => a - b))
+        .otherwise(raise_error(concat(
+          lit("pq residual encode: vector dimension "),
+          size(col("vec")).cast("string"),
+          lit(" != index dim "),
+          size(col("cvec")).cast("string")))))
 
   /** Per-subspace Lloyd refinement of the sampled codebook — the
     * production-recall option [[writePqIndex]]/[[rotatePq]] expose as
@@ -308,8 +385,8 @@ object Pq {
       s"trainIters must be >= 0, got $trainIters")
     val spark = emb.sparkSession
     val all = Similarity.asDouble(emb, idCol = idCol)
-    val (sampled, centroids, sampleIds) =
-      codebookAndCentroids(all, k, centroidK, idCol)
+    val (sampled, centroids) =
+      codebookAndCentroids(all, k, centroidK, idCol, residual)
     val dim = sampled.length / k
     require(dim % m == 0,
       s"pq: dim=$dim not divisible into m=$m subspaces — pick m | dim")
@@ -323,43 +400,15 @@ object Pq {
     // `dot(q, c)` back (dot(q, v) = dot(q, c) + dot(q, v - c)), so
     // the LUT machinery is unchanged. The coarse ROUTING geometry is
     // identical either way — only what the codes encode changes.
-    val enc =
-      if (!residual) assigned.withColumn("encv", col("vec"))
-      else assigned
-        .join(broadcast(centroids.select(col("centroid_id"), col("cvec"))),
-          Seq("centroid_id"))
-        .withColumn("encv",
-          zip_with(col("vec"), col("cvec"), (a, b) => a - b))
-    // residual codebook init: the SAME deterministic sample rows, but
-    // their residuals (each vs its own assigned centroid) — re-read
-    // post-assignment so the subtraction is the one the encode pass
-    // computes (and the one a SQL oracle re-derives)
-    val init =
-      if (!residual) sampled
-      else {
-        val byId = enc
-          .filter(col(idCol).cast("long").isInCollection(sampleIds))
-          .select(col(idCol).cast("long").as("sid"), col("encv"))
-          .collect()
-          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-        val flatR = new Array[Double](k * dim)
-        var c = 0
-        while (c < k) {
-          val v = byId(sampleIds(c))
-          var i = 0
-          while (i < dim) { flatR(c * dim + i) = v(i); i += 1 }
-          c += 1
-        }
-        flatR
-      }
+    val enc = residualEncode(assigned, centroids, residual)
     // the coarse ROUTING stays the deterministic sample either way:
     // training refines only the product codebook (ADC quality); the
     // partition geometry is the probes' oracle-proven contract
     val flat =
-      if (trainIters == 0) init
+      if (trainIters == 0) sampled
       else trainCodebook(
         if (residual) enc.select(col("encv").as("vec")) else all,
-        init, m, k, trainIters)
+        sampled, m, k, trainIters)
     val cbLit = typedLit(flat.toSeq)
     val rows = enc
       .select(col(idCol),
@@ -683,13 +732,7 @@ object Pq {
     // build did — the row's residual vs its assigned centroid (from
     // the sidecar, the stored geometry), never the raw vector: a raw
     // encode would score garbage under the generation's residual LUT
-    val enc =
-      if (!meta.residual) ranked.withColumn("encv", col("vec"))
-      else ranked
-        .join(broadcast(cent.select(col("centroid_id"), col("cvec"))),
-          Seq("centroid_id"))
-        .withColumn("encv",
-          zip_with(col("vec"), col("cvec"), (a, b) => a - b))
+    val enc = residualEncode(ranked, cent, meta.residual)
     enc.select(col(idCol),
         PqEncode(col("encv"), cbLit, meta.m, meta.k).as("pq"),
         col("nrm"),

@@ -1354,9 +1354,10 @@ object PipelineQueries {
     * rerank-8 probe) with `residual = true`: the codes quantize
     * `vec - coarse_centroid` and the probe adds the exact
     * `dot(q, c)` term back per (query, probed centroid). One row
-    * pins the whole residual arc — the residual CODEBOOK (the same
-    * deterministic sample rows, but their residuals vs their own
-    * assigned centroids), the residual encoding of both the built
+    * pins the whole residual arc — the residual CODEBOOK (the k
+    * deterministic sample rows AFTER the centroid prefix — a
+    * centroid's own residual is the zero vector — their residuals vs
+    * their own assigned centroids), the residual encoding of both the built
     * and the APPENDED half (an append that encoded raw vectors, or
     * subtracted the wrong centroid, scores garbage under the
     * generation's LUT and breaks the shortlist hashes), the
@@ -1407,7 +1408,8 @@ object PipelineQueries {
          |               vec_id) AS c
          |    FROM ea) s
          |  JOIN rv r ON r.vec_id = s.vec_id
-         |  WHERE s.c <= 16),
+         |  WHERE s.c > ${graft.operators.Similarity.DefaultCentroidK}
+         |    AND s.c <= ${graft.operators.Similarity.DefaultCentroidK} + 16),
          |js AS (SELECT unnest(range(0, 8)) AS j),
          |enc AS (
          |  SELECT vec_id, j, cbv FROM (

@@ -410,6 +410,47 @@ class PqLifecycleSpec extends AnyFunSuite {
         .toSet
       assert(collected == distributed, s"nprobe=$np")
     }
+    // the EXTERNAL serving path rides residual too: pqKnnWith keeps
+    // cvec on the probe rows and applies the qc correction for
+    // never-stored vectors — exhaustive settings row-identical to
+    // brute force, and the tight shortlist modes agree with each other
+    import spark.implicits._
+    val ext = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .grouped(2).collect { case Array((ia, va), (ib, vb)) =>
+        (ia * 1000 + ib, va.zip(vb).map { case (x, y) => (x + y) / 2 })
+      }.toSeq.toDF("query_id", "embedding")
+    val wBrute = Similarity.bruteForceKnnWith(emb, ext, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val wExact = Pq.pqKnnWith(spark, idx, emb, ext, k = 5,
+        nprobe = Similarity.DefaultCentroidK, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(wExact.sorted == wBrute.sorted)
+    for (np <- Seq(1, 2)) {
+      val wc = Pq.pqKnnWith(spark, idx, emb, ext, k = 5, nprobe = np,
+          rerank = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+      val wd = Pq.pqKnnWith(spark, idx, emb, ext, k = 5, nprobe = np,
+          rerank = 8, collectShortlist = false)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+      assert(wc == wd, s"external nprobe=$np")
+    }
+    // a wrong-dimension append refuses with the DIMENSION diagnosis:
+    // zip_with alone would null-pad the short vector and surface as a
+    // misleading null-element error from the encode kernel
+    val bad = Seq((9999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val badEx = intercept[Throwable] {
+      Pq.appendPqEpoch(bad, idx, "ebad")
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    assert(messages(badEx).contains("pq residual encode"),
+      messages(badEx).take(500))
     // the codes are NOT the raw encoding under a raw codebook — the
     // flag engaged the subtraction on both the build and append paths
     // (a silent raw fallback would still pass every assertion above:
@@ -431,12 +472,13 @@ class PqLifecycleSpec extends AnyFunSuite {
     // Raw codes must describe 16 base directions with 4 codewords and
     // fail; residuals are the small within-cluster offsets the coarse
     // quantizer already removed the bases from, and 4 codewords cover
-    // them fine. Measured (both deterministic): raw 0.5125, residual
-    // 0.8875. The inverse regime — codeword budget >= cluster count —
-    // favors raw (codewords ARE cluster members there; measured 0.8375
-    // vs 0.6625 at 8 clusters / k=8 / centroidK=4), which is why
-    // residual is a KNOB, not the default, and why the knob is stored,
-    // inherited, and migrated like the rest of the geometry.
+    // them fine. Measured (both deterministic, nprobe=16 rerank=19):
+    // raw 0.5125, residual 1.0. The inverse regime — codeword budget
+    // >= cluster count with the coarse side UNDER-resolving — favors
+    // raw (codewords can BE cluster members there; measured 0.5125 vs
+    // 0.4375 at 8 clusters / k=8 / centroidK=4 / nprobe=4), which is
+    // why residual is a KNOB, not the default, and why the knob is
+    // stored, inherited, and migrated like the rest of the geometry.
     val cdim = 16
     def cvec(id: Long): Array[Float] = Array.tabulate(cdim) { e =>
       val ctr = (Math.floorMod(
