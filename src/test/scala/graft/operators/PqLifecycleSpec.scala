@@ -500,7 +500,7 @@ class PqLifecycleSpec extends AnyFunSuite {
     val (rr, rs) = (recallC(s"$root/craw"), recallC(s"$root/cres"))
     assert(rs > rr,
       s"residual encoding must IMPROVE recall in the " +
-        s"clusters>codewords regime (measured 0.5125 -> 0.8875, both " +
+        s"clusters>codewords regime (measured 0.5125 -> 1.0, both " +
         s"deterministic), got raw=$rr residual=$rs")
     // a policy rotation with DEFAULT knobs inherits residual=true —
     // a cron'd maintain must not silently revert every code byte to
