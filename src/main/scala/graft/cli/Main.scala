@@ -491,12 +491,17 @@ object Main {
           // value-OPTIONAL: bare `--residual` enables, but an explicit
           // `--residual false` (the maintain arm's documented
           // both-directions syntax) must mean raw — silently dropping
-          // the value would build the exact opposite of what was asked
+          // the value would build the exact opposite of what was
+          // asked. Any non-flag token following is TAKEN as the value
+          // (positionals come before flags, so nothing else can sit
+          // there): toBoolean is case-insensitive like the maintain
+          // arm's, and garbage refuses loudly instead of silently
+          // enabling
           residual = {
             val i = flags.indexOf("--residual")
             if (i < 0) false
             else if (i + 1 < flags.length &&
-                Seq("true", "false").contains(flags(i + 1)))
+                !flags(i + 1).startsWith("--"))
               flags(i + 1).toBoolean
             else true
           })

@@ -207,7 +207,11 @@ object Pq {
     * loudly HERE: `zip_with` would silently null-pad the shorter side
     * and surface as a misleading null-element error from the encode
     * kernel, sending an operator hunting for null embeddings instead
-    * of the wrong-dimension append.
+    * of the wrong-dimension append. A NULL vector passes through as a
+    * null `encv` — the raw path's contract (a null embedding stores a
+    * null code; see [[trainCodebook]]'s note), which the dimension
+    * guard must not break (and whose null `size` would otherwise
+    * reach `raise_error` as a null message).
     */
   private def residualEncode(
       ranked: DataFrame, cent: DataFrame, residual: Boolean): DataFrame =
@@ -216,7 +220,8 @@ object Pq {
       .join(broadcast(cent.select(col("centroid_id"), col("cvec"))),
         Seq("centroid_id"))
       .withColumn("encv",
-        when(size(col("vec")) === size(col("cvec")),
+        when(col("vec").isNull, lit(null).cast("array<double>"))
+        .when(size(col("vec")) === size(col("cvec")),
           zip_with(col("vec"), col("cvec"), (a, b) => a - b))
         .otherwise(raise_error(concat(
           lit("pq residual encode: vector dimension "),
@@ -400,7 +405,14 @@ object Pq {
     // `dot(q, c)` back (dot(q, v) = dot(q, c) + dot(q, v - c)), so
     // the LUT machinery is unchanged. The coarse ROUTING geometry is
     // identical either way — only what the codes encode changes.
-    val enc = residualEncode(assigned, centroids, residual)
+    val enc0 = residualEncode(assigned, centroids, residual)
+    // residual TRAINING would re-execute the assignment + broadcast
+    // join + subtraction lineage once per Lloyd iteration (plus the
+    // final encode): pin it once. Raw training only re-scans the
+    // source parquet per round — no join to repeat, not worth a pin.
+    val enc =
+      if (residual && trainIters > 0) Caching.materialize(enc0)
+      else enc0
     // the coarse ROUTING stays the deterministic sample either way:
     // training refines only the product codebook (ADC quality); the
     // partition geometry is the probes' oracle-proven contract

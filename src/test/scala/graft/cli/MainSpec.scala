@@ -289,13 +289,20 @@ class MainSpec extends AnyFunSuite {
       List("--emb", embPath, "--m", "4", "--codebook-k", "8", "--k", "2",
         "--residual")) == "applied=true")
     assert(graft.operators.Pq.readPqMeta(spark, index).residual)
-    // the value-form must mean what it says: `--residual false` is an
+    // the value-form must mean what it says: `--residual False` is an
     // explicit RAW re-encode (the maintain arm's both-directions
-    // syntax), not a bare-flag enable with a silently dropped value
+    // syntax, case-insensitive like its toBoolean), not a bare-flag
+    // enable with a silently dropped value
     assert(run("rotate", Some("r3"),
       List("--emb", embPath, "--m", "4", "--codebook-k", "8", "--k", "2",
-        "--residual", "false")) == "applied=true")
+        "--residual", "False")) == "applied=true")
     assert(!graft.operators.Pq.readPqMeta(spark, index).residual)
+    // garbage refuses loudly instead of silently enabling
+    intercept[IllegalArgumentException] {
+      run("rotate", Some("r4"),
+        List("--emb", embPath, "--m", "4", "--codebook-k", "8", "--k",
+          "2", "--residual", "fasle"))
+    }
     val swept = run("retire-superseded", Some("sweep1"))
     assert(swept.startsWith("retired="), swept)
     assert(run("purge-retired",

@@ -440,6 +440,19 @@ class PqLifecycleSpec extends AnyFunSuite {
         .toSet
       assert(wc == wd, s"external nprobe=$np")
     }
+    // a NULL embedding rides the raw path's contract through residual
+    // too: the row stores a null code instead of crashing the build —
+    // the dimension guard passes nulls through (its raise_error
+    // branch would otherwise fire with a NULL message)
+    val withNull = epoch0.unionByName(
+      epoch0.limit(1).select(lit(99999L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")),
+      allowMissingColumns = true)
+    val nidx = s"$root/resnull"
+    Pq.writePqIndex(withNull, nidx, residual = true)
+    val nullRow = spark.read.parquet(nidx)
+      .filter(col("vec_id") === 99999L).select("pq").collect()
+    assert(nullRow.length == 1 && nullRow(0).isNullAt(0))
     // a wrong-dimension append refuses with the DIMENSION diagnosis:
     // zip_with alone would null-pad the short vector and surface as a
     // misleading null-element error from the encode kernel
@@ -502,6 +515,23 @@ class PqLifecycleSpec extends AnyFunSuite {
       s"residual encoding must IMPROVE recall in the " +
         s"clusters>codewords regime (measured 0.5125 -> 1.0, both " +
         s"deterministic), got raw=$rr residual=$rs")
+    // residual COMPOSES with trainIters: the Lloyd rounds refine the
+    // residual codebook (the training frame is the residual frame,
+    // not the raw vectors) — still beats raw at equal knobs on this
+    // fixture, and exhaustive settings stay exact
+    Pq.writePqIndex(clustered, s"$root/crestr", m = 4, k = 4,
+      centroidK = 16, residual = true, trainIters = 2)
+    val rst = recallC(s"$root/crestr")
+    assert(rst > rr,
+      s"trained residual must still beat raw: raw=$rr " +
+        s"trained-residual=$rst")
+    val cq = Seq(0L, 17L)
+    val cbrute = Similarity.bruteForceKnn(clustered, cq, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val cex = Pq.pqKnn(spark, s"$root/crestr", clustered, cq, k = 5,
+        nprobe = 16, rerank = 304)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(cex.sorted == cbrute.sorted)
     // a policy rotation with DEFAULT knobs inherits residual=true —
     // a cron'd maintain must not silently revert every code byte to
     // raw-vector quantization
