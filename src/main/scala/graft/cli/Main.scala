@@ -567,9 +567,20 @@ object Main {
         Pq.recoverPqEpochs(spark, index)
         s"recovered quarantined=" +
           s"${Similarity.listIvfQuarantined(spark, index).size}"
+      case "meta" =>
+        // READ-ONLY: the stored training geometry an operator needs
+        // before choosing rotate/maintain knobs — until now only
+        // visible by hand-reading the _meta parquet
+        val mt = Pq.readPqMeta(spark, index)
+        if (flags.contains("--json"))
+          s"""{"m":${mt.m},"k":${mt.k},"dim":${mt.dim},""" +
+            s""""trainIters":${mt.trainIters},"residual":${mt.residual}}"""
+        else
+          s"m=${mt.m} k=${mt.k} dim=${mt.dim} " +
+            s"trainIters=${mt.trainIters} residual=${mt.residual}"
       case otherSub =>
         sys.error(s"unknown pq subcommand '$otherSub' " +
-          "(fsck|health|maintain|rotate|compact-partitions|" +
+          "(fsck|health|meta|maintain|rotate|compact-partitions|" +
           "retire-superseded|purge-retired|compact-ledger|recover)")
     }
   }

@@ -303,6 +303,11 @@ class MainSpec extends AnyFunSuite {
         List("--emb", embPath, "--m", "4", "--codebook-k", "8", "--k",
           "2", "--residual", "fasle"))
     }
+    // pq meta surfaces the stored training geometry, text and JSON
+    assert(run("meta") ==
+      "m=4 k=8 dim=8 trainIters=0 residual=false")
+    val mj = run("meta", flags = List("--json"))
+    assert(mj.contains("\"residual\":false") && mj.contains("\"m\":4"), mj)
     val swept = run("retire-superseded", Some("sweep1"))
     assert(swept.startsWith("retired="), swept)
     assert(run("purge-retired",
