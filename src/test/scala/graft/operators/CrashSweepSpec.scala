@@ -441,22 +441,31 @@ class CrashSweepSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1),
         r.getAs[Array[Byte]](2).toSeq, r.getDouble(3))).toSet
 
-  private def buildPqBase(path: String): Unit =
-    Pq.writePqIndex(pqBase, path, m = pqM, k = pqK, centroidK = pqCent)
+  private def buildPqBase(path: String, res: Boolean = false): Unit =
+    Pq.writePqIndex(pqBase, path, m = pqM, k = pqK, centroidK = pqCent,
+      residual = res)
 
-  /** Rebuild targets, computed once: the codebook/centroid sample and
-    * the encode are deterministic functions of (corpus id set,
-    * geometry), so both the grown and the rotated state are exact
-    * byte-level row targets in every trial.
+  /** Rebuild targets, computed once per encoding mode: the
+    * codebook/centroid sample and the encode are deterministic
+    * functions of (corpus id set, geometry, residual), so both the
+    * grown and the rotated state are exact byte-level row targets in
+    * every trial. The residual arm matters here: a crash-retry that
+    * re-encoded with raw vectors (or subtracted a drifted centroid)
+    * keeps the id set and corrupts every code byte.
     */
-  private lazy val (pqWantGrown, pqWantRotated) = {
-    val root = java.nio.file.Files.createTempDirectory("graft-sweep-pqw").toString
-    buildPqBase(s"$root/g")
-    assert(Pq.appendPqEpoch(pqNovel, s"$root/g", "e1"))
-    Pq.writePqIndex(pqUnion, s"$root/r", m = pqM, k = pqK,
-      centroidK = pqCent)
-    (pqRows(s"$root/g"), pqRows(s"$root/r"))
-  }
+  private lazy val pqWant: Map[(Boolean, String), Set[(Long, String, Seq[Byte], Double)]] =
+    (for (res <- Seq(false, true)) yield {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-sweep-pqw$res").toString
+      buildPqBase(s"$root/g", res)
+      assert(Pq.appendPqEpoch(pqNovel, s"$root/g", "e1"))
+      Pq.writePqIndex(pqUnion, s"$root/r", m = pqM, k = pqK,
+        centroidK = pqCent, residual = res)
+      Seq((res, "grown") -> pqRows(s"$root/g"),
+        (res, "rotated") -> pqRows(s"$root/r"))
+    }).flatten.toMap
+  private def pqWantGrown = pqWant((false, "grown"))
+  private def pqWantRotated = pqWant((false, "rotated"))
 
   private def pqStagingGone(path: String, ids: Seq[String]): Unit = {
     val f = Dedup.fsFor(spark, path)
@@ -466,47 +475,53 @@ class CrashSweepSpec extends AnyFunSuite {
   }
 
   /** Epoch-append trial: crash plan, retry under the SAME epochId,
-    * converge to base ∪ encode-with-the-STORED-codebook(novel).
+    * converge to base ∪ encode-with-the-STORED-codebook(novel) — in
+    * residual mode the append must subtract the SAME sidecar centroid
+    * at every retry or the byte target breaks.
     */
-  private def pqEpochTrial(plan: Seq[String]): Unit = {
+  private def pqEpochTrial(plan: Seq[String], res: Boolean): Unit = {
     val root = java.nio.file.Files.createTempDirectory("graft-sweep-pqe").toString
     val path = s"$root/pq"
-    buildPqBase(path)
+    buildPqBase(path, res)
     driveWithCrashes(plan) { fail =>
       Pq.appendPqEpochStaged(pqNovel, path, "e1", "vec_id", fail)
       ()
     }
-    val ctx = s"plan=$plan"
-    assert(pqRows(path) == pqWantGrown, ctx)
+    val ctx = s"plan=$plan res=$res"
+    val want = pqWant((res, "grown"))
+    assert(pqRows(path) == want, ctx)
     assert(Pq.pqEpochApplied(spark, path, "e1"), ctx)
     assert(!Pq.appendPqEpoch(pqNovel, path, "e1"), ctx) // blind replay
     Pq.recoverPqEpochs(spark, path)
-    assert(pqRows(path) == pqWantGrown, ctx)
+    assert(pqRows(path) == want, ctx)
     assert(Similarity.listIvfQuarantined(spark, path).isEmpty, ctx)
     pqStagingGone(path, Seq("e1"))
   }
 
   /** Rotation trial: a grown index is re-trained under crashes; the
     * deterministic sample makes the rotated state an exact byte
-    * target, not just a structural one.
+    * target, not just a structural one. The residual arm re-trains a
+    * RESIDUAL generation — every retry must reproduce the offset
+    * sample codebook and the subtraction byte-for-byte.
     */
-  private def pqRotTrial(plan: Seq[String]): Unit = {
+  private def pqRotTrial(plan: Seq[String], res: Boolean): Unit = {
     val root = java.nio.file.Files.createTempDirectory("graft-sweep-pqr").toString
     val path = s"$root/pq"
-    buildPqBase(path)
+    buildPqBase(path, res)
     assert(Pq.appendPqEpoch(pqNovel, path, "e1"))
     driveWithCrashes(plan) { fail =>
       Pq.rotatePqStaged(spark, path, "rot1", pqUnion, pqM, pqK, pqCent,
-        "vec_id", 1, false, fail)
+        "vec_id", 1, false, fail, residual = res)
       ()
     }
-    val ctx = s"plan=$plan"
-    assert(pqRows(path) == pqWantRotated, ctx)
+    val ctx = s"plan=$plan res=$res"
+    val want = pqWant((res, "rotated"))
+    assert(pqRows(path) == want, ctx)
     assert(EpochLedger.applied(spark, path, "rot1"), ctx)
-    assert(!Pq.rotatePq(spark, path, "rot1", pqUnion, pqM, pqK, pqCent),
-      ctx)
+    assert(!Pq.rotatePq(spark, path, "rot1", pqUnion, pqM, pqK, pqCent,
+      residual = res), ctx)
     Pq.recoverPqEpochs(spark, path)
-    assert(pqRows(path) == pqWantRotated, ctx)
+    assert(pqRows(path) == want, ctx)
     assert(Similarity.listIvfQuarantined(spark, path).isEmpty, ctx)
     pqStagingGone(path, Seq("rot1"))
     assert(Similarity.listIvfRetired(spark, path).map(_._1)
@@ -681,10 +696,14 @@ class CrashSweepSpec extends AnyFunSuite {
             case _ => rotFps
           }
           val plan = Seq.fill(1 + rnd.nextInt(2))(fps(rnd.nextInt(fps.size)))
-          withClue(s"trial $trial ($proto, $plan): ") {
+          // the encode-bearing arms also draw the ENCODING mode: a
+          // torn residual append/rotation must converge to the
+          // residual byte target, never fall back to raw codes
+          val res = rnd.nextBoolean()
+          withClue(s"trial $trial ($proto, $plan, res=$res): ") {
             proto match {
-              case "pq-epoch" => pqEpochTrial(plan)
-              case "pq-rotation" => pqRotTrial(plan)
+              case "pq-epoch" => pqEpochTrial(plan, res)
+              case "pq-rotation" => pqRotTrial(plan, res)
               case _ => pqPcmpTrial(plan, salt = 1 + rnd.nextInt(2))
             }
           }
