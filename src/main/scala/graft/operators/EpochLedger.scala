@@ -53,16 +53,23 @@ object EpochLedger {
     * leading '.'/'_' would collide with the hidden-file conventions,
     * and '=' is the footprint separator in moved file names (an id
     * containing it would make one epoch's footprint prefix-match
-    * another's).
+    * another's). Whitespace and control characters are rejected too:
+    * '\t' and '\n' are the [[compactLedger]] roll-up file's field and
+    * line separators — an id containing either would be ledgered fine
+    * as an entry file, then PARSE as a different id after the roll-up,
+    * making `applied` false and a blind retry of an already-applied
+    * epoch quarantine-and-reapply it.
     */
   private[graft] def requireEpochId(epochId: String): Unit =
     require(
       epochId.nonEmpty && !epochId.exists(c =>
-        c == '/' || c == '\\' || c == '=') &&
+        c == '/' || c == '\\' || c == '=' ||
+          c.isWhitespace || c.isControl) &&
         epochId != "." && epochId != ".." &&
         !epochId.startsWith(".") && !epochId.startsWith("_"),
       s"epochId must be a plain path segment (no separators, no '=', " +
-        s"not '.'/'..', no leading '.'/'_'), got '$epochId'")
+        s"no whitespace/control characters, not '.'/'..', no leading " +
+        s"'.'/'_'), got '$epochId'")
 
   /** Has `epochId` been fully applied to the layout at `path`? An id
     * is ledgered either as its own `_epochs/<id>` entry file (the
@@ -87,8 +94,24 @@ object EpochLedger {
       kind: String): Unit = {
     val ledger = new Path(s"$path/_epochs")
     f.mkdirs(ledger)
-    val out = f.create(new Path(ledger, id), true)
+    // tmp + rename like every sibling metadata write (commitManifest,
+    // the roll-up): a crash mid-create would otherwise leave a
+    // truncated entry that still makes `applied` true — an EMPTY tag
+    // reads as a legacy pre-tagging entry, silently disarming the
+    // cross-protocol id-collision guard the tag exists for. The dst
+    // may exist (a committed stage resumed after a crash between the
+    // ledger write and the stage delete re-ledgers the same id):
+    // delete-then-rename; a crash between the two leaves the tmp AND
+    // the still-committed stage, so recovery rewrites the entry.
+    val tmp = new Path(ledger, s".$id.tmp")
+    val out = f.create(tmp, true)
     try out.write(kind.getBytes(UTF_8)) finally out.close()
+    val dst = new Path(ledger, id)
+    if (f.exists(dst))
+      require(f.delete(dst, false),
+        s"epoch-ledger: stale entry delete of $dst failed")
+    require(f.rename(tmp, dst),
+      s"epoch-ledger: entry rename $tmp -> $dst failed")
   }
 
   /** Read a (tiny) ledger file fully — the InputStream contract allows
@@ -227,9 +250,32 @@ object EpochLedger {
     val f = Dedup.fsFor(spark, path)
     val ledger = new Path(s"$path/_epochs")
     if (!f.exists(ledger)) return 0
+    // superseded roll-ups, hidden tmps, and (after a fresh roll-up)
+    // the merged entry files are redundant copies — every id stays
+    // readable from `keep` at every instant, so a crash anywhere in
+    // the prune leaves superset state a re-run converges from
+    def prune(keep: Option[String], entryNames: Set[String]): Unit =
+      f.listStatus(ledger).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val stale =
+          (n.startsWith("_compacted.") && !keep.contains(n)) ||
+            (n.startsWith(".") && n.endsWith(".tmp")) ||
+            entryNames(n)
+        if (stale) {
+          failpoint("prune-file")
+          require(f.delete(p, false),
+            s"epoch-ledger: roll-up cleanup of $p failed")
+        }
+      }
     val entries = f.listStatus(ledger).map(_.getPath)
       .filter(p => isVisibleEntry(p.getName))
-    if (entries.isEmpty) return 0
+    if (entries.isEmpty) {
+      // nothing to roll, but a CRASHED run's residue may still need
+      // the prune phase (stale superseded roll-ups / hidden tmps) —
+      // the documented "a re-run converges" contract
+      prune(newestRollup(f, ledger).map(_.getName), Set.empty)
+      return 0
+    }
     val prevN = newestRollup(f, ledger)
       .map(_.getName.stripPrefix("_compacted.").toLong).getOrElse(0L)
     val merged = rollupMap(f, path) ++
@@ -243,22 +289,7 @@ object EpochLedger {
     require(f.rename(tmp, next),
       s"epoch-ledger: roll-up rename $tmp -> $next failed")
     failpoint("rolled")
-    // superseded roll-ups and merged entries are now redundant copies —
-    // every id is already readable from `next`, so a crash anywhere in
-    // this prune leaves superset state a re-run converges from
-    val entryNames = entries.map(_.getName).toSet
-    f.listStatus(ledger).map(_.getPath).foreach { p =>
-      val n = p.getName
-      val stale =
-        (n.startsWith("_compacted.") && n != next.getName) ||
-          n.startsWith("._compacted.") ||
-          entryNames(n)
-      if (stale) {
-        failpoint("prune-file")
-        require(f.delete(p, false),
-          s"epoch-ledger: roll-up cleanup of $p failed")
-      }
-    }
+    prune(Some(next.getName), entries.map(_.getName).toSet)
     entries.length
   }
 
@@ -357,9 +388,11 @@ object EpochLedger {
     require(filesPerPartition >= 1,
       s"filesPerPartition must be >= 1, got $filesPerPartition")
     val f = Dedup.fsFor(spark, path)
-    if (applied(spark, path, id)) {
-      requireKind(f, path, id, "partition-compaction")
-      return 0
+    appliedKind(f, path, id) match {
+      case Some(k) =>
+        requireKindMatches(path, id, k, "partition-compaction")
+        return 0
+      case None => ()
     }
     val overThreshold = partitionFileStats(f, dataRoot, s"$partitionCol=")
       .filter(_._2 > maxFilesPerPartition)
@@ -453,7 +486,14 @@ object EpochLedger {
     val oldRel =
       if (dataRoot == path) "." else dataRoot.substring(path.length + 1)
     commitManifest(f, stageRoot,
-      s"kind:partition-compaction\nroot:$oldRel\ndirs:${targets.mkString(",")}",
+      // dirs2 is TAB-joined: Spark's partition-path escaping leaves
+      // ',' raw in dir names (a string partition value containing a
+      // comma is a legal dir) but escapes control chars, so '\t' is
+      // the one separator a dir name can never contain. The legacy
+      // comma-joined `dirs` key is still read (an in-flight committed
+      // stage from before the upgrade must resume correctly).
+      s"kind:partition-compaction\nroot:$oldRel" +
+        s"\ndirs2:${targets.mkString("\t")}",
       "partition-compaction")
     failpoint("committed")
     completePartitionCompaction(f, stageRoot, path, id, failpoint)
@@ -476,13 +516,16 @@ object EpochLedger {
       failpoint: String => Unit): Unit = {
     val mf = readManifest(f, new Path(stageRoot, "_MANIFEST"))
     require(mf.get("kind").contains("partition-compaction") &&
-        mf.contains("root") && mf.contains("dirs"),
+        mf.contains("root") &&
+        (mf.contains("dirs2") || mf.contains("dirs")),
       s"partition-compaction: stage $stageRoot carries a foreign " +
         "manifest — refusing to resume it")
     val dataRoot =
       if (mf("root") == ".") path else s"$path/${mf("root")}"
     val retireBase = new Path(s"$path/_retired/$id.compact")
-    mf("dirs").split(',').filter(_.nonEmpty).foreach { d =>
+    val targetDirs = mf.get("dirs2").map(_.split('\t'))
+      .getOrElse(mf("dirs").split(','))
+    targetDirs.filter(_.nonEmpty).foreach { d =>
       val stageDir = new Path(s"$stageRoot/data/$d")
       val liveDir = new Path(s"$dataRoot/$d")
       if (f.exists(stageDir)) {
@@ -541,12 +584,22 @@ object EpochLedger {
       path: String,
       id: String,
       kind: String): Unit =
-    appliedKind(f, path, id).foreach { k =>
-      require(k.isEmpty || k == kind,
-        s"epoch-ledger: id '$id' on $path was applied by the '$k' " +
-          s"protocol; refusing to treat it as a '$kind' replay — epoch " +
-          "appends and rotations must not share ids on one layout")
-    }
+    appliedKind(f, path, id).foreach(requireKindMatches(path, id, _, kind))
+
+  /** The kind judgment alone, for callers that already hold the
+    * applied kind — an applied+requireKind pair would otherwise read
+    * the roll-up file twice per replay check (a round trip each on an
+    * object store, at epoch cadence).
+    */
+  private[operators] def requireKindMatches(
+      path: String,
+      id: String,
+      k: String,
+      kind: String): Unit =
+    require(k.isEmpty || k == kind,
+      s"epoch-ledger: id '$id' on $path was applied by the '$k' " +
+        s"protocol; refusing to treat it as a '$kind' replay — epoch " +
+        "appends and rotations must not share ids on one layout")
 
   /** Write `stageRoot/_MANIFEST` ATOMICALLY (write to a dot-hidden tmp,
     * then rename) — the commit point every staged protocol in this
@@ -616,10 +669,8 @@ object EpochLedger {
     val root = new Path(path)
     f.exists(root) && f.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partPrefix))
-      .exists(pd => f.listStatus(pd.getPath).exists { nf =>
-        val n = nf.getPath.getName
-        n.indexOf('=') > 0 && !n.startsWith(".") && !n.startsWith("_")
-      })
+      .exists(pd => f.listStatus(pd.getPath)
+        .exists(nf => footprintId(nf.getPath.getName).isDefined))
   }
 
   /** Run one epoch through the protocol. `stageWrite` receives the
@@ -652,13 +703,16 @@ object EpochLedger {
     // same-epochId retry re-applies cleanly whatever state the crash
     // left behind
     recover(spark, path, partPrefix, dataRoot)
-    if (applied(spark, path, epochId)) {
-      // a ledger hit is only a REPLAY when the same protocol applied
-      // it; an id a rotation ledgered must fail loudly instead
-      requireKind(Dedup.fsFor(spark, path), path, epochId, "epoch")
-      return false
-    }
     val f = Dedup.fsFor(spark, path)
+    // ONE ledger lookup decides replay AND kind — a ledger hit is
+    // only a REPLAY when the same protocol applied it; an id a
+    // rotation ledgered must fail loudly instead
+    appliedKind(f, path, epochId) match {
+      case Some(k) =>
+        requireKindMatches(path, epochId, k, "epoch")
+        return false
+      case None => ()
+    }
     // the ledger dir exists before any data can move — recovery treats
     // "footprints but no ledger dir" as ledger loss and refuses
     f.mkdirs(new Path(s"$path/_epochs"))
@@ -674,7 +728,11 @@ object EpochLedger {
       s"epoch-ledger: staging for epoch '$epochId' vanished before " +
         "commit — a concurrent recover/commit ran against this layout; " +
         "the protocol requires a single maintenance writer")
-    commitManifest(f, stageRoot, path, "epoch-ledger")
+    // kind:epoch marks the stage as this protocol's own — recovery
+    // refuses to resume a foreign-kind manifest under _rotate (legacy
+    // epoch manifests, whose content was a bare informational path,
+    // read as kind-absent and still resume)
+    commitManifest(f, stageRoot, s"kind:epoch\npath:$path", "epoch-ledger")
     failpoint("committed")
     complete(f, stageRoot, path, epochId, partPrefix, failpoint, dr)
     true
@@ -743,48 +801,11 @@ object EpochLedger {
       dataRoot: Option[String] = None): Unit = {
     val f = Dedup.fsFor(spark, path)
     val dr = dataRoot.getOrElse(path)
-    def idOf(name: String): Option[String] = footprintId(name)
-    val residue = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Path, String)]
-    val root = new Path(dr)
-    if (f.exists(root))
-      f.listStatus(root)
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(partPrefix)).foreach { pd =>
-          f.listStatus(pd.getPath).foreach { nf =>
-            idOf(nf.getPath.getName).foreach(id => residue +=
-              ((id, nf.getPath,
-                s"$path/_quarantine/$id/${pd.getPath.getName}")))
-          }
-        }
-    // ledger membership from ONE listing (plus the roll-up's
-    // applied-set) — in a mature layout every post-epoch-0 file
-    // carries a footprint, so per-file exists() would be
-    // O(corpus files) round-trips
-    val ledgerP = new Path(s"$path/_epochs")
-    val ledgerDirExists = f.exists(ledgerP)
-    val ledgered: Set[String] =
-      if (ledgerDirExists) ledgeredIds(f, path) else Set.empty
-    // ids with a COMMITTED stage pending are not torn — completing
-    // them below writes their ledger entries
-    val rotateRoot = new Path(s"$path/_rotate")
-    val stages =
-      if (f.exists(rotateRoot)) f.listStatus(rotateRoot).toSeq
-      else Seq.empty
-    // a committed _retrain stage (rotation / partition compaction —
-    // [[Similarity.recoverIvfRotations]]'s jurisdiction) also fences
-    // its id: a mid-swap partition compaction leaves its footprinted
-    // files in live dirs before its ledger entry lands, and this sweep
-    // must not quarantine them out from under the resumable stage
-    val retrainRoot = new Path(s"$path/_retrain")
-    val retrainStages =
-      if (f.exists(retrainRoot)) f.listStatus(retrainRoot).toSeq
-      else Seq.empty
-    val pendingCommitted: Set[String] = (stages ++ retrainStages)
-      .filter(st => f.exists(new Path(st.getPath, "_MANIFEST")))
-      .map(_.getPath.getName).toSet
-    val torn = residue.filterNot { case (id, _, _) =>
-      ledgered(id) || pendingCommitted(id) }
+    val t = triage(f, path, partPrefix, dr)
+    val stages = t.rotateStages
+    val torn = t.torn
+    val ledgerDirExists = t.ledgerDirExists
+    val residue = t.residue
     // the ledger-loss valve, judged BEFORE any mutation (completing a
     // committed stage would re-create _epochs with only its own entry,
     // after which a later sweep would quarantine every OTHER epoch).
@@ -797,6 +818,14 @@ object EpochLedger {
     // layout carries NO footprints (it's a fresh rebuild) yet its
     // ledger still fences every previously-applied epoch id from
     // double-appending — losing it must refuse just the same.
+    // An EMPTY-but-present _epochs dir deliberately does NOT trip the
+    // valve: it is indistinguishable from the legitimate first-epoch
+    // stage-lost state (ledger dir created at stage time, no epoch
+    // ever ledgered, one torn epoch's partials awaiting quarantine —
+    // the documented contract). The realistic loss mode is an
+    // underscore-blind copy dropping the DIR (its name is itself
+    // underscore-hidden, so a tool that skips '_' files skips the
+    // whole dir), which the check above catches.
     if (residue.nonEmpty || f.exists(new Path(s"$path/_current")))
       require(ledgerDirExists,
         s"epoch-ledger: '<id>=' footprint files exist under $path but " +
@@ -808,20 +837,118 @@ object EpochLedger {
           "applied epoch's data to quarantine. (Foreign '='-named " +
           "files are also possible; that namespace is reserved for " +
           "the protocol.) Refusing to touch the corpus.")
-    stages.foreach { st =>
-      if (!pendingCommitted(st.getPath.getName))
-        require(f.delete(st.getPath, true),
-          s"epoch-ledger: cleanup of ${st.getPath} failed")
-      else
-        complete(f, st.getPath, path, st.getPath.getName, partPrefix,
-          _ => (), dr)
+    stages.foreach { case (name, committed) =>
+      val stage = new Path(s"$path/_rotate/$name")
+      if (!committed)
+        require(f.delete(stage, true),
+          s"epoch-ledger: cleanup of $stage failed")
+      else {
+        // resume ONLY a stage that is provably this protocol's, like
+        // the two sibling completers (completePartitionCompaction /
+        // completeIvfGeneration refuse foreign manifests). A stage
+        // name that is not a valid epoch id would move files whose
+        // '<name>=' footprints footprintId rejects — invisible to
+        // every later recovery/fsck sweep, permanently outside the
+        // protocol's accounting; a foreign-kind manifest under
+        // _rotate belongs to another protocol's jurisdiction. Refuse
+        // loudly either way (never silently discard a committed
+        // stage). ONE judgment ([[epochResumeRefusal]]) shared with
+        // the fsck doctor's report.
+        epochResumeRefusal(f, path, name).foreach(reason =>
+          sys.error(s"epoch-ledger: committed stage '$name' under " +
+            s"$path/_rotate $reason — refusing to resume or discard " +
+            "it; remove it by hand"))
+        complete(f, stage, path, name, partPrefix, _ => (), dr)
+      }
     }
-    torn.foreach { case (_, file, qDir) =>
-      val d = new Path(qDir)
+    torn.foreach { case (id, file, pdName) =>
+      val d = new Path(s"$path/_quarantine/$id/$pdName")
       f.mkdirs(d)
       require(f.rename(file, new Path(d, file.getName)),
         s"epoch-ledger: quarantine of $file -> $d failed")
     }
+  }
+
+  /** Why a COMMITTED `_rotate` stage cannot be resumed as an epoch,
+    * if any — the ONE judgment [[recover]] enforces and [[fsck]]
+    * reports, so the doctor can never call resumable what recovery
+    * refuses.
+    */
+  private[operators] def epochResumeRefusal(
+      f: FileSystem,
+      path: String,
+      name: String): Option[String] =
+    (try { requireEpochId(name); None }
+     catch {
+       case e: IllegalArgumentException =>
+         Some(s"is not a valid epoch stage (${e.getMessage})")
+     }).orElse {
+      val mf = readManifest(f, new Path(s"$path/_rotate/$name/_MANIFEST"))
+      if (mf.get("kind").forall(_ == "epoch")) None
+      else Some(s"carries a foreign '${mf.getOrElse("kind", "")}' manifest")
+    }
+
+  /** The recovery sweep's raw evidence, classified ONCE — [[recover]]
+    * acts on a [[LedgerTriage]], [[fsck]] reports the same one, so
+    * the doctor's torn set and the recovery's quarantine set are
+    * identical by construction. Listing-only.
+    *
+    * `residue` rows are `(footprintId, file, partitionDirName)`;
+    * `rotateStages`/`retrainStages` rows are `(name, committed)`.
+    * Ledger membership comes from ONE listing (plus the roll-up's
+    * applied-set) — in a mature layout every post-epoch-0 file
+    * carries a footprint, so per-file exists() would be
+    * O(corpus files) round-trips. A committed `_retrain` stage
+    * (rotation / partition compaction —
+    * [[Similarity.recoverIvfRotations]]'s jurisdiction) fences its id
+    * exactly like a `_rotate` one: a mid-swap partition compaction
+    * leaves its footprinted files in live dirs before its ledger
+    * entry lands, and the torn sweep must not quarantine them out
+    * from under the resumable stage.
+    */
+  private[operators] final case class LedgerTriage(
+      residue: Seq[(String, Path, String)],
+      ledgerDirExists: Boolean,
+      ledgered: Set[String],
+      rotateStages: Seq[(String, Boolean)],
+      retrainStages: Seq[(String, Boolean)]) {
+    def pendingCommitted: Set[String] =
+      (rotateStages ++ retrainStages).collect { case (n, true) => n }.toSet
+    def torn: Seq[(String, Path, String)] =
+      residue.filterNot { case (id, _, _) =>
+        ledgered(id) || pendingCommitted(id) }
+  }
+
+  private[operators] def triage(
+      f: FileSystem,
+      path: String,
+      partPrefix: String,
+      dataRoot: String): LedgerTriage = {
+    val residue = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Path, String)]
+    val root = new Path(dataRoot)
+    if (f.exists(root))
+      f.listStatus(root)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(partPrefix)).foreach { pd =>
+          f.listStatus(pd.getPath).foreach { nf =>
+            footprintId(nf.getPath.getName).foreach(id =>
+              residue += ((id, nf.getPath, pd.getPath.getName)))
+          }
+        }
+    val ledgerDirExists = f.exists(new Path(s"$path/_epochs"))
+    def stagesUnder(sub: String): Seq[(String, Boolean)] = {
+      val r = new Path(s"$path/$sub")
+      if (!f.exists(r)) Seq.empty
+      else f.listStatus(r).toSeq.map(st => (st.getPath.getName,
+        f.exists(new Path(st.getPath, "_MANIFEST"))))
+    }
+    LedgerTriage(
+      residue = residue.toSeq,
+      ledgerDirExists = ledgerDirExists,
+      ledgered = if (ledgerDirExists) ledgeredIds(f, path) else Set.empty,
+      rotateStages = stagesUnder("_rotate"),
+      retrainStages = stagesUnder("_retrain"))
   }
 
   /** One `(epochId, files, bytes)` row per quarantined torn epoch under
@@ -866,60 +993,48 @@ object EpochLedger {
     val f = Dedup.fsFor(spark, path)
     val dr = dataRoot.getOrElse(path)
     val out = scala.collection.mutable.ArrayBuffer.empty[FsckFinding]
-    def idOf(name: String): Option[String] = footprintId(name)
-    // live-dir footprints, same walk as the recovery sweep
-    val residue = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Path)]
-    val root = new Path(dr)
-    if (f.exists(root))
-      f.listStatus(root)
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(partPrefix)).foreach { pd =>
-          f.listStatus(pd.getPath).foreach { nf =>
-            idOf(nf.getPath.getName)
-              .foreach(id => residue += ((id, nf.getPath)))
-          }
-        }
-    val ledgerDirExists = f.exists(new Path(s"$path/_epochs"))
-    val ledgered: Set[String] =
-      if (ledgerDirExists) ledgeredIds(f, path) else Set.empty
-    def stagesUnder(sub: String): Seq[(String, Boolean)] = {
-      val r = new Path(s"$path/$sub")
-      if (!f.exists(r)) Seq.empty
-      else f.listStatus(r).toSeq.map(st => (st.getPath.getName,
-        f.exists(new Path(st.getPath, "_MANIFEST"))))
-    }
-    val rotateStages = stagesUnder("_rotate")
-    val retrainStages = stagesUnder("_retrain")
-    val pendingCommitted: Set[String] =
-      (rotateStages ++ retrainStages).collect {
-        case (id, true) => id
-      }.toSet
-    (rotateStages.map(("_rotate", _)) ++ retrainStages.map(("_retrain", _)))
+    // the SAME classification recover acts on ([[triage]]) — the
+    // doctor's torn set and the recovery's quarantine set are one
+    // definition, never two hand-synchronized walks
+    val t = triage(f, path, partPrefix, dr)
+    (t.rotateStages.map(("_rotate", _)) ++
+      t.retrainStages.map(("_retrain", _)))
       .foreach { case (sub, (id, committed)) =>
-        if (committed)
-          out += FsckFinding("stage-committed", "warn", s"$path/$sub/$id",
-            "committed stage awaiting completion — the protocol tore " +
-              "after its atomic commit; recovery at next entry resumes " +
-              "the idempotent moves")
-        else
+        if (committed) {
+          // _rotate stages resume as epochs — report the exact
+          // refusal recover would throw instead of promising a resume
+          val refusal =
+            if (sub == "_rotate") epochResumeRefusal(f, path, id)
+            else None
+          refusal match {
+            case Some(reason) =>
+              out += FsckFinding("stage-foreign", "fatal",
+                s"$path/$sub/$id",
+                s"committed stage $reason — recovery will REFUSE to " +
+                  "resume or discard it; remove it by hand")
+            case None =>
+              out += FsckFinding("stage-committed", "warn",
+                s"$path/$sub/$id",
+                "committed stage awaiting completion — the protocol " +
+                  "tore after its atomic commit; recovery at next " +
+                  "entry resumes the idempotent moves")
+          }
+        } else
           out += FsckFinding("stage-uncommitted", "warn", s"$path/$sub/$id",
             "uncommitted stage residue — the protocol tore before its " +
               "commit point; recovery discards it (the live layout was " +
               "never touched)")
       }
-    val torn = residue.filterNot { case (id, _) =>
-      ledgered(id) || pendingCommitted(id) }
     // the ledger-loss valve, verbatim judgment, report-only
-    if ((residue.nonEmpty || f.exists(new Path(s"$path/_current"))) &&
-        !ledgerDirExists)
+    if ((t.residue.nonEmpty || f.exists(new Path(s"$path/_current"))) &&
+        !t.ledgerDirExists)
       out += FsckFinding("ledger-missing", "fatal", s"$path/_epochs",
         "'<id>=' footprints (or a published generation pointer) exist " +
           "but the _epochs ledger dir does not — recovery will REFUSE " +
           "to touch this layout until the ledger travels back with it " +
           "(an underscore-blind copy/restore is the usual cause)")
     else
-      torn.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (id, fs) =>
+      t.torn.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (id, fs) =>
         out += FsckFinding("footprint-unledgered", "warn",
           s"$dr <$id>",
           s"${fs.size} live file(s) carry epoch footprint '$id=' with " +

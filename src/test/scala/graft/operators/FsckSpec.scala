@@ -93,6 +93,41 @@ class FsckSpec extends AnyFunSuite {
     f.delete(stray, false)
   }
 
+  test("ivfFsck/recover share the epoch-resume judgment: a committed " +
+    "_rotate stage with a FOREIGN manifest kind is reported fatal and " +
+    "recovery refuses to resume or discard it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fsckf").toString
+    val path = s"$root/ivf"
+    Similarity.writeIvfPartitioned(emb().filter(col("vec_id") < 16), path)
+    val f = Dedup.fsFor(spark, path)
+    // a misplaced foreign-protocol stage under _rotate: data + a
+    // committed manifest of another kind (external tooling / an
+    // operator copying a _retrain stage by hand)
+    val stage = new org.apache.hadoop.fs.Path(s"$path/_rotate/x1")
+    f.mkdirs(new org.apache.hadoop.fs.Path(stage, "data"))
+    val out = f.create(new org.apache.hadoop.fs.Path(stage, "_MANIFEST"),
+      true)
+    try out.write("kind:partition-compaction\nroot:.\ndirs2:"
+      .getBytes("UTF-8"))
+    finally out.close()
+    val fs = Similarity.ivfFsck(spark, path)
+    assert(codes(fs) == Seq("stage-foreign"), fs)
+    assert(fs.head.severity == "fatal", fs)
+    val ex = intercept[RuntimeException] {
+      Similarity.recoverIvfEpochs(spark, path)
+    }
+    assert(ex.getMessage.contains("foreign"), ex.getMessage)
+    assert(f.exists(stage), "recover must not discard the foreign stage")
+    // restore the stage to this protocol's own kind: resumable again
+    val out2 = f.create(new org.apache.hadoop.fs.Path(stage, "_MANIFEST"),
+      true)
+    try out2.write(s"kind:epoch\npath:$path".getBytes("UTF-8"))
+    finally out2.close()
+    Similarity.recoverIvfEpochs(spark, path)
+    assert(EpochLedger.applied(spark, path, "x1"))
+    assert(Similarity.ivfFsck(spark, path).isEmpty)
+  }
+
   test("ivfFsck: the ledger-loss valve, a dangling generation pointer " +
     "and a missing centroid sidecar are fatal findings") {
     val root = java.nio.file.Files.createTempDirectory("graft-fsck3").toString

@@ -237,6 +237,58 @@ class IvfCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("compactLedger with NO entry tail still prunes a crashed run's " +
+    "residue: superseded roll-ups and hidden tmps converge to one file") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cmplnp").toString
+    val path = grown(root, epochs = 2)
+    assert(EpochLedger.compactLedger(spark, path) == 2) // -> _compacted.1
+    val f = Dedup.fsFor(spark, path)
+    val ledger = new org.apache.hadoop.fs.Path(s"$path/_epochs")
+    // the state a crash between roll-up N and the final prune leaves
+    // once every entry file was already dropped: a superseded roll-up
+    // and a writeLedgerEntry tmp, no visible entries — the early
+    // no-entries return used to skip the prune forever
+    val newer = new org.apache.hadoop.fs.Path(ledger, "_compacted.2")
+    require(f.rename(new org.apache.hadoop.fs.Path(ledger, "_compacted.1"),
+      newer))
+    for (residue <- Seq("_compacted.1", ".e9.tmp")) {
+      val out = f.create(new org.apache.hadoop.fs.Path(ledger, residue), true)
+      try out.write("e1\tepoch".getBytes("UTF-8")) finally out.close()
+    }
+    assert(EpochLedger.compactLedger(spark, path) == 0)
+    val after = f.listStatus(ledger).map(_.getPath.getName).toSeq.sorted
+    assert(after == Seq("_compacted.2"), after.toString)
+    (1 to 2).foreach(e =>
+      assert(EpochLedger.applied(spark, path, s"e$e"), s"e$e"))
+  }
+
+  test("partition-compaction manifest is comma-safe: a string partition " +
+    "value containing ',' survives the staged swap — the tab-joined " +
+    "dirs2 manifest key (Spark leaves ',' raw in partition dir names)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-comma").toString
+    val path = s"$root/lay"
+    Seq((1L, "a,b"), (2L, "a,b"), (3L, "c")).toDF("id", "col")
+      .write.partitionBy("col").parquet(path)
+    Seq((4L, "a,b")).toDF("id", "col")
+      .write.mode("append").partitionBy("col").parquet(path)
+    val want = spark.read.parquet(path).select("id", "col").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(want.size == 4)
+    val n = EpochLedger.compactPartitionsStaged(spark, path, path, "col",
+      "pc1", maxFilesPerPartition = 1, maxRecordsPerFile = 0L, _ => ())
+    assert(n == 1) // only col=a,b was fragmented
+    val got = spark.read.parquet(path).select("id", "col").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    // the comma dir really coalesced — under the legacy comma-joined
+    // manifest the swap silently skipped it (parsed as 'col=a' + 'b')
+    // while still ledgering the id, leaving it fragmented forever
+    val f = Dedup.fsFor(spark, path)
+    assert(EpochLedger.partitionFileStats(f, path, "col=")
+      .forall(_._2 == 1))
+    assert(EpochLedger.applied(spark, path, "pc1"))
+  }
+
   test("ivfHealth: one call surfaces every runbook observable, " +
     "listing-only by default, across the flat->compacted transition") {
     val root = java.nio.file.Files.createTempDirectory("graft-health").toString

@@ -245,8 +245,13 @@ class IvfEpochSpec extends AnyFunSuite {
   test("epochId guard: separators, dot-segments, hidden prefixes and '=' " +
     "are rejected before any filesystem work") {
     val novel = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // whitespace/control characters: '\t' and '\n' are the ledger
+    // roll-up's field and line separators — an id containing either
+    // would be applied fine, then PARSE as a different id after a
+    // compactLedger roll-up, turning a blind replay of an applied
+    // epoch into a quarantine-and-reapply
     for (bad <- Seq("", "..", ".", "a/b", "a\\b", ".hidden", "_rotate",
-      "a=b")) {
+      "a=b", "a\tb", "a\nb", "a b", "a\rb")) {
       val ex = intercept[IllegalArgumentException] {
         Similarity.appendIvfEpoch(novel, "/nonexistent/layout", bad)
       }
