@@ -853,6 +853,31 @@ object Dedup {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[EpochLedger.FsckFinding]
     out ++= EpochLedger.fsck(spark, historyPath, "id_bucket=")
+    // the generic pass judges committed _rotate stages with the EPOCH
+    // protocol's resume rule; the history's _rotate stages resume as
+    // DEDUP rotations — re-judge with [[dedupResumeRefusal]] (the
+    // rule recoverRotations enforces) so the doctor reports exactly
+    // what recovery will do. A stage the dedup rule resumes always
+    // passes the epoch rule too (its bare-path manifest reads as
+    // kind-absent), so only refusals need rewriting.
+    val rotRoot = new org.apache.hadoop.fs.Path(s"$historyPath/_rotate")
+    if (f.exists(rotRoot))
+      f.listStatus(rotRoot).foreach { st =>
+        val mfP = new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST")
+        if (f.exists(mfP)) {
+          val name = st.getPath.getName
+          val subject = s"$historyPath/_rotate/$name"
+          dedupResumeRefusal(name, readManifest(f, mfP)).foreach {
+            reason =>
+              out.indices.findLast(i => out(i).subject == subject)
+                .foreach(out.remove(_))
+              out += EpochLedger.FsckFinding("stage-foreign", "fatal",
+                subject,
+                s"committed stage $reason — recovery will REFUSE to " +
+                  "resume or discard it; remove it by hand")
+          }
+        }
+      }
     // index-side footprints (the recoverRotations idOf variant: one
     // leading '.' marks the in-flight copy temp, which follows its
     // visible sibling)
@@ -1257,6 +1282,17 @@ object Dedup {
           require(f.delete(st.getPath, true),
             s"rotate: cleanup of ${st.getPath} failed")
         case Some(indexPath) =>
+          // resume ONLY what is provably a dedup rotation stage — the
+          // ONE judgment ([[dedupResumeRefusal]]) the fsck doctor
+          // reports: an invalid stage name would move files whose
+          // footprints no later sweep can see; a multi-line
+          // (kind-format) manifest belongs to a sibling protocol and
+          // its content is NOT an index path
+          dedupResumeRefusal(st.getPath.getName, indexPath).foreach(r =>
+            sys.error(s"rotate: committed stage " +
+              s"'${st.getPath.getName}' under $historyPath/_rotate " +
+              s"$r — refusing to resume or discard it; remove it by " +
+              "hand"))
           completeRotation(f, st.getPath, historyPath, indexPath,
             st.getPath.getName, _ => ())
       }
@@ -1278,6 +1314,26 @@ object Dedup {
           historyPath, id, _ => ())
     }
   }
+
+  /** Why a committed `_rotate` stage cannot be resumed as a dedup
+    * rotation, if any — the ONE judgment [[recoverRotations]] enforces
+    * and [[dedupFsck]] reports, so the doctor can never call resumable
+    * what recovery refuses. `manifest` is the raw content (the
+    * recorded indexPath for a genuine dedup stage).
+    */
+  private[operators] def dedupResumeRefusal(
+      name: String,
+      manifest: String): Option[String] =
+    (try { EpochLedger.requireEpochId(name); None }
+     catch {
+       case e: IllegalArgumentException =>
+         Some(s"is not a valid epoch stage (${e.getMessage})")
+     }).orElse {
+      if (manifest.nonEmpty && !manifest.contains('\n') &&
+          !manifest.startsWith("kind:")) None
+      else Some("carries a foreign (kind-format or empty) manifest " +
+        "whose content is not an index path")
+    }
 
   /** Read a committed stage's `_MANIFEST` (the indexPath it recorded). */
   private def readManifest(

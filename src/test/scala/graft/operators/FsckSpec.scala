@@ -298,6 +298,55 @@ class FsckSpec extends AnyFunSuite {
     assert(Similarity.ivfFsck(spark, path).isEmpty)
   }
 
+  test("dedupFsck/recoverRotations share the resume judgment: a " +
+    "committed _rotate stage with a kind-format manifest is reported " +
+    "fatal and recovery refuses; restoring the bare-path manifest " +
+    "resumes it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fsckdf").toString
+    val hist = s"$root/hist"
+    val idx = s"$root/idx"
+    val docs = (0L until 12L)
+      .map(i => (i, s"resume judgment doc body $i"))
+      .toDF("doc_id", "text")
+    Dedup.writeHistoryBucketed(docs, hist, nBuckets = 4)
+    Dedup.writeMinhashIndex(docs, idx)
+    val novel = (100L until 104L)
+      .map(i => (i, s"novel resume doc body $i")).toDF("doc_id", "text")
+    val bloom = spark.sparkContext.broadcast(
+      Dedup.digestBloom(docs, expectedItems = 100, fpp = 0.01))
+    // tear a genuine rotation at its commit point, then corrupt the
+    // manifest into the sibling protocols' kind format
+    intercept[RuntimeException] {
+      Dedup.rotateEpochStaged(novel, hist, idx, bloom,
+        expectedItems = 100, fpp = 0.01, textCol = "text",
+        epochId = "er1",
+        failpoint = p => if (p == "committed")
+          throw new RuntimeException("boom"))
+    }
+    val f = Dedup.fsFor(spark, hist)
+    val mfP = new org.apache.hadoop.fs.Path(s"$hist/_rotate/er1/_MANIFEST")
+    val out1 = f.create(mfP, true)
+    try out1.write("kind:epoch\npath:x".getBytes("UTF-8"))
+    finally out1.close()
+    val fs1 = Dedup.dedupFsck(spark, hist, idx)
+    val foreign = fs1.filter(_.code == "stage-foreign")
+    assert(foreign.size == 1 && foreign.head.severity == "fatal", fs1)
+    assert(!codes(fs1).contains("stage-committed"), fs1)
+    val ex = intercept[RuntimeException] {
+      Dedup.recoverRotations(spark, hist)
+    }
+    assert(ex.getMessage.contains("foreign"), ex.getMessage)
+    assert(f.exists(mfP.getParent), "stage must survive the refusal")
+    // restore the genuine manifest (the recorded index path): the
+    // stage resumes and the epoch lands exactly once
+    val out2 = f.create(mfP, true)
+    try out2.write(idx.getBytes("UTF-8")) finally out2.close()
+    Dedup.recoverRotations(spark, hist)
+    assert(Dedup.epochApplied(spark, hist, "er1"))
+    assert(Dedup.dedupFsck(spark, hist, idx)
+      .forall(_.code != "stage-foreign"))
+  }
+
   test("dedupFsck: an index-only footprint with the ledger gone is the " +
     "FATAL ledger-loss state, even when a committed stage fences its " +
     "id — never a benign resumable-stage warning") {
