@@ -58,18 +58,23 @@ object EpochLedger {
     * line separators — an id containing either would be ledgered fine
     * as an entry file, then PARSE as a different id after the roll-up,
     * making `applied` false and a blind retry of an already-applied
-    * epoch quarantine-and-reapply it.
+    * epoch quarantine-and-reapply it. ',' is
+    * [[Similarity.layoutStateToken]]'s applied-set join separator —
+    * an id containing it would make two different ledgered sets
+    * digest to one breaker-fence token (rejecting it here keeps every
+    * deployed fence token valid, which re-formatting the join would
+    * not).
     */
   private[graft] def requireEpochId(epochId: String): Unit =
     require(
       epochId.nonEmpty && !epochId.exists(c =>
-        c == '/' || c == '\\' || c == '=' ||
+        c == '/' || c == '\\' || c == '=' || c == ',' ||
           c.isWhitespace || c.isControl) &&
         epochId != "." && epochId != ".." &&
         !epochId.startsWith(".") && !epochId.startsWith("_"),
       s"epochId must be a plain path segment (no separators, no '=', " +
-        s"no whitespace/control characters, not '.'/'..', no leading " +
-        s"'.'/'_'), got '$epochId'")
+        s"no ',', no whitespace/control characters, not '.'/'..', no " +
+        s"leading '.'/'_'), got '$epochId'")
 
   /** Has `epochId` been fully applied to the layout at `path`? An id
     * is ledgered either as its own `_epochs/<id>` entry file (the

@@ -250,8 +250,11 @@ class IvfEpochSpec extends AnyFunSuite {
     // would be applied fine, then PARSE as a different id after a
     // compactLedger roll-up, turning a blind replay of an applied
     // epoch into a quarantine-and-reapply
+    // ',' is layoutStateToken's applied-set join separator: an id
+    // containing it would alias two different ledgered sets onto one
+    // breaker-fence token
     for (bad <- Seq("", "..", ".", "a/b", "a\\b", ".hidden", "_rotate",
-      "a=b", "a\tb", "a\nb", "a b", "a\rb")) {
+      "a=b", "a\tb", "a\nb", "a b", "a\rb", "a,b")) {
       val ex = intercept[IllegalArgumentException] {
         Similarity.appendIvfEpoch(novel, "/nonexistent/layout", bad)
       }
