@@ -83,7 +83,12 @@ object Ingest {
                   Seq("path", "timestamp", "value"), "left_anti")
                 .localCheckpoint(true)
               val ns = selfMetricPrefix match {
-                case None => novel.count()
+                // nonSelf's only consumer is the self-metric union
+                // below — without a prefix the count job would run and
+                // its result never be read, a redundant scheduler
+                // round-trip on every micro-batch of the plain
+                // deduped-ingest configuration
+                case None => 0L
                 case Some(p) =>
                   novel.filter(!col("path").startsWith(p + ".")).count()
               }

@@ -14,13 +14,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
   * touching the drained layouts.
   *
   * The latch matters because `query.stop()` returns as soon as the
-  * engine stops — the listener's drain (a rotation, possibly a
-  * maintain tick) still runs on the listener-bus thread. A caller that
-  * starts new maintenance on the same layouts right after `stop()`
-  * would race a live single-maintenance-writer; `awaitDrain` is the
-  * handshake that prevents it. An ERROR termination releases the
-  * latch WITHOUT running `body` (the crash contract is
-  * heal-on-restart).
+  * engine stops — the drain (a rotation, possibly a maintain tick)
+  * still runs asynchronously. A caller that starts new maintenance on
+  * the same layouts right after `stop()` would race a live
+  * single-maintenance-writer; `awaitDrain` is the handshake that
+  * prevents it. An ERROR termination releases the latch WITHOUT
+  * running `body` (the crash contract is heal-on-restart).
+  *
+  * The body runs on its OWN named thread, never on the session-wide
+  * listener-bus thread: a drain is minutes of Spark jobs, and running
+  * it inline would serialize every other listener in the session
+  * (progress reporting, a second stream's own drain) behind it —
+  * two back-to-back stops would stack their drains and time the
+  * second caller's `awaitDrain` out with nothing wrong. The thread is
+  * a daemon like the bus thread it replaces: a JVM exit mid-drain
+  * loses nothing the restart-healing contract doesn't recover.
   */
 private[graft] object StreamTermination {
 
@@ -51,18 +59,26 @@ private[graft] object StreamTermination {
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == queryId) {
-          try {
-            // clean stop only — the error path's contract is
-            // heal-on-restart, so the spool must survive intact
-            if (e.exception.isEmpty) body
-          } catch {
-            case t: Throwable =>
-              // the spool survives (idempotent protocols): a manual
-              // drain or the next session's healing finishes the job
-              log.error(s"$what failed; spool left for restart healing", t)
-          } finally {
+          spark.streams.removeListener(this)
+          if (e.exception.isDefined) {
+            // error path: the contract is heal-on-restart, so the
+            // spool must survive intact — release without draining
             Option(latches.remove(queryId)).foreach(_.countDown())
-            spark.streams.removeListener(this)
+          } else {
+            val t = new Thread(() => {
+              try body
+              catch {
+                case t: Throwable =>
+                  // the spool survives (idempotent protocols): a
+                  // manual drain or the next session's healing
+                  // finishes the job
+                  log.error(
+                    s"$what failed; spool left for restart healing", t)
+              } finally Option(latches.remove(queryId))
+                .foreach(_.countDown())
+            }, s"graft-drain-$queryId")
+            t.setDaemon(true)
+            t.start()
           }
         }
     }

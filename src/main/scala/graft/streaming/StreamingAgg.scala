@@ -27,11 +27,26 @@ object StreamingAgg {
   /** incoming (streaming DataFrame of path/timestamp/value) → per-period
     * final aggregate rows in append mode. Output schema matches the
     * period tables: (path, timestamp, n, min, max, avg, sum, p50, p90, p99).
+    *
+    * Percentiles are EXACT by default — the reference's own quirk Q1
+    * (exact interpolated percentiles) carried into the streaming
+    * surface, at the documented state cost: `percentile`'s buffer
+    * keeps every raw value of each OPEN (path, window) pair in the
+    * state store, ser/de'd per trigger. That is the right trade at
+    * the reference's cadence (its periods hold tens-to-hundreds of
+    * points), and the wrong one for high-rate paths × long periods
+    * (1 Hz into a 1-day window is ~86k buffered doubles per path).
+    * `approxPercentileAccuracy = Some(acc)` bounds the buffer to a
+    * constant-size sketch (`percentile_approx`, rank error ≤ 1/acc)
+    * for that regime — an explicit knob, never a silent default, since
+    * it trades away batch-sync parity on the percentile columns.
     */
-  def finalBuckets(incoming: DataFrame, period: Period, tailSeconds: Long): DataFrame = {
+  def finalBuckets(incoming: DataFrame, period: Period, tailSeconds: Long,
+      approxPercentileAccuracy: Option[Int] = None): DataFrame = {
     val withEventTime = incoming
       .withColumn("event_time", timestamp_seconds(col("timestamp")))
       .withWatermark("event_time", s"$tailSeconds seconds")
+    val ps = array(lit(0.5), lit(0.9), lit(0.99))
     withEventTime
       .groupBy(col("path"), window(col("event_time"), s"${period.seconds} seconds"))
       .agg(
@@ -40,7 +55,9 @@ object StreamingAgg {
         max(col("value")).as("max"),
         avg(col("value")).as("avg"),
         sum(col("value")).as("sum"),
-        percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99))).as("_ps"))
+        approxPercentileAccuracy
+          .map(acc => percentile_approx(col("value"), ps, lit(acc)))
+          .getOrElse(percentile(col("value"), ps)).as("_ps"))
       .select(
         col("path"),
         // window start back to epoch-seconds double, same as Agg.bucket

@@ -157,6 +157,18 @@ object StreamingSimilarity {
     require(pqMaintainAtBoundary.isEmpty || applyToPqIndex.isDefined,
       "pqMaintainAtBoundary without applyToPqIndex has no index to " +
         "maintain")
+    // fail on the WRONG SCHEMA now, like the epoch-id guard below: a
+    // frame missing idCol/'embedding' (e.g. the layout's own at-rest
+    // 'vec' name) would spool a full epoch successfully, then crash
+    // at the boundary apply — BEFORE clearSpool — and every restart
+    // replays the same boundary against the same poisoned spool,
+    // wedging ingest until an operator hand-deletes the dir
+    require(emb.columns.contains(idCol) &&
+        emb.columns.contains("embedding"),
+      s"startSpool frame must carry '$idCol' and 'embedding' columns " +
+        s"(got ${emb.columns.mkString(", ")}) — the boundary apply " +
+        "encodes col(\"embedding\"); a wrong name would wedge the " +
+        "stream in a boundary crash loop over a poisoned spool")
     if (checkpointLocation.isEmpty)
       log.warn(
         "startSpool without a checkpointLocation: a restart resets " +
@@ -305,7 +317,18 @@ object StreamingSimilarity {
         // and pinning the tick id forever.
         StreamingDedup.clearSpool(spark, sp)
         false
-      case Some(novel) =>
+      case Some(spooled) =>
+        // within-epoch duplicate ids collapse HERE, like the dedup
+        // twin's digest dedupe before rotation: an at-least-once
+        // upstream can redeliver one (id, embedding) row across two
+        // DIFFERENT batchIds of the same epoch (spoolBatch's
+        // replace-on-replay only collapses same-batchId replays), and
+        // an appended duplicate is permanent corpus state — served
+        // twice by every probe, encoded twice in the derived index.
+        // Arbitrary-winner semantics are correct for redelivery
+        // (the rows are identical); two genuinely different vectors
+        // under one id violate the corpus id contract either way.
+        val novel = spooled.dropDuplicates(idCol)
         val applied =
           Similarity.appendIvfEpoch(novel, layoutPath, epochId, idCol)
         // the derived index's append rides the SAME epoch id on its

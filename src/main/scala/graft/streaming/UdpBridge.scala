@@ -43,6 +43,23 @@ final class UdpBridge(
   @volatile private var running = true
 
   Files.createDirectories(Paths.get(spoolDir))
+  // sweep stale in-flight temps from crashed prior instances: a kill -9
+  // strands a `.tmp-*` file no restart ever matches (fresh instanceId)
+  // and nothing else deletes (dot-hidden, invisible to Spark's file
+  // source and its cleanSource) — under an always-on daemon they would
+  // accumulate without bound, inflating every directory listing. One
+  // live bridge per spool dir (the reference's single daemon socket),
+  // so any `.tmp-*` present at construction belongs to a dead instance.
+  locally {
+    val it = Files.list(Paths.get(spoolDir))
+    try it
+      .filter(p => p.getFileName.toString.startsWith(".tmp-"))
+      .forEach { p =>
+        try { Files.deleteIfExists(p); () }
+        catch { case _: java.io.IOException => () }
+      }
+    finally it.close()
+  }
 
   /** The bound port (useful when constructed with port 0). */
   def localPort: Int = socket.getLocalPort
@@ -59,7 +76,21 @@ final class UdpBridge(
       val pkt = new DatagramPacket(buf, buf.length)
       try {
         socket.receive(pkt)
-        spool(new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8))
+        // a datagram that FILLS the buffer was silently truncated by
+        // the kernel (or is unverifiable): a cut trailing line would
+        // fail the batch-atomic parse downstream and drop the entire
+        // micro-batch, not just this datagram. Drop IT loudly instead.
+        // At the 64 KiB default this is unreachable for real traffic
+        // (IPv4 UDP payloads cap at 65507 bytes < 65536) — it only
+        // fires when a caller shrinks bufBytes below the senders' MTU.
+        if (pkt.getLength >= bufBytes)
+          System.err.println(s"[udp-bridge] dropping datagram: " +
+            s"${pkt.getLength} bytes fills the $bufBytes-byte buffer " +
+            "— payload was (or may be) kernel-truncated mid-line; " +
+            "raise bufBytes")
+        else
+          spool(new String(pkt.getData, pkt.getOffset, pkt.getLength,
+            UTF_8))
       } catch {
         case _: SocketException if !running => () // closed during shutdown
         case scala.util.control.NonFatal(e) =>

@@ -65,4 +65,37 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(rows.count { case (p, t, _) => p == "one" && t == 0.0 } == 1)
     assert(rows.filter(_._1 == "one").map(_._3).sum == 3.0) // 2 + 1, no 99
   }
+
+  test("approxPercentileAccuracy bounds the percentile state to a " +
+    "sketch: same window algebra, rank-bounded (non-interpolated) " +
+    "percentile columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Double, Double)]
+    val agg = StreamingAgg.finalBuckets(
+      stream.toDF().toDF("path", "timestamp", "value"),
+      Periods.TenSecond, tailSeconds = 60,
+      approxPercentileAccuracy = Some(10000))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("saggapx").start()
+    stream.addData(("one", 1.0, 1.0), ("one", 2.0, 5.0))
+    q.processAllAvailable()
+    stream.addData(("tick", 70.0, 0.0))
+    q.processAllAvailable()
+    stream.addData(("tick", 71.0, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val g = spark.table("saggapx")
+      .filter($"path" === "one" && $"timestamp" === 0.0)
+      .select("n", "min", "max", "avg", "sum", "p50", "p90", "p99")
+      .collect()(0)
+    assert((g.getDouble(0), g.getDouble(1), g.getDouble(2), g.getDouble(3),
+      g.getDouble(4)) == (2.0, 1.0, 5.0, 3.0, 6.0))
+    // the sketch returns ACTUAL data values (the documented parity
+    // trade vs the exact interpolated 3.0/4.6/4.96) within rank bounds
+    for (i <- 5 to 7) {
+      assert(Set(1.0, 5.0).contains(g.getDouble(i)),
+        s"col $i = ${g.getDouble(i)}")
+    }
+    assert(g.getDouble(5) <= g.getDouble(6) && g.getDouble(6) <= g.getDouble(7))
+  }
 }

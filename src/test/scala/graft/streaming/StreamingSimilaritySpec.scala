@@ -91,6 +91,48 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_rotate/e1")))
   }
 
+  test("within-epoch duplicate ids collapse at the boundary apply: an " +
+    "at-least-once redelivery across two batchIds lands ONCE in the " +
+    "corpus and the derived PQ index; the wrong-schema frame refuses " +
+    "at startSpool entry") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ssdup").toString
+    val path = s"$root/ivf"
+    val idx = s"$root/pq"
+    val spoolRoot = s"$root/spool"
+    val base = (0L until 8L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.writeIvfPartitioned(base, path, centroidK = 2)
+    graft.operators.Pq.writePqIndex(base, idx, m = 2, k = 4, centroidK = 2)
+    // id 101 redelivered in a LATER batch of the same epoch:
+    // spoolBatch's replace-on-replay only collapses same-batchId
+    // replays, so both copies reach the boundary union
+    StreamingDedup.spoolBatch(
+      Seq((100L, vec(100L)), (101L, vec(101L))).toDF("vec_id", "embedding"),
+      s"$spoolRoot/e1", batchId = 0L)
+    StreamingDedup.spoolBatch(
+      Seq((101L, vec(101L)), (102L, vec(102L))).toDF("vec_id", "embedding"),
+      s"$spoolRoot/e1", batchId = 1L)
+    assert(StreamingSimilarity.applySpooledEpoch(spark, spoolRoot, "e1",
+      path, "vec_id", Some(idx)))
+    val corpusIds = spark.read.parquet(path).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(corpusIds.count(_ == 101L) == 1,
+      s"duplicate id appended twice: ${corpusIds.sorted}")
+    assert(corpusIds.toSet == (0L until 8L).toSet ++ Set(100L, 101L, 102L))
+    val idxIds = spark.read.parquet(Similarity.ivfDataRoot(spark, idx))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(idxIds.count(_ == 101L) == 1,
+      s"duplicate id encoded twice: ${idxIds.sorted}")
+    // the schema guard fires at entry, before anything spools
+    val stream = MemoryStream[(Long, Array[Float])]
+    val ex = intercept[IllegalArgumentException] {
+      StreamingSimilarity.startSpool(
+        stream.toDF().toDF("vec_id", "vec"), s"$root/spool2",
+        epochIdFor = _ => "e1", intervalSeconds = 0)
+    }
+    assert(ex.getMessage.contains("embedding"), ex.getMessage)
+  }
+
   test("applyToLayout automates the epoch boundary: a live stream " +
     "crossing TWO epoch boundaries applies each finished epoch with no " +
     "manual call, and the layout equals the batch rebuild") {
