@@ -38,7 +38,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = DotProduct.sameDim(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -51,7 +51,8 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = graft.functions.DotProduct.sameDim(
+         |  $a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -68,4 +69,22 @@ case class DotProduct(left: Expression, right: Expression)
 object DotProduct {
   def apply(a: Column, b: Column): Column =
     Glue.column(DotProduct(Glue.expression(a), Glue.expression(b)))
+
+  /** Shared by eval and generated code: the common dimension, with a
+    * loud refusal on mismatch (the [[Int8Dot.sameDim]] discipline —
+    * one comparison per row). Truncating to the shorter operand would
+    * return a finite, PLAUSIBLE score for a cross-generation dimension
+    * change, silently corrupting every shortlist it ranks — and
+    * diverge from the composable fold (NULL via zip_with's null-pad)
+    * and DuckDB's list_dot_product (raises), the two forms this
+    * expression is documented bit-identical to.
+    */
+  def sameDim(xlen: Int, ylen: Int): Int = {
+    if (xlen != ylen)
+      throw new ArithmeticException(
+        s"dot_product: dimension mismatch ($xlen vs $ylen) — scoring a " +
+          "prefix would silently corrupt the ranking; the operands " +
+          "must share one dimension")
+    xlen
+  }
 }

@@ -58,14 +58,23 @@ case class MinHashes(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object MinHashes {
-  val P = 1000000007L
+  val P = TextHash.P
 
   /** All k universal-hash minima in one pass; null when the input has no
     * non-null elements (mirrors `array_min` over an empty/all-null array).
+    * The coefficients are [[TextHash.uhA]]/[[uhB]] (the one shared
+    * definition), hoisted into two k-long arrays per call — recomputing
+    * them per (element, hash) pair roughly doubled the kernel's inner
+    * arithmetic, in the loop whose whole purpose is to make cache
+    * residency stop mattering.
     */
   def compute(arr: ArrayData, k: Int): ArrayData = {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var j = 0
+    while (j < k) { as(j) = TextHash.uhA(j); bs(j) = TextHash.uhB(j); j += 1 }
     val n = arr.numElements()
     var seen = false
     var i = 0
@@ -73,11 +82,11 @@ object MinHashes {
       if (!arr.isNullAt(i)) {
         seen = true
         val x = arr.getLong(i)
-        var j = 0
-        while (j < k) {
-          val h = ((2L * j + 1L) * x + (12345L + 7L * j)) % P
-          if (h < mins(j)) mins(j) = h
-          j += 1
+        var j2 = 0
+        while (j2 < k) {
+          val h = (as(j2) * x + bs(j2)) % P
+          if (h < mins(j2)) mins(j2) = h
+          j2 += 1
         }
       }
       i += 1

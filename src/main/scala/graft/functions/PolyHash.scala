@@ -40,7 +40,7 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 }
 
 object PolyHash {
-  val P = 1000000007L
+  val P = TextHash.P
 
   def hash(s: String): Long = {
     var acc = 0L

@@ -74,7 +74,7 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
 }
 
 object ShingleHashes {
-  val P = 1000000007L
+  val P = TextHash.P
 
   private val Empty = new GenericArrayData(Array.emptyLongArray)
 

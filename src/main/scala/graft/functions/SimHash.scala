@@ -49,15 +49,23 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
 }
 
 object SimHash {
-  val P = 1000000007L
+  val P = TextHash.P
 
   /** Null elements are SKIPPED (they are no feature, so they contribute
     * to no bit) — the SQL surface accepts array<bigint> with nullable
     * elements, where reading a null slot as 0 would silently bias the
-    * majority vote.
+    * majority vote. Coefficients are [[TextHash.uhA]]/[[uhB]] (the one
+    * shared definition), hoisted out of the per-element loop like
+    * [[MinHashes.compute]].
     */
   def compute(arr: ArrayData, bits: Int): Long = {
     val counts = new Array[Long](bits)
+    val as = new Array[Long](bits)
+    val bs = new Array[Long](bits)
+    var j0 = 0
+    while (j0 < bits) {
+      as(j0) = TextHash.uhA(j0); bs(j0) = TextHash.uhB(j0); j0 += 1
+    }
     val n = arr.numElements()
     var i = 0
     while (i < n) {
@@ -65,7 +73,7 @@ object SimHash {
         val x = arr.getLong(i)
         var j = 0
         while (j < bits) {
-          val h = ((2L * j + 1L) * x + (12345L + 7L * j)) % P
+          val h = (as(j) * x + bs(j)) % P
           counts(j) += (h % 2L) * 2L - 1L
           j += 1
         }

@@ -57,5 +57,14 @@ object TextHash {
     * `(a_i * x + b_i) mod P` with fixed odd multipliers.
     */
   def universalHashSql(x: String, i: Int): String =
-    s"((${2 * i + 1} * $x + ${12345 + 7 * i}) % $P)"
+    s"((${uhA(i)} * $x + ${uhB(i)}) % $P)"
+
+  /** The universal-hash family's coefficients — the ONE definition the
+    * SQL fragment above and the compiled kernels ([[MinHashes]],
+    * [[SimHash]]) share, so a change can never reach one engine's
+    * algebra and not the other's (the drift hazard Tokenize's header
+    * names for the tokenization contract).
+    */
+  @inline def uhA(i: Int): Long = 2L * i + 1L
+  @inline def uhB(i: Int): Long = 12345L + 7L * i
 }

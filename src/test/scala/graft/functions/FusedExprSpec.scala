@@ -173,6 +173,25 @@ class FusedExprSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1) && got(3).isNullAt(1))
   }
 
+  test("DotProduct refuses mismatched dimensions instead of scoring a " +
+    "prefix — the Int8Dot loud-refusal contract on the float side") {
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val em = intercept[Exception] {
+      spark.range(1).select(DotProduct(
+        expr("array(1.0D, 2.0D, 3.0D)"),
+        expr("array(1.0D, 2.0D)")).as("d")).collect()
+    }
+    assert(messages(em).exists(_.contains("dimension mismatch")),
+      messages(em).mkString("\n"))
+    // equal dims still score, both eval paths
+    val ok = spark.range(1).select(DotProduct(
+      expr("array(1.0D, 2.0D)"), expr("array(3.0D, 4.0D)")).as("d"))
+      .head().getDouble(0)
+    assert(ok == 11.0)
+  }
+
   test("SimHash/SrpKey skip null elements instead of reading them as zero") {
     val withNull = Seq(Tuple1(Seq[java.lang.Long](7L, null, 9L))).toDF("arr")
     val without = Seq(Tuple1(Seq[java.lang.Long](7L, 9L))).toDF("arr")

@@ -453,16 +453,19 @@ class PqLifecycleSpec extends AnyFunSuite {
     val nullRow = spark.read.parquet(nidx)
       .filter(col("vec_id") === 99999L).select("pq").collect()
     assert(nullRow.length == 1 && nullRow(0).isNullAt(0))
-    // a wrong-dimension append refuses with the DIMENSION diagnosis:
-    // zip_with alone would null-pad the short vector and surface as a
-    // misleading null-element error from the encode kernel
+    // a wrong-dimension append refuses with a DIMENSION diagnosis —
+    // never the misleading null-element error a silent zip_with
+    // null-pad would surface. Today DotProduct.sameDim fires first
+    // (at centroid assignment); residualEncode's own guard backstops
+    // the subtraction if assignment algebra ever changes
     val bad = Seq((9999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
     val badEx = intercept[Throwable] {
       Pq.appendPqEpoch(bad, idx, "ebad")
     }
     def messages(t: Throwable): String =
       if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
-    assert(messages(badEx).contains("pq residual encode"),
+    assert(messages(badEx).contains("dimension mismatch") ||
+        messages(badEx).contains("pq residual encode"),
       messages(badEx).take(500))
     // the codes are NOT the raw encoding under a raw codebook — the
     // flag engaged the subtraction on both the build and append paths
