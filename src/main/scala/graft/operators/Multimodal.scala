@@ -57,8 +57,11 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder context would be initialized here
-      rows.map(r => fakeDecode(r.doc_id, r.blob))
+      // per-partition decoder context would be initialized here.
+      // A null payload is NO MEDIA: dropped, the same judgment the
+      // columnar form applies — the stub used to NPE here while the
+      // columnar path fabricated a 'video' row of null metadata
+      rows.filter(_.blob != null).map(r => fakeDecode(r.doc_id, r.blob))
     }
   }
 
@@ -67,17 +70,26 @@ object Multimodal {
     */
   def decodeMetaColumnar(media: DataFrame): DataFrame = {
     val n = octet_length(col("blob")).cast("long")
-    // first byte of the payload; the fixtures' blobs are utf-8 text, so
-    // ascii-of-decoded == blob(0) for the stub's purposes
-    val first = coalesce(expr("CAST(ascii(CAST(blob AS STRING)) AS BIGINT)"), lit(0L))
-    media.select(
-      col("doc_id"),
-      n.as("n_bytes"),
-      when(n % 3 === 0, "image").when(n % 3 === 1, "audio").otherwise("video")
-        .as("media_kind"),
-      (lit(16L) * (n % 40 + 1)).as("width"),
-      (lit(16L) * (expr("CAST(octet_length(blob) AS BIGINT) div 7") % 30 + 1)).as("height"),
-      ((n + first) % 24 + 1).as("n_frames"))
+    // the payload's first BYTE, unsigned — fakeDecode's `blob(0) &
+    // 0xff` exactly. The previous ascii-of-decoded-string form read
+    // the first CHARACTER'S CODEPOINT, which diverges from the
+    // batched stub on any blob whose text starts outside ASCII
+    // (e.g. 'Ä' = bytes C3 84: first byte 195, codepoint 196) — the
+    // all-ASCII fixtures were the only thing hiding the mismatch
+    val first = coalesce(
+      expr("CAST(conv(hex(substring(blob, 1, 1)), 16, 10) AS BIGINT)"),
+      lit(0L))
+    media
+      // a null payload is no media — parity with the batched form
+      .filter(col("blob").isNotNull)
+      .select(
+        col("doc_id"),
+        n.as("n_bytes"),
+        when(n % 3 === 0, "image").when(n % 3 === 1, "audio").otherwise("video")
+          .as("media_kind"),
+        (lit(16L) * (n % 40 + 1)).as("width"),
+        (lit(16L) * (expr("CAST(octet_length(blob) AS BIGINT) div 7") % 30 + 1)).as("height"),
+        ((n + first) % 24 + 1).as("n_frames"))
   }
 
   /** Aspect-preserving resize PLAN (never upscales): the metadata half
@@ -145,10 +157,15 @@ object Multimodal {
   }
 
   /** Sample every `step`-th frame of each media row: bounded explode. */
-  def frameSample(meta: DataFrame, step: Int = 4): DataFrame =
+  def frameSample(meta: DataFrame, step: Int = 4): DataFrame = {
+    // loud precondition like every sibling's width/stride checks —
+    // step <= 0 otherwise dies deep in execution as an opaque
+    // 'Illegal sequence boundaries' task failure
+    require(step >= 1, s"step must be >= 1, got $step")
     meta.select(col("doc_id"), col("n_frames"),
         explode(expr(s"sequence(0, CAST(n_frames AS INT) - 1, $step)")).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         // deterministic stand-in for a per-frame feature/content hash
         ((col("doc_id") * 31 + col("frame_idx")) % 1000000007L).as("frame_hash"))
+  }
 }

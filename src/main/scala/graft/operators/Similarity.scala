@@ -3247,10 +3247,17 @@ object Similarity {
     * steep for true near-dups, tunable via (bands, rowsPerBand) for a
     * given threshold. The candidate join ships only (band, key, id)
     * longs; vectors are fetched once per surviving candidate. The
-    * per-bucket population cap ([[graft.operators.Banding.selfPairs]],
-    * on by default) keeps a repeated boilerplate embedding — which
-    * collides in ALL bands — at linear anchor/star cost instead of
-    * d²/2 candidates; the oracle query pins `maxBandPop = None`.
+    * per-bucket population cap ([[graft.operators.Banding.selfPairs]])
+    * keeps a repeated boilerplate embedding — which collides in ALL
+    * bands — at linear anchor/star cost instead of d²/2 candidates;
+    * the oracle query pins `maxBandPop = None`. The DEFAULT resolves
+    * through the SAME geometry gate as [[Dedup.simhashPairs]]
+    * ([[Banding.resolveDefaultCap]]): the default 12×8 geometry has
+    * 8-bit band keys, exactly the short-key shape where random
+    * full-bucket agreements are routine at corpus scale and
+    * anchor/star pairing over mostly-unrelated buckets drops true
+    * near-dup pairs — so it runs UNCAPPED with the loud O(N²/2^8)
+    * hazard warning, and an explicit Some/None always wins.
     */
   def srpDupPairs(
       emb: DataFrame,
@@ -3258,7 +3265,14 @@ object Similarity {
       bands: Int = 12,
       rowsPerBand: Int = 8,
       idCol: String = "vec_id",
-      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop)): DataFrame = {
+      // `null` = geometry-gated default, resolved against the ACTUAL
+      // bands/rowsPerBand below (a default expression cannot read
+      // parameters of its own list) — the simhashPairs idiom
+      maxBandPop: Option[Int] = null): DataFrame = {
+    val cap =
+      if (maxBandPop eq null)
+        Banding.resolveDefaultCap(bands * rowsPerBand, bands)
+      else maxBandPop
     val v = asDouble(emb, idCol = idCol)
       .select(col(idCol), col("vec"), col("nrm"))
     Caching.withCached(v) {
@@ -3268,7 +3282,7 @@ object Similarity {
       }
       val buckets = v.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
         .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-      val candidates = Banding.selfPairs(buckets, idCol, maxBandPop)
+      val candidates = Banding.selfPairs(buckets, idCol, cap)
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
       candidates
         .join(v.select(col(idCol).as("vec_a"), col("vec").as("va"),

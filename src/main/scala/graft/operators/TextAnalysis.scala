@@ -76,13 +76,22 @@ object TextAnalysis {
       }
     val langs = langMarkers.map(_._1)
     // lang_i wins if its score >= every later language's score
-    val pick = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+    val pick0 = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
       case ((lang, i), elseCol) =>
         val beats = langs.drop(i + 1)
           .map(o => col(s"score_$lang") >= col(s"score_$o"))
           .reduce(_ && _)
         when(beats, lit(lang)).otherwise(elseCol)
     }
+    // a NULL document predicts NULL: with all scores null every
+    // when() condition is skipped and the bare chain would fall
+    // through to the LAST language — an artifact of lexicon ordering
+    // masquerading as a prediction (and sampled under that stratum's
+    // rate downstream). Scores are null iff the text is (MarkerCounts
+    // propagates null; an EMPTY text scores 0s and still ties to the
+    // documented first language).
+    val pick = when(col(s"score_${langs.head}").isNull,
+      lit(null).cast("string")).otherwise(pick0)
     scored.select(
       (col("doc_id") +: langs.map(l => col(s"score_$l"))) :+
         pick.as("lang_pred"): _*)
@@ -93,8 +102,11 @@ object TextAnalysis {
     */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val nToks = graft.functions.TokenStats(col(textCol)).getField("n_tokens")
-    val bpeish = expr(
-      s"size(regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))")
+    // programmatic form (the piiScan formulation), not a raw SQL
+    // splice of textCol — a column name needing quoting would fail to
+    // parse or bind the wrong expression
+    val bpeish = size(regexp_extract_all(col(textCol),
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
     docs.select(
       col("doc_id"),
       nToks.as("ws_tokens"),
@@ -150,7 +162,14 @@ object TextAnalysis {
       defaultRate: Double = 1.0,
       idCol: String = "doc_id"): DataFrame = {
     val P = TextHash.P
-    val u = (((col(idCol) % P) * lit(2654435761L)) % P).cast(DoubleType) / P
+    // pmod at BOTH stages: Spark's % keeps the dividend's sign, so a
+    // negative id (a signed upstream hash) would map to u < 0 and be
+    // kept at EVERY rate — even a rate-0.0 stratum — silently
+    // overshooting its stratum in any derived mixture. Identical
+    // values for nonnegative ids, so the oracle mirror's kept sets
+    // are unchanged on the fixtures.
+    val u = pmod(pmod(col(idCol), lit(P)) * lit(2654435761L), lit(P))
+      .cast(DoubleType) / P
     val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
       case ((stratum, r), els) =>
         when(col(strataCol) === stratum, lit(r)).otherwise(els)
@@ -191,8 +210,11 @@ object TextAnalysis {
       "weights must be positive")
     val wsum = weights.values.sum
     val named = rows.filter(col(strataCol).isInCollection(weights.keys.toSeq))
+    // toString, not getString: weights are keyed by String but the
+    // strata column may be any type isInCollection coerces (an int
+    // source id) — getString would ClassCastException at the driver
     val counts = named.groupBy(strataCol).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
     val missing = weights.keys.filter(s => counts.getOrElse(s, 0L) == 0L)
     if (missing.nonEmpty && !renormalizeMissing)
       throw new IllegalArgumentException(
@@ -240,7 +262,14 @@ object TextAnalysis {
     import spark.implicits._
     val toks = docs
       .select(col("doc_id").cast("long"),
-        graft.functions.TokenStats(col(textCol)).getField("n_tokens"))
+        graft.functions.TokenStats(col(textCol)).getField("n_tokens")
+          .as("n_tokens"))
+      // a null text (or null id) carries no tokens to lay out: drop it
+      // here like perplexity's explode does, instead of crashing the
+      // whole pack job on the non-nullable tuple encoder — the one
+      // sibling that used to die on the nulls every other operator
+      // passes through
+      .filter(col("doc_id").isNotNull && col("n_tokens").isNotNull)
       .as[(Long, Long)]
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val ranged = toks.repartitionByRange(parts, col("doc_id"))
@@ -289,6 +318,10 @@ object TextAnalysis {
       ns: Seq[Int] = Seq(2, 3),
       textCol: String = "text"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    require(ns.distinct.length == ns.length,
+      s"ns must be distinct (got ${ns.mkString(", ")}) — duplicate n " +
+        "values would emit duplicate ngrams$n columns and an " +
+        "ambiguous join chain")
     val perN = ns.map { n =>
       val grams = docs.select(
         col("doc_id"),

@@ -1910,7 +1910,12 @@ object PipelineQueries {
         s"CASE WHEN $cond THEN '$l' ELSE ${chain(rest)} END"
       case Nil => sys.error("no langs")
     }
-    chain(langs.toList)
+    // null scores (a null document) predict NULL, mirroring the
+    // engine's guard — a bare CASE chain's skipped-null conditions
+    // would fall through to the LAST language, an artifact of lexicon
+    // ordering
+    s"CASE WHEN score_${langs.head} IS NULL THEN NULL " +
+      s"ELSE ${chain(langs.toList)} END"
   }
 
   private val qLangId = {
@@ -2206,7 +2211,15 @@ object PipelineQueries {
       """WITH m AS (
         |  SELECT doc_id,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS n,
-        |         CAST(ascii(text) AS BIGINT) AS first
+        |         -- the first BYTE of the utf-8 payload, derived from the
+        |         -- first character's codepoint (the UTF-8 leading byte
+        |         -- is a pure function of it) — mirrors the engine's
+        |         -- conv(hex(substring(blob,1,1))), i.e. fakeDecode's
+        |         -- blob(0) & 0xff, NOT the codepoint itself
+        |         CAST(CASE WHEN ascii(text) < 128 THEN ascii(text)
+        |              WHEN ascii(text) < 2048 THEN 192 + ascii(text) // 64
+        |              WHEN ascii(text) < 65536 THEN 224 + ascii(text) // 4096
+        |              ELSE 240 + ascii(text) // 262144 END AS BIGINT) AS first
         |  FROM documents)
         |SELECT doc_id, n AS n_bytes,
         |       CASE WHEN n % 3 = 0 THEN 'image'
@@ -2227,7 +2240,15 @@ object PipelineQueries {
       """WITH m AS (
         |  SELECT doc_id,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS n,
-        |         CAST(ascii(text) AS BIGINT) AS first
+        |         -- the first BYTE of the utf-8 payload, derived from the
+        |         -- first character's codepoint (the UTF-8 leading byte
+        |         -- is a pure function of it) — mirrors the engine's
+        |         -- conv(hex(substring(blob,1,1))), i.e. fakeDecode's
+        |         -- blob(0) & 0xff, NOT the codepoint itself
+        |         CAST(CASE WHEN ascii(text) < 128 THEN ascii(text)
+        |              WHEN ascii(text) < 2048 THEN 192 + ascii(text) // 64
+        |              WHEN ascii(text) < 65536 THEN 224 + ascii(text) // 4096
+        |              ELSE 240 + ascii(text) // 262144 END AS BIGINT) AS first
         |  FROM documents),
         |meta AS (
         |  SELECT doc_id, (n + first) % 24 + 1 AS n_frames FROM m)
@@ -2341,8 +2362,9 @@ object PipelineQueries {
          |$langScoredCte,
          |pick AS (SELECT doc_id, $langPickSql AS lang_pred FROM scored)
          |SELECT doc_id, lang_pred FROM pick
-         |WHERE CAST(((doc_id % ${TextHash.P}) * 2654435761) % ${TextHash.P}
-         |        AS DOUBLE) / ${TextHash.P}
+         |WHERE CAST(((((doc_id % ${TextHash.P}) + ${TextHash.P})
+         |          % ${TextHash.P} * 2654435761) % ${TextHash.P}
+         |          + ${TextHash.P}) % ${TextHash.P} AS DOUBLE) / ${TextHash.P}
          |      < (CASE WHEN lang_pred = 'en' THEN 0.3
          |              WHEN lang_pred = 'fr' THEN 0.7 ELSE 1.0 END)
          |ORDER BY doc_id""".stripMargin))
@@ -2723,8 +2745,9 @@ object PipelineQueries {
          |pick AS (SELECT doc_id, $langPickSql AS lang_pred FROM scored),
          |sampled AS (
          |  SELECT doc_id, lang_pred FROM pick
-         |  WHERE CAST(((doc_id % ${TextHash.P}) * 2654435761) % ${TextHash.P}
-         |          AS DOUBLE) / ${TextHash.P}
+         |  WHERE CAST(((((doc_id % ${TextHash.P}) + ${TextHash.P})
+         |            % ${TextHash.P} * 2654435761) % ${TextHash.P}
+         |            + ${TextHash.P}) % ${TextHash.P} AS DOUBLE) / ${TextHash.P}
          |        < (CASE WHEN lang_pred = 'en' THEN 0.5 ELSE 1.0 END)),
          |t AS (
          |  SELECT s.doc_id, s.lang_pred, CAST(len(d.toks) AS BIGINT) AS n_tok

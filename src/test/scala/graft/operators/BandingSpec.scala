@@ -66,7 +66,12 @@ class BandingSpec extends AnyFunSuite {
           (1001L, Array(-1.0f, 0.4f, -0.3f, 0.2f)),
           (2000L, Array(0.0f, -1.0f, 1.0f, -0.8f)))
     val emb = vecs.toDF("vec_id", "embedding")
-    val capped = Similarity.srpDupPairs(emb, threshold = 0.99)
+    // EXPLICIT cap: the default 12x8 geometry has 8-bit band keys and
+    // resolves uncapped through the same geometry gate as simhashPairs
+    // (random full-bucket agreements are routine at that key width) —
+    // this case exercises the capped anchor/star path
+    val capped = Similarity.srpDupPairs(emb, threshold = 0.99,
+        maxBandPop = Some(Banding.DefaultMaxBandPop))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val clusterPairs = capped.keys.filter(_._2 < 1000L)
     assert(clusterPairs.size == 299)

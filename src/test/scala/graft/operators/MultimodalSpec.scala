@@ -74,4 +74,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(0) == feats(1))
     assert(feats(0) != feats(2))
   }
+
+  test("decode parity holds OUTSIDE ascii and for null payloads: the " +
+    "columnar first-byte matches the batched stub's blob(0) & 0xff on " +
+    "multi-byte UTF-8, and a null blob is dropped by BOTH forms") {
+    implicit val s = spark
+    // 'Ä' = UTF-8 bytes C3 84: first byte 195, but the first
+    // CHARACTER'S codepoint is 196 — the old ascii-of-decoded columnar
+    // form diverged from the batched stub here
+    val docs = Seq((1L, "Ämulti-byte head"), (2L, "ascii head"),
+      (3L, null)).toDF("doc_id", "text")
+    val m = Multimodal.mediaFromDocuments(docs)
+    val colr = Multimodal.decodeMetaColumnar(m)
+      .select("doc_id", "n_bytes", "media_kind", "width", "height",
+        "n_frames")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val bat = Multimodal.decodeMetaBatched(
+        m.as[Multimodal.MediaRow])
+      .collect().map(mm => (mm.doc_id, mm.n_bytes, mm.media_kind,
+        mm.width, mm.height, mm.n_frames)).toSet
+    assert(colr == bat, s"columnar=$colr batched=$bat")
+    assert(colr.map(_._1) == Set(1L, 2L), "null blob must drop, not decode")
+  }
 }

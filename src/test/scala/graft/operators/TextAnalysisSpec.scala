@@ -276,4 +276,48 @@ class TextAnalysisSpec extends AnyFunSuite {
       Map.empty, defaultRate = 0.0).count()
     assert(none == 0)
   }
+
+  test("stratifiedSample hashes negative ids into [0,1): a rate-0.0 " +
+    "stratum drops them (sign-preserving % used to keep them at EVERY " +
+    "rate), and nonnegative ids keep their original hash values") {
+    val rows = ((-8L to -1L) ++ (0L until 8L)).map(i => (i, "s"))
+      .toDF("doc_id", "stratum")
+    assert(TextAnalysis.stratifiedSample(rows, "stratum",
+      Map("s" -> 0.0)).count() == 0)
+    val all = TextAnalysis.stratifiedSample(rows, "stratum",
+      Map("s" -> 1.0)).count()
+    assert(all == 16)
+    // a mid rate keeps a sign-independent subset, never the whole
+    // negative half unconditionally
+    val kept = TextAnalysis.stratifiedSample(rows, "stratum",
+        Map("s" -> 0.5)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.count(_ < 0) < 8, s"negative ids kept unconditionally: $kept")
+  }
+
+  test("languageId predicts NULL for a null document instead of the " +
+    "last lexicon's language") {
+    val df = Seq((1L, "the of and is this"), (2L, null))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(df).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else r.getString(1))).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == null, s"null doc predicted '${got(2L)}'")
+  }
+
+  test("packPlan drops null docs instead of crashing the encoder; " +
+    "repetition refuses duplicate ns; frameSample refuses step < 1") {
+    val df = Seq((1L, "a b c"), (2L, null), (3L, "d e"))
+      .toDF("doc_id", "text")
+    val plan = TextAnalysis.packPlan(df, ctxTokens = 4)
+      .select("doc_id", "n_tok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plan == Map(1L -> 3L, 3L -> 2L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.repetition(df, ns = Seq(2, 2))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(spark.emptyDataFrame, step = 0)
+    }
+  }
 }
