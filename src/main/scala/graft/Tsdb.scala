@@ -201,8 +201,14 @@ final class Tsdb(
         val p = period.seconds
         val rawLo = math.ceil(interval._1 / p) * p
         val rawHi = math.floor(interval._2 / p) * p + p
+        // incomingRange, not bare incoming: a predicate on the DATA
+        // column timestamp alone cannot prune day= partitions (the
+        // class comment above), so the bare form would list and scan
+        // the whole retained history per request. Its inclusive hi
+        // bound may admit one extra bucket at rawHi; the half-open
+        // filter below removes it before aggregation
         Agg.aggregate(
-          incoming.filter(col("path") === path &&
+          incomingRange(rawLo, rawHi).filter(col("path") === path &&
             col("timestamp") >= rawLo && col("timestamp") < rawHi),
           period)
       }
@@ -221,7 +227,17 @@ final class Tsdb(
   def createViews(): Unit = {
     incoming.createOrReplaceTempView("incoming")
     periods.foreach(p => table(p).createOrReplaceTempView(p.name))
+    viewsRegistered = true
   }
+
+  // the views are LIVE like the reference's SQLite views, not
+  // point-in-time snapshots: a temp view pins its relation's file
+  // listing at registration, so after sync/retention/compaction delete
+  // or replace files a stale view throws FileNotFoundException (or
+  // silently serves pre-sync data). The two mutators re-register at
+  // exit whenever the user has created views.
+  @volatile private var viewsRegistered = false
+  private def refreshViews(): Unit = if (viewsRegistered) createViews()
 
   /** Reference list_metrics (tsdb.py:142-152): union-distinct of paths over
     * every period table. Kept in the reference's union shape (SURVEY.md
@@ -252,6 +268,7 @@ final class Tsdb(
     // single-writer lock, so recovery-at-entry restores consistency
     // before either proceeds.
     recoverCompactions()
+    recoverRetention()
     val nowTs = now()
     // one incoming scan and ONE distinct-path set shared by all periods —
     // retention keeps incoming bounded to tail + max(period) of raw data,
@@ -261,6 +278,7 @@ final class Tsdb(
     try periods.foreach(p => syncPeriod(nowTs, p, inc, paths))
     finally { inc.unpersist(); paths.unpersist() }
     deleteIncoming(nowTs)
+    refreshViews()
   }
 
   /** Resolve any crashed compaction on every table this instance owns
@@ -352,6 +370,7 @@ final class Tsdb(
     if (materialized)
       periods.foreach(p =>
         compactTable(periodPath(p), TsdbSchema.aggregate, maxFilesPerDay, targetBytes))
+    refreshViews()
   }
 
   /** Compact one table's oversized day partitions. Concurrent-append
@@ -479,28 +498,81 @@ final class Tsdb(
     if (!f.exists(new Path(incomingPath))) return
     if (datePartitioned) {
       // whole days strictly before the cutoff day: drop the directories;
-      // only the single boundary-day partition needs a filtering rewrite
+      // only the single boundary-day partition needs a filtering rewrite.
+      // The rewrite is a CHECKED swap with recovery ([[recoverRetention]]
+      // at sync entry): kept rows land in a hidden _retained_day dir
+      // (invisible to readers), the live dir deletes, the retained dir
+      // renames in — a crash before the delete leaves the live dir the
+      // source of truth (retained copy discarded at recovery), a crash
+      // after it leaves the retained dir to be renamed in. The previous
+      // unchecked delete-then-rename could strand the kept boundary rows
+      // in the hidden dir forever, finalizing buckets with missing data.
       val cutoffDay = math.floor(cutoff / 86400.0).toLong
       val status = f.listStatus(new Path(incomingPath))
       status.filter(_.getPath.getName.startsWith("day=")).foreach { st =>
         val day = st.getPath.getName.stripPrefix("day=").toLong
-        if (day < cutoffDay) f.delete(st.getPath, true)
+        if (day < cutoffDay)
+          require(f.delete(st.getPath, true),
+            s"retention: delete of expired ${st.getPath} failed")
         else if (day == cutoffDay) {
           val part = st.getPath.toString
           val kept = spark.read.schema(TsdbSchema.incoming).parquet(part)
             .filter(col("timestamp") >= cutoff)
           val tmp = s"$incomingPath/_retained_day=$day"
           kept.write.mode("overwrite").parquet(tmp)
-          f.delete(st.getPath, true)
-          f.rename(new Path(tmp), st.getPath)
+          require(f.delete(st.getPath, true),
+            s"retention: delete of boundary day $part failed")
+          require(f.rename(new Path(tmp), st.getPath),
+            s"retention: rename $tmp -> $part failed")
         }
       }
     } else {
+      // same checked swap; the sibling _retained dir is outside the
+      // read path, and recovery resolves either crash window
       val tmp = incomingPath + "_retained"
       incoming.filter(col("timestamp") >= cutoff)
         .write.mode("overwrite").parquet(tmp)
-      f.delete(new Path(incomingPath), true)
-      f.rename(new Path(tmp), new Path(incomingPath))
+      require(f.delete(new Path(incomingPath), true),
+        s"retention: delete of $incomingPath failed")
+      require(f.rename(new Path(tmp), new Path(incomingPath)),
+        s"retention: rename $tmp -> $incomingPath failed")
+    }
+  }
+
+  /** Resolve a crashed [[deleteIncoming]] swap: a retained rewrite
+    * whose LIVE counterpart still exists never committed (the live dir
+    * is the source of truth — the possibly-partial retained copy is
+    * discarded and the next sync's retention recomputes it); one whose
+    * live counterpart is GONE committed at the delete — finish the
+    * rename. Runs at sync entry beside [[recoverCompactions]], under
+    * the same single-writer lock.
+    */
+  private def recoverRetention(): Unit = {
+    val f = fs(incomingPath)
+    if (datePartitioned) {
+      if (!f.exists(new Path(incomingPath))) return
+      f.listStatus(new Path(incomingPath))
+        .filter(_.getPath.getName.startsWith("_retained_day="))
+        .foreach { t =>
+          val day = t.getPath.getName.stripPrefix("_retained_day=")
+          val live = new Path(s"$incomingPath/day=$day")
+          if (f.exists(live))
+            require(f.delete(t.getPath, true),
+              s"retention recovery: discard of ${t.getPath} failed")
+          else
+            require(f.rename(t.getPath, live),
+              s"retention recovery: rename ${t.getPath} -> $live failed")
+        }
+    } else {
+      val tmp = new Path(incomingPath + "_retained")
+      if (f.exists(tmp)) {
+        if (f.exists(new Path(incomingPath)))
+          require(f.delete(tmp, true),
+            s"retention recovery: discard of $tmp failed")
+        else
+          require(f.rename(tmp, new Path(incomingPath)),
+            s"retention recovery: rename $tmp -> $incomingPath failed")
+      }
     }
   }
 }

@@ -17,11 +17,17 @@ object Datetimes {
 
   class ParseError(msg: String) extends IllegalArgumentException(msg)
 
-  /** Epoch seconds of an epoch-int / epoch-double / ISO8601 string. */
+  /** Epoch seconds of an epoch-int / epoch-double / ISO8601 string.
+    * Non-finite doubles ('NaN'/'Infinity', which `toDoubleOption`
+    * happily parses) are NOT timestamps: accepted, a NaN interval
+    * bound matches no rows and the route returns plausible-looking
+    * empty data with HTTP 200 instead of the documented 400.
+    */
   def parse(value: String): Double = {
     val v = value.trim
     v.toLongOption.map(_.toDouble)
-      .orElse(v.toDoubleOption)
+      .orElse(v.toDoubleOption.filter(d =>
+        !d.isNaN && !d.isInfinity))
       .getOrElse(parseIso(v))
   }
 

@@ -49,13 +49,25 @@ object Flat {
       val groups = entries.groupBy(_._1.head)
       val children: Map[String, Any] = groups.map { case (head, es) =>
         val sub = es.map { case (path, v) => (path.tail, v) }
-        head -> (if (sub.exists(_._1.isEmpty)) sub.collectFirst {
-          case (Nil, v) => v
-        }.get
-        else build(sub, depth + 1))
+        // a key that is BOTH a leaf and a prefix ('metrics' alongside
+        // 'metrics.0.name') is conflicting input: silently letting
+        // the leaf win dropped the whole deeper subtree and the
+        // caller's graph rendered empty with no diagnostic
+        head -> (if (sub.exists(_._1.isEmpty)) {
+          if (sub.exists(_._1.nonEmpty))
+            throw new IllegalArgumentException(
+              s"conflicting keys: '$head' is both a value and a prefix")
+          sub.collectFirst { case (Nil, v) => v }.get
+        } else build(sub, depth + 1))
       }
       if (children.keys.forall(k => k.forall(_.isDigit) && k.nonEmpty)) {
         val byIdx = children.map { case (k, v) => k.toInt -> v }
+        // '0' and '00' both normalize to index 0: losing one entry
+        // while the start/gap guards still pass would silently drop a
+        // requested element
+        if (byIdx.size != children.size)
+          throw new IllegalArgumentException(
+            "duplicate list indices after int normalization")
         if (byIdx.keys.min != 0)
           throw new IllegalArgumentException("must start from 0")
         if (byIdx.keys.max > byIdx.size - 1)
@@ -76,8 +88,10 @@ object Flat {
     val parts = labels.map(_.split('.').toSeq)
     val width = parts.map(_.size).max
     val padded = parts.map(p => p.padTo(width, ""))
-    val varying = (0 until width).filter(i => padded.map(_(i)).distinct.size > 1)
-    val keep = if (varying.isEmpty) Seq(0) else varying
+    // the varying-position judgment is Graph.shortNames' own (ONE
+    // definition of the reference semantics); only the join shape
+    // (dots, padding dropped) is this convenience form's
+    val keep = Graph.varyingPositions(padded)
     padded.map(p => keep.map(p(_)).filter(_.nonEmpty).mkString("."))
   }
 }

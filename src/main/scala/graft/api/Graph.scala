@@ -43,10 +43,19 @@ object Graph {
     */
   def shortNames(tuples: Seq[Seq[String]]): Seq[String] = {
     require(tuples.nonEmpty, "shortNames of no tuples")
+    val keep = varyingPositions(tuples)
+    tuples.map(t => keep.map(t(_)).mkString(" "))
+  }
+
+  /** The keep-varying-positions core of make_short_names — ONE
+    * definition shared with [[Flat.shortenLabels]] (the dotted-string
+    * convenience form), so a fix to the reference semantics can never
+    * reach one shortener and not the other.
+    */
+  private[api] def varyingPositions(tuples: Seq[Seq[String]]): Seq[Int] = {
     val tlen = tuples.head.size
     val varying = (0 until tlen).filter(i => tuples.map(_(i)).distinct.size != 1)
-    val keep = if (varying.isEmpty) Seq(0) else varying
-    tuples.map(t => keep.map(t(_)).mkString(" "))
+    if (varying.isEmpty) Seq(0) else varying
   }
 
   /** The /graph route's metric filter: drop entries whose name is blank

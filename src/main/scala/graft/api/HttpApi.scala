@@ -103,10 +103,19 @@ final class HttpApi(
             respond(ex, 405, obj("error" -> str("GET only")))
           else respond(ex, 200, route(parseQuery(ex.getRequestURI.getRawQuery)))
         } catch {
+          // a failure AFTER the headers went out (a client that
+          // disconnected mid-body) cannot be answered again:
+          // sendResponseHeaders on the same exchange throws
+          // IllegalStateException out of handle(), masking the benign
+          // disconnect with a misleading stack trace — swallow the
+          // second respond's failure
           case e: IllegalArgumentException =>
-            respond(ex, 400, obj("error" -> str(String.valueOf(e.getMessage))))
+            try respond(ex, 400,
+              obj("error" -> str(String.valueOf(e.getMessage))))
+            catch { case _: Exception => () }
           case e: Throwable =>
-            respond(ex, 500, obj("error" -> str(e.toString)))
+            try respond(ex, 500, obj("error" -> str(e.toString)))
+            catch { case _: Exception => () }
         } finally ex.close()
     }
 

@@ -16,18 +16,40 @@ object LineParser {
 
   /** Lenient columnar parse: malformed lines yield null fields.
     * Whitespace-splitting matches Python's argless `str.split()`
-    * (daemon.py:24: split on any whitespace run, ignore leading/trailing).
-    * `try_cast` (not `cast`) so a bad numeric nulls the field instead of
-    * throwing under Spark 4's default ANSI mode.
+    * (daemon.py:24: split on any whitespace run, ignore leading/trailing
+    * whitespace OF ANY KIND — Spark's `trim` strips only spaces, so a
+    * CRLF-terminated line would keep its '\r', split into a trailing
+    * empty field, and read as malformed; under the strict ingest mode
+    * that one '\r' would drop the whole batch). `try_cast` (not `cast`)
+    * so a bad numeric nulls the field instead of throwing under Spark
+    * 4's default ANSI mode.
+    *
+    * Non-finite numerics (NaN/Infinity, which `try_cast` parses) are
+    * REJECTED as malformed — a deliberate deviation from the reference,
+    * whose SQLite layer quietly turns an inserted NaN into NULL: here a
+    * NaN timestamp would crash the ANSI `cast(LongType)` in the
+    * day-partitioning insert (dropping every good line in its batch)
+    * or, stored unpartitioned, crash EVERY subsequent sync's bucket
+    * cast before retention could purge it — a permanent poison row.
     */
   def parse(lines: DataFrame, lineCol: String = "line"): DataFrame = {
-    val f = split(trim(col(lineCol)), "\\s+")
+    val f = split(stripAll(col(lineCol)), "\\s+")
+    def finite(c: Column): Column =
+      when(!isnan(c) && abs(c) =!= Double.PositiveInfinity, c)
     lines.select(f.as("_f"))
       .select(
         when(size(col("_f")) === 3, col("_f").getItem(0)).as("path"),
-        when(size(col("_f")) === 3, expr("try_cast(_f[2] AS DOUBLE)")).as("timestamp"),
-        when(size(col("_f")) === 3, expr("try_cast(_f[1] AS DOUBLE)")).as("value"))
+        when(size(col("_f")) === 3,
+          finite(expr("try_cast(_f[2] AS DOUBLE)"))).as("timestamp"),
+        when(size(col("_f")) === 3,
+          finite(expr("try_cast(_f[1] AS DOUBLE)"))).as("value"))
   }
+
+  /** Leading/trailing whitespace of ANY kind removed — Python's
+    * `str.strip()`, where Spark's `trim` is spaces-only.
+    */
+  private def stripAll(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
 
   /** A parsed micro-batch with its per-batch counts, gathered in ONE
     * parse pass: the parsed rows are materialized once
@@ -47,7 +69,10 @@ object LineParser {
       selfPrefix: Option[String] = None): ParsedBatch = {
     val exploded = lines
       .select(explode(split(col(lineCol), "\n")).as("line"))
-      .filter(trim(col("line")) =!= "")
+      // any-whitespace blank filter: a bare '\r' keepalive (CRLF
+      // senders) is a BLANK line, not a malformed one that would
+      // batch-drop real data under the strict mode
+      .filter(stripAll(col("line")) =!= "")
     val parsed = parse(exploded).localCheckpoint(true)
     val isBad =
       col("path").isNull || col("timestamp").isNull || col("value").isNull

@@ -154,6 +154,54 @@ class TsdbSpec extends AnyFunSuite {
     }
   }
 
+  test("retention crash recovery: a stranded _retained_day swap heals " +
+    "at sync entry — live-present discards the partial copy, " +
+    "live-absent finishes the rename") {
+    val root = Files.createTempDirectory("graft-retr").toString
+    val nowV = 3 * 86400.0 + 100
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => nowV, periods = Seq(Periods.TenSecond))
+    val cutoff = nowV - 60 - 10
+    tsdb.insert(Seq(("a", cutoff, 1.0), ("a", nowV, 1.0)))
+    val f = new java.io.File(s"$root/incoming")
+    // crash window (a): retained copy written, live dir NOT yet
+    // deleted — the live dir stays the source of truth, the possibly-
+    // partial retained copy must be discarded
+    val stale = new java.io.File(f, "_retained_day=3")
+    stale.mkdirs()
+    tsdb.sync()
+    assert(!stale.exists(), "live-present retained copy must discard")
+    val after = tsdb.incoming.select("timestamp").collect()
+      .map(_.getDouble(0)).sorted.toSeq
+    assert(after == Seq(cutoff, nowV))
+    // crash window (b): live dir deleted, rename never ran — the
+    // retained dir IS the committed day, recovery renames it in
+    val live = new java.io.File(f, "day=3")
+    val retained = new java.io.File(f, "_retained_day=3")
+    assert(live.renameTo(retained))
+    tsdb.sync()
+    assert(new java.io.File(f, "day=3").exists() && !retained.exists())
+    assert(tsdb.incoming.select("timestamp").collect()
+      .map(_.getDouble(0)).sorted.toSeq == Seq(cutoff, nowV))
+  }
+
+  test("createViews stay LIVE across sync/retention (the reference's " +
+    "SQLite views): a stale file listing would throw " +
+    "FileNotFoundException after day dirs are rewritten") {
+    val root = Files.createTempDirectory("graft-lview").toString
+    val nowV = 3 * 86400.0 + 100
+    val tsdb = new Tsdb(spark, root, materialized = true, tail = 60,
+      now = () => nowV, periods = Seq(Periods.TenSecond))
+    tsdb.insert(Seq(("a", 100.0, 1.0), ("a", nowV - 50, 2.0)))
+    tsdb.createViews()
+    assert(spark.sql("select count(*) from incoming").head().getLong(0) == 2)
+    // sync: finalizes buckets AND retention drops day 0 + rewrites the
+    // boundary day — the old snapshot view would now list dead files
+    tsdb.sync()
+    assert(spark.sql("select count(*) from incoming").head().getLong(0) == 1)
+    assert(spark.sql("select count(*) from tensecond").head().getLong(0) >= 1)
+  }
+
   test("idle sync after retention dropped every partition does not crash") {
     val root = Files.createTempDirectory("graft-idle").toString
     var nowV = 1000.0

@@ -19,6 +19,13 @@ class DatetimesSpec extends AnyFunSuite {
     assert(Datetimes.parse("2020-01-01T00:00:30.500Z") == 1577836830.5)
   }
 
+  test("non-finite doubles raise ParseError instead of becoming a " +
+    "silently-empty interval") {
+    for (bad <- Seq("NaN", "Infinity", "-Infinity", "nan", "inf")) {
+      intercept[Datetimes.ParseError] { Datetimes.parse(bad) }
+    }
+  }
+
   test("garbage raises ParseError") {
     intercept[Datetimes.ParseError](Datetimes.parse("not a date"))
     intercept[Datetimes.ParseError](Datetimes.parse("2020-13-45"))

@@ -47,6 +47,18 @@ class FlatSpec extends AnyFunSuite {
     assert(e2.getMessage == "must have no gaps")
   }
 
+  test("conflicting leaf-and-prefix keys and duplicate normalized " +
+    "indices raise instead of silently dropping entries") {
+    val e1 = intercept[IllegalArgumentException] {
+      Flat.unflatten(Map("metrics" -> "x", "metrics.0.name" -> "cpu"))
+    }
+    assert(e1.getMessage.contains("conflicting"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Flat.unflatten(Map("m.0.name" -> "a", "m.00.name" -> "b"))
+    }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+  }
+
   test("depth limit raises (reference max depth)") {
     val deep = Map("a.b.c.d.e.f.g.h.i.j.k.l" -> 1)
     intercept[Flat.DepthError] { Flat.unflatten(deep) }

@@ -35,4 +35,28 @@ class LineParserSpec extends AnyFunSuite {
     val good = Seq("one 1 1\ntwo 2 5", "three 3 6\n").toDF("line")
     assert(LineParser.parseStrict(good).count() == 3)
   }
+
+  test("CRLF senders parse clean: trailing \\r strips like Python's " +
+    "strip(), a bare \\r keepalive is a BLANK line not a batch-dropping " +
+    "bad one, and tab indentation tolerates") {
+    val got = LineParser.parseStrict(
+      Seq("one 1 2\r\ntwo 3 4\r\n\r\n\tthree 5 6\r").toDF("line"))
+      .collect().toSeq.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sorted
+    assert(got == Seq(("one", 2.0, 1.0), ("three", 6.0, 5.0),
+      ("two", 4.0, 3.0)))
+  }
+
+  test("non-finite numerics are MALFORMED: a NaN timestamp would " +
+    "poison the partitioned insert's ANSI day cast (or crash-loop " +
+    "every later sync), so the line refuses at the parse") {
+    for (line <- Seq("one 1 NaN", "one 1 Infinity", "one NaN 2",
+        "one -Infinity 2")) {
+      val pb = LineParser.parseCounted(Seq(line).toDF("line"))
+      assert(pb.bad == 1L, line)
+    }
+    // ordinary extreme doubles still parse
+    assert(LineParser.parseCounted(
+      Seq("one 1e300 2").toDF("line")).bad == 0L)
+  }
 }
