@@ -333,6 +333,7 @@ object Dedup {
       textCol: String = "text",
       k: Int = 8,
       bands: Int = 4): Unit = {
+    guardIndexOverwrite(docs.sparkSession, path)
     minhashIndex(docs, textCol, k, bands).write.mode("overwrite").parquet(path)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -420,6 +421,107 @@ object Dedup {
   private def bucketedHistoryRows(docs: DataFrame, nBuckets: Int): DataFrame =
     docs.withColumn("id_bucket",
       concat(lit("b"), pmod(col("doc_id"), lit(nBuckets.toLong))))
+
+  /** The dedup pair's entry in the flat-builder overwrite-guard family
+    * ([[Similarity.refusePlainDatasetOverwrite]]'s discipline, shared
+    * with `writeIvfPartitioned`/`writePqIndex`): [[writeHistoryBucketed]]
+    * is a destructive static overwrite, so a path recognizably NOT a
+    * re-buildable history layout refuses — an `_epochs` ledger (applied
+    * rotations a flat rebuild would orphan: a replayed epoch id would
+    * then double-append), an IVF/PQ `_centroids` sidecar, a `_meta`
+    * that is not the history's `n_buckets` (most dangerously the
+    * minhash INDEX on swapped path arguments), or a plain dataset with
+    * no `id_bucket=` dirs (the raw corpus on a typo'd path). Rebuilding
+    * a never-appended history in place stays the supported refresh, and
+    * the torn shapes stay retryable (hidden-only residue; `id_bucket=`
+    * dirs whose `_meta` write never ran).
+    */
+  private def guardHistoryOverwrite(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val f = fsFor(spark, path)
+    if (!f.exists(new org.apache.hadoop.fs.Path(path))) return
+    def has(sub: String) =
+      f.exists(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    require(!has("_epochs"),
+      s"$path carries an _epochs ledger (applied rotations) — a flat " +
+        "writeHistoryBucketed rebuild would destroy the ledger and let " +
+        "a replayed epoch id double-append; grow the layout through " +
+        "rotateEpochBucketed")
+    require(!has("_centroids"),
+      s"$path is an IVF/PQ layout (_centroids sidecar) — " +
+        "writeHistoryBucketed would destroy it; build the history at " +
+        "its own path")
+    if (has("_meta")) {
+      val fields = metaFields(spark, path)
+      require(fields.contains("n_buckets"),
+        s"$path has a _meta sidecar that is not a bucketed history's " +
+          s"(fields: ${fields.mkString(", ")}) — it looks like a " +
+          "minhash index or another layout; swapped " +
+          "historyPath/indexPath arguments?")
+    } else {
+      Similarity.refusePlainDatasetOverwrite(f, path,
+        "writeHistoryBucketed", partPrefix = "id_bucket=")
+    }
+  }
+
+  /** [[writeMinhashIndex]]'s entry in the same guard family. The index
+    * is DERIVED data whose documented crash remedy is re-running the
+    * build, so every torn shape of its OWN write stays retryable:
+    * hidden-only residue, a complete index (`_meta` carries
+    * (k, bands)), and a partial index whose visible rows read with
+    * exactly the index's (doc_id, band, key) schema — the crash window
+    * between the data commit and the `_meta` write. Everything else
+    * refuses: a bucketed history's `_meta` (swapped arguments), an
+    * IVF/PQ `_centroids` sidecar, an `_epochs` ledger, and any other
+    * visible dataset — most dangerously the raw corpus on a typo'd
+    * path.
+    */
+  private def guardIndexOverwrite(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val f = fsFor(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(p)) return
+    def has(sub: String) =
+      f.exists(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    require(!has("_centroids"),
+      s"$path is an IVF/PQ layout (_centroids sidecar) — " +
+        "writeMinhashIndex would destroy it; build the index at its " +
+        "own path")
+    require(!has("_epochs"),
+      s"$path carries an _epochs ledger — writeMinhashIndex would " +
+        "destroy another protocol's layout; build the index at its " +
+        "own path")
+    if (has("_meta")) {
+      val fields = metaFields(spark, path)
+      require(fields.contains("k") && fields.contains("bands"),
+        s"$path has a _meta sidecar that is not a minhash index's " +
+          s"(fields: ${fields.mkString(", ")}) — it looks like the " +
+          "bucketed history or another layout; swapped " +
+          "indexPath/historyPath arguments?")
+    } else {
+      val visible = f.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (visible) {
+        val indexShape =
+          try spark.read.parquet(path).schema.fieldNames.toSet ==
+            Set("doc_id", "band", "key")
+          catch { case scala.util.control.NonFatal(_) => false }
+        require(indexShape,
+          s"$path exists, is non-empty, and is not a recognizable " +
+            "minhash index (no (k, bands) _meta, rows are not " +
+            "(doc_id, band, key)) — it looks like a plain dataset " +
+            "(possibly the source corpus itself), which this " +
+            "writeMinhashIndex overwrite would destroy; build at an " +
+            "empty path, or delete the directory explicitly first")
+      }
+    }
+  }
+
+  private def metaFields(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
+    spark.read.parquet(s"$path/_meta").schema.fieldNames.toSeq
 
   /** The historical Bloom guard advanced by one epoch's novel docs —
     * WITHOUT the O(corpus) rebuild: the old sketch is cloned (serialize
@@ -2003,6 +2105,7 @@ object Dedup {
       path: String,
       nBuckets: Int = DefaultHistoryBuckets): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    guardHistoryOverwrite(docs.sparkSession, path)
     bucketedHistoryRows(docs, nBuckets)
       .write.partitionBy("id_bucket").mode("overwrite")
       // STATIC overwrite semantics regardless of the session default:

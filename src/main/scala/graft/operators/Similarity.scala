@@ -439,10 +439,12 @@ object Similarity {
     ivfDataRoot(Dedup.fsFor(spark, path), path)
 
   /** The shared plain-dataset catch-all for the flat layout builders'
-    * destructive static overwrite ([[writeIvfPartitioned]] and
-    * [[Pq.writePqIndex]] — ONE definition so the guard family cannot
-    * drift): refuse when `path` has VISIBLE entries but no
-    * `centroid_id=` partition dirs — that is someone else's data, most
+    * destructive static overwrite ([[writeIvfPartitioned]],
+    * [[Pq.writePqIndex]], and the dedup pair's
+    * [[Dedup.writeHistoryBucketed]]/[[Dedup.writeMinhashIndex]] — ONE
+    * definition so the guard family cannot drift): refuse when `path`
+    * has VISIBLE entries but no `partPrefix` partition dirs (the
+    * caller's own layout shape) — that is someone else's data, most
     * dangerously the raw corpus itself on a typo'd path, and the
     * static overwrite would destroy it. Hidden-only residue (the
     * committer's `_temporary` of a build that died mid-write) stays
@@ -452,7 +454,8 @@ object Similarity {
   private[operators] def refusePlainDatasetOverwrite(
       f: org.apache.hadoop.fs.FileSystem,
       path: String,
-      what: String): Unit = {
+      what: String,
+      partPrefix: String = "centroid_id="): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (f.exists(p)) {
       val entries = f.listStatus(p)
@@ -461,9 +464,9 @@ object Similarity {
         !n.startsWith("_") && !n.startsWith(".")
       }
       require(visible.isEmpty || entries.exists(st => st.isDirectory &&
-          st.getPath.getName.startsWith("centroid_id=")),
+          st.getPath.getName.startsWith(partPrefix)),
         s"$path exists, is non-empty, and carries neither a recognized " +
-          "layout sidecar nor centroid_id= partition dirs — it looks " +
+          s"layout sidecar nor $partPrefix partition dirs — it looks " +
           "like a plain dataset (possibly the source corpus itself), " +
           s"which this $what overwrite would destroy; build at an " +
           "empty path, or delete the directory explicitly first")

@@ -236,4 +236,69 @@ class DedupSpec extends AnyFunSuite {
     assert(got2 == got)
     bc.unpersist(blocking = false)
   }
+
+  test("flat-builder overwrite guards: the dedup pair refuses plain " +
+    "datasets, swapped paths, and a ledgered history; in-place rebuilds " +
+    "and the torn-index retry stay supported") {
+    val root = java.nio.file.Files.createTempDirectory("graft-guard").toString
+    val docs = (0L until 20L)
+      .map(i => (i, (1 to 12).map(j => s"d${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    // a plain dataset — the raw corpus itself on a typo'd path — is the
+    // one thing neither writer may destroy
+    val corpus = s"$root/corpus"
+    docs.write.parquet(corpus)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.writeHistoryBucketed(docs, corpus, nBuckets = 4)
+    }
+    assert(e1.getMessage.contains("plain dataset"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.writeMinhashIndex(docs, corpus)
+    }
+    assert(e2.getMessage.contains("plain dataset"), e2.getMessage)
+    assert(spark.read.parquet(corpus).count() == 20L,
+      "a refused overwrite must leave the dataset untouched")
+
+    val hist = s"$root/hist"
+    val idx = s"$root/idx"
+    Dedup.writeHistoryBucketed(docs, hist, nBuckets = 4)
+    Dedup.writeMinhashIndex(docs, idx)
+    // swapped historyPath/indexPath arguments refuse in both directions
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.writeHistoryBucketed(docs, idx, nBuckets = 4)
+    }
+    assert(e3.getMessage.contains("swapped"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.writeMinhashIndex(docs, hist)
+    }
+    assert(e4.getMessage.contains("swapped"), e4.getMessage)
+    // never-appended layouts rebuild in place — the supported refresh
+    Dedup.writeHistoryBucketed(docs, hist, nBuckets = 4)
+    Dedup.writeMinhashIndex(docs, idx)
+
+    // torn-index retry (the crash window between the data commit and
+    // the _meta write): the documented remedy is re-running the build,
+    // and the (doc_id, band, key) schema fingerprint keeps that true
+    val f = new java.io.File(s"$idx/_meta")
+    def deleteRec(d: java.io.File): Unit = {
+      Option(d.listFiles()).foreach(_.foreach(deleteRec)); d.delete()
+    }
+    deleteRec(f)
+    Dedup.writeMinhashIndex(docs, idx)
+    val (_, k2, b2) = Dedup.openMinhashIndex(spark, idx)
+    assert((k2, b2) == (8, 4))
+
+    // a LEDGERED history refuses the flat rebuild: the replayed epoch
+    // id would double-append after the rebuild destroyed the ledger
+    val bloom = spark.sparkContext.broadcast(
+      Dedup.digestBloom(docs, expectedItems = 100))
+    val novel = Seq((100L, (1 to 12).map(j => s"n$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.rotateEpochBucketed(novel, hist, idx, bloom,
+      expectedItems = 100, epochId = "guard-e1").unpersist(blocking = false)
+    val e5 = intercept[IllegalArgumentException] {
+      Dedup.writeHistoryBucketed(docs, hist, nBuckets = 4)
+    }
+    assert(e5.getMessage.contains("_epochs"), e5.getMessage)
+  }
 }
