@@ -276,6 +276,66 @@ object Dedup {
     }
   }
 
+  /** Cross-document EXACT-SUBSTRING duplication — the contiguous-window
+    * complement of [[ngramJaccardPairs]]' set overlap, the signal behind
+    * substring-level train-set dedup (Lee et al. 2022's premise: verbatim
+    * repeated runs, not just shared vocabulary, are what a model
+    * memorizes). Every length-`window` token window at STRIDE 1 of every
+    * document is hashed; a window is DUPLICATED when its hash occurs in
+    * at least `minDocs` DISTINCT documents (within-doc repeats are
+    * [[TextAnalysis.repetition]]'s signal and deliberately do not
+    * count); each document reports its duplicated-window fraction — the
+    * actionable per-doc metric (a doc that is substantially a verbatim
+    * copy of another scores near 1.0, boilerplate-free unique text 0.0).
+    *
+    * Scale shape: positions are one row per corpus token (O(corpus
+    * tokens), linear — never doc×doc); the window hash is the same
+    * codegen'd [[graft.functions.PolyHash]]-over-sliced-join the
+    * chunk/fingerprint operators use, so the DuckDB oracle recomputes it
+    * verbatim; the df is ONE map-side-partial distinct-doc aggregation
+    * keyed on the hash; the dup marking joins the (small) duplicated-
+    * hash set back to the position rows — the join carries only
+    * (hash, doc_id) longs, never text, and AQE's skew split covers a
+    * boilerplate window shared by millions of docs. The position rows
+    * are cached across their two consumers (df build + dup mark). Docs
+    * shorter than `window` (and null-text docs) report 0 windows,
+    * fraction 0.0 — both engines compute that case explicitly.
+    */
+  def substringDupStats(
+      docs: DataFrame,
+      window: Int = 16,
+      minDocs: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val d = TextAnalysis.withTokens(docs, textCol)
+      .withColumn("n_windows",
+        when(col("toks").isNull, lit(0))
+          .otherwise(greatest(size(col("toks")) - window + 1, lit(0))))
+    val pos = d.filter(col("n_windows") > 0)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, n_windows - 1)")).as("p"), col("toks"))
+      .select(col("doc_id"),
+        graft.functions.PolyHash(
+          concat_ws(" ", expr(s"slice(toks, p + 1, $window)"))).as("whash"))
+    Caching.withCached(pos) {
+      val hdf = pos.groupBy("whash")
+        .agg(countDistinct("doc_id").as("ddf"))
+        .filter(col("ddf") >= minDocs)
+        .select("whash")
+      val dup = pos.join(hdf, Seq("whash"))
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_w"))
+      d.select(col("doc_id"), col("n_windows"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_windows").cast("long").as("n_windows"),
+          coalesce(col("dup_w"), lit(0L)).as("dup_windows"),
+          round(when(col("n_windows") === 0, lit(0.0))
+            .otherwise(coalesce(col("dup_w"), lit(0L)).cast("double") /
+              col("n_windows")), 6).as("dup_window_frac"))
+    }
+  }
+
   /** MinHash signature: doc_id, shh, and `mh` = the k universal-hash
     * minima as one array column — a single compiled pass per document via
     * the codegen'd [[graft.functions.MinHashes]] expression (bit-identical

@@ -2138,6 +2138,51 @@ object PipelineQueries {
        |       ${DuckSql.polyHash("ctext")} AS chunk_hash
        |FROM chcx ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Cross-document exact-substring duplication: 8-token windows at
+    * stride 1, duplicated = the window hash appears in >= 2 distinct
+    * docs, per-doc duplicated-window fraction. The oracle re-derives
+    * every stage — window explode, slice + join + poly-hash, the
+    * distinct-doc df, the position-level dup mark, and the zero-window
+    * (short/null doc) case — so one window hashed, deduplicated, or
+    * fractioned differently breaks the hashes.
+    */
+  private val qSubstringDup = {
+    val w = 8
+    QueryDef(
+      "q77_substring_dup",
+      (sp, dir) => graft.operators.Dedup
+        .substringDupStats(docs(sp, dir), window = w)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |wd AS (
+           |  SELECT doc_id, toks,
+           |         CASE WHEN toks IS NULL THEN 0
+           |              ELSE greatest(len(toks) - $w + 1, 0) END AS n_windows
+           |  FROM docs),
+           |ph AS (
+           |  SELECT doc_id,
+           |         ${DuckSql.polyHash(
+                        s"array_to_string(list_slice(toks, p + 1, p + $w), ' ')")}
+           |           AS whash
+           |  FROM (SELECT doc_id, toks, unnest(range(0, n_windows)) AS p
+           |        FROM wd WHERE n_windows > 0)),
+           |hdf AS (
+           |  SELECT whash FROM ph GROUP BY whash
+           |  HAVING count(DISTINCT doc_id) >= 2),
+           |dup AS (
+           |  SELECT doc_id, count(*) AS dup_w
+           |  FROM ph JOIN hdf USING (whash) GROUP BY doc_id)
+           |SELECT wd.doc_id,
+           |       CAST(wd.n_windows AS BIGINT) AS n_windows,
+           |       CAST(coalesce(dup.dup_w, 0) AS BIGINT) AS dup_windows,
+           |       round(CASE WHEN wd.n_windows = 0 THEN 0.0
+           |                  ELSE coalesce(dup.dup_w, 0) * 1.0 / wd.n_windows
+           |             END, 6) AS dup_window_frac
+           |FROM wd LEFT JOIN dup USING (doc_id)
+           |ORDER BY wd.doc_id""".stripMargin))
+  }
+
   /** Overlapping token chunking (RAG indexing side): fixed 32-token
     * windows at stride 24, with the chunk-content hash both engines must
     * agree on (slice + join + poly-hash, all portable).
@@ -2775,7 +2820,7 @@ object PipelineQueries {
     qPqServingProbe, qPqStreamedProbe, qPqResidualProbe,
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
-    qVocab, qChunk, qPerplexity, qPerplexityBigram,
+    qVocab, qChunk, qSubstringDup, qPerplexity, qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qSemDedup, qSemDedupCapped, qSemDedupSq8, qIvfAssign,
     qComponents,

@@ -237,6 +237,29 @@ class DedupSpec extends AnyFunSuite {
     bc.unpersist(blocking = false)
   }
 
+  test("substringDupStats: cross-doc shared verbatim runs count, " +
+    "within-doc repeats / short docs / null docs do not") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta unique0 tail0"),
+      (1L, "alpha beta gamma delta epsilon zeta other1 more1 end1"),
+      (2L, "rep rep rep rep rep x y z"), // within-doc repeat only
+      (3L, "tiny doc"),                  // shorter than the window
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(docs, window = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // docs 0/1 share the 6-token prefix -> window starts 0,1,2 are
+    // duplicated in each; doc 2's repeated window lives in ONE doc
+    // (that is repetition's signal, not substring dedup's)
+    assert(got == Seq(
+      (0L, 5L, 3L, 0.6),
+      (1L, 6L, 3L, 0.5),
+      (2L, 5L, 0L, 0.0),
+      (3L, 0L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+
   test("flat-builder overwrite guards: the dedup pair refuses plain " +
     "datasets, swapped paths, and a ledgered history; in-place rebuilds " +
     "and the torn-index retry stay supported") {
