@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pq, Similarity}
+
+/** Diagnostic main: the PQ tier's recall@k table at matched knobs across
+  * encodings — raw vs residual (IVFADC), sampled vs Lloyd-trained
+  * codebooks — over `SPARK_GRAFT_SF_DIR`'s embeddings fixture. Prints one
+  * markdown table (stored-sample and held-out modes per encoding) so the
+  * SCALING.md compression-curve record can carry a measured recall axis
+  * for every encoding knob, not just the raw tier.
+  *
+  * Query constructions match the recorded SQ8/PQ table: 64 stored-sample
+  * queries ([[Pq.pqRecallProbe]]'s own decorrelated hash sample) and the
+  * deterministic off-corpus midpoints of consecutive stored pairs at
+  * ids ≡ 0 (mod 16) — the q65/q74 serving-shape without the small-table
+  * cap, ~32 queries on the 500-vector fixture.
+  */
+object RecallTable {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.buffer.pageSize", "4m")
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val heldOut = {
+      val a = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("va"))
+      val b = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").cast("array<double>").as("vb"))
+      a.join(b, "vec_id")
+        .filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("query_id"),
+          zip_with(col("va"), col("vb"),
+            (x, y) => (x + y) / lit(2.0)).as("embedding"))
+    }
+
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-recall-table").toString
+    val encodings = Seq(
+      ("raw", false, 0), ("raw+train4", false, 4),
+      ("residual", true, 0), ("residual+train4", true, 4))
+    encodings.foreach { case (name, residual, iters) =>
+      Pq.writePqIndex(emb, s"$scratch/$name",
+        trainIters = iters, residual = residual)
+    }
+    val knobs = for (np <- Seq(1, 2, 4); rr <- Seq(20, 40)) yield (np, rr)
+    println("| nprobe | rerank | " + encodings.map(_._1).flatMap(n =>
+      Seq(s"$n stored", s"$n held-out")).mkString(" | ") + " |")
+    println("|---|---|" + ("---|" * (encodings.size * 2)))
+    knobs.foreach { case (np, rr) =>
+      val cells = encodings.flatMap { case (name, _, _) =>
+        val stored = Pq.pqRecallProbe(spark, s"$scratch/$name", emb,
+          sampleN = 64, k = 10, nprobe = np, rerank = rr).recallAtK
+        val held = Pq.pqRecallProbe(spark, s"$scratch/$name", emb,
+          sampleN = 1, k = 10, nprobe = np, rerank = rr,
+          queryVectors = Some(heldOut)).recallAtK
+        Seq(f"$stored%.3f", f"$held%.3f")
+      }
+      println(s"| $np | $rr | " + cells.mkString(" | ") + " |")
+    }
+    spark.stop()
+  }
+}
