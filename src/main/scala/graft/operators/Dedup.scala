@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -308,22 +309,9 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val d = TextAnalysis.withTokens(docs, textCol)
-      .withColumn("n_windows",
-        when(col("toks").isNull, lit(0))
-          .otherwise(greatest(size(col("toks")) - window + 1, lit(0))))
-    val pos = d.filter(col("n_windows") > 0)
-      .select(col("doc_id"),
-        explode(expr("sequence(0, n_windows - 1)")).as("p"), col("toks"))
-      .select(col("doc_id"),
-        graft.functions.PolyHash(
-          concat_ws(" ", expr(s"slice(toks, p + 1, $window)"))).as("whash"))
+    val (d, pos) = windowPositions(docs, window, textCol)
     Caching.withCached(pos) {
-      val hdf = pos.groupBy("whash")
-        .agg(countDistinct("doc_id").as("ddf"))
-        .filter(col("ddf") >= minDocs)
-        .select("whash")
-      val dup = pos.join(hdf, Seq("whash"))
+      val dup = pos.join(dupWindowHashes(pos, minDocs), Seq("whash"))
         .groupBy("doc_id").agg(count(lit(1)).as("dup_w"))
       d.select(col("doc_id"), col("n_windows"))
         .join(dup, Seq("doc_id"), "left")
@@ -335,6 +323,78 @@ object Dedup {
               col("n_windows")), 6).as("dup_window_frac"))
     }
   }
+
+  /** The REMOVAL surgery over [[substringDupStats]]' signal: each
+    * document's duplicated window starts merged into maximal half-open
+    * TOKEN SPANS `[span_start, span_end)` — overlapping and touching
+    * runs coalesce, so the output is the minimal span set covering
+    * every cross-doc-duplicated window (what a Lee-et-al-style
+    * substring-level dedup cuts out of the training text; the cut
+    * itself is a per-doc slice-and-rejoin once the spans exist).
+    *
+    * The merge is gaps-and-islands over the sorted dup starts — two
+    * window functions and a groupBy, no fold: consecutive starts whose
+    * gap is <= `window` belong to one span (their windows overlap or
+    * touch), and each island reports `[min(p), max(p) + window)`. The
+    * per-doc window partition is bounded by the document's own token
+    * count, never corpus-proportional; every other stage is shared
+    * with [[substringDupStats]] verbatim.
+    */
+  def substringDupSpans(
+      docs: DataFrame,
+      window: Int = 16,
+      minDocs: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val (_, pos) = windowPositions(docs, window, textCol)
+    Caching.withCached(pos) {
+      val dupPos = pos.join(dupWindowHashes(pos, minDocs), Seq("whash"))
+        .select("doc_id", "p")
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      dupPos
+        .withColumn("prev", lag("p", 1).over(w))
+        .withColumn("new_isl",
+          when(col("prev").isNull || col("p") - col("prev") > window, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum("new_isl").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "island")
+        .agg(min("p").cast("long").as("span_start"),
+          (max("p") + window).cast("long").as("span_end"))
+        .select("doc_id", "span_start", "span_end")
+    }
+  }
+
+  /** (tokenized frame with `n_windows`, the stride-1 window-position
+    * rows `(doc_id, p, whash)`) — ONE definition of what a window
+    * position is, shared by the stats and spans forms so the two can
+    * never disagree on a window's hash or a document's window count.
+    */
+  private def windowPositions(
+      docs: DataFrame,
+      window: Int,
+      textCol: String): (DataFrame, DataFrame) = {
+    val d = TextAnalysis.withTokens(docs, textCol)
+      .withColumn("n_windows",
+        when(col("toks").isNull, lit(0))
+          .otherwise(greatest(size(col("toks")) - window + 1, lit(0))))
+    val pos = d.filter(col("n_windows") > 0)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, n_windows - 1)")).as("p"), col("toks"))
+      .select(col("doc_id"), col("p"),
+        graft.functions.PolyHash(
+          concat_ws(" ", expr(s"slice(toks, p + 1, $window)"))).as("whash"))
+    (d, pos)
+  }
+
+  /** The window hashes occurring in >= `minDocs` distinct documents —
+    * the duplicated set both substring forms mark against. */
+  private def dupWindowHashes(pos: DataFrame, minDocs: Int): DataFrame =
+    pos.groupBy("whash")
+      .agg(countDistinct("doc_id").as("ddf"))
+      .filter(col("ddf") >= minDocs)
+      .select("whash")
 
   /** MinHash signature: doc_id, shh, and `mh` = the k universal-hash
     * minima as one array column — a single compiled pass per document via

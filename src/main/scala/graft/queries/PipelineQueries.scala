@@ -2146,6 +2146,29 @@ object PipelineQueries {
     * (short/null doc) case — so one window hashed, deduplicated, or
     * fractioned differently breaks the hashes.
     */
+  /** The substring-duplication CTE prefix shared by q77 and q78 —
+    * window counts, stride-1 positions with their hashes, and the
+    * distinct-doc duplicated-hash set — one copy so the two oracles
+    * can never disagree on what a duplicated window is (mirroring the
+    * operators' shared `windowPositions`/`dupWindowHashes`).
+    */
+  private def substringCtes(w: Int): String =
+    s"""wd AS (
+       |  SELECT doc_id, toks,
+       |         CASE WHEN toks IS NULL THEN 0
+       |              ELSE greatest(len(toks) - $w + 1, 0) END AS n_windows
+       |  FROM docs),
+       |ph AS (
+       |  SELECT doc_id, p,
+       |         ${DuckSql.polyHash(
+                    s"array_to_string(list_slice(toks, p + 1, p + $w), ' ')")}
+       |           AS whash
+       |  FROM (SELECT doc_id, toks, unnest(range(0, n_windows)) AS p
+       |        FROM wd WHERE n_windows > 0)),
+       |hdf AS (
+       |  SELECT whash FROM ph GROUP BY whash
+       |  HAVING count(DISTINCT doc_id) >= 2)""".stripMargin
+
   private val qSubstringDup = {
     val w = 8
     QueryDef(
@@ -2155,21 +2178,7 @@ object PipelineQueries {
         .orderBy("doc_id"),
       Some(
         s"""WITH ${DuckSql.docsCte},
-           |wd AS (
-           |  SELECT doc_id, toks,
-           |         CASE WHEN toks IS NULL THEN 0
-           |              ELSE greatest(len(toks) - $w + 1, 0) END AS n_windows
-           |  FROM docs),
-           |ph AS (
-           |  SELECT doc_id,
-           |         ${DuckSql.polyHash(
-                        s"array_to_string(list_slice(toks, p + 1, p + $w), ' ')")}
-           |           AS whash
-           |  FROM (SELECT doc_id, toks, unnest(range(0, n_windows)) AS p
-           |        FROM wd WHERE n_windows > 0)),
-           |hdf AS (
-           |  SELECT whash FROM ph GROUP BY whash
-           |  HAVING count(DISTINCT doc_id) >= 2),
+           |${substringCtes(w)},
            |dup AS (
            |  SELECT doc_id, count(*) AS dup_w
            |  FROM ph JOIN hdf USING (whash) GROUP BY doc_id)
@@ -2181,6 +2190,41 @@ object PipelineQueries {
            |             END, 6) AS dup_window_frac
            |FROM wd LEFT JOIN dup USING (doc_id)
            |ORDER BY wd.doc_id""".stripMargin))
+  }
+
+  /** The span surgery over q77's signal: duplicated window starts
+    * merged gaps-and-islands into maximal half-open token spans —
+    * both engines run the identical two-window-function formulation,
+    * so one start grouped into the wrong island breaks the hashes.
+    */
+  private val qSubstringSpans = {
+    val w = 8
+    QueryDef(
+      "q78_substring_spans",
+      (sp, dir) => graft.operators.Dedup
+        .substringDupSpans(docs(sp, dir), window = w)
+        .orderBy("doc_id", "span_start"),
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${substringCtes(w)},
+           |dp AS (
+           |  SELECT doc_id, p FROM ph JOIN hdf USING (whash)),
+           |isl AS (
+           |  SELECT doc_id, p,
+           |         CASE WHEN lag(p) OVER win IS NULL
+           |                   OR p - lag(p) OVER win > $w
+           |              THEN 1 ELSE 0 END AS new_isl
+           |  FROM dp WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+           |grp AS (
+           |  SELECT doc_id, p,
+           |         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p
+           |           ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM isl)
+           |SELECT doc_id,
+           |       CAST(min(p) AS BIGINT) AS span_start,
+           |       CAST(max(p) + $w AS BIGINT) AS span_end
+           |FROM grp GROUP BY doc_id, island
+           |ORDER BY doc_id, span_start""".stripMargin))
   }
 
   /** Overlapping token chunking (RAG indexing side): fixed 32-token
@@ -2820,7 +2864,8 @@ object PipelineQueries {
     qPqServingProbe, qPqStreamedProbe, qPqResidualProbe,
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
-    qVocab, qChunk, qSubstringDup, qPerplexity, qPerplexityBigram,
+    qVocab, qChunk, qSubstringDup, qSubstringSpans, qPerplexity,
+    qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qSemDedup, qSemDedupCapped, qSemDedupSq8, qIvfAssign,
     qComponents,

@@ -260,6 +260,34 @@ class DedupSpec extends AnyFunSuite {
       (4L, 0L, 0L, 0.0)))
   }
 
+  test("substringDupSpans: duplicated window starts merge " +
+    "gaps-and-islands into maximal half-open token spans") {
+    // window 4. docs 0/1 share the 6-token run a..f (dup starts 0,1,2
+    // in each -> one span) and the 4-token run g..j at DIFFERENT
+    // offsets (7 vs 8); doc 2 is a full verbatim prefix of doc 3
+    // (8 tokens -> every doc-2 window duplicated -> one whole-doc
+    // span; doc 3's tail windows are its own)
+    val docs = Seq(
+      (0L, "a b c d e f X g h i j"),
+      (1L, "a b c d e f Y Z g h i j"),
+      (2L, "p q r s t u v w"),
+      (3L, "p q r s t u v w tail3 tail4"),
+      (4L, "nothing shared here at all")).toDF("doc_id", "text")
+    val got = Dedup.substringDupSpans(docs, window = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 6L), (0L, 7L, 11L),
+      (1L, 0L, 6L), (1L, 8L, 12L),
+      (2L, 0L, 8L),
+      (3L, 0L, 8L)))
+    // the spans are exactly the stats' dup windows re-expressed: doc 0
+    // has 4 dup starts (0,1,2,7) over 8 windows
+    val stats = Dedup.substringDupStats(docs, window = 4)
+      .filter($"doc_id" === 0L).head()
+    assert((stats.getLong(1), stats.getLong(2)) == (8L, 4L))
+  }
+
   test("flat-builder overwrite guards: the dedup pair refuses plain " +
     "datasets, swapped paths, and a ledgered history; in-place rebuilds " +
     "and the torn-index retry stay supported") {
