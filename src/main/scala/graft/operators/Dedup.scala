@@ -313,16 +313,24 @@ object Dedup {
     Caching.withCached(pos) {
       val dup = pos.join(dupWindowHashes(pos, minDocs), Seq("whash"))
         .groupBy("doc_id").agg(count(lit(1)).as("dup_w"))
-      d.select(col("doc_id"), col("n_windows"))
-        .join(dup, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          col("n_windows").cast("long").as("n_windows"),
-          coalesce(col("dup_w"), lit(0L)).as("dup_windows"),
-          round(when(col("n_windows") === 0, lit(0.0))
-            .otherwise(coalesce(col("dup_w"), lit(0L)).cast("double") /
-              col("n_windows")), 6).as("dup_window_frac"))
+      substringStatsTail(d, dup)
     }
   }
+
+  /** The per-doc stats select shared by [[substringDupStats]] and
+    * [[substringDupProbeOn]] — one definition of the output row
+    * (zero-window docs, null-dup coalesce, 6-decimal fraction) so the
+    * batch and incremental forms can never disagree on the shape.
+    */
+  private def substringStatsTail(d: DataFrame, dup: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("n_windows"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_windows").cast("long").as("n_windows"),
+        coalesce(col("dup_w"), lit(0L)).as("dup_windows"),
+        round(when(col("n_windows") === 0, lit(0.0))
+          .otherwise(coalesce(col("dup_w"), lit(0L)).cast("double") /
+            col("n_windows")), 6).as("dup_window_frac"))
 
   /** The REMOVAL surgery over [[substringDupStats]]' signal: each
     * document's duplicated window starts merged into maximal half-open
@@ -395,6 +403,275 @@ object Dedup {
       .agg(countDistinct("doc_id").as("ddf"))
       .filter(col("ddf") >= minDocs)
       .select("whash")
+
+  /** The CUT itself over [[substringDupSpans]]' output — the deliverable
+    * substring-level dedup exists for (Lee et al. 2022: train on the
+    * corpus with cross-document-duplicated substrings excised): each
+    * document's tokens with every position covered by one of its spans
+    * REMOVED, rejoined with single spaces.
+    *
+    * Tokenizer-consistent with [[windowPositions]] (the same whitespace
+    * split), so a cut document re-scored by [[substringDupStats]]
+    * against the same corpus reports zero duplicated windows for every
+    * window the spans covered. The known residual of span surgery —
+    * a SEAM window newly formed where two kept runs meet can in
+    * principle match some still-duplicated hash — is a property of the
+    * method, not a defect of the cut; re-score and re-cut if it
+    * matters.
+    *
+    * `spans` is any `(doc_id, span_start, span_end)` frame of half-open
+    * TOKEN spans (normally [[substringDupSpans]]' output). Overlapping
+    * or duplicate spans are tolerated — covered-position semantics make
+    * the cut idempotent in them. Output is one row per input doc:
+    * `(doc_id, cut_text, n_kept, n_cut)`; `cut_text` is the
+    * space-rejoined kept tokens (whitespace NORMALIZED — the contract
+    * is token identity, not byte identity), `''` when every token was
+    * cut, null for null-text docs.
+    *
+    * Scale shape: spans aggregate per doc (bounded by the doc's own
+    * token count, never corpus-proportional), ONE doc_id-keyed shuffle
+    * joins them to the corpus, and the cut is a per-row higher-order
+    * `filter` over the token array — no explode, no token-level join,
+    * O(corpus tokens) total work.
+    */
+  def cutSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val sp = spans.groupBy("doc_id")
+      .agg(collect_list(struct(
+        col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e"))).as("cut_spans"))
+    val d = TextAnalysis.withTokens(docs, textCol)
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "filter(toks, (t, i) -> cut_spans IS NULL OR " +
+          "NOT exists(cut_spans, sp -> i >= sp.s AND i < sp.e))"))
+    d.select(
+      col("doc_id"),
+      when(col("toks").isNull, lit(null).cast("string"))
+        .otherwise(concat_ws(" ", col("kept"))).as("cut_text"),
+      when(col("toks").isNull, lit(0L))
+        .otherwise(size(col("kept")).cast("long")).as("n_kept"),
+      when(col("toks").isNull, lit(0L))
+        .otherwise((size(col("toks")) - size(col("kept"))).cast("long"))
+        .as("n_cut"))
+  }
+
+  // ------------------------------------------- incremental substring dedup
+
+  /** Default `wh_bucket` partition count for [[writeSubstringIndex]] —
+    * same sizing logic as [[DefaultHistoryBuckets]]: a real deployment
+    * sizes this so one bucket is a few files.
+    */
+  val DefaultSubstringBuckets: Int = 256
+
+  /** Persist the incremental-substring-dedup history at `path`: one row
+    * per DISTINCT window hash of the written corpus, `(whash, ddf)`
+    * with `ddf` = the hash's distinct-doc count, partitioned by
+    * `wh_bucket = b<whash mod nBuckets>` so a probe's sliver fetch
+    * prunes files ([[writeHistoryBucketed]]'s move, keyed on the window
+    * hash instead of the doc id). `(window, n_buckets)` ride in an
+    * underscore-prefixed `_meta` sidecar — a probe or append with a
+    * mismatched window would hash NOTHING in common, so the geometry
+    * travels with the data.
+    *
+    * This is the at-rest form that makes daily increments O(novel):
+    * the history is O(distinct corpus windows) LONGS — the ddf
+    * aggregate, never positions or text — and a batch probes it
+    * ([[substringDupProbe]]) instead of re-tokenizing the full corpus
+    * the way [[substringDupStats]] must.
+    */
+  def writeSubstringIndex(
+      docs: DataFrame,
+      path: String,
+      window: Int = 16,
+      nBuckets: Int = DefaultSubstringBuckets,
+      textCol: String = "text"): Unit = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    guardSubstringIndexOverwrite(docs.sparkSession, path)
+    substringIndexRows(docs, window, nBuckets, textCol)
+      // one file per touched bucket (the appendHistoryBucketed idiom)
+      .repartition(col("wh_bucket"))
+      .write.partitionBy("wh_bucket").mode("overwrite")
+      // STATIC overwrite: under dynamic mode a rebuild with a different
+      // nBuckets would leave stale wh_bucket dirs beside the new _meta
+      // modulus — a window hash would then be double-counted
+      .option("partitionOverwriteMode", "static")
+      .parquet(path)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // written AFTER the main overwrite (which clears the directory)
+    Seq((window, nBuckets)).toDF("window", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** A corpus slice's `(whash, ddf, wh_bucket)` index rows — the single
+    * definition shared by the flat build and the epoch append, so the
+    * two can never disagree on a hash's bucket or its count.
+    */
+  private def substringIndexRows(
+      docs: DataFrame,
+      window: Int,
+      nBuckets: Int,
+      textCol: String): DataFrame = {
+    val (_, pos) = windowPositions(docs, window, textCol)
+    pos.groupBy("whash").agg(countDistinct("doc_id").as("ddf"))
+      .withColumn("wh_bucket",
+        concat(lit("b"), pmod(col("whash"), lit(nBuckets.toLong))))
+  }
+
+  /** Resolve a [[writeSubstringIndex]] layout once:
+    * (frame, window, nBuckets). Like [[openHistoryBucketed]], call once
+    * per epoch and reuse — the frame lists the layout's files at this
+    * point, and probe loops must not re-list per batch.
+    */
+  def openSubstringIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Int, Int) = {
+    val m = spark.read.parquet(s"$path/_meta").head()
+    val df = spark.read.parquet(path)
+    require(
+      df.schema.fieldNames.contains("wh_bucket") &&
+        df.schema("wh_bucket").dataType ==
+          org.apache.spark.sql.types.StringType,
+      s"$path is not a substring-index layout — write it with " +
+        "writeSubstringIndex")
+    (df, m.getAs[Int]("window"), m.getAs[Int]("n_buckets"))
+  }
+
+  /** Land a novel batch's window-hash counts on a
+    * [[writeSubstringIndex]] layout as a LEDGERED epoch
+    * ([[EpochLedger.commitEpoch]] — staged write, manifest commit,
+    * crash-recoverable, same-id replays no-op): the O(novel) daily
+    * increment. The batch's rows are derived under the layout's own
+    * `_meta` geometry, so an append can never mix window sizes or
+    * bucket moduli.
+    *
+    * ddf CONTRACT: the probe sums `ddf` per hash across the base build
+    * and every epoch, which equals the true distinct-doc count iff the
+    * doc sets written are PAIRWISE DISJOINT (the normal shape — each
+    * epoch is a new day's documents). Re-appending an already-indexed
+    * document inflates its windows' counts; dedup the ingest (the
+    * exact-dedup Bloom guard) before appending. Returns false when
+    * `epochId` was already applied (the replay no-op).
+    */
+  def appendSubstringEpoch(
+      novel: DataFrame,
+      path: String,
+      epochId: String,
+      textCol: String = "text"): Boolean = {
+    val spark = novel.sparkSession
+    val m = spark.read.parquet(s"$path/_meta").head()
+    val window = m.getAs[Int]("window")
+    val nBuckets = m.getAs[Int]("n_buckets")
+    EpochLedger.commitEpoch(spark, path, epochId, partPrefix = "wh_bucket=",
+      stageWrite = stage =>
+        substringIndexRows(novel, window, nBuckets, textCol)
+          .repartition(col("wh_bucket"))
+          .write.partitionBy("wh_bucket").parquet(stage))
+  }
+
+  /** [[substringDupStats]] for an ARRIVING BATCH against a persisted
+    * [[writeSubstringIndex]] history: per-doc duplicated-window stats
+    * where a window is duplicated iff its distinct-doc count across
+    * history ∪ batch reaches `minDocs` — exactly what the full-corpus
+    * [[substringDupStats]] would report for the batch docs, without
+    * the full-corpus pass (the q52 discipline, window-hash-keyed).
+    * Window size comes from the layout's `_meta`.
+    */
+  def substringDupProbe(
+      batch: DataFrame,
+      indexPath: String,
+      minDocs: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val (hist, window, nBuckets) =
+      openSubstringIndex(batch.sparkSession, indexPath)
+    substringDupProbeOn(batch, hist, window, nBuckets, minDocs, textCol)
+  }
+
+  /** [[substringDupProbe]] over an [[openSubstringIndex]]-resolved
+    * layout — the per-epoch form for probe loops. The history sliver
+    * fetch prunes twice: candidate `wh_bucket`s resolve DRIVER-SIDE
+    * into literal partition predicates (bounded by nBuckets — at scale
+    * a small batch's hash set touches few buckets), then a left-semi
+    * join on the batch's hashes cuts the surviving files to matching
+    * rows. Only (whash, ddf) longs cross any shuffle.
+    */
+  def substringDupProbeOn(
+      batch: DataFrame,
+      history: DataFrame,
+      window: Int,
+      nBuckets: Int,
+      minDocs: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val (d, pos) = windowPositions(batch, window, textCol)
+    Caching.withCached(pos) {
+      // batch-local distinct-doc counts (the q77 df restricted to the
+      // batch side)
+      val batchDf = pos.groupBy("whash")
+        .agg(countDistinct("doc_id").as("bddf"))
+      Caching.withCached(batchDf) {
+        val buckets = batchDf
+          .select(concat(lit("b"),
+            pmod(col("whash"), lit(nBuckets.toLong))).as("bk"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val sliver = history
+          .filter(col("wh_bucket").isInCollection(buckets)) // partition prune
+          .join(batchDf.select("whash"), Seq("whash"), "left_semi")
+        // per-hash history count: sum over base + epochs (disjoint doc
+        // sets — the appendSubstringEpoch contract)
+        val histDf = sliver.groupBy("whash").agg(sum("ddf").as("hddf"))
+        val dupHashes = batchDf.join(histDf, Seq("whash"), "left")
+          .filter(col("bddf") + coalesce(col("hddf"), lit(0L)) >= minDocs)
+          .select("whash")
+        val dup = pos.join(dupHashes, Seq("whash"))
+          .groupBy("doc_id").agg(count(lit(1)).as("dup_w"))
+        substringStatsTail(d, dup)
+      }
+    }
+  }
+
+  /** [[writeSubstringIndex]]'s entry in the flat-builder overwrite-guard
+    * family ([[Similarity.refusePlainDatasetOverwrite]]'s discipline):
+    * refuse an `_epochs` ledger (a flat rebuild would orphan applied
+    * epochs — a replayed id would then double-append), an IVF/PQ
+    * `_centroids` sidecar, a `_meta` that is not this layout's
+    * (window, n_buckets) pair (most dangerously the bucketed history or
+    * minhash index on swapped path arguments), and any plain visible
+    * dataset (the raw corpus on a typo'd path). Rebuilding a
+    * never-appended index in place stays the supported refresh.
+    */
+  private def guardSubstringIndexOverwrite(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val f = fsFor(spark, path)
+    if (!f.exists(new org.apache.hadoop.fs.Path(path))) return
+    def has(sub: String) =
+      f.exists(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    require(!has("_epochs"),
+      s"$path carries an _epochs ledger (applied appends) — a flat " +
+        "writeSubstringIndex rebuild would destroy the ledger and let " +
+        "a replayed epoch id double-append; grow the layout through " +
+        "appendSubstringEpoch")
+    require(!has("_centroids"),
+      s"$path is an IVF/PQ layout (_centroids sidecar) — " +
+        "writeSubstringIndex would destroy it; build the index at its " +
+        "own path")
+    if (has("_meta")) {
+      val fields = metaFields(spark, path)
+      require(fields.contains("window") && fields.contains("n_buckets"),
+        s"$path has a _meta sidecar that is not a substring index's " +
+          s"(fields: ${fields.mkString(", ")}) — it looks like another " +
+          "layout; swapped path arguments?")
+    } else {
+      Similarity.refusePlainDatasetOverwrite(f, path,
+        "writeSubstringIndex", partPrefix = "wh_bucket=")
+    }
+  }
 
   /** MinHash signature: doc_id, shh, and `mh` = the k universal-hash
     * minima as one array column — a single compiled pass per document via
@@ -573,10 +850,12 @@ object Dedup {
         "its own path")
     if (has("_meta")) {
       val fields = metaFields(spark, path)
-      require(fields.contains("n_buckets"),
+      // the substring index's _meta also carries n_buckets (plus
+      // window) — refuse it too, not just the minhash index's
+      require(fields.contains("n_buckets") && !fields.contains("window"),
         s"$path has a _meta sidecar that is not a bucketed history's " +
           s"(fields: ${fields.mkString(", ")}) — it looks like a " +
-          "minhash index or another layout; swapped " +
+          "minhash or substring index or another layout; swapped " +
           "historyPath/indexPath arguments?")
     } else {
       Similarity.refusePlainDatasetOverwrite(f, path,

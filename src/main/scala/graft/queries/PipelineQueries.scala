@@ -2192,6 +2192,31 @@ object PipelineQueries {
            |ORDER BY wd.doc_id""".stripMargin))
   }
 
+  /** The gaps-and-islands span CTEs over [[substringCtes]]' duplicated
+    * positions, ending in a `spans(doc_id, span_start, span_end)` CTE —
+    * shared by q78 (which selects the spans) and q79 (which applies
+    * them as the cut), mirroring the operators' shared
+    * `substringDupSpans` derivation.
+    */
+  private def substringSpanCtes(w: Int): String =
+    s"""${substringCtes(w)},
+       |dp AS (
+       |  SELECT doc_id, p FROM ph JOIN hdf USING (whash)),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |         CASE WHEN lag(p) OVER win IS NULL
+       |                   OR p - lag(p) OVER win > $w
+       |              THEN 1 ELSE 0 END AS new_isl
+       |  FROM dp WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+       |grp AS (
+       |  SELECT doc_id, p,
+       |         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p
+       |           ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, min(p) AS span_start, max(p) + $w AS span_end
+       |  FROM grp GROUP BY doc_id, island)""".stripMargin
+
   /** The span surgery over q77's signal: duplicated window starts
     * merged gaps-and-islands into maximal half-open token spans —
     * both engines run the identical two-window-function formulation,
@@ -2206,25 +2231,107 @@ object PipelineQueries {
         .orderBy("doc_id", "span_start"),
       Some(
         s"""WITH ${DuckSql.docsCte},
-           |${substringCtes(w)},
-           |dp AS (
-           |  SELECT doc_id, p FROM ph JOIN hdf USING (whash)),
-           |isl AS (
-           |  SELECT doc_id, p,
-           |         CASE WHEN lag(p) OVER win IS NULL
-           |                   OR p - lag(p) OVER win > $w
-           |              THEN 1 ELSE 0 END AS new_isl
-           |  FROM dp WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
-           |grp AS (
-           |  SELECT doc_id, p,
-           |         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p
-           |           ROWS UNBOUNDED PRECEDING) AS island
-           |  FROM isl)
+           |${substringSpanCtes(w)}
            |SELECT doc_id,
-           |       CAST(min(p) AS BIGINT) AS span_start,
-           |       CAST(max(p) + $w AS BIGINT) AS span_end
-           |FROM grp GROUP BY doc_id, island
+           |       CAST(span_start AS BIGINT) AS span_start,
+           |       CAST(span_end AS BIGINT) AS span_end
+           |FROM spans
            |ORDER BY doc_id, span_start""".stripMargin))
+  }
+
+  /** The substring-dedup DELIVERABLE: q78's spans applied as the cut —
+    * every covered token position removed, kept tokens rejoined. The
+    * oracle re-derives the whole chain (spans verbatim from q78's CTEs,
+    * then a positional token unnest anti-joined against span coverage
+    * and re-aggregated in position order), so a token kept, cut, or
+    * reordered differently breaks the hashes; the null-text,
+    * whole-doc-removed (cut_text = ''), and no-span (whitespace-
+    * normalized identity) cases are computed explicitly in both
+    * engines.
+    */
+  private val qSubstringCut = {
+    val w = 8
+    QueryDef(
+      "q79_substring_cut",
+      (sp, dir) => {
+        val d = docs(sp, dir)
+        graft.operators.Dedup
+          .cutSpans(d, graft.operators.Dedup.substringDupSpans(d, window = w))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${substringSpanCtes(w)},
+           |ex AS (
+           |  SELECT doc_id, unnest(toks) AS tok,
+           |         unnest(range(0, len(toks))) AS p
+           |  FROM docs WHERE toks IS NOT NULL),
+           |kept AS (
+           |  SELECT e.doc_id, e.p, e.tok FROM ex e
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM spans s
+           |    WHERE s.doc_id = e.doc_id
+           |      AND e.p >= s.span_start AND e.p < s.span_end)),
+           |agg AS (
+           |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cut_text,
+           |         count(*) AS n_kept
+           |  FROM kept GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       CASE WHEN d.toks IS NULL THEN NULL
+           |            ELSE coalesce(a.cut_text, '') END AS cut_text,
+           |       CAST(CASE WHEN d.toks IS NULL THEN 0
+           |                 ELSE coalesce(a.n_kept, 0) END AS BIGINT)
+           |         AS n_kept,
+           |       CAST(CASE WHEN d.toks IS NULL THEN 0
+           |                 ELSE len(d.toks) - coalesce(a.n_kept, 0)
+           |            END AS BIGINT) AS n_cut
+           |FROM docs d LEFT JOIN agg a USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin))
+  }
+
+  /** The INCREMENTAL substring-dup path, hash-verified against the
+    * batch-mode truth: the non-batch docs land as a persisted
+    * window-hash index (low-id half as the flat build, high-id half as
+    * a LEDGERED epoch append — so the ledger protocol is in the
+    * verified path), and the q52-style 20% batch probes it through the
+    * bucket-pruned sliver fetch. The oracle is q77's full-corpus SQL
+    * restricted to the batch docs: probe(batch, index(history)) must
+    * equal stats(history ∪ batch) ⇂ batch exactly — a ddf summed
+    * wrong, a bucket pruned wrong, or an epoch row lost by the ledger
+    * breaks the hashes.
+    */
+  private val qSubstringProbe = {
+    val w = 8
+    QueryDef(
+      "q80_substring_probe",
+      (s, dir) => {
+        val root = scratchDir("graft-q80")
+        val idx = s"$root/ssidx"
+        val d = docs(s, dir)
+        val base = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250)
+        val epoch = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250)
+        graft.operators.Dedup.writeSubstringIndex(base, idx, window = w,
+          nBuckets = 8)
+        graft.operators.Dedup.appendSubstringEpoch(epoch, idx, "ep1")
+        graft.operators.Dedup
+          .substringDupProbe(d.filter(col("doc_id") % 5 === 0), idx)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${substringCtes(w)},
+           |dup AS (
+           |  SELECT doc_id, count(*) AS dup_w
+           |  FROM ph JOIN hdf USING (whash) GROUP BY doc_id)
+           |SELECT wd.doc_id,
+           |       CAST(wd.n_windows AS BIGINT) AS n_windows,
+           |       CAST(coalesce(dup.dup_w, 0) AS BIGINT) AS dup_windows,
+           |       round(CASE WHEN wd.n_windows = 0 THEN 0.0
+           |                  ELSE coalesce(dup.dup_w, 0) * 1.0 / wd.n_windows
+           |             END, 6) AS dup_window_frac
+           |FROM wd LEFT JOIN dup USING (doc_id)
+           |WHERE wd.doc_id % 5 = 0
+           |ORDER BY wd.doc_id""".stripMargin))
   }
 
   /** Overlapping token chunking (RAG indexing side): fixed 32-token
@@ -2864,7 +2971,8 @@ object PipelineQueries {
     qPqServingProbe, qPqStreamedProbe, qPqResidualProbe,
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
-    qVocab, qChunk, qSubstringDup, qSubstringSpans, qPerplexity,
+    qVocab, qChunk, qSubstringDup, qSubstringSpans, qSubstringCut,
+    qSubstringProbe, qPerplexity,
     qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qSemDedup, qSemDedupCapped, qSemDedupSq8, qIvfAssign,

@@ -288,6 +288,139 @@ class DedupSpec extends AnyFunSuite {
     assert((stats.getLong(1), stats.getLong(2)) == (8L, 4L))
   }
 
+  test("cutSpans: spans excise covered tokens; whole-doc removal, null " +
+    "docs, and no-span whitespace-normalized identity; round-trip " +
+    "re-score reports zero duplicated windows") {
+    val docs = Seq(
+      (0L, "u0a u0b SH1 SH2 SH3 SH4 u0c u0d"),
+      (1L, "v1a SH1 SH2 SH3 SH4 v1b v1c v1d"),
+      (2L, "p q r s"),                   // verbatim prefix of doc 3
+      (3L, "p q r s t3a t3b"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "  solo   five tokens only here ")) // no dups; untrimmed ws
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(docs, window = 4)
+    val cut = Dedup.cutSpans(docs, spans).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(cut == Seq(
+      (0L, "u0a u0b u0c u0d", 4L, 4L),
+      (1L, "v1a v1b v1c v1d", 4L, 4L),
+      (2L, "", 0L, 4L), // every token covered -> whole doc removed
+      (3L, "t3a t3b", 2L, 4L),
+      (4L, null, 0L, 0L),
+      (5L, "solo five tokens only here", 5L, 0L))) // ws normalized
+    // round trip: re-scoring the cut corpus finds no duplicated windows
+    // (every shared run was excised from every doc holding it, and the
+    // kept tokens are doc-unique so no seam window can collide)
+    val rescored = Dedup.substringDupStats(
+      Dedup.cutSpans(docs, spans).withColumnRenamed("cut_text", "text"),
+      window = 4)
+    assert(rescored.agg(org.apache.spark.sql.functions.sum("dup_windows"))
+      .head().getLong(0) == 0L)
+  }
+
+  test("cutSpans: overlapping and duplicate spans are idempotent — " +
+    "covered-position semantics cut the union") {
+    val docs = Seq((0L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val spans = Seq((0L, 1L, 4L), (0L, 3L, 6L), (0L, 3L, 6L))
+      .toDF("doc_id", "span_start", "span_end")
+    val got = Dedup.cutSpans(docs, spans).head()
+    assert((got.getString(1), got.getLong(2), got.getLong(3)) ==
+      ("t0 t6", 2L, 5L))
+  }
+
+  test("substring index probe: bucket-pruned incremental probe equals " +
+    "full-corpus stats restricted to the batch; epoch replay no-ops") {
+    // history docs 0..39 (two shared-run cliques), batch docs 1000..1002:
+    // one dup against history only, one dup against the BATCH only
+    // (bddf-side), one novel
+    // the shared-run clique STRADDLES the base/epoch split (docs 0 and
+    // 25): each side alone holds ONE copy, so marking batch doc 1000's
+    // windows duplicated requires the probe to SUM ddf across the flat
+    // build and the ledgered epoch — the cross-epoch contract itself
+    val sharedRun = "c1 c2 c3 c4 c5"
+    val history = (0L until 40L).map { i =>
+      val body = (1 to 8).map(j => s"h${i}w$j").mkString(" ")
+      if (i == 0 || i == 25) s"$sharedRun $body" else body
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, s"b0a b0b $sharedRun b0c"),       // dup vs history
+      (1001L, "twin t1 t2 t3 t4 twinend batch"), // dup vs batch twin
+      (1002L, "twin t1 t2 t3 t4 twinend batch2"),
+      (1003L, "fresh f1 f2 f3 f4 f5 f6")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-ssidx").toString
+    val idx = s"$root/idx"
+    val w = 4
+    // low-id half as the flat build, high-id half as a ledgered epoch
+    Dedup.writeSubstringIndex(history.filter($"doc_id" < 20), idx,
+      window = w, nBuckets = 8)
+    assert(Dedup.appendSubstringEpoch(
+      history.filter($"doc_id" >= 20), idx, "ep1"))
+    val got = Dedup.substringDupProbe(batch, idx).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the batch-mode truth: full-corpus stats restricted to batch ids
+    val want = Dedup.substringDupStats(history.unionByName(batch),
+        window = w)
+      .filter($"doc_id" >= 1000L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // the probe really saw both sides: 1000 dups via history, 1001/1002
+    // via each other, 1003 clean
+    assert(got.map(t => (t._1, t._3 > 0)) ==
+      Seq((1000L, true), (1001L, true), (1002L, true), (1003L, false)))
+    // same-id replay no-ops and leaves the probe unchanged
+    assert(!Dedup.appendSubstringEpoch(
+      history.filter($"doc_id" >= 20), idx, "ep1"))
+    assert(Dedup.substringDupProbe(batch, idx).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == want)
+    // the candidate buckets reach the history scan as a partition filter
+    Caching.passthrough = true
+    try {
+      val plan = Dedup.substringDupProbe(batch, idx)
+        .queryExecution.executedPlan.toString
+      assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*wh_bucket.*"),
+        s"no wh_bucket partition filter in:\n$plan")
+    } finally Caching.passthrough = false
+  }
+
+  test("writeSubstringIndex overwrite guard: refuses plain datasets, " +
+    "foreign _meta, and a ledgered layout; never-appended rebuild stays " +
+    "supported") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ssg").toString
+    val docs = (0L until 10L)
+      .map(i => (i, (1 to 8).map(j => s"d${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = s"$root/corpus"
+    docs.write.parquet(corpus)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.writeSubstringIndex(docs, corpus, window = 4)
+    }
+    assert(e1.getMessage.contains("plain dataset"), e1.getMessage)
+    // swapped with the bucketed history refuses in BOTH directions
+    val hist = s"$root/hist"
+    Dedup.writeHistoryBucketed(docs, hist, nBuckets = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.writeSubstringIndex(docs, hist, window = 4)
+    }
+    assert(e2.getMessage.contains("swapped"), e2.getMessage)
+    val idx = s"$root/idx"
+    Dedup.writeSubstringIndex(docs, idx, window = 4, nBuckets = 4)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.writeHistoryBucketed(docs, idx, nBuckets = 4)
+    }
+    assert(e3.getMessage.contains("swapped"), e3.getMessage)
+    // never-appended rebuild in place: the supported refresh
+    Dedup.writeSubstringIndex(docs, idx, window = 4, nBuckets = 4)
+    // once an epoch is ledgered, the flat rebuild refuses
+    assert(Dedup.appendSubstringEpoch(docs.filter($"doc_id" < 2), idx, "e1"))
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.writeSubstringIndex(docs, idx, window = 4, nBuckets = 4)
+    }
+    assert(e4.getMessage.contains("_epochs"), e4.getMessage)
+  }
+
   test("flat-builder overwrite guards: the dedup pair refuses plain " +
     "datasets, swapped paths, and a ledgered history; in-place rebuilds " +
     "and the torn-index retry stay supported") {
