@@ -3,18 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Each query gets one warm-up execution (codegen
-  * compile + file listing + page cache) followed by `SPARK_GRAFT_BENCH_N`
-  * (default 3) timed runs. The reported number is the MIN of the timed
-  * runs — every run recomputes from scratch (operator caches are scoped
-  * to the call and the cache manager is cleared between queries), so the
-  * workload is deterministic and run-to-run spread is environmental:
-  * this sandbox exhibits intermittent whole-minute stalls that poison
-  * every run in their window (observed: the same query at 2 s isolated
-  * and 46 s in-suite with identical code). The per-query MEDIANs are
-  * also emitted (`medians`, `total_median`) so the spread is visible.
-  * A query that throws is reported in an `errors` map (and as value
-  * -1), never as a near-zero "success".
+  * prints one JSON line. One warm-up PASS runs every query once (codegen
+  * compile + file listing + page cache), then `SPARK_GRAFT_BENCH_N`
+  * (default 3) timed passes round-robin the FULL query list — a query's
+  * N timed runs are separated by a whole pass, NOT back-to-back. The
+  * reported number is the MIN of the timed runs — every run recomputes
+  * from scratch (operator caches are scoped to the call and the cache
+  * manager is cleared between queries), so the workload is deterministic
+  * and run-to-run spread is environmental: this sandbox exhibits
+  * intermittent multi-second stalls that used to poison ALL runs of
+  * whichever query they landed on when runs were consecutive (observed:
+  * the same query at 1.25 s isolated and 6.19 s min-of-3 in-suite with
+  * identical code). Interleaved, a stall shorter than a full pass can
+  * poison at most one run per query, so min-of-N survives it. The
+  * per-query MEDIANs are also emitted (`medians`, `total_median`) so the
+  * spread stays visible. A query that throws is reported in an `errors`
+  * map (and as value -1), never as a near-zero "success".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,60 +48,69 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      try {
-        // operators scope their own caches (Caching.withCached), but clear
-        // the cache manager between queries anyway so one query's leftover
-        // storage can never color the next query's number; the GC nudge
-        // lets the ContextCleaner release checkpointed result blocks
-        // (which live until their RDD is collected, not in the cache
-        // manager)
-        spark.catalog.clearCache()
-        System.gc()
-        fn(spark, sfDir).count() // warm-up
-        val times = (1 to n).map { _ =>
+
+    /** Warm-up pass + n INTERLEAVED timed passes over `items` (the full
+      * list per pass, round-robin); a query that throws is recorded in
+      * `errors`, dropped from later passes, and reported as (-1, -1).
+      */
+    def runInterleaved(
+        items: Seq[(String, (SparkSession, String) =>
+          org.apache.spark.sql.DataFrame)],
+        label: String): Seq[(String, (Double, Double))] = {
+      val times = scala.collection.mutable.LinkedHashMap(
+        items.map(i => i._1 -> Vector.empty[Double]): _*)
+      val dead = scala.collection.mutable.Set.empty[String]
+      def once(name: String, fn: (SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Option[Double] =
+        try {
+          // operators scope their own caches (Caching.withCached), but
+          // clear the cache manager between queries anyway so one
+          // query's leftover storage can never color the next query's
+          // number; the GC nudge lets the ContextCleaner release
+          // checkpointed result blocks (which live until their RDD is
+          // collected, not in the cache manager)
+          spark.catalog.clearCache()
+          System.gc()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200)
+            dead += name
+            None
         }
-        System.err.println(
-          f"[bench] $name min=${times.min}%.2f med=${median(times)}%.2f")
-        name -> (times.min, median(times))
-      } catch {
-        case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
-          name -> (-1.0, -1.0)
+      items.foreach { case (name, fn) => once(name, fn); () } // warm-up pass
+      (1 to n).foreach { pass =>
+        items.foreach { case (name, fn) =>
+          if (!dead(name)) once(name, fn).foreach { t =>
+            System.err.println(f"[bench] $label pass $pass/$n $name $t%.2f")
+            times(name) :+= t
+          }
+        }
+      }
+      items.map { case (name, _) =>
+        val ts = times(name)
+        if (dead(name) || ts.isEmpty) name -> (-1.0, -1.0)
+        else name -> (ts.min, median(ts))
       }
     }
+
+    val results = runInterleaved(
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) },
+      "suite")
     // probe-only variants of the layout-building queries (q59/q60):
-    // the layout is built once (inside the warm-up, memoized by
-    // PipelineQueries) and the timed runs measure ONLY the probe —
+    // the layout is built once (inside the warm-up pass, memoized by
+    // PipelineQueries) and the timed passes measure ONLY the probe —
     // the per-query number a deployment actually pays, next to the
     // suite's build-inclusive q59/q60 rehearsal numbers. Reported
     // separately; never part of `total`.
-    val probeResults = graft.queries.PipelineQueries.benchProbes.toSeq
-      .sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .flatMap { case (name, fn) =>
-        try {
-          spark.catalog.clearCache()
-          fn(spark, sfDir).count() // warm-up; builds + memoizes the layout
-          val times = (1 to n).map { _ =>
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
-          }
-          System.err.println(
-            f"[bench] $name min=${times.min}%.2f med=${median(times)}%.2f")
-          Some(name -> (times.min, median(times)))
-        } catch {
-          case e: Throwable =>
-            errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
-            None
-        }
-      }
+    val probeResults = runInterleaved(
+      graft.queries.PipelineQueries.benchProbes.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) },
+      "probe").filter(_._2._1 >= 0)
     val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val probeQs = probeResults.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }

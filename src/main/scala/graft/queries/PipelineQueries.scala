@@ -1837,6 +1837,28 @@ object PipelineQueries {
           nprobe = 2, rerank = 8)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+    // the incremental substring-dup serving cost: q80's twin over a
+    // memoized copy of its layout (flat build + ledgered epoch) — the
+    // suite row pays the two index builds every run by design; this
+    // row times ONLY the batch tokenize + bucket-pruned sliver probe,
+    // the per-increment number a daily-ingest deployment pays
+    "q80_probe_only" -> { (s, dir) =>
+      val root = probeLayouts.computeIfAbsent(
+        probeLayoutKey("q80", dir, table = "documents.parquet"), _ => {
+          val r = persistentScratchDir("graft-q80-probe")
+          val d = docs(s, dir)
+          Dedup.writeSubstringIndex(
+            d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250),
+            s"$r/ssidx", window = 8, nBuckets = 8)
+          Dedup.appendSubstringEpoch(
+            d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250),
+            s"$r/ssidx", "ep1")
+          r
+        })
+      Dedup.substringDupProbe(
+          docs(s, dir).filter(col("doc_id") % 5 === 0), s"$root/ssidx")
+        .orderBy("doc_id")
     })
 
   /** 8x-replicated embeddings layout for the q71 route-comparison
