@@ -56,33 +56,37 @@ object CoreQueries {
   /** The engine aggregation with float-accumulating columns made
     * hash-comparable across engines: percentiles rounded to 6 decimals
     * (their input order is SORTED, so they are already order-stable),
-    * while `avg`/`sum` are re-derived from an exact DECIMAL
-    * accumulation. Decimal addition is associative, so the result is
-    * independent of partition/summation order in BOTH engines — a plain
-    * double sum differs in the last ulp depending on order, which flips
+    * while `avg`/`sum` come from an exact DECIMAL accumulation. Decimal
+    * addition is associative, so the result is independent of
+    * partition/summation order in BOTH engines — a plain double sum
+    * differs in the last ulp depending on order, which flips
     * `round(x, 6)` whenever a bucket's value lands on a rounding
     * boundary (observed at sf0.1: one onehour bucket's avg). The
     * production path ([[Agg.aggregateSeconds]]) keeps reference-parity
     * float semantics; only the cross-engine comparison quantizes.
+    *
+    * ONE `groupBy` carries the decimal sum beside the other stats —
+    * one scan, one exchange, one ObjectHashAggregate (the percentile
+    * buffer keeps the aggregate in the object path either way); the
+    * `avg` is the decimal sum over the count, so no second aggregation
+    * or self-join is ever planned.
     */
-  def aggRounded(incoming: DataFrame, seconds: Long): DataFrame = {
-    val base = Seq("p50", "p90", "p99")
-      .foldLeft(Agg.aggregateSeconds(incoming, seconds)) {
-        (df, c) => df.withColumn(c, round(col(c), 6))
-      }
-      .drop("avg", "sum")
-    val dec = incoming
+  def aggRounded(incoming: DataFrame, seconds: Long): DataFrame =
+    incoming
       .groupBy(col("path"), Agg.bucket(col("timestamp"), seconds).as("timestamp"))
       .agg(
-        sum(col("value").cast("decimal(28,10)")).as("sum_dec"),
-        count(col("value")).as("nr"))
-      .select(col("path"), col("timestamp"),
-        round(col("sum_dec").cast(DoubleType) / col("nr"), 6).as("avg"),
-        round(col("sum_dec").cast(DoubleType), 6).as("sum"))
-    base.join(dec, Seq("path", "timestamp"))
+        count(col("value")).cast(DoubleType).as("n"),
+        min(col("value")).as("min"),
+        max(col("value")).as("max"),
+        sum(col("value").cast("decimal(28,10)")).as("_sum_dec"),
+        percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99)))
+          .as("_ps"))
       .select(col("path"), col("timestamp"), col("n"), col("min"), col("max"),
-        col("avg"), col("sum"), col("p50"), col("p90"), col("p99"))
-  }
+        round(col("_sum_dec").cast(DoubleType) / col("n"), 6).as("avg"),
+        round(col("_sum_dec").cast(DoubleType), 6).as("sum"),
+        round(col("_ps").getItem(0), 6).as("p50"),
+        round(col("_ps").getItem(1), 6).as("p90"),
+        round(col("_ps").getItem(2), 6).as("p99"))
 
   /** The order-proof avg/sum fragments of [[aggRounded]]'s DuckDB mirror. */
   val avgSumSql: String =
