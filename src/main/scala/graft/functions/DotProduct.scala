@@ -78,6 +78,15 @@ object DotProduct {
     * diverge from the composable fold (NULL via zip_with's null-pad)
     * and DuckDB's list_dot_product (raises), the two forms this
     * expression is documented bit-identical to.
+    *
+    * BEHAVIOR CHANGE (round 18): this expression previously truncated
+    * to the shorter operand. A pipeline whose corpus mixes embedding
+    * generations (heterogeneous dims) now fails AT RUNTIME on the
+    * first mixed-dim row instead of producing scores — deliberate and
+    * strictly safer (the truncated scores were silently wrong), but a
+    * break: filter or re-embed mixed-dim rows before scoring, and
+    * surface this exception with the corpus/query context so the
+    * operator knows WHICH generation leaked in.
     */
   def sameDim(xlen: Int, ylen: Int): Int = {
     if (xlen != ylen)

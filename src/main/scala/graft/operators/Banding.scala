@@ -103,6 +103,14 @@ object Banding {
     * short-key geometry left on its default logs the O(N²/2^keyBits)
     * hazard instead of burying it in a docstring. An EXPLICIT
     * Some/None from the caller never reaches this path.
+    *
+    * BEHAVIOR CHANGE (round 18): before the geometry gate existed,
+    * every defaulted caller got `Some(DefaultMaxBandPop)` — short-key
+    * geometries (the SRP 12×8 and SimHash-32 defaults included) now
+    * resolve to UNCAPPED. A deployment that relied on the old implicit
+    * cap to bound a boilerplate-heavy corpus must pass
+    * `maxBandPop = Some(...)` explicitly; the warning this function
+    * logs is the migration breadcrumb, not the fence.
     */
   def resolveDefaultCap(bits: Int, bands: Int): Option[Int] = {
     shortKeyHazard(bits, bands).foreach(m =>

@@ -1208,8 +1208,11 @@ object Dedup {
       failpoint: String => Unit): org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter] = {
     // the ONE definition of id validity, shared with every other
-    // entry (a second inline copy here used to risk silent divergence)
-    EpochLedger.requireEpochId(epochId)
+    // entry (a second inline copy here used to risk silent divergence);
+    // structural tier first so a LEGACY id's replay can reach the
+    // no-op (EpochLedger.requirePathSafeId's contract) — the full rule
+    // gates new applications below
+    EpochLedger.requirePathSafeId(epochId)
     val spark = novel.sparkSession
     // the two-arg recovery also quarantines unledgered `<id>=`
     // footprints from the live layouts — without it, re-staging this
@@ -1225,6 +1228,7 @@ object Dedup {
       EpochLedger.requireKind(fsFor(spark, historyPath), historyPath,
         epochId, "epoch")
     if (!alreadyApplied) {
+      EpochLedger.requireEpochId(epochId)
       val f = fsFor(spark, historyPath)
       // the ledger DIR is created before any data can move, so every
       // layout that ever started a rotation has it — recovery treats
@@ -1825,7 +1829,9 @@ object Dedup {
   private[operators] def dedupResumeRefusal(
       name: String,
       manifest: String): Option[String] =
-    (try { EpochLedger.requireEpochId(name); None }
+    // structural tier only — a committed legacy-id stage must resume,
+    // not wedge; see EpochLedger.requirePathSafeId
+    (try { EpochLedger.requirePathSafeId(name); None }
      catch {
        case e: IllegalArgumentException =>
          Some(s"is not a valid epoch stage (${e.getMessage})")

@@ -65,16 +65,33 @@ object EpochLedger {
     * deployed fence token valid, which re-formatting the join would
     * not).
     */
-  private[graft] def requireEpochId(epochId: String): Unit =
+  private[graft] def requireEpochId(epochId: String): Unit = {
+    requirePathSafeId(epochId)
     require(
-      epochId.nonEmpty && !epochId.exists(c =>
-        c == '/' || c == '\\' || c == '=' || c == ',' ||
-          c.isWhitespace || c.isControl) &&
+      !epochId.exists(c => c == ',' || c.isWhitespace || c.isControl),
+      s"epochId must carry no ',' and no whitespace/control " +
+        s"characters, got '$epochId'")
+  }
+
+  /** The STRUCTURAL subset of [[requireEpochId]] — the minimum for the
+    * id to be usable as a path segment at all. This is the tier
+    * REPLAYS and stage RESUMES are checked against: the
+    * whitespace/control/',' rules above were added after layouts
+    * shipped, so an already-ledgered id that predates them must keep
+    * no-oping on replay and resuming its committed stages (a layout
+    * must never wedge on ids it already contains) — only NEW epoch
+    * applications are held to the full rule. The roll-up guards itself
+    * separately: [[compactLedgerStaged]] leaves entries whose name
+    * would corrupt the roll-up's line format as tail files.
+    */
+  private[graft] def requirePathSafeId(epochId: String): Unit =
+    require(
+      epochId.nonEmpty &&
+        !epochId.exists(c => c == '/' || c == '\\' || c == '=') &&
         epochId != "." && epochId != ".." &&
         !epochId.startsWith(".") && !epochId.startsWith("_"),
       s"epochId must be a plain path segment (no separators, no '=', " +
-        s"no ',', no whitespace/control characters, not '.'/'..', no " +
-        s"leading '.'/'_'), got '$epochId'")
+        s"not '.'/'..', no leading '.'/'_'), got '$epochId'")
 
   /** Has `epochId` been fully applied to the layout at `path`? An id
     * is ledgered either as its own `_epochs/<id>` entry file (the
@@ -274,6 +291,14 @@ object EpochLedger {
       }
     val entries = f.listStatus(ledger).map(_.getPath)
       .filter(p => isVisibleEntry(p.getName))
+      // a LEGACY id containing a control char ('\t'/'\n' are the
+      // roll-up file's field and line separators) would be ledgered
+      // fine as an entry file but PARSE as a different id after the
+      // roll-up — `applied` would go false and a blind retry would
+      // quarantine-and-reapply an applied epoch. Such entries stay
+      // tail FILES forever (requireEpochId stops new ones at commit;
+      // plain spaces are format-safe and roll up normally).
+      .filter(p => !p.getName.exists(_.isControl))
     if (entries.isEmpty) {
       // nothing to roll, but a CRASHED run's residue may still need
       // the prune phase (stale superseded roll-ups / hidden tmps) —
@@ -701,7 +726,11 @@ object EpochLedger {
       stageWrite: String => Unit,
       failpoint: String => Unit = _ => (),
       dataRoot: Option[String] = None): Boolean = {
-    requireEpochId(epochId)
+    // structural tier only, so a replay of a legacy id (ledgered
+    // before the whitespace/control/',' rules existed) can reach the
+    // no-op below instead of crashing; the full rule gates NEW
+    // applications after the ledger miss
+    requirePathSafeId(epochId)
     val dr = dataRoot.getOrElse(path)
     // heals any torn prior epoch AND quarantines this epoch's own
     // unledgered footprints (the stage-lost partial-move state), so a
@@ -716,7 +745,10 @@ object EpochLedger {
       case Some(k) =>
         requireKindMatches(path, epochId, k, "epoch")
         return false
-      case None => ()
+      case None =>
+        // a NEW application: hold it to the full id rule (legacy ids
+        // already in the ledger took the replay return above)
+        requireEpochId(epochId)
     }
     // the ledger dir exists before any data can move — recovery treats
     // "footprints but no ledger dir" as ledger loss and refuses
@@ -883,7 +915,11 @@ object EpochLedger {
       f: FileSystem,
       path: String,
       name: String): Option[String] =
-    (try { requireEpochId(name); None }
+    // structural tier only: a committed stage whose id predates the
+    // whitespace/control/',' rules must RESUME, not wedge behind a
+    // "remove it by hand" refusal — the rules gate new ids at
+    // commitEpoch, not ids the layout already committed
+    (try { requirePathSafeId(name); None }
      catch {
        case e: IllegalArgumentException =>
          Some(s"is not a valid epoch stage (${e.getMessage})")

@@ -1134,7 +1134,10 @@ object Similarity {
       failpoint: String => Unit,
       deferRetire: Boolean = false)(
       buildStage: (String, String) => Unit): Boolean = {
-    EpochLedger.requireEpochId(id)
+    // structural tier first so a LEGACY id's replay can reach the
+    // no-op below (EpochLedger.requirePathSafeId's contract); the full
+    // rule gates new applications after the ledger miss
+    EpochLedger.requirePathSafeId(id)
     // heal torn rotations AND epochs before reading the corpus — a
     // torn prior epoch would otherwise be rebuilt half-appended
     recoverIvfEpochs(spark, path)
@@ -1146,6 +1149,7 @@ object Similarity {
       EpochLedger.requireKind(f, path, id, kind)
       return false
     }
+    EpochLedger.requireEpochId(id)
     // ledger dir exists before any data moves (the ledger-loss valve's
     // footprint-era invariant)
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_epochs"))
@@ -3261,6 +3265,13 @@ object Similarity {
     * anchor/star pairing over mostly-unrelated buckets drops true
     * near-dup pairs — so it runs UNCAPPED with the loud O(N²/2^8)
     * hazard warning, and an explicit Some/None always wins.
+    *
+    * BEHAVIOR CHANGE (round 18): the default previously resolved to
+    * `Some(Banding.DefaultMaxBandPop)` for every geometry. Defaulted
+    * callers on the 12×8 geometry now get the uncapped join — correct
+    * recall, but O(N²/2^8) candidates at corpus scale; pass an
+    * explicit `maxBandPop = Some(...)` to restore the bound, accepting
+    * the short-key recall trade knowingly.
     */
   def srpDupPairs(
       emb: DataFrame,

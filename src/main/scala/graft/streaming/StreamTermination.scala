@@ -29,10 +29,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
   * second caller's `awaitDrain` out with nothing wrong. The thread is
   * a daemon like the bus thread it replaces: a JVM exit mid-drain
   * loses nothing the restart-healing contract doesn't recover.
+  *
+  * Moving off the bus thread removed the ACCIDENTAL serialization it
+  * provided between two streams' drains, so drains are now serialized
+  * DELIBERATELY, per layout: bodies registered with the same
+  * `layoutKey` (the drained layout's root path) run one at a time —
+  * two streams stopped against the same layout queue their drains
+  * instead of racing the single-maintenance-writer contract, while
+  * drains of unrelated layouts still proceed concurrently.
   */
 private[graft] object StreamTermination {
 
   private val latches = new ConcurrentHashMap[UUID, CountDownLatch]()
+
+  /** One monitor per drained layout root — the per-layout drain queue.
+    * Bounded by the number of distinct layouts a process ever drains.
+    */
+  private val layoutLocks = new ConcurrentHashMap[String, Object]()
 
   private val log =
     org.slf4j.LoggerFactory.getLogger(StreamTermination.getClass)
@@ -48,7 +61,8 @@ private[graft] object StreamTermination {
   private[streaming] def onCleanTermination(
       spark: SparkSession,
       query: StreamingQuery,
-      what: String)(body: => Unit): Unit = {
+      what: String,
+      layoutKey: String)(body: => Unit): Unit = {
     val queryId = query.id
     latches.put(queryId, new CountDownLatch(1))
     val listener = new StreamingQueryListener {
@@ -66,7 +80,13 @@ private[graft] object StreamTermination {
             Option(latches.remove(queryId)).foreach(_.countDown())
           } else {
             val t = new Thread(() => {
-              try body
+              // serialize per layout: a second stream's drain against
+              // the same layout waits here instead of racing the
+              // single-maintenance-writer protocols (its awaitDrain
+              // latch stays down until ITS body has run)
+              val lock =
+                layoutLocks.computeIfAbsent(layoutKey, _ => new Object)
+              try lock.synchronized(body)
               catch {
                 case t: Throwable =>
                   // the spool survives (idempotent protocols): a

@@ -445,7 +445,8 @@ object StreamingDedup {
       // contract; follow-on maintenance after stop() must handshake
       // through StreamTermination.awaitDrain
       StreamTermination.onCleanTermination(spark, query,
-        s"drainOnStop of $spoolRoot -> $historyPath") {
+        s"drainOnStop of $spoolRoot -> $historyPath",
+        layoutKey = historyPath) {
         rotateFinished(current = None)
       }
     query

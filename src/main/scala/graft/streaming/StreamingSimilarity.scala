@@ -239,7 +239,7 @@ object StreamingSimilarity {
       // that follow a stop() with more maintenance on the layout must
       // handshake through StreamTermination.awaitDrain
       StreamTermination.onCleanTermination(emb.sparkSession, query,
-        s"drainOnStop of $spoolRoot -> $layout") {
+        s"drainOnStop of $spoolRoot -> $layout", layoutKey = layout) {
         drainSpool(emb.sparkSession, spoolRoot, layout, idCol,
           applyToPqIndex)
         ()
