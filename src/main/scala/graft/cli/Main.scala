@@ -55,6 +55,21 @@ import graft.streaming.Ingest
   * dedup purge-retired <hist> <idx> --older-than <dur> [--lock-file F]
   * dedup compact-ledger <hist> [--lock-file F]
   * }}}
+  * The `substring-dup` group is the substring-level dedup workflow
+  * (score → locate → excise, plus the incremental window-hash index;
+  * engine addition). Frame-producing subcommands write their result
+  * parquet to a FRESH <out> path and print a one-line signal summary:
+  * {{{
+  * substring-dup stats <docs> <out> [--window W] [--min-docs N]
+  *               [--text-col C] [--json]
+  * substring-dup spans <docs> <out> [same flags]
+  * substring-dup cut   <docs> <out> [same flags]
+  * substring-dup build <docs> <idx> [--window W] [--buckets B]
+  *               [--text-col C] [--lock-file F]
+  * substring-dup append <docs> <idx> <epochId> [--text-col C] [--lock-file F]
+  * substring-dup probe <docs> <idx> <out> [--min-docs N] [--text-col C]
+  *               [--json]
+  * }}}
   * `--older-than` durations: `<n>s|m|h|d` or plain seconds. The flag is
   * REQUIRED — bulk deletion without an explicit retention window is
   * refused (use the API's `purgeIvfRetired(name)` for one exact name).
@@ -264,6 +279,15 @@ object Main {
       })
       finally spark.stop()
 
+    case "substring-dup" :: sub :: rest =>
+      val (pos, flags) = rest.span(!_.startsWith("--"))
+      val lockFile = flagValue(flags, "--lock-file", s"substring-dup $sub")
+      val spark = session()
+      try println(withLock(lockFile) {
+        substringDupCommand(spark, sub, pos, flags)
+      })
+      finally spark.stop()
+
     case "pq" :: sub :: index :: rest =>
       val needsId = Set("rotate", "compact-partitions", "maintain",
         "retire-superseded")
@@ -292,7 +316,8 @@ object Main {
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: sync|daemon|compact|show|metric|serve|ivf|dedup|pq ...")
+        "usage: sync|daemon|compact|show|metric|serve|ivf|dedup|" +
+          "substring-dup|pq ...")
       sys.exit(2)
   }
 
@@ -582,6 +607,147 @@ object Main {
         sys.error(s"unknown pq subcommand '$otherSub' " +
           "(fsck|health|meta|maintain|rotate|compact-partitions|" +
           "retire-superseded|purge-retired|compact-ledger|recover)")
+    }
+  }
+
+  /** The `substring-dup` subcommand bodies — the Lee-et-al-style
+    * substring-level dedup workflow as ops commands: score
+    * (`stats`), locate (`spans`), excise (`cut`), and the incremental
+    * pair (`build`/`append`/`probe`) over a persisted window-hash
+    * index. Frame-producing subcommands WRITE their result parquet to
+    * a fresh `<out>` path (refusing to overwrite) and print a one-line
+    * signal summary (`--json` for the machine form) — the fsck
+    * discipline; a corpus-sized frame is never printed.
+    */
+  private[cli] def substringDupCommand(
+      spark: SparkSession,
+      sub: String,
+      pos: List[String],
+      flags: List[String]): String = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, count, lit, round => sqlRound,
+      sum => sqlSum, when}
+    def flag(name: String): Option[String] =
+      flagValue(flags, name, s"substring-dup $sub")
+    def window: Int = flag("--window").map(_.toInt).getOrElse(16)
+    def minDocs: Int = flag("--min-docs").map(_.toInt).getOrElse(2)
+    def textCol: String = flag("--text-col").getOrElse("text")
+    def docs(path: String) = spark.read.parquet(path)
+    // refuse to clobber: the out path must be fresh (the overwrite-
+    // guard family's posture, CLI-sized)
+    def writeFresh(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val f = Dedup.fsFor(spark, out)
+      require(!f.exists(new org.apache.hadoop.fs.Path(out)),
+        s"substring-dup $sub: output path $out already exists — " +
+          "refusing to overwrite; pass a fresh path")
+      df.write.parquet(out)
+    }
+    def statsSummary(out: String): String = {
+      val r = spark.read.parquet(out)
+        .agg(count(lit(1)).as("docs"),
+          sqlSum(when(col("dup_windows") > 0, 1L).otherwise(0L))
+            .as("dup_docs"),
+          sqlSum(col("dup_windows")).as("dup_windows"),
+          sqlRound(org.apache.spark.sql.functions.avg(
+            col("dup_window_frac")), 6).as("mean_dup_frac"))
+        .head()
+      if (flags.contains("--json"))
+        s"""{"docs":${r.getLong(0)},"dup_docs":${r.getLong(1)},""" +
+          s""""dup_windows":${r.getLong(2)},""" +
+          s""""mean_dup_frac":${r.getDouble(3)},"out":"$out"}"""
+      else
+        s"docs=${r.getLong(0)} dup_docs=${r.getLong(1)} " +
+          s"dup_windows=${r.getLong(2)} mean_dup_frac=${r.getDouble(3)} " +
+          s"out=$out"
+    }
+    sub match {
+      case "stats" => pos match {
+        case in :: out :: Nil =>
+          writeFresh(Dedup.substringDupStats(docs(in), window, minDocs,
+            textCol), out)
+          statsSummary(out)
+        case _ =>
+          sys.error("substring-dup stats needs <docsParquet> <outParquet>")
+      }
+      case "spans" => pos match {
+        case in :: out :: Nil =>
+          writeFresh(Dedup.substringDupSpans(docs(in), window, minDocs,
+            textCol), out)
+          val r = spark.read.parquet(out)
+            .agg(count(lit(1)).as("spans"),
+              org.apache.spark.sql.functions.countDistinct(col("doc_id"))
+                .as("docs_with_spans"),
+              // spans are maximal and disjoint per doc, so the sum IS
+              // the covered-token count
+              sqlSum(col("span_end") - col("span_start"))
+                .as("covered_tokens"))
+            .head()
+          val (nSpans, nDocs, covered) =
+            (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
+          if (flags.contains("--json"))
+            s"""{"spans":$nSpans,"docs_with_spans":$nDocs,""" +
+              s""""covered_tokens":$covered,"out":"$out"}"""
+          else
+            s"spans=$nSpans docs_with_spans=$nDocs " +
+              s"covered_tokens=$covered out=$out"
+        case _ =>
+          sys.error("substring-dup spans needs <docsParquet> <outParquet>")
+      }
+      case "cut" => pos match {
+        case in :: out :: Nil =>
+          val d = docs(in)
+          writeFresh(Dedup.cutSpans(d,
+            Dedup.substringDupSpans(d, window, minDocs, textCol), textCol),
+            out)
+          val r = spark.read.parquet(out)
+            .agg(count(lit(1)).as("docs"),
+              sqlSum(col("n_kept")).as("kept"),
+              sqlSum(col("n_cut")).as("cut"),
+              sqlSum(when(col("n_kept") === 0 && col("n_cut") > 0, 1L)
+                .otherwise(0L)).as("emptied"))
+            .head()
+          if (flags.contains("--json"))
+            s"""{"docs":${r.getLong(0)},"tokens_kept":${r.getLong(1)},""" +
+              s""""tokens_cut":${r.getLong(2)},""" +
+              s""""docs_emptied":${r.getLong(3)},"out":"$out"}"""
+          else
+            s"docs=${r.getLong(0)} tokens_kept=${r.getLong(1)} " +
+              s"tokens_cut=${r.getLong(2)} docs_emptied=${r.getLong(3)} " +
+              s"out=$out"
+        case _ =>
+          sys.error("substring-dup cut needs <docsParquet> <outParquet>")
+      }
+      case "build" => pos match {
+        case in :: idx :: Nil =>
+          Dedup.writeSubstringIndex(docs(in), idx, window,
+            nBuckets = flag("--buckets").map(_.toInt)
+              .getOrElse(Dedup.DefaultSubstringBuckets),
+            textCol = textCol)
+          val (_, w, nb) = Dedup.openSubstringIndex(spark, idx)
+          s"built index=$idx window=$w buckets=$nb"
+        case _ =>
+          sys.error("substring-dup build needs <docsParquet> <indexPath>")
+      }
+      case "append" => pos match {
+        case in :: idx :: epochId :: Nil =>
+          s"applied=${Dedup.appendSubstringEpoch(docs(in), idx, epochId,
+            textCol)}"
+        case _ =>
+          sys.error("substring-dup append needs " +
+            "<docsParquet> <indexPath> <epochId>")
+      }
+      case "probe" => pos match {
+        case in :: idx :: out :: Nil =>
+          writeFresh(Dedup.substringDupProbe(docs(in), idx, minDocs,
+            textCol), out)
+          statsSummary(out)
+        case _ =>
+          sys.error("substring-dup probe needs " +
+            "<docsParquet> <indexPath> <outParquet>")
+      }
+      case otherSub =>
+        sys.error(s"unknown substring-dup subcommand '$otherSub' " +
+          "(stats|spans|cut|build|append|probe)")
     }
   }
 

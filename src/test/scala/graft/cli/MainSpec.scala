@@ -397,6 +397,75 @@ class MainSpec extends AnyFunSuite {
     intercept[RuntimeException] { run("bogus", List(hist)) }
   }
 
+  test("substring-dup command group: stats/spans/cut write fresh parquet " +
+    "with one-line summaries; build/append/probe run the incremental " +
+    "pair; overwrites and bad usage refuse") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cli-ss").toString
+    // docs 0/1 share a 5-token run; 2 is unique; 3 short
+    val corpus = Seq(
+      (0L, "s1 s2 s3 s4 s5 u0a u0b u0c"),
+      (1L, "v1a s1 s2 s3 s4 s5 v1b v1c"),
+      (2L, "alone a1 a2 a3 a4 a5 a6 a7"),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val in = s"$root/docs"
+    corpus.write.parquet(in)
+    def run(sub: String, pos: List[String],
+        flags: List[String] = Nil): String =
+      Main.substringDupCommand(spark, sub, pos, flags)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    val w = List("--window", "4")
+    val st = run("stats", List(in, s"$root/stats"), w)
+    assert(st.contains("docs=4") && st.contains("dup_docs=2"), st)
+    val stj = om.readTree(
+      run("stats", List(in, s"$root/statsj"), "--json" :: w))
+    assert(stj.get("docs").asLong() == 4L &&
+      stj.get("dup_docs").asLong() == 2L &&
+      stj.get("dup_windows").asLong() == 4L, stj)
+
+    val sp = run("spans", List(in, s"$root/spans"), w)
+    // docs 0 and 1 each get ONE maximal span covering the 5-token run
+    assert(sp.contains("spans=2") && sp.contains("docs_with_spans=2") &&
+      sp.contains("covered_tokens=10"), sp)
+
+    val ct = run("cut", List(in, s"$root/cut"), w)
+    assert(ct.contains("docs=4") && ct.contains("tokens_cut=10") &&
+      ct.contains("docs_emptied=0"), ct)
+    val cutRows = spark.read.parquet(s"$root/cut")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(cutRows(0) == "u0a u0b u0c" && cutRows(1) == "v1a v1b v1c", ct)
+
+    // overwrite refusal: the out path must be fresh
+    val exO = intercept[RuntimeException] {
+      run("stats", List(in, s"$root/stats"), w)
+    }
+    assert(exO.getMessage.contains("refusing to overwrite"), exO.getMessage)
+
+    // the incremental pair: history = docs 0/2/3 built + appended,
+    // batch = doc 1 probes (its shared run is dup via history doc 0)
+    val hist1 = s"$root/h1"
+    corpus.filter($"doc_id" === 0L).write.parquet(hist1)
+    val hist2 = s"$root/h2"
+    corpus.filter($"doc_id" === 2L || $"doc_id" === 3L).write.parquet(hist2)
+    val batch = s"$root/batch"
+    corpus.filter($"doc_id" === 1L).write.parquet(batch)
+    val idx = s"$root/ssidx"
+    assert(run("build", List(hist1, idx), List("--window", "4",
+      "--buckets", "4")) == s"built index=$idx window=4 buckets=4")
+    assert(run("append", List(hist2, idx, "ep1")) == "applied=true")
+    assert(run("append", List(hist2, idx, "ep1")) == "applied=false") // replay
+    val pj = om.readTree(
+      run("probe", List(batch, idx, s"$root/probe"), List("--json")))
+    assert(pj.get("docs").asLong() == 1L &&
+      pj.get("dup_docs").asLong() == 1L &&
+      pj.get("dup_windows").asLong() == 2L, pj)
+
+    intercept[RuntimeException] { run("stats", List(in)) }
+    intercept[RuntimeException] { run("bogus", List(in, s"$root/x")) }
+  }
+
   test("parseDuration accepts s/m/h/d suffixes and plain seconds, " +
     "refuses garbage and non-positive values") {
     assert(Main.parseDuration("45") == 45000L)
