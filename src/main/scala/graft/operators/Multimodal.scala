@@ -51,17 +51,27 @@ object Multimodal {
   }
 
   /** Batched decode at the executor: iterator→iterator so real decoder
-    * setup would be paid once per partition, not per row.
+    * setup is paid once per partition, not per row. `decoder` is the
+    * per-partition FACTORY — it runs inside `mapPartitions`, exactly
+    * once per partition, and the function it returns runs per row;
+    * a real codec binds its native context in the factory and swaps
+    * nothing else (the default binds the deterministic
+    * [[fakeDecode]] stub). The factory (not the decode function it
+    * builds) must be serializable — it ships in the task closure.
     */
-  def decodeMetaBatched(media: Dataset[MediaRow])(
+  def decodeMetaBatched(
+      media: Dataset[MediaRow],
+      decoder: () => (Long, Array[Byte]) => MediaMeta =
+        () => fakeDecode(_, _))(
       implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder context would be initialized here.
+      // the per-partition decoder context: initialized HERE, once
+      val decode = decoder()
       // A null payload is NO MEDIA: dropped, the same judgment the
       // columnar form applies — the stub used to NPE here while the
       // columnar path fabricated a 'video' row of null metadata
-      rows.filter(_.blob != null).map(r => fakeDecode(r.doc_id, r.blob))
+      rows.filter(_.blob != null).map(r => decode(r.doc_id, r.blob))
     }
   }
 

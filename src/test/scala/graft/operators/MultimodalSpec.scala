@@ -97,4 +97,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(colr == bat, s"columnar=$colr batched=$bat")
     assert(colr.map(_._1) == Set(1L, 2L), "null blob must drop, not decode")
   }
+
+  test("decodeMetaBatched amortizes decoder setup per PARTITION: a " +
+    "stateful counting decoder is constructed once per partition and " +
+    "invoked once per row") {
+    implicit val spark2: org.apache.spark.sql.SparkSession = spark
+    val setups = spark2.sparkContext.longAccumulator("decoder-setups")
+    val calls = spark2.sparkContext.longAccumulator("decoder-calls")
+    val nParts = 4
+    val docs = (0L until 40L).map(i => (i, s"payload number $i"))
+      .toDF("doc_id", "text").repartition(nParts)
+    val media = Multimodal.mediaFromDocuments(docs)
+    // the factory runs per partition (real codec: bind native context
+    // here); the returned function closes over that per-partition
+    // state — the counter stands in for it
+    val decoder: () => (Long, Array[Byte]) => Multimodal.MediaMeta =
+      () => {
+        setups.add(1L)
+        val perPartitionState = new java.util.concurrent.atomic.AtomicLong()
+        (id, blob) => {
+          calls.add(1L)
+          perPartitionState.incrementAndGet()
+          Multimodal.fakeDecode(id, blob)
+        }
+      }
+    val got = Multimodal.decodeMetaBatched(
+      media.as[Multimodal.MediaRow], decoder).collect()
+    assert(got.length == 40)
+    assert(calls.value == 40L, s"decode ran ${calls.value} times")
+    assert(setups.value == nParts.toLong,
+      s"decoder setup ran ${setups.value} times for $nParts partitions — " +
+        "the iterator contract must amortize setup per partition")
+    // and the injected decoder's OUTPUT is what lands in the Dataset
+    assert(got.map(_.doc_id).toSet == (0L until 40L).toSet)
+  }
 }
