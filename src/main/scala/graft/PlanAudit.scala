@@ -30,7 +30,9 @@ object PlanAudit {
       "q52_dedup_incremental_probe", "q54_text_perplexity",
       "q55_text_perplexity_bigram", "q65_ivf_serving_probe",
       "q71_semantic_dedup_sq8", "q72_ivfpq_probe",
-      "q73_pq_maintained_probe", "q74_pq_serving_probe")
+      "q73_pq_maintained_probe", "q74_pq_serving_probe",
+      "q77_substring_dup", "q78_substring_spans", "q79_substring_cut",
+      "q80_substring_probe")
     for (name <- interesting) {
       println(s"\n======== $name ========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -17,6 +17,16 @@ import graft.operators.{Pq, Similarity}
   * deterministic off-corpus midpoints of consecutive stored pairs at
   * ids ≡ 0 (mod 16) — the q65/q74 serving-shape without the small-table
   * cap, ~32 queries on the 500-vector fixture.
+  *
+  * A second table measures the SAME encodings over a deterministic
+  * MIXTURE-OF-CENTROIDS transform of the fixture — residual's claimed
+  * win regime (clusters > per-subspace codewords, coarse geometry
+  * resolving the clusters): vector i becomes
+  * `anchor(i mod C) + 0.25·v_i` with the C lowest-id fixture vectors
+  * as anchors, so within-cluster spread is a quarter of the
+  * between-cluster scale. Held-out queries there are midpoints of
+  * SAME-CLUSTER pairs (ids i, i+C at i ≡ 0 mod C−1, spreading the
+  * query set across clusters).
   */
 object RecallTable {
   def main(args: Array[String]): Unit = {
@@ -51,25 +61,65 @@ object RecallTable {
     val encodings = Seq(
       ("raw", false, 0), ("raw+train4", false, 4),
       ("residual", true, 0), ("residual+train4", true, 4))
-    encodings.foreach { case (name, residual, iters) =>
-      Pq.writePqIndex(emb, s"$scratch/$name",
-        trainIters = iters, residual = residual)
-    }
     val knobs = for (np <- Seq(1, 2, 4); rr <- Seq(20, 40)) yield (np, rr)
-    println("| nprobe | rerank | " + encodings.map(_._1).flatMap(n =>
-      Seq(s"$n stored", s"$n held-out")).mkString(" | ") + " |")
-    println("|---|---|" + ("---|" * (encodings.size * 2)))
-    knobs.foreach { case (np, rr) =>
-      val cells = encodings.flatMap { case (name, _, _) =>
-        val stored = Pq.pqRecallProbe(spark, s"$scratch/$name", emb,
-          sampleN = 64, k = 10, nprobe = np, rerank = rr).recallAtK
-        val held = Pq.pqRecallProbe(spark, s"$scratch/$name", emb,
-          sampleN = 1, k = 10, nprobe = np, rerank = rr,
-          queryVectors = Some(heldOut)).recallAtK
-        Seq(f"$stored%.3f", f"$held%.3f")
+
+    def table(tag: String, corpus: DataFrame, held: DataFrame,
+        centroidK: Int): Unit = {
+      encodings.foreach { case (name, residual, iters) =>
+        Pq.writePqIndex(corpus, s"$scratch/$tag-$name",
+          centroidK = centroidK, trainIters = iters, residual = residual)
       }
-      println(s"| $np | $rr | " + cells.mkString(" | ") + " |")
+      println("| nprobe | rerank | " + encodings.map(_._1).flatMap(n =>
+        Seq(s"$n stored", s"$n held-out")).mkString(" | ") + " |")
+      println("|---|---|" + ("---|" * (encodings.size * 2)))
+      knobs.foreach { case (np, rr) =>
+        val cells = encodings.flatMap { case (name, _, _) =>
+          val stored = Pq.pqRecallProbe(spark, s"$scratch/$tag-$name",
+            corpus, sampleN = 64, k = 10, nprobe = np, rerank = rr)
+            .recallAtK
+          val ho = Pq.pqRecallProbe(spark, s"$scratch/$tag-$name", corpus,
+            sampleN = 1, k = 10, nprobe = np, rerank = rr,
+            queryVectors = Some(held)).recallAtK
+          Seq(f"$stored%.3f", f"$ho%.3f")
+        }
+        println(s"| $np | $rr | " + cells.mkString(" | ") + " |")
+      }
     }
+
+    println(s"### unclustered fixture ($sfDir)")
+    table("flat", emb, heldOut, Similarity.DefaultCentroidK)
+
+    // the mixture-of-centroids transform: C tight clusters whose
+    // anchors are real fixture vectors — residual's win regime
+    // (C clusters > k=16 codewords per subspace; coarse centroidK = C
+    // so the coarse side can resolve the bases)
+    val cC = 64
+    val anchors = emb.filter(col("vec_id") < cC)
+      .select(col("vec_id").as("cl"),
+        col("embedding").cast("array<double>").as("ctr"))
+    val clustered = emb
+      .select(col("vec_id"), (col("vec_id") % cC).as("cl"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(broadcast(anchors), "cl")
+      .select(col("vec_id"),
+        zip_with(col("ctr"), col("v"), (c, x) => c + x * lit(0.25))
+          .cast("array<float>").as("embedding"))
+    val heldClustered = {
+      val a = clustered.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("va"))
+      val b = clustered.select((col("vec_id") - cC).as("vec_id"),
+        col("embedding").cast("array<double>").as("vb"))
+      // same-cluster pairs (i, i+C); i ≡ 0 (mod C−1) walks the residues
+      a.join(b, "vec_id")
+        .filter(col("vec_id") % (cC - 1) === 0)
+        .select(col("vec_id").as("query_id"),
+          zip_with(col("va"), col("vb"),
+            (x, y) => (x + y) / lit(2.0)).as("embedding"))
+    }
+    println()
+    println(s"### mixture-of-centroids transform (C=$cC clusters, " +
+      s"noise 0.25, centroidK=$cC)")
+    table("clus", clustered, heldClustered, cC)
     spark.stop()
   }
 }
