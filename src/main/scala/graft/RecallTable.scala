@@ -64,9 +64,9 @@ object RecallTable {
     val knobs = for (np <- Seq(1, 2, 4); rr <- Seq(20, 40)) yield (np, rr)
 
     def table(tag: String, corpus: DataFrame, held: DataFrame,
-        centroidK: Int): Unit = {
+        centroidK: Int, codebookK: Int = Pq.DefaultK): Unit = {
       encodings.foreach { case (name, residual, iters) =>
-        Pq.writePqIndex(corpus, s"$scratch/$tag-$name",
+        Pq.writePqIndex(corpus, s"$scratch/$tag-$name", k = codebookK,
           centroidK = centroidK, trainIters = iters, residual = residual)
       }
       println("| nprobe | rerank | " + encodings.map(_._1).flatMap(n =>
@@ -118,8 +118,16 @@ object RecallTable {
     }
     println()
     println(s"### mixture-of-centroids transform (C=$cC clusters, " +
-      s"noise 0.25, centroidK=$cC)")
+      s"noise 0.25, centroidK=$cC, default k=16 codewords)")
     table("clus", clustered, heldClustered, cC)
+    // the codeword-STARVED point (k=4 per subspace << C cluster bases):
+    // the IVFADC claim's exact regime — raw codes must describe C base
+    // directions with 4 codewords; residuals only describe the small
+    // within-cluster offsets the coarse quantizer already removed
+    println()
+    println(s"### same transform, codeword-starved (k=4 codewords per " +
+      s"subspace, C=$cC clusters)")
+    table("clus4", clustered, heldClustered, cC, codebookK = 4)
     spark.stop()
   }
 }

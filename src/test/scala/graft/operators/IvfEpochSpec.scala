@@ -243,22 +243,28 @@ class IvfEpochSpec extends AnyFunSuite {
   }
 
   test("epochId guard: separators, dot-segments, hidden prefixes and '=' " +
-    "are rejected before any filesystem work") {
+    "are rejected before any filesystem work; whitespace/control/',' " +
+    "reject for NEW applications") {
     val novel = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
-    // whitespace/control characters: '\t' and '\n' are the ledger
-    // roll-up's field and line separators — an id containing either
-    // would be applied fine, then PARSE as a different id after a
-    // compactLedger roll-up, turning a blind replay of an applied
-    // epoch into a quarantine-and-reapply
-    // ',' is layoutStateToken's applied-set join separator: an id
-    // containing it would alias two different ledgered sets onto one
-    // breaker-fence token
+    // tier 1 — STRUCTURAL (path safety): rejected before any
+    // filesystem work, replays included
     for (bad <- Seq("", "..", ".", "a/b", "a\\b", ".hidden", "_rotate",
-      "a=b", "a\tb", "a\nb", "a b", "a\rb", "a,b")) {
+      "a=b")) {
       val ex = intercept[IllegalArgumentException] {
         Similarity.appendIvfEpoch(novel, "/nonexistent/layout", bad)
       }
       assert(ex.getMessage.contains("path segment"), s"id='$bad'")
+    }
+    // tier 2 — parse safety: '\t'/'\n' are the ledger roll-up's field
+    // and line separators, ',' is layoutStateToken's applied-set join
+    // separator. Rejected for NEW applications (after the ledger
+    // miss), but a LEGACY id already in a ledger replays as a no-op —
+    // the migration carve-out EpochLedgerLegacyIdSpec pins.
+    for (bad <- Seq("a\tb", "a\nb", "a b", "a\rb", "a,b")) {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.appendIvfEpoch(novel, "/nonexistent/layout", bad)
+      }
+      assert(ex.getMessage.contains("whitespace"), s"id='$bad'")
     }
   }
 }
