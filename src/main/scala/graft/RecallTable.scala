@@ -64,7 +64,8 @@ object RecallTable {
     val knobs = for (np <- Seq(1, 2, 4); rr <- Seq(20, 40)) yield (np, rr)
 
     def table(tag: String, corpus: DataFrame, held: DataFrame,
-        centroidK: Int, codebookK: Int = Pq.DefaultK): Unit = {
+        centroidK: Int, codebookK: Int = Pq.DefaultK,
+        knobGrid: Seq[(Int, Int)] = knobs): Unit = {
       encodings.foreach { case (name, residual, iters) =>
         Pq.writePqIndex(corpus, s"$scratch/$tag-$name", k = codebookK,
           centroidK = centroidK, trainIters = iters, residual = residual)
@@ -72,7 +73,7 @@ object RecallTable {
       println("| nprobe | rerank | " + encodings.map(_._1).flatMap(n =>
         Seq(s"$n stored", s"$n held-out")).mkString(" | ") + " |")
       println("|---|---|" + ("---|" * (encodings.size * 2)))
-      knobs.foreach { case (np, rr) =>
+      knobGrid.foreach { case (np, rr) =>
         val cells = encodings.flatMap { case (name, _, _) =>
           val stored = Pq.pqRecallProbe(spark, s"$scratch/$tag-$name",
             corpus, sampleN = 64, k = 10, nprobe = np, rerank = rr)
@@ -128,6 +129,18 @@ object RecallTable {
     println(s"### same transform, codeword-starved (k=4 codewords per " +
       s"subspace, C=$cC clusters)")
     table("clus4", clustered, heldClustered, cC, codebookK = 4)
+    // the ROUTING-RESOLVED sweep: the first two clustered tables showed
+    // recall dominated by which cells the probe covers (nprobe 1–4 of
+    // 64 sampled centroids) and rescued wholesale once rerank ≥ the
+    // ~31-member cluster size — so hold rerank BELOW cluster size and
+    // raise nprobe until routing stops being the bottleneck; this is
+    // where code precision (raw vs residual) decides the shortlist
+    println()
+    println(s"### same starved transform, routing-resolved knobs " +
+      s"(rerank < cluster size)")
+    table("clus4r", clustered, heldClustered, cC, codebookK = 4,
+      knobGrid = for (np <- Seq(8, 32, 64); rr <- Seq(12, 20))
+        yield (np, rr))
     spark.stop()
   }
 }

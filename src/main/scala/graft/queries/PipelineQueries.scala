@@ -2284,31 +2284,78 @@ object PipelineQueries {
       Some(
         s"""WITH ${DuckSql.docsCte},
            |${substringSpanCtes(w)},
-           |ex AS (
-           |  SELECT doc_id, unnest(toks) AS tok,
-           |         unnest(range(0, len(toks))) AS p
-           |  FROM docs WHERE toks IS NOT NULL),
-           |kept AS (
-           |  SELECT e.doc_id, e.p, e.tok FROM ex e
-           |  WHERE NOT EXISTS (
-           |    SELECT 1 FROM spans s
-           |    WHERE s.doc_id = e.doc_id
-           |      AND e.p >= s.span_start AND e.p < s.span_end)),
-           |agg AS (
-           |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cut_text,
-           |         count(*) AS n_kept
-           |  FROM kept GROUP BY doc_id)
-           |SELECT d.doc_id,
-           |       CASE WHEN d.toks IS NULL THEN NULL
-           |            ELSE coalesce(a.cut_text, '') END AS cut_text,
-           |       CAST(CASE WHEN d.toks IS NULL THEN 0
-           |                 ELSE coalesce(a.n_kept, 0) END AS BIGINT)
-           |         AS n_kept,
-           |       CAST(CASE WHEN d.toks IS NULL THEN 0
-           |                 ELSE len(d.toks) - coalesce(a.n_kept, 0)
-           |            END AS BIGINT) AS n_cut
-           |FROM docs d LEFT JOIN agg a USING (doc_id)
+           |$substringCutCtes
+           |$substringCutSelect
            |ORDER BY d.doc_id""".stripMargin))
+  }
+
+  /** The cut CTEs over a `docs`/`spans` pair (positional token unnest,
+    * span-coverage anti-join, position-ordered rejoin) plus the final
+    * per-doc select — shared by q79 and the q81 composed pipeline so
+    * the two oracles can never disagree on what the cut produces.
+    */
+  private val substringCutCtes: String =
+    """ex AS (
+      |  SELECT doc_id, unnest(toks) AS tok,
+      |         unnest(range(0, len(toks))) AS p
+      |  FROM docs WHERE toks IS NOT NULL),
+      |kept AS (
+      |  SELECT e.doc_id, e.p, e.tok FROM ex e
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM spans s
+      |    WHERE s.doc_id = e.doc_id
+      |      AND e.p >= s.span_start AND e.p < s.span_end)),
+      |agg AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cut_text,
+      |         count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)""".stripMargin
+
+  private val substringCutSelect: String =
+    """SELECT d.doc_id,
+      |       CASE WHEN d.toks IS NULL THEN NULL
+      |            ELSE coalesce(a.cut_text, '') END AS cut_text,
+      |       CAST(CASE WHEN d.toks IS NULL THEN 0
+      |                 ELSE coalesce(a.n_kept, 0) END AS BIGINT)
+      |         AS n_kept,
+      |       CAST(CASE WHEN d.toks IS NULL THEN 0
+      |                 ELSE len(d.toks) - coalesce(a.n_kept, 0)
+      |            END AS BIGINT) AS n_cut
+      |FROM docs d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** The substring family's COMPOSED pipeline — the Lee-et-al workflow
+    * end to end in one hash-pinned row: exact-dup keep-list (verbatim
+    * COPIES leave first, so they don't mark every window duplicated),
+    * then span detection + the cut over the DEDUPED corpus, keeping
+    * only docs with surviving tokens. Both engines run keepers → spans
+    * → cut → survivor gate; a doc cut, kept, or gated differently
+    * anywhere in the chain breaks the hashes.
+    */
+  private val qPipelineSubstring = {
+    val w = 8
+    QueryDef(
+      "q81_pipeline_substring_dedup",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val keep = Dedup.exact(d).select(col("keeper_id").as("doc_id"))
+        val deduped = d.join(keep, Seq("doc_id"), "left_semi")
+        Dedup.cutSpans(deduped,
+            Dedup.substringDupSpans(deduped, window = w))
+          .filter(col("n_kept") > 0)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH keepers AS (
+           |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |docs AS (
+           |  SELECT d.doc_id, d.text,
+           |         regexp_split_to_array(trim(d.text), '\\s+') AS toks
+           |  FROM documents d JOIN keepers k USING (doc_id)),
+           |${substringSpanCtes(w)},
+           |$substringCutCtes
+           |SELECT * FROM (
+           |$substringCutSelect
+           |) WHERE n_kept > 0
+           |ORDER BY doc_id""".stripMargin))
   }
 
   /** The INCREMENTAL substring-dup path, hash-verified against the
@@ -3000,5 +3047,6 @@ object PipelineQueries {
     qSrp, qSrpDup, qSemDedup, qSemDedupCapped, qSemDedupSq8, qIvfAssign,
     qComponents,
     qKeepers, qContamination,
-    qSample, qQuantize, qPack, qPipelineE2e, qPipelineRag)
+    qSample, qQuantize, qPack, qPipelineE2e, qPipelineRag,
+    qPipelineSubstring)
 }
