@@ -53,6 +53,20 @@ import graft.functions.{PqAdc, PqEncode, PqLut}
   * both are stored in `_meta`, inherited by appends/rotations, and
   * hash-verified (q76 pins the residual arc end-to-end).
   *
+  * MEASURED win regime (narrower than folk IVFADC lore — the full
+  * tables are in SCALING.md, `graft.RecallTable` reproduces them):
+  * residual beats raw when ALL of (a) the codeword budget is too
+  * small to separate the corpus's cluster bases (k per subspace <<
+  * distinct cluster directions), (b) the probe actually covers the
+  * true cluster's cell, and (c) `rerank` ≥ the cluster population, so
+  * the exact stage can recover the order the residual shortlist
+  * surfaces (the PqLifecycleSpec fixture: 0.51 → 1.0). On unclustered
+  * corpora residual tracks a few points BELOW raw, and on a clustered
+  * corpus whose cluster size EXCEEDS the rerank budget the two
+  * encodings tie (neither code resolves within-cluster order — the
+  * shortlist is capacity-bound either way). Measure with
+  * `pqRecallProbe` on your own data before flipping the knob.
+  *
   * Probe = the q68 two-stage shape ([[Similarity.ivfKnnQuantized]]):
   * route queries against the sidecar, scan ONLY the probed partitions'
   * codes, score by ADC — `m` table lookups per candidate against a
