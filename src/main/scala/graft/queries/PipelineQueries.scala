@@ -2294,7 +2294,9 @@ object PipelineQueries {
     * per-doc select — shared by q79 and the q81 composed pipeline so
     * the two oracles can never disagree on what the cut produces.
     */
-  private val substringCutCtes: String =
+  // defs, not vals: qSubstringCut is declared ABOVE these helpers and
+  // interpolates them at object init — a val would still be null there
+  private def substringCutCtes: String =
     """ex AS (
       |  SELECT doc_id, unnest(toks) AS tok,
       |         unnest(range(0, len(toks))) AS p
@@ -2310,7 +2312,7 @@ object PipelineQueries {
       |         count(*) AS n_kept
       |  FROM kept GROUP BY doc_id)""".stripMargin
 
-  private val substringCutSelect: String =
+  private def substringCutSelect: String =
     """SELECT d.doc_id,
       |       CASE WHEN d.toks IS NULL THEN NULL
       |            ELSE coalesce(a.cut_text, '') END AS cut_text,
