@@ -745,9 +745,69 @@ object Main {
           sys.error("substring-dup probe needs " +
             "<docsParquet> <indexPath> <outParquet>")
       }
+      case "index-stats" => pos match {
+        case idx :: Nil =>
+          val st = Dedup.substringPartitionStats(spark, idx)
+          val maxF = if (st.isEmpty) 0 else st.map(_._2).max
+          if (flags.contains("--json"))
+            s"""{"buckets":${st.size},"files":${st.map(_._2.toLong).sum},""" +
+              s""""bytes":${st.map(_._3).sum},"maxFilesPerBucket":$maxF}"""
+          else
+            s"buckets=${st.size} files=${st.map(_._2.toLong).sum} " +
+              s"bytes=${st.map(_._3).sum} maxFilesPerBucket=$maxF"
+        case _ => sys.error("substring-dup index-stats needs <indexPath>")
+      }
+      case "fsck" => pos match {
+        case idx :: Nil =>
+          // READ-ONLY: no lock required
+          renderFindings(Dedup.substringFsck(spark, idx), flags)
+        case _ => sys.error("substring-dup fsck needs <indexPath>")
+      }
+      case "maintain" => pos match {
+        case idx :: id :: Nil =>
+          val m = Dedup.substringMaintain(spark, idx, id,
+            maxFilesPerPartition =
+              flag("--max-files").map(_.toInt).getOrElse(64),
+            ledgerTailMax =
+              flag("--ledger-tail").map(_.toInt).getOrElse(256),
+            purgeRetiredOlderThanMs =
+              flag("--purge-older-than").map(parseDuration),
+            filesPerPartition =
+              flag("--files-per-partition").map(_.toInt).getOrElse(1))
+          val acts =
+            if (m.actions.isEmpty) "none (healthy)"
+            else m.actions.mkString("; ")
+          s"actions=$acts buckets=${m.buckets} " +
+            s"maxFilesPerBucket=${m.maxFilesPerBucket} " +
+            s"ledgerTail=${m.ledgerTail}"
+        case _ =>
+          sys.error("substring-dup maintain needs " +
+            "<indexPath> <maintenanceId>")
+      }
+      case "compact" => pos match {
+        case idx :: id :: Nil =>
+          val n = Dedup.compactSubstringPartitions(spark, idx, id,
+            maxFilesPerPartition =
+              flag("--max-files").map(_.toInt).getOrElse(1),
+            maxRecordsPerFile =
+              flag("--max-records-per-file").map(_.toLong).getOrElse(0L),
+            filesPerPartition =
+              flag("--files-per-partition").map(_.toInt).getOrElse(1))
+          s"compacted_buckets=$n"
+        case _ =>
+          sys.error("substring-dup compact needs <indexPath> <compactionId>")
+      }
+      case "recover" => pos match {
+        case idx :: Nil =>
+          Dedup.recoverSubstringLayout(spark, idx)
+          s"recovered quarantined=" +
+            s"${graft.operators.EpochLedger.listQuarantined(spark, idx).size}"
+        case _ => sys.error("substring-dup recover needs <indexPath>")
+      }
       case otherSub =>
         sys.error(s"unknown substring-dup subcommand '$otherSub' " +
-          "(stats|spans|cut|build|append|probe)")
+          "(stats|spans|cut|build|append|probe|index-stats|fsck|" +
+          "maintain|compact|recover)")
     }
   }
 

@@ -563,6 +563,12 @@ object Dedup {
       epochId: String,
       textCol: String = "text"): Boolean = {
     val spark = novel.sparkSession
+    // heal-at-entry: commitEpoch's own recovery resolves _rotate
+    // states, but a committed partition compaction ([[_retrain]])
+    // crashed mid-swap leaves bucket dirs EMPTY between their retire
+    // and swap-in moves — it must resume before anything reads or
+    // grows the layout
+    recoverSubstringLayout(spark, path)
     val m = spark.read.parquet(s"$path/_meta").head()
     val window = m.getAs[Int]("window")
     val nBuckets = m.getAs[Int]("n_buckets")
@@ -671,6 +677,304 @@ object Dedup {
       Similarity.refusePlainDatasetOverwrite(f, path,
         "writeSubstringIndex", partPrefix = "wh_bucket=")
     }
+  }
+
+  // ------------------------------------ substring-index lifecycle
+
+  /** Resolve any crashed protocol state on a [[writeSubstringIndex]]
+    * layout: committed `_retrain` partition-compaction stages resume
+    * through their per-dir swaps ([[compactSubstringPartitions]]'s
+    * protocol — a crash between a dir's retire and its swap-in leaves
+    * that bucket EMPTY, so probes against an unhealed layout can
+    * under-count; heal before trusting reads after a crash), then the
+    * generic epoch recovery runs ([[EpochLedger.recover]]: uncommitted
+    * `_rotate` stages discard, committed ones complete, stage-lost
+    * partial appends quarantine, the ledger-loss valve refuses). Every
+    * mutating entry on the layout ([[appendSubstringEpoch]],
+    * [[compactSubstringPartitions]], [[substringMaintain]]) heals here
+    * first. Single maintenance writer, like every recovery entry.
+    */
+  def recoverSubstringLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val f = fsFor(spark, path)
+    val retrainRoot = new org.apache.hadoop.fs.Path(s"$path/_retrain")
+    if (f.exists(retrainRoot)) {
+      f.listStatus(retrainRoot).foreach { st =>
+        val id = st.getPath.getName
+        val committed =
+          f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST"))
+        if (EpochLedger.applied(spark, path, id) || !committed)
+          require(f.delete(st.getPath, true),
+            s"substring-index: cleanup of stage ${st.getPath} failed")
+        else {
+          // the ledger-loss valve BEFORE completing: finishing this
+          // stage writes a ledger entry — with _epochs externally
+          // lost, that would forge an almost-empty ledger and expose
+          // every other applied epoch to quarantine or double-append
+          require(!EpochLedger.hasFootprints(f, path, "wh_bucket=") ||
+              f.exists(new org.apache.hadoop.fs.Path(s"$path/_epochs")),
+            s"substring-index: the layout under $path carries epoch " +
+              "footprints but the _epochs ledger dir is missing — it " +
+              "was lost (an underscore-blind copy/restore is the " +
+              "usual cause). Restore it before recovery; refusing to " +
+              "touch the index.")
+          // resume ONLY this protocol's own stages — a foreign-kind
+          // manifest under _retrain belongs to another protocol's
+          // jurisdiction (the recoverIvfRotations discipline)
+          val mf = EpochLedger.readManifest(f,
+            new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST"))
+          require(mf.get("kind").contains("partition-compaction"),
+            s"substring-index: committed stage '$id' under " +
+              s"$path/_retrain carries a foreign " +
+              s"'${mf.getOrElse("kind", "")}' manifest — refusing to " +
+              "resume or discard it; remove it by hand")
+          EpochLedger.completePartitionCompaction(f, st.getPath, path,
+            id, _ => ())
+        }
+      }
+    }
+    EpochLedger.recover(spark, path, partPrefix = "wh_bucket=")
+  }
+
+  /** Per-bucket storage footprint of a [[writeSubstringIndex]] layout —
+    * one `(wh_bucket, parquet-files, bytes)` row per partition dir,
+    * from the LISTING alone ([[EpochLedger.partitionFileStats]]).
+    * Every [[appendSubstringEpoch]] lands one file per touched bucket,
+    * so `files` here is the fragmentation observable that drives
+    * [[compactSubstringPartitions]].
+    */
+  def substringPartitionStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Int, Long)] =
+    EpochLedger.partitionFileStats(fsFor(spark, path), path, "wh_bucket=")
+      .map { case (d, n, b) => (d.stripPrefix("wh_bucket="), n, b) }
+
+  /** Compact the fragmented bucket dirs of a [[writeSubstringIndex]]
+    * layout — [[EpochLedger.compactPartitionsStaged]]'s staged,
+    * ledgered, crash-recoverable protocol, with one layout-specific
+    * upgrade: the rewrite MERGES rows, `groupBy(whash).agg(sum(ddf))`
+    * per bucket. The probe sums `ddf` per hash across every row of the
+    * layout ([[substringDupProbeOn]]), so collapsing a hash's base +
+    * epoch rows into one summed row is invisible to every reader
+    * (sum of sums) while shrinking both the file count AND the row
+    * count — after a compaction the layout holds one row per distinct
+    * corpus window again, exactly the [[writeSubstringIndex]] at-rest
+    * shape. Replays no-op through the ledger; crash recovery resumes
+    * through [[recoverSubstringLayout]]. Single maintenance writer.
+    * Returns the number of bucket dirs compacted now.
+    */
+  def compactSubstringPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      compactionId: String,
+      maxFilesPerPartition: Int = 1,
+      maxRecordsPerFile: Long = 0L,
+      filesPerPartition: Int = 1): Int =
+    compactSubstringPartitionsStaged(spark, path, compactionId,
+      maxFilesPerPartition, maxRecordsPerFile, _ => (), filesPerPartition)
+
+  /** [[compactSubstringPartitions]] with the crash-injection hook —
+    * [[EpochLedger.compactPartitionsStaged]]'s failpoints.
+    */
+  private[operators] def compactSubstringPartitionsStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      compactionId: String,
+      maxFilesPerPartition: Int,
+      maxRecordsPerFile: Long,
+      failpoint: String => Unit,
+      filesPerPartition: Int = 1): Int = {
+    recoverSubstringLayout(spark, path)
+    EpochLedger.compactPartitionsStaged(spark, path, dataRoot = path,
+      partitionCol = "wh_bucket", id = compactionId,
+      maxFilesPerPartition = maxFilesPerPartition,
+      maxRecordsPerFile = maxRecordsPerFile, failpoint = failpoint,
+      filesPerPartition = filesPerPartition,
+      // partition-preserving but COUNT-COLLAPSING (legal: the swap
+      // replaces each target dir wholesale, and the probe's per-hash
+      // sum is invariant under this merge — see the docstring above)
+      heal = df => df.groupBy("wh_bucket", "whash")
+        .agg(sum("ddf").as("ddf"))
+        .select("whash", "ddf", "wh_bucket"))
+  }
+
+  /** What [[substringMaintain]] did and why — action strings in
+    * execution order (empty for a healthy layout) plus the observables
+    * the policy judged.
+    */
+  final case class SubstringMaintenance(
+      actions: Seq[String],
+      buckets: Int,
+      maxFilesPerBucket: Int,
+      ledgerTail: Int)
+
+  /** [[substringMaintain]]'s thresholds as one value — the substring
+    * twin of [[DedupMaintainPolicy]], for callers that schedule the
+    * policy (the auto-epoch stream boundary, a cron wrapper). Field
+    * meanings are [[substringMaintain]]'s parameters of the same
+    * names.
+    */
+  final case class SubstringMaintainPolicy(
+      maxFilesPerPartition: Int = 64,
+      ledgerTailMax: Int = 256,
+      maxRecordsPerFile: Long = 0L,
+      purgeRetiredOlderThanMs: Option[Long] = None,
+      filesPerPartition: Int = 1)
+
+  /** [[substringMaintain]] with the thresholds packed in a
+    * [[SubstringMaintainPolicy]] — same semantics, config-shaped call
+    * site.
+    */
+  def substringMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      id: String,
+      policy: SubstringMaintainPolicy): SubstringMaintenance =
+    substringMaintain(spark, path, id,
+      maxFilesPerPartition = policy.maxFilesPerPartition,
+      ledgerTailMax = policy.ledgerTailMax,
+      maxRecordsPerFile = policy.maxRecordsPerFile,
+      purgeRetiredOlderThanMs = policy.purgeRetiredOlderThanMs,
+      filesPerPartition = policy.filesPerPartition)
+
+  /** The substring-index twin of [[dedupMaintain]]: read the layout's
+    * fragmentation and ledger observables ONCE (listing-only), judge
+    * them against explicit thresholds, and run the prescribed
+    * maintenance — bucket file count past `maxFilesPerPartition` →
+    * [[compactSubstringPartitions]] (which also sum-merges each hash's
+    * epoch rows back to the one-row-per-window at-rest shape) under id
+    * `<id>-compact`; `_epochs` entry tail past `ledgerTailMax` →
+    * [[EpochLedger.compactLedger]]. No skew or recall arm: buckets are
+    * hash partitions of the window-hash space (balanced by
+    * construction, no trainable geometry to drift). Healthy layout =
+    * empty `actions`, after the entry HEALING pass
+    * ([[recoverSubstringLayout]]). Replay-safe through the
+    * sub-protocols' ledgers. Single maintenance writer, stream
+    * STOPPED — the family contract; the CLI twin is
+    * `substring-dup maintain`.
+    */
+  def substringMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      id: String,
+      maxFilesPerPartition: Int = 64,
+      ledgerTailMax: Int = 256,
+      maxRecordsPerFile: Long = 0L,
+      purgeRetiredOlderThanMs: Option[Long] = None,
+      filesPerPartition: Int = 1): SubstringMaintenance = {
+    EpochLedger.requireEpochId(id)
+    require(maxFilesPerPartition >= 1 && ledgerTailMax >= 1,
+      s"thresholds out of range: maxFilesPerPartition=" +
+        s"$maxFilesPerPartition ledgerTailMax=$ledgerTailMax")
+    // above the threshold the policy would re-compact its own output
+    // every tick (see ivfMaintain's identical guard)
+    require(filesPerPartition >= 1 &&
+        filesPerPartition <= maxFilesPerPartition,
+      s"filesPerPartition=$filesPerPartition must be in " +
+        s"[1, maxFilesPerPartition=$maxFilesPerPartition]")
+    recoverSubstringLayout(spark, path)
+    val stats = substringPartitionStats(spark, path)
+    val maxFiles = if (stats.isEmpty) 0 else stats.map(_._2).max
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (maxFiles > maxFilesPerPartition) {
+      val n = compactSubstringPartitions(spark, path, s"$id-compact",
+        maxFilesPerPartition, maxRecordsPerFile, filesPerPartition)
+      actions += s"compact-index(maxFiles=$maxFiles>" +
+        s"$maxFilesPerPartition, buckets=$n)"
+    }
+    val tail = EpochLedger.ledgerTail(fsFor(spark, path), path)
+    if (tail > ledgerTailMax) {
+      val rolled = EpochLedger.compactLedger(spark, path)
+      actions += s"compact-ledger(tail=$tail>$ledgerTailMax, " +
+        s"rolled=$rolled)"
+    }
+    // the only deleting arm, and only under an EXPLICIT window
+    purgeRetiredOlderThanMs.foreach { window =>
+      val purged = EpochLedger.purgeRetiredOlderThan(spark, path, window)
+      if (purged.nonEmpty)
+        actions += s"purge-retired(olderThanMs=$window, " +
+          s"purged=${purged.size})"
+    }
+    SubstringMaintenance(actions.toSeq, stats.size, maxFiles, tail)
+  }
+
+  /** READ-ONLY diagnosis of a [[writeSubstringIndex]] layout —
+    * [[EpochLedger.fsck]]'s generic protocol checks (torn stages,
+    * unledgered footprints, the ledger-loss valve,
+    * quarantined/retired bytes) plus the layout's own invariants: the
+    * `_meta` geometry sidecar every probe and append derives from
+    * (absent/unreadable/inconsistent = fatal — the layout is unusable
+    * without its window size and bucket modulus), and the bucket-dir
+    * names judged AGAINST that modulus (a dir outside `b0..b(n-1)` is
+    * the stale-modulus hazard [[writeSubstringIndex]]'s static
+    * overwrite exists to prevent — its window hashes are unreachable
+    * by every probe's bucket arithmetic, silently under-counting).
+    * Mutates NOTHING. Empty = clean.
+    */
+  def substringFsck(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[EpochLedger.FsckFinding] = {
+    val f = fsFor(spark, path)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[EpochLedger.FsckFinding]
+    out ++= EpochLedger.fsck(spark, path, "wh_bucket=")
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val partDirs =
+      if (!f.exists(rootP)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(rootP).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("wh_bucket="))
+    val metaP = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    if (partDirs.nonEmpty && !f.exists(metaP))
+      out += EpochLedger.FsckFinding("meta-missing", "fatal",
+        s"$path/_meta",
+        "bucket dirs exist but the _meta geometry sidecar is missing " +
+          "— every probe and append fails (the (window, n_buckets) " +
+          "pair travels with the data); rebuild with " +
+          "writeSubstringIndex from the corpus")
+    else if (f.exists(metaP)) {
+      val meta: Option[(Int, Int)] =
+        try {
+          val m = spark.read.parquet(s"$path/_meta").head()
+          Some((m.getAs[Int]("window"), m.getAs[Int]("n_buckets")))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            out += EpochLedger.FsckFinding("meta-unreadable", "fatal",
+              s"$path/_meta",
+              s"the _meta sidecar exists but cannot be read " +
+                s"(${e.getClass.getSimpleName}) — rebuild with " +
+                "writeSubstringIndex (the index is derived data)")
+            None
+        }
+      meta.foreach { case (window, nBuckets) =>
+        if (window < 1 || nBuckets < 1)
+          out += EpochLedger.FsckFinding("meta-geometry", "fatal",
+            s"$path/_meta",
+            s"inconsistent geometry: window=$window " +
+              s"n_buckets=$nBuckets (want both >= 1) — restore the " +
+              "matching _meta or rebuild with writeSubstringIndex")
+        else {
+          val stale = partDirs.map(_.getPath.getName
+              .stripPrefix("wh_bucket="))
+            .filterNot { b =>
+              b.startsWith("b") &&
+                b.drop(1).toLongOption.exists(k => k >= 0 && k < nBuckets)
+            }.sorted
+          if (stale.nonEmpty)
+            out += EpochLedger.FsckFinding("bucket-modulus", "fatal",
+              path,
+              s"${stale.length} bucket dir(s) outside the _meta " +
+                s"modulus n_buckets=$nBuckets (${stale.take(5)
+                  .mkString(", ")}${if (stale.length > 5) ", …" else ""})" +
+                " — a rebuild with a different nBuckets left stale " +
+                "dirs, or a foreign layout's dirs were restored in; " +
+                "their hashes are unreachable by probe bucket " +
+                "arithmetic (silent under-count). Rebuild with " +
+                "writeSubstringIndex")
+        }
+      }
+    }
+    out.toSeq
   }
 
   /** MinHash signature: doc_id, shh, and `mh` = the k universal-hash

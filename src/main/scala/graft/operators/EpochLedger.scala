@@ -407,8 +407,13 @@ object EpochLedger {
       // mixed-schema dir (a restored legacy file beside quantized
       // ones) compacts to uniformly-quantized rows instead of baking
       // the legacy rows' q8 as persisted nulls the quantized probe
-      // silently drops. Must be row-preserving (same ids, same
-      // partition values); the dedup history passes identity.
+      // silently drops. Must be PARTITION-VALUE-preserving (every
+      // output row keeps its input partition dir — the protocol swaps
+      // target dirs wholesale, so rows that migrate dirs would land in
+      // an unswapped dir and double-count); row count need not be
+      // preserved — the substring caller legally COLLAPSES each hash's
+      // epoch rows into one summed row (its readers sum per hash, so
+      // the merge is invisible), the dedup history passes identity.
       heal: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame = identity): Int = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}

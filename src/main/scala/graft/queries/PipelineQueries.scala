@@ -2405,6 +2405,64 @@ object PipelineQueries {
            |ORDER BY wd.doc_id""".stripMargin))
   }
 
+  /** The substring index's MAINTAINED lifecycle under hash
+    * verification — q80's build/append/probe with TWO appended epochs
+    * and one [[graft.operators.Dedup.substringMaintain]] tick between
+    * the appends and the probe: the policy's compaction SUM-MERGES
+    * each window hash's base + epoch rows back to one row
+    * (`groupBy(whash).agg(sum(ddf))` inside the staged per-dir swap)
+    * and rolls the two-entry ledger tail up. The oracle is q80's
+    * VERBATIM (the full %5!=0 corpus reaches the index either way) —
+    * one oracle text pinning the fresh-append and the
+    * compacted/merged placements IS the proof the lifecycle preserves
+    * the probe: a ddf lost or double-counted by the merge, a bucket
+    * dir dropped by a swap, or an epoch entry lost by the ledger
+    * roll-up breaks these hashes.
+    */
+  private val qSubstringMaintainedProbe = {
+    val w = 8
+    QueryDef(
+      "q82_substring_maintained_probe",
+      (s, dir) => {
+        val root = scratchDir("graft-q82")
+        val idx = s"$root/ssidx"
+        val d = docs(s, dir)
+        val base = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250)
+        val ep1 = d.filter(col("doc_id") % 5 =!= 0 &&
+          col("doc_id") >= 250 && col("doc_id") < 375)
+        val ep2 = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 375)
+        graft.operators.Dedup.writeSubstringIndex(base, idx, window = w,
+          nBuckets = 8)
+        graft.operators.Dedup.appendSubstringEpoch(ep1, idx, "ep1")
+        graft.operators.Dedup.appendSubstringEpoch(ep2, idx, "ep2")
+        val m = graft.operators.Dedup.substringMaintain(s, idx, "m1",
+          graft.operators.Dedup.SubstringMaintainPolicy(
+            maxFilesPerPartition = 1, ledgerTailMax = 1))
+        require(m.actions.exists(_.startsWith("compact-index(")) &&
+            m.actions.exists(_.startsWith("compact-ledger(")),
+          s"q82 expects the policy to compact the epoch fragmentation " +
+            s"AND roll the ledger, got ${m.actions}")
+        graft.operators.Dedup
+          .substringDupProbe(d.filter(col("doc_id") % 5 === 0), idx)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${substringCtes(w)},
+           |dup AS (
+           |  SELECT doc_id, count(*) AS dup_w
+           |  FROM ph JOIN hdf USING (whash) GROUP BY doc_id)
+           |SELECT wd.doc_id,
+           |       CAST(wd.n_windows AS BIGINT) AS n_windows,
+           |       CAST(coalesce(dup.dup_w, 0) AS BIGINT) AS dup_windows,
+           |       round(CASE WHEN wd.n_windows = 0 THEN 0.0
+           |                  ELSE coalesce(dup.dup_w, 0) * 1.0 / wd.n_windows
+           |             END, 6) AS dup_window_frac
+           |FROM wd LEFT JOIN dup USING (doc_id)
+           |WHERE wd.doc_id % 5 = 0
+           |ORDER BY wd.doc_id""".stripMargin))
+  }
+
   /** Overlapping token chunking (RAG indexing side): fixed 32-token
     * windows at stride 24, with the chunk-content hash both engines must
     * agree on (slice + join + poly-hash, all portable).
@@ -3043,7 +3101,7 @@ object PipelineQueries {
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qSubstringDup, qSubstringSpans, qSubstringCut,
-    qSubstringProbe, qPerplexity,
+    qSubstringProbe, qSubstringMaintainedProbe, qPerplexity,
     qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qSemDedup, qSemDedupCapped, qSemDedupSq8, qIvfAssign,

@@ -338,6 +338,27 @@ object StreamingDedup {
     * (digest → min-id keeper) before it enters the layouts. Pipe the
     * source through [[firstSeen]] when in-epoch report exactness
     * matters too.
+    *
+    * `applyToSubstringIndex` closes the same freshness loop for a
+    * [[graft.operators.Dedup.writeSubstringIndex]] layout that
+    * [[StreamingSimilarity.startSpool]]'s `applyToPqIndex` closes for
+    * the PQ index: at each boundary, AFTER a finished epoch rotates
+    * into the dedup pair, the SAME deduplicated novel slice lands on
+    * the substring index as a ledgered
+    * [[graft.operators.Dedup.appendSubstringEpoch]] under the SAME
+    * epoch id. The two appends are independently ledgered, so a crash
+    * between them replays as a dedup-side ledger hit that completes
+    * only the substring side. The stream's own discipline IS the
+    * append's ddf contract: the Bloom guard drops docs the corpus (and
+    * therefore the index) already counted, and the boundary's
+    * digest-keeper dedupe makes each epoch's doc set internally
+    * unique — pairwise-disjoint epochs by construction. The index must
+    * exist (build it once with `writeSubstringIndex` over the corpus
+    * so far); the stream is then its single maintenance writer too.
+    * `substringMaintainAtBoundary` (requires `applyToSubstringIndex`)
+    * runs ONE [[graft.operators.Dedup.substringMaintain]] tick after
+    * the boundary's appends land — same cadence-not-correctness
+    * contract as `maintainAtBoundary`.
     */
   def startIncrementalAuto(
       docs: DataFrame,
@@ -353,8 +374,15 @@ object StreamingDedup {
       textCol: String = "text",
       checkpointLocation: Option[String] = None,
       drainOnStop: Boolean = false,
-      maintainAtBoundary: Option[Dedup.DedupMaintainPolicy] = None)
+      maintainAtBoundary: Option[Dedup.DedupMaintainPolicy] = None,
+      applyToSubstringIndex: Option[String] = None,
+      substringMaintainAtBoundary: Option[Dedup.SubstringMaintainPolicy] =
+        None)
       : StreamingQuery = {
+    require(substringMaintainAtBoundary.isEmpty ||
+        applyToSubstringIndex.isDefined,
+      "substringMaintainAtBoundary without applyToSubstringIndex has " +
+        "no index to maintain")
     val spark = docs.sparkSession
     if (checkpointLocation.isEmpty)
       log.warn(
@@ -401,6 +429,17 @@ object StreamingDedup {
             val next = Dedup.rotateEpochBucketed(distinctNovel,
               historyPath, indexPath, state.get.bloom, expectedItems, fpp,
               textCol, epochId = prev)
+            // the substring index's append rides the SAME boundary
+            // under the SAME id, BEFORE the spool clears — a crash
+            // between the two appends replays as a dedup-side ledger
+            // hit (rotateEpochBucketed returns without re-appending)
+            // that completes only this side. distinctNovel is the ddf
+            // contract: Bloom-novel across epochs, digest-unique
+            // within this one.
+            applyToSubstringIndex.foreach { idx =>
+              Dedup.appendSubstringEpoch(distinctNovel, idx, prev,
+                textCol)
+            }
             clearSpool(spark, s"$spoolRoot/$prev")
             state.set(state.get.copy(bloom = next))
         }
@@ -412,6 +451,19 @@ object StreamingDedup {
         if (m.actions.nonEmpty)
           log.info(s"boundary maintain of $historyPath: " +
             m.actions.mkString("; "))
+      }
+      // the substring index's own tick, after ITS appends landed —
+      // one policy run under the boundary-deterministic id, replay-
+      // safe through the sub-protocols' ledgers
+      substringMaintainAtBoundary.foreach { policy =>
+        applyToSubstringIndex.foreach { idx =>
+          val m = Dedup.substringMaintain(spark, idx,
+            s"maintain-${StreamingSimilarity.newestEpochId(finished)}",
+            policy)
+          if (m.actions.nonEmpty)
+            log.info(s"boundary substring-maintain of $idx: " +
+              m.actions.mkString("; "))
+        }
       }
       // the new epoch probes the post-rotation/post-maintenance
       // listings; the bloom survives from the rotation merges above

@@ -464,6 +464,34 @@ class MainSpec extends AnyFunSuite {
 
     intercept[RuntimeException] { run("stats", List(in)) }
     intercept[RuntimeException] { run("bogus", List(in, s"$root/x")) }
+
+    // the lifecycle subcommands over the pair just built: index-stats
+    // reads the fragmentation, maintain compacts + rolls under the
+    // policy, fsck is clean after, recover is a safe no-op
+    val isj = om.readTree(run("index-stats", List(idx), List("--json")))
+    assert(isj.get("buckets").asLong() > 0 &&
+      isj.get("maxFilesPerBucket").asLong() > 1, isj)
+    val mt = run("maintain", List(idx, "m1"),
+      List("--max-files", "1", "--ledger-tail", "1"))
+    assert(mt.contains("compact-index(") && mt.contains("compact-ledger("),
+      mt)
+    val isj2 = om.readTree(run("index-stats", List(idx), List("--json")))
+    assert(isj2.get("maxFilesPerBucket").asLong() == 1, isj2)
+    val mt2 = run("maintain", List(idx, "m2"),
+      List("--max-files", "1", "--ledger-tail", "64"))
+    assert(mt2.contains("actions=none (healthy)"), mt2)
+    // the probe is invariant under the maintenance (summed-merge rows)
+    val pj2 = om.readTree(
+      run("probe", List(batch, idx, s"$root/probe2"), List("--json")))
+    assert(pj2.get("dup_windows").asLong() == 2L, pj2)
+    assert(run("fsck", List(idx)) == "clean" ||
+      run("fsck", List(idx)).contains("retired-present"),
+      run("fsck", List(idx)))
+    val fkj = om.readTree(run("fsck", List(idx), List("--json")))
+    assert(fkj.isArray(), fkj)
+    assert(run("recover", List(idx)).startsWith("recovered quarantined=0"))
+    intercept[RuntimeException] { run("maintain", List(idx)) }
+    intercept[RuntimeException] { run("index-stats", Nil) }
   }
 
   test("parseDuration accepts s/m/h/d suffixes and plain seconds, " +

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The substring window-hash index's lifecycle
+  * ([[Dedup.compactSubstringPartitions]] / [[Dedup.substringMaintain]] /
+  * [[Dedup.substringFsck]] / [[Dedup.recoverSubstringLayout]]): the
+  * compaction's sum-merge must be invisible to the probe, the policy's
+  * observables must actually bound, and a crash at any protocol point
+  * must heal to the same probe results.
+  */
+class SubstringLifecycleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val W = 4
+  private val Buckets = 8
+
+  // two shared-run cliques, one STRADDLING the base/epoch splits so a
+  // merged ddf that loses an epoch's partial count breaks the probe
+  private val sharedRun = "c1 c2 c3 c4 c5"
+  private def history = (0L until 40L).map { i =>
+    val body = (1 to 8).map(j => s"h${i}w$j").mkString(" ")
+    if (i == 0 || i == 15 || i == 30) s"$sharedRun $body" else body
+  }.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  private def batch = Seq(
+    (1000L, s"b0a b0b $sharedRun b0c"),
+    (1001L, "fresh f1 f2 f3 f4 f5 f6")).toDF("doc_id", "text")
+
+  /** base 0..14, ep1 15..29, ep2 30..39 — each clique member in a
+    * different slice.
+    */
+  private def buildThreeSlices(idx: String): Unit = {
+    Dedup.writeSubstringIndex(history.filter($"doc_id" < 15), idx,
+      window = W, nBuckets = Buckets)
+    assert(Dedup.appendSubstringEpoch(
+      history.filter($"doc_id" >= 15 && $"doc_id" < 30), idx, "ep1"))
+    assert(Dedup.appendSubstringEpoch(
+      history.filter($"doc_id" >= 30), idx, "ep2"))
+  }
+
+  private def probeRows(idx: String): Seq[(Long, Long, Long)] =
+    Dedup.substringDupProbe(batch, idx).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def layoutRows(idx: String): DataFrame =
+    spark.read.parquet(idx)
+
+  test("compaction sum-merges each hash's epoch rows back to the " +
+    "at-rest one-row-per-window shape; the probe is invariant; replays " +
+    "no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sslc").toString
+    val idx = s"$root/idx"
+    buildThreeSlices(idx)
+    val before = probeRows(idx)
+    // the straddling clique is live signal: base+ep1+ep2 each hold one
+    // copy, and the batch doc dups against their SUM
+    assert(before.map(t => (t._1, t._3 > 0)) ==
+      Seq((1000L, true), (1001L, false)))
+    val rowsBefore = layoutRows(idx).count()
+    val distinctHashes = layoutRows(idx).select("whash").distinct().count()
+    assert(rowsBefore > distinctHashes,
+      "fixture must hold multi-row hashes for the merge to be observable")
+    val maxFilesBefore =
+      Dedup.substringPartitionStats(spark, idx).map(_._2).max
+    assert(maxFilesBefore > 1, "fixture must be fragmented")
+
+    // minDocs = 4 is satisfiable ONLY by summing all three slices'
+    // counts (1 base + 1 ep1 + 1 ep2 + 1 batch); minDocs = 5 is not —
+    // the pair brackets the ddf sum exactly
+    def dupAt(minDocs: Int): Boolean =
+      Dedup.substringDupProbe(batch, idx, minDocs = minDocs)
+        .filter($"doc_id" === 1000L).head().getLong(2) > 0
+    assert(dupAt(4) && !dupAt(5))
+
+    val n = Dedup.compactSubstringPartitions(spark, idx, "c1")
+    assert(n > 0)
+    // files: every compacted bucket back to one file; rows: one per
+    // distinct window hash (the merge), same distinct-hash set, ddf
+    // preserved as the SUM (total ddf mass is invariant)
+    assert(Dedup.substringPartitionStats(spark, idx).map(_._2).max == 1)
+    assert(layoutRows(idx).count() == distinctHashes)
+    assert(layoutRows(idx).select("whash").distinct().count()
+      == distinctHashes)
+    assert(probeRows(idx) == before)
+    // the merged row still carries the full sum (the bracketing pair
+    // survives the merge)
+    assert(dupAt(4) && !dupAt(5))
+    // replay no-ops (same id, nothing rewritten twice)
+    assert(Dedup.compactSubstringPartitions(spark, idx, "c1") == 0)
+    // a FRESH id with nothing over threshold also no-ops (stays
+    // unledgered, id reusable)
+    assert(Dedup.compactSubstringPartitions(spark, idx, "c2") == 0)
+    // post-compaction appends keep working and keep counting: a THIRD
+    // clique copy lands after the merge and the ddf still sums across
+    // the merged row and the fresh epoch row
+    assert(Dedup.appendSubstringEpoch(
+      Seq((50L, s"$sharedRun extra e1 e2")).toDF("doc_id", "text"),
+      idx, "ep3"))
+    val after = probeRows(idx)
+    assert(after.map(t => (t._1, t._3 > 0)) ==
+      Seq((1000L, true), (1001L, false)))
+    // doc 1000 gained no new duplicated windows (already over minDocs)
+    assert(after == before)
+  }
+
+  test("substringMaintain: fragmentation and ledger growth repair under " +
+    "the policy's thresholds; a healthy second tick does nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ssmt").toString
+    val idx = s"$root/idx"
+    buildThreeSlices(idx)
+    val before = probeRows(idx)
+    val m = Dedup.substringMaintain(spark, idx, "m1",
+      Dedup.SubstringMaintainPolicy(
+        maxFilesPerPartition = 1, ledgerTailMax = 1))
+    assert(m.actions.exists(_.startsWith("compact-index(")), m.actions)
+    assert(m.actions.exists(_.startsWith("compact-ledger(")), m.actions)
+    assert(m.maxFilesPerBucket > 1)
+    assert(probeRows(idx) == before)
+    // the observables actually bounded: one file per bucket, visible
+    // ledger tail = the roll-up plus at most the compaction's own entry
+    assert(Dedup.substringPartitionStats(spark, idx).forall(_._2 == 1))
+    val visibleTail = Dedup.fsFor(spark, idx)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$idx/_epochs"))
+      .map(_.getPath.getName)
+      .count(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(visibleTail <= 1, s"ledger tail unbounded: $visibleTail")
+    // healthy second tick: no actions (the uniform-dir guard keeps the
+    // policy from re-compacting its own output forever)
+    val m2 = Dedup.substringMaintain(spark, idx, "m2",
+      Dedup.SubstringMaintainPolicy(
+        maxFilesPerPartition = 1, ledgerTailMax = 64))
+    assert(m2.actions.isEmpty, m2.actions)
+  }
+
+  test("crash at 'staged' discards; crash at 'committed' resumes at the " +
+    "next entry; both converge to the same probe") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sscr").toString
+
+    // staged, not committed: the live layout was never touched — the
+    // next maintenance entry discards the stage and the id is reusable
+    val idxA = s"$root/a"
+    buildThreeSlices(idxA)
+    val want = probeRows(idxA)
+    intercept[RuntimeException] {
+      Dedup.compactSubstringPartitionsStaged(spark, idxA, "cx",
+        maxFilesPerPartition = 1, maxRecordsPerFile = 0L,
+        failpoint = p => if (p == "staged") sys.error("boom-staged"))
+    }
+    assert(Dedup.fsFor(spark, idxA)
+      .exists(new org.apache.hadoop.fs.Path(s"$idxA/_retrain/cx")))
+    Dedup.recoverSubstringLayout(spark, idxA)
+    assert(!Dedup.fsFor(spark, idxA)
+      .exists(new org.apache.hadoop.fs.Path(s"$idxA/_retrain/cx")))
+    assert(probeRows(idxA) == want)
+    assert(Dedup.compactSubstringPartitions(spark, idxA, "cx") > 0)
+    assert(probeRows(idxA) == want)
+
+    // committed, crash before the swaps: recovery completes the
+    // compaction (this is the window where an UNHEALED read could see
+    // an empty bucket — the heal-at-entry contract); the id replays
+    // as a no-op afterwards
+    val idxB = s"$root/b"
+    buildThreeSlices(idxB)
+    intercept[RuntimeException] {
+      Dedup.compactSubstringPartitionsStaged(spark, idxB, "cy",
+        maxFilesPerPartition = 1, maxRecordsPerFile = 0L,
+        failpoint = p => if (p == "committed") sys.error("boom-committed"))
+    }
+    // the next mutating entry heals it (append is enough — every entry
+    // heals first)
+    assert(Dedup.appendSubstringEpoch(
+      Seq((60L, "post p1 p2 p3 p4")).toDF("doc_id", "text"), idxB, "ep9"))
+    assert(EpochLedger.applied(spark, idxB, "cy"))
+    assert(Dedup.compactSubstringPartitions(spark, idxB, "cy") == 0)
+    assert(probeRows(idxB) == want)
+  }
+
+  test("substringFsck: clean layout is empty; torn stages, a missing " +
+    "_meta, and a stale-modulus bucket dir are reported without " +
+    "mutation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ssfk").toString
+    val idx = s"$root/idx"
+    buildThreeSlices(idx)
+    assert(Dedup.substringFsck(spark, idx).isEmpty)
+
+    // a committed stage is reported (and NOT repaired — read-only)
+    intercept[RuntimeException] {
+      Dedup.compactSubstringPartitionsStaged(spark, idx, "cz",
+        maxFilesPerPartition = 1, maxRecordsPerFile = 0L,
+        failpoint = p => if (p == "committed") sys.error("boom"))
+    }
+    val f1 = Dedup.substringFsck(spark, idx)
+    assert(f1.exists(_.code == "stage-committed"), f1)
+    assert(Dedup.fsFor(spark, idx)
+      .exists(new org.apache.hadoop.fs.Path(s"$idx/_retrain/cz")))
+    Dedup.recoverSubstringLayout(spark, idx)
+    assert(Dedup.substringFsck(spark, idx)
+      .forall(_.code == "retired-present"))
+
+    // a stale bucket dir outside the _meta modulus: the silent
+    // under-count hazard, reported fatal
+    val f = Dedup.fsFor(spark, idx)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/wh_bucket=b99"))
+    val f2 = Dedup.substringFsck(spark, idx)
+    assert(f2.exists(fd => fd.code == "bucket-modulus" &&
+      fd.severity == "fatal" && fd.detail.contains("b99")), f2)
+    assert(f.delete(new org.apache.hadoop.fs.Path(s"$idx/wh_bucket=b99"),
+      true))
+
+    // _meta lost: every probe and append would fail — fatal
+    assert(f.delete(new org.apache.hadoop.fs.Path(s"$idx/_meta"), true))
+    val f3 = Dedup.substringFsck(spark, idx)
+    assert(f3.exists(fd => fd.code == "meta-missing" &&
+      fd.severity == "fatal"), f3)
+  }
+}

@@ -534,4 +534,89 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(StreamingSimilarity.listSpooledEpochs(spark, s"$root/spool")
       .isEmpty)
   }
+
+  test("applyToSubstringIndex: the boundary lands the deduplicated " +
+    "novel slice on the substring index under the same epoch id, the " +
+    "maintain tick compacts it, and a probe equals the full recompute " +
+    "over the at-rest corpus") {
+    import graft.operators.{Dedup, EpochLedger}
+    implicit val sqlCtx = spark.sqlContext
+    def text(p: String, i: Long) =
+      (1 to 12).map(j => s"$p${i}w$j").mkString(" ")
+    val sharedRun = "s1 s2 s3 s4 s5"
+    val w = 4
+    // ONE history copy of the shared run (doc 5)
+    val history = (0L until 30L).map { i =>
+      val t = text("h", i)
+      (i, if (i == 5) s"$sharedRun $t" else t)
+    }.toDF("doc_id", "text")
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-ssauto").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    val ssIdx = s"$root/ssidx"
+    Dedup.writeHistoryBucketed(history, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(history, idxPath)
+    Dedup.writeSubstringIndex(history, ssIdx, window = w, nBuckets = 8)
+
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamingDedup.startIncrementalAuto(
+      stream.toDF().toDF("doc_id", "text"), histPath, idxPath,
+      s"$root/spool", threshold = 0.8, onBatch = (_, _, _) => (),
+      expectedItems = 1000, epochIdFor = b => s"ep$b",
+      fpp = 0.001, intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt"),
+      drainOnStop = true,
+      applyToSubstringIndex = Some(ssIdx),
+      substringMaintainAtBoundary = Some(Dedup.SubstringMaintainPolicy(
+        maxFilesPerPartition = 1, ledgerTailMax = 1)))
+
+    // ep0: a SECOND shared-run copy + an exact history dup (bloom-
+    // dropped — the ddf contract's enforcement) + an in-batch
+    // redelivery pair (digest-keeper collapses it before the append)
+    stream.addData(
+      (1000L, s"e0a $sharedRun e0b"),
+      (1001L, text("h", 7)),
+      (1002L, text("e1", 0)), (1003L, text("e1", 0)))
+    query.processAllAvailable()
+    // mid-epoch: nothing applied yet
+    assert(!EpochLedger.applied(spark, ssIdx, "ep0"))
+
+    // ep1's first batch is the boundary: ep0 rotates into the pair AND
+    // appends to the substring index, then the maintain tick compacts
+    stream.addData((2000L, text("e2", 0)))
+    query.processAllAvailable()
+    assert(EpochLedger.applied(spark, ssIdx, "ep0"))
+    assert(EpochLedger.applied(spark, ssIdx, "maintain-ep0-compact"))
+    assert(Dedup.substringPartitionStats(spark, ssIdx).forall(_._2 == 1))
+
+    query.stop()
+    assert(StreamTermination.awaitDrain(query), "drain timed out")
+    assert(EpochLedger.applied(spark, ssIdx, "ep1"))
+
+    // a probe batch carrying a THIRD shared-run copy: minDocs = 3 is
+    // satisfiable ONLY when the streamed epoch's count reached the
+    // index (history 1 + streamed ep0 1 + batch 1); minDocs = 4 is not
+    val probeB = Seq(
+      (5000L, s"p0 $sharedRun p1"),
+      (5001L, "q0 q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    def dupAt(minDocs: Int): Boolean =
+      Dedup.substringDupProbe(probeB, ssIdx, minDocs = minDocs)
+        .filter($"doc_id" === 5000L).head().getLong(2) > 0
+    assert(dupAt(3) && !dupAt(4))
+
+    // full parity: the probe equals substringDupStats over the at-rest
+    // corpus (the dedup pair's history — the system of record the
+    // stream maintains) ∪ the probe batch, restricted to the batch
+    val (atRest, _) = Dedup.openHistoryBucketed(spark, histPath)
+    val got = Dedup.substringDupProbe(probeB, ssIdx).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Dedup.substringDupStats(
+        atRest.select("doc_id", "text").unionByName(probeB), window = w)
+      .filter($"doc_id" >= 5000L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.map(t => (t._1, t._3 > 0)) ==
+      Seq((5000L, true), (5001L, false)))
+  }
 }
