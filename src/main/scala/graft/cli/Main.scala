@@ -804,10 +804,25 @@ object Main {
             s"${graft.operators.EpochLedger.listQuarantined(spark, idx).size}"
         case _ => sys.error("substring-dup recover needs <indexPath>")
       }
+      case "rotate" => pos match {
+        case in :: idx :: id :: Nil =>
+          // geometry migration: --window/--buckets override the stored
+          // _meta; absent = inherit (the library contract)
+          val applied = Dedup.rotateSubstringIndex(docs(in), idx, id,
+            window = flag("--window").map(_.toInt),
+            nBuckets = flag("--buckets").map(_.toInt),
+            textCol = textCol,
+            deferRetire = flags.contains("--defer-retire"))
+          val (_, w2, nb2) = Dedup.openSubstringIndex(spark, idx)
+          s"applied=$applied window=$w2 buckets=$nb2"
+        case _ =>
+          sys.error("substring-dup rotate needs " +
+            "<docsParquet> <indexPath> <rotationId>")
+      }
       case otherSub =>
         sys.error(s"unknown substring-dup subcommand '$otherSub' " +
           "(stats|spans|cut|build|append|probe|index-stats|fsck|" +
-          "maintain|compact|recover)")
+          "maintain|compact|recover|rotate)")
     }
   }
 

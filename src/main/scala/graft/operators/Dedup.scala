@@ -530,8 +530,12 @@ object Dedup {
   def openSubstringIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, Int, Int) = {
-    val m = spark.read.parquet(s"$path/_meta").head()
-    val df = spark.read.parquet(path)
+    // a rotated layout serves its published generation; a flat one
+    // serves the root ([[Similarity.ivfDataRoot]]'s pointer resolution
+    // — layout-agnostic: it just reads `_current`)
+    val root = substringDataRoot(spark, path)
+    val m = spark.read.parquet(s"$root/_meta").head()
+    val df = spark.read.parquet(root)
     require(
       df.schema.fieldNames.contains("wh_bucket") &&
         df.schema("wh_bucket").dataType ==
@@ -564,19 +568,22 @@ object Dedup {
       textCol: String = "text"): Boolean = {
     val spark = novel.sparkSession
     // heal-at-entry: commitEpoch's own recovery resolves _rotate
-    // states, but a committed partition compaction ([[_retrain]])
-    // crashed mid-swap leaves bucket dirs EMPTY between their retire
-    // and swap-in moves — it must resume before anything reads or
-    // grows the layout
+    // states, but a committed partition compaction or generation
+    // rotation ([[_retrain]]) crashed mid-protocol must resume before
+    // anything reads or grows the layout (a mid-swap compaction leaves
+    // bucket dirs EMPTY; an unpublished rotation leaves resolution on
+    // the superseded root)
     recoverSubstringLayout(spark, path)
-    val m = spark.read.parquet(s"$path/_meta").head()
+    val root = substringDataRoot(spark, path)
+    val m = spark.read.parquet(s"$root/_meta").head()
     val window = m.getAs[Int]("window")
     val nBuckets = m.getAs[Int]("n_buckets")
     EpochLedger.commitEpoch(spark, path, epochId, partPrefix = "wh_bucket=",
       stageWrite = stage =>
         substringIndexRows(novel, window, nBuckets, textCol)
           .repartition(col("wh_bucket"))
-          .write.partitionBy("wh_bucket").parquet(stage))
+          .write.partitionBy("wh_bucket").parquet(stage),
+      dataRoot = Some(root))
   }
 
   /** [[substringDupStats]] for an ARRIVING BATCH against a persisted
@@ -711,30 +718,140 @@ object Dedup {
           // the ledger-loss valve BEFORE completing: finishing this
           // stage writes a ledger entry — with _epochs externally
           // lost, that would forge an almost-empty ledger and expose
-          // every other applied epoch to quarantine or double-append
-          require(!EpochLedger.hasFootprints(f, path, "wh_bucket=") ||
+          // every other applied epoch to quarantine or double-append.
+          // A published generation pointer is footprint-equivalent
+          // evidence (the recover() discipline).
+          require((!EpochLedger.hasFootprints(f,
+                Similarity.ivfDataRoot(f, path), "wh_bucket=") &&
+              !f.exists(new org.apache.hadoop.fs.Path(s"$path/_current"))) ||
               f.exists(new org.apache.hadoop.fs.Path(s"$path/_epochs")),
-            s"substring-index: the layout under $path carries epoch " +
-              "footprints but the _epochs ledger dir is missing — it " +
+            s"substring-index: the layout under $path carries ledgered " +
+              "history (epoch footprints or a published generation " +
+              "pointer) but the _epochs ledger dir is missing — it " +
               "was lost (an underscore-blind copy/restore is the " +
               "usual cause). Restore it before recovery; refusing to " +
               "touch the index.")
-          // resume ONLY this protocol's own stages — a foreign-kind
-          // manifest under _retrain belongs to another protocol's
-          // jurisdiction (the recoverIvfRotations discipline)
+          // dispatch on the stage's own manifest, resuming ONLY this
+          // layout's protocols — a partition compaction through its
+          // per-dir swaps, a substring rotation through the generation
+          // publish; anything else is foreign jurisdiction (the
+          // recoverIvfRotations discipline)
           val mf = EpochLedger.readManifest(f,
             new org.apache.hadoop.fs.Path(st.getPath, "_MANIFEST"))
-          require(mf.get("kind").contains("partition-compaction"),
-            s"substring-index: committed stage '$id' under " +
-              s"$path/_retrain carries a foreign " +
-              s"'${mf.getOrElse("kind", "")}' manifest — refusing to " +
-              "resume or discard it; remove it by hand")
-          EpochLedger.completePartitionCompaction(f, st.getPath, path,
-            id, _ => ())
+          mf.get("kind") match {
+            case Some("partition-compaction") =>
+              EpochLedger.completePartitionCompaction(f, st.getPath, path,
+                id, _ => ())
+            case Some("substring-rotate") =>
+              Similarity.completeIvfGeneration(f, st.getPath, path, id,
+                _ => ())
+            case other =>
+              sys.error(s"substring-index: committed stage '$id' under " +
+                s"$path/_retrain carries a foreign " +
+                s"'${other.getOrElse("")}' manifest — refusing to " +
+                "resume or discard it; remove it by hand")
+          }
         }
       }
     }
-    EpochLedger.recover(spark, path, partPrefix = "wh_bucket=")
+    // the epoch recovery sweeps the RESOLVED data root (post-rotation
+    // that is the published generation) — resolved after the stage
+    // dispatch above, which may have just published one
+    EpochLedger.recover(spark, path, partPrefix = "wh_bucket=",
+      dataRoot = Some(substringDataRoot(spark, path)))
+  }
+
+  /** Where a substring layout's data lives: the published generation
+    * of a [[rotateSubstringIndex]]-rotated layout, else the flat root
+    * — [[Similarity.ivfDataRoot]]'s pointer resolution, which is
+    * layout-agnostic (it only reads `_current`).
+    */
+  def substringDataRoot(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    Similarity.ivfDataRoot(fsFor(spark, path), path)
+
+  /** Rebuild the substring index at `path` from the SOURCE corpus as
+    * one crash-safe, READER-ATOMIC generation publish — the
+    * [[Similarity.rotateIvf]]/[[graft.operators.Pq.rotatePq]] protocol
+    * (staged build → `_MANIFEST` commit → `_gen-<N>` move → one atomic
+    * `_current` pointer-entry create → retire), with the index
+    * re-derivation as the staged work. This is the GEOMETRY-MIGRATION
+    * path the flat-overwrite guard deliberately closes once an epoch
+    * is ledgered: change `window` or `nBuckets` (each defaults to the
+    * layout's stored `_meta` value) without ever exposing a reader to
+    * a half-built layout or letting a replayed epoch id double-append
+    * — prior epoch ids REMAIN ledgered (their documents are inside
+    * `docs`, the full corpus the caller passes: the index stores
+    * hashes, not text, so the rebuild must re-read the corpus).
+    * A first rotation migrates a flat layout to generational; probes,
+    * appends, compactions, and the maintain policy all resolve the
+    * published generation transparently. `deferRetire` as in
+    * [[Similarity.rotateIvf]]. Cost: one corpus tokenize+window pass,
+    * O(corpus tokens) read, O(distinct windows) written. Returns true
+    * when applied now (false = the id already rotated: the replay
+    * no-op). Single maintenance writer, stream stopped.
+    */
+  def rotateSubstringIndex(
+      docs: DataFrame,
+      path: String,
+      rotationId: String,
+      window: Option[Int] = None,
+      nBuckets: Option[Int] = None,
+      textCol: String = "text",
+      deferRetire: Boolean = false): Boolean =
+    rotateSubstringIndexStaged(docs, path, rotationId, window, nBuckets,
+      textCol, deferRetire, _ => ())
+
+  /** [[rotateSubstringIndex]] with the crash-injection hook —
+    * [[Similarity.stageGeneration]]'s failpoints ("staged",
+    * "committed", "gen-move", "gen-moved", "published", "retire-dir",
+    * "retired").
+    */
+  private[operators] def rotateSubstringIndexStaged(
+      docs: DataFrame,
+      path: String,
+      rotationId: String,
+      window: Option[Int],
+      nBuckets: Option[Int],
+      textCol: String,
+      deferRetire: Boolean,
+      failpoint: String => Unit): Boolean = {
+    val spark = docs.sparkSession
+    Similarity.stageGeneration(spark, path, rotationId,
+      "substring-rotate", failpoint, deferRetire,
+      partPrefix = "wh_bucket=",
+      heal = Some(() => recoverSubstringLayout(spark, path))) {
+      (dataRoot, stageData) =>
+        // geometry inheritance, the pqMaintain discipline: the stored
+        // _meta unless explicitly overridden; a rotation that is also
+        // the FIRST build (no layout yet) must state both knobs
+        val metaP = new org.apache.hadoop.fs.Path(s"$dataRoot/_meta")
+        val stored: Option[(Int, Int)] =
+          if (!fsFor(spark, path).exists(metaP)) None
+          else {
+            val m = spark.read.parquet(s"$dataRoot/_meta").head()
+            Some((m.getAs[Int]("window"), m.getAs[Int]("n_buckets")))
+          }
+        val wEff = window.orElse(stored.map(_._1)).getOrElse(sys.error(
+          s"rotateSubstringIndex: $path has no _meta to inherit from " +
+            "— pass window explicitly (and nBuckets) to build through " +
+            "a rotation"))
+        val nbEff = nBuckets.orElse(stored.map(_._2)).getOrElse(sys.error(
+          s"rotateSubstringIndex: $path has no _meta to inherit from " +
+            "— pass nBuckets explicitly"))
+        require(wEff >= 1, s"window must be >= 1, got $wEff")
+        require(nbEff >= 1, s"nBuckets must be >= 1, got $nbEff")
+        substringIndexRows(docs, wEff, nbEff, textCol)
+          .repartition(col("wh_bucket"))
+          .write.partitionBy("wh_bucket").parquet(stageData)
+        import spark.implicits._
+        // _meta travels WITH the generation (written before the
+        // manifest commit, so a published generation always carries
+        // its geometry)
+        Seq((wEff, nbEff)).toDF("window", "n_buckets")
+          .write.parquet(s"$stageData/_meta")
+    }
   }
 
   /** Per-bucket storage footprint of a [[writeSubstringIndex]] layout —
@@ -747,7 +864,8 @@ object Dedup {
   def substringPartitionStats(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(String, Int, Long)] =
-    EpochLedger.partitionFileStats(fsFor(spark, path), path, "wh_bucket=")
+    EpochLedger.partitionFileStats(fsFor(spark, path),
+      substringDataRoot(spark, path), "wh_bucket=")
       .map { case (d, n, b) => (d.stripPrefix("wh_bucket="), n, b) }
 
   /** Compact the fragmented bucket dirs of a [[writeSubstringIndex]]
@@ -786,7 +904,8 @@ object Dedup {
       failpoint: String => Unit,
       filesPerPartition: Int = 1): Int = {
     recoverSubstringLayout(spark, path)
-    EpochLedger.compactPartitionsStaged(spark, path, dataRoot = path,
+    EpochLedger.compactPartitionsStaged(spark, path,
+      dataRoot = substringDataRoot(spark, path),
       partitionCol = "wh_bucket", id = compactionId,
       maxFilesPerPartition = maxFilesPerPartition,
       maxRecordsPerFile = maxRecordsPerFile, failpoint = failpoint,
@@ -918,41 +1037,47 @@ object Dedup {
     val f = fsFor(spark, path)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[EpochLedger.FsckFinding]
-    out ++= EpochLedger.fsck(spark, path, "wh_bucket=")
-    val rootP = new org.apache.hadoop.fs.Path(path)
+    // generation-pointer integrity first (dangling/empty `_current`),
+    // then the generic protocol checks against the RESOLVED data root
+    out ++= Similarity.pointerFindings(f, path)
+    val dataRoot = substringDataRoot(spark, path)
+    out ++= EpochLedger.fsck(spark, path, "wh_bucket=",
+      dataRoot = Some(dataRoot))
+    val rootP = new org.apache.hadoop.fs.Path(dataRoot)
     val partDirs =
       if (!f.exists(rootP)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else f.listStatus(rootP).filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("wh_bucket="))
-    val metaP = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    val metaP = new org.apache.hadoop.fs.Path(s"$dataRoot/_meta")
     if (partDirs.nonEmpty && !f.exists(metaP))
       out += EpochLedger.FsckFinding("meta-missing", "fatal",
-        s"$path/_meta",
+        s"$dataRoot/_meta",
         "bucket dirs exist but the _meta geometry sidecar is missing " +
           "— every probe and append fails (the (window, n_buckets) " +
           "pair travels with the data); rebuild with " +
-          "writeSubstringIndex from the corpus")
+          "writeSubstringIndex/rotateSubstringIndex from the corpus")
     else if (f.exists(metaP)) {
       val meta: Option[(Int, Int)] =
         try {
-          val m = spark.read.parquet(s"$path/_meta").head()
+          val m = spark.read.parquet(s"$dataRoot/_meta").head()
           Some((m.getAs[Int]("window"), m.getAs[Int]("n_buckets")))
         } catch {
           case scala.util.control.NonFatal(e) =>
             out += EpochLedger.FsckFinding("meta-unreadable", "fatal",
-              s"$path/_meta",
+              s"$dataRoot/_meta",
               s"the _meta sidecar exists but cannot be read " +
                 s"(${e.getClass.getSimpleName}) — rebuild with " +
-                "writeSubstringIndex (the index is derived data)")
+                "writeSubstringIndex/rotateSubstringIndex (the index " +
+                "is derived data)")
             None
         }
       meta.foreach { case (window, nBuckets) =>
         if (window < 1 || nBuckets < 1)
           out += EpochLedger.FsckFinding("meta-geometry", "fatal",
-            s"$path/_meta",
+            s"$dataRoot/_meta",
             s"inconsistent geometry: window=$window " +
               s"n_buckets=$nBuckets (want both >= 1) — restore the " +
-              "matching _meta or rebuild with writeSubstringIndex")
+              "matching _meta or rebuild with rotateSubstringIndex")
         else {
           val stale = partDirs.map(_.getPath.getName
               .stripPrefix("wh_bucket="))
@@ -962,7 +1087,7 @@ object Dedup {
             }.sorted
           if (stale.nonEmpty)
             out += EpochLedger.FsckFinding("bucket-modulus", "fatal",
-              path,
+              dataRoot,
               s"${stale.length} bucket dir(s) outside the _meta " +
                 s"modulus n_buckets=$nBuckets (${stale.take(5)
                   .mkString(", ")}${if (stale.length > 5) ", …" else ""})" +
@@ -970,7 +1095,7 @@ object Dedup {
                 "dirs, or a foreign layout's dirs were restored in; " +
                 "their hashes are unreachable by probe bucket " +
                 "arithmetic (silent under-count). Rebuild with " +
-                "writeSubstringIndex")
+                "rotateSubstringIndex")
         }
       }
     }

@@ -1132,7 +1132,14 @@ object Similarity {
       id: String,
       kind: String,
       failpoint: String => Unit,
-      deferRetire: Boolean = false)(
+      deferRetire: Boolean = false,
+      // the layout's partition-dir prefix, recorded in the manifest so
+      // a crash-recovery completion retires the right flat dirs on a
+      // first (migrating) rotation of a NON-IVF layout (the substring
+      // index publishes generations through this same protocol)
+      partPrefix: String = "centroid_id=",
+      // the layout's own recovery entry; None = the IVF family's
+      heal: Option[() => Unit] = None)(
       buildStage: (String, String) => Unit): Boolean = {
     // structural tier first so a LEGACY id's replay can reach the
     // no-op below (EpochLedger.requirePathSafeId's contract); the full
@@ -1140,7 +1147,7 @@ object Similarity {
     EpochLedger.requirePathSafeId(id)
     // heal torn rotations AND epochs before reading the corpus — a
     // torn prior epoch would otherwise be rebuilt half-appended
-    recoverIvfEpochs(spark, path)
+    heal.getOrElse(() => recoverIvfEpochs(spark, path))()
     val f = Dedup.fsFor(spark, path)
     if (EpochLedger.applied(spark, path, id)) {
       // a ledger hit is only a replay when the SAME protocol applied
@@ -1167,6 +1174,7 @@ object Similarity {
       if (dataRoot == path) "." else dataRoot.substring(path.length + 1)
     EpochLedger.commitManifest(f, stageRoot,
       s"gen:${nextGenName(f, path)}\nold:$oldRel\nkind:$kind" +
+        s"\npart:$partPrefix" +
         (if (deferRetire) "\ndefer:true" else ""),
       s"ivf-$kind")
     failpoint("committed")
@@ -1191,7 +1199,7 @@ object Similarity {
     * readers on a COMPLETE layout (old before step 2, new from step 2
     * on) and recovery resumes exactly where the crash hit.
     */
-  private def completeIvfGeneration(
+  private[operators] def completeIvfGeneration(
       f: org.apache.hadoop.fs.FileSystem,
       stageRoot: org.apache.hadoop.fs.Path,
       path: String,
@@ -1209,8 +1217,10 @@ object Similarity {
     val newGen = mf("gen")
     val oldRel = mf("old")
     val kind = mf.getOrElse("kind", "rotation")
+    // pre-`part:` manifests are IVF/PQ rotations by construction
+    val partPrefix = mf.getOrElse("part", "centroid_id=")
     def isLayoutDir(n: String): Boolean =
-      n.startsWith("centroid_id=") || n == "_centroids" || n == "_meta"
+      n.startsWith(partPrefix) || n == "_centroids" || n == "_meta"
     val genDst = new Path(path, newGen)
     val dataStage = new Path(stageRoot, "data")
     if (f.exists(dataStage)) {

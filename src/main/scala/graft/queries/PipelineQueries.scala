@@ -2463,6 +2463,62 @@ object PipelineQueries {
            |ORDER BY wd.doc_id""".stripMargin))
   }
 
+  /** The substring index's GEOMETRY MIGRATION under hash verification
+    * — q80's build/append followed by a
+    * [[graft.operators.Dedup.rotateSubstringIndex]] that re-buckets
+    * the layout 8 → 16 as a reader-atomic generation publish (the
+    * rotateIvf/rotatePq protocol, `wh_bucket=`-flavored). The rebuild
+    * re-derives every (whash, ddf) row from the FULL corpus under the
+    * new modulus, the probe resolves the published generation through
+    * the `_current` pointer, and the pre-rotation epoch id must
+    * REMAIN ledgered (its docs are inside the rebuild — a replayed
+    * append has to refuse, asserted inline). The oracle is q80's
+    * VERBATIM: a ddf the rebuild drops, a bucket the new modulus
+    * misroutes, or a probe that resolves the retired flat root breaks
+    * the hashes.
+    */
+  private val qSubstringRotatedProbe = {
+    val w = 8
+    QueryDef(
+      "q83_substring_rotated_probe",
+      (s, dir) => {
+        val root = scratchDir("graft-q83")
+        val idx = s"$root/ssidx"
+        val d = docs(s, dir)
+        val base = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250)
+        val epoch = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250)
+        graft.operators.Dedup.writeSubstringIndex(base, idx, window = w,
+          nBuckets = 8)
+        graft.operators.Dedup.appendSubstringEpoch(epoch, idx, "ep1")
+        require(graft.operators.Dedup.rotateSubstringIndex(
+            d.filter(col("doc_id") % 5 =!= 0), idx, "r1",
+            nBuckets = Some(16)),
+          "q83 expects the rotation to apply NOW (fresh scratch)")
+        require(!graft.operators.Dedup.appendSubstringEpoch(epoch, idx,
+            "ep1"),
+          "q83 expects the pre-rotation epoch id to stay ledgered " +
+            "across the rebuild")
+        graft.operators.Dedup
+          .substringDupProbe(d.filter(col("doc_id") % 5 === 0), idx)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${substringCtes(w)},
+           |dup AS (
+           |  SELECT doc_id, count(*) AS dup_w
+           |  FROM ph JOIN hdf USING (whash) GROUP BY doc_id)
+           |SELECT wd.doc_id,
+           |       CAST(wd.n_windows AS BIGINT) AS n_windows,
+           |       CAST(coalesce(dup.dup_w, 0) AS BIGINT) AS dup_windows,
+           |       round(CASE WHEN wd.n_windows = 0 THEN 0.0
+           |                  ELSE coalesce(dup.dup_w, 0) * 1.0 / wd.n_windows
+           |             END, 6) AS dup_window_frac
+           |FROM wd LEFT JOIN dup USING (doc_id)
+           |WHERE wd.doc_id % 5 = 0
+           |ORDER BY wd.doc_id""".stripMargin))
+  }
+
   /** Overlapping token chunking (RAG indexing side): fixed 32-token
     * windows at stride 24, with the chunk-content hash both engines must
     * agree on (slice + join + poly-hash, all portable).
@@ -3101,7 +3157,8 @@ object PipelineQueries {
     qHistCompactedProbe, qDedupMaintainedProbe,
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qSubstringDup, qSubstringSpans, qSubstringCut,
-    qSubstringProbe, qSubstringMaintainedProbe, qPerplexity,
+    qSubstringProbe, qSubstringMaintainedProbe, qSubstringRotatedProbe,
+    qPerplexity,
     qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,
     qSrp, qSrpDup, qSemDedup, qSemDedupCapped, qSemDedupSq8, qIvfAssign,

@@ -492,6 +492,20 @@ class MainSpec extends AnyFunSuite {
     assert(run("recover", List(idx)).startsWith("recovered quarantined=0"))
     intercept[RuntimeException] { run("maintain", List(idx)) }
     intercept[RuntimeException] { run("index-stats", Nil) }
+
+    // geometry migration through the CLI: re-bucket 4 -> 8 over the
+    // full index corpus; the probe is invariant and the replay no-ops
+    val histAll = s"$root/histAll"
+    corpus.filter($"doc_id" =!= 1L).write.parquet(histAll)
+    assert(run("rotate", List(histAll, idx, "r1"),
+        List("--window", "4", "--buckets", "8")) ==
+      s"applied=true window=4 buckets=8")
+    val pj3 = om.readTree(
+      run("probe", List(batch, idx, s"$root/probe3"), List("--json")))
+    assert(pj3.get("dup_windows").asLong() == 2L, pj3)
+    assert(run("rotate", List(histAll, idx, "r1"),
+        List("--window", "4", "--buckets", "8")) ==
+      s"applied=false window=4 buckets=8")
   }
 
   test("parseDuration accepts s/m/h/d suffixes and plain seconds, " +

@@ -180,6 +180,145 @@ class SubstringLifecycleSpec extends AnyFunSuite {
     assert(probeRows(idxB) == want)
   }
 
+  test("rotateSubstringIndex: geometry migration publishes a reader-" +
+    "atomic generation — probe invariant under a bucket-modulus change, " +
+    "prior epoch ids stay ledgered, post-rotation appends/maintain " +
+    "resolve the generation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ssrt").toString
+    val idx = s"$root/idx"
+    buildThreeSlices(idx)
+    val want = probeRows(idx)
+    // the flat rebuild is (correctly) fenced once epochs are ledgered…
+    intercept[IllegalArgumentException] {
+      Dedup.writeSubstringIndex(history, idx, window = W,
+        nBuckets = Buckets)
+    }
+    // …the rotation is the sanctioned migration: nBuckets 8 -> 16 over
+    // the FULL corpus (the index stores hashes, not text)
+    assert(Dedup.rotateSubstringIndex(history, idx, "r1",
+      nBuckets = Some(16)))
+    val (_, w2, nb2) = Dedup.openSubstringIndex(spark, idx)
+    assert(w2 == W && nb2 == 16)
+    assert(probeRows(idx) == want)
+    // replay no-ops; prior epoch ids REMAIN ledgered (their docs are
+    // inside the rebuilt index — a hand-replayed append must refuse)
+    assert(!Dedup.rotateSubstringIndex(history, idx, "r1",
+      nBuckets = Some(16)))
+    assert(!Dedup.appendSubstringEpoch(
+      history.filter($"doc_id" >= 15 && $"doc_id" < 30), idx, "ep1"))
+    assert(probeRows(idx) == want)
+    // the rebuilt generation is the merged at-rest shape: one row per
+    // distinct window, and stats resolve the GENERATION's dirs
+    assert(layoutRows(Dedup.substringDataRoot(spark, idx)).count() ==
+      layoutRows(Dedup.substringDataRoot(spark, idx))
+        .select("whash").distinct().count())
+    assert(Dedup.substringPartitionStats(spark, idx).forall(_._2 == 1))
+    // post-rotation appends land in the generation and keep counting:
+    // a FOURTH clique copy pushes the minDocs bracket from 4/5 to 5/6
+    assert(Dedup.appendSubstringEpoch(
+      Seq((70L, s"$sharedRun post p1")).toDF("doc_id", "text"),
+      idx, "ep4"))
+    def dupAt(minDocs: Int): Boolean =
+      Dedup.substringDupProbe(batch, idx, minDocs = minDocs)
+        .filter($"doc_id" === 1000L).head().getLong(2) > 0
+    assert(dupAt(5) && !dupAt(6))
+    // the maintain tick runs against the generation too
+    val m = Dedup.substringMaintain(spark, idx, "m1",
+      Dedup.SubstringMaintainPolicy(
+        maxFilesPerPartition = 1, ledgerTailMax = 1))
+    assert(m.actions.exists(_.startsWith("compact-index(")), m.actions)
+    assert(dupAt(5) && !dupAt(6))
+    assert(probeRows(idx) == want)
+  }
+
+  test("rotateSubstringIndex: a window change re-derives under the new " +
+    "geometry (probe equals the full recompute at the new window); a " +
+    "first-build rotation without explicit geometry refuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ssrw").toString
+    val idx = s"$root/idx"
+    buildThreeSlices(idx)
+    assert(Dedup.rotateSubstringIndex(history, idx, "r1",
+      window = Some(5)))
+    val got = probeRows(idx)
+    val want = Dedup.substringDupStats(
+        history.unionByName(batch), window = 5)
+      .filter($"doc_id" >= 1000L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+
+    // building THROUGH a rotation on a fresh path needs both knobs
+    val fresh = s"$root/fresh"
+    val e = intercept[RuntimeException] {
+      Dedup.rotateSubstringIndex(history, fresh, "r0")
+    }
+    assert(e.getMessage.contains("no _meta"), e.getMessage)
+    assert(Dedup.rotateSubstringIndex(history, fresh, "r0",
+      window = Some(W), nBuckets = Some(4)))
+    assert(probeRows(fresh) ==
+      Dedup.substringDupStats(history.unionByName(batch), window = W)
+        .filter($"doc_id" >= 1000L).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq)
+  }
+
+  test("rotation crash points: 'staged' discards, 'committed' and " +
+    "'published' resume through recovery; the probe converges either " +
+    "way") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ssrc").toString
+
+    // pre-commit crash: the live layout was never touched
+    val idxA = s"$root/a"
+    buildThreeSlices(idxA)
+    val want = probeRows(idxA)
+    intercept[RuntimeException] {
+      Dedup.rotateSubstringIndexStaged(history, idxA, "rx",
+        window = None, nBuckets = Some(16), textCol = "text",
+        deferRetire = false,
+        failpoint = p => if (p == "staged") sys.error("boom"))
+    }
+    Dedup.recoverSubstringLayout(spark, idxA)
+    val (_, _, nbA) = Dedup.openSubstringIndex(spark, idxA)
+    assert(nbA == Buckets) // still the old geometry
+    assert(probeRows(idxA) == want)
+    assert(Dedup.rotateSubstringIndex(history, idxA, "rx",
+      nBuckets = Some(16)))
+    assert(probeRows(idxA) == want)
+
+    // post-commit crash: the NEXT entry completes the publish (here:
+    // an append, whose heal-at-entry resumes the rotation first, then
+    // lands in the NEW generation)
+    val idxB = s"$root/b"
+    buildThreeSlices(idxB)
+    intercept[RuntimeException] {
+      Dedup.rotateSubstringIndexStaged(history, idxB, "ry",
+        window = None, nBuckets = Some(16), textCol = "text",
+        deferRetire = false,
+        failpoint = p => if (p == "committed") sys.error("boom"))
+    }
+    assert(Dedup.appendSubstringEpoch(
+      Seq((80L, "after a1 a2 a3 a4")).toDF("doc_id", "text"), idxB, "ep9"))
+    assert(EpochLedger.applied(spark, idxB, "ry"))
+    val (_, _, nbB) = Dedup.openSubstringIndex(spark, idxB)
+    assert(nbB == 16)
+    assert(probeRows(idxB) == want)
+
+    // post-publish crash (mid-retire): readers are already on the new
+    // generation; recovery finishes the retire
+    val idxC = s"$root/c"
+    buildThreeSlices(idxC)
+    intercept[RuntimeException] {
+      Dedup.rotateSubstringIndexStaged(history, idxC, "rz",
+        window = None, nBuckets = Some(16), textCol = "text",
+        deferRetire = false,
+        failpoint = p => if (p == "published") sys.error("boom"))
+    }
+    assert(probeRows(idxC) == want) // already serving the new gen
+    Dedup.recoverSubstringLayout(spark, idxC)
+    assert(EpochLedger.applied(spark, idxC, "rz"))
+    assert(probeRows(idxC) == want)
+    assert(EpochLedger.listRetired(spark, idxC).nonEmpty)
+  }
+
   test("substringFsck: clean layout is empty; torn stages, a missing " +
     "_meta, and a stale-modulus bucket dir are reported without " +
     "mutation") {
