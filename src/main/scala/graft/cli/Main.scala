@@ -69,6 +69,16 @@ import graft.streaming.Ingest
   * substring-dup append <docs> <idx> <epochId> [--text-col C] [--lock-file F]
   * substring-dup probe <docs> <idx> <out> [--min-docs N] [--text-col C]
   *               [--json]
+  * substring-dup index-stats <idx> [--json]
+  * substring-dup fsck <idx> [--json]        # READ-ONLY doctor, no lock
+  * substring-dup maintain <idx> <id> [--max-files N] [--ledger-tail N]
+  *               [--purge-older-than <dur>] [--files-per-partition N]
+  *               [--lock-file F]
+  * substring-dup compact <idx> <id> [--max-files N]
+  *               [--max-records-per-file N] [--lock-file F]
+  * substring-dup recover <idx> [--lock-file F]
+  * substring-dup rotate <docs> <idx> <id> [--window W] [--buckets B]
+  *               [--defer-retire] [--lock-file F]  # geometry migration
   * }}}
   * `--older-than` durations: `<n>s|m|h|d` or plain seconds. The flag is
   * REQUIRED — bulk deletion without an explicit retention window is

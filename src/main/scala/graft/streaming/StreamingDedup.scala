@@ -394,6 +394,12 @@ object StreamingDedup {
     // entry healing: a torn rotation (or partition compaction) from a
     // crashed session must resolve before any listing is taken
     Dedup.recoverRotations(spark, historyPath, indexPath)
+    // ...and the substring index's own torn state (a boundary maintain
+    // tick crashed mid-swap leaves bucket dirs empty) — the stream is
+    // its single maintenance writer too, so it heals it at the same
+    // entry instead of leaving reads exposed until the first boundary
+    applyToSubstringIndex.foreach(idx =>
+      Dedup.recoverSubstringLayout(spark, idx))
     val state = new java.util.concurrent.atomic.AtomicReference(
       openState(spark, historyPath, indexPath, expectedItems, fpp, None))
     def rotateFinished(current: Option[String]): Unit = {
