@@ -229,6 +229,16 @@ class SubstringLifecycleSpec extends AnyFunSuite {
     assert(m.actions.exists(_.startsWith("compact-index(")), m.actions)
     assert(dupAt(5) && !dupAt(6))
     assert(probeRows(idx) == want)
+    // the scale property survives the migration: the probe's candidate
+    // buckets still reach the GENERATION's scan as partition filters
+    Caching.passthrough = true
+    try {
+      val plan = Dedup.substringDupProbe(batch, idx)
+        .queryExecution.executedPlan.toString
+      assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*wh_bucket.*"),
+        s"no wh_bucket partition filter in the rotated layout's probe:\n" +
+          plan)
+    } finally Caching.passthrough = false
   }
 
   test("rotateSubstringIndex: a window change re-derives under the new " +
