@@ -359,6 +359,19 @@ object StreamingDedup {
     * runs ONE [[graft.operators.Dedup.substringMaintain]] tick after
     * the boundary's appends land — same cadence-not-correctness
     * contract as `maintainAtBoundary`.
+    *
+    * `onSubstringBatch` (requires `applyToSubstringIndex`) closes the
+    * loop's READ side: each micro-batch's NOVEL slice is scored
+    * against the index IN-stream
+    * ([[graft.operators.Dedup.substringDupProbeOn]] over handles
+    * opened once per epoch) and the per-doc duplicated-window stats
+    * handed to the callback — the ingest-time quality gate the
+    * substring family exists for (flag or route boilerplate-heavy
+    * docs as they arrive). Same within-epoch window as the Bloom and
+    * the near-dup probe: novels spooled earlier in the SAME epoch are
+    * not yet in the index, so a window duplicated only across batches
+    * of one epoch scores below its post-rotation truth until the
+    * boundary; `substringMinDocs` is the probe's threshold.
     */
   def startIncrementalAuto(
       docs: DataFrame,
@@ -377,12 +390,17 @@ object StreamingDedup {
       maintainAtBoundary: Option[Dedup.DedupMaintainPolicy] = None,
       applyToSubstringIndex: Option[String] = None,
       substringMaintainAtBoundary: Option[Dedup.SubstringMaintainPolicy] =
-        None)
+        None,
+      onSubstringBatch: Option[(Long, DataFrame) => Unit] = None,
+      substringMinDocs: Int = 2)
       : StreamingQuery = {
     require(substringMaintainAtBoundary.isEmpty ||
         applyToSubstringIndex.isDefined,
       "substringMaintainAtBoundary without applyToSubstringIndex has " +
         "no index to maintain")
+    require(onSubstringBatch.isEmpty || applyToSubstringIndex.isDefined,
+      "onSubstringBatch without applyToSubstringIndex has no index to " +
+        "probe")
     val spark = docs.sparkSession
     if (checkpointLocation.isEmpty)
       log.warn(
@@ -402,6 +420,14 @@ object StreamingDedup {
       Dedup.recoverSubstringLayout(spark, idx))
     val state = new java.util.concurrent.atomic.AtomicReference(
       openState(spark, historyPath, indexPath, expectedItems, fpp, None))
+    // substring probe handles — (history frame, window, nBuckets),
+    // opened ONCE per epoch like the pair's own listings (probe loops
+    // must not re-list per batch) and only when someone probes
+    val ssState = new java.util.concurrent.atomic.AtomicReference[
+        Option[(DataFrame, Int, Int)]](
+      if (onSubstringBatch.isDefined)
+        Some(Dedup.openSubstringIndex(spark, applyToSubstringIndex.get))
+      else None)
     def rotateFinished(current: Option[String]): Unit = {
       val finished = StreamingSimilarity
         .listSpooledEpochs(spark, spoolRoot)
@@ -475,6 +501,9 @@ object StreamingDedup {
       // listings; the bloom survives from the rotation merges above
       state.set(openState(spark, historyPath, indexPath, expectedItems,
         fpp, Some(state.get.bloom)))
+      if (onSubstringBatch.isDefined)
+        ssState.set(Some(Dedup.openSubstringIndex(spark,
+          applyToSubstringIndex.get)))
     }
     val writer = docs.writeStream
       .trigger(Trigger.ProcessingTime(intervalSeconds * 1000))
@@ -492,6 +521,15 @@ object StreamingDedup {
         onBatch(batchId, novel,
           Dedup.minhashProbeBucketedOn(novel, st.index, st.history,
             st.nBuckets, threshold, textCol, st.k, st.bands))
+        // the substring-level quality gate on the SAME novel slice:
+        // duplicated-window stats vs history ∪ batch, epoch-fresh
+        // handles (the within-epoch window documented above)
+        onSubstringBatch.foreach { f =>
+          ssState.get.foreach { case (hist, w, nb) =>
+            f(batchId, Dedup.substringDupProbeOn(novel, hist, w, nb,
+              substringMinDocs, textCol))
+          }
+        }
         spoolBatch(novel, s"$spoolRoot/$epochId", batchId)
         ()
       }

@@ -559,6 +559,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     Dedup.writeMinhashIndex(history, idxPath)
     Dedup.writeSubstringIndex(history, ssIdx, window = w, nBuckets = 8)
 
+    // the in-stream substring gate's flags, by (batchId, doc_id)
+    val ssFlags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val stream = MemoryStream[(Long, String)]
     val query = StreamingDedup.startIncrementalAuto(
       stream.toDF().toDF("doc_id", "text"), histPath, idxPath,
@@ -569,7 +571,15 @@ class StreamingDedupSpec extends AnyFunSuite {
       drainOnStop = true,
       applyToSubstringIndex = Some(ssIdx),
       substringMaintainAtBoundary = Some(Dedup.SubstringMaintainPolicy(
-        maxFilesPerPartition = 1, ledgerTailMax = 1)))
+        maxFilesPerPartition = 1, ledgerTailMax = 1)),
+      // minDocs = 3: flagging requires history(1) + a ROTATED epoch's
+      // copy(1) + the arriving doc(1) — provably needs the boundary's
+      // handle refresh, not just the prebuilt index
+      onSubstringBatch = Some((b, df) => synchronized {
+        ssFlags ++= df.filter($"dup_windows" > 0)
+          .select("doc_id").collect().map(r => (b, r.getLong(0)))
+      }),
+      substringMinDocs = 3)
 
     // ep0: a SECOND shared-run copy + an exact history dup (bloom-
     // dropped — the ddf contract's enforcement) + an in-batch
@@ -579,31 +589,38 @@ class StreamingDedupSpec extends AnyFunSuite {
       (1001L, text("h", 7)),
       (1002L, text("e1", 0)), (1003L, text("e1", 0)))
     query.processAllAvailable()
-    // mid-epoch: nothing applied yet
+    // mid-epoch: nothing applied yet; the in-stream gate saw only
+    // 2 copies (history + the arrival) — below the 3 threshold
     assert(!EpochLedger.applied(spark, ssIdx, "ep0"))
+    assert(synchronized(ssFlags.toSeq).isEmpty, ssFlags)
 
     // ep1's first batch is the boundary: ep0 rotates into the pair AND
-    // appends to the substring index, then the maintain tick compacts
-    stream.addData((2000L, text("e2", 0)))
+    // appends to the substring index, then the maintain tick compacts.
+    // Its THIRD shared-run copy is flagged IN-stream — possible only
+    // against the boundary-refreshed handles (history 1 + ep0's 1 +
+    // this arrival = 3)
+    stream.addData((2000L, text("e2", 0)),
+      (2001L, s"e1x $sharedRun e1y"))
     query.processAllAvailable()
     assert(EpochLedger.applied(spark, ssIdx, "ep0"))
     assert(EpochLedger.applied(spark, ssIdx, "maintain-ep0-compact"))
     assert(Dedup.substringPartitionStats(spark, ssIdx).forall(_._2 == 1))
+    assert(synchronized(ssFlags.toSeq).map(_._2) == Seq(2001L), ssFlags)
 
     query.stop()
     assert(StreamTermination.awaitDrain(query), "drain timed out")
     assert(EpochLedger.applied(spark, ssIdx, "ep1"))
 
-    // a probe batch carrying a THIRD shared-run copy: minDocs = 3 is
-    // satisfiable ONLY when the streamed epoch's count reached the
-    // index (history 1 + streamed ep0 1 + batch 1); minDocs = 4 is not
+    // a probe batch carrying a FOURTH shared-run copy: minDocs = 4 is
+    // satisfiable ONLY when BOTH streamed epochs' counts reached the
+    // index (history 1 + ep0 1 + ep1 1 + batch 1); minDocs = 5 is not
     val probeB = Seq(
       (5000L, s"p0 $sharedRun p1"),
       (5001L, "q0 q1 q2 q3 q4 q5")).toDF("doc_id", "text")
     def dupAt(minDocs: Int): Boolean =
       Dedup.substringDupProbe(probeB, ssIdx, minDocs = minDocs)
         .filter($"doc_id" === 5000L).head().getLong(2) > 0
-    assert(dupAt(3) && !dupAt(4))
+    assert(dupAt(4) && !dupAt(5))
 
     // full parity: the probe equals substringDupStats over the at-rest
     // corpus (the dedup pair's history — the system of record the
