@@ -73,12 +73,14 @@ import graft.streaming.Ingest
   * substring-dup fsck <idx> [--json]        # READ-ONLY doctor, no lock
   * substring-dup maintain <idx> <id> [--max-files N] [--ledger-tail N]
   *               [--purge-older-than <dur>] [--files-per-partition N]
-  *               [--lock-file F]
+  *               [--max-records-per-file N] [--lock-file F]
   * substring-dup compact <idx> <id> [--max-files N]
   *               [--max-records-per-file N] [--lock-file F]
   * substring-dup recover <idx> [--lock-file F]
   * substring-dup rotate <docs> <idx> <id> [--window W] [--buckets B]
   *               [--defer-retire] [--lock-file F]  # geometry migration
+  * substring-dup retire-superseded <idx> <name> [--lock-file F]
+  * substring-dup purge-retired <idx> --older-than <dur> [--lock-file F]
   * }}}
   * `--older-than` durations: `<n>s|m|h|d` or plain seconds. The flag is
   * REQUIRED — bulk deletion without an explicit retention window is
@@ -780,6 +782,8 @@ object Main {
               flag("--max-files").map(_.toInt).getOrElse(64),
             ledgerTailMax =
               flag("--ledger-tail").map(_.toInt).getOrElse(256),
+            maxRecordsPerFile =
+              flag("--max-records-per-file").map(_.toLong).getOrElse(0L),
             purgeRetiredOlderThanMs =
               flag("--purge-older-than").map(parseDuration),
             filesPerPartition =
@@ -829,10 +833,33 @@ object Main {
           sys.error("substring-dup rotate needs " +
             "<docsParquet> <indexPath> <rotationId>")
       }
+      case "retire-superseded" => pos match {
+        case idx :: name :: Nil =>
+          // the substring-flavored sweep: the generic one matches only
+          // centroid_id= flat dirs and would strand wh_bucket= roots a
+          // migrating --defer-retire rotation left in place
+          s"retired=${Dedup.retireSupersededSubstringGenerations(spark,
+            idx, name)}"
+        case _ =>
+          sys.error("substring-dup retire-superseded needs " +
+            "<indexPath> <name>")
+      }
+      case "purge-retired" => pos match {
+        case idx :: Nil =>
+          val dur = flag("--older-than").getOrElse(sys.error(
+            "substring-dup purge-retired refuses to run without an " +
+              "explicit --older-than retention window"))
+          val purged = graft.operators.Similarity
+            .purgeIvfRetiredOlderThan(spark, idx, parseDuration(dur))
+          s"purged=${purged.size}${
+            if (purged.isEmpty) "" else purged.mkString(" [", ", ", "]")}"
+        case _ => sys.error("substring-dup purge-retired needs <indexPath>")
+      }
       case otherSub =>
         sys.error(s"unknown substring-dup subcommand '$otherSub' " +
           "(stats|spans|cut|build|append|probe|index-stats|fsck|" +
-          "maintain|compact|recover|rotate)")
+          "maintain|compact|recover|rotate|retire-superseded|" +
+          "purge-retired)")
     }
   }
 

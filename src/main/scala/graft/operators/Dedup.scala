@@ -1018,6 +1018,23 @@ object Dedup {
     SubstringMaintenance(actions.toSeq, stats.size, maxFiles, tail)
   }
 
+  /** [[Similarity.retireSupersededGenerations]] with the substring
+    * layout's own flat-era prefix (`wh_bucket=`) — the retention-window
+    * sweep that pairs with [[rotateSubstringIndex]]'s `deferRetire`.
+    * Without the prefix the generic sweep moves only `_gen-<M>` dirs
+    * and the flat `_meta`: a first, MIGRATING deferred rotation would
+    * strand the old `wh_bucket=` dirs at the layout root forever —
+    * invisible to resolution, [[substringFsck]], and every
+    * retire/purge path — an unbounded storage leak. CLI twin:
+    * `substring-dup retire-superseded`.
+    */
+  def retireSupersededSubstringGenerations(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      name: String): Int =
+    Similarity.retireSupersededGenerations(spark, path, name,
+      partPrefix = "wh_bucket=")
+
   /** READ-ONLY diagnosis of a [[writeSubstringIndex]] layout —
     * [[EpochLedger.fsck]]'s generic protocol checks (torn stages,
     * unledgered footprints, the ledger-loss valve,
@@ -1082,8 +1099,14 @@ object Dedup {
           val stale = partDirs.map(_.getPath.getName
               .stripPrefix("wh_bucket="))
             .filterNot { b =>
+              // CANONICAL rendering required, not just parseability:
+              // the probe's bucket arithmetic generates exactly "b<k>"
+              // — a dir named b007 or b+3 parses to an in-range k but
+              // no probe ever reads it (the silent under-count this
+              // fatal finding exists to report)
               b.startsWith("b") &&
-                b.drop(1).toLongOption.exists(k => k >= 0 && k < nBuckets)
+                b.drop(1).toLongOption
+                  .exists(k => k >= 0 && k < nBuckets && s"b$k" == b)
             }.sorted
           if (stale.nonEmpty)
             out += EpochLedger.FsckFinding("bucket-modulus", "fatal",

@@ -1317,20 +1317,27 @@ object Similarity {
 
   /** Retire every SUPERSEDED root a `deferRetire` rotation/compaction
     * left in place: `_gen-<M>` dirs below the current generation and —
-    * when the layout went generational — any flat-era `centroid_id=*`
-    * dirs and `_centroids` sidecar still at the layout root. Moved
-    * (never deleted) under `path/_retired/<name>.superseded/`, same
-    * lifecycle as the eager retire ([[listIvfRetired]] /
+    * when the layout went generational — any flat-era `<partPrefix>*`
+    * dirs and `_centroids`/`_meta` sidecars still at the layout root.
+    * Moved (never deleted) under `path/_retired/<name>.superseded/`,
+    * same lifecycle as the eager retire ([[listIvfRetired]] /
     * [[purgeIvfRetired]]). Call it AFTER in-flight probes of the old
     * generation have drained — the retention-window sweep that pairs
     * with `deferRetire`; covers roots from EVERY prior deferred
-    * publish, not just the latest. Single maintenance writer, like
+    * publish, not just the latest. `partPrefix` is the layout family's
+    * flat-era partition-dir prefix — `centroid_id=` for IVF/PQ,
+    * `wh_bucket=` for the substring index
+    * ([[Dedup.retireSupersededSubstringGenerations]] passes it); a
+    * sweep run with the wrong prefix would strand the flat dirs
+    * invisibly (they are already invisible to resolution), so the
+    * substring CLI twin pins its own. Single maintenance writer, like
     * the protocols themselves. Returns the number of roots retired.
     */
   def retireSupersededGenerations(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      name: String): Int = {
+      name: String,
+      partPrefix: String = "centroid_id="): Int = {
     import org.apache.hadoop.fs.Path
     EpochLedger.requireEpochId(name)
     val f = Dedup.fsFor(spark, path)
@@ -1343,7 +1350,7 @@ object Similarity {
       .filter { p =>
         val n = p.getName
         genNumber(n).exists(_ < curN) ||
-          n.startsWith("centroid_id=") || n == "_centroids" || n == "_meta"
+          n.startsWith(partPrefix) || n == "_centroids" || n == "_meta"
       }
     if (superseded.isEmpty) return 0
     val dst = new Path(s"$path/_retired/$name.superseded")

@@ -506,6 +506,44 @@ class MainSpec extends AnyFunSuite {
     assert(run("rotate", List(histAll, idx, "r1"),
         List("--window", "4", "--buckets", "8")) ==
       s"applied=false window=4 buckets=8")
+
+    // --max-records-per-file reaches the policy's compaction (parity
+    // with the compact subcommand): fragment with an append, then a
+    // record-capped maintain must split each bucket's rewrite
+    assert(run("append", List(hist1, idx, "ep2")) == "applied=true")
+    val mt3 = run("maintain", List(idx, "m3"),
+      List("--max-files", "1", "--ledger-tail", "64",
+        "--max-records-per-file", "1", "--files-per-partition", "1"))
+    assert(mt3.contains("compact-index("), mt3)
+    // the cap reached the rewrite: with --files-per-partition 1 a
+    // compacted bucket would land as ONE file unless the 1-record cap
+    // split it — so a multi-file bucket after the compaction is the
+    // cap's signature (single-file buckets under the threshold are
+    // never rewritten and prove nothing either way)
+    assert(graft.operators.Dedup.substringPartitionStats(spark, idx)
+      .exists(_._2 > 1),
+      "the --max-records-per-file cap did not reach the compaction")
+
+    // deferRetire rotation + the retire-superseded/purge-retired pair:
+    // the superseded generation stays until swept, then purges
+    assert(run("rotate", List(histAll, idx, "r2"),
+        List("--window", "4", "--buckets", "4", "--defer-retire")) ==
+      s"applied=true window=4 buckets=4")
+    assert(run("retire-superseded", List(idx, "sw1")).startsWith(
+      "retired="))
+    assert(graft.operators.EpochLedger.listRetired(spark, idx)
+      .exists(_._1.contains("sw1.superseded")))
+    // wiring only: just-retired dirs are newer than any window, so
+    // purged=0 here — the deletion semantics are the API spec's
+    // (SubstringLifecycleSpec pins the full sweep→purge lifecycle)
+    val pr = run("purge-retired", List(idx), List("--older-than", "1h"))
+    assert(pr.startsWith("purged="), pr)
+    intercept[RuntimeException] { run("purge-retired", List(idx)) }
+    intercept[RuntimeException] { run("retire-superseded", List(idx)) }
+    // the probe still answers from the live generation after the sweep
+    val pj4 = om.readTree(
+      run("probe", List(batch, idx, s"$root/probe4"), List("--json")))
+    assert(pj4.get("dup_windows").asLong() == 2L, pj4)
   }
 
   test("parseDuration accepts s/m/h/d suffixes and plain seconds, " +

@@ -329,6 +329,46 @@ class SubstringLifecycleSpec extends AnyFunSuite {
     assert(EpochLedger.listRetired(spark, idxC).nonEmpty)
   }
 
+  test("deferRetire rotation of a FLAT layout: the superseded " +
+    "wh_bucket= dirs stay in place until the substring-flavored " +
+    "retire-superseded sweep moves every one of them aside") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ssdr").toString
+    val idx = s"$root/idx"
+    buildThreeSlices(idx)
+    val want = probeRows(idx)
+    val f = Dedup.fsFor(spark, idx)
+    def flatBucketDirs: Seq[String] =
+      f.listStatus(new org.apache.hadoop.fs.Path(idx))
+        .map(_.getPath.getName).filter(_.startsWith("wh_bucket=")).toSeq
+    val flatBefore = flatBucketDirs
+    assert(flatBefore.nonEmpty)
+    // first, MIGRATING rotation with deferRetire: the flat-era dirs
+    // stay at the layout root (invisible to resolution) for draining
+    // readers
+    assert(Dedup.rotateSubstringIndex(history, idx, "r1",
+      nBuckets = Some(16), deferRetire = true))
+    assert(flatBucketDirs == flatBefore)
+    assert(probeRows(idx) == want) // served from the generation
+    // the ADVICE hazard: the generic centroid_id= sweep must NOT be
+    // the only exit — it strands every wh_bucket dir forever. The
+    // substring-flavored sweep retires the full flat root: every
+    // bucket dir AND the flat _meta sidecar.
+    val n = Dedup.retireSupersededSubstringGenerations(spark, idx, "sw1")
+    assert(n == flatBefore.size + 1, s"retired=$n want=${flatBefore.size}+1")
+    assert(flatBucketDirs.isEmpty)
+    assert(EpochLedger.listRetired(spark, idx)
+      .exists(_._1.contains("sw1.superseded")))
+    assert(probeRows(idx) == want)
+    // second sweep: nothing left
+    assert(Dedup.retireSupersededSubstringGenerations(spark, idx, "sw2")
+      == 0)
+    // and the retired bytes exit through the ordinary purge lifecycle
+    val purged = EpochLedger.purgeRetiredOlderThan(spark, idx, 1L,
+      now = System.currentTimeMillis + 3600L * 1000L)
+    assert(purged.exists(_.contains("sw1.superseded")), purged)
+    assert(probeRows(idx) == want)
+  }
+
   test("substringFsck: clean layout is empty; torn stages, a missing " +
     "_meta, and a stale-modulus bucket dir are reported without " +
     "mutation") {
@@ -360,6 +400,17 @@ class SubstringLifecycleSpec extends AnyFunSuite {
       fd.severity == "fatal" && fd.detail.contains("b99")), f2)
     assert(f.delete(new org.apache.hadoop.fs.Path(s"$idx/wh_bucket=b99"),
       true))
+
+    // NON-CANONICAL names that parse to an in-range k are just as
+    // unreachable (the probe generates exactly "b<k>") — fatal too
+    Seq("b007", "b+3").foreach { bad =>
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/wh_bucket=$bad"))
+      val fb = Dedup.substringFsck(spark, idx)
+      assert(fb.exists(fd => fd.code == "bucket-modulus" &&
+        fd.severity == "fatal" && fd.detail.contains(bad)), (bad, fb))
+      assert(f.delete(
+        new org.apache.hadoop.fs.Path(s"$idx/wh_bucket=$bad"), true))
+    }
 
     // _meta lost: every probe and append would fail — fatal
     assert(f.delete(new org.apache.hadoop.fs.Path(s"$idx/_meta"), true))
