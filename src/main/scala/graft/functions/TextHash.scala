@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
 object TextHash {
   val P = 1000000007L
 
+  /** The WINDOW-combine base: [[WindowPolyHashes]] folds per-token
+    * hashes as `acc = (acc * WB + th) mod P`. Prime, and large enough
+    * that single-token-hash windows stay spread; kept well below 2^20
+    * so `acc * WB` (< 2^50) and the rolling subtraction's products
+    * (< 2^60) never overflow 64-bit arithmetic in either engine. One
+    * definition for the compiled kernel and the DuckDB fragment — the
+    * drift contract every constant here lives under.
+    */
+  val WB = 1000003L
+
   /** SQL-expr fragment: polynomial hash of the string held in `v`
     * (a column name or lambda variable).
     */

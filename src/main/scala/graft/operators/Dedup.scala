@@ -290,10 +290,11 @@ object Dedup {
     * copy of another scores near 1.0, boilerplate-free unique text 0.0).
     *
     * Scale shape: positions are one row per corpus token (O(corpus
-    * tokens), linear — never doc×doc); the window hash is the same
-    * codegen'd [[graft.functions.PolyHash]]-over-sliced-join the
-    * chunk/fingerprint operators use, so the DuckDB oracle recomputes it
-    * verbatim; the df is ONE map-side-partial distinct-doc aggregation
+    * tokens), linear — never doc×doc); the window hash is the compiled
+    * ROLLING kernel [[graft.functions.WindowPolyHashes]] (per-token
+    * hash once, O(1) combine per position — no per-window string), and
+    * the DuckDB oracle recomputes the identical per-token-hash fold;
+    * the df is ONE map-side-partial distinct-doc aggregation
     * keyed on the hash; the dup marking joins the (small) duplicated-
     * hash set back to the position rows — the join carries only
     * (hash, doc_id) longs, never text, and AQE's skew split covers a
@@ -357,27 +358,48 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val (_, pos) = windowPositions(docs, window, textCol)
     Caching.withCached(pos) {
-      val dupPos = pos.join(dupWindowHashes(pos, minDocs), Seq("whash"))
-        .select("doc_id", "p")
-      val w = Window.partitionBy("doc_id").orderBy("p")
-      dupPos
-        .withColumn("prev", lag("p", 1).over(w))
-        .withColumn("new_isl",
-          when(col("prev").isNull || col("p") - col("prev") > window, 1L)
-            .otherwise(0L))
-        .withColumn("island", sum("new_isl").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("doc_id", "island")
-        .agg(min("p").cast("long").as("span_start"),
-          (max("p") + window).cast("long").as("span_end"))
-        .select("doc_id", "span_start", "span_end")
+      spansFromDupPositions(
+        pos.join(dupWindowHashes(pos, minDocs), Seq("whash"))
+          .select("doc_id", "p"),
+        window)
     }
+  }
+
+  /** The gaps-and-islands merge of duplicated window STARTS into
+    * maximal half-open token spans — ONE definition shared by the
+    * full-corpus [[substringDupSpans]] and the incremental
+    * [[substringSpanProbeOn]], so the batch and probe forms can never
+    * disagree on how starts coalesce. Two window functions and a
+    * groupBy over `(doc_id, p)` rows; the per-doc window partition is
+    * bounded by the document's own token count.
+    */
+  private def spansFromDupPositions(
+      dupPos: DataFrame,
+      window: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    dupPos
+      .withColumn("prev", lag("p", 1).over(w))
+      .withColumn("new_isl",
+        when(col("prev").isNull || col("p") - col("prev") > window, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_isl").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("p").cast("long").as("span_start"),
+        (max("p") + window).cast("long").as("span_end"))
+      .select("doc_id", "span_start", "span_end")
   }
 
   /** (tokenized frame with `n_windows`, the stride-1 window-position
     * rows `(doc_id, p, whash)`) — ONE definition of what a window
     * position is, shared by the stats and spans forms so the two can
     * never disagree on a window's hash or a document's window count.
+    * The hash is the compiled ROLLING kernel
+    * ([[graft.functions.WindowPolyHashes]] — all of a doc's window
+    * hashes in one pass over its tokens, no per-position window string;
+    * the DuckDB oracle recomputes the identical per-token-hash fold),
+    * posexploded so `p` is the window's start position exactly as the
+    * sequence-explode form produced it.
     */
   private def windowPositions(
       docs: DataFrame,
@@ -389,10 +411,9 @@ object Dedup {
           .otherwise(greatest(size(col("toks")) - window + 1, lit(0))))
     val pos = d.filter(col("n_windows") > 0)
       .select(col("doc_id"),
-        explode(expr("sequence(0, n_windows - 1)")).as("p"), col("toks"))
-      .select(col("doc_id"), col("p"),
-        graft.functions.PolyHash(
-          concat_ws(" ", expr(s"slice(toks, p + 1, $window)"))).as("whash"))
+        posexplode(graft.functions.WindowPolyHashes(col("toks"), window)))
+      .select(col("doc_id"), col("pos").cast("int").as("p"),
+        col("col").as("whash"))
     (d, pos)
   }
 
@@ -456,6 +477,72 @@ object Dedup {
       when(col("toks").isNull, lit(0L))
         .otherwise((size(col("toks")) - size(col("kept"))).cast("long"))
         .as("n_cut"))
+  }
+
+  /** [[cutSpans]] looped to a FIXED POINT of the seam residual: spans →
+    * cut → re-score until the corpus reports zero duplicated windows or
+    * `maxRounds` cuts have run. [[cutSpans]]' docstring documents the
+    * residual this bounds — a seam window newly formed where two kept
+    * runs meet can match a still-duplicated hash, so one cut is not
+    * always enough; each round re-derives spans over the CUT corpus and
+    * excises again. Non-convergence inside the bound REFUSES loudly
+    * with the residual duplicated-window count (a pathological corpus —
+    * e.g. window=1 over heavily repeated vocabulary — can oscillate;
+    * silence there would ship text the caller believes clean).
+    *
+    * Output is [[cutSpans]]' shape `(doc_id, cut_text, n_kept, n_cut)`
+    * with `n_cut` CUMULATIVE across rounds (original tokens minus
+    * surviving tokens). Emptied (`n_kept = 0`) and null-text docs leave
+    * the re-score loop — they have no windows left to contribute.
+    * Cost: one [[substringDupSpans]] + [[cutSpans]] pass per round over
+    * the shrinking corpus, rounds bounded by `maxRounds`; each round's
+    * result is locally checkpointed so the plan stays flat. The common
+    * corpus converges in round 1 (the re-score then just proves it).
+    */
+  def cutToConvergence(
+      docs: DataFrame,
+      window: Int = 16,
+      minDocs: Int = 2,
+      maxRounds: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val live = col("cut_text").isNotNull && col("n_kept") > 0
+    def liveDocs(cur: DataFrame): DataFrame =
+      cur.filter(live).select(col("doc_id"), col("cut_text").as(textCol))
+    def spansOf(cur: DataFrame): DataFrame =
+      substringDupSpans(liveDocs(cur), window, minDocs, textCol)
+        .localCheckpoint(eager = true)
+    var cur = cutSpans(docs,
+        substringDupSpans(docs, window, minDocs, textCol), textCol)
+      .localCheckpoint(eager = true)
+    var rounds = 1
+    var spans = spansOf(cur)
+    while (!spans.isEmpty && rounds < maxRounds) {
+      val rec = cutSpans(liveDocs(cur), spans, textCol)
+        .select(col("doc_id"), col("cut_text").as("r_text"),
+          col("n_kept").as("r_kept"), col("n_cut").as("r_cut"))
+      cur = cur.join(rec, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("r_kept").isNotNull, col("r_text"))
+            .otherwise(col("cut_text")).as("cut_text"),
+          coalesce(col("r_kept"), col("n_kept")).as("n_kept"),
+          (col("n_cut") + coalesce(col("r_cut"), lit(0L))).as("n_cut"))
+        .localCheckpoint(eager = true)
+      rounds += 1
+      spans = spansOf(cur)
+    }
+    if (!spans.isEmpty) {
+      val residual = substringDupStats(liveDocs(cur), window, minDocs,
+        textCol).agg(sum("dup_windows")).head().getLong(0)
+      sys.error(s"cutToConvergence: $residual duplicated window(s) " +
+        s"remain after $maxRounds cut round(s) (window=$window, " +
+        s"minDocs=$minDocs) — the corpus re-forms duplicated seams " +
+        "faster than the bound; raise maxRounds or treat the corpus " +
+        "as pathological for span surgery at this window size")
+    }
+    cur
   }
 
   // ------------------------------------------- incremental substring dedup
@@ -598,19 +685,69 @@ object Dedup {
       batch: DataFrame,
       indexPath: String,
       minDocs: Int = 2,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets): DataFrame = {
     val (hist, window, nBuckets) =
       openSubstringIndex(batch.sparkSession, indexPath)
-    substringDupProbeOn(batch, hist, window, nBuckets, minDocs, textCol)
+    substringDupProbeOn(batch, hist, window, nBuckets, minDocs, textCol,
+      pruneSkipMaxBuckets)
+  }
+
+  /** Below this bucket count the probe SKIPS the driver-side bucket
+    * resolution (a `distinct().collect()` Spark job) and scans every
+    * bucket dir: with a ≤64-way modulus any real batch's hash set
+    * covers essentially all residues, so the partition predicate would
+    * prune nothing while costing one full extra job on the per-trigger
+    * latency path of the in-stream gate. Above it — the at-scale
+    * geometry, where a batch genuinely touches few of many buckets —
+    * the pruning engages as before. The left-semi sliver join applies
+    * on both paths.
+    */
+  val DefaultPruneSkipMaxBuckets: Int = 64
+
+  /** The batch's duplicated-window-hash set against history ∪ batch —
+    * the single probe-side derivation shared by [[substringDupProbeOn]]
+    * (which counts them per doc) and [[substringSpanProbeOn]] (which
+    * merges their positions into spans), so the stats and span forms
+    * can never disagree on what a duplicated window is. `batchDf` must
+    * be the batch's `(whash, bddf)` distinct-doc counts (cached by the
+    * caller — it is consumed twice on the pruned path).
+    */
+  private def probeDupHashes(
+      batchDf: DataFrame,
+      history: DataFrame,
+      nBuckets: Int,
+      minDocs: Int,
+      pruneSkipMaxBuckets: Int): DataFrame = {
+    val sliverBase =
+      if (nBuckets <= pruneSkipMaxBuckets) history
+      else {
+        // candidate wh_buckets resolve DRIVER-SIDE into literal
+        // partition predicates (bounded by nBuckets — at scale a small
+        // batch's hash set touches few buckets)
+        val buckets = batchDf
+          .select(concat(lit("b"),
+            pmod(col("whash"), lit(nBuckets.toLong))).as("bk"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        history.filter(col("wh_bucket").isInCollection(buckets))
+      }
+    val sliver =
+      sliverBase.join(batchDf.select("whash"), Seq("whash"), "left_semi")
+    // per-hash history count: sum over base + epochs (disjoint doc
+    // sets — the appendSubstringEpoch contract)
+    val histDf = sliver.groupBy("whash").agg(sum("ddf").as("hddf"))
+    batchDf.join(histDf, Seq("whash"), "left")
+      .filter(col("bddf") + coalesce(col("hddf"), lit(0L)) >= minDocs)
+      .select("whash")
   }
 
   /** [[substringDupProbe]] over an [[openSubstringIndex]]-resolved
     * layout — the per-epoch form for probe loops. The history sliver
     * fetch prunes twice: candidate `wh_bucket`s resolve DRIVER-SIDE
-    * into literal partition predicates (bounded by nBuckets — at scale
-    * a small batch's hash set touches few buckets), then a left-semi
-    * join on the batch's hashes cuts the surviving files to matching
-    * rows. Only (whash, ddf) longs cross any shuffle.
+    * into literal partition predicates (skipped below
+    * `pruneSkipMaxBuckets` — see [[DefaultPruneSkipMaxBuckets]]), then
+    * a left-semi join on the batch's hashes cuts the surviving files
+    * to matching rows. Only (whash, ddf) longs cross any shuffle.
     */
   def substringDupProbeOn(
       batch: DataFrame,
@@ -618,7 +755,8 @@ object Dedup {
       window: Int,
       nBuckets: Int,
       minDocs: Int = 2,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
@@ -629,24 +767,98 @@ object Dedup {
       val batchDf = pos.groupBy("whash")
         .agg(countDistinct("doc_id").as("bddf"))
       Caching.withCached(batchDf) {
-        val buckets = batchDf
-          .select(concat(lit("b"),
-            pmod(col("whash"), lit(nBuckets.toLong))).as("bk"))
-          .distinct().collect().map(_.getString(0)).toSeq
-        val sliver = history
-          .filter(col("wh_bucket").isInCollection(buckets)) // partition prune
-          .join(batchDf.select("whash"), Seq("whash"), "left_semi")
-        // per-hash history count: sum over base + epochs (disjoint doc
-        // sets — the appendSubstringEpoch contract)
-        val histDf = sliver.groupBy("whash").agg(sum("ddf").as("hddf"))
-        val dupHashes = batchDf.join(histDf, Seq("whash"), "left")
-          .filter(col("bddf") + coalesce(col("hddf"), lit(0L)) >= minDocs)
-          .select("whash")
+        val dupHashes = probeDupHashes(batchDf, history, nBuckets,
+          minDocs, pruneSkipMaxBuckets)
         val dup = pos.join(dupHashes, Seq("whash"))
           .groupBy("doc_id").agg(count(lit(1)).as("dup_w"))
         substringStatsTail(d, dup)
       }
     }
+  }
+
+  /** [[substringDupSpans]] for an ARRIVING BATCH against a persisted
+    * [[writeSubstringIndex]] history: each batch document's duplicated
+    * window starts — duplicated iff the window's distinct-doc count
+    * across history ∪ batch reaches `minDocs`, exactly
+    * [[substringDupProbeOn]]'s dup set — merged gaps-and-islands into
+    * maximal half-open `(doc_id, span_start, span_end)` token spans.
+    * This equals the full-corpus [[substringDupSpans]] restricted to
+    * the batch docs (the q80 identity, span-shaped), without the
+    * full-corpus pass: cross-epoch counts drive spans the batch alone
+    * never would. Feed the result to [[cutSpans]] (or call
+    * [[substringCutProbeOn]]) for the streamed Lee-et-al excision.
+    */
+  def substringSpanProbeOn(
+      batch: DataFrame,
+      history: DataFrame,
+      window: Int,
+      nBuckets: Int,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val (_, pos) = windowPositions(batch, window, textCol)
+    Caching.withCached(pos) {
+      val batchDf = pos.groupBy("whash")
+        .agg(countDistinct("doc_id").as("bddf"))
+      Caching.withCached(batchDf) {
+        val dupHashes = probeDupHashes(batchDf, history, nBuckets,
+          minDocs, pruneSkipMaxBuckets)
+        spansFromDupPositions(
+          pos.join(dupHashes, Seq("whash")).select("doc_id", "p"),
+          window)
+      }
+    }
+  }
+
+  /** [[substringSpanProbeOn]] against a layout path — resolves the
+    * index once ([[openSubstringIndex]]) and derives the window size
+    * from its `_meta`. The batch-mode sibling of [[substringDupProbe]].
+    */
+  def substringSpanProbe(
+      batch: DataFrame,
+      indexPath: String,
+      minDocs: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val (hist, window, nBuckets) =
+      openSubstringIndex(batch.sparkSession, indexPath)
+    substringSpanProbeOn(batch, hist, window, nBuckets, minDocs, textCol)
+  }
+
+  /** The streamed Lee-et-al DELIVERABLE: an arriving batch with its
+    * history-duplicated substrings EXCISED — [[substringSpanProbeOn]]'s
+    * spans applied by [[cutSpans]], so the output row shape
+    * `(doc_id, cut_text, n_kept, n_cut)` and all its edge cases are
+    * the batch path's verbatim. Equals the full-corpus
+    * spans-then-[[cutSpans]] chain restricted to the batch docs (the
+    * q84 oracle identity). The seam-window residual is [[cutSpans]]'
+    * documented one; [[cutToConvergence]] is the batch-mode loop for
+    * corpora where it matters.
+    */
+  def substringCutProbeOn(
+      batch: DataFrame,
+      history: DataFrame,
+      window: Int,
+      nBuckets: Int,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets): DataFrame =
+    cutSpans(batch,
+      substringSpanProbeOn(batch, history, window, nBuckets, minDocs,
+        textCol, pruneSkipMaxBuckets),
+      textCol)
+
+  /** [[substringCutProbeOn]] against a layout path. */
+  def substringCutProbe(
+      batch: DataFrame,
+      indexPath: String,
+      minDocs: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val (hist, window, nBuckets) =
+      openSubstringIndex(batch.sparkSession, indexPath)
+    substringCutProbeOn(batch, hist, window, nBuckets, minDocs, textCol)
   }
 
   /** [[writeSubstringIndex]]'s entry in the flat-builder overwrite-guard

@@ -1859,6 +1859,28 @@ object PipelineQueries {
       Dedup.substringDupProbe(
           docs(s, dir).filter(col("doc_id") % 5 === 0), s"$root/ssidx")
         .orderBy("doc_id")
+    },
+    // the streamed EXCISION serving cost: q84's twin over the SAME
+    // memoized layout as q80's — span probe + cut on the arriving
+    // batch, the per-increment number a streamed Lee-et-al pipeline
+    // pays to hand downstream the CLEANED text (vs q80_probe_only's
+    // score-only gate)
+    "q84_probe_only" -> { (s, dir) =>
+      val root = probeLayouts.computeIfAbsent(
+        probeLayoutKey("q80", dir, table = "documents.parquet"), _ => {
+          val r = persistentScratchDir("graft-q80-probe")
+          val d = docs(s, dir)
+          Dedup.writeSubstringIndex(
+            d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250),
+            s"$r/ssidx", window = 8, nBuckets = 8)
+          Dedup.appendSubstringEpoch(
+            d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250),
+            s"$r/ssidx", "ep1")
+          r
+        })
+      Dedup.substringCutProbe(
+          docs(s, dir).filter(col("doc_id") % 5 === 0), s"$root/ssidx")
+        .orderBy("doc_id")
     })
 
   /** 8x-replicated embeddings layout for the q71 route-comparison
@@ -2177,15 +2199,17 @@ object PipelineQueries {
   private def substringCtes(w: Int): String =
     s"""wd AS (
        |  SELECT doc_id, toks,
+       |         list_transform(toks, t -> ${DuckSql.polyHash("t")}) AS th,
        |         CASE WHEN toks IS NULL THEN 0
        |              ELSE greatest(len(toks) - $w + 1, 0) END AS n_windows
        |  FROM docs),
        |ph AS (
        |  SELECT doc_id, p,
-       |         ${DuckSql.polyHash(
-                    s"array_to_string(list_slice(toks, p + 1, p + $w), ' ')")}
-       |           AS whash
-       |  FROM (SELECT doc_id, toks, unnest(range(0, n_windows)) AS p
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_slice(th, p + 1, p + $w)),
+       |           (a, b) -> (a * ${graft.functions.TextHash.WB} + b)
+       |             % ${DuckSql.P}) AS whash
+       |  FROM (SELECT doc_id, th, unnest(range(0, n_windows)) AS p
        |        FROM wd WHERE n_windows > 0)),
        |hdf AS (
        |  SELECT whash FROM ph GROUP BY whash
@@ -2385,7 +2409,12 @@ object PipelineQueries {
           nBuckets = 8)
         graft.operators.Dedup.appendSubstringEpoch(epoch, idx, "ep1")
         graft.operators.Dedup
-          .substringDupProbe(d.filter(col("doc_id") % 5 === 0), idx)
+          // pruneSkipMaxBuckets = 0 pins the PRUNED path (driver-
+          // resolved wh_bucket partition filters) under this oracle;
+          // q82/q83 probe with the default and pin the small-modulus
+          // fast path — both probe shapes stay hash-verified
+          .substringDupProbe(d.filter(col("doc_id") % 5 === 0), idx,
+            pruneSkipMaxBuckets = 0)
           .orderBy("doc_id")
       },
       Some(
@@ -2517,6 +2546,45 @@ object PipelineQueries {
            |FROM wd LEFT JOIN dup USING (doc_id)
            |WHERE wd.doc_id % 5 = 0
            |ORDER BY wd.doc_id""".stripMargin))
+  }
+
+  /** The STREAMED Lee-et-al excision, hash-verified against the batch
+    * truth: q80's index (flat build + ledgered epoch over the %5!=0
+    * history) probed by the %5==0 batch for SPANS
+    * ([[graft.operators.Dedup.substringSpanProbeOn]] — the probe's
+    * pos×dupHashes join finished with the gaps-and-islands tail) and
+    * CUT ([[graft.operators.Dedup.cutSpans]] over those spans). The
+    * oracle is q79's full-corpus spans+cut SQL restricted to the batch
+    * docs: probe-derived cut == full recompute ⇂ batch, the q80
+    * identity span-shaped — a span started, merged, or applied
+    * differently from the batch path breaks the hashes, as does a
+    * cross-epoch ddf the probe fails to sum (cliques straddling the
+    * base/epoch split drive spans the batch alone never would).
+    */
+  private val qSubstringProbeCut = {
+    val w = 8
+    QueryDef(
+      "q84_substring_probe_cut",
+      (s, dir) => {
+        val root = scratchDir("graft-q84")
+        val idx = s"$root/ssidx"
+        val d = docs(s, dir)
+        val base = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250)
+        val epoch = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250)
+        graft.operators.Dedup.writeSubstringIndex(base, idx, window = w,
+          nBuckets = 8)
+        graft.operators.Dedup.appendSubstringEpoch(epoch, idx, "ep1")
+        graft.operators.Dedup
+          .substringCutProbe(d.filter(col("doc_id") % 5 === 0), idx)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${substringSpanCtes(w)},
+           |$substringCutCtes
+           |$substringCutSelect
+           |WHERE d.doc_id % 5 = 0
+           |ORDER BY d.doc_id""".stripMargin))
   }
 
   /** Overlapping token chunking (RAG indexing side): fixed 32-token
@@ -3158,6 +3226,7 @@ object PipelineQueries {
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qSubstringDup, qSubstringSpans, qSubstringCut,
     qSubstringProbe, qSubstringMaintainedProbe, qSubstringRotatedProbe,
+    qSubstringProbeCut,
     qPerplexity,
     qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,

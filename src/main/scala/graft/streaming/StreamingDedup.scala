@@ -372,6 +372,18 @@ object StreamingDedup {
     * not yet in the index, so a window duplicated only across batches
     * of one epoch scores below its post-rotation truth until the
     * boundary; `substringMinDocs` is the probe's threshold.
+    *
+    * `onSubstringCutBatch` (requires `applyToSubstringIndex`) is the
+    * gate's EXCISION form: the same novel slice arrives with its
+    * history-duplicated substrings already CUT
+    * ([[graft.operators.Dedup.substringCutProbeOn]] — span probe +
+    * [[graft.operators.Dedup.cutSpans]], the q84 identity), one
+    * `(doc_id, cut_text, n_kept, n_cut)` row per novel doc — the
+    * streamed Lee-et-al workflow delivers cleaned text, not just a
+    * flag. Same epoch-fresh handles and within-epoch window as
+    * `onSubstringBatch`; setting BOTH callbacks tokenizes the batch
+    * twice (each probe scopes its own caches) — prefer the cut form
+    * alone and derive flags from `n_cut` when both signals are needed.
     */
   def startIncrementalAuto(
       docs: DataFrame,
@@ -392,7 +404,8 @@ object StreamingDedup {
       substringMaintainAtBoundary: Option[Dedup.SubstringMaintainPolicy] =
         None,
       onSubstringBatch: Option[(Long, DataFrame) => Unit] = None,
-      substringMinDocs: Int = 2)
+      substringMinDocs: Int = 2,
+      onSubstringCutBatch: Option[(Long, DataFrame) => Unit] = None)
       : StreamingQuery = {
     require(substringMaintainAtBoundary.isEmpty ||
         applyToSubstringIndex.isDefined,
@@ -401,6 +414,11 @@ object StreamingDedup {
     require(onSubstringBatch.isEmpty || applyToSubstringIndex.isDefined,
       "onSubstringBatch without applyToSubstringIndex has no index to " +
         "probe")
+    require(onSubstringCutBatch.isEmpty || applyToSubstringIndex.isDefined,
+      "onSubstringCutBatch without applyToSubstringIndex has no index " +
+        "to probe")
+    val wantsSubstringProbe =
+      onSubstringBatch.isDefined || onSubstringCutBatch.isDefined
     val spark = docs.sparkSession
     if (checkpointLocation.isEmpty)
       log.warn(
@@ -425,7 +443,7 @@ object StreamingDedup {
     // must not re-list per batch) and only when someone probes
     val ssState = new java.util.concurrent.atomic.AtomicReference[
         Option[(DataFrame, Int, Int)]](
-      if (onSubstringBatch.isDefined)
+      if (wantsSubstringProbe)
         Some(Dedup.openSubstringIndex(spark, applyToSubstringIndex.get))
       else None)
     def rotateFinished(current: Option[String]): Unit = {
@@ -501,7 +519,7 @@ object StreamingDedup {
       // listings; the bloom survives from the rotation merges above
       state.set(openState(spark, historyPath, indexPath, expectedItems,
         fpp, Some(state.get.bloom)))
-      if (onSubstringBatch.isDefined)
+      if (wantsSubstringProbe)
         ssState.set(Some(Dedup.openSubstringIndex(spark,
           applyToSubstringIndex.get)))
     }
@@ -527,6 +545,14 @@ object StreamingDedup {
         onSubstringBatch.foreach { f =>
           ssState.get.foreach { case (hist, w, nb) =>
             f(batchId, Dedup.substringDupProbeOn(novel, hist, w, nb,
+              substringMinDocs, textCol))
+          }
+        }
+        // …and the gate's excision form: the same slice with its
+        // history-duplicated substrings cut (span probe + cutSpans)
+        onSubstringCutBatch.foreach { f =>
+          ssState.get.foreach { case (hist, w, nb) =>
+            f(batchId, Dedup.substringCutProbeOn(novel, hist, w, nb,
               substringMinDocs, textCol))
           }
         }

@@ -143,6 +143,45 @@ class FusedExprSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("WindowPolyHashes == interpreted per-token-hash fold on edge " +
+    "cases, randomized strings, and the documents fixture") {
+    // the interpreted reference IS the shared engine formulation: a
+    // direct w-term fold per position over the per-token PolyHash list
+    // (what the DuckDB oracle computes with list_reduce) — the rolling
+    // O(1) update must match it bit-for-bit at every position
+    def refCol(w: Int) = expr(
+      "CASE WHEN toks IS NULL THEN NULL " +
+        s"WHEN size(toks) < $w THEN array() " +
+        s"ELSE transform(sequence(0, size(toks) - $w), p -> " +
+        s"aggregate(slice(thh, p + 1, $w), 0L, " +
+        s"(acc, h) -> (acc * ${TextHash.WB} + h) % ${TextHash.P})) END")
+    def check(df: org.apache.spark.sql.DataFrame, label: String): Unit =
+      for (w <- Seq(1, 2, 3, 8, 50)) {
+        val cmp = df
+          .withColumn("toks", TextHash.tokens(col("text")))
+          .withColumn("thh", TextHash.tokenHashes("toks"))
+          .select(col("doc_id"), refCol(w).as("ref"),
+            WindowPolyHashes(col("toks"), w).as("fused"))
+        assert(cmp.filter(not(col("ref") <=> col("fused"))).count() == 0,
+          s"$label: fused/fold divergence at w=$w")
+      }
+    check(edgeDf, "edge cases")
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alphabet = Gen.frequency(
+      (6, Gen.alphaNumChar),
+      (3, Gen.const(' ')),
+      (1, Gen.oneOf('\t', '\n', '\u000B', '\f', '\r')))
+    val textGen = Gen.chooseNum(0, 80)
+      .flatMap(len => Gen.stringOfN(len, alphabet))
+    val texts = (0 until 300).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(7000L + i)))
+    check(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text"), "randomized")
+    check(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text"), "documents fixture")
+  }
+
   test("MinHashes == k interpreted array_min(transform(...)) lambdas") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val k = 8

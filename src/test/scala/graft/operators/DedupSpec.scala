@@ -330,6 +330,56 @@ class DedupSpec extends AnyFunSuite {
       ("t0 t6", 2L, 5L))
   }
 
+  test("cutToConvergence: a seam window formed by round 1's cut is " +
+    "excised by round 2; counts are cumulative; the bound refuses " +
+    "loudly with the residual count") {
+    // window 2. Round 1 cuts the shared "M1 M2" out of docs 0/1,
+    // welding doc 0's kept neighbors into the NEW window "ka kb" —
+    // which doc 2 holds verbatim (and survives round 1 untouched), so
+    // the seam is a real cross-doc duplicate only round 2 can see.
+    val docs = Seq(
+      (0L, "ka M1 M2 kb"),
+      (1L, "xx M1 M2 yy"),
+      (2L, "ka kb c1 c2"),
+      (3L, "u1 u2 u3"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // one round is NOT enough: the refusal carries the residual count
+    // (the seam window, once per holding doc)
+    val e = intercept[RuntimeException] {
+      Dedup.cutToConvergence(docs, window = 2, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("2 duplicated window"), e.getMessage)
+    // two rounds converge; n_cut is cumulative vs the ORIGINAL doc
+    val got = Dedup.cutToConvergence(docs, window = 2, maxRounds = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (0L, "", 0L, 4L),        // round 1 cut M1 M2, round 2 the seam
+      (1L, "xx yy", 2L, 2L),
+      (2L, "c1 c2", 2L, 2L),   // round 2 cut its copy of the seam
+      (3L, "u1 u2 u3", 3L, 0L),
+      (4L, null, 0L, 0L)))
+    // the fixed point really is one: re-scoring the result is silent
+    assert(Dedup.substringDupStats(
+        Dedup.cutToConvergence(docs, window = 2, maxRounds = 2)
+          .filter($"n_kept" > 0)
+          .withColumnRenamed("cut_text", "text"), window = 2)
+      .agg(org.apache.spark.sql.functions.sum("dup_windows"))
+      .head().getLong(0) == 0L)
+    // a seam-free corpus converges in round 1 and equals plain
+    // spans+cut (the common case pays one extra proving re-score only)
+    val plain = Seq(
+      (0L, "a b SH1 SH2 c d"),
+      (1L, "e f SH1 SH2 g h")).toDF("doc_id", "text")
+    val viaLoop = Dedup.cutToConvergence(plain, window = 2, maxRounds = 4)
+      .orderBy("doc_id").collect().toSeq
+    val viaCut = Dedup.cutSpans(plain,
+        Dedup.substringDupSpans(plain, window = 2))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaLoop == viaCut)
+  }
+
   test("substring index probe: bucket-pruned incremental probe equals " +
     "full-corpus stats restricted to the batch; epoch replay no-ops") {
     // history docs 0..39 (two shared-run cliques), batch docs 1000..1002:
@@ -375,14 +425,81 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.substringDupProbe(batch, idx).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       == want)
-    // the candidate buckets reach the history scan as a partition filter
+    // the candidate buckets reach the history scan as a partition
+    // filter — on the PRUNED path (the fast path skips the resolution
+    // below DefaultPruneSkipMaxBuckets and answers identically; the
+    // stream spec counts the job it saves)
     Caching.passthrough = true
     try {
-      val plan = Dedup.substringDupProbe(batch, idx)
+      val plan = Dedup.substringDupProbe(batch, idx,
+          pruneSkipMaxBuckets = 0)
         .queryExecution.executedPlan.toString
       assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*wh_bucket.*"),
         s"no wh_bucket partition filter in:\n$plan")
     } finally Caching.passthrough = false
+  }
+
+  test("substringSpanProbeOn/substringCutProbe: probe-derived spans and " +
+    "cut equal the full-corpus recompute restricted to the batch; a " +
+    "clique straddling the base/epoch split drives a span only the " +
+    "summed cross-epoch ddf can see") {
+    val sharedRun = "c1 c2 c3 c4 c5"
+    // ONE copy in the flat base (doc 0), ONE in the ledgered epoch
+    // (doc 25): each side alone is below minDocs=2, so the batch doc's
+    // span exists iff the probe sums ddf across the split
+    val history = (0L until 40L).map { i =>
+      val body = (1 to 8).map(j => s"h${i}w$j").mkString(" ")
+      if (i == 0 || i == 25) s"$sharedRun $body" else body
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, s"b0a b0b $sharedRun b0c"),
+      (1001L, "fresh f1 f2 f3 f4 f5 f6"),
+      (1002L, "sm all"),                    // shorter than the window
+      (1003L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-sssp").toString
+    val idx = s"$root/idx"
+    val w = 4
+    Dedup.writeSubstringIndex(history.filter($"doc_id" < 20), idx,
+      window = w, nBuckets = 8)
+    assert(Dedup.appendSubstringEpoch(
+      history.filter($"doc_id" >= 20), idx, "ep1"))
+    // spans: probe == full-corpus substringDupSpans ⇂ batch
+    val gotSpans = Dedup.substringSpanProbe(batch, idx)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val wantSpans = Dedup.substringDupSpans(
+        history.unionByName(batch), window = w)
+      .filter($"doc_id" >= 1000L).orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotSpans == wantSpans)
+    // …and the cross-epoch clique is what drove it: exactly doc 1000's
+    // run, covering c1..c5 (window starts 2,3 -> [2, 7))
+    assert(gotSpans == Seq((1000L, 2L, 7L)))
+    // cut: probe == full-corpus cutSpans ⇂ batch, all edge docs intact
+    val gotCut = Dedup.substringCutProbe(batch, idx)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val full = history.unionByName(batch)
+    val wantCut = Dedup.cutSpans(full,
+        Dedup.substringDupSpans(full, window = w))
+      .filter($"doc_id" >= 1000L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(gotCut == wantCut)
+    assert(gotCut == Seq(
+      (1000L, "b0a b0b b0c", 3L, 5L),
+      (1001L, "fresh f1 f2 f3 f4 f5 f6", 7L, 0L),
+      (1002L, "sm all", 2L, 0L),
+      (1003L, null, 0L, 0L)))
+    // round trip: the cut batch re-probed against the SAME index
+    // reports zero duplicated windows (the excised run is gone and the
+    // kept tokens are doc-unique)
+    val rescored = Dedup.substringDupProbe(
+      Dedup.substringCutProbe(batch, idx)
+        .withColumnRenamed("cut_text", "text"), idx)
+    assert(rescored.agg(org.apache.spark.sql.functions.sum("dup_windows"))
+      .head().getLong(0) == 0L)
   }
 
   test("writeSubstringIndex overwrite guard: refuses plain datasets, " +

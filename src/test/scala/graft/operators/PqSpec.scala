@@ -55,6 +55,80 @@ class PqSpec extends AnyFunSuite {
     assert(r20 >= 0.3, s"recall@rerank20=$r20 (measured 0.4)")
   }
 
+  test("residual win-regime NECESSITY (SCALING.md 'Measured regime " +
+    "guidance'): each of the three documented conditions is load-" +
+    "bearing — the win direction holds when all hold, and flipping " +
+    "the codeword/coverage or rerank-capacity condition forfeits it") {
+    // The r19 RecallTable adjudication corrected writePqIndex's
+    // docstring to the MEASURED three-condition regime: residual beats
+    // raw iff (a) codeword starvation (k per subspace << cluster
+    // directions), (b) the probe covers the true cluster's cell, and
+    // (c) rerank >= the cluster population. This spec pins the regime
+    // as a FIXTURE, not lore: a codebook/probe change that silently
+    // breaks it fails here instead of waiting for the next RecallTable
+    // session. Fixture algebra = PqLifecycleSpec's mixture-of-centroids
+    // (deterministic byteswap64 centers + small jitter), parameterized
+    // by cluster count.
+    val cdim = 16
+    def cvec(id: Long, nClusters: Int): Array[Float] =
+      Array.tabulate(cdim) { e =>
+        val ctr = (Math.floorMod(
+          scala.util.hashing.byteswap64((id % nClusters) * cdim + e),
+          1001L) - 500L) / 500.0
+        val jit = (Math.floorMod(
+          scala.util.hashing.byteswap64(id * cdim + e + 7777L),
+          1001L) - 500L) / 2000.0
+        (ctr + jit).toFloat
+      }
+    def corpus(nClusters: Int) =
+      (0L until 304L).map(i => (i, cvec(i, nClusters)))
+        .toDF("vec_id", "embedding")
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-pqregime").toString
+    def recall(p: String, q: org.apache.spark.sql.DataFrame,
+        nprobe: Int, rerank: Int): Double =
+      Pq.pqRecallProbe(spark, p, q, sampleN = 16, k = 5,
+        nprobe = nprobe, rerank = rerank).recallAtK
+
+    // ALL THREE CONDITIONS HOLD: 16 clusters >> 4 codewords (a),
+    // nprobe=16 covers every cell (b), rerank 19 = cluster population
+    // 304/16 (c). Measured: raw 0.5125, residual 1.0.
+    val c16 = corpus(16)
+    Pq.writePqIndex(c16, s"$root/win-raw", m = 4, k = 4, centroidK = 16)
+    Pq.writePqIndex(c16, s"$root/win-res", m = 4, k = 4, centroidK = 16,
+      residual = true)
+    val winRaw = recall(s"$root/win-raw", c16, nprobe = 16, rerank = 19)
+    val winRes = recall(s"$root/win-res", c16, nprobe = 16, rerank = 19)
+    assert(winRes > winRaw,
+      s"win regime inverted: raw=$winRaw residual=$winRes " +
+        "(measured 0.5125 -> 1.0)")
+
+    // CONDITIONS (a)+(b) FLIPPED: 8 clusters with a k=8 codeword
+    // budget (codewords can BE cluster members) and centroidK=4
+    // UNDER-resolving the clusters. Raw must win — the regime is a
+    // knob, not a default, for exactly this case. Measured: raw
+    // 0.5125 vs residual 0.4375.
+    val c8 = corpus(8)
+    Pq.writePqIndex(c8, s"$root/inv-raw", m = 4, k = 8, centroidK = 4)
+    Pq.writePqIndex(c8, s"$root/inv-res", m = 4, k = 8, centroidK = 4,
+      residual = true)
+    val invRaw = recall(s"$root/inv-raw", c8, nprobe = 4, rerank = 19)
+    val invRes = recall(s"$root/inv-res", c8, nprobe = 4, rerank = 19)
+    assert(invRaw > invRes,
+      s"inverse regime: raw must beat residual when codewords >= " +
+        s"clusters and the coarse side under-resolves, got raw=$invRaw " +
+        s"residual=$invRes (measured 0.5125 vs 0.4375)")
+
+    // CONDITION (c) FLIPPED on the win fixture: rerank 8 < the
+    // 19-member cluster population — the exact stage can no longer
+    // recover within-cluster order, so residual's win degrades
+    // (capacity-bound shortlist either way).
+    val capRes = recall(s"$root/win-res", c16, nprobe = 16, rerank = 8)
+    assert(capRes < winRes,
+      s"rerank below cluster population must forfeit the full win: " +
+        s"rerank8=$capRes vs rerank19=$winRes")
+  }
+
   test("collected and distributed rerank modes are row-identical, " +
     "stored and external queries, nprobe 1 and 2, tight rerank") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -229,16 +229,35 @@ class SubstringLifecycleSpec extends AnyFunSuite {
     assert(m.actions.exists(_.startsWith("compact-index(")), m.actions)
     assert(dupAt(5) && !dupAt(6))
     assert(probeRows(idx) == want)
-    // the scale property survives the migration: the probe's candidate
+    // the scale property survives the migration: with the bucket
+    // fast path disabled (the at-scale posture), the probe's candidate
     // buckets still reach the GENERATION's scan as partition filters
     Caching.passthrough = true
     try {
-      val plan = Dedup.substringDupProbe(batch, idx)
+      val plan = Dedup.substringDupProbe(batch, idx,
+          pruneSkipMaxBuckets = 0)
         .queryExecution.executedPlan.toString
       assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*wh_bucket.*"),
         s"no wh_bucket partition filter in the rotated layout's probe:\n" +
           plan)
     } finally Caching.passthrough = false
+    // and the default fast path (16 buckets <= the skip threshold)
+    // answers identically without the bucket-resolution pass: no
+    // wh_bucket partition predicate in the plan means the driver-side
+    // distinct().collect() branch (one whole Spark job per probe —
+    // per TRIGGER on the in-stream gate) never ran
+    Caching.passthrough = true
+    try {
+      val fastPlan = Dedup.substringDupProbe(batch, idx)
+        .queryExecution.executedPlan.toString
+      assert(
+        !fastPlan.matches("(?s).*PartitionFilters: \\[[^\\]]*wh_bucket.*"),
+        s"fast path still resolved buckets:\n$fastPlan")
+    } finally Caching.passthrough = false
+    assert(Dedup.substringDupProbe(batch, idx).orderBy("doc_id")
+        .collect().toSeq ==
+      Dedup.substringDupProbe(batch, idx, pruneSkipMaxBuckets = 0)
+        .orderBy("doc_id").collect().toSeq)
   }
 
   test("rotateSubstringIndex: a window change re-derives under the new " +

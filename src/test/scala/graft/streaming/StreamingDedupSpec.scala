@@ -636,4 +636,78 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._3 > 0)) ==
       Seq((5000L, true), (5001L, false)))
   }
+
+  test("onSubstringCutBatch: the gate's excision form hands the novel " +
+    "slice with history-duplicated substrings already cut — the " +
+    "diverted doc arrives CLEANED, clean docs arrive as the " +
+    "normalized identity") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    def text(p: String, i: Long) =
+      (1 to 12).map(j => s"$p${i}w$j").mkString(" ")
+    val sharedRun = "s1 s2 s3 s4 s5"
+    val w = 4
+    val history = (0L until 30L).map { i =>
+      val t = text("h", i)
+      (i, if (i == 5) s"$sharedRun $t" else t)
+    }.toDF("doc_id", "text")
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-sscut").toString
+    val histPath = s"$root/hist"
+    val idxPath = s"$root/idx"
+    val ssIdx = s"$root/ssidx"
+    Dedup.writeHistoryBucketed(history, histPath, nBuckets = 8)
+    Dedup.writeMinhashIndex(history, idxPath)
+    Dedup.writeSubstringIndex(history, ssIdx, window = w, nBuckets = 8)
+
+    // the batch-mode truth over the index state the gate will probe
+    // (the prebuilt history — collected EAGERLY now, before the
+    // boundary appends the epoch's own docs and a re-probe would
+    // self-match): the q84 identity, stream-shaped
+    val want = Dedup.substringCutProbe(
+        Seq((1000L, s"e0a  $sharedRun  e0b"),
+          (1001L, "clean c1  c2 c3")).toDF("doc_id", "text"),
+        ssIdx)
+      .orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+    val cutRows =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamingDedup.startIncrementalAuto(
+      stream.toDF().toDF("doc_id", "text"), histPath, idxPath,
+      s"$root/spool", threshold = 0.8, onBatch = (_, _, _) => (),
+      expectedItems = 1000, epochIdFor = b => s"ep$b",
+      fpp = 0.001, intervalSeconds = 0,
+      checkpointLocation = Some(s"$root/ckpt"),
+      drainOnStop = true,
+      applyToSubstringIndex = Some(ssIdx),
+      onSubstringCutBatch = Some((_, df) => synchronized {
+        cutRows ++= df.orderBy("doc_id").collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      }))
+
+    // one arrival repeats history doc 5's run (history ddf 1 + this
+    // doc = minDocs 2 -> cut against the PREBUILT index, no boundary
+    // needed); one is clean (normalized identity); one is an exact
+    // history dup the Bloom diverts before the gate ever sees it
+    stream.addData(
+      (1000L, s"e0a  $sharedRun  e0b"),
+      (1001L, "clean c1  c2 c3"),
+      (1002L, text("h", 7)))
+    query.processAllAvailable()
+    query.stop()
+    assert(StreamTermination.awaitDrain(query), "drain timed out")
+
+    val got = synchronized(cutRows.toSeq)
+    // dup windows fully inside the run are starts 1,2 -> span [1, 6)
+    // covers s1..s5; the kept neighbors rejoin normalized
+    assert(got == Seq(
+      (1000L, "e0a e0b", 2L, 5L),
+      (1001L, "clean c1 c2 c3", 4L, 0L)), got)
+    assert(got == want, s"stream cut != batch cut: $got vs $want")
+    // the boundary still landed the epoch on the index (the cut gate
+    // rides the same loop as the flag gate)
+    assert(graft.operators.EpochLedger.applied(spark, ssIdx, "ep0"))
+  }
 }
