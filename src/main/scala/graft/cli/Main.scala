@@ -69,6 +69,8 @@ import graft.streaming.Ingest
   * substring-dup append <docs> <idx> <epochId> [--text-col C] [--lock-file F]
   * substring-dup probe <docs> <idx> <out> [--min-docs N] [--text-col C]
   *               [--json]
+  * substring-dup probe-spans <docs> <idx> <out> [same flags] # spans vs history
+  * substring-dup probe-cut   <docs> <idx> <out> [same flags] # excised batch
   * substring-dup index-stats <idx> [--json]
   * substring-dup fsck <idx> [--json]        # READ-ONLY doctor, no lock
   * substring-dup maintain <idx> <id> [--max-files N] [--ledger-tail N]
@@ -757,6 +759,53 @@ object Main {
           sys.error("substring-dup probe needs " +
             "<docsParquet> <indexPath> <outParquet>")
       }
+      case "probe-spans" => pos match {
+        case in :: idx :: out :: Nil =>
+          writeFresh(Dedup.substringSpanProbe(docs(in), idx, minDocs,
+            textCol), out)
+          val r = spark.read.parquet(out)
+            .agg(count(lit(1)).as("spans"),
+              org.apache.spark.sql.functions.countDistinct(col("doc_id"))
+                .as("docs_with_spans"),
+              sqlSum(col("span_end") - col("span_start"))
+                .as("covered_tokens"))
+            .head()
+          val (nSpans, nDocs, covered) =
+            (r.getLong(0), r.getLong(1),
+              if (r.isNullAt(2)) 0L else r.getLong(2))
+          if (flags.contains("--json"))
+            s"""{"spans":$nSpans,"docs_with_spans":$nDocs,""" +
+              s""""covered_tokens":$covered,"out":"$out"}"""
+          else
+            s"spans=$nSpans docs_with_spans=$nDocs " +
+              s"covered_tokens=$covered out=$out"
+        case _ =>
+          sys.error("substring-dup probe-spans needs " +
+            "<docsParquet> <indexPath> <outParquet>")
+      }
+      case "probe-cut" => pos match {
+        case in :: idx :: out :: Nil =>
+          writeFresh(Dedup.substringCutProbe(docs(in), idx, minDocs,
+            textCol), out)
+          val r = spark.read.parquet(out)
+            .agg(count(lit(1)).as("docs"),
+              sqlSum(col("n_kept")).as("kept"),
+              sqlSum(col("n_cut")).as("cut"),
+              sqlSum(when(col("n_kept") === 0 && col("n_cut") > 0, 1L)
+                .otherwise(0L)).as("emptied"))
+            .head()
+          if (flags.contains("--json"))
+            s"""{"docs":${r.getLong(0)},"tokens_kept":${r.getLong(1)},""" +
+              s""""tokens_cut":${r.getLong(2)},""" +
+              s""""docs_emptied":${r.getLong(3)},"out":"$out"}"""
+          else
+            s"docs=${r.getLong(0)} tokens_kept=${r.getLong(1)} " +
+              s"tokens_cut=${r.getLong(2)} docs_emptied=${r.getLong(3)} " +
+              s"out=$out"
+        case _ =>
+          sys.error("substring-dup probe-cut needs " +
+            "<docsParquet> <indexPath> <outParquet>")
+      }
       case "index-stats" => pos match {
         case idx :: Nil =>
           val st = Dedup.substringPartitionStats(spark, idx)
@@ -857,9 +906,9 @@ object Main {
       }
       case otherSub =>
         sys.error(s"unknown substring-dup subcommand '$otherSub' " +
-          "(stats|spans|cut|build|append|probe|index-stats|fsck|" +
-          "maintain|compact|recover|rotate|retire-superseded|" +
-          "purge-retired)")
+          "(stats|spans|cut|build|append|probe|probe-spans|probe-cut|" +
+          "index-stats|fsck|maintain|compact|recover|rotate|" +
+          "retire-superseded|purge-retired)")
     }
   }
 

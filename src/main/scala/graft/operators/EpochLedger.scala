@@ -513,6 +513,24 @@ object EpochLedger {
                 s"-> $to failed")
           }
     }
+    // ENFORCE the heal contract before the commit point: every staged
+    // dir must be one of this run's targets. A heal that migrated rows
+    // to a different partition value would stage them in a dir the
+    // per-dir swap never touches — those rows would be SILENTLY LOST
+    // at stage cleanup while the swap replaced the target dirs
+    // wholesale. Refusing pre-commit leaves the live layout untouched
+    // (the stage is discarded on the next recovery entry).
+    val targetSet = targets.toSet
+    val foreignStaged = f.listStatus(new Path(stageData))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol="))
+      .map(_.getPath.getName).filterNot(targetSet)
+    require(foreignStaged.isEmpty,
+      s"partition-compaction: the heal function migrated rows into " +
+        s"${foreignStaged.length} partition dir(s) outside this run's " +
+        s"targets (${foreignStaged.take(3).mkString(", ")}) — the " +
+        "per-dir swap would lose them; heal must be " +
+        "partition-value-preserving")
     failpoint("staged")
     require(f.exists(new Path(stageData)),
       s"partition-compaction: staging for '$id' vanished before " +

@@ -461,6 +461,20 @@ class MainSpec extends AnyFunSuite {
     assert(pj.get("docs").asLong() == 1L &&
       pj.get("dup_docs").asLong() == 1L &&
       pj.get("dup_windows").asLong() == 2L, pj)
+    // the excision pair over the same index: spans locate doc 1's
+    // shared run (starts 1,2 -> [1, 6), 5 tokens), probe-cut hands the
+    // cleaned text
+    val psj = om.readTree(
+      run("probe-spans", List(batch, idx, s"$root/pspans"),
+        List("--json")))
+    assert(psj.get("spans").asLong() == 1L &&
+      psj.get("covered_tokens").asLong() == 5L, psj)
+    val pcj = om.readTree(
+      run("probe-cut", List(batch, idx, s"$root/pcut"), List("--json")))
+    assert(pcj.get("tokens_cut").asLong() == 5L &&
+      pcj.get("docs_emptied").asLong() == 0L, pcj)
+    assert(spark.read.parquet(s"$root/pcut").head().getString(1) ==
+      "v1a v1b v1c")
 
     intercept[RuntimeException] { run("stats", List(in)) }
     intercept[RuntimeException] { run("bogus", List(in, s"$root/x")) }

@@ -348,6 +348,36 @@ class SubstringLifecycleSpec extends AnyFunSuite {
     assert(EpochLedger.listRetired(spark, idxC).nonEmpty)
   }
 
+  test("compactPartitionsStaged refuses a heal that migrates rows to a " +
+    "dir outside the run's targets — pre-commit, layout untouched, id " +
+    "reusable") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sshl").toString
+    val idx = s"$root/idx"
+    buildThreeSlices(idx)
+    val before = probeRows(idx)
+    // a heal that rewrites every row's partition value to a dir no
+    // target names: its rows would stage under wh_bucket=b999, which
+    // the per-dir swap never touches — silent loss without the guard
+    val e = intercept[IllegalArgumentException] {
+      EpochLedger.compactPartitionsStaged(spark, idx,
+        dataRoot = Dedup.substringDataRoot(spark, idx),
+        partitionCol = "wh_bucket", id = "evil",
+        maxFilesPerPartition = 1, maxRecordsPerFile = 0L,
+        failpoint = _ => (),
+        heal = df => df.withColumn("wh_bucket",
+          org.apache.spark.sql.functions.lit("b999")))
+    }
+    assert(e.getMessage.contains("partition-value-preserving"),
+      e.getMessage)
+    // pre-commit refusal: live layout untouched, stage discards on the
+    // next recovery entry, the id stays unledgered and reusable
+    assert(probeRows(idx) == before)
+    Dedup.recoverSubstringLayout(spark, idx)
+    assert(!EpochLedger.applied(spark, idx, "evil"))
+    assert(Dedup.compactSubstringPartitions(spark, idx, "evil") > 0)
+    assert(probeRows(idx) == before)
+  }
+
   test("deferRetire rotation of a FLAT layout: the superseded " +
     "wh_bucket= dirs stay in place until the substring-flavored " +
     "retire-superseded sweep moves every one of them aside") {
