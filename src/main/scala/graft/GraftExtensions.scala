@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Int8Dot, MarkerCount, MinHashes, PackInt8, PolyHash, ShingleHashes, SimHash, SrpKey, TokenStats, TokenSuccessors}
+import graft.functions.{DotProduct, Int8Dot, MarkerCount, MinHashes, PackInt8, PolyHash, ShingleHashes, SimHash, SrpKey, TokenStats, TokenSuccessors, WindowPolyHashes}
 
 /** Session extension registering the engine's custom codegen expressions
   * as SQL functions, so `spark.sql` users get them too:
@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("int8_dot",
       "int8_dot(a, b) - exact integer dot product of two binary int8 vectors, as bigint",
       2, es => Int8Dot(es(0), es(1))))
+    ext.injectFunction(fn("window_poly_hashes",
+      "window_poly_hashes(toks, w) - rolling hash of every length-w stride-1 token window (per-token poly_hash folded with base 1000003 mod 1e9+7)",
+      2, es => WindowPolyHashes(es(0),
+        GraftExtensions.litInt(es(1), "window_poly_hashes window"))))
   }
 }
 
@@ -145,5 +149,9 @@ object GraftExtensions {
       spark, "pack_int8", es => PackInt8(es.head))
     org.apache.spark.sql.graftglue.Glue.registerFunction(
       spark, "int8_dot", es => Int8Dot(es(0), es(1)))
+    org.apache.spark.sql.graftglue.Glue.registerFunction(
+      spark, "window_poly_hashes",
+      es => WindowPolyHashes(es(0),
+        litInt(es(1), "window_poly_hashes window")))
   }
 }

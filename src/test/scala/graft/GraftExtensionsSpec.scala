@@ -49,6 +49,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1).length == 4)
   }
 
+  test("window_poly_hashes is callable from spark.sql and matches the " +
+    "kernel's per-token-hash fold") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT window_poly_hashes(array('a', 'b', 'c', 'd'), 3) AS wh")
+      .collect()(0)
+    val P = graft.functions.TextHash.P
+    val B = graft.functions.TextHash.WB
+    def th(s: String) = graft.functions.PolyHash.hash(s)
+    def fold(ts: Seq[String]) =
+      ts.foldLeft(0L)((acc, t) => (acc * B + th(t)) % P)
+    assert(r.getSeq[Long](0) ==
+      Seq(fold(Seq("a", "b", "c")), fold(Seq("b", "c", "d"))))
+    // short input: empty array, not an error
+    assert(spark.sql("SELECT window_poly_hashes(array('a'), 3)")
+      .collect()(0).getSeq[Long](0).isEmpty)
+  }
+
   test("token_stats and marker_count are callable from spark.sql") {
     val spark = TestSpark.spark
     GraftExtensions.register(spark)
