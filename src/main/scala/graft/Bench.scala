@@ -76,9 +76,14 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val loadSamples =
       scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Double)]
-    val quietRefs = Map( // sf0.1, quiet box, min-of-3 (r18 judge window)
-      "q01_incoming_scan" -> 0.21,
-      "q02_agg_tensecond" -> 0.62)
+    // the refs are pinned at ONE config (sf0.1, 32 cpus — the driver's
+    // window, measured quiet by the r18 judge); at any other sf/cpus
+    // the canaries legitimately differ and the ratio would read as
+    // phantom load, so they only apply when the config matches
+    val quietRefs: Map[String, Double] =
+      if (sfDir.stripSuffix("/").endsWith("sf0.1") && cpus == "32")
+        Map("q01_incoming_scan" -> 0.21, "q02_agg_tensecond" -> 0.62)
+      else Map.empty
     // suite rows whose dominant cost is INLINE layout build/maintain/
     // rotate work rebuilt every run by design (the scratchDir rows;
     // their *_probe_only twins time the serving cost separately) — so

@@ -656,6 +656,13 @@ object Main {
           "refusing to overwrite; pass a fresh path")
       df.write.parquet(out)
     }
+    // aggregate sums over a possibly-EMPTY result (a day with no
+    // documents) are null — read them as 0 instead of tripping a bare
+    // NPE after the output parquet already landed
+    def longAt(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    def doubleAt(r: org.apache.spark.sql.Row, i: Int): Double =
+      if (r.isNullAt(i)) 0.0 else r.getDouble(i)
     def statsSummary(out: String): String = {
       val r = spark.read.parquet(out)
         .agg(count(lit(1)).as("docs"),
@@ -666,12 +673,51 @@ object Main {
             col("dup_window_frac")), 6).as("mean_dup_frac"))
         .head()
       if (flags.contains("--json"))
-        s"""{"docs":${r.getLong(0)},"dup_docs":${r.getLong(1)},""" +
-          s""""dup_windows":${r.getLong(2)},""" +
-          s""""mean_dup_frac":${r.getDouble(3)},"out":"$out"}"""
+        s"""{"docs":${r.getLong(0)},"dup_docs":${longAt(r, 1)},""" +
+          s""""dup_windows":${longAt(r, 2)},""" +
+          s""""mean_dup_frac":${doubleAt(r, 3)},"out":"$out"}"""
       else
-        s"docs=${r.getLong(0)} dup_docs=${r.getLong(1)} " +
-          s"dup_windows=${r.getLong(2)} mean_dup_frac=${r.getDouble(3)} " +
+        s"docs=${r.getLong(0)} dup_docs=${longAt(r, 1)} " +
+          s"dup_windows=${longAt(r, 2)} mean_dup_frac=${doubleAt(r, 3)} " +
+          s"out=$out"
+    }
+    // ONE summary definition per output shape, shared by the batch and
+    // probe-side subcommands (spans/probe-spans, cut/probe-cut) — the
+    // statsSummary discipline
+    def spansSummary(out: String): String = {
+      val r = spark.read.parquet(out)
+        .agg(count(lit(1)).as("spans"),
+          org.apache.spark.sql.functions.countDistinct(col("doc_id"))
+            .as("docs_with_spans"),
+          // spans are maximal and disjoint per doc, so the sum IS the
+          // covered-token count
+          sqlSum(col("span_end") - col("span_start"))
+            .as("covered_tokens"))
+        .head()
+      val (nSpans, nDocs, covered) =
+        (r.getLong(0), r.getLong(1), longAt(r, 2))
+      if (flags.contains("--json"))
+        s"""{"spans":$nSpans,"docs_with_spans":$nDocs,""" +
+          s""""covered_tokens":$covered,"out":"$out"}"""
+      else
+        s"spans=$nSpans docs_with_spans=$nDocs " +
+          s"covered_tokens=$covered out=$out"
+    }
+    def cutSummary(out: String): String = {
+      val r = spark.read.parquet(out)
+        .agg(count(lit(1)).as("docs"),
+          sqlSum(col("n_kept")).as("kept"),
+          sqlSum(col("n_cut")).as("cut"),
+          sqlSum(when(col("n_kept") === 0 && col("n_cut") > 0, 1L)
+            .otherwise(0L)).as("emptied"))
+        .head()
+      if (flags.contains("--json"))
+        s"""{"docs":${r.getLong(0)},"tokens_kept":${longAt(r, 1)},""" +
+          s""""tokens_cut":${longAt(r, 2)},""" +
+          s""""docs_emptied":${longAt(r, 3)},"out":"$out"}"""
+      else
+        s"docs=${r.getLong(0)} tokens_kept=${longAt(r, 1)} " +
+          s"tokens_cut=${longAt(r, 2)} docs_emptied=${longAt(r, 3)} " +
           s"out=$out"
     }
     sub match {
@@ -687,23 +733,7 @@ object Main {
         case in :: out :: Nil =>
           writeFresh(Dedup.substringDupSpans(docs(in), window, minDocs,
             textCol), out)
-          val r = spark.read.parquet(out)
-            .agg(count(lit(1)).as("spans"),
-              org.apache.spark.sql.functions.countDistinct(col("doc_id"))
-                .as("docs_with_spans"),
-              // spans are maximal and disjoint per doc, so the sum IS
-              // the covered-token count
-              sqlSum(col("span_end") - col("span_start"))
-                .as("covered_tokens"))
-            .head()
-          val (nSpans, nDocs, covered) =
-            (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
-          if (flags.contains("--json"))
-            s"""{"spans":$nSpans,"docs_with_spans":$nDocs,""" +
-              s""""covered_tokens":$covered,"out":"$out"}"""
-          else
-            s"spans=$nSpans docs_with_spans=$nDocs " +
-              s"covered_tokens=$covered out=$out"
+          spansSummary(out)
         case _ =>
           sys.error("substring-dup spans needs <docsParquet> <outParquet>")
       }
@@ -713,21 +743,7 @@ object Main {
           writeFresh(Dedup.cutSpans(d,
             Dedup.substringDupSpans(d, window, minDocs, textCol), textCol),
             out)
-          val r = spark.read.parquet(out)
-            .agg(count(lit(1)).as("docs"),
-              sqlSum(col("n_kept")).as("kept"),
-              sqlSum(col("n_cut")).as("cut"),
-              sqlSum(when(col("n_kept") === 0 && col("n_cut") > 0, 1L)
-                .otherwise(0L)).as("emptied"))
-            .head()
-          if (flags.contains("--json"))
-            s"""{"docs":${r.getLong(0)},"tokens_kept":${r.getLong(1)},""" +
-              s""""tokens_cut":${r.getLong(2)},""" +
-              s""""docs_emptied":${r.getLong(3)},"out":"$out"}"""
-          else
-            s"docs=${r.getLong(0)} tokens_kept=${r.getLong(1)} " +
-              s"tokens_cut=${r.getLong(2)} docs_emptied=${r.getLong(3)} " +
-              s"out=$out"
+          cutSummary(out)
         case _ =>
           sys.error("substring-dup cut needs <docsParquet> <outParquet>")
       }
@@ -763,22 +779,7 @@ object Main {
         case in :: idx :: out :: Nil =>
           writeFresh(Dedup.substringSpanProbe(docs(in), idx, minDocs,
             textCol), out)
-          val r = spark.read.parquet(out)
-            .agg(count(lit(1)).as("spans"),
-              org.apache.spark.sql.functions.countDistinct(col("doc_id"))
-                .as("docs_with_spans"),
-              sqlSum(col("span_end") - col("span_start"))
-                .as("covered_tokens"))
-            .head()
-          val (nSpans, nDocs, covered) =
-            (r.getLong(0), r.getLong(1),
-              if (r.isNullAt(2)) 0L else r.getLong(2))
-          if (flags.contains("--json"))
-            s"""{"spans":$nSpans,"docs_with_spans":$nDocs,""" +
-              s""""covered_tokens":$covered,"out":"$out"}"""
-          else
-            s"spans=$nSpans docs_with_spans=$nDocs " +
-              s"covered_tokens=$covered out=$out"
+          spansSummary(out)
         case _ =>
           sys.error("substring-dup probe-spans needs " +
             "<docsParquet> <indexPath> <outParquet>")
@@ -787,21 +788,7 @@ object Main {
         case in :: idx :: out :: Nil =>
           writeFresh(Dedup.substringCutProbe(docs(in), idx, minDocs,
             textCol), out)
-          val r = spark.read.parquet(out)
-            .agg(count(lit(1)).as("docs"),
-              sqlSum(col("n_kept")).as("kept"),
-              sqlSum(col("n_cut")).as("cut"),
-              sqlSum(when(col("n_kept") === 0 && col("n_cut") > 0, 1L)
-                .otherwise(0L)).as("emptied"))
-            .head()
-          if (flags.contains("--json"))
-            s"""{"docs":${r.getLong(0)},"tokens_kept":${r.getLong(1)},""" +
-              s""""tokens_cut":${r.getLong(2)},""" +
-              s""""docs_emptied":${r.getLong(3)},"out":"$out"}"""
-          else
-            s"docs=${r.getLong(0)} tokens_kept=${r.getLong(1)} " +
-              s"tokens_cut=${r.getLong(2)} docs_emptied=${r.getLong(3)} " +
-              s"out=$out"
+          cutSummary(out)
         case _ =>
           sys.error("substring-dup probe-cut needs " +
             "<docsParquet> <indexPath> <outParquet>")

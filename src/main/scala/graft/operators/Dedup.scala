@@ -458,12 +458,22 @@ object Dedup {
   def cutSpans(
       docs: DataFrame,
       spans: DataFrame,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    cutSpansOnTokens(TextAnalysis.withTokens(docs, textCol), spans)
+
+  /** [[cutSpans]] over an ALREADY-TOKENIZED frame (`doc_id` + `toks`)
+    * — the shared tail that lets [[substringCutProbeOn]] reuse the span
+    * probe's tokenize pass instead of splitting the batch text twice on
+    * the in-stream latency path.
+    */
+  private def cutSpansOnTokens(
+      tokenized: DataFrame,
+      spans: DataFrame): DataFrame = {
     val sp = spans.groupBy("doc_id")
       .agg(collect_list(struct(
         col("span_start").cast("long").as("s"),
         col("span_end").cast("long").as("e"))).as("cut_spans"))
-    val d = TextAnalysis.withTokens(docs, textCol)
+    val d = tokenized
       .join(sp, Seq("doc_id"), "left")
       .withColumn("kept", expr(
         "filter(toks, (t, i) -> cut_spans IS NULL OR " +
@@ -553,6 +563,50 @@ object Dedup {
     */
   val DefaultSubstringBuckets: Int = 256
 
+  /** The window-hash FORMAT version stamped into the substring index's
+    * `_meta` and enforced by every reader/appender. Version 1 (implied
+    * by a `_meta` without the field) hashed the joined window STRING
+    * (`poly_hash(concat_ws(' ', slice(toks, p+1, w)))`); version 2 is
+    * [[graft.functions.WindowPolyHashes]]' rolling per-token-hash
+    * fold. The two namespaces never collide, so probing a v1 layout
+    * with v2 hashes would not error — it would report ZERO history
+    * duplicates and stream duplicated text through the gate uncut, and
+    * an append would graft a second namespace into the index. Readers
+    * therefore refuse a mismatched layout loudly;
+    * [[rotateSubstringIndex]] is the sanctioned migration (it
+    * re-derives every row from the corpus and stamps the current
+    * version).
+    */
+  val SubstringHashVersion: Int = 2
+
+  /** Read a substring layout's `_meta` as (window, nBuckets), enforcing
+    * the [[SubstringHashVersion]] contract unless the caller IS the
+    * migration path (`requireCurrentHash = false` — rotation re-derives
+    * from the corpus, so inheriting a legacy layout's geometry is the
+    * point).
+    */
+  private def readSubstringMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      requireCurrentHash: Boolean = true): (Int, Int) = {
+    val df = spark.read.parquet(s"$root/_meta")
+    val m = df.head()
+    if (requireCurrentHash) {
+      val ver =
+        if (df.schema.fieldNames.contains("hash_ver"))
+          m.getAs[Int]("hash_ver")
+        else 1
+      require(ver == SubstringHashVersion,
+        s"substring index at $root carries window-hash format v$ver " +
+          s"but this build computes v$SubstringHashVersion — the " +
+          "namespaces never collide, so a probe would silently report " +
+          "zero history duplicates and an append would mix formats. " +
+          "Rebuild through rotateSubstringIndex (the geometry-" +
+          "migration path; prior epoch ids stay ledgered).")
+    }
+    (m.getAs[Int]("window"), m.getAs[Int]("n_buckets"))
+  }
+
   /** Persist the incremental-substring-dedup history at `path`: one row
     * per DISTINCT window hash of the written corpus, `(whash, ddf)`
     * with `ddf` = the hash's distinct-doc count, partitioned by
@@ -590,7 +644,8 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     // written AFTER the main overwrite (which clears the directory)
-    Seq((window, nBuckets)).toDF("window", "n_buckets")
+    Seq((window, nBuckets, SubstringHashVersion))
+      .toDF("window", "n_buckets", "hash_ver")
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
@@ -621,7 +676,7 @@ object Dedup {
     // serves the root ([[Similarity.ivfDataRoot]]'s pointer resolution
     // — layout-agnostic: it just reads `_current`)
     val root = substringDataRoot(spark, path)
-    val m = spark.read.parquet(s"$root/_meta").head()
+    val (window, nBuckets) = readSubstringMeta(spark, root)
     val df = spark.read.parquet(root)
     require(
       df.schema.fieldNames.contains("wh_bucket") &&
@@ -629,7 +684,7 @@ object Dedup {
           org.apache.spark.sql.types.StringType,
       s"$path is not a substring-index layout — write it with " +
         "writeSubstringIndex")
-    (df, m.getAs[Int]("window"), m.getAs[Int]("n_buckets"))
+    (df, window, nBuckets)
   }
 
   /** Land a novel batch's window-hash counts on a
@@ -662,9 +717,7 @@ object Dedup {
     // the superseded root)
     recoverSubstringLayout(spark, path)
     val root = substringDataRoot(spark, path)
-    val m = spark.read.parquet(s"$root/_meta").head()
-    val window = m.getAs[Int]("window")
-    val nBuckets = m.getAs[Int]("n_buckets")
+    val (window, nBuckets) = readSubstringMeta(spark, root)
     EpochLedger.commitEpoch(spark, path, epochId, partPrefix = "wh_bucket=",
       stageWrite = stage =>
         substringIndexRows(novel, window, nBuckets, textCol)
@@ -795,12 +848,28 @@ object Dedup {
       nBuckets: Int,
       minDocs: Int = 2,
       textCol: String = "text",
-      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets): DataFrame = {
+      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets): DataFrame =
+    spanProbeWithTokens(batch, history, window, nBuckets, minDocs,
+      textCol, pruneSkipMaxBuckets)._2
+
+  /** (tokenized batch frame, probe-derived spans) — the shared interior
+    * of the span and cut probes, so the cut form pays ONE tokenize pass
+    * over the batch (the span probe's) instead of re-splitting the text
+    * for [[cutSpans]].
+    */
+  private def spanProbeWithTokens(
+      batch: DataFrame,
+      history: DataFrame,
+      window: Int,
+      nBuckets: Int,
+      minDocs: Int,
+      textCol: String,
+      pruneSkipMaxBuckets: Int): (DataFrame, DataFrame) = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val (_, pos) = windowPositions(batch, window, textCol)
-    Caching.withCached(pos) {
+    val (d, pos) = windowPositions(batch, window, textCol)
+    val spans = Caching.withCached(pos) {
       val batchDf = pos.groupBy("whash")
         .agg(countDistinct("doc_id").as("bddf"))
       Caching.withCached(batchDf) {
@@ -811,20 +880,24 @@ object Dedup {
           window)
       }
     }
+    (d, spans)
   }
 
   /** [[substringSpanProbeOn]] against a layout path — resolves the
     * index once ([[openSubstringIndex]]) and derives the window size
-    * from its `_meta`. The batch-mode sibling of [[substringDupProbe]].
+    * from its `_meta`. The batch-mode sibling of [[substringDupProbe]];
+    * `pruneSkipMaxBuckets` as there.
     */
   def substringSpanProbe(
       batch: DataFrame,
       indexPath: String,
       minDocs: Int = 2,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets): DataFrame = {
     val (hist, window, nBuckets) =
       openSubstringIndex(batch.sparkSession, indexPath)
-    substringSpanProbeOn(batch, hist, window, nBuckets, minDocs, textCol)
+    substringSpanProbeOn(batch, hist, window, nBuckets, minDocs, textCol,
+      pruneSkipMaxBuckets)
   }
 
   /** The streamed Lee-et-al DELIVERABLE: an arriving batch with its
@@ -844,21 +917,25 @@ object Dedup {
       nBuckets: Int,
       minDocs: Int = 2,
       textCol: String = "text",
-      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets): DataFrame =
-    cutSpans(batch,
-      substringSpanProbeOn(batch, history, window, nBuckets, minDocs,
-        textCol, pruneSkipMaxBuckets),
-      textCol)
+      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets): DataFrame = {
+    val (tokenized, spans) = spanProbeWithTokens(batch, history, window,
+      nBuckets, minDocs, textCol, pruneSkipMaxBuckets)
+    cutSpansOnTokens(tokenized, spans)
+  }
 
-  /** [[substringCutProbeOn]] against a layout path. */
+  /** [[substringCutProbeOn]] against a layout path;
+    * `pruneSkipMaxBuckets` as on [[substringDupProbe]].
+    */
   def substringCutProbe(
       batch: DataFrame,
       indexPath: String,
       minDocs: Int = 2,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets): DataFrame = {
     val (hist, window, nBuckets) =
       openSubstringIndex(batch.sparkSession, indexPath)
-    substringCutProbeOn(batch, hist, window, nBuckets, minDocs, textCol)
+    substringCutProbeOn(batch, hist, window, nBuckets, minDocs, textCol,
+      pruneSkipMaxBuckets)
   }
 
   /** [[writeSubstringIndex]]'s entry in the flat-builder overwrite-guard
@@ -1041,10 +1118,11 @@ object Dedup {
         val metaP = new org.apache.hadoop.fs.Path(s"$dataRoot/_meta")
         val stored: Option[(Int, Int)] =
           if (!fsFor(spark, path).exists(metaP)) None
-          else {
-            val m = spark.read.parquet(s"$dataRoot/_meta").head()
-            Some((m.getAs[Int]("window"), m.getAs[Int]("n_buckets")))
-          }
+          // hash-version TOLERANT on purpose: rotation re-derives every
+          // row from the corpus and stamps the current version — it IS
+          // the migration path for a pre-SubstringHashVersion layout
+          else Some(readSubstringMeta(spark, dataRoot,
+            requireCurrentHash = false))
         val wEff = window.orElse(stored.map(_._1)).getOrElse(sys.error(
           s"rotateSubstringIndex: $path has no _meta to inherit from " +
             "— pass window explicitly (and nBuckets) to build through " +
@@ -1060,8 +1138,9 @@ object Dedup {
         import spark.implicits._
         // _meta travels WITH the generation (written before the
         // manifest commit, so a published generation always carries
-        // its geometry)
-        Seq((wEff, nbEff)).toDF("window", "n_buckets")
+        // its geometry AND the current hash-format version)
+        Seq((wEff, nbEff, SubstringHashVersion))
+          .toDF("window", "n_buckets", "hash_ver")
           .write.parquet(s"$stageData/_meta")
     }
   }
@@ -1288,7 +1367,22 @@ object Dedup {
     else if (f.exists(metaP)) {
       val meta: Option[(Int, Int)] =
         try {
-          val m = spark.read.parquet(s"$dataRoot/_meta").head()
+          val mdf = spark.read.parquet(s"$dataRoot/_meta")
+          val m = mdf.head()
+          // hash-format version: a v1 (pre-rolling-hash) layout probes
+          // as silently ZERO-duplicate under v2 hashes — exactly the
+          // class of silent under-count this doctor exists to report
+          val ver =
+            if (mdf.schema.fieldNames.contains("hash_ver"))
+              m.getAs[Int]("hash_ver")
+            else 1
+          if (ver != SubstringHashVersion)
+            out += EpochLedger.FsckFinding("hash-version", "fatal",
+              s"$dataRoot/_meta",
+              s"window-hash format v$ver but this build computes " +
+                s"v$SubstringHashVersion — every probe reports zero " +
+                "history duplicates and every append mixes hash " +
+                "namespaces; rebuild through rotateSubstringIndex")
           Some((m.getAs[Int]("window"), m.getAs[Int]("n_buckets")))
         } catch {
           case scala.util.control.NonFatal(e) =>

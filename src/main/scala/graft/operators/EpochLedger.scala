@@ -513,13 +513,21 @@ object EpochLedger {
                 s"-> $to failed")
           }
     }
-    // ENFORCE the heal contract before the commit point: every staged
-    // dir must be one of this run's targets. A heal that migrated rows
-    // to a different partition value would stage them in a dir the
-    // per-dir swap never touches — those rows would be SILENTLY LOST
-    // at stage cleanup while the swap replaced the target dirs
-    // wholesale. Refusing pre-commit leaves the live layout untouched
-    // (the stage is discarded on the next recovery entry).
+    failpoint("staged")
+    require(f.exists(new Path(stageData)),
+      s"partition-compaction: staging for '$id' vanished before " +
+        "commit — a concurrent recover/rotation ran against this " +
+        "layout; the protocol requires a single maintenance writer")
+    // ENFORCE the heal contract before the commit point (and after the
+    // stage-exists check above, so a concurrent-recover race keeps its
+    // purpose-built diagnostic instead of a raw listing error): every
+    // staged dir must be one of this run's targets. A heal that
+    // migrated rows to a different partition value would stage them in
+    // a dir the per-dir swap never touches — those rows would be
+    // SILENTLY LOST at stage cleanup while the swap replaced the
+    // target dirs wholesale. Refusing pre-commit leaves the live
+    // layout untouched (the stage is discarded on the next recovery
+    // entry).
     val targetSet = targets.toSet
     val foreignStaged = f.listStatus(new Path(stageData))
       .filter(st => st.isDirectory &&
@@ -531,11 +539,6 @@ object EpochLedger {
         s"targets (${foreignStaged.take(3).mkString(", ")}) — the " +
         "per-dir swap would lose them; heal must be " +
         "partition-value-preserving")
-    failpoint("staged")
-    require(f.exists(new Path(stageData)),
-      s"partition-compaction: staging for '$id' vanished before " +
-        "commit — a concurrent recover/rotation ran against this " +
-        "layout; the protocol requires a single maintenance writer")
     val oldRel =
       if (dataRoot == path) "." else dataRoot.substring(path.length + 1)
     commitManifest(f, stageRoot,

@@ -1844,20 +1844,9 @@ object PipelineQueries {
     // row times ONLY the batch tokenize + bucket-pruned sliver probe,
     // the per-increment number a daily-ingest deployment pays
     "q80_probe_only" -> { (s, dir) =>
-      val root = probeLayouts.computeIfAbsent(
-        probeLayoutKey("q80", dir, table = "documents.parquet"), _ => {
-          val r = persistentScratchDir("graft-q80-probe")
-          val d = docs(s, dir)
-          Dedup.writeSubstringIndex(
-            d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250),
-            s"$r/ssidx", window = 8, nBuckets = 8)
-          Dedup.appendSubstringEpoch(
-            d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250),
-            s"$r/ssidx", "ep1")
-          r
-        })
       Dedup.substringDupProbe(
-          docs(s, dir).filter(col("doc_id") % 5 === 0), s"$root/ssidx")
+          docs(s, dir).filter(col("doc_id") % 5 === 0),
+          substringProbeLayout(s, dir))
         .orderBy("doc_id")
     },
     // the streamed EXCISION serving cost: q84's twin over the SAME
@@ -1866,22 +1855,33 @@ object PipelineQueries {
     // pays to hand downstream the CLEANED text (vs q80_probe_only's
     // score-only gate)
     "q84_probe_only" -> { (s, dir) =>
-      val root = probeLayouts.computeIfAbsent(
-        probeLayoutKey("q80", dir, table = "documents.parquet"), _ => {
-          val r = persistentScratchDir("graft-q80-probe")
-          val d = docs(s, dir)
-          Dedup.writeSubstringIndex(
-            d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250),
-            s"$r/ssidx", window = 8, nBuckets = 8)
-          Dedup.appendSubstringEpoch(
-            d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250),
-            s"$r/ssidx", "ep1")
-          r
-        })
       Dedup.substringCutProbe(
-          docs(s, dir).filter(col("doc_id") % 5 === 0), s"$root/ssidx")
+          docs(s, dir).filter(col("doc_id") % 5 === 0),
+          substringProbeLayout(s, dir))
         .orderBy("doc_id")
     })
+
+  /** The q80/q84 probe twins' shared memoized substring index (flat
+    * build over the low-id history half + one ledgered epoch over the
+    * high half) — ONE builder under ONE memo key, so the two rows can
+    * never diverge on the layout they time.
+    */
+  private def substringProbeLayout(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = probeLayouts.computeIfAbsent(
+      probeLayoutKey("q80", dir, table = "documents.parquet"), _ => {
+        val r = persistentScratchDir("graft-q80-probe")
+        val d = docs(s, dir)
+        Dedup.writeSubstringIndex(
+          d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250),
+          s"$r/ssidx", window = 8, nBuckets = 8)
+        Dedup.appendSubstringEpoch(
+          d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250),
+          s"$r/ssidx", "ep1")
+        r
+      })
+    s"$root/ssidx"
+  }
 
   /** 8x-replicated embeddings layout for the q71 route-comparison
     * bench rows: copies carry disjoint id ranges so the pair algebra

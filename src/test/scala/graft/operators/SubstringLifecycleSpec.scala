@@ -348,6 +348,43 @@ class SubstringLifecycleSpec extends AnyFunSuite {
     assert(EpochLedger.listRetired(spark, idxC).nonEmpty)
   }
 
+  test("window-hash format versioning: a pre-rolling-hash (v1) _meta " +
+    "refuses probes and appends LOUDLY (a silent probe would report " +
+    "zero history duplicates), fsck reports it fatal, and rotation is " +
+    "the migration") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sshv").toString
+    val idx = s"$root/idx"
+    buildThreeSlices(idx)
+    val want = probeRows(idx)
+    // simulate a layout persisted by the pre-WindowPolyHashes build:
+    // same geometry, no hash_ver field (the v1 signature)
+    Seq((W, Buckets)).toDF("window", "n_buckets")
+      .write.mode("overwrite").parquet(s"$idx/_meta")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.substringDupProbe(batch, idx).collect()
+    }
+    assert(e1.getMessage.contains("window-hash format v1"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendSubstringEpoch(
+        Seq((90L, "vx v1 v2 v3 v4")).toDF("doc_id", "text"), idx, "epv")
+    }
+    assert(e2.getMessage.contains("window-hash format v1"), e2.getMessage)
+    assert(!EpochLedger.applied(spark, idx, "epv"))
+    // the span/cut probes ride the same openSubstringIndex gate
+    intercept[IllegalArgumentException] {
+      Dedup.substringSpanProbe(batch, idx).collect()
+    }
+    val fk = Dedup.substringFsck(spark, idx)
+    assert(fk.exists(f => f.code == "hash-version" &&
+      f.severity == "fatal"), fk)
+    // rotation inherits the legacy geometry TOLERANTLY (it re-derives
+    // every row from the corpus) and stamps the current version
+    assert(Dedup.rotateSubstringIndex(history, idx, "rv2"))
+    assert(Dedup.substringFsck(spark, idx)
+      .forall(_.code != "hash-version"))
+    assert(probeRows(idx) == want)
+  }
+
   test("compactPartitionsStaged refuses a heal that migrates rows to a " +
     "dir outside the run's targets — pre-commit, layout untouched, id " +
     "reusable") {
