@@ -64,6 +64,7 @@ import graft.streaming.Ingest
   *               [--text-col C] [--json]
   * substring-dup spans <docs> <out> [same flags]
   * substring-dup cut   <docs> <out> [same flags]
+  * substring-dup cut-converge <docs> <out> [same flags] [--max-rounds R]
   * substring-dup build <docs> <idx> [--window W] [--buckets B]
   *               [--text-col C] [--lock-file F]
   * substring-dup append <docs> <idx> <epochId> [--text-col C] [--lock-file F]
@@ -747,6 +748,19 @@ object Main {
         case _ =>
           sys.error("substring-dup cut needs <docsParquet> <outParquet>")
       }
+      case "cut-converge" => pos match {
+        case in :: out :: Nil =>
+          // the seam-bounded loop; non-convergence inside --max-rounds
+          // refuses loudly with the residual count (the library
+          // contract) BEFORE any output lands
+          writeFresh(Dedup.cutToConvergence(docs(in), window, minDocs,
+            maxRounds = flag("--max-rounds").map(_.toInt).getOrElse(4),
+            textCol = textCol), out)
+          cutSummary(out)
+        case _ =>
+          sys.error("substring-dup cut-converge needs " +
+            "<docsParquet> <outParquet>")
+      }
       case "build" => pos match {
         case in :: idx :: Nil =>
           Dedup.writeSubstringIndex(docs(in), idx, window,
@@ -893,9 +907,9 @@ object Main {
       }
       case otherSub =>
         sys.error(s"unknown substring-dup subcommand '$otherSub' " +
-          "(stats|spans|cut|build|append|probe|probe-spans|probe-cut|" +
-          "index-stats|fsck|maintain|compact|recover|rotate|" +
-          "retire-superseded|purge-retired)")
+          "(stats|spans|cut|cut-converge|build|append|probe|" +
+          "probe-spans|probe-cut|index-stats|fsck|maintain|compact|" +
+          "recover|rotate|retire-superseded|purge-retired)")
     }
   }
 

@@ -2548,6 +2548,34 @@ object PipelineQueries {
            |ORDER BY wd.doc_id""".stripMargin))
   }
 
+  /** [[graft.operators.Dedup.cutToConvergence]] under the hash gate:
+    * the loop's output on a corpus that converges in ROUND 1 (the
+    * documents fixture — no cut seam re-forms a duplicated window)
+    * equals plain spans+cut EXACTLY (the spec's viaLoop == viaCut
+    * claim, here hash-pinned at the gate SFs), so the oracle is q79's
+    * SQL verbatim. What this buys beyond q79: the row EXECUTES the
+    * convergence loop — round-1 cut, then the proving re-score over
+    * the cut corpus — so a regression in the loop's merge bookkeeping
+    * (cumulative n_cut, live-doc filtering, the re-score short
+    * circuit) breaks hashes even though the fixture needs no second
+    * round; the multi-round and refusal paths are DedupSpec's
+    * seam-forming fixture.
+    */
+  private val qSubstringCutConverged = {
+    val w = 8
+    QueryDef(
+      "q85_substring_cut_converged",
+      (sp, dir) => graft.operators.Dedup
+        .cutToConvergence(docs(sp, dir), window = w, maxRounds = 4)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH ${DuckSql.docsCte},
+           |${substringSpanCtes(w)},
+           |$substringCutCtes
+           |$substringCutSelect
+           |ORDER BY d.doc_id""".stripMargin))
+  }
+
   /** The STREAMED Lee-et-al excision, hash-verified against the batch
     * truth: q80's index (flat build + ledgered epoch over the %5!=0
     * history) probed by the %5==0 batch for SPANS
@@ -3226,7 +3254,7 @@ object PipelineQueries {
     qQuality, qLangId, qTokenCount, qFingerprint, qRepetition, qPii, qMix,
     qVocab, qChunk, qSubstringDup, qSubstringSpans, qSubstringCut,
     qSubstringProbe, qSubstringMaintainedProbe, qSubstringRotatedProbe,
-    qSubstringProbeCut,
+    qSubstringProbeCut, qSubstringCutConverged,
     qPerplexity,
     qPerplexityBigram,
     qMultimodalMeta, qFrameSample, qResize, qFeatures,

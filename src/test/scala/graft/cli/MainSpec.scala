@@ -437,6 +437,13 @@ class MainSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.getString(1))
     assert(cutRows(0) == "u0a u0b u0c" && cutRows(1) == "v1a v1b v1c", ct)
 
+    // the convergence loop through the CLI: this corpus converges in
+    // round 1, so the summary equals plain cut's
+    val cc = run("cut-converge", List(in, s"$root/cutc"),
+      "--max-rounds" :: "3" :: w)
+    assert(cc.contains("tokens_cut=10") && cc.contains("docs_emptied=0"),
+      cc)
+
     // overwrite refusal: the out path must be fresh
     val exO = intercept[RuntimeException] {
       run("stats", List(in, s"$root/stats"), w)
