@@ -707,7 +707,19 @@ object Dedup {
       novel: DataFrame,
       path: String,
       epochId: String,
-      textCol: String = "text"): Boolean = {
+      textCol: String = "text"): Boolean =
+    appendSubstringEpochStaged(novel, path, epochId, textCol, _ => ())
+
+  /** [[appendSubstringEpoch]] with the crash-injection hook —
+    * [[EpochLedger.commitEpoch]]'s failpoints ("staged", "committed",
+    * "move-file", "moved"), for the randomized crash sweep.
+    */
+  private[operators] def appendSubstringEpochStaged(
+      novel: DataFrame,
+      path: String,
+      epochId: String,
+      textCol: String,
+      failpoint: String => Unit): Boolean = {
     val spark = novel.sparkSession
     // heal-at-entry: commitEpoch's own recovery resolves _rotate
     // states, but a committed partition compaction or generation
@@ -723,6 +735,7 @@ object Dedup {
         substringIndexRows(novel, window, nBuckets, textCol)
           .repartition(col("wh_bucket"))
           .write.partitionBy("wh_bucket").parquet(stage),
+      failpoint = failpoint,
       dataRoot = Some(root))
   }
 

@@ -666,6 +666,232 @@ class CrashSweepSpec extends AnyFunSuite {
     assert(counts.values.forall(_ >= 8), counts.toString)
   }
 
+  // ------------------------------------------------- substring-index side
+
+  private val ssSharedRun = "c1 c2 c3 c4 c5"
+  private def ssText(i: Long) = (1 to 8).map(j => s"s${i}w$j").mkString(" ")
+
+  /** base docs 0..9, epoch docs 10..19 — the shared-run clique
+    * straddles the split (docs 0 and 15), so a converged probe's dup
+    * verdict REQUIRES the epoch's ddf to have landed exactly once:
+    * a lost epoch under-counts (no dup), a doubled one shows at the
+    * bracketing minDocs.
+    */
+  private lazy val ssBase = (0L until 10L)
+    .map(i => (i, if (i == 0) s"$ssSharedRun ${ssText(i)}" else ssText(i)))
+    .toDF("doc_id", "text")
+  private lazy val ssEpochDocs = (10L until 20L)
+    .map(i => (i, if (i == 15) s"$ssSharedRun ${ssText(i)}" else ssText(i)))
+    .toDF("doc_id", "text")
+  private lazy val ssBatch = Seq(
+    (1000L, s"b0a b0b $ssSharedRun b0c"),
+    (1001L, "fresh f1 f2 f3 f4 f5 f6")).toDF("doc_id", "text")
+
+  private def ssProbeRows(idx: String): Seq[(Long, Long, Long)] =
+    Dedup.substringDupProbe(ssBatch, idx).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  /** The rebuild target — the full-corpus stats restricted to the
+    * batch (the q80 identity); window hashing is deterministic, so
+    * every trial converges to these exact rows.
+    */
+  private lazy val ssWant: Seq[(Long, Long, Long)] =
+    Dedup.substringDupStats(
+        ssBase.unionByName(ssEpochDocs).unionByName(ssBatch), window = 4)
+      .filter($"doc_id" >= 1000L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def ssBuildBase(idx: String): Unit =
+    Dedup.writeSubstringIndex(ssBase, idx, window = 4, nBuckets = 4)
+
+  private def ssStagingGone(idx: String, ids: Seq[String]): Unit = {
+    val f = Dedup.fsFor(spark, idx)
+    ids.foreach { id =>
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$idx/_rotate/$id")),
+        id)
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$idx/_retrain/$id")),
+        id)
+    }
+  }
+
+  /** Epoch-append trial: crash plan, retry under the SAME id, converge
+    * to the q80-identity probe rows; replay no-ops; staging gone.
+    */
+  private def ssEpochTrial(plan: Seq[String]): Unit = {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-sweep-ss").toString
+    val idx = s"$root/idx"
+    ssBuildBase(idx)
+    driveWithCrashes(plan) { fail =>
+      Dedup.appendSubstringEpochStaged(ssEpochDocs, idx, "e1", "text", fail)
+      ()
+    }
+    val ctx = s"plan=$plan"
+    assert(ssProbeRows(idx) == ssWant, ctx)
+    assert(EpochLedger.applied(spark, idx, "e1"), ctx)
+    assert(!Dedup.appendSubstringEpoch(ssEpochDocs, idx, "e1"), ctx)
+    Dedup.recoverSubstringLayout(spark, idx)
+    assert(ssProbeRows(idx) == ssWant, ctx)
+    assert(EpochLedger.listQuarantined(spark, idx).isEmpty, ctx)
+    ssStagingGone(idx, Seq("e1"))
+  }
+
+  /** Rotation trial: grown layout re-bucketed 4 -> 8 under crashes;
+    * probe invariant, prior epoch id stays ledgered, staging gone.
+    */
+  private def ssRotTrial(plan: Seq[String]): Unit = {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-sweep-ssr").toString
+    val idx = s"$root/idx"
+    ssBuildBase(idx)
+    assert(Dedup.appendSubstringEpoch(ssEpochDocs, idx, "e1"))
+    val full = ssBase.unionByName(ssEpochDocs)
+    driveWithCrashes(plan) { fail =>
+      Dedup.rotateSubstringIndexStaged(full, idx, "r1", window = None,
+        nBuckets = Some(8), textCol = "text", deferRetire = false, fail)
+      ()
+    }
+    val ctx = s"plan=$plan"
+    assert(EpochLedger.applied(spark, idx, "r1"), ctx)
+    assert(ssProbeRows(idx) == ssWant, ctx)
+    val (_, w2, nb2) = Dedup.openSubstringIndex(spark, idx)
+    assert(w2 == 4 && nb2 == 8, ctx)
+    // prior epoch stays ledgered across the rebuild; replays no-op
+    assert(!Dedup.appendSubstringEpoch(ssEpochDocs, idx, "e1"), ctx)
+    assert(!Dedup.rotateSubstringIndex(full, idx, "r1",
+      nBuckets = Some(8)), ctx)
+    Dedup.recoverSubstringLayout(spark, idx)
+    assert(ssProbeRows(idx) == ssWant, ctx)
+    assert(EpochLedger.listQuarantined(spark, idx).isEmpty, ctx)
+    ssStagingGone(idx, Seq("r1"))
+  }
+
+  /** Partition-compaction trial: the fragmented grown layout sum-merges
+    * under crashes; the probe is invariant at every instant a reader
+    * could observe (per-hash sums never double), and the converged
+    * layout is back to the at-rest one-row-per-window shape.
+    */
+  private def ssPcmpTrial(plan: Seq[String], salt: Int = 1): Unit = {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-sweep-ssc").toString
+    val idx = s"$root/idx"
+    ssBuildBase(idx)
+    assert(Dedup.appendSubstringEpoch(ssEpochDocs, idx, "e1"))
+    driveWithCrashes(plan) { fail =>
+      Dedup.compactSubstringPartitionsStaged(spark, idx, "pc1",
+        maxFilesPerPartition = 1, maxRecordsPerFile = 0L, fail,
+        filesPerPartition = salt)
+      ()
+    }
+    val ctx = s"plan=$plan salt=$salt"
+    assert(ssProbeRows(idx) == ssWant, ctx)
+    assert(EpochLedger.applied(spark, idx, "pc1"), ctx)
+    assert(Dedup.substringPartitionStats(spark, idx)
+      .forall(_._2 <= salt), ctx)
+    // the merge collapsed each hash's base + epoch rows to ONE summed
+    // row (the at-rest shape) — the salt splits FILES, never rows, so
+    // the row count equals the distinct-hash count at any salt
+    val data = spark.read.parquet(Dedup.substringDataRoot(spark, idx))
+    assert(data.count() == data.select("whash").distinct().count(), ctx)
+    assert(Dedup.compactSubstringPartitions(spark, idx, "pc1") == 0, ctx)
+    Dedup.recoverSubstringLayout(spark, idx)
+    assert(ssProbeRows(idx) == ssWant, ctx)
+    assert(EpochLedger.listQuarantined(spark, idx).isEmpty, ctx)
+    ssStagingGone(idx, Seq("pc1"))
+  }
+
+  /** Maintain-policy trial: a random substring sub-protocol torn at a
+    * random failpoint; ONE substringMaintain call heals through
+    * recoverSubstringLayout and restores the file-count invariant.
+    */
+  private def ssMaintainTrial(sub: String, fp: String): Unit = {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-sweep-ssm").toString
+    val idx = s"$root/idx"
+    ssBuildBase(idx)
+    assert(Dedup.appendSubstringEpoch(ssEpochDocs, idx, "e1"))
+    val full = ssBase.unionByName(ssEpochDocs)
+    val crash: String => Unit = p => if (p == fp) throw Boom
+    try {
+      sub match {
+        case "epoch" =>
+          Dedup.appendSubstringEpochStaged(
+            Seq((50L, "late l1 l2 l3")).toDF("doc_id", "text"),
+            idx, "e2", "text", crash)
+        case "rotation" =>
+          Dedup.rotateSubstringIndexStaged(full, idx, "r2", None,
+            Some(8), "text", deferRetire = false, crash)
+        case "partition-compaction" =>
+          Dedup.compactSubstringPartitionsStaged(spark, idx, "pc2",
+            maxFilesPerPartition = 1, maxRecordsPerFile = 0L, crash)
+      }
+      ()
+    } catch { case Boom => () }
+    val m1 = Dedup.substringMaintain(spark, idx, "mnt1",
+      Dedup.SubstringMaintainPolicy(maxFilesPerPartition = 1,
+        ledgerTailMax = 64))
+    val ctx = s"sub=$sub fp=$fp actions=${m1.actions}"
+    // the torn op either completed (post-commit tear, healed at the
+    // maintain's entry) or discarded (pre-commit) — the probe must be
+    // the grown target either way (the e2/r2 docs carry no clique
+    // tokens, so the batch verdicts don't move)
+    assert(ssProbeRows(idx) == ssWant, ctx)
+    assert(Dedup.substringPartitionStats(spark, idx)
+      .forall(_._2 == 1), ctx)
+    assert(EpochLedger.listQuarantined(spark, idx).isEmpty, ctx)
+    val m2 = Dedup.substringMaintain(spark, idx, "mnt2",
+      Dedup.SubstringMaintainPolicy(maxFilesPerPartition = 1,
+        ledgerTailMax = 64))
+    assert(m2.actions.isEmpty, s"$ctx m2=${m2.actions}")
+    ssStagingGone(idx, Seq("e2", "r2", "pc2", "mnt1-compact",
+      "mnt2-compact"))
+  }
+
+  test("40 seeded randomized crash trials across the substring-index " +
+    "protocols and the substringMaintain policy: retry-until-complete " +
+    "(or one maintain call) always converges to the q80-identity probe " +
+    "rows") {
+    val rnd = new scala.util.Random(0x5EED5517L)
+    val protos = Seq("ss-epoch", "ss-rotation", "ss-partition-compaction",
+      "ss-maintain")
+    val counts =
+      scala.collection.mutable.Map(protos.map(_ -> 0): _*)
+    for (trial <- 1 to 40) {
+      val proto = protos(rnd.nextInt(protos.size))
+      proto match {
+        case "ss-maintain" =>
+          val sub = Seq("epoch", "rotation", "partition-compaction")(
+            rnd.nextInt(3))
+          val fps = sub match {
+            case "epoch" => ivfFps
+            case "partition-compaction" => pcmpFps
+            case _ => rotFps
+          }
+          val fp = fps(rnd.nextInt(fps.size))
+          withClue(s"trial $trial (ss-maintain, $sub@$fp): ") {
+            ssMaintainTrial(sub, fp)
+          }
+        case _ =>
+          val fps = proto match {
+            case "ss-epoch" => ivfFps
+            case "ss-partition-compaction" => pcmpFps
+            case _ => rotFps
+          }
+          val plan = Seq.fill(1 + rnd.nextInt(2))(fps(rnd.nextInt(fps.size)))
+          withClue(s"trial $trial ($proto, $plan): ") {
+            proto match {
+              case "ss-epoch" => ssEpochTrial(plan)
+              case "ss-rotation" => ssRotTrial(plan)
+              case _ => ssPcmpTrial(plan, salt = 1 + rnd.nextInt(2))
+            }
+          }
+      }
+      counts(proto) += 1
+    }
+    // the seed must actually exercise every arm
+    assert(counts.values.forall(_ >= 6), counts.toString)
+  }
+
   test("45 seeded randomized crash trials across the PQ protocols and " +
     "the pqMaintain policy: retry-until-complete (or one maintain call) " +
     "always converges to the byte-exact rebuild state") {
