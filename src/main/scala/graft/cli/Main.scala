@@ -649,8 +649,13 @@ object Main {
     def textCol: String = flag("--text-col").getOrElse("text")
     def docs(path: String) = spark.read.parquet(path)
     // refuse to clobber: the out path must be fresh (the overwrite-
-    // guard family's posture, CLI-sized)
-    def writeFresh(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+    // guard family's posture, CLI-sized). `df` is BY-NAME and only
+    // forced after the check: cut-converge's operator is EAGER (per-
+    // round localCheckpoints + the proving re-score), so evaluating it
+    // before the refusal would burn the whole convergence workload
+    // just to refuse
+    def writeFresh(df: => org.apache.spark.sql.DataFrame,
+        out: String): Unit = {
       val f = Dedup.fsFor(spark, out)
       require(!f.exists(new org.apache.hadoop.fs.Path(out)),
         s"substring-dup $sub: output path $out already exists — " +

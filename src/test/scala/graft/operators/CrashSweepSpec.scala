@@ -42,6 +42,16 @@ import graft.TestSpark
   * target — a retry that re-encoded under a drifted codebook would
   * keep the id set yet corrupt every ADC score, which id-level
   * checks cannot see.
+  *
+  * A third sweep covers the substring window-hash index's family
+  * ([[Dedup.appendSubstringEpoch]] / [[Dedup.rotateSubstringIndex]] /
+  * [[Dedup.compactSubstringPartitions]] /
+  * [[Dedup.substringMaintain]] as converger): every trial converges
+  * to the q80-identity probe rows over a clique straddling the
+  * base/epoch split, with a minDocs BRACKET probe (3 must dup, 4 must
+  * not — the converged ddf sum is exactly 3) that the default-minDocs
+  * rows cannot express: a lost epoch fails the first arm, a
+  * double-applied one fails the second.
   */
 class CrashSweepSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -672,10 +682,14 @@ class CrashSweepSpec extends AnyFunSuite {
   private def ssText(i: Long) = (1 to 8).map(j => s"s${i}w$j").mkString(" ")
 
   /** base docs 0..9, epoch docs 10..19 — the shared-run clique
-    * straddles the split (docs 0 and 15), so a converged probe's dup
-    * verdict REQUIRES the epoch's ddf to have landed exactly once:
-    * a lost epoch under-counts (no dup), a doubled one shows at the
-    * bracketing minDocs.
+    * straddles the split (docs 0 and 15), so with the batch's own copy
+    * the EXACTLY-ONCE total is 3 distinct docs. The default-minDocs
+    * probe row check pins the output shape, and [[ssDupBracket]] pins
+    * delivery-exactly-once: a LOST epoch totals 2 (fails the
+    * minDocs=3 probe), a DOUBLED one totals 4 (falsely passes the
+    * minDocs=4 probe) — the default minDocs=2 verdict alone is
+    * insensitive to both (base doc 0 already supplies one history
+    * count), which is why every trial asserts the bracket too.
     */
   private lazy val ssBase = (0L until 10L)
     .map(i => (i, if (i == 0) s"$ssSharedRun ${ssText(i)}" else ssText(i)))
@@ -690,6 +704,19 @@ class CrashSweepSpec extends AnyFunSuite {
   private def ssProbeRows(idx: String): Seq[(Long, Long, Long)] =
     Dedup.substringDupProbe(ssBatch, idx).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  /** The exactly-once DELIVERY check the default-minDocs rows cannot
+    * express (see the fixture comment): the clique's converged ddf sum
+    * is history 2 (base doc 0 + epoch doc 15) + batch 1 = 3, so the
+    * dup verdict must flip between minDocs 3 and 4 — a lost epoch
+    * fails the first, a double-applied one passes the second.
+    */
+  private def ssBracketHolds(idx: String): Boolean = {
+    def dupAt(md: Int): Boolean =
+      Dedup.substringDupProbe(ssBatch, idx, minDocs = md)
+        .filter($"doc_id" === 1000L).head().getLong(2) > 0
+    dupAt(3) && !dupAt(4)
+  }
 
   /** The rebuild target — the full-corpus stats restricted to the
     * batch (the q80 identity); window hashing is deterministic, so
@@ -728,6 +755,7 @@ class CrashSweepSpec extends AnyFunSuite {
     }
     val ctx = s"plan=$plan"
     assert(ssProbeRows(idx) == ssWant, ctx)
+    assert(ssBracketHolds(idx), ctx)
     assert(EpochLedger.applied(spark, idx, "e1"), ctx)
     assert(!Dedup.appendSubstringEpoch(ssEpochDocs, idx, "e1"), ctx)
     Dedup.recoverSubstringLayout(spark, idx)
@@ -754,6 +782,7 @@ class CrashSweepSpec extends AnyFunSuite {
     val ctx = s"plan=$plan"
     assert(EpochLedger.applied(spark, idx, "r1"), ctx)
     assert(ssProbeRows(idx) == ssWant, ctx)
+    assert(ssBracketHolds(idx), ctx)
     val (_, w2, nb2) = Dedup.openSubstringIndex(spark, idx)
     assert(w2 == 4 && nb2 == 8, ctx)
     // prior epoch stays ledgered across the rebuild; replays no-op
@@ -785,6 +814,7 @@ class CrashSweepSpec extends AnyFunSuite {
     }
     val ctx = s"plan=$plan salt=$salt"
     assert(ssProbeRows(idx) == ssWant, ctx)
+    assert(ssBracketHolds(idx), ctx)
     assert(EpochLedger.applied(spark, idx, "pc1"), ctx)
     assert(Dedup.substringPartitionStats(spark, idx)
       .forall(_._2 <= salt), ctx)
@@ -836,6 +866,7 @@ class CrashSweepSpec extends AnyFunSuite {
     // the grown target either way (the e2/r2 docs carry no clique
     // tokens, so the batch verdicts don't move)
     assert(ssProbeRows(idx) == ssWant, ctx)
+    assert(ssBracketHolds(idx), ctx)
     assert(Dedup.substringPartitionStats(spark, idx)
       .forall(_._2 == 1), ctx)
     assert(EpochLedger.listQuarantined(spark, idx).isEmpty, ctx)
