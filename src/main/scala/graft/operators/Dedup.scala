@@ -589,13 +589,12 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       root: String,
       requireCurrentHash: Boolean = true): (Int, Int) = {
-    val df = spark.read.parquet(s"$root/_meta")
-    val m = df.head()
+    // driver-side sidecar read (TinyParquet): the Spark-job form
+    // (read.parquet + head) cost two scheduled jobs per open/append/
+    // probe — fixed overhead on the streaming gate's latency path
+    val m = TinyParquet.row(spark, s"$root/_meta")
     if (requireCurrentHash) {
-      val ver =
-        if (df.schema.fieldNames.contains("hash_ver"))
-          m.getAs[Int]("hash_ver")
-        else 1
+      val ver = m.get("hash_ver").map(_.asInstanceOf[Int]).getOrElse(1)
       require(ver == SubstringHashVersion,
         s"substring index at $root carries window-hash format v$ver " +
           s"but this build computes v$SubstringHashVersion — the " +
@@ -604,7 +603,7 @@ object Dedup {
           "Rebuild through rotateSubstringIndex (the geometry-" +
           "migration path; prior epoch ids stay ledgered).")
     }
-    (m.getAs[Int]("window"), m.getAs[Int]("n_buckets"))
+    (m("window").asInstanceOf[Int], m("n_buckets").asInstanceOf[Int])
   }
 
   /** Persist the incremental-substring-dedup history at `path`: one row
@@ -827,18 +826,18 @@ object Dedup {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val (d, pos) = windowPositions(batch, window, textCol)
-    Caching.withCached(pos) {
-      // batch-local distinct-doc counts (the q77 df restricted to the
-      // batch side)
-      val batchDf = pos.groupBy("whash")
-        .agg(countDistinct("doc_id").as("bddf"))
-      Caching.withCached(batchDf) {
-        val dupHashes = probeDupHashes(batchDf, history, nBuckets,
-          minDocs, pruneSkipMaxBuckets)
-        val dup = pos.join(dupHashes, Seq("whash"))
-          .groupBy("doc_id").agg(count(lit(1)).as("dup_w"))
-        substringStatsTail(d, dup)
-      }
+    // batch-local distinct-doc counts (the q77 df restricted to the
+    // batch side); pinned TOGETHER with pos in one scope — nesting a
+    // second withCached checkpointed the (already tiny) result twice,
+    // one scheduled job per probe for nothing
+    val batchDf = pos.groupBy("whash")
+      .agg(countDistinct("doc_id").as("bddf"))
+    Caching.withCached(pos, batchDf) {
+      val dupHashes = probeDupHashes(batchDf, history, nBuckets,
+        minDocs, pruneSkipMaxBuckets)
+      val dup = pos.join(dupHashes, Seq("whash"))
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_w"))
+      substringStatsTail(d, dup)
     }
   }
 
@@ -882,16 +881,15 @@ object Dedup {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val (d, pos) = windowPositions(batch, window, textCol)
-    val spans = Caching.withCached(pos) {
-      val batchDf = pos.groupBy("whash")
-        .agg(countDistinct("doc_id").as("bddf"))
-      Caching.withCached(batchDf) {
-        val dupHashes = probeDupHashes(batchDf, history, nBuckets,
-          minDocs, pruneSkipMaxBuckets)
-        spansFromDupPositions(
-          pos.join(dupHashes, Seq("whash")).select("doc_id", "p"),
-          window)
-      }
+    val batchDf = pos.groupBy("whash")
+      .agg(countDistinct("doc_id").as("bddf"))
+    // one cache scope for both intermediates (see substringDupProbeOn)
+    val spans = Caching.withCached(pos, batchDf) {
+      val dupHashes = probeDupHashes(batchDf, history, nBuckets,
+        minDocs, pruneSkipMaxBuckets)
+      spansFromDupPositions(
+        pos.join(dupHashes, Seq("whash")).select("doc_id", "p"),
+        window)
     }
     (d, spans)
   }
@@ -1380,15 +1378,11 @@ object Dedup {
     else if (f.exists(metaP)) {
       val meta: Option[(Int, Int)] =
         try {
-          val mdf = spark.read.parquet(s"$dataRoot/_meta")
-          val m = mdf.head()
+          val m = TinyParquet.row(spark, s"$dataRoot/_meta")
           // hash-format version: a v1 (pre-rolling-hash) layout probes
           // as silently ZERO-duplicate under v2 hashes — exactly the
           // class of silent under-count this doctor exists to report
-          val ver =
-            if (mdf.schema.fieldNames.contains("hash_ver"))
-              m.getAs[Int]("hash_ver")
-            else 1
+          val ver = m.get("hash_ver").map(_.asInstanceOf[Int]).getOrElse(1)
           if (ver != SubstringHashVersion)
             out += EpochLedger.FsckFinding("hash-version", "fatal",
               s"$dataRoot/_meta",
@@ -1396,7 +1390,8 @@ object Dedup {
                 s"v$SubstringHashVersion — every probe reports zero " +
                 "history duplicates and every append mixes hash " +
                 "namespaces; rebuild through rotateSubstringIndex")
-          Some((m.getAs[Int]("window"), m.getAs[Int]("n_buckets")))
+          Some((m("window").asInstanceOf[Int],
+            m("n_buckets").asInstanceOf[Int]))
         } catch {
           case scala.util.control.NonFatal(e) =>
             out += EpochLedger.FsckFinding("meta-unreadable", "fatal",
@@ -1517,8 +1512,9 @@ object Dedup {
   def openMinhashIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, Int, Int) = {
-    val m = spark.read.parquet(s"$path/_meta").head()
-    (spark.read.parquet(path), m.getAs[Int]("k"), m.getAs[Int]("bands"))
+    val m = TinyParquet.row(spark, s"$path/_meta")
+    (spark.read.parquet(path), m("k").asInstanceOf[Int],
+      m("bands").asInstanceOf[Int])
   }
 
   /** Append a novel batch's band rows to a persisted [[writeMinhashIndex]]
@@ -1549,8 +1545,9 @@ object Dedup {
       novel: DataFrame,
       indexPath: String,
       textCol: String): DataFrame = {
-    val m = novel.sparkSession.read.parquet(s"$indexPath/_meta").head()
-    minhashIndex(novel, textCol, m.getAs[Int]("k"), m.getAs[Int]("bands"))
+    val m = TinyParquet.row(novel.sparkSession, s"$indexPath/_meta")
+    minhashIndex(novel, textCol, m("k").asInstanceOf[Int],
+      m("bands").asInstanceOf[Int])
   }
 
   /** Append a novel batch to a [[writeHistoryBucketed]] layout under the
@@ -1581,8 +1578,8 @@ object Dedup {
   private def historyRowsUnderMeta(
       novel: DataFrame,
       historyPath: String): DataFrame = {
-    val nBuckets = novel.sparkSession.read.parquet(s"$historyPath/_meta")
-      .head().getInt(0)
+    val nBuckets = TinyParquet.row(novel.sparkSession,
+      s"$historyPath/_meta")("n_buckets").asInstanceOf[Int]
     bucketedHistoryRows(novel, nBuckets)
   }
 
@@ -1691,7 +1688,7 @@ object Dedup {
 
   private def metaFields(
       spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
-    spark.read.parquet(s"$path/_meta").schema.fieldNames.toSeq
+    TinyParquet.fieldNames(spark, s"$path/_meta")
 
   /** The historical Bloom guard advanced by one epoch's novel docs —
     * WITHOUT the O(corpus) rebuild: the old sketch is cloned (serialize
@@ -2365,8 +2362,8 @@ object Dedup {
     // must quarantine before the rebuild reads it as corpus
     recoverRotations(spark, historyPath, indexPath)
     val (k, bands) = geometry.getOrElse {
-      val m = spark.read.parquet(s"$indexPath/_meta").head()
-      (m.getAs[Int]("k"), m.getAs[Int]("bands"))
+      val m = TinyParquet.row(spark, s"$indexPath/_meta")
+      (m("k").asInstanceOf[Int], m("bands").asInstanceOf[Int])
     }
     val (history, _) = openHistoryBucketed(spark, historyPath)
     val docs = history.select("doc_id", "text")
@@ -3331,7 +3328,8 @@ object Dedup {
   def openHistoryBucketed(
       spark: org.apache.spark.sql.SparkSession,
       historyPath: String): (DataFrame, Int) = {
-    val nBuckets = spark.read.parquet(s"$historyPath/_meta").head().getInt(0)
+    val nBuckets = TinyParquet.row(spark, s"$historyPath/_meta")("n_buckets")
+      .asInstanceOf[Int]
     val history = spark.read.parquet(historyPath)
     require(
       history.schema.fieldNames.contains("id_bucket") &&

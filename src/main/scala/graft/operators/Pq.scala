@@ -474,19 +474,19 @@ object Pq {
     * generation's codebook with another's codes.
     */
   private def readPqMetaAt(spark: SparkSession, dataRoot: String): PqMeta = {
-    val df = spark.read.parquet(s"$dataRoot/_meta")
-    val r = df.head()
-    PqMeta(r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("dim"),
-      r.getAs[Seq[Double]]("codebook").toArray,
+    // driver-side sidecar read (TinyParquet) — no Spark job per probe
+    val r = graft.operators.TinyParquet.row(spark, s"$dataRoot/_meta")
+    PqMeta(r("m").asInstanceOf[Int], r("k").asInstanceOf[Int],
+      r("dim").asInstanceOf[Int],
+      r("codebook").asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Double]).toArray,
       // pre-trainIters sidecars lack the column: those builds were
       // sampled-codebook by definition
       trainIters =
-        if (df.columns.contains("train_iters")) r.getAs[Int]("train_iters")
-        else 0,
+        r.get("train_iters").map(_.asInstanceOf[Int]).getOrElse(0),
       // pre-residual sidecars encoded raw vectors by definition
       residual =
-        if (df.columns.contains("residual")) r.getAs[Boolean]("residual")
-        else false)
+        r.get("residual").map(_.asInstanceOf[Boolean]).getOrElse(false))
   }
 
   /** ANN top-k for STORED query ids over a [[writePqIndex]] index +
