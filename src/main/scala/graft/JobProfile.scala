@@ -20,7 +20,7 @@ object JobProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,7 +28,13 @@ object JobProfile {
       .config("spark.buffer.pageSize", "4m")
       .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra confs for A/B runs: SPARK_GRAFT_PROFILE_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     @volatile var jobs = 0

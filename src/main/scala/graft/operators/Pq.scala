@@ -453,6 +453,10 @@ object Pq {
     centroids
       .select(concat(lit("c"), col("centroid_id")).as("centroid_id"),
         col("cvec"), col("cnrm"))
+      // one task, one file: the sidecar is O(centroidK) rows, and a
+      // default-parallelism write spread it over 16 tiny files whose
+      // footers every probe's routing read then paid to list
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids")
     import spark.implicits._
     Seq((m, k, dim, flat.toSeq, trainIters, residual))
@@ -747,7 +751,7 @@ object Pq {
       meta: PqMeta,
       idCol: String): DataFrame = {
     val spark = novel.sparkSession
-    val cent = spark.read.parquet(s"$dataRoot/_centroids")
+    val cent = Similarity.readCentroidSidecar(spark, dataRoot)
       .select(expr("CAST(substring(centroid_id, 2) AS BIGINT)")
           .as("centroid_id"),
         col("cvec"), col("cnrm"))
@@ -1170,7 +1174,9 @@ object Pq {
     lazy val codebookKEff: Int = codebookK.getOrElse(storedMeta.k)
     lazy val centroidKEff: Int = centroidK.getOrElse {
       val dr = Similarity.ivfDataRoot(fsys, indexPath)
-      spark.read.parquet(s"$dr/_centroids").count().toInt
+      // driver-side sidecar row count (O(centroidK) rows) — the Spark
+      // count() form scheduled two jobs for a number this small
+      TinyParquet.rows(spark, s"$dr/_centroids").size
     }
     // trainIters inherits like the rest of the geometry: a cron'd
     // default policy rotating a Lloyd-trained deployment must

@@ -169,9 +169,15 @@ object Similarity {
       // limit(max + 1) — an overflow row proves k > max without counting
       // the full set, and the common small-k case never executes the
       // centroid plan twice (count() + collect() re-ran the default
-      // ivfCentroids TakeOrdered over the uncached corpus per call)
+      // ivfCentroids TakeOrdered over the uncached corpus per call).
+      // coalesce(1) pins the collect to ONE scheduled job: a bare
+      // limit().collect() is executeTake, which escalates 1 → 4 → 16
+      // partitions and was costing three jobs per assignment here; the
+      // single task reads at most (max+1) rows per input partition
+      // (LocalLimit below the coalesce), and the frame is O(k·dim)
+      // driver-bounded by this method's own contract anyway
       val cents0 = centroids.select("centroid_id", "cvec", "cnrm")
-        .limit(LiteralAssignMaxK + 1).collect()
+        .limit(LiteralAssignMaxK + 1).coalesce(1).collect()
       // empty corpus -> empty centroid set -> empty assignment (the
       // graceful degenerate the window form produced). But an empty
       // centroid set against a NON-empty corpus is a caller bug (an
@@ -410,6 +416,8 @@ object Similarity {
     centroids
       .select(concat(lit("c"), col("centroid_id")).as("centroid_id"),
         col("cvec"), col("cnrm"))
+      // one task, one file (O(centroidK) rows — see the PQ sidecar)
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids")
     // every writeIvfPartitioned root is quantized (withQuantizedCols
     // above) — persist the O(1) schema-version marker the append path
@@ -520,6 +528,39 @@ object Similarity {
     s"_gen-${((dirs ++ entries) :+ 0L).max + 1L}"
   }
 
+  /** The `_centroids` routing sidecar's fixed schema — what both the
+    * IVF and PQ builders write ([[writeIvfPartitioned]],
+    * [[Pq.writePqIndex]]: prefixed string id, centroid vector, norm).
+    */
+  private[operators] val CentroidSidecarSchema:
+      org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("centroid_id", StringType),
+      StructField("cvec", ArrayType(DoubleType)),
+      StructField("cnrm", DoubleType)))
+  }
+
+  /** Read a layout's `_centroids` sidecar under the PINNED sidecar
+    * schema — schema inference over the sidecar scheduled one Spark
+    * job per open (probe routing, append assignment), pure fixed
+    * overhead per call. The footer field check keeps the fail-loudly
+    * contract for a path that is not a centroid sidecar (with a
+    * user-supplied schema Spark would silently null-fill missing
+    * columns instead of refusing); a MISSING sidecar still fails
+    * loudly at the listing.
+    */
+  private[operators] def readCentroidSidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      dataRoot: String): DataFrame = {
+    val dir = s"$dataRoot/_centroids"
+    val fields = TinyParquet.fieldNames(spark, dir)
+    require(
+      CentroidSidecarSchema.fieldNames.forall(fields.contains),
+      s"$dir is not a centroid sidecar (fields: ${fields.mkString(",")})")
+    spark.read.schema(CentroidSidecarSchema).parquet(dir)
+  }
+
   /** Novel vectors assigned against the layout's OWN `_centroids`
     * sidecar, shaped for the layout's partition scheme — the shared
     * front half of [[appendIvfPartitioned]] and [[appendIvfEpoch]].
@@ -535,7 +576,7 @@ object Similarity {
     val spark = novel.sparkSession
     // the sidecar IS the layout's identity — missing means `dataRoot`
     // is not a writeIvfPartitioned layout; fail loudly before any write
-    val cent = spark.read.parquet(s"$dataRoot/_centroids")
+    val cent = readCentroidSidecar(spark, dataRoot)
       .select(expr("CAST(substring(centroid_id, 2) AS BIGINT)")
           .as("centroid_id"),
         col("cvec"), col("cnrm"))
@@ -1011,7 +1052,7 @@ object Similarity {
        else writer)
         .parquet(stageData)
       // the sidecar travels unchanged: same centroid set, same ids
-      spark.read.parquet(s"$dataRoot/_centroids")
+      readCentroidSidecar(spark, dataRoot)
         .write.parquet(s"$stageData/_centroids")
       // the rewrite quantized every row — mark the new root so the
       // upgraded generation answers schema detection in O(1)
@@ -2145,7 +2186,7 @@ object Similarity {
       queries: DataFrame,
       nprobe: Int,
       keep: Seq[String]): DataFrame = {
-    val cent = spark.read.parquet(s"$dataRoot/_centroids")
+    val cent = readCentroidSidecar(spark, dataRoot)
     val w = Window.partitionBy("query_id")
       .orderBy(col("csim").desc,
         expr("CAST(substring(centroid_id, 2) AS BIGINT)"))
