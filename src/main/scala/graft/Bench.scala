@@ -96,6 +96,11 @@ object Bench {
       "q76_pq_residual_probe", "q80_substring_probe",
       "q82_substring_maintained_probe", "q83_substring_rotated_probe",
       "q84_substring_probe_cut")
+    // a renamed suite row would otherwise silently fall out of the
+    // rehearsal subtotal and skew the rehearsal/serving split
+    rehearsalRows.foreach(r => require(SparkEntry.queries.contains(r),
+      s"rehearsalRows names unknown query $r — keep the set in sync " +
+        "with the suite"))
     def isCore(name: String): Boolean =
       name.matches("q(0[1-9]|1[0-2])_.*") || name == "q1_agg"
     val loadStart = load1()

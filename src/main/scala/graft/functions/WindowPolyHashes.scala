@@ -32,10 +32,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * below 2^63: acc < P ≈ 2^30, so acc·WB < 2^50 and th·WB^(w-1) mod P
   * products < 2^60.
   *
-  * Null array ⇒ null; a null element hashes as the empty string (token
-  * arrays from `split` never contain nulls); fewer than `window` tokens
-  * ⇒ empty array (the caller's `n_windows > 0` filter makes this
+  * Null array ⇒ null; a null element hashes as the empty string (0L —
+  * token arrays from `split` never contain nulls); fewer than `window`
+  * tokens ⇒ empty array (the caller's `n_windows > 0` filter makes this
   * unreachable in the operators).
+  *
+  * CROSS-ENGINE DRIFT CONTRACT (registered-SQL use only): for an input
+  * array CONTAINING NULL ELEMENTS, this kernel hashes the null as 0L
+  * while the documented DuckDB mirror above propagates NULL through the
+  * `list_reduce` fold and yields a NULL whash — the two engines agree
+  * for every split-produced token array (no nulls possible) but diverge
+  * on hand-built arrays with nulls passed to the registered
+  * `window_poly_hashes` SQL function. Mirror with
+  * `list_transform(th, t -> coalesce(t, 0))` on the DuckDB side when
+  * hand-built arrays must match.
   */
 case class WindowPolyHashes(child: Expression, window: Int)
     extends UnaryExpression {

@@ -353,15 +353,32 @@ object Dedup {
       docs: DataFrame,
       window: Int = 16,
       minDocs: Int = 2,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    substringDupSpansCounted(docs, window, minDocs, textCol, None)
+
+  /** [[substringDupSpans]] with an optional [[Observation]] riding the
+    * duplicated-position rows — what lets [[cutToConvergence]]'s
+    * refusal path report the EXACT residual duplicated-window count
+    * (sum of per-doc dup windows == |dup positions|) from the spans
+    * materialization it already paid for, instead of re-scoring the
+    * corpus with a third [[substringDupStats]] pass.
+    */
+  private def substringDupSpansCounted(
+      docs: DataFrame,
+      window: Int,
+      minDocs: Int,
+      textCol: String,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val (_, pos) = windowPositions(docs, window, textCol)
     Caching.withCached(pos) {
-      spansFromDupPositions(
-        pos.join(dupWindowHashes(pos, minDocs), Seq("whash"))
-          .select("doc_id", "p"),
-        window)
+      val dupPos = pos
+        .join(dupWindowHashes(pos, minDocs), Seq("whash"))
+        .select("doc_id", "p")
+      val observed = obs.fold(dupPos)(o =>
+        dupPos.observe(o, count(lit(1)).as("dup_windows")))
+      spansFromDupPositions(observed, window)
     }
   }
 
@@ -521,14 +538,22 @@ object Dedup {
     val live = col("cut_text").isNotNull && col("n_kept") > 0
     def liveDocs(cur: DataFrame): DataFrame =
       cur.filter(live).select(col("doc_id"), col("cut_text").as(textCol))
-    def spansOf(cur: DataFrame): DataFrame =
-      substringDupSpans(liveDocs(cur), window, minDocs, textCol)
+    // each re-score's dup-position count rides the spans checkpoint as
+    // an Observation (single execution under the eager localCheckpoint),
+    // so the refusal path reports the exact residual without a third
+    // corpus scan; `residual` always holds the LAST re-score's count
+    var residual = new org.apache.spark.sql.Observation("ctc-r0")
+    def spansOf(cur: DataFrame, round: Int): DataFrame = {
+      residual = new org.apache.spark.sql.Observation(s"ctc-r$round")
+      substringDupSpansCounted(liveDocs(cur), window, minDocs, textCol,
+          Some(residual))
         .localCheckpoint(eager = true)
+    }
     var cur = cutSpans(docs,
         substringDupSpans(docs, window, minDocs, textCol), textCol)
       .localCheckpoint(eager = true)
     var rounds = 1
-    var spans = spansOf(cur)
+    var spans = spansOf(cur, rounds)
     while (!spans.isEmpty && rounds < maxRounds) {
       val rec = cutSpans(liveDocs(cur), spans, textCol)
         .select(col("doc_id"), col("cut_text").as("r_text"),
@@ -541,12 +566,16 @@ object Dedup {
           (col("n_cut") + coalesce(col("r_cut"), lit(0L))).as("n_cut"))
         .localCheckpoint(eager = true)
       rounds += 1
-      spans = spansOf(cur)
+      spans = spansOf(cur, rounds)
     }
     if (!spans.isEmpty) {
-      val residual = substringDupStats(liveDocs(cur), window, minDocs,
-        textCol).agg(sum("dup_windows")).head().getLong(0)
-      sys.error(s"cutToConvergence: $residual duplicated window(s) " +
+      // the eager checkpoint above completed the action, so get() does
+      // not block; this is the re-score the loop already ran, not a
+      // fresh substringDupStats pass over the corpus
+      val res = Option(residual.get("dup_windows")).collect {
+        case l: java.lang.Long => l.longValue()
+      }.getOrElse(-1L)
+      sys.error(s"cutToConvergence: $res duplicated window(s) " +
         s"remain after $maxRounds cut round(s) (window=$window, " +
         s"minDocs=$minDocs) — the corpus re-forms duplicated seams " +
         "faster than the bound; raise maxRounds or treat the corpus " +
@@ -932,6 +961,65 @@ object Dedup {
     val (tokenized, spans) = spanProbeWithTokens(batch, history, window,
       nBuckets, minDocs, textCol, pruneSkipMaxBuckets)
     cutSpansOnTokens(tokenized, spans)
+  }
+
+  /** BOTH probe forms over ONE shared probe — (per-doc stats, cut
+    * batch) from a single tokenize pass, one history sliver fetch, and
+    * one duplicated-position derivation. This is what the streaming
+    * gate runs when a caller sets `onSubstringBatch` AND
+    * `onSubstringCutBatch`: the naive composition tokenized the batch
+    * twice and probed the index twice per trigger (each probe scopes
+    * its own caches), pure duplicated work on the per-trigger latency
+    * path. Row-identical to ([[substringDupProbeOn]],
+    * [[substringCutProbeOn]]) by construction — the tails are the
+    * shared `substringStatsTail` / `spansFromDupPositions` +
+    * `cutSpansOnTokens` definitions.
+    */
+  def substringStatsAndCutProbeOn(
+      batch: DataFrame,
+      history: DataFrame,
+      window: Int,
+      nBuckets: Int,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets)
+      : (DataFrame, DataFrame) = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val (d, pos) = windowPositions(batch, window, textCol)
+    if (Caching.passthrough) {
+      val batchDf = pos.groupBy("whash")
+        .agg(countDistinct("doc_id").as("bddf"))
+      val dupPos = pos
+        .join(probeDupHashes(batchDf, history, nBuckets, minDocs,
+          pruneSkipMaxBuckets), Seq("whash"))
+        .select("doc_id", "p")
+      return (
+        substringStatsTail(d,
+          dupPos.groupBy("doc_id").agg(count(lit(1)).as("dup_w"))),
+        cutSpansOnTokens(d, spansFromDupPositions(dupPos, window)))
+    }
+    // four pinned intermediates, ONE scope: the tokenized batch (both
+    // tails read it), the position rows, the batch df, and the shared
+    // duplicated positions both outputs branch from
+    val batchDf = pos.groupBy("whash")
+      .agg(countDistinct("doc_id").as("bddf"))
+    Seq(d, pos, batchDf).foreach(_.cache())
+    try {
+      val dupPos = pos
+        .join(probeDupHashes(batchDf, history, nBuckets, minDocs,
+          pruneSkipMaxBuckets), Seq("whash"))
+        .select("doc_id", "p")
+      dupPos.cache()
+      try {
+        val stats = Caching.materialize(substringStatsTail(d,
+          dupPos.groupBy("doc_id").agg(count(lit(1)).as("dup_w"))))
+        val cut = Caching.materialize(
+          cutSpansOnTokens(d, spansFromDupPositions(dupPos, window)))
+        (stats, cut)
+      } finally dupPos.unpersist(blocking = false)
+    } finally Seq(d, pos, batchDf).foreach(_.unpersist(blocking = false))
   }
 
   /** [[substringCutProbeOn]] against a layout path;

@@ -28,7 +28,7 @@ object CoreQueries {
     */
   def incomingFromEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = Fixtures.table(spark, dir, "events")
     val secs = raw.schema("ts").dataType match {
       case LongType => expr("ts div 1000000000")
       case _        => unix_timestamp(col("ts"))
@@ -380,7 +380,7 @@ object CoreQueries {
   private val qFlagship = QueryDef(
     "q1_agg",
     (s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = Fixtures.table(s, dir, "lineitem")
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).cast(DoubleType).as("sum_qty"),
@@ -420,7 +420,7 @@ object CoreQueries {
     (s, dir) => {
       def t(n: String) = {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s.read.parquet(s"$dir/$n.parquet")
+        Fixtures.table(s, dir, n)
       }
       val dims = t("customer")
         .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))

@@ -13,9 +13,9 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 object PipelineQueries {
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    s.read.parquet(s"$dir/documents.parquet")
+    Fixtures.table(s, dir, "documents")
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Fixtures.table(s, dir, "embeddings")
 
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree))

@@ -381,9 +381,11 @@ object StreamingDedup {
     * `(doc_id, cut_text, n_kept, n_cut)` row per novel doc — the
     * streamed Lee-et-al workflow delivers cleaned text, not just a
     * flag. Same epoch-fresh handles and within-epoch window as
-    * `onSubstringBatch`; setting BOTH callbacks tokenizes the batch
-    * twice (each probe scopes its own caches) — prefer the cut form
-    * alone and derive flags from `n_cut` when both signals are needed.
+    * `onSubstringBatch`; setting BOTH callbacks runs ONE shared probe
+    * ([[graft.operators.Dedup.substringStatsAndCutProbeOn]] — one
+    * tokenize pass, one sliver fetch) and hands each callback its
+    * form, so the dual-signal gate costs the cut probe plus a stats
+    * tail, not two probes.
     */
   def startIncrementalAuto(
       docs: DataFrame,
@@ -541,20 +543,30 @@ object StreamingDedup {
             st.nBuckets, threshold, textCol, st.k, st.bands))
         // the substring-level quality gate on the SAME novel slice:
         // duplicated-window stats vs history ∪ batch, epoch-fresh
-        // handles (the within-epoch window documented above)
-        onSubstringBatch.foreach { f =>
-          ssState.get.foreach { case (hist, w, nb) =>
-            f(batchId, Dedup.substringDupProbeOn(novel, hist, w, nb,
-              substringMinDocs, textCol))
-          }
-        }
-        // …and the gate's excision form: the same slice with its
-        // history-duplicated substrings cut (span probe + cutSpans)
-        onSubstringCutBatch.foreach { f =>
-          ssState.get.foreach { case (hist, w, nb) =>
-            f(batchId, Dedup.substringCutProbeOn(novel, hist, w, nb,
-              substringMinDocs, textCol))
-          }
+        // handles (the within-epoch window documented above). BOTH
+        // callbacks set runs ONE shared probe (one tokenize pass, one
+        // sliver fetch — substringStatsAndCutProbeOn) instead of two.
+        (onSubstringBatch, onSubstringCutBatch) match {
+          case (Some(fStats), Some(fCut)) =>
+            ssState.get.foreach { case (hist, w, nb) =>
+              val (stats, cut) = Dedup.substringStatsAndCutProbeOn(
+                novel, hist, w, nb, substringMinDocs, textCol)
+              fStats(batchId, stats)
+              fCut(batchId, cut)
+            }
+          case (Some(fStats), None) =>
+            ssState.get.foreach { case (hist, w, nb) =>
+              fStats(batchId, Dedup.substringDupProbeOn(novel, hist, w,
+                nb, substringMinDocs, textCol))
+            }
+          // the gate's excision form: the same slice with its
+          // history-duplicated substrings cut (span probe + cutSpans)
+          case (None, Some(fCut)) =>
+            ssState.get.foreach { case (hist, w, nb) =>
+              fCut(batchId, Dedup.substringCutProbeOn(novel, hist, w,
+                nb, substringMinDocs, textCol))
+            }
+          case (None, None) => ()
         }
         spoolBatch(novel, s"$spoolRoot/$epochId", batchId)
         ()

@@ -500,6 +500,19 @@ class DedupSpec extends AnyFunSuite {
         .withColumnRenamed("cut_text", "text"), idx)
     assert(rescored.agg(org.apache.spark.sql.functions.sum("dup_windows"))
       .head().getLong(0) == 0L)
+    // the dual-signal gate's SHARED probe (one tokenize pass, one
+    // sliver fetch) is row-identical to the two single probes — what
+    // lets the streaming gate run both callbacks for the price of one
+    val (hist, ww, nb) = Dedup.openSubstringIndex(spark, idx)
+    val (stats2, cut2) =
+      Dedup.substringStatsAndCutProbeOn(batch, hist, ww, nb)
+    assert(stats2.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Dedup.substringDupProbe(batch, idx).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    assert(cut2.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq == gotCut)
   }
 
   test("writeSubstringIndex overwrite guard: refuses plain datasets, " +
