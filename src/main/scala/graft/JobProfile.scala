@@ -43,13 +43,25 @@ object JobProfile {
     @volatile var taskMs = 0L
     val verbose = sys.env.get("SPARK_GRAFT_PROFILE_VERBOSE").contains("1")
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    // SQL executionId -> first line of the execution description (the
+    // DataFrame action's call site) — job callSite properties are blank
+    // for SQL actions, this is where the attribution actually lives
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val listener = new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execDesc.put(s.executionId, s.description.linesIterator.next())
+          case _ => ()
+        }
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs += 1
         if (verbose) {
-          val cs = Option(j.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short")))
-            .getOrElse("?")
+          val cs = Option(j.properties).flatMap { p =>
+            Option(p.getProperty("spark.sql.execution.id"))
+              .flatMap(id => Option(execDesc.get(id.toLong)))
+              .orElse(Option(p.getProperty("callSite.short")))
+          }.getOrElse("?")
           jobStart.put(j.jobId, (System.nanoTime(), cs))
         }
       }

@@ -3400,10 +3400,11 @@ object Dedup {
       k: Int = 8,
       bands: Int = 4,
       excludeSameId: Boolean = false,
-      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop)): DataFrame = {
+      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop),
+      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets): DataFrame = {
     val (history, nBuckets) = openHistoryBucketed(batch.sparkSession, historyPath)
     minhashProbeBucketedOn(batch, index, history, nBuckets, threshold,
-      textCol, k, bands, excludeSameId, maxBandPop)
+      textCol, k, bands, excludeSameId, maxBandPop, pruneSkipMaxBuckets)
   }
 
   /** Resolve a [[writeHistoryBucketed]] layout once: the frame (whose
@@ -3441,18 +3442,28 @@ object Dedup {
       k: Int = 8,
       bands: Int = 4,
       excludeSameId: Boolean = false,
-      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop)): DataFrame = {
+      maxBandPop: Option[Int] = Some(Banding.DefaultMaxBandPop),
+      pruneSkipMaxBuckets: Int = DefaultPruneSkipMaxBuckets): DataFrame = {
     val shB = shingled(batch, textCol).filter(size(col("shh")) > 0)
     Caching.withCached(shB) {
       val candidates = probeCandidates(shB, index, k, bands, excludeSameId,
         maxBandPop)
       Caching.withCached(candidates) {
-        val buckets = candidates
-          .select(concat(lit("b"), pmod(col("hist_id"), lit(nBuckets.toLong)))
-            .as("bk"))
-          .distinct().collect().map(_.getString(0)).toSeq
-        val histSliver = history
-          .filter(col("id_bucket").isInCollection(buckets)) // partition prune
+        // same gate as the substring probe ([[DefaultPruneSkipMaxBuckets]]):
+        // with a ≤64-way modulus the candidates' id set covers most
+        // residues, so the driver-side bucket resolution (an extra
+        // distinct + collect action on the latency path) would prune
+        // nothing; the left-semi sliver join restricts either way
+        val histSliverBase =
+          if (nBuckets <= pruneSkipMaxBuckets) history
+          else {
+            val buckets = candidates
+              .select(concat(lit("b"),
+                pmod(col("hist_id"), lit(nBuckets.toLong))).as("bk"))
+              .distinct().collect().map(_.getString(0)).toSeq
+            history.filter(col("id_bucket").isInCollection(buckets))
+          }
+        val histSliver = histSliverBase
           .join(candidates.select(col("hist_id").as("doc_id")),
             Seq("doc_id"), "left_semi")
         probeVerify(shB, candidates, histSliver, threshold, textCol)

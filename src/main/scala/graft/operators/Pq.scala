@@ -659,9 +659,10 @@ object Pq {
     Similarity.requireIntegralId(
       index.schema(idCol).dataType, s"index $idCol", "PQ")
     // bounded by the index's centroid count in BOTH modes, never by
-    // the query batch
-    val probed: Seq[String] = probes.select("centroid_id").distinct()
-      .collect().map(_.getString(0)).toSeq
+    // the query batch; below the sidecar-size gate the literal comes
+    // straight from the (driver-local) sidecar with zero Spark jobs —
+    // see [[Similarity.probedPartitions]]
+    val probed = Similarity.probedPartitions(spark, dataRoot, probes)
     val wq = Window.partitionBy("query_id")
       .orderBy(col("qsim").desc, col("neighbor_id"))
     val ranked = pqCandidates(index, probes, meta, probed, idCol,

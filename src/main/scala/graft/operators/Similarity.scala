@@ -33,6 +33,13 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val cores = emb.sparkSession.sparkContext.defaultParallelism
+    // NOTE the probe is `.rdd`-based on purpose, MEASURED (r21): under
+    // AQE it executes upstream shuffle stages to resolve the final
+    // plan, which looks like a throwaway job — but gating it on an
+    // exchange-free plan (and skipping the repartition otherwise) was
+    // tried and REGRESSED 2-5× on the encode-heavy PQ paths, whose
+    // inputs end in a narrow final stage (window/limit below the
+    // exchange) that genuinely needs the spread.
     val spread =
       if (emb.rdd.getNumPartitions >= cores) emb else emb.repartition(cores)
     spread
@@ -175,9 +182,16 @@ object Similarity {
       // partitions and was costing three jobs per assignment here; the
       // single task reads at most (max+1) rows per input partition
       // (LocalLimit below the coalesce), and the frame is O(k·dim)
-      // driver-bounded by this method's own contract anyway
-      val cents0 = centroids.select("centroid_id", "cvec", "cnrm")
-        .limit(LiteralAssignMaxK + 1).coalesce(1).collect()
+      // driver-bounded by this method's own contract anyway. A
+      // driver-LOCAL centroid frame (trained centroids built with
+      // createDataFrame, sidecar reads) collapses to LocalRelation and
+      // collects with ZERO jobs — inserting the coalesce there would
+      // CREATE the very job it exists to avoid, so it is gated on
+      // isLocal.
+      val centSel = centroids.select("centroid_id", "cvec", "cnrm")
+        .limit(LiteralAssignMaxK + 1)
+      val cents0 =
+        (if (centroids.isLocal) centSel else centSel.coalesce(1)).collect()
       // empty corpus -> empty centroid set -> empty assignment (the
       // graceful degenerate the window form produced). But an empty
       // centroid set against a NON-empty corpus is a caller bug (an
@@ -541,14 +555,17 @@ object Similarity {
       StructField("cnrm", DoubleType)))
   }
 
-  /** Read a layout's `_centroids` sidecar under the PINNED sidecar
-    * schema — schema inference over the sidecar scheduled one Spark
-    * job per open (probe routing, append assignment), pure fixed
-    * overhead per call. The footer field check keeps the fail-loudly
-    * contract for a path that is not a centroid sidecar (with a
-    * user-supplied schema Spark would silently null-fill missing
-    * columns instead of refusing); a MISSING sidecar still fails
-    * loudly at the listing.
+  /** Read a layout's `_centroids` sidecar into a driver-LOCAL relation
+    * under the PINNED sidecar schema. The frame is O(k·dim) — exactly
+    * the driver budget its consumers already spend on it (nprobe=1
+    * assignment collects it for the literal argmax, routed probes
+    * broadcast it) — but a LOCAL relation makes those downstream
+    * collect/broadcast steps cost ZERO scheduled jobs, where the
+    * previous distributed one-file scan cost one job per assignment
+    * and one per routed probe (plus a schema-inference job before the
+    * schema was pinned). The footer field check keeps the fail-loudly
+    * contract for a path that is not a centroid sidecar; a MISSING
+    * sidecar still fails loudly at the listing.
     */
   private[operators] def readCentroidSidecar(
       spark: org.apache.spark.sql.SparkSession,
@@ -558,7 +575,16 @@ object Similarity {
     require(
       CentroidSidecarSchema.fieldNames.forall(fields.contains),
       s"$dir is not a centroid sidecar (fields: ${fields.mkString(",")})")
-    spark.read.schema(CentroidSidecarSchema).parquet(dir)
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      TinyParquet.rows(spark, dir).map { m =>
+        org.apache.spark.sql.Row(
+          m.getOrElse("centroid_id", null),
+          m.get("cvec")
+            .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double])).orNull,
+          m.get("cnrm").map(d => Double.box(d.asInstanceOf[Double])).orNull)
+      }.asJava
+    spark.createDataFrame(rows, CentroidSidecarSchema)
   }
 
   /** Novel vectors assigned against the layout's OWN `_centroids`
@@ -2172,6 +2198,30 @@ object Similarity {
     IvfRecall(recall, qids.size, k, nprobe, rerank)
   }
 
+  /** The query batch's probed-partition literal, resolved driver-side.
+    * At or below [[Dedup.DefaultPruneSkipMaxBuckets]] centroids the
+    * layout's own sidecar id set stands in for the batch's routed set:
+    * with a ≤64-way geometry a real batch's routes cover essentially
+    * every partition, so the distinct+collect Spark job on the probe
+    * latency path would prune nothing — the sidecar is already
+    * driver-local (zero jobs), and the stand-in is a SUPERSET filter
+    * with row-identical results (every candidate row is restricted by
+    * the probe join on centroid_id either way; stored assignments and
+    * routed probes both draw from the sidecar's id set). Above the
+    * gate — the at-scale geometry, where a batch genuinely touches few
+    * of many partitions — the routed set resolves as before.
+    */
+  private[operators] def probedPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      dataRoot: String,
+      probes: DataFrame): Seq[String] = {
+    val sidecarIds = readCentroidSidecar(spark, dataRoot)
+      .select("centroid_id").collect().map(_.getString(0)).toSeq
+    if (sidecarIds.length <= Dedup.DefaultPruneSkipMaxBuckets) sidecarIds
+    else probes.select("centroid_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
   /** Rank `queries` (carrying `vec_q`/`nrm_q` plus any extra columns)
     * against the layout's `_centroids` sidecar and keep each query's
     * top-`nprobe` centroids — THE routing tie-break every probe shares
@@ -2232,8 +2282,7 @@ object Similarity {
       if (nprobe == 1) queries
       else rankRoutes(spark, dataRoot, queries.drop("centroid_id"),
         nprobe, Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
-    val probed: Seq[String] = probes.select("centroid_id").distinct()
-      .collect().map(_.getString(0)).toSeq
+    val probed = probedPartitions(spark, dataRoot, probes)
     val scored = corpus
       .filter(col("centroid_id").isInCollection(probed)) // partition prune
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
@@ -2329,7 +2378,7 @@ object Similarity {
       else rankRoutes(spark, dataRoot, queries.drop("centroid_id"),
         nprobe, Seq("query_id", "centroid_id", "q8_q", "qscale_q",
           "vec_q", "nrm_q"))
-    sq8TopK(spark, corpus, probes, k, m, idCol, excludeSelf = true,
+    sq8TopK(spark, dataRoot, corpus, probes, k, m, idCol, excludeSelf = true,
       collectShortlist = collectShortlist,
       shortlistBloomFpp = shortlistBloomFpp)
   }
@@ -2400,6 +2449,7 @@ object Similarity {
     */
   private def sq8TopK(
       spark: org.apache.spark.sql.SparkSession,
+      dataRoot: String,
       corpus: DataFrame,
       probes: DataFrame,
       k: Int,
@@ -2413,8 +2463,7 @@ object Similarity {
     // the probed-partition literal stays driver-side in BOTH modes:
     // it is bounded by the layout's centroid count (the layout
     // config), never by the query batch
-    val probed: Seq[String] = probes.select("centroid_id").distinct()
-      .collect().map(_.getString(0)).toSeq
+    val probed = probedPartitions(spark, dataRoot, probes)
     val wq = Window.partitionBy("query_id")
       .orderBy(col("qsim").desc, col("neighbor_id"))
     val ranked = sq8Candidates(corpus, probes, probed, idCol,
@@ -2641,8 +2690,7 @@ object Similarity {
         col("nrm").as("nrm_q"))
     val probes = rankRoutes(spark, dataRoot, q, nprobe,
       Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
-    val probed: Seq[String] = probes.select("centroid_id").distinct()
-      .collect().map(_.getString(0)).toSeq
+    val probed = probedPartitions(spark, dataRoot, probes)
     val scored = corpus
       .filter(col("centroid_id").isInCollection(probed)) // partition prune
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
@@ -2701,7 +2749,7 @@ object Similarity {
       Seq("query_id", "centroid_id", "q8_q", "qscale_q", "vec_q",
         "nrm_q"))
     // no self-exclusion: external ids are their own namespace
-    sq8TopK(spark, corpus, probes, k, m, idCol, excludeSelf = false,
+    sq8TopK(spark, dataRoot, corpus, probes, k, m, idCol, excludeSelf = false,
       collectShortlist = collectShortlist,
       shortlistBloomFpp = shortlistBloomFpp)
   }

@@ -163,8 +163,9 @@ class DedupSpec extends AnyFunSuite {
     assert(cross == got.map(t => (t._1, t._2)).toSet)
   }
 
-  test("bucketed history layout: probe results match minhashProbe and the " +
-    "sliver fetch prunes to the candidates' id buckets") {
+  test("bucketed history layout: probe results match minhashProbe; above the " +
+    "prune gate the sliver fetch prunes to the candidates' id buckets, at or " +
+    "below it the bucket-resolution job is skipped — identical output") {
     val history = (0L until 50L)
       .map(i => (i, (1 to 12).map(j => s"h${i}w$j").mkString(" ")))
       .toDF("doc_id", "text")
@@ -181,16 +182,29 @@ class DedupSpec extends AnyFunSuite {
     val plain = Dedup.minhashProbe(batch, index, history, threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSet == plain.toSet)
-    // the bucket predicate reaches the history scan as a partition
-    // filter (passthrough exposes the operator's interior plan — the
-    // checkpointed production form explains as one ExistingRDD scan)
+    // both plan shapes pinned (passthrough exposes the operator's
+    // interior plan — the checkpointed production form explains as one
+    // ExistingRDD scan): the default 8-bucket layout sits under the
+    // prune gate, so the fast path must NOT carry an id_bucket
+    // partition filter (no bucket-resolution collect was paid); forcing
+    // the gate down (pruneSkipMaxBuckets = 0) re-engages the pruned
+    // path, which must carry it — with identical rows either way
     Caching.passthrough = true
     try {
-      val plan = Dedup.minhashProbeBucketed(batch, index, root, threshold = 0.8)
+      val fast = Dedup.minhashProbeBucketed(batch, index, root, threshold = 0.8)
         .queryExecution.executedPlan.toString
-      assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*id_bucket.*"),
-        s"no id_bucket partition filter in:\n$plan")
+      assert(!fast.matches("(?s).*PartitionFilters: \\[[^\\]]*id_bucket.*"),
+        s"fast path unexpectedly carries an id_bucket partition filter:\n$fast")
+      val pruned = Dedup.minhashProbeBucketed(batch, index, root,
+        threshold = 0.8, pruneSkipMaxBuckets = 0)
+        .queryExecution.executedPlan.toString
+      assert(pruned.matches("(?s).*PartitionFilters: \\[[^\\]]*id_bucket.*"),
+        s"no id_bucket partition filter in:\n$pruned")
     } finally Caching.passthrough = false
+    val prunedRows = Dedup.minhashProbeBucketed(batch, index, root,
+      threshold = 0.8, pruneSkipMaxBuckets = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(prunedRows.toSet == got.toSet)
   }
 
   test("bloom-guarded incremental dedup: duplicates never survive, novel docs pass") {
