@@ -79,7 +79,19 @@ object Bench {
     // the refs are pinned at ONE config (sf0.1, 32 cpus — the driver's
     // window, measured quiet by the r18 judge); at any other sf/cpus
     // the canaries legitimately differ and the ratio would read as
-    // phantom load, so they only apply when the config matches
+    // phantom load, so they only apply when the config matches.
+    // RE-PIN POLICY (r20 verdict #6): a ref may only be replaced with a
+    // minimum measured in a judge/driver-verified quiet window, and the
+    // provenance strings below must be updated in the same commit — the
+    // artifact carries them (`canary_refs`), so a consumer can tell a
+    // live reference from a fossil. A run whose canary-ratio median
+    // leaves the plausible band [0.25, 4] marks the refs STALE in the
+    // JSON (`canary_stale`: the box, code, or refs changed out from
+    // under the pin — re-measure and re-pin before trusting ambient
+    // adjudication), and refuses outright under
+    // SPARK_GRAFT_CANARY_STRICT=1.
+    val quietRefPinnedFrom = "r18-judge-quiet-window sf0.1/32cpus"
+    val quietRefRefreshed = "r18 (kept r19-r22: q01/q02 paths unchanged)"
     val quietRefs: Map[String, Double] =
       if (sfDir.stripSuffix("/").endsWith("sf0.1") && cpus == "32")
         Map("q01_incoming_scan" -> 0.21, "q02_agg_tensecond" -> 0.62)
@@ -202,6 +214,20 @@ object Bench {
     val ambient =
       if (canaryRatios.isEmpty) -1.0
       else median(canaryRatios.map(_._4))
+    // provenance + staleness (see the re-pin policy note above):
+    // refs whose ratio band is implausible adjudicate NOTHING
+    val canaryRefsJson = quietRefs.toSeq.sorted.map { case (name, ref) =>
+      s""""$name":{"value":$ref,"pinned_from":"$quietRefPinnedFrom",""" +
+        s""""refreshed":"$quietRefRefreshed"}"""
+    }.mkString("{", ",", "}")
+    val canaryStale =
+      canaryRatios.nonEmpty && (ambient < 0.25 || ambient > 4.0)
+    if (canaryStale)
+      System.err.println(
+        s"[bench] STALE canary refs: ratio median $ambient is outside " +
+          "[0.25, 4] — the quiet refs no longer describe this box/code; " +
+          "re-pin from a verified quiet window before trusting " +
+          "ambient-load adjudication")
     def subtotal(p: String => Boolean): Double =
       results.collect { case (k, (mn, _)) if mn >= 0 && p(k) => mn }.sum
     val subCore = subtotal(isCore)
@@ -212,7 +238,8 @@ object Bench {
       probeResults.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
     val adjJson =
       s""""loadavg":{"start":$loadStart,"end":$loadEnd,"passes":$loadJson},""" +
-        s""""canaries":$canaryJson,"ambient_load_ratio":$ambient,""" +
+        s""""canaries":$canaryJson,"canary_refs":$canaryRefsJson,""" +
+        s""""canary_stale":$canaryStale,"ambient_load_ratio":$ambient,""" +
         s""""subtotal_core":$subCore,"subtotal_rehearsal":$subRehearsal,""" +
         s""""subtotal_extension":$subExtension,"subtotal_serving":$subServing"""
 
@@ -232,5 +259,11 @@ object Bench {
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
+    // the strict form of the stale-ref refusal: an automation that
+    // depends on canary adjudication opts in and gets a hard failure
+    // instead of a silently meaningless ambient_load_ratio (JSON is
+    // already printed and written — the evidence survives the refusal)
+    if (canaryStale && sys.env.get("SPARK_GRAFT_CANARY_STRICT").contains("1"))
+      sys.exit(2)
   }
 }

@@ -41,6 +41,10 @@ object JobProfile {
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskMs = 0L
+    // verbose mode prints per-job offsets from this epoch so DRIVER-side
+    // gaps BETWEEN jobs (planning, FS protocol work, footer reads) are
+    // attributable — the job durations alone hid ~40% of q75's wall
+    @volatile var clock0 = System.nanoTime()
     val verbose = sys.env.get("SPARK_GRAFT_PROFILE_VERBOSE").contains("1")
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     // SQL executionId -> first line of the execution description (the
@@ -68,8 +72,10 @@ object JobProfile {
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         if (verbose) Option(jobStart.remove(j.jobId)).foreach {
           case (t0, cs) =>
+            val now = System.nanoTime()
             System.err.println(
-              f"[job] ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.3f  $cs")
+              f"[job] ${j.jobId}%4d ${(now - t0) / 1e9}%6.3f " +
+                f"@${(t0 - clock0) / 1e9}%7.3f..${(now - clock0) / 1e9}%7.3f  $cs")
         }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
@@ -99,6 +105,7 @@ object JobProfile {
       Thread.sleep(200) // let the async listener bus drain the warm-up events
       jobs = 0; stages = 0; tasks = 0; taskMs = 0L
       val t0 = System.nanoTime()
+      clock0 = t0
       fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(200)

@@ -799,6 +799,33 @@ object Dedup {
     */
   val DefaultPruneSkipMaxBuckets: Int = 64
 
+  /** Scan-size companion to [[DefaultPruneSkipMaxBuckets]]: the bucket
+    * count alone says how many partitions COULD be pruned, not what
+    * pruning is WORTH — a small probe batch against a 100 TB history
+    * under the default 8-bucket modulus genuinely touches few buckets,
+    * and skipping the resolution job there trades one ~100 ms driver
+    * action for a full history scan. The skip therefore also requires
+    * the candidate scan to be SMALL: at or below this many estimated
+    * bytes the whole layout reads in the time the resolution job alone
+    * would take, so the skip is a pure win; above it the resolution
+    * job engages regardless of the bucket count. Estimated driver-side
+    * from the plan's file-index statistics (no job); plans whose size
+    * Catalyst cannot estimate fall back to huge defaults, which fails
+    * toward PRUNING — the scan-bytes-safe direction. Production tuning:
+    * `spark.graft.pruneSkip.maxBytes` (session conf, read per probe).
+    */
+  val DefaultPruneSkipMaxBytes: Long = 256L << 20
+
+  /** Is `df` small enough for a prune-skip gate to bypass partition
+    * pruning over it? Driver-side plan statistics only — never a job.
+    */
+  private[operators] def pruneSkipBytesOk(df: DataFrame): Boolean = {
+    val limit = df.sparkSession.conf
+      .get("spark.graft.pruneSkip.maxBytes", DefaultPruneSkipMaxBytes.toString)
+      .toLong
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(limit)
+  }
+
   /** The batch's duplicated-window-hash set against history ∪ batch —
     * the single probe-side derivation shared by [[substringDupProbeOn]]
     * (which counts them per doc) and [[substringSpanProbeOn]] (which
@@ -814,7 +841,8 @@ object Dedup {
       minDocs: Int,
       pruneSkipMaxBuckets: Int): DataFrame = {
     val sliverBase =
-      if (nBuckets <= pruneSkipMaxBuckets) history
+      if (nBuckets <= pruneSkipMaxBuckets && pruneSkipBytesOk(history))
+        history
       else {
         // candidate wh_buckets resolve DRIVER-SIDE into literal
         // partition predicates (bounded by nBuckets — at scale a small
@@ -3453,9 +3481,14 @@ object Dedup {
         // with a ≤64-way modulus the candidates' id set covers most
         // residues, so the driver-side bucket resolution (an extra
         // distinct + collect action on the latency path) would prune
-        // nothing; the left-semi sliver join restricts either way
+        // nothing; the left-semi sliver join restricts either way. The
+        // skip additionally requires a SMALL history scan
+        // ([[DefaultPruneSkipMaxBytes]]): a tiny candidate batch against
+        // a large small-modulus history genuinely touches few of the 8
+        // buckets, and there the resolution job pays for itself
         val histSliverBase =
-          if (nBuckets <= pruneSkipMaxBuckets) history
+          if (nBuckets <= pruneSkipMaxBuckets && pruneSkipBytesOk(history))
+            history
           else {
             val buckets = candidates
               .select(concat(lit("b"),

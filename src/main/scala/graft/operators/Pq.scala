@@ -659,10 +659,11 @@ object Pq {
     Similarity.requireIntegralId(
       index.schema(idCol).dataType, s"index $idCol", "PQ")
     // bounded by the index's centroid count in BOTH modes, never by
-    // the query batch; below the sidecar-size gate the literal comes
-    // straight from the (driver-local) sidecar with zero Spark jobs —
-    // see [[Similarity.probedPartitions]]
-    val probed = Similarity.probedPartitions(spark, dataRoot, probes)
+    // the query batch; inside the sidecar-size/scan-bytes gate the
+    // literal comes straight from the (driver-local) sidecar with zero
+    // Spark jobs — see [[Similarity.probedPartitions]]; the pruned
+    // scan is the stage-1 index itself
+    val probed = Similarity.probedPartitions(spark, dataRoot, probes, index)
     val wq = Window.partitionBy("query_id")
       .orderBy(col("qsim").desc, col("neighbor_id"))
     val ranked = pqCandidates(index, probes, meta, probed, idCol,

@@ -1077,8 +1077,13 @@ object Similarity {
          writer.option("maxRecordsPerFile", maxRecordsPerFile)
        else writer)
         .parquet(stageData)
-      // the sidecar travels unchanged: same centroid set, same ids
+      // the sidecar travels unchanged: same centroid set, same ids.
+      // coalesce(1) matches the builders' one-file sidecar shape — the
+      // read-back is a driver-LOCAL relation, and an uncoalesced write
+      // of a LocalRelation fans out to min(centroidK, parallelism)
+      // tiny files, one per row
       readCentroidSidecar(spark, dataRoot)
+        .coalesce(1)
         .write.parquet(s"$stageData/_centroids")
       // the rewrite quantized every row — mark the new root so the
       // upgraded generation answers schema detection in O(1)
@@ -2199,25 +2204,30 @@ object Similarity {
   }
 
   /** The query batch's probed-partition literal, resolved driver-side.
-    * At or below [[Dedup.DefaultPruneSkipMaxBuckets]] centroids the
-    * layout's own sidecar id set stands in for the batch's routed set:
-    * with a ≤64-way geometry a real batch's routes cover essentially
-    * every partition, so the distinct+collect Spark job on the probe
-    * latency path would prune nothing — the sidecar is already
-    * driver-local (zero jobs), and the stand-in is a SUPERSET filter
-    * with row-identical results (every candidate row is restricted by
-    * the probe join on centroid_id either way; stored assignments and
-    * routed probes both draw from the sidecar's id set). Above the
-    * gate — the at-scale geometry, where a batch genuinely touches few
-    * of many partitions — the routed set resolves as before.
+    * At or below [[Dedup.DefaultPruneSkipMaxBuckets]] centroids AND
+    * with a SMALL layout scan ([[Dedup.DefaultPruneSkipMaxBytes]],
+    * estimated from `layout`'s plan statistics — no job) the layout's
+    * own sidecar id set stands in for the batch's routed set: on that
+    * geometry the distinct+collect Spark job on the probe latency path
+    * costs more than the un-pruned scan it would save — the sidecar is
+    * already driver-local (zero jobs), and the stand-in is a SUPERSET
+    * filter with row-identical results (every candidate row is
+    * restricted by the probe join on centroid_id either way; stored
+    * assignments and routed probes both draw from the sidecar's id
+    * set). Outside the gate — many partitions, or few partitions of a
+    * LARGE corpus where a serving-style batch genuinely routes to a
+    * fraction of them — the routed set resolves as before and the
+    * literal prunes the scan.
     */
   private[operators] def probedPartitions(
       spark: org.apache.spark.sql.SparkSession,
       dataRoot: String,
-      probes: DataFrame): Seq[String] = {
+      probes: DataFrame,
+      layout: DataFrame): Seq[String] = {
     val sidecarIds = readCentroidSidecar(spark, dataRoot)
       .select("centroid_id").collect().map(_.getString(0)).toSeq
-    if (sidecarIds.length <= Dedup.DefaultPruneSkipMaxBuckets) sidecarIds
+    if (sidecarIds.length <= Dedup.DefaultPruneSkipMaxBuckets &&
+        Dedup.pruneSkipBytesOk(layout)) sidecarIds
     else probes.select("centroid_id").distinct()
       .collect().map(_.getString(0)).toSeq
   }
@@ -2282,7 +2292,7 @@ object Similarity {
       if (nprobe == 1) queries
       else rankRoutes(spark, dataRoot, queries.drop("centroid_id"),
         nprobe, Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
-    val probed = probedPartitions(spark, dataRoot, probes)
+    val probed = probedPartitions(spark, dataRoot, probes, corpus)
     val scored = corpus
       .filter(col("centroid_id").isInCollection(probed)) // partition prune
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
@@ -2463,7 +2473,7 @@ object Similarity {
     // the probed-partition literal stays driver-side in BOTH modes:
     // it is bounded by the layout's centroid count (the layout
     // config), never by the query batch
-    val probed = probedPartitions(spark, dataRoot, probes)
+    val probed = probedPartitions(spark, dataRoot, probes, corpus)
     val wq = Window.partitionBy("query_id")
       .orderBy(col("qsim").desc, col("neighbor_id"))
     val ranked = sq8Candidates(corpus, probes, probed, idCol,
@@ -2690,7 +2700,7 @@ object Similarity {
         col("nrm").as("nrm_q"))
     val probes = rankRoutes(spark, dataRoot, q, nprobe,
       Seq("query_id", "centroid_id", "vec_q", "nrm_q"))
-    val probed = probedPartitions(spark, dataRoot, probes)
+    val probed = probedPartitions(spark, dataRoot, probes, corpus)
     val scored = corpus
       .filter(col("centroid_id").isInCollection(probed)) // partition prune
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),

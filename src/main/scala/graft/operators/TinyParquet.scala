@@ -62,28 +62,37 @@ private[graft] object TinyParquet {
     rs.head
   }
 
-  /** Top-level field names of the (first data file's) parquet schema —
-    * the `spark.read.parquet(dir).schema.fieldNames` guard-check shape
-    * without the distributed schema-inference job.
+  /** Top-level field names of the directory's parquet schema — the
+    * `spark.read.parquet(dir).schema.fieldNames` guard-check shape
+    * without the distributed schema-inference job. The UNION over every
+    * data file's footer (first-seen order), so a multi-file sidecar
+    * whose files were written by different builds (schema evolution —
+    * e.g. a later file adding `hash_ver`) reports fields that exist in
+    * ANY file, matching what a mergeSchema read would surface; the
+    * files are O(rows) tiny by the sidecar contract, so the extra
+    * footers cost microseconds, and [[rows]] reads them all anyway.
     */
   def fieldNames(spark: SparkSession, dir: String): Seq[String] = {
     val f = Dedup.fsFor(spark, dir)
-    val file = f.listStatus(new Path(dir)).toSeq
+    val files = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && {
         val n = s.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       })
       .sortBy(_.getPath.getName)
-      .headOption
-      .getOrElse(sys.error(s"$dir holds no data files — not a sidecar"))
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(file.getPath, spark.sparkContext.hadoopConfiguration)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      import scala.jdk.CollectionConverters._
-      r.getFooter.getFileMetaData.getSchema.getFields.asScala
-        .map(_.getName).toSeq
-    } finally r.close()
+    require(files.nonEmpty, s"$dir holds no data files — not a sidecar")
+    val seen = mutable.LinkedHashSet.empty[String]
+    files.foreach { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(st.getPath, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .foreach(fld => seen += fld.getName)
+      } finally r.close()
+    }
+    seen.toSeq
   }
 
   private def groupToMap(g: Group): Map[String, Any] = {

@@ -20,22 +20,19 @@ object CoreQueries {
 
   /** `events` → incoming-shaped DataFrame.
     *
-    * The fixtures store `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * only reads via the nanosAsLong legacy flag (as a LongType of epoch
-    * nanos). Whole seconds are derived with exact integer division (`div`)
-    * — floating division of an epoch-nano long would lose precision near
-    * second boundaries.
+    * The fixtures store `ts` as parquet TIMESTAMP(NANOS); under the
+    * pinned [[Fixtures.eventsSchema]] it reads as TimestampType and
+    * whole seconds come from `unix_timestamp` (truncation toward zero —
+    * exact for the positive-epoch domain). The session-level
+    * `nanosAsLong` legacy flag stays set for UNPINNED readers of the
+    * same files (tools, tests), whose inference would otherwise refuse
+    * the nanos annotation.
     */
   def incomingFromEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = Fixtures.table(spark, dir, "events")
-    val secs = raw.schema("ts").dataType match {
-      case LongType => expr("ts div 1000000000")
-      case _        => unix_timestamp(col("ts"))
-    }
-    raw.select(
+    Fixtures.table(spark, dir, "events").select(
       col("event_type").as("path"),
-      secs.cast(DoubleType).as("timestamp"),
+      unix_timestamp(col("ts")).cast(DoubleType).as("timestamp"),
       col("value"))
   }
 
@@ -161,18 +158,22 @@ object CoreQueries {
          |ORDER BY "timestamp"""".stripMargin))
 
   /** O3/P4 — list_metrics: union-distinct of paths over all 6 period
-    * views (tsdb.py:142-152). Kept in the reference's 6-leg union shape;
-    * Catalyst column-pruning strips the stat aggregates from each leg.
+    * views (tsdb.py:142-152). Computed as ONE distinct over the incoming
+    * paths instead of the reference's literal 6-leg union: each leg is
+    * `aggregate(inc, p).select("path")` — a pure `groupBy(path, bucket)`
+    * that never drops a group or invents a path, so every leg's path set
+    * IS the incoming path set, and union-distinct of six identical sets
+    * is that set. The literal shape cost 6 full scans + 6 aggregation
+    * exchanges to produce rows the final distinct collapsed anyway
+    * (guide §2.3/§2.4: don't compute what you throw away); the oracle
+    * still runs the 6-leg SQL and pins the equivalence.
     */
   private val qListMetrics = QueryDef(
     "q06_list_metrics",
-    (s, dir) => {
-      val inc = incomingFromEvents(s, dir)
-      Periods.all.map(p => Agg.aggregate(inc, p).select("path"))
-        .reduce(_ union _)
-        .distinct()
-        .orderBy("path")
-    },
+    (s, dir) => incomingFromEvents(s, dir)
+      .select("path")
+      .distinct()
+      .orderBy("path"),
     Some {
       val legs = Periods.all.map(p =>
         s"""SELECT DISTINCT path FROM (

@@ -10,8 +10,11 @@ import org.apache.spark.sql.types._
   * scheduled Spark job per fixture read per query, pure fixed overhead
   * (the suite reads `documents` alone ~70 times per bench pass). The
   * generator's schemas are identical at every scale factor (verified
-  * sf0.001/sf0.01/sf0.1), so the readers pin them; a drifted fixture
-  * fails loudly at scan time instead of silently re-inferring.
+  * sf0.001/sf0.01/sf0.1), so the readers pin them. Drift detection is
+  * partial by Spark's user-schema contract: a TYPE-drifted column fails
+  * loudly at scan time, but a column MISSING from the files silently
+  * reads as nulls (the oracle's row hashes are what catch that case —
+  * every pinned column is exercised by at least one hashed query).
   */
 private[queries] object Fixtures {
 

@@ -205,6 +205,24 @@ class DedupSpec extends AnyFunSuite {
       threshold = 0.8, pruneSkipMaxBuckets = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(prunedRows.toSet == got.toSet)
+    // the skip is also SCAN-SIZE-bounded: a small candidate batch
+    // against a LARGE small-modulus history must not full-scan — with
+    // the byte bound forced to zero (the at-scale posture) the DEFAULT
+    // bucket gate re-engages pruning, rows identical
+    spark.conf.set("spark.graft.pruneSkip.maxBytes", "0")
+    try {
+      Caching.passthrough = true
+      val sized =
+        try Dedup.minhashProbeBucketed(batch, index, root, threshold = 0.8)
+          .queryExecution.executedPlan.toString
+        finally Caching.passthrough = false
+      assert(sized.matches("(?s).*PartitionFilters: \\[[^\\]]*id_bucket.*"),
+        s"large-history skip did not re-engage the id_bucket filter:\n$sized")
+      val sizedRows = Dedup.minhashProbeBucketed(batch, index, root,
+        threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(sizedRows.toSet == got.toSet)
+    } finally spark.conf.unset("spark.graft.pruneSkip.maxBytes")
   }
 
   test("bloom-guarded incremental dedup: duplicates never survive, novel docs pass") {

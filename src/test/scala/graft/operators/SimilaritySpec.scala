@@ -134,6 +134,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got2 == expected2)
   }
 
+  test("probedPartitions prune-skip gate is scan-size-bounded: a small " +
+    "batch against a LARGE few-centroid layout resolves the routed set " +
+    "instead of substituting every sidecar id — identical probe rows") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfsz").toString
+    Similarity.writeIvfPartitioned(emb, root)
+    val corpus = spark.read.parquet(root)
+    val allIds = Similarity.readCentroidSidecar(spark, root)
+      .select("centroid_id").collect().map(_.getString(0)).toSet
+    assert(allIds.size > 1 && allIds.size <= Dedup.DefaultPruneSkipMaxBuckets)
+    val routed = Seq(Tuple1(allIds.head)).toDF("centroid_id")
+    // default gate: few centroids AND a tiny fixture layout ⇒ the skip
+    // engages, every sidecar id stands in (zero resolution jobs)
+    assert(Similarity.probedPartitions(spark, root, routed, corpus)
+      .toSet == allIds)
+    // the at-scale posture: the same geometry over a large corpus must
+    // NOT full-scan for a batch that routes to one partition — the
+    // byte bound re-engages the driver-side resolution
+    spark.conf.set("spark.graft.pruneSkip.maxBytes", "0")
+    try {
+      assert(Similarity.probedPartitions(spark, root, routed, corpus)
+        .toSet == Set(allIds.head))
+      // end-to-end row identity through the forced-pruned path, probe
+      // and serving shapes both
+      val queryIds = Seq(0L, 1L, 2L, 3L)
+      val pruned = Similarity.ivfKnnPartitioned(spark, root, queryIds,
+          k = 5, nprobe = 2)
+        .orderBy("query_id", "rank").collect().toSeq
+      spark.conf.unset("spark.graft.pruneSkip.maxBytes")
+      val fast = Similarity.ivfKnnPartitioned(spark, root, queryIds,
+          k = 5, nprobe = 2)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(pruned == fast)
+    } finally spark.conf.unset("spark.graft.pruneSkip.maxBytes")
+  }
+
   test("PackInt8 + Int8Dot: packing is pure narrowing of the builtin " +
     "round algebra, the integer dot matches the unpacked fold exactly, " +
     "and out-of-range packing fails loudly") {

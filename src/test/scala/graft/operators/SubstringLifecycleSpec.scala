@@ -258,6 +258,25 @@ class SubstringLifecycleSpec extends AnyFunSuite {
         .collect().toSeq ==
       Dedup.substringDupProbe(batch, idx, pruneSkipMaxBuckets = 0)
         .orderBy("doc_id").collect().toSeq)
+    // the fast path is SCAN-SIZE-bounded too: against a LARGE
+    // small-modulus history (byte bound forced to zero) the default
+    // gate re-engages the bucket resolution — filter present, rows
+    // identical
+    spark.conf.set("spark.graft.pruneSkip.maxBytes", "0")
+    try {
+      Caching.passthrough = true
+      val sizedPlan =
+        try Dedup.substringDupProbe(batch, idx)
+          .queryExecution.executedPlan.toString
+        finally Caching.passthrough = false
+      assert(sizedPlan.matches("(?s).*PartitionFilters: \\[[^\\]]*wh_bucket.*"),
+        s"large-history skip did not re-engage the wh_bucket filter:\n" +
+          sizedPlan)
+      assert(Dedup.substringDupProbe(batch, idx).orderBy("doc_id")
+          .collect().toSeq ==
+        Dedup.substringDupProbe(batch, idx, pruneSkipMaxBuckets = 0)
+          .orderBy("doc_id").collect().toSeq)
+    } finally spark.conf.unset("spark.graft.pruneSkip.maxBytes")
   }
 
   test("rotateSubstringIndex: a window change re-derives under the new " +
