@@ -669,13 +669,24 @@ object Dedup {
       // modulus — a window hash would then be double-counted
       .option("partitionOverwriteMode", "static")
       .parquet(path)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // written AFTER the main overwrite (which clears the directory)
-    Seq((window, nBuckets, SubstringHashVersion))
-      .toDF("window", "n_buckets", "hash_ver")
-      .write.mode("overwrite").parquet(s"$path/_meta")
+    // written AFTER the main overwrite (which clears the directory),
+    // driver-side (TinyParquet) — three scalars need no Spark job
+    writeSubstringMeta(docs.sparkSession, s"$path/_meta", window, nBuckets)
   }
+
+  /** The substring layouts' `_meta` sidecar, written driver-side —
+    * ONE definition for the flat build and the rotation stage so the
+    * geometry schema cannot drift.
+    */
+  private def writeSubstringMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      window: Int,
+      nBuckets: Int): Unit =
+    TinyParquet.write(spark, dir,
+      Seq("window" -> "int", "n_buckets" -> "int", "hash_ver" -> "int"),
+      Seq(Map("window" -> window, "n_buckets" -> nBuckets,
+        "hash_ver" -> SubstringHashVersion)))
 
   /** A corpus slice's `(whash, ddf, wh_bucket)` index rows — the single
     * definition shared by the flat build and the epoch append, so the
@@ -1262,13 +1273,10 @@ object Dedup {
         substringIndexRows(docs, wEff, nbEff, textCol)
           .repartition(col("wh_bucket"))
           .write.partitionBy("wh_bucket").parquet(stageData)
-        import spark.implicits._
         // _meta travels WITH the generation (written before the
         // manifest commit, so a published generation always carries
         // its geometry AND the current hash-format version)
-        Seq((wEff, nbEff, SubstringHashVersion))
-          .toDF("window", "n_buckets", "hash_ver")
-          .write.parquet(s"$stageData/_meta")
+        writeSubstringMeta(spark, s"$stageData/_meta", wEff, nbEff)
     }
   }
 
@@ -1614,11 +1622,11 @@ object Dedup {
       bands: Int = 4): Unit = {
     guardIndexOverwrite(docs.sparkSession, path)
     minhashIndex(docs, textCol, k, bands).write.mode("overwrite").parquet(path)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // written AFTER the main overwrite (which clears the directory)
-    Seq((k, bands)).toDF("k", "bands")
-      .write.mode("overwrite").parquet(s"$path/_meta")
+    // written AFTER the main overwrite (which clears the directory),
+    // driver-side (TinyParquet) — two scalars need no Spark job
+    TinyParquet.write(docs.sparkSession, s"$path/_meta",
+      Seq("k" -> "int", "bands" -> "int"),
+      Seq(Map("k" -> k, "bands" -> bands)))
   }
 
   /** Resolve a [[writeMinhashIndex]] layout: (frame, k, bands). Like
@@ -3405,11 +3413,10 @@ object Dedup {
       // double-count its shingles
       .option("partitionOverwriteMode", "static")
       .parquet(path)
-    // written AFTER the main overwrite (which clears the directory)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
-      .write.mode("overwrite").parquet(s"$path/_meta")
+    // written AFTER the main overwrite (which clears the directory),
+    // driver-side (TinyParquet) — one scalar needs no Spark job
+    TinyParquet.write(docs.sparkSession, s"$path/_meta",
+      Seq("n_buckets" -> "int"), Seq(Map("n_buckets" -> nBuckets)))
   }
 
   /** [[minhashProbe]] against a [[writeHistoryBucketed]] layout: the

@@ -449,19 +449,19 @@ object Pq {
       .parquet(path)
     // sidecars AFTER the main overwrite (which clears the directory);
     // the centroid frame is the driver-local relation the assignment
-    // above used, so sidecar and assignment agree by construction
-    centroids
-      .select(concat(lit("c"), col("centroid_id")).as("centroid_id"),
-        col("cvec"), col("cnrm"))
-      // one task, one file: the sidecar is O(centroidK) rows, and a
-      // default-parallelism write spread it over 16 tiny files whose
-      // footers every probe's routing read then paid to list
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_centroids")
-    import spark.implicits._
-    Seq((m, k, dim, flat.toSeq, trainIters, residual))
-      .toDF("m", "k", "dim", "codebook", "train_iters", "residual")
-      .write.mode("overwrite").parquet(s"$path/_meta")
+    // above used, so sidecar and assignment agree by construction.
+    // Both are O(centroidK·dim) / O(m·k·dim) driver-bounded already —
+    // written driver-side (TinyParquet), zero Spark jobs instead of
+    // two write jobs plus committers per build.
+    Similarity.writeCentroidSidecar(spark, path,
+      centroids.select("centroid_id", "cvec", "cnrm").collect().toSeq)
+    TinyParquet.write(spark, s"$path/_meta",
+      Seq("m" -> "int", "k" -> "int", "dim" -> "int",
+        "codebook" -> "list<double>", "train_iters" -> "int",
+        "residual" -> "boolean"),
+      Seq(Map("m" -> m, "k" -> k, "dim" -> dim,
+        "codebook" -> flat.toSeq, "train_iters" -> trainIters,
+        "residual" -> residual)))
   }
 
   /** The index's geometry + codebook, from its `_meta` sidecar —

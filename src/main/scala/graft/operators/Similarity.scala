@@ -399,7 +399,23 @@ object Similarity {
     if (!existsG("_centroids"))
       refusePlainDatasetOverwrite(fsG, path, "writeIvfPartitioned")
     val all = asDouble(emb, idCol = idCol)
-    val centroids = trainedCentroids.getOrElse(ivfCentroids(all, centroidK, idCol))
+    // materialize the centroid set driver-side ONCE (one coalesced job
+    // for a distributed frame, zero for a LocalRelation — the
+    // rankCentroids collect idiom): the assignment below then collects
+    // a LocalRelation for free instead of re-executing the centroid
+    // plan, and the sidecar is written driver-side from the same rows
+    // (TinyParquet.write, no Spark job) — previously the sidecar
+    // coalesce(1) write re-ran the TakeOrdered a second time
+    val centroids0 = trainedCentroids
+      .getOrElse(ivfCentroids(all, centroidK, idCol))
+      .select("centroid_id", "cvec", "cnrm")
+    val centRows =
+      (if (centroids0.isLocal) centroids0 else centroids0.coalesce(1)).collect()
+    val spark = emb.sparkSession
+    val centroids = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(centRows.toSeq.asJava, centroids0.schema)
+    }
     val assigned = withQuantizedCols(rankCentroids(all, centroids, 1, idCol)
       .select(col(idCol), col("vec"), col("nrm"),
         concat(lit("c"), col("centroid_id")).as("centroid_id")))
@@ -426,13 +442,9 @@ object Similarity {
     // multi-probe query routing ranks against it without re-deriving
     // centroids from the corpus. The underscore prefix keeps Spark's file
     // index from reading it as corpus data. Written AFTER the main
-    // overwrite (which clears the directory).
-    centroids
-      .select(concat(lit("c"), col("centroid_id")).as("centroid_id"),
-        col("cvec"), col("cnrm"))
-      // one task, one file (O(centroidK) rows — see the PQ sidecar)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_centroids")
+    // overwrite (which clears the directory), driver-side from the rows
+    // already collected for the assignment — zero Spark jobs.
+    writeCentroidSidecar(spark, path, centRows.toIndexedSeq)
     // every writeIvfPartitioned root is quantized (withQuantizedCols
     // above) — persist the O(1) schema-version marker the append path
     // reads instead of walking footers
@@ -554,6 +566,50 @@ object Similarity {
       StructField("cvec", ArrayType(DoubleType)),
       StructField("cnrm", DoubleType)))
   }
+
+  /** Copy a tiny sidecar directory byte-for-byte on the driver — the
+    * zero-job way to carry an unchanged `_centroids` into a staged
+    * generation. Only the parquet data files travel (committer
+    * markers like `_SUCCESS` are reader-invisible); the target dir is
+    * created fresh by the caller's staging discipline.
+    */
+  private[operators] def copySidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      src: String,
+      dst: String): Unit = {
+    val f = Dedup.fsFor(spark, src)
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    require(f.mkdirs(dstPath), s"copySidecar: could not create $dst")
+    val conf = spark.sparkContext.hadoopConfiguration
+    f.listStatus(new org.apache.hadoop.fs.Path(src)).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(f, st.getPath, f,
+          new org.apache.hadoop.fs.Path(dstPath, st.getPath.getName),
+          false, conf)
+      }
+  }
+
+  /** Write a layout's `_centroids` sidecar driver-side (TinyParquet —
+    * no Spark job, no committer) from collected `(centroid_id: Long,
+    * cvec, cnrm)` rows, under the PINNED sidecar schema with the
+    * builders' `c`-prefixed string id. The content is identical to the
+    * `coalesce(1).write.parquet` it replaces (the TinyParquet writer's
+    * footer round-trips byte-equivalently through both Spark scans and
+    * [[TinyParquet.rows]], spec-pinned), and the frame is O(k·dim) —
+    * the same driver budget every sidecar READ already spends.
+    */
+  private[operators] def writeCentroidSidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      dataRoot: String,
+      centRows: Seq[org.apache.spark.sql.Row]): Unit =
+    TinyParquet.write(spark, s"$dataRoot/_centroids",
+      Seq("centroid_id" -> "string", "cvec" -> "list<double>",
+        "cnrm" -> "double"),
+      centRows.map(r => Map(
+        "centroid_id" -> ("c" + r.getLong(0)),
+        "cvec" -> r.getSeq[Double](1),
+        "cnrm" -> r.getDouble(2))))
 
   /** Read a layout's `_centroids` sidecar into a driver-LOCAL relation
     * under the PINNED sidecar schema. The frame is O(k·dim) — exactly
@@ -1077,14 +1133,11 @@ object Similarity {
          writer.option("maxRecordsPerFile", maxRecordsPerFile)
        else writer)
         .parquet(stageData)
-      // the sidecar travels unchanged: same centroid set, same ids.
-      // coalesce(1) matches the builders' one-file sidecar shape — the
-      // read-back is a driver-LOCAL relation, and an uncoalesced write
-      // of a LocalRelation fans out to min(centroidK, parallelism)
-      // tiny files, one per row
-      readCentroidSidecar(spark, dataRoot)
-        .coalesce(1)
-        .write.parquet(s"$stageData/_centroids")
+      // the sidecar travels unchanged: same centroid set, same ids —
+      // a raw driver-side FILE copy (byte-identical, zero Spark jobs)
+      // rather than a decode + re-encode through a Spark write
+      copySidecar(spark, s"$dataRoot/_centroids",
+        s"$stageData/_centroids")
       // the rewrite quantized every row — mark the new root so the
       // upgraded generation answers schema detection in O(1)
       writeSq8Marker(Dedup.fsFor(spark, stageData), stageData)

@@ -95,6 +95,97 @@ private[graft] object TinyParquet {
     seen.toSeq
   }
 
+  /** Driver-side WRITER twin of [[rows]] for the same tiny sidecars.
+    *
+    * Every Spark write of an O(rows) sidecar costs one or two scheduled
+    * jobs plus the committer's directory dance — pure fixed overhead on
+    * build/maintenance paths whose sidecar contents are already
+    * driver-local (collected centroid samples, geometry scalars). This
+    * writes the identical logical content through parquet-hadoop's
+    * Group API in the driver thread: no job, and the file reads back
+    * byte-identically through BOTH consumers (Spark scans — the LIST
+    * encoding is Spark's standard 3-level `list`/`element` shape, the
+    * string annotation UTF8 — and [[rows]]).
+    *
+    * `fields` declares the schema as (name, type) with types
+    * `int | long | double | boolean | string | list<double> | list<long>`
+    * — exactly the sidecar shapes. A field absent from a row's map
+    * writes as null. The directory is REPLACED (Spark
+    * `mode("overwrite")` semantics); the single data file is staged
+    * under a dot-prefixed name (invisible to readers) and committed by
+    * an atomic rename, so a reader never lists a torn file. Only for
+    * O(rows)-tiny sidecars, like [[rows]].
+    */
+  def write(
+      spark: SparkSession,
+      dir: String,
+      fields: Seq[(String, String)],
+      rowMaps: Seq[Map[String, Any]]): Unit = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.Types
+    val b = Types.buildMessage()
+    fields.foreach { case (name, t) =>
+      t match {
+        case "int" => b.optional(INT32).named(name)
+        case "long" => b.optional(INT64).named(name)
+        case "double" => b.optional(DOUBLE).named(name)
+        case "boolean" => b.optional(BOOLEAN).named(name)
+        case "string" => b.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(name)
+        case "list<double>" =>
+          b.optionalList().requiredElement(DOUBLE).named(name)
+        case "list<long>" =>
+          b.optionalList().requiredElement(INT64).named(name)
+        case other => sys.error(s"TinyParquet.write: unsupported type " +
+          s"$other for field $name")
+      }
+    }
+    val schema = b.named("sidecar")
+    val f = Dedup.fsFor(spark, dir)
+    val dirPath = new Path(dir)
+    if (f.exists(dirPath))
+      require(f.delete(dirPath, true),
+        s"TinyParquet.write: could not clear $dir")
+    require(f.mkdirs(dirPath), s"TinyParquet.write: could not create $dir")
+    val tmp = new Path(dir, ".part-00000.parquet.tmp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(tmp, conf))
+      .withType(schema)
+      .withConf(conf)
+      .build()
+    try {
+      val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+        schema)
+      rowMaps.foreach { m =>
+        val g = gf.newGroup()
+        fields.foreach { case (name, t) =>
+          m.get(name).foreach { v =>
+            t match {
+              case "int" => g.add(name, v.asInstanceOf[Int])
+              case "long" => g.add(name, v.asInstanceOf[Long])
+              case "double" => g.add(name, v.asInstanceOf[Double])
+              case "boolean" => g.add(name, v.asInstanceOf[Boolean])
+              case "string" => g.add(name, v.asInstanceOf[String])
+              case "list<double>" =>
+                val lg = g.addGroup(name)
+                v.asInstanceOf[Seq[Double]].foreach(d =>
+                  lg.addGroup("list").add("element", d))
+              case "list<long>" =>
+                val lg = g.addGroup(name)
+                v.asInstanceOf[Seq[Long]].foreach(l =>
+                  lg.addGroup("list").add("element", l))
+            }
+          }
+        }
+        writer.write(g)
+      }
+    } finally writer.close()
+    require(f.rename(tmp, new Path(dir, "part-00000.parquet")),
+      s"TinyParquet.write: commit rename failed under $dir")
+  }
+
   private def groupToMap(g: Group): Map[String, Any] = {
     val t = g.getType
     val b = Map.newBuilder[String, Any]
