@@ -3597,6 +3597,59 @@ object Dedup {
     *   `df.checkpoint()` could land in a round subdir this loop is
     *   about to delete.
     */
+  /** Largest symmetrized edge count resolved by the driver-local
+    * union-find inside [[components]] — O(maxEdges) longs of driver
+    * state (16 MB at the default), the same bounded-driver budget the
+    * collected probe modes spend. Above it the Pregel loop runs
+    * distributed as before.
+    */
+  private[operators] val LocalComponentsMaxEdges: Long = 1L << 20
+
+  /** Union-find over the COLLECTED edge list: component(v) = min
+    * reachable node — the identical fixpoint the distributed min-label
+    * loop converges to, computed exactly in one driver pass. Returns
+    * None when any endpoint is null (the distributed loop's null
+    * semantics — a null node joins nothing — are not worth replicating
+    * here; resolve such graphs distributed). One job: the collect over
+    * the already-checkpointed edges.
+    */
+  private def localComponents(
+      edges: DataFrame): Option[DataFrame] = {
+    val rows = edges.collect()
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, v), v)
+    }
+    val spark = edges.sparkSession
+    import scala.jdk.CollectionConverters._
+    val out: java.util.List[org.apache.spark.sql.Row] =
+      parent.keys.toSeq.map(v =>
+        org.apache.spark.sql.Row(v, minOfRoot(find(v)))).asJava
+    Some(spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType)))))
+  }
+
   def components(
       pairs: DataFrame,
       aCol: String = "doc_a",
@@ -3623,9 +3676,36 @@ object Dedup {
       } catch { case _: Throwable => () } // cleanup is best-effort
     }
     try {
-      val edges = ckptIn("edges")(
+      val edgesRaw =
         pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-          .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+          .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      // DRIVER-LOCAL fast path (the rankCentroids literal-argmax move
+      // applied to cluster resolution): the edge count rides the edges
+      // checkpoint the loop pays anyway as an Observation — no extra
+      // job — and a small graph resolves via union-find on the driver
+      // instead of (1 + rounds) checkpoint jobs, each a multi-stage
+      // join. Same fixpoint by definition: component(v) = min reachable
+      // node, which union-find computes exactly; spec-pinned identical
+      // to the distributed loop. Gated on localCheckpoint mode
+      // (a reliable checkpointDir signals cluster scale, and its
+      // checkpoint re-execution makes observed counts unreliable), on
+      // bigint node ids, and on the edge budget — O(|E|) longs, the
+      // driver state the literal/collected modes already spend.
+      val localProbe = checkpointDir.isEmpty &&
+        edgesRaw.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)
+      val edgesObs =
+        if (localProbe) Some(org.apache.spark.sql.Observation("components-edges"))
+        else None
+      val edges = ckptIn("edges")(edgesObs.fold(edgesRaw)(o =>
+        edgesRaw.observe(o, count(lit(1)).as("n"))))
+      val nEdges = edgesObs.map(o => Option(o.get("n")).collect {
+        case l: java.lang.Long => l.longValue()
+      }.getOrElse(0L))
+      val localResult =
+        if (nEdges.exists(_ <= LocalComponentsMaxEdges)) localComponents(edges)
+        else None // distributed; None also = a null endpoint in the collect
+      localResult.getOrElse {
       var labels = ckptIn("r0")(
         edges.select(col("src").as("node")).distinct()
           .withColumn("component", col("node")))
@@ -3672,6 +3752,7 @@ object Dedup {
       // outlive the call, for as long as the caller holds the result
       deleteSub("edges")
       labels.select(col("node").as("doc_id"), col("component"))
+      }
     } catch {
       case t: Throwable =>
         // a failed run's result is never read: drop the WHOLE scratch

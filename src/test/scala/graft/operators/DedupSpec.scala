@@ -73,6 +73,31 @@ class DedupSpec extends AnyFunSuite {
       new java.io.File(dir).listFiles.nonEmpty)
   }
 
+  test("components: small graphs resolve driver-local (LocalRelation), " +
+    "identical rows to the forced-distributed loop") {
+    // the default path is the union-find fast path: result is a
+    // LocalRelation (zero further jobs for consumers) — plan-shape pin
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val local = Dedup.components(pairs)
+    assert(local.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"expected a driver-local result, got:\n${local.queryExecution.optimizedPlan}")
+    // row identity on a denser pseudo-random graph: long chains, merged
+    // clusters, self-contained islands — local vs forced-distributed
+    // (checkpointDir engages the Pregel loop) must agree exactly
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)) ++
+      (200L until 230L).map(i => (i, i + 1)) // a 31-node chain
+    val df = edges.toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val a = Dedup.components(df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Dedup.components(df, checkpointDir = Some(dir)).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
   test("contamination report: max-overlap benchmark per doc, self excluded") {
     val corpus = Seq(
       (1L, a),       // shares everything with bench doc 10 (identical)
