@@ -128,8 +128,27 @@ object Dedup {
     */
   def shingled(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame = {
     val cores = docs.sparkSession.sparkContext.defaultParallelism
+    // the `.rdd` partition probe is free on an exchange-free plan (a
+    // scan has no query stages to resolve), but on a join/aggregate
+    // INPUT (the probe paths' candidate slivers) AQE materializes every
+    // upstream stage just to count partitions — a throwaway execution
+    // of the very joins the real action then re-runs (measured: 7 such
+    // jobs per q63 run). For exchanged inputs the probe is skipped:
+    // their reduce-side parallelism is AQE's job, and the sliver frames
+    // this branch sees are candidate-bounded, never the corpus. (The
+    // asDouble twin keeps its unconditional probe — its PQ encode paths
+    // end in a narrow post-exchange stage that measurably needs the
+    // spread; see the NOTE there.)
+    // exchanges are inserted by the PREPARATION rules (EnsureRequirements
+    // runs inside AQE), so `sparkPlan` never shows them — judge the
+    // adaptive plan's initialPlan instead
+    val hasExchange = (docs.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }).exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
     val spread =
-      if (docs.rdd.getNumPartitions >= cores) docs
+      if (hasExchange || docs.rdd.getNumPartitions >= cores) docs
       else docs.repartition(cores)
     spread.select(col("doc_id"),
       graft.functions.ShingleHashes(col(textCol), n).as("shh"))
