@@ -54,6 +54,28 @@ object PipelineQueries {
     d.toString
   }
 
+  /** Run INDEPENDENT layout builds on driver threads (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially) — one build's task tail backfills with the next
+    * build's tasks instead of idling the executor pool. Only for
+    * builds with no data or protocol dependency: different target
+    * paths, so each layout keeps its single-maintenance-writer
+    * contract. Joins all tasks, then rethrows the first failure.
+    */
+  private def concurrently(tasks: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = tasks.map { t =>
+      val th = new Thread(() => {
+        try t()
+        catch { case e: Throwable => errs.add(e); () }
+      })
+      th.start()
+      th
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   // ---------------------------------------------------------------- dedup
 
   private val qDedupExact = QueryDef(
@@ -362,11 +384,18 @@ object PipelineQueries {
     val d = docs(s, dir)
     val part1 = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 250)
     val part2 = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250)
-    Dedup.writeHistoryBucketed(part1, hist, nBuckets = 8)
-    Dedup.writeMinhashIndex(part1, idx)
-    val bloom = s.sparkContext.broadcast(
-      Dedup.digestBloom(part1, expectedItems = 10000, fpp = 0.01))
-    Dedup.rotateEpochBucketed(part2, hist, idx, bloom,
+    // the two base layouts and the bloom digest are mutually
+    // independent (different paths, all over part1) — overlap their
+    // jobs (§2.6); the rotation needs all three and stays sequential
+    val bloomRef = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]]()
+    concurrently(
+      () => Dedup.writeHistoryBucketed(part1, hist, nBuckets = 8),
+      () => Dedup.writeMinhashIndex(part1, idx),
+      () => bloomRef.set(s.sparkContext.broadcast(
+        Dedup.digestBloom(part1, expectedItems = 10000, fpp = 0.01))))
+    Dedup.rotateEpochBucketed(part2, hist, idx, bloomRef.get,
       expectedItems = 10000, fpp = 0.01, epochId = "ep1")
       .unpersist(blocking = false)
   }
@@ -1326,12 +1355,19 @@ object PipelineQueries {
       val idx = s"$root/pq"
       val spool = s"$root/spool"
       val build = e.filter(col("vec_id") % 2 === 0)
-      Similarity.writeIvfPartitioned(build, layout)
-      graft.operators.Pq.writePqIndex(build, idx)
-      graft.streaming.StreamingDedup.spoolBatch(
-        e.filter(col("vec_id") % 4 === 1), s"$spool/epoch1", batchId = 0L)
-      graft.streaming.StreamingDedup.spoolBatch(
-        e.filter(col("vec_id") % 4 === 3), s"$spool/epoch1", batchId = 1L)
+      // corpus layout and PQ index both build from `build` into
+      // DIFFERENT paths — independent; overlap their jobs (§2.6). The
+      // two spooled micro-batches are independent too (distinct
+      // batch_id dirs); the epoch apply needs all four and stays
+      // sequential.
+      concurrently(
+        () => Similarity.writeIvfPartitioned(build, layout),
+        () => graft.operators.Pq.writePqIndex(build, idx))
+      concurrently(
+        () => graft.streaming.StreamingDedup.spoolBatch(
+          e.filter(col("vec_id") % 4 === 1), s"$spool/epoch1", batchId = 0L),
+        () => graft.streaming.StreamingDedup.spoolBatch(
+          e.filter(col("vec_id") % 4 === 3), s"$spool/epoch1", batchId = 1L))
       require(graft.streaming.StreamingSimilarity.applySpooledEpoch(
           s, spool, "epoch1", layout, "vec_id", Some(idx)),
         "q75 expects the spooled epoch to apply NOW (fresh scratch)")
